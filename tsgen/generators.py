@@ -1,0 +1,118 @@
+"""Synthetic time-series sources (the engine's table-valued generators).
+
+Re-expresses /root/reference/utils/data_generators.py:38-147 and
+models/diffusion_ts_model.py:777-816 as Spark DataFrame builders.
+
+Scale notes (100 TB design):
+- `spark.range(n)` is an embarrassingly parallel source; the per-series
+  sequence is exploded *within* a partition (narrow op — no shuffle at all
+  in the whole generator path, verified via .explain: a single
+  WholeStageCodegen span over Range → Project → Generate → Project).
+- All randomness is a pure function of (series_id, t) (tsgen/expr.py), so
+  output is independent of partitioning/task retries — a requirement for
+  deterministic regeneration at cluster scale.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import expr as E
+from .normalize import znorm
+
+
+def base_grid(spark: SparkSession, n_series: int, seq_len: int, partitions: int | None = None) -> DataFrame:
+    """(series_id BIGINT, t BIGINT) long-format grid, no shuffle."""
+    rng = spark.range(0, n_series, 1, partitions) if partitions else spark.range(n_series)
+    return (
+        rng.withColumnRenamed("id", "series_id")
+        .select(
+            "series_id",
+            F.explode(F.sequence(F.lit(0), F.lit(seq_len - 1))).alias("t"),
+        )
+        .withColumn("t", F.col("t").cast("bigint"))
+    )
+
+
+def generate(
+    spark: SparkSession,
+    n_series: int,
+    seq_len: int,
+    family: str = "sine",
+    lambda_decay: float = 0.5,
+    noise: bool = True,
+    normalize: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """create_synthetic_dataset (utils/data_generators.py:38-108) as a DataFrame.
+
+    Returns (series_id, t, value). With noise+normalize this matches the
+    reference's full pipeline: family signal → +Gaussian noise → z-norm.
+    """
+    value = (
+        E.noisy_signal_expr(family, seq_len, lambda_decay=lambda_decay)
+        if noise
+        else E.signal_expr(family, seq_len, lambda_decay=lambda_decay)
+    )
+    df = base_grid(spark, n_series, seq_len, partitions).withColumn("value", F.expr(value))
+    if normalize:
+        df = znorm(df)
+    return df
+
+
+def generate_labeled(
+    spark: SparkSession,
+    n_series: int,
+    seq_len: int,
+    families: tuple[str, ...] = ("sine", "cosine", "mixed", "exponential_decay"),
+    noise: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """create_labeled_dataset (utils/data_generators.py:111-147): each series
+    draws a family uniformly; label = index into `families`.
+
+    Spark-first: the per-sample family dispatch (reference: a Python loop
+    generating one series at a time) becomes a single CASE WHEN over the
+    whole grid — one codegen'd pass, no per-series work on the driver.
+    """
+    n_fam = len(families)
+    label = f"CAST(floor({E.u01('series_id', E.SALT_LABEL)} * {n_fam}) AS BIGINT)"
+    cases = " ".join(
+        f"WHEN {i} THEN {E.noisy_signal_expr(fam, seq_len) if noise else E.signal_expr(fam, seq_len)}"
+        for i, fam in enumerate(families)
+    )
+    df = (
+        base_grid(spark, n_series, seq_len)
+        .withColumn("label", F.expr(label))
+        .withColumn("value", F.expr(f"CASE label {cases} END"))
+    )
+    if normalize:
+        df = znorm(df)
+    return df
+
+
+def sample_data(
+    spark: SparkSession, batch_size: int, seq_len: int, family: str = "sine"
+) -> DataFrame:
+    """create_sample_data (models/diffusion_ts_model.py:777-816): fixed-parameter
+    families (no random freq/phase), plus 0.1·N(0,1) noise column.
+
+    Returns (series_id, t, signal, noise, value=signal+noise).
+    """
+    tv = E.time_grid("t", seq_len)
+    if family == "sine":
+        sig = f"sin({tv})"
+    elif family == "cosine":
+        sig = f"cos({tv})"
+    elif family == "mixed":
+        sig = f"(5.0e-1 * sin({tv}) + 3.0e-1 * cos(2.0e0 * {tv}))"
+    elif family == "exponential":
+        sig = f"(exp(-5.0e-1 * {tv} / {E.NUM(4.0 * E.PI)}) * sin({tv}))"
+    else:
+        raise ValueError(f"unknown family: {family}")
+    noise = f"(1.0e-1 * {E.normal(E.pt_key(), E.SALT_NOISE)})"
+    return (
+        base_grid(spark, batch_size, seq_len)
+        .withColumn("signal", F.expr(sig))
+        .withColumn("noise", F.expr(noise))
+        .withColumn("value", F.col("signal") + F.col("noise"))
+    )

@@ -1,0 +1,133 @@
+"""Driver-contract query registry.
+
+Each entry: name -> (spark_fn, oracle_sql_or_None). `__spark_entry__.py`
+exposes these as `queries()` / `oracle_sql()`. Column names are aliased
+identically on both sides; float outputs are rounded to 6 dp on both sides
+(see tsgen/expr.py docstring for why).
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import expr as E, generators, oracle
+from .normalize import znorm
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        _REGISTRY[name] = Query(name, fn, oracle_sql, tags)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    _ensure_populated()
+    return _REGISTRY
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark_fn for name, q in registry().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in registry().items() if q.oracle is not None}
+
+
+def round6(df: DataFrame, *cols: str) -> DataFrame:
+    """Round named double columns to 6dp and normalize -0.0 (match oracle)."""
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6) + F.lit(0.0))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# 2.A/2.B generators — one oracle-checked query per family (SURVEY §2 A1-A3,
+# B1-B9)
+# ---------------------------------------------------------------------------
+GEN_N, GEN_LEN = 24, 96
+
+
+def _register_generators() -> None:
+    for fam in E.FAMILIES:
+        def fn(spark: SparkSession, sf_dir: str, _fam=fam) -> DataFrame:
+            df = generators.generate(spark, GEN_N, GEN_LEN, _fam)
+            return round6(df, "value")
+
+        _REGISTRY[f"gen_{fam}"] = Query(
+            f"gen_{fam}", fn, oracle.generate_sql(GEN_N, GEN_LEN, fam), ("generator",)
+        )
+
+    def labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return round6(generators.generate_labeled(spark, GEN_N, GEN_LEN), "value")
+
+    _REGISTRY["gen_labeled"] = Query(
+        "gen_labeled", labeled, oracle.generate_labeled_sql(GEN_N, GEN_LEN), ("generator",)
+    )
+
+    def stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = generators.generate(spark, GEN_N, GEN_LEN, "mixed", normalize=False)
+        out = df.groupBy("series_id").agg(
+            F.avg("value").alias("mean_val"),
+            F.stddev_samp("value").alias("std_val"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        return round6(out, "mean_val", "std_val", "min_val", "max_val")
+
+    _REGISTRY["series_stats"] = Query(
+        "series_stats", stats, oracle.series_stats_sql(GEN_N, GEN_LEN, "mixed"), ("agg",)
+    )
+
+    def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = generators.sample_data(spark, 8, 64, "mixed")
+        return round6(df, "signal", "noise", "value")
+
+    _REGISTRY["sample_data_mixed"] = Query(
+        "sample_data_mixed", sample, oracle.sample_data_sql(8, 64, "mixed"), ("generator",)
+    )
+
+
+_POPULATED = False
+
+
+def _ensure_populated() -> None:
+    global _POPULATED
+    if _POPULATED:
+        return
+    _POPULATED = True
+    _register_generators()
+    # later stages register themselves here
+    from . import queries_diffusion, queries_analytics, queries_pipeline  # noqa: F401
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship entry query: generate the reference's default workload family
+    (linear_sum, config.json:2), z-normalize, and decompose into per-series
+    summary stats; prove the engine's generator→normalize→aggregate path.
+    """
+    df = generators.generate(spark, 64, 128, "linear_sum")
+    out = (
+        df.groupBy("series_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.avg("value").alias("mean_val"),
+            F.stddev_samp("value").alias("std_val"),
+        )
+        .orderBy("series_id")
+    )
+    return round6(out, "mean_val", "std_val")
