@@ -1,0 +1,63 @@
+"""Schedule invariants + diffusion algebra properties (FIXTURES.md §95-100)."""
+import numpy as np
+from pyspark.sql import functions as F
+
+from tsgen import diffusion, generators
+from tsgen.schedules import schedule_table
+
+
+def test_schedule_invariants(spark):
+    for kind in ("linear", "cosine"):
+        pdf = schedule_table(spark, 64, kind).toPandas().sort_values("t_step")
+        assert ((pdf.beta > 0) & (pdf.beta < 1)).all()
+        # alpha_cumprod strictly decreasing, in (0,1)
+        assert (np.diff(pdf.alpha_cumprod) < 0).all()
+        assert ((pdf.alpha_cumprod > 0) & (pdf.alpha_cumprod <= 1)).all()
+        # prev = lag with default 1.0
+        assert pdf.alpha_cumprod_prev.iloc[0] == 1.0
+        assert np.allclose(pdf.alpha_cumprod_prev.values[1:], pdf.alpha_cumprod.values[:-1])
+        # posterior variance at t=0 is 0 (beta * (1-1) / ...)
+        assert pdf.posterior_variance.iloc[0] == 0.0
+
+
+def test_schedule_matches_torch_formula(spark):
+    # linear: linspace(1e-4, 0.02, T) — diffusion_ts_model.py:77-79
+    pdf = schedule_table(spark, 50, "linear").toPandas().sort_values("t_step")
+    expect = np.linspace(1e-4, 0.02, 50)
+    assert np.allclose(pdf.beta.values, expect, atol=1e-12)
+    # cumprod vs direct product
+    assert np.allclose(pdf.alpha_cumprod.values, np.cumprod(1 - expect), rtol=1e-10)
+    # cosine: replicate diffusion_ts_model.py:82-89
+    pdf = schedule_table(spark, 50, "cosine").toPandas().sort_values("t_step")
+    x = np.arange(51)
+    ac = np.cos(((x / 50) + 0.008) / 1.008 * np.pi / 2) ** 2
+    ac = ac / ac[0]
+    betas = np.clip(1 - ac[1:] / ac[:-1], 1e-4, 0.9999)
+    assert np.allclose(pdf.beta.values, betas, atol=1e-12)
+
+
+def test_qsample_roundtrip(spark):
+    # predict_start_from_noise(q_sample(x)) == x  (B14 ∘ B15 = id)
+    df = generators.generate(spark, 6, 32, "sine")
+    sched = schedule_table(spark, 20, "cosine")
+    noisy = diffusion.q_sample(df, sched, 20)
+    rec = diffusion.predict_start_from_noise(noisy, sched)
+    err = rec.agg(F.max(F.abs(F.col("x0_pred") - F.col("value")))).collect()[0][0]
+    assert err < 1e-9
+
+
+def test_qsample_broadcast_join(spark):
+    df = generators.generate(spark, 6, 32, "sine")
+    sched = schedule_table(spark, 20, "cosine")
+    plan = diffusion.q_sample(df, sched, 20)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # schedule lookup must never shuffle the big side
+
+
+def test_qsample_t0_near_identity(spark):
+    # at t_step=0, x_t = sqrt(1-beta0)*x + sqrt(beta0)*eps ≈ x
+    df = generators.generate(spark, 32, 16, "sine")
+    sched = schedule_table(spark, 20, "linear")
+    noisy = diffusion.q_sample(df, sched, 20).filter(F.col("t_step") == 0)
+    pdf = noisy.toPandas()
+    if len(pdf):
+        assert np.abs(pdf.x_t - pdf.value).max() < 0.05  # beta0=1e-4 → tiny noise

@@ -25,6 +25,7 @@ def generate_sql(
     lambda_decay: float = 0.5,
     noise: bool = True,
     normalize: bool = True,
+    rounded: bool = True,
 ) -> str:
     """Oracle for generators.generate — same formulas over the same grid."""
     value = (
@@ -35,6 +36,8 @@ def generate_sql(
     inner = f"SELECT series_id, t, {value} AS value FROM {grid_sql(n_series, seq_len)}"
     if normalize:
         inner = znorm_sql(inner)
+    if not rounded:
+        return inner
     return f"SELECT series_id, t, {E.round6('value')} AS value FROM ({inner})"
 
 
