@@ -1,0 +1,99 @@
+"""Property-based self-oracles for the FFT/decomposition family
+(FIXTURES.md §95-100 — the reference's closed-form test corpus idea)."""
+import numpy as np
+from pyspark.sql import functions as F
+
+from tsgen import decompose, generators, spectral
+from tsgen import expr as E
+
+
+def test_fft_roundtrip(spark):
+    # irfft(rfft(x)) == x
+    df = generators.generate(spark, 4, 64, "mixed")
+    spec = spectral.rfft(df)
+    back = spectral.irfft(spec, 64)
+    j = df.select("series_id", "t", F.col("value").alias("orig")).join(back, ["series_id", "t"])
+    err = j.agg(F.max(F.abs(F.col("value") - F.col("orig")))).collect()[0][0]
+    assert err < 1e-10
+
+
+def test_parseval(spark):
+    # sum(x^2) == (|X0|^2 + 2*sum(|Xk|^2, 0<k<N/2) + |XN/2|^2)/N for even N
+    n = 64
+    df = generators.generate(spark, 3, n, "sine")
+    time_energy = {
+        r.series_id: r.e
+        for r in df.groupBy("series_id").agg(F.sum(F.pow("value", 2)).alias("e")).collect()
+    }
+    spec = spectral.rfft(df).toPandas()
+    for sid, g in spec.groupby("series_id"):
+        g = g.sort_values("freq_idx")
+        mags = g.magnitude.to_numpy() ** 2
+        freq_energy = (mags[0] + 2 * mags[1:-1].sum() + mags[-1]) / n
+        assert abs(freq_energy - time_energy[sid]) < 1e-8 * max(1, time_energy[sid])
+
+
+def test_seasonality_all_bins_is_identity(spark):
+    # top_k = all bins → seasonality == input
+    n = 32
+    df = generators.generate(spark, 3, n, "mixed")
+    seas = decompose.extract_seasonality(df, top_k=n // 2 + 1)
+    j = df.join(seas, ["series_id", "t"])
+    err = j.agg(F.max(F.abs(F.col("value") - F.col("seasonality")))).collect()[0][0]
+    assert err < 1e-10
+
+
+def test_seasonality_recovers_pure_tone(spark):
+    # a pure integer-frequency sinusoid is a single rfft bin → top_k=1 recovers it
+    n = 64
+    df = generators.base_grid(spark, 2, n).withColumn(
+        "value", F.expr(f"sin(2 * {E.NUM(E.PI)} * 5 * t / {n})")
+    )
+    seas = decompose.extract_seasonality(df, top_k=1)
+    j = df.join(seas, ["series_id", "t"])
+    err = j.agg(F.max(F.abs(F.col("value") - F.col("seasonality")))).collect()[0][0]
+    assert err < 1e-9
+
+
+def test_trend_poly_recovers_exact_polynomial(spark):
+    # value = 2 + 3c - c^2 with c = t/n → fit recovers it exactly
+    n = 48
+    df = generators.base_grid(spark, 3, n).withColumn(
+        "value", F.expr(f"2.0e0 + 3.0e0 * (CAST(t AS DOUBLE)/{n}) - pow(CAST(t AS DOUBLE)/{n}, 2)")
+    )
+    out = decompose.trend_poly(df, degree=3)
+    err = out.agg(F.max(F.abs(F.col("trend") - F.col("value")))).collect()[0][0]
+    assert err < 1e-8
+
+
+def test_trend_linear_closed_form(spark):
+    # exact line: value = 1 + 2c → intercept 1, slope 2
+    n = 40
+    df = generators.base_grid(spark, 2, n).withColumn(
+        "value", F.expr(f"1.0e0 + 2.0e0 * (CAST(t AS DOUBLE)/{n})")
+    )
+    pdf = decompose.trend_linear(df).toPandas()
+    assert np.allclose(pdf.intercept, 1.0, atol=1e-10)
+    assert np.allclose(pdf.slope, 2.0, atol=1e-10)
+
+
+def test_decompose_additivity(spark):
+    df = generators.generate(spark, 4, 64, "linear_sum")
+    out = decompose.decompose(df)
+    err = out.agg(
+        F.max(F.abs(F.col("value") - F.col("trend") - F.col("seasonality") - F.col("residual")))
+    ).collect()[0][0]
+    assert err < 1e-12
+
+
+def test_decompose_seasonality_orthogonal_to_kept_bins(spark):
+    # residual after removing top-k bins has those bins zeroed
+    df = generators.generate(spark, 2, 32, "mixed")
+    out = decompose.decompose(df, top_k=4)
+    res_spec = spectral.rfft(out.select("series_id", "t", F.col("residual").alias("value"))).toPandas()
+    seas_spec = spectral.rfft(out.select("series_id", "t", F.col("seasonality").alias("value"))).toPandas()
+    for sid in res_spec.series_id.unique():
+        r = res_spec[res_spec.series_id == sid].sort_values("freq_idx").magnitude.to_numpy()
+        s = seas_spec[seas_spec.series_id == sid].sort_values("freq_idx").magnitude.to_numpy()
+        kept = s > 1e-9
+        assert r[kept].max() < 1e-9  # no overlap between kept bins and residual

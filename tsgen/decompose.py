@@ -1,0 +1,179 @@
+"""Trend / seasonality / residual decomposition (SURVEY §2 G4-G7, §3 entry 3).
+
+The reference's interpretable decomposition contract
+(diffusion_ts_model.py:550-554, visualisation.py:113-117):
+    output = trend + seasonality + residual
+with trend ≈ polynomial in t (TrendSynthesisLayer, :200-239, basis
+c = arange(seq_len)/seq_len at :219-221) and seasonality = top-k Fourier
+modes (FourierSynthesisLayer, :242-289). The learned projections are HOW the
+model approximates this; the engine computes the closed-form analogs:
+
+- trend: per-series least-squares polynomial fit. Implemented as *moment
+  aggregation* (sums of t^i and t^i·x — a partial-aggregated groupBy, the
+  cheapest possible distributed form) followed by a tiny per-series normal-
+  equation solve in a pandas UDF, then a co-partitioned join back.
+- seasonality: FFT top-k of the detrended signal, one applyInPandas pass.
+- residual: remainder (G7).
+
+`decompose` runs trend+seasonality+residual in ONE applyInPandas pass
+(single shuffle on series_id) — the fast path used by the sampling loop.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .spectral import topk_filter_mask
+
+DEFAULT_DEGREE = 3  # poly_degree, config.json:22
+DEFAULT_TOP_K = 4  # top_k_freq, config.json:21
+
+
+def _poly_design(n: int, degree: int) -> np.ndarray:
+    # basis c = arange(seq_len)/seq_len — diffusion_ts_model.py:219-221
+    c = np.arange(n) / n
+    return np.vander(c, degree + 1, increasing=True)
+
+
+def _fit_trend(x: np.ndarray, degree: int) -> np.ndarray:
+    A = _poly_design(len(x), degree)
+    coef, *_ = np.linalg.lstsq(A, x, rcond=None)
+    return A @ coef
+
+
+def decompose(
+    df: DataFrame,
+    degree: int = DEFAULT_DEGREE,
+    top_k: int = DEFAULT_TOP_K,
+    value_col: str = "value",
+    key: str = "series_id",
+) -> DataFrame:
+    """Full decomposition in one grouped pass.
+
+    → (series_id, t, value, trend, seasonality, residual) with
+    value = trend + seasonality + residual exactly.
+    """
+    schema = f"{key} bigint, t bigint, {value_col} double, trend double, seasonality double, residual double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        x = pdf[value_col].to_numpy()
+        trend = _fit_trend(x, degree)
+        det = x - trend
+        spec = np.fft.rfft(det)
+        seas = np.fft.irfft(spec * topk_filter_mask(spec, top_k), n=len(x))
+        return pd.DataFrame(
+            {
+                key: pdf[key].iloc[0],
+                "t": pdf["t"].to_numpy(),
+                value_col: x,
+                "trend": trend,
+                "seasonality": seas,
+                "residual": x - trend - seas,
+            }
+        )
+
+    return df.select(key, "t", value_col).groupBy(key).applyInPandas(fn, schema)
+
+
+def extract_seasonality(
+    df: DataFrame, top_k: int = DEFAULT_TOP_K, value_col: str = "value", key: str = "series_id"
+) -> DataFrame:
+    """G4 flagship composite: rfft → top-k amplitude mask → irfft, one pass."""
+    schema = f"{key} bigint, t bigint, seasonality double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        x = pdf[value_col].to_numpy()
+        spec = np.fft.rfft(x)
+        seas = np.fft.irfft(spec * topk_filter_mask(spec, top_k), n=len(x))
+        return pd.DataFrame({key: pdf[key].iloc[0], "t": pdf["t"].to_numpy(), "seasonality": seas})
+
+    return df.select(key, "t", value_col).groupBy(key).applyInPandas(fn, schema)
+
+
+def trend_linear(df: DataFrame, value_col: str = "value", key: str = "series_id") -> DataFrame:
+    """Degree-1 trend in closed form — pure Catalyst aggregations (no UDF),
+    and therefore DuckDB-oracle-checkable. Basis c = t/seq_len.
+
+    slope = cov(c,x)/var(c); intercept = mean(x) − slope·mean(c).
+    Returns per-series (intercept, slope).
+    """
+    # computed via grouped sums so the whole thing is one partial-agg shuffle
+    g = df.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t").cast("double")).alias("st"),
+        F.sum(F.col("t").cast("double") * F.col("t")).alias("stt"),
+        F.sum(value_col).alias("sx"),
+        F.sum(F.col("t").cast("double") * F.col(value_col)).alias("stx"),
+    )
+    # work in basis c = t/n: slope_c = slope_t * n, etc.
+    slope_t = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    intercept = (F.col("sx") - slope_t * F.col("st")) / F.col("n")
+    return g.select(
+        key,
+        intercept.alias("intercept"),
+        (slope_t * F.col("n")).alias("slope"),  # slope w.r.t. c = t/n
+    )
+
+
+def trend_poly(
+    df: DataFrame, degree: int = DEFAULT_DEGREE, value_col: str = "value", key: str = "series_id"
+) -> DataFrame:
+    """Arbitrary-degree trend via distributed moment aggregation + per-series
+    normal-equation solve.
+
+    The groupBy computes Σ c^i (i ≤ 2·degree) and Σ c^i·x (i ≤ degree) with
+    map-side partial aggregation — the shuffle carries ~(3·degree+2) doubles
+    per series no matter how long the series is. The 4×4 solve runs in a
+    pandas UDF over the tiny aggregate table.
+
+    Returns (series_id, t, trend).
+    """
+    seq_len_df = df.groupBy(key).agg(F.count("*").alias("_n"))
+    aggs = [F.count("*").alias("m0")]
+    cexpr = F.col("t").cast("double") / F.col("_n")
+    joined = df.join(seq_len_df, key)
+    for i in range(1, 2 * degree + 1):
+        aggs.append(F.sum(F.pow(cexpr, i)).alias(f"m{i}"))
+    for i in range(degree + 1):
+        aggs.append(F.sum(F.pow(cexpr, i) * F.col(value_col)).alias(f"b{i}"))
+    moments = joined.groupBy(key).agg(*aggs)
+
+    coef_schema = f"{key} bigint, " + ", ".join(f"c{i} double" for i in range(degree + 1))
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():
+            m = [r[f"m{i}"] for i in range(2 * degree + 1)]
+            A = np.array([[m[i + j] for j in range(degree + 1)] for i in range(degree + 1)])
+            b = np.array([r[f"b{i}"] for i in range(degree + 1)])
+            coef = np.linalg.solve(A, b)
+            out.append([r[key], *coef])
+        return pd.DataFrame(out, columns=[key] + [f"c{i}" for i in range(degree + 1)])
+
+    coefs = moments.groupBy(key).applyInPandas(solve, coef_schema)
+    trend = sum(
+        (F.col(f"c{i}") * F.pow(F.col("t").cast("double") / F.col("_n"), i) for i in range(1, degree + 1)),
+        F.col("c0"),
+    )
+    return (
+        joined.join(coefs, key)
+        .withColumn("trend", trend)
+        .select(key, "t", value_col, "trend")
+    )
+
+
+def decomposition_denoiser(df: DataFrame, t: int) -> DataFrame:
+    """Engine-default denoiser for diffusion.sample: x̂₀ = trend + seasonality
+    of the current state (the reference model's decomposition contract,
+    diffusion_ts_model.py:538-542)."""
+    dec = decompose(df.withColumnRenamed("x", "value"))
+    return (
+        dec.withColumn("x0_pred", F.col("trend") + F.col("seasonality"))
+        .withColumnRenamed("value", "x")
+        .select("series_id", "t", "x", "x0_pred")
+    )

@@ -112,7 +112,12 @@ def _ensure_populated() -> None:
     _POPULATED = True
     _register_generators()
     # later stages register themselves here
-    from . import queries_diffusion, queries_analytics, queries_pipeline  # noqa: F401
+    from . import (  # noqa: F401
+        queries_analytics,
+        queries_decompose,
+        queries_diffusion,
+        queries_pipeline,
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
