@@ -1,0 +1,117 @@
+"""Window / ordered analytics over real event streams (SURVEY §2 D/E/F
+extensions — operators the reference lacks but the north star mandates).
+
+Scale notes:
+- Every operator here shuffles exactly once, on its partition key
+  (user_id / group key); frames are bounded so state per key is O(frame).
+- The as-of join is the union-window formulation: ONE shuffle on
+  (key, time) replaces the naive range cross-join — this is the form that
+  survives 100 TB (no broadcast of the right side needed, no skew beyond
+  the key's own distribution).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rolling_stats(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    window_rows: int,
+) -> DataFrame:
+    """Rolling mean/min/max over the previous `window_rows` rows per key —
+    the DataFrame-native moving-average smoother (SURVEY §2.D extension)."""
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(-(window_rows - 1), 0)
+    return (
+        df.withColumn("roll_avg", F.avg(value).over(w))
+        .withColumn("roll_min", F.min(value).over(w))
+        .withColumn("roll_max", F.max(value).over(w))
+    )
+
+
+def lag_delta(df: DataFrame, key: str, order: list[str], value: str) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(*order)
+    return df.withColumn("delta", F.col(value) - F.lag(value, 1).over(w))
+
+
+def sessionize(df: DataFrame, key: str, ts: str, gap_minutes: int) -> DataFrame:
+    """Gap-based sessionization: new session when ts - lag(ts) > gap.
+
+    lag + cumulative sum over one (key, ts) shuffle; the batch twin of
+    F.session_window (streaming.py)."""
+    w = Window.partitionBy(key).orderBy(ts, "event_id")
+    gap_s = gap_minutes * 60
+    new_sess = (
+        F.when(
+            F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts, 1).over(w)) > gap_s, 1
+        )
+        .otherwise(0)
+    )
+    first = F.when(F.lag(ts, 1).over(w).isNull(), 1).otherwise(0)
+    return df.withColumn(
+        "session_id", F.sum(new_sess + first).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts for the same key.
+
+    Spark-native formulation: tag both sides, union, one window over
+    (key, ts, side) with last(value, ignorenulls=True). Right side must be
+    unique per (key, ts) (pre-dedup with latest_by_key if needed).
+    Equal timestamps: the right row IS visible to the left row (side=0
+    sorts first) — matches DuckDB ASOF JOIN (>=) semantics.
+    """
+    lcols = left.columns
+    l = left.select(*lcols).withColumn("_side", F.lit(1)).withColumn("_rv", F.lit(None).cast("double"))
+    r = right.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_side"), F.col(right_value).cast("double").alias("_rv")
+    )
+    for c in lcols:
+        if c not in (key, ts):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.unionByName(r.select(*[c for c in l.columns]))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_rv")
+    )
+
+
+def latest_by_key(df: DataFrame, keys: list[str], order: list) -> DataFrame:
+    """Exact dedup keeping the latest row per key (ranking window form —
+    the 'keep newest' variant of dropDuplicates)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def tumbling(df: DataFrame, ts: str, unit: str, groups: list[str], value: str) -> DataFrame:
+    """Tumbling-window aggregate via date_trunc (batch twin of F.window)."""
+    return (
+        df.groupBy(F.date_trunc(unit, F.col(ts)).alias("bucket"), *groups)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value).alias("sum_value"),
+            F.avg(value).alias("avg_value"),
+        )
+    )
+
+
+def topk_per_group(df: DataFrame, group: list[str], order: list, k: int) -> DataFrame:
+    w = Window.partitionBy(*group).orderBy(*order)
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

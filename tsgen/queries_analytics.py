@@ -1,1 +1,300 @@
-"""Populated in a later stage."""
+"""Oracle-checked analytics queries over the driver testdata tables
+(events / lineitem / orders / customer / nation) — SURVEY §2 C/D/E/F
+extension rows. All timestamps are surfaced as epoch seconds (BIGINT) so the
+two engines hash identically."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import analytics
+from .queries import _REGISTRY, Query, round6
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    rejects; read nanos as long and convert with integer division (a double
+    division would lose precision at 1e18)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+# --- rolling window -------------------------------------------------------
+def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = analytics.rolling_stats(ev, "user_id", ["ts", "event_id"], "value", 10)
+    return round6(
+        out.select("event_id", "user_id", "value", "roll_avg", "roll_min", "roll_max"),
+        "value", "roll_avg", "roll_min", "roll_max",
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id, (round(value,6)+0.0e0) AS value,
+       (round(avg(value) OVER w,6)+0.0e0) AS roll_avg,
+       (round(min(value) OVER w,6)+0.0e0) AS roll_min,
+       (round(max(value) OVER w,6)+0.0e0) AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- lag delta ------------------------------------------------------------
+def _q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = analytics.lag_delta(ev, "user_id", ["ts", "event_id"], "value")
+    return round6(out.select("event_id", "user_id", "delta"), "delta")
+
+
+_LAG_SQL = """
+SELECT event_id, user_id,
+       (round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),6)+0.0e0) AS delta
+FROM events
+"""
+
+
+# --- sessionization -------------------------------------------------------
+GAP_MIN = 30
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = analytics.sessionize(ev, "user_id", "ts", GAP_MIN)
+    out = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("start_s"),
+        F.unix_timestamp(F.max("ts")).alias("end_s"),
+        F.sum("value").alias("sum_value"),
+    )
+    return round6(out, "sum_value")
+
+
+_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {GAP_MIN * 60} THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s, CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+       (round(sum(value),6)+0.0e0) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --- tumbling window ------------------------------------------------------
+def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = analytics.tumbling(ev, "ts", "hour", ["event_type"], "value")
+    out = out.select(
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+    return round6(out, "sum_value", "avg_value")
+
+
+_TUMBLING_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s, event_type,
+       count(*) AS n_events,
+       (round(sum(value),6)+0.0e0) AS sum_value,
+       (round(avg(value),6)+0.0e0) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- as-of join -----------------------------------------------------------
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = analytics.latest_by_key(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        ["user_id", "ts"],
+        [F.desc("value")],
+    )
+    out = analytics.asof_join(clicks, purchases, "user_id", "ts", "value", "last_purchase")
+    out = out.select("event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), "last_purchase")
+    return round6(out, "last_purchase")
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+       (round(p.value,6)+0.0e0) AS last_purchase
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# --- exact dedup (keep latest) -------------------------------------------
+def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = analytics.latest_by_key(ev, ["user_id", "event_type"], [F.desc("ts"), F.desc("event_id")])
+    out = out.select("user_id", "event_type", "event_id", F.unix_timestamp("ts").alias("ts_s"), "value")
+    return round6(out, "value")
+
+
+_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, (round(value,6)+0.0e0) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+# --- TPC-H Q1-style pricing summary (bench headline) ----------------------
+def _q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    out = out.withColumn("sum_qty", F.round("sum_qty", 2) + F.lit(0.0))
+    for c in ("sum_base_price", "sum_disc_price", "sum_charge"):
+        out = out.withColumn(c, F.round(c, 2) + F.lit(0.0))
+    return round6(out, "avg_qty", "avg_price", "avg_disc")
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       (round(sum(l_quantity),2)+0.0e0) AS sum_qty,
+       (round(sum(l_extendedprice),2)+0.0e0) AS sum_base_price,
+       (round(sum(l_extendedprice * (1 - l_discount)),2)+0.0e0) AS sum_disc_price,
+       (round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),2)+0.0e0) AS sum_charge,
+       (round(avg(l_quantity),6)+0.0e0) AS avg_qty,
+       (round(avg(l_extendedprice),6)+0.0e0) AS avg_price,
+       (round(avg(l_discount),6)+0.0e0) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- rollup ---------------------------------------------------------------
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("sum_total"),
+    )
+    return out
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       (round(sum(o_totalprice),2)+0.0e0) AS sum_total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- top-k per group over a join chain ------------------------------------
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    out = analytics.topk_per_group(rev, ["n_name"], [F.desc("revenue"), F.asc("c_custkey")], 3)
+    return out.select(
+        "n_name", "c_custkey", (F.round("revenue", 2) + F.lit(0.0)).alias("revenue"), "rank"
+    )
+
+
+_TOPC_SQL = """
+WITH rev AS (
+  SELECT n_name, c_custkey,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey)
+SELECT n_name, c_custkey, (round(revenue,2)+0.0e0) AS revenue, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rank
+  FROM rev) WHERE rank <= 3
+"""
+
+
+# --- distinct counts ------------------------------------------------------
+def _q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+FROM lineitem
+"""
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL sketches differ per engine → rows-only; accuracy asserted in tests
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+_REGISTRY.update(
+    {
+        "ev_rolling": Query("ev_rolling", _q_rolling, _ROLLING_SQL, ("window",)),
+        "ev_lag_delta": Query("ev_lag_delta", _q_lag, _LAG_SQL, ("window",)),
+        "ev_sessionize": Query("ev_sessionize", _q_sessionize, _SESSION_SQL, ("window",)),
+        "ev_tumbling": Query("ev_tumbling", _q_tumbling, _TUMBLING_SQL, ("window",)),
+        "ev_asof": Query("ev_asof", _q_asof, _ASOF_SQL, ("join",)),
+        "ev_dedup_latest": Query("ev_dedup_latest", _q_dedup_latest, _DEDUP_SQL, ("dedup",)),
+        "pricing_summary": Query("pricing_summary", _q_pricing, _PRICING_SQL, ("agg",)),
+        "orders_rollup": Query("orders_rollup", _q_rollup, _ROLLUP_SQL, ("agg",)),
+        "top_customers": Query("top_customers", _q_top_customers, _TOPC_SQL, ("join",)),
+        "distinct_counts": Query("distinct_counts", _q_distinct, _DISTINCT_SQL, ("agg",)),
+        "approx_distinct": Query("approx_distinct", _q_approx_distinct, None, ("agg",)),
+    }
+)
