@@ -1,0 +1,120 @@
+"""Self-oracles for the engine-specific (non-SQL-expressible) pipeline ops:
+MinHash/LSH recall, SimHash behavior, IVF ANN recall, multimodal plumbing."""
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tsgen import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # corpus with planted near-duplicates
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm mat near the old wooden door of the small house"
+    )
+    rows = [Row(doc_id=0, text=base, lang="en", source="s0")]
+    words = base.split()
+    # near-dup: one word changed
+    w2 = words.copy()
+    w2[5] = "leaps"
+    rows.append(Row(doc_id=1, text=" ".join(w2), lang="en", source="s0"))
+    # unrelated docs
+    rng = np.random.RandomState(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for i in range(2, 30):
+        rows.append(
+            Row(
+                doc_id=i,
+                text=" ".join(rng.choice(vocab, size=30)),
+                lang="en",
+                source="s0",
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs):
+    dup = docs.union(docs.filter(F.col("doc_id") == 0).withColumn("doc_id", F.lit(99)))
+    out = dedup.exact_dedup(dup).filter("is_dup").collect()
+    assert [r.doc_id for r in out] == [99]
+
+
+def test_jaccard_planted_neardup_ranked_first(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, ["lang", "source"], threshold=0.0).toPandas()
+    top = pairs.sort_values("jaccard", ascending=False).iloc[0]
+    assert {top.doc_a, top.doc_b} == {0, 1}
+    assert top.jaccard > 0.7
+
+
+def test_minhash_lsh_recall(spark, docs):
+    # the planted near-dup pair must survive LSH candidate generation
+    pairs = dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).toPandas()
+    assert any((set(p) == {0, 1}) for p in zip(pairs.doc_a, pairs.doc_b))
+    # and verified jaccard matches the exact computation
+    exact = dedup.jaccard_pairs(docs, ["lang", "source"], threshold=0.5).toPandas()
+    got = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].jaccard.iloc[0]
+    want = exact[(exact.doc_a == 0) & (exact.doc_b == 1)].jaccard.iloc[0]
+    assert abs(got - want) < 1e-12
+
+
+def test_simhash_neardups_close(spark, docs):
+    sim = dedup.simhash(docs)
+    pairs = dedup.hamming_pairs(sim, max_dist=64).toPandas()
+    planted = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]
+    assert len(planted) == 1
+    rest = pairs[~((pairs.doc_a == 0) & (pairs.doc_b == 1))]
+    # planted near-dup much closer in hamming space than random pairs' mean
+    assert planted.hamming.iloc[0] < 10
+    if len(rest):
+        assert planted.hamming.iloc[0] < rest.hamming.mean()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(120, 16).astype("float32")
+    vecs[7] = vecs[3] + 0.01 * rng.randn(16).astype("float32")  # planted near-dup
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]], label=int(i % 3)) for i in range(120)]
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    out = similarity.brute_force_topk(emb, emb.filter("vec_id < 3"), k=4).toPandas()
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array([np.array(v, dtype=float) for v in pdf.embedding])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        want = np.argsort(-s, kind="stable")[:4]
+        got = out[out.query_id == q].sort_values("rank").neighbor_id.to_numpy()
+        assert list(got) == list(want)
+
+
+def test_ivf_recall(spark, emb):
+    brute = similarity.brute_force_topk(emb, emb.filter("vec_id < 8"), k=3).toPandas()
+    ivf = similarity.ivf_topk(emb, 8, k=3, n_cells=6, nprobe=3).toPandas()
+    # ANN: recall@3 over 8 queries should be decent, and the planted
+    # near-identical pair must be found
+    hits = 0
+    for q in range(8):
+        b = set(brute[brute.query_id == q].neighbor_id)
+        a = set(ivf[ivf.query_id == q].neighbor_id)
+        hits += len(a & b)
+    assert hits / (8 * 3) >= 0.5
+    assert 7 in set(ivf[ivf.query_id == 3].neighbor_id)
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.as_media_table(docs.withColumn("n_chars", F.length("text")))
+    feats = multimodal.extract_features(media).toPandas()
+    assert len(feats) == docs.count()
+    # checksum is deterministic and byte_len matches payload length
+    row = docs.filter("doc_id = 0").collect()[0]
+    want = multimodal.decode_stub(row.text.encode())
+    got = feats[feats.doc_id == 0].iloc[0]
+    assert got.byte_len == want["byte_len"] and got.checksum == want["checksum"]

@@ -1,1 +1,121 @@
-"""Populated in a later stage."""
+"""Queries for the LLM-data-pipeline extensions (text analysis, dedup,
+similarity search, multimodal) over documents/embeddings tables."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import dedup, multimodal, similarity, text
+from .queries import _REGISTRY, Query, round6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text analysis --------------------------------------------------------
+def _q_text_stats(spark, sf_dir):
+    out = text.text_stats(_docs(spark, sf_dir))
+    return round6(out, "distinct_ratio", "avg_token_len", "stopword_ratio")
+
+
+def _q_lang_id(spark, sf_dir):
+    return round6(text.lang_id(_docs(spark, sf_dir)), "en_score", "es_score")
+
+
+def _q_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def _q_token_freq(spark, sf_dir):
+    return text.token_freq(_docs(spark, sf_dir), top_n=20)
+
+
+# --- dedup ----------------------------------------------------------------
+def _q_dedup_exact(spark, sf_dir):
+    out = dedup.exact_dedup(_docs(spark, sf_dir))
+    return out.select("doc_id", "fingerprint", "is_dup")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id, fingerprint, (rn > 1) AS is_dup FROM (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+         row_number() OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                            ORDER BY doc_id) AS rn
+  FROM documents)
+"""
+
+
+def _q_jaccard(spark, sf_dir):
+    out = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang", "source"], threshold=0.01)
+    return round6(out, "jaccard")
+
+
+def _q_minhash(spark, sf_dir):
+    # xxhash64-based → engine-specific → rows-only; recall asserted in tests
+    out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), verify_threshold=0.05)
+    return round6(out, "jaccard")
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    sim = dedup.simhash(_docs(spark, sf_dir))
+    return dedup.hamming_pairs(sim, max_dist=20)
+
+
+# --- similarity search ----------------------------------------------------
+N_QUERIES = 10
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5)
+    return round6(out, "cos_sim")
+
+
+def _q_neardup(spark, sf_dir):
+    out = similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.25)
+    return round6(out, "cos_sim")
+
+
+def _q_ann_ivf(spark, sf_dir):
+    # ANN path: recall-vs-brute-force asserted in tests; rows-only here
+    out = similarity.ivf_topk(_emb(spark, sf_dir), N_QUERIES, k=5)
+    return round6(out, "cos_sim")
+
+
+# --- multimodal (decode stubbed — see tsgen/multimodal.py) ----------------
+def _q_multimodal(spark, sf_dir):
+    media = multimodal.as_media_table(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+_REGISTRY.update(
+    {
+        "text_stats": Query("text_stats", _q_text_stats, text.TEXT_STATS_SQL, ("text",)),
+        "lang_id": Query("lang_id", _q_lang_id, text.LANG_ID_SQL, ("text",)),
+        "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),
+        "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),
+        "dedup_exact_docs": Query("dedup_exact_docs", _q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
+        "ngram_jaccard": Query(
+            "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)
+        ),
+        "minhash_lsh": Query("minhash_lsh", _q_minhash, None, ("dedup",)),
+        "simhash": Query("simhash", _q_simhash, None, ("dedup",)),
+        "simhash_pairs": Query("simhash_pairs", _q_simhash_pairs, None, ("dedup",)),
+        "cosine_topk": Query(
+            "cosine_topk", _q_cosine_topk, similarity.brute_force_topk_sql(N_QUERIES), ("similarity",)
+        ),
+        "embed_neardup": Query(
+            "embed_neardup", _q_neardup, similarity.neardup_pairs_sql(0.25), ("similarity",)
+        ),
+        "ann_ivf": Query("ann_ivf", _q_ann_ivf, None, ("similarity",)),
+        "multimodal_features": Query("multimodal_features", _q_multimodal, None, ("multimodal",)),
+    }
+)

@@ -1,0 +1,157 @@
+"""Embedding similarity search over the embeddings table (north-star
+extension): brute-force cosine top-k baseline + IVF-bucketed scale path.
+
+Dot products run JVM-side via F.zip_with + F.aggregate (no Python, no UDF).
+Embeddings are float32 in parquet → cast to double BEFORE any arithmetic so
+results are stable and oracle-comparable.
+
+Scale notes:
+- brute-force is the correctness baseline: queries × corpus broadcast join
+  (queries side is small → broadcast, corpus streams; cost O(Q·N·d) flops
+  but fully data-parallel, no shuffle of the corpus).
+- IVF: coarse-quantize the corpus once (nearest of k seed centroids — a
+  broadcast join), then probe only nprobe cells per query: the classic
+  inverted-file ANN layout; at 100 TB the corpus is partitioned/bucketed by
+  cell_id so a probe touches only matching partitions.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _to_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    v = _to_double(vec)
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    return df.withColumn("_vec", v).withColumn("norm", F.sqrt(dot))
+
+
+def cosine(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, vec: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self-match excluded). → (query_id, neighbor_id, cos_sim, rank)."""
+    c = with_norm(corpus, vec).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_vec").alias("cvec"), F.col("norm").alias("cnorm")
+    )
+    q = with_norm(queries, vec).select(
+        F.col("vec_id").alias("query_id"), F.col("_vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    sim = pairs.withColumn("cos_sim", cosine("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk_sql(n_queries: int, k: int = 5) -> str:
+    """DuckDB oracle: same math with double-cast lists."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+n AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, (round(cos_sim,6)+0.0e0) AS cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs) WHERE rank <= {k}
+"""
+
+
+def neardup_pairs(
+    df: DataFrame, block: str = "label", threshold: float = 0.9, vec: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking key."""
+    v = with_norm(df, vec).select("vec_id", block, "_vec", "norm")
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col(block).alias("blk"), F.col("_vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col(block).alias("blk"), F.col("_vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
+    sim = pairs.withColumn("cos_sim", cosine("va", "vb") / (F.col("na") * F.col("nb")))
+    return sim.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+
+
+def neardup_pairs_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+n AS (SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       (round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm),6)+0.0e0) AS cos_sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= {threshold}
+"""
+
+
+def ivf_assign(df: DataFrame, n_cells: int = 8, vec: str = "embedding") -> DataFrame:
+    """Coarse quantization: centroid seeds = the first n_cells vectors
+    (deterministic); each vector assigned to its nearest (max-cosine) seed.
+
+    → corpus with cell_id. At cluster scale, write bucketed by cell_id.
+    """
+    v = with_norm(df, vec)
+    seeds = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("_vec").alias("svec"), F.col("norm").alias("snorm")
+    )
+    joined = v.crossJoin(F.broadcast(seeds)).withColumn(
+        "cs", cosine("_vec", "svec") / (F.col("norm") * F.col("snorm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "_vec", "norm", "cell_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame, n_queries: int, k: int = 5, n_cells: int = 8, nprobe: int = 3, vec: str = "embedding"
+) -> DataFrame:
+    """IVF ANN search: probe the nprobe nearest cells per query only.
+
+    Recall < 1 by design (ANN); tests assert recall vs brute force.
+    """
+    assigned = ivf_assign(df, n_cells, vec).cache()
+    seeds = assigned.filter(F.col("vec_id") < n_cells).select(
+        F.col("cell_id").alias("probe_cell"), F.col("_vec").alias("svec"), F.col("norm").alias("snorm")
+    )
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .withColumn("cs", cosine("qvec", "svec") / (F.col("qnorm") * F.col("snorm")))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("probe_cell")))
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "qnorm", F.col("probe_cell").alias("cell_id"))
+    )
+    cand = probes.join(assigned, "cell_id").where(F.col("vec_id") != F.col("query_id"))
+    sim = cand.withColumn("cos_sim", cosine("qvec", "_vec") / (F.col("qnorm") * F.col("norm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators over the documents table (north-star extension:
+language-ID heuristic, quality scoring, token counting, fingerprinting).
+
+All hot-path expressions are Catalyst built-ins (split/size/filter/md5 —
+whole-stage codegen, no Python). The same logic is expressible in DuckDB
+(string_split/len/list_filter/md5) so every operator here is oracle-checked.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+}
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def with_tokens(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text), " "))
+
+
+def text_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Token count, distinct-token ratio, mean token length, stopword ratio —
+    the quality-scoring primitives of an LLM-data pipeline."""
+    df = with_tokens(df, text)
+    n = F.size("tokens")
+    sw = F.expr(f"size(filter(tokens, w -> w IN ({_in_list(QUALITY_STOPWORDS)})))")
+    return df.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(F.col("tokens"))).alias("n_distinct"),
+        (F.size(F.array_distinct(F.col("tokens"))) / n).alias("distinct_ratio"),
+        ((F.length(text) - (n - 1)) / n).alias("avg_token_len"),
+        (sw / n).alias("stopword_ratio"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id, length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       (round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks),6)+0.0e0) AS distinct_ratio,
+       (round(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks),6)+0.0e0) AS avg_token_len,
+       (round(CAST(len(list_filter(toks, w -> w IN ({_in_list(QUALITY_STOPWORDS)}))) AS DOUBLE) / len(toks),6)+0.0e0) AS stopword_ratio
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: score = stopword hit-rate per
+    language, predict argmax (en on ties — deterministic)."""
+    df = with_tokens(df, text)
+    n = F.size("tokens")
+    en = F.expr(f"size(filter(tokens, w -> w IN ({_in_list(STOPWORDS['en'])})))") / n
+    es = F.expr(f"size(filter(tokens, w -> w IN ({_in_list(STOPWORDS['es'])})))") / n
+    return df.select(
+        "doc_id",
+        "lang",
+        en.alias("en_score"),
+        es.alias("es_score"),
+        F.when(en >= es, F.lit("en")).otherwise(F.lit("es")).alias("pred_lang"),
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       (round(en_hits / n,6)+0.0e0) AS en_score,
+       (round(es_hits / n,6)+0.0e0) AS es_score,
+       CASE WHEN en_hits / n >= es_hits / n THEN 'en' ELSE 'es' END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, w -> w IN ({_in_list(STOPWORDS['en'])}))) AS DOUBLE) AS en_hits,
+         CAST(len(list_filter(toks, w -> w IN ({_in_list(STOPWORDS['es'])}))) AS DOUBLE) AS es_hits
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+"""
+
+
+def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of lowercased, whitespace-collapsed
+    text. md5 output is identical across engines → oracle-checkable, and a
+    uniform shuffle key at scale."""
+    canon = F.lower(F.regexp_replace(F.col(text), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(canon))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def token_freq(df: DataFrame, text: str = "text", top_n: int = 20) -> DataFrame:
+    """Global token frequency top-N (explode → count → rank)."""
+    from pyspark.sql import Window
+
+    toks = with_tokens(df, text).select(F.explode("tokens").alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_n)
+
+
+def token_freq_sql(top_n: int = 20) -> str:
+    return f"""
+SELECT token, n, rank FROM (
+  SELECT token, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token)
+WHERE rank <= {top_n}
+"""
