@@ -1,0 +1,115 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+1. reference-scale generator pipeline: 10,000 series x 512 points
+   (= config.json:3,5 training workload), full signal->noise->znorm path
+2. representative operators from every SURVEY 2 family at sf0.1
+
+Each query is forced end-to-end with the noop sink (no driver collect,
+no column pruning shortcut). Timings are wall-clock per query.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tsgen.session import get_spark  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("tsgen-bench")
+
+    from pyspark.sql import functions as F
+
+    from tsgen import decompose, diffusion, generators
+    from tsgen.queries import registry
+    from tsgen.schedules import schedule_table
+
+    timings: dict[str, float] = {}
+
+    # untimed warmup: spin up executor threads + first codegen compile so the
+    # first measured query doesn't absorb JVM startup
+    force(generators.generate(spark, 64, 64, "sine"))
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    force(decompose.decompose(generators.generate(spark, 64, 64, "sine")))  # python workers
+
+    def bench(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. reference-scale generation (10k x 512, linear_sum + znorm — the
+    #    training-dataset build of test_training.py:81-95)
+    bench("generate_10kx512", lambda: force(generators.generate(spark, 10_000, 512, "linear_sum")))
+
+    # 2. forward diffusion at the same scale (schedule join + elementwise)
+    sched = schedule_table(spark, 500, "cosine").cache()
+    sched.count()
+    bench(
+        "qsample_10kx512",
+        lambda: force(
+            diffusion.q_sample(
+                generators.generate(spark, 10_000, 512, "linear_sum"), sched, 500
+            )
+        ),
+    )
+
+    # 3. decomposition (pandas-UDF FFT path) at 2k x 512
+    bench(
+        "decompose_2kx512",
+        lambda: force(decompose.decompose(generators.generate(spark, 2_000, 512, "mixed"))),
+    )
+
+    # 4. representative registry queries on the sf tables
+    suite = [
+        "ev_rolling",
+        "ev_sessionize",
+        "ev_asof",
+        "ev_tumbling",
+        "pricing_summary",
+        "orders_rollup",
+        "top_customers",
+        "distinct_counts",
+        "text_stats",
+        "doc_fingerprint",
+        "dedup_exact_docs",
+        "ngram_jaccard",
+        "minhash_lsh",
+        "simhash_pairs",
+        "cosine_topk",
+        "embed_neardup",
+        "ann_ivf",
+        "multimodal_features",
+    ]
+    reg = registry()
+    for name in suite:
+        q = reg[name]
+        bench(name, lambda q=q: force(q.spark_fn(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

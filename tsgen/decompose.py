@@ -49,11 +49,73 @@ def decompose(
     value_col: str = "value",
     key: str = "series_id",
 ) -> DataFrame:
-    """Full decomposition in one grouped pass.
+    """Full decomposition, batch-vectorized.
 
     → (series_id, t, value, trend, seasonality, residual) with
     value = trend + seasonality + residual exactly.
+
+    Physical plan: ONE shuffle (groupBy collect_list to wide form), then a
+    narrow mapInPandas that processes a whole Arrow batch of series at once —
+    equal-length series are stacked into an (n_series, seq_len) matrix so the
+    polynomial fit is a single pinv matmul and the FFT a single
+    np.fft.rfft(axis=1). ~10-100x less Python/pandas overhead than the
+    per-group applyInPandas form (kept below as decompose_grouped).
     """
+    from collections.abc import Iterator
+
+    schema = f"{key} bigint, t bigint, {value_col} double, trend double, seasonality double, residual double"
+    wide = df.groupBy(key).agg(
+        F.array_sort(F.collect_list(F.struct("t", F.col(value_col).alias("v")))).alias("pts")
+    ).select(key, F.col("pts.t").alias("ts"), F.col("pts.v").alias("vs"))
+    # field extraction happens JVM-side: Arrow hands the UDF plain
+    # list<double> columns, so stacking below is pure numpy (no dict walks)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pinv_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lengths = pdf["vs"].map(len).to_numpy()
+            for n in np.unique(lengths):
+                sub = pdf[lengths == n]
+                X = np.stack(sub["vs"].to_numpy())
+                T = np.stack(sub["ts"].to_numpy())
+                if n not in pinv_cache:
+                    A = _poly_design(int(n), degree)
+                    pinv_cache[int(n)] = (A, np.linalg.pinv(A))
+                A, Ainv = pinv_cache[int(n)]
+                trend = (A @ (Ainv @ X.T)).T
+                det = X - trend
+                spec = np.fft.rfft(det, axis=1)
+                kk = min(top_k, spec.shape[1])
+                mag = np.abs(spec)
+                # per-row top-k mask (vectorized argpartition)
+                idx = np.argpartition(-mag, kk - 1, axis=1)[:, :kk]
+                mask = np.zeros_like(mag)
+                np.put_along_axis(mask, idx, 1.0, axis=1)
+                seas = np.fft.irfft(spec * mask, n=int(n), axis=1)
+                yield pd.DataFrame(
+                    {
+                        key: np.repeat(sub[key].to_numpy(), n),
+                        "t": T.reshape(-1),
+                        value_col: X.reshape(-1),
+                        "trend": trend.reshape(-1),
+                        "seasonality": seas.reshape(-1),
+                        "residual": (X - trend - seas).reshape(-1),
+                    }
+                )
+
+    return wide.mapInPandas(fn, schema)
+
+
+def decompose_grouped(
+    df: DataFrame,
+    degree: int = DEFAULT_DEGREE,
+    top_k: int = DEFAULT_TOP_K,
+    value_col: str = "value",
+    key: str = "series_id",
+) -> DataFrame:
+    """Per-group reference implementation (one pandas call per series)."""
     schema = f"{key} bigint, t bigint, {value_col} double, trend double, seasonality double, residual double"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
