@@ -117,6 +117,7 @@ def _ensure_populated() -> None:
         queries_decompose,
         queries_diffusion,
         queries_pipeline,
+        queries_streaming,
     )
 
 

@@ -1,0 +1,86 @@
+"""Driver-contract queries for the streaming twins. Each callable executes
+the stream to completion (availableNow) and returns the materialized result,
+so tumbling/sliding/session twins are fully oracle-checked against DuckDB."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import streaming
+from .queries import _REGISTRY, Query, round6
+
+
+def _q_stream_tumbling(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.tumbling_counts(s))
+    return round6(out, "sum_value")
+
+
+_STREAM_TUMBLING_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s, event_type,
+       count(*) AS n_events, (round(sum(value),6)+0.0e0) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_stream_sliding(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.sliding_counts(s))
+    return round6(out, "sum_value")
+
+
+# sliding 1h/30min: an event at epoch e belongs to windows starting at
+# floor(e/1800)*1800 and floor(e/1800)*1800 - 1800
+_STREAM_SLIDING_SQL = """
+WITH b AS (
+  SELECT (CAST(floor(floor(epoch(ts)) / 1800) AS BIGINT) * 1800) - off.o AS start_s, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS o) off)
+SELECT start_s, count(*) AS n_events, (round(sum(value),6)+0.0e0) AS sum_value
+FROM b GROUP BY start_s
+"""
+
+
+def _q_stream_session(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.session_counts(s))
+    return round6(out, "sum_value")
+
+
+# twin of analytics.sessionize (gap 30 min), keyed by session start
+_STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+       count(*) AS n_events, (round(sum(value),6)+0.0e0) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def _q_stream_dedup(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.stream_dedup(s), mode="append")
+    return out.groupBy("user_id").agg(F.count("*").alias("n_types"))
+
+
+_STREAM_DEDUP_SQL = """
+SELECT user_id, count(DISTINCT event_type) AS n_types FROM events GROUP BY user_id
+"""
+
+
+_REGISTRY.update(
+    {
+        "stream_tumbling": Query("stream_tumbling", _q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming",)),
+        "stream_sliding": Query("stream_sliding", _q_stream_sliding, _STREAM_SLIDING_SQL, ("streaming",)),
+        "stream_session": Query("stream_session", _q_stream_session, _STREAM_SESSION_SQL, ("streaming",)),
+        "stream_dedup": Query("stream_dedup", _q_stream_dedup, _STREAM_DEDUP_SQL, ("streaming",)),
+    }
+)

@@ -1,0 +1,121 @@
+"""Structured Streaming twins of the batch windowed operators (SURVEY §2.H).
+
+The reference is batch-only; the north star mandates a streaming surface.
+Design: every streaming op has a batch twin with identical semantics
+(F.window ≡ date_trunc bucketing, F.session_window ≡ gap sessionization),
+so the DuckDB oracle checks the streaming results too — the stream is run
+to completion with the availableNow trigger into a memory sink and the
+materialized result is returned as a regular DataFrame.
+
+Production notes (real clusters):
+- sources become Kafka/files with schema + watermark `withWatermark(ts, …)`
+  for late data; here watermarks are declared but output mode is `complete`
+  so a single replayed batch emits every window (append mode would hold
+  back windows newer than max(ts) − watermark forever on a finite source).
+- state store: session/sliding windows keep per-key state bounded by the
+  watermark delay.
+"""
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (see queries_analytics._events)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one-file replay)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_completion(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation on all available data and return the
+    materialized result (memory sink, availableNow trigger)."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregate (twin of analytics.tumbling)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window aggregate: each event lands in width/slide windows."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.unix_timestamp("w.start").alias("start_s"), "n_events", "sum_value")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window aggregate (twin of analytics.sessionize): events of a
+    user with gaps < `gap` merge into one session."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) within the
+    watermark (dropDuplicatesWithinWatermark)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
