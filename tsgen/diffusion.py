@@ -135,3 +135,51 @@ def sample(
         if (i + 1) % checkpoint_every == 0:
             df = df.localCheckpoint(eager=True)
     return df
+
+
+def sample_conditional(
+    spark: SparkSession,
+    n_series: int,
+    seq_len: int,
+    timesteps: int = 10,
+    history_len: int = 16,
+    kind: str = "cosine",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Forecast-conditional sampling (mask path, diffusion_ts_model.py:482,
+    493-500; README.md:247-279): observed positions (t < history_len) are
+    re-imposed after every posterior step at their q_sample(t)-noised level,
+    so generation is conditioned on the known history — the replace-based
+    imputation sampler expressed over DataFrames.
+    """
+    from .generators import base_grid
+    from .masking import forecast_mask
+
+    from . import expr as _E
+
+    sched = schedule_table(spark, timesteps, kind).cache()
+    sched.count()
+    known = base_grid(spark, n_series, seq_len).withColumn(
+        "x_known", F.expr(_E.signal_expr("mixed", seq_len))
+    )
+    df = forecast_mask(known, history_len).withColumn(
+        "x", F.expr(_E.normal(_E.pt_key(), SALT_INIT))
+    )
+    from .decompose import decomposition_denoiser
+
+    for i, t in enumerate(reversed(range(timesteps))):
+        dec = decomposition_denoiser(df.select("series_id", "t", "x"), t)
+        df = df.drop("x").join(dec, ["series_id", "t"])
+        df = p_sample_step(df, sched, t).drop("x0_pred")
+        if t > 0:
+            # re-impose observed history, noised to the current level
+            row = sched.filter(F.col("t_step") == t - 1).collect()[0]
+            noised_known = F.lit(row.sqrt_ac) * F.col("x_known") + F.lit(
+                row.sqrt_1m_ac
+            ) * F.expr(_E.normal(_E.pt_key(), SALT_QNOISE + t))
+            df = df.withColumn("x", F.when(F.col("observed"), noised_known).otherwise(F.col("x")))
+        else:
+            df = df.withColumn("x", F.when(F.col("observed"), F.col("x_known")).otherwise(F.col("x")))
+        if (i + 1) % checkpoint_every == 0:
+            df = df.localCheckpoint(eager=True)
+    return df

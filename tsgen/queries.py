@@ -116,6 +116,7 @@ def _ensure_populated() -> None:
         queries_analytics,
         queries_decompose,
         queries_diffusion,
+        queries_misc,
         queries_pipeline,
         queries_streaming,
     )

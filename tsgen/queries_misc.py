@@ -1,0 +1,208 @@
+"""Coverage queries for the remaining SURVEY §2 rows: positional/timestep
+encodings (B11), polynomial basis (B10), embedding lookup (E2), dataset
+union (F4), patchify (G6), set ops (F ext), cube (C ext), conditional
+sampling (I1 + B19)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import expr as E, generators
+from .queries import _REGISTRY, Query, round6
+
+# --- B10: polynomial basis table [1, c, c^2, c^3], c = t/n ----------------
+BASIS_N, BASIS_DEG = 64, 3
+
+
+def _q_poly_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # diffusion_ts_model.py:219-221
+    df = spark.range(BASIS_N).select(F.col("id").alias("t"))
+    for i in range(BASIS_DEG + 1):
+        df = df.withColumn(f"p{i}", F.pow(F.col("t").cast("double") / BASIS_N, i))
+    return round6(df, *[f"p{i}" for i in range(BASIS_DEG + 1)])
+
+
+_POLY_BASIS_SQL = f"""
+SELECT t, {", ".join(f"(round(pow(CAST(t AS DOUBLE) / {BASIS_N}, {i}),6)+0.0e0) AS p{i}" for i in range(BASIS_DEG + 1))}
+FROM (SELECT range AS t FROM range({BASIS_N}))
+"""
+
+# --- B11: sinusoidal positional encoding ----------------------------------
+PE_LEN, PE_DIM = 32, 8  # d_model even; pairs (sin, cos)
+
+
+def _q_posenc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pe[pos, 2i] = sin(pos·exp(−ln(10^4)·2i/d)); [pos, 2i+1] = cos(·) —
+    # diffusion_ts_model.py:110-116
+    pos = spark.range(PE_LEN).select(F.col("id").alias("pos"))
+    i = spark.range(PE_DIM // 2).select(F.col("id").alias("i"))
+    df = pos.crossJoin(i)
+    freq = F.exp(-F.lit(9.210340371976184) * (2 * F.col("i")).cast("double") / PE_DIM)
+    return round6(
+        df.select(
+            "pos",
+            "i",
+            F.sin(F.col("pos").cast("double") * freq).alias("pe_sin"),
+            F.cos(F.col("pos").cast("double") * freq).alias("pe_cos"),
+        ),
+        "pe_sin",
+        "pe_cos",
+    )
+
+
+_POSENC_SQL = f"""
+SELECT pos, i,
+       (round(sin(CAST(pos AS DOUBLE) * exp(-9.2103403719761840e0 * CAST(2*i AS DOUBLE) / {PE_DIM})),6)+0.0e0) AS pe_sin,
+       (round(cos(CAST(pos AS DOUBLE) * exp(-9.2103403719761840e0 * CAST(2*i AS DOUBLE) / {PE_DIM})),6)+0.0e0) AS pe_cos
+FROM (SELECT range AS pos FROM range({PE_LEN})) CROSS JOIN (SELECT range AS i FROM range({PE_DIM // 2}))
+"""
+
+
+# --- E2: label → embedding lookup (broadcast join to an embedding table) --
+def _q_label_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nn.Embedding(y) ≡ broadcast equi-join of labels to a vector table
+    # (diffusion_ts_model.py:180,189-198); we surface the vector's L2 norm
+    labels = generators.generate_labeled(spark, 32, 8, noise=False, normalize=False).select(
+        "series_id", "label"
+    ).distinct()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    emb = emb.select(
+        F.col("vec_id").alias("label"),
+        F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)).alias(
+            "emb_norm"
+        ),
+    )
+    return round6(labels.join(F.broadcast(emb), "label").select("series_id", "label", "emb_norm"), "emb_norm")
+
+
+def _label_embedding_sql() -> str:
+    n_fam = 4
+    label = f"CAST(floor({E.u01('series_id', E.SALT_LABEL)} * {n_fam}) AS BIGINT)"
+    return f"""
+WITH labels AS (
+  SELECT DISTINCT series_id, {label} AS label
+  FROM (SELECT range AS series_id FROM range(32))),
+emb AS (
+  SELECT vec_id AS label,
+         sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS emb_norm
+  FROM embeddings)
+SELECT series_id, labels.label, (round(emb_norm,6)+0.0e0) AS emb_norm
+FROM labels JOIN emb ON labels.label = emb.label
+"""
+
+
+# --- F4: dataset union (mixed-family corpus) ------------------------------
+def _q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = generators.generate(spark, 8, 32, "sine").withColumn("family", F.lit("sine"))
+    b = generators.generate(spark, 8, 32, "cosine").withColumn("family", F.lit("cosine"))
+    return round6(a.unionByName(b), "value")
+
+
+def _union_sql() -> str:
+    sa = _gen_rounded("sine")
+    sb = _gen_rounded("cosine")
+    return f"{sa} UNION ALL {sb}"
+
+
+def _gen_rounded(fam: str) -> str:
+    from . import oracle
+
+    inner = oracle.generate_sql(8, 32, fam, rounded=False)
+    return (
+        f"SELECT series_id, t, {E.round6('value')} AS value, '{fam}' AS family FROM ({inner})"
+    )
+
+
+# --- G6: patchify (patch grouping key; stats per patch) -------------------
+PATCH = 8
+
+
+def _q_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # patchify: (b, s, d) -> (b, s/p, p·d) ≡ grouping by t DIV p
+    # (diffusion_ts_model.py:445-470); no data movement in long format
+    df = generators.generate(spark, 8, 64, "mixed")
+    out = (
+        df.withColumn("patch_id", F.expr(f"t DIV {PATCH}"))
+        .groupBy("series_id", "patch_id")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("patch_mean"), F.max("value").alias("patch_max"))
+    )
+    return round6(out, "patch_mean", "patch_max")
+
+
+def _patchify_sql() -> str:
+    from . import oracle
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return f"""
+SELECT series_id, t // {PATCH} AS patch_id, count(*) AS n,
+       (round(avg(value),6)+0.0e0) AS patch_mean,
+       (round(max(value),6)+0.0e0) AS patch_max
+FROM ({inner}) GROUP BY series_id, t // {PATCH}
+"""
+
+
+# --- set ops: users who clicked but never purchased -----------------------
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import _events
+
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    return (
+        clickers.exceptAll(buyers)
+        .withColumn("segment", F.lit("clicked_never_bought"))
+        .unionByName(
+            clickers.intersect(viewers).withColumn("segment", F.lit("clicked_and_viewed"))
+        )
+    )
+
+
+_SET_OPS_SQL = """
+SELECT user_id, 'clicked_never_bought' AS segment FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'clicked_and_viewed' AS segment FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+"""
+
+
+# --- cube ----------------------------------------------------------------
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (F.round(F.avg("o_totalprice"), 4) + F.lit(0.0)).alias("avg_total"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       (round(avg(o_totalprice),4)+0.0e0) AS avg_total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- I1 + B19: conditional (forecast) sampling — rows-only ----------------
+def _q_sample_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import diffusion
+
+    out = diffusion.sample_conditional(spark, 4, 32, timesteps=6, history_len=16)
+    return round6(out.select("series_id", "t", "observed", "x"), "x")
+
+
+_REGISTRY.update(
+    {
+        "poly_basis": Query("poly_basis", _q_poly_basis, _POLY_BASIS_SQL, ("expr",)),
+        "posenc": Query("posenc", _q_posenc, _POSENC_SQL, ("expr",)),
+        "label_embedding": Query("label_embedding", _q_label_embedding, _label_embedding_sql(), ("join",)),
+        "gen_union": Query("gen_union", _q_union, _union_sql(), ("generator",)),
+        "patchify_stats": Query("patchify_stats", _q_patchify, _patchify_sql(), ("expr",)),
+        "event_set_ops": Query("event_set_ops", _q_set_ops, _SET_OPS_SQL, ("setop",)),
+        "orders_cube": Query("orders_cube", _q_cube, _CUBE_SQL, ("agg",)),
+        "sample_forecast": Query("sample_forecast", _q_sample_forecast, None, ("diffusion",)),
+    }
+)
