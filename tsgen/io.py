@@ -1,0 +1,46 @@
+"""Dataset persistence (SURVEY §2 A5 — the reference's checkpoint save/load,
+test_training.py:162-171 / test_trained_model.py:50-65, re-expressed as
+parquet round-trips of the series/component tables).
+
+Scale notes: writes are partitioned by a bucketing key when provided so
+downstream per-series operators (decompose, FFT) read co-located data and
+joins on series_id can skip the shuffle (bucket pruning)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_series(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def load_series(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def save_run(
+    df: DataFrame,
+    path: str,
+    config: dict,
+) -> None:
+    """Checkpoint = data + the config that produced it (the reference stores
+    {model_state, config}; our deterministic analog stores the generated
+    table + generation parameters as table properties via a sidecar)."""
+    import json
+
+    save_series(df, f"{path}/data")
+    spark = df.sparkSession
+    spark.createDataFrame([(json.dumps(config),)], "config string").coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/config")
+
+
+def load_run(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    import json
+
+    df = load_series(spark, f"{path}/data")
+    cfg_row = spark.read.json(f"{path}/config").collect()[0]
+    return df, json.loads(cfg_row.config)

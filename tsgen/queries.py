@@ -10,7 +10,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import expr as E, generators, oracle
 from .normalize import znorm
@@ -123,18 +123,64 @@ def _ensure_populated() -> None:
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    """Flagship entry query: generate the reference's default workload family
-    (linear_sum, config.json:2), z-normalize, and decompose into per-series
-    summary stats; prove the engine's generator→normalize→aggregate path.
+    """Flagship entry query — the engine's full pipeline over BOTH real and
+    synthetic data:
+
+    1. events.parquet → hourly per-event-type series (tumbling bucket agg)
+    2. synthetic linear_sum series at the reference's default family
+       (config.json:2) via the deterministic generator
+    3. z-normalize → trend/seasonality/residual decomposition (poly fit +
+       top-k FFT) → per-series variance split
+
+    Returns one row per series: how much of its variance is trend vs
+    seasonality vs residual.
     """
-    df = generators.generate(spark, 64, 128, "linear_sum")
-    out = (
-        df.groupBy("series_id")
-        .agg(
-            F.count("*").alias("n_points"),
-            F.avg("value").alias("mean_val"),
-            F.stddev_samp("value").alias("std_val"),
-        )
-        .orderBy("series_id")
+    from . import decompose
+    from .queries_analytics import _events
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(F.avg("value").alias("value"))
     )
-    return round6(out, "mean_val", "std_val")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    ev_series = (
+        hourly.withColumn("t", F.row_number().over(w).cast("bigint") - 1)
+        .withColumn(
+            "series_id",
+            F.dense_rank().over(Window.orderBy("event_type")).cast("bigint") - 1,
+        )
+        .select("series_id", F.col("event_type").alias("series_key"), "t", "value")
+    )
+    syn = generators.generate(spark, 16, 128, "linear_sum", normalize=False).withColumn(
+        "series_key", F.concat(F.lit("synthetic_"), F.col("series_id"))
+    )
+
+    def summarize(df: DataFrame, source: str) -> DataFrame:
+        keys = df.select("series_id", "series_key").distinct()
+        dec = decompose.decompose(znorm(df.select("series_id", "t", "value")))
+        out = dec.groupBy("series_id").agg(
+            F.count("*").alias("n_points"),
+            F.var_samp("value").alias("total_var"),
+            (F.var_samp("trend") / F.var_samp("value")).alias("trend_frac"),
+            (F.var_samp("seasonality") / F.var_samp("value")).alias("seas_frac"),
+            (F.var_samp("residual") / F.var_samp("value")).alias("resid_frac"),
+        )
+        return out.join(keys, "series_id").select(
+            F.lit(source).alias("source"),
+            "series_key",
+            "n_points",
+            "total_var",
+            "trend_frac",
+            "seas_frac",
+            "resid_frac",
+        )
+
+    out = summarize(ev_series, "events").unionByName(summarize(syn, "synthetic"))
+    return round6(
+        out.orderBy("source", "series_key"),
+        "total_var",
+        "trend_frac",
+        "seas_frac",
+        "resid_frac",
+    )
