@@ -1,0 +1,54 @@
+"""Analytics operator properties, incl. the skew-salting utility."""
+from pyspark.sql import Row, functions as F
+
+from tsgen import analytics
+
+
+def test_salted_agg_matches_plain(spark):
+    # heavily skewed: 90% of rows on one key
+    rows = [Row(k="hot", v=float(i)) for i in range(900)] + [
+        Row(k=f"cold{i}", v=float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows).repartition(8)
+    got = (
+        analytics.salted_agg(df, ["k"], {"v": "sum", "n": "count"})
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    want = (
+        df.groupBy("k")
+        .agg(F.sum("v").alias("v"), F.count("*").alias("n"))
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert (got.n == want.n).all()
+    assert (got.v - want.v).abs().max() < 1e-9
+
+
+def test_asof_join_equal_ts_visible(spark):
+    # a right row at exactly left.ts must be matched (DuckDB ASOF >= parity)
+    left = spark.createDataFrame([Row(event_id=1, user_id=1, ts="2024-01-01 10:00:00")]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts="2024-01-01 09:00:00", value=1.0),
+            Row(user_id=1, ts="2024-01-01 10:00:00", value=2.0),
+            Row(user_id=1, ts="2024-01-01 11:00:00", value=3.0),
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = analytics.asof_join(left, right, "user_id", "ts", "value").collect()
+    assert out[0].asof_value == 2.0
+
+
+def test_asof_join_no_prior_is_null(spark):
+    left = spark.createDataFrame([Row(event_id=1, user_id=1, ts="2024-01-01 08:00:00")]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    right = spark.createDataFrame([Row(user_id=1, ts="2024-01-01 09:00:00", value=1.0)]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = analytics.asof_join(left, right, "user_id", "ts", "value").collect()
+    assert out[0].asof_value is None

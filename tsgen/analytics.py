@@ -115,3 +115,38 @@ def tumbling(df: DataFrame, ts: str, unit: str, groups: list[str], value: str) -
 def topk_per_group(df: DataFrame, group: list[str], order: list, k: int) -> DataFrame:
     w = Window.partitionBy(*group).orderBy(*order)
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys (the 100 TB skew escape hatch).
+
+    Phase 1 groups by (key, salt) — a hot key's rows spread across n_salts
+    reducers; phase 2 merges the tiny per-salt partials. `aggs` maps
+    column -> 'sum' | 'count' | 'min' | 'max' (algebraic aggs that compose).
+    AQE's skew handling covers joins; this covers aggregations whose single
+    hot key would otherwise bottleneck one reducer.
+    """
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
+    phase1_aggs, phase2_aggs = [], []
+    for col, kind in aggs.items():
+        if kind == "count":
+            phase1_aggs.append(F.count("*").alias(f"_{col}"))
+            phase2_aggs.append(F.sum(f"_{col}").alias(col))
+        elif kind == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"_{col}"))
+            phase2_aggs.append(F.sum(f"_{col}").alias(col))
+        elif kind == "min":
+            phase1_aggs.append(F.min(col).alias(f"_{col}"))
+            phase2_aggs.append(F.min(f"_{col}").alias(col))
+        elif kind == "max":
+            phase1_aggs.append(F.max(col).alias(f"_{col}"))
+            phase2_aggs.append(F.max(f"_{col}").alias(col))
+        else:
+            raise ValueError(f"non-composable agg: {kind}")
+    p1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_aggs)
+    return p1.groupBy(*keys).agg(*phase2_aggs)

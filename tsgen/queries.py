@@ -119,6 +119,7 @@ def _ensure_populated() -> None:
         queries_misc,
         queries_pipeline,
         queries_streaming,
+        queries_training,
     )
 
 

@@ -1,0 +1,126 @@
+"""Training-lifecycle metrics (SURVEY §2 C6/C7, I2) + interval join +
+percentiles — all oracle-checked.
+
+The reference's epoch loop (test_training.py:144-176) accumulates per-epoch
+train losses and tracks the best (min) one. The gradient step itself is out
+of deterministic scope (SURVEY §7), but the *metrics dataflow* is exactly
+expressible: per-epoch loss = one grouped aggregation keyed by epoch (the
+per-epoch noise draw is salted by epoch), best-so-far = running min window.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import expr as E, generators
+from .queries import _REGISTRY, Query, round6
+from .queries_analytics import _events
+
+N_EPOCHS, N_TR, LEN_TR = 10, 8, 64
+
+
+def _epoch_loss_exprs() -> tuple[str, str]:
+    """(clean, noisy-at-epoch) value exprs; noise salt depends on epoch."""
+    clean = E.signal_expr("mixed", LEN_TR)
+    nl = E.series_params()["noise_level"]
+    key = f"(({E.pt_key()}) * 131 + epoch) % {E.M31}"
+    noisy = f"({clean} + {nl} * {E.normal(key, E.SALT_NOISE)})"
+    return clean, noisy
+
+
+def _q_epoch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean, noisy = _epoch_loss_exprs()
+    grid = generators.base_grid(spark, N_TR, LEN_TR)
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    df = grid.crossJoin(epochs).withColumn(
+        "sq_err", F.expr(f"pow({noisy} - {clean}, 2)")
+    )
+    per_epoch = df.groupBy("epoch").agg(F.avg("sq_err").alias("train_loss"))
+    w = Window.orderBy("epoch").rowsBetween(Window.unboundedPreceding, 0)
+    out = per_epoch.withColumn("best_loss", F.min("train_loss").over(w)).withColumn(
+        "is_best", F.col("train_loss") == F.col("best_loss")
+    )
+    return round6(out, "train_loss", "best_loss")
+
+
+def _epoch_metrics_sql() -> str:
+    clean, noisy = _epoch_loss_exprs()
+    return f"""
+WITH grid AS (
+  SELECT series_id, t, epoch
+  FROM (SELECT range AS series_id FROM range({N_TR}))
+  CROSS JOIN (SELECT range AS t FROM range({LEN_TR}))
+  CROSS JOIN (SELECT range AS epoch FROM range({N_EPOCHS}))),
+per_epoch AS (
+  SELECT epoch, avg(pow({noisy} - {clean}, 2)) AS train_loss
+  FROM grid GROUP BY epoch)
+SELECT epoch, (round(train_loss,6)+0.0e0) AS train_loss,
+       (round(min(train_loss) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),6)+0.0e0) AS best_loss,
+       (train_loss = min(train_loss) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS is_best
+FROM per_epoch
+"""
+
+
+# --- interval join: events falling inside incident windows ----------------
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident windows = hours with >= 5 'error' events; join every event
+    landing inside such an hour (ts BETWEEN start AND end). The window table
+    is tiny → broadcast nested-loop; at scale bucket both sides by hour to
+    make it an equi-join."""
+    ev = _events(spark, sf_dir)
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("w_start"))
+        .agg(F.count("*").alias("n_err"))
+        .filter(F.col("n_err") >= 5)
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = ev.join(
+        F.broadcast(incidents),
+        (ev.ts >= incidents.w_start) & (ev.ts < incidents.w_end),
+    )
+    out = joined.groupBy(F.unix_timestamp("w_start").alias("w_start_s"), "event_type").agg(
+        F.count("*").alias("n_in_window"), F.sum("value").alias("sum_value")
+    )
+    return round6(out, "sum_value")
+
+
+_INTERVAL_SQL = """
+WITH incidents AS (
+  SELECT date_trunc('hour', ts) AS w_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING count(*) >= 5)
+SELECT CAST(floor(epoch(i.w_start)) AS BIGINT) AS w_start_s, e.event_type,
+       count(*) AS n_in_window, (round(sum(e.value),6)+0.0e0) AS sum_value
+FROM events e JOIN incidents i ON e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY 1, 2
+"""
+
+
+# --- exact interpolated percentiles ---------------------------------------
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    return round6(out, "p50", "p90", "p99")
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       (round(quantile_cont(value, 0.5),6)+0.0e0) AS p50,
+       (round(quantile_cont(value, 0.9),6)+0.0e0) AS p90,
+       (round(quantile_cont(value, 0.99),6)+0.0e0) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+_REGISTRY.update(
+    {
+        "epoch_metrics": Query("epoch_metrics", _q_epoch_metrics, _epoch_metrics_sql(), ("training",)),
+        "ev_interval_join": Query("ev_interval_join", _q_interval_join, _INTERVAL_SQL, ("join",)),
+        "ev_percentiles": Query("ev_percentiles", _q_percentiles, _PERCENTILES_SQL, ("agg",)),
+    }
+)
