@@ -40,8 +40,28 @@ def registry() -> dict[str, Query]:
     return _REGISTRY
 
 
+def canon_types(df: DataFrame) -> DataFrame:
+    """Normalize output types to the widths the DuckDB oracle produces:
+    int8/16/32 → bigint, float32 → double. Spark's row_number()/size()/
+    length() return int32 where DuckDB returns int64 — without this the
+    driver's schema compare would flag every ranking/length column."""
+    casts = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in ("tinyint", "smallint", "int"):
+            casts.append(F.col(f.name).cast("bigint").alias(f.name))
+        elif t == "float":
+            casts.append(F.col(f.name).cast("double").alias(f.name))
+        else:
+            casts.append(F.col(f.name))
+    return df.select(*casts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark_fn for name, q in registry().items()}
+    def wrap(fn):
+        return lambda spark, sf_dir: canon_types(fn(spark, sf_dir))
+
+    return {name: wrap(q.spark_fn) for name, q in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -86,8 +86,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

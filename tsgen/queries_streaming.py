@@ -56,8 +56,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
        count(*) AS n_events, (round(sum(value),6)+0.0e0) AS sum_value
