@@ -14,6 +14,7 @@ Scale notes (100 TB design):
 """
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import expr as E
@@ -85,6 +86,50 @@ def generate_labeled(
         .withColumn("label", F.expr(label))
         .withColumn("value", F.expr(f"CASE label {cases} END"))
     )
+    if normalize:
+        df = znorm(df)
+    return df
+
+
+def generate_custom_decay(
+    spark: SparkSession,
+    n_series: int,
+    seq_len: int,
+    decay_fn=None,
+    noise: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """custom_decay with a USER-SUPPLIED Python callable decay(t_value) —
+    the reference's only user-extension point (utils/data_generators.py:43,
+    92-93) and this engine's scalar-UDF surface (SURVEY §2.J).
+
+    The callable runs as an Arrow-vectorized pandas UDF (Series → Series),
+    NOT a row-at-a-time Python UDF; everything else stays in codegen.
+    With decay_fn=None this matches generate(family='custom_decay').
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if decay_fn is None:
+        return generate(spark, n_series, seq_len, "custom_decay", noise=noise, normalize=normalize)
+
+    @pandas_udf("double")
+    def decay_udf(tv: pd.Series) -> pd.Series:
+        return pd.Series(decay_fn(tv.to_numpy()))
+
+    p = E.series_params()
+    tv = E.time_grid("t", seq_len)
+    periodic = (
+        f"(sin({p['freq1']} * {tv} + {p['phase1']})"
+        f" + 3.0e-1 * cos({p['freq2']} * {tv} + {p['phase2']}))"
+    )
+    df = base_grid(spark, n_series, seq_len).withColumn(
+        "value", decay_udf(F.expr(tv)) * F.expr(periodic)
+    )
+    if noise:
+        nl = E.series_params()["noise_level"]
+        df = df.withColumn(
+            "value", F.col("value") + F.expr(f"{nl} * {E.normal(E.pt_key(), E.SALT_NOISE)}")
+        )
     if normalize:
         df = znorm(df)
     return df
