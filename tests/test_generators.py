@@ -44,8 +44,9 @@ def test_sine_formula_matches_numpy(spark):
 
     def lcg3(key, salt):
         h = (key * E.LCG_A + E.LCG_C + salt) % E.M31
+        h = (h * h + E.LCG_A) % E.M31
         h = (h * E.LCG_A + E.LCG_C) % E.M31
-        h = (h * E.LCG_A + E.LCG_C) % E.M31
+        h = (h * h + E.LCG_C) % E.M31
         return h
 
     def u01(key, salt):

@@ -36,14 +36,22 @@ def NUM(x: float) -> str:
 
 
 def lcg3(key: str, salt: int) -> str:
-    """Three LCG rounds of ``key`` (a SQL int expr) → int in [0, 2^31).
+    """Mixing rounds of ``key`` (a SQL int expr) → int in [0, 2^31).
 
-    key must be non-negative and < 2^31 (callers mod it down).
-    Every intermediate product is < 2^62, safe in BIGINT in both engines.
+    key must be non-negative and < 2^31 (callers mod it down). Every
+    intermediate product is < 2^62, safe in BIGINT in both engines.
+
+    The two SQUARING rounds are load-bearing: a chain of purely affine LCG
+    steps stays affine in the key, so two streams differing only by salt are
+    perfectly lattice-correlated — Box–Muller normals came out with mean
+    ≈ −0.11. The quadratic rounds break affinity; measured over 50k
+    sequential keys: z mean 6e-4, std 1.002, corr(u1,u2) ≈ 1e-4
+    (tests/test_properties.py).
     """
     h = f"((({key}) * {LCG_A} + {LCG_C + salt}) % {M31})"
+    h = f"(({h} * {h} + {LCG_A}) % {M31})"
     h = f"(({h} * {LCG_A} + {LCG_C}) % {M31})"
-    h = f"(({h} * {LCG_A} + {LCG_C}) % {M31})"
+    h = f"(({h} * {h} + {LCG_C}) % {M31})"
     return h
 
 

@@ -283,8 +283,73 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q3-style: unshipped-order priority (3-way join + topk) ---------
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(o.filter(F.col("o_orderdate") < F.lit("1998-01-01")), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .withColumn("revenue", F.round("revenue", 2) + F.lit(0.0))
+        .withColumn("o_orderdate_s", F.unix_timestamp("o_orderdate"))
+        .drop("o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+    return out
+
+
+_SHIPPING_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       (round(sum(l_extendedprice * (1 - l_discount)),2)+0.0e0) AS revenue,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 20
+"""
+
+
+# --- TPC-H Q5-style: revenue per nation through a 5-table join chain ------
+def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .where(c.c_nationkey == s.s_nationkey)  # local supplier, as in Q5
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .withColumn("revenue", F.round("revenue", 2) + F.lit(0.0))
+    )
+    return out
+
+
+_NATION_REVENUE_SQL = """
+SELECT n_name, (round(sum(l_extendedprice * (1 - l_discount)),2)+0.0e0) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 _REGISTRY.update(
     {
+        "shipping_priority": Query("shipping_priority", _q_shipping_priority, _SHIPPING_SQL, ("join",)),
+        "nation_revenue": Query("nation_revenue", _q_nation_revenue, _NATION_REVENUE_SQL, ("join",)),
         "ev_rolling": Query("ev_rolling", _q_rolling, _ROLLING_SQL, ("window",)),
         "ev_lag_delta": Query("ev_lag_delta", _q_lag, _LAG_SQL, ("window",)),
         "ev_sessionize": Query("ev_sessionize", _q_sessionize, _SESSION_SQL, ("window",)),
