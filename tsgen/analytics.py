@@ -117,6 +117,56 @@ def topk_per_group(df: DataFrame, group: list[str], order: list, k: int) -> Data
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def bucketed_range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """Range join (l.ts BETWEEN i.start AND i.end) as an EQUI-join.
+
+    Each interval is exploded into the `bucket_unit` buckets it overlaps;
+    both sides then join on the bucket key (hash shuffle, no nested-loop),
+    with the exact range predicate applied as a residual filter. This is
+    the formulation that survives when neither side is broadcastable —
+    cost O(|left| + Σ interval_spans) instead of O(|left|·|intervals|).
+    Intervals must be end-exclusive.
+    """
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket_unit, F.col(start)),
+                F.date_trunc(bucket_unit, F.col(end) - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr(f"INTERVAL 1 {bucket_unit}"),
+            )
+        ),
+    )
+    l = left.withColumn("_bucket", F.date_trunc(bucket_unit, F.col(ts)))
+    return l.join(iv, "_bucket").where(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+    ).drop("_bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe inner equi-join: the (large, skewed) left side gets a salt
+    from its partition id; the (smaller) right side is replicated once per
+    salt. A hot key's rows then spread over n_salts reducers. AQE's skew
+    join covers most cases adaptively; this is the explicit form for when
+    statistics are missing or the skew is extreme."""
+    salted_l = left.withColumn("_salt", F.spark_partition_id() % n_salts)
+    salts = left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    salted_r = right.crossJoin(F.broadcast(salts))
+    return salted_l.join(salted_r, [key, "_salt"]).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -76,8 +76,18 @@ SELECT user_id, count(DISTINCT event_type) AS n_types FROM events GROUP BY user_
 """
 
 
+def _q_stream_ewma(spark, sf_dir):
+    # applyInPandasWithState custom stateful op; recursive EWMA is not
+    # SQL-expressible without numerically-unstable rescaling → rows-only
+    # (batch-twin equivalence proven in tests/test_stateful.py)
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.ewma_stateful(s, alpha=0.1), mode="update")
+    return round6(out, "ewma")
+
+
 _REGISTRY.update(
     {
+        "stream_ewma": Query("stream_ewma", _q_stream_ewma, None, ("streaming",)),
         "stream_tumbling": Query("stream_tumbling", _q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming",)),
         "stream_sliding": Query("stream_sliding", _q_stream_sliding, _STREAM_SLIDING_SQL, ("streaming",)),
         "stream_session": Query("stream_session", _q_stream_session, _STREAM_SESSION_SQL, ("streaming",)),

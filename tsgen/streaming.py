@@ -111,6 +111,43 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def ewma_stateful(stream: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user exponentially-weighted moving average of `value`, state = the
+    running EWMA + count, carried across micro-batches.
+
+    This is the engine's template for operators Structured Streaming lacks
+    natively (the 'custom stateful operator' path). Batch twin equivalence
+    is asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, ewma double"
+    state_schema = "ewma double, n bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = 0.0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                ewma = float(v) if n == 0 else alpha * float(v) + (1 - alpha) * ewma
+                n += 1
+        state.update((ewma, n))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [ewma]})
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def stream_dedup(stream: DataFrame) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) within the
     watermark (dropDuplicatesWithinWatermark)."""
