@@ -91,6 +91,73 @@ def generate_labeled(
     return df
 
 
+def multichannel_key(sid: str = "series_id", channel: str = "channel") -> str:
+    """Combine (series_id, channel) into one param key < 2^31 so each
+    channel draws independent frequencies/phases (SURVEY §1.4: dim>1 adds
+    a channel column to the long format)."""
+    return f"((({sid}) * 131 + ({channel})) % {E.M31})"
+
+
+def generate_multichannel(
+    spark: SparkSession,
+    n_series: int,
+    seq_len: int,
+    dim: int,
+    family: str = "sine",
+    lambda_decay: float = 0.5,
+    noise: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """Multivariate generator: (series_id, channel, t, value) with
+    per-(series, channel) random parameters — the dim>1 case of
+    create_synthetic_dataset (utils/data_generators.py:40,51). Still
+    shuffle-free: both channel and t explode within the partition."""
+    ck = multichannel_key()
+    value = (
+        E.noisy_signal_expr(family, seq_len, sid=ck, lambda_decay=lambda_decay)
+        if noise
+        else E.signal_expr(family, seq_len, sid=ck, lambda_decay=lambda_decay)
+    )
+    df = (
+        spark.range(n_series)
+        .withColumnRenamed("id", "series_id")
+        .select(
+            "series_id",
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("channel"),
+        )
+        .withColumn("channel", F.col("channel").cast("bigint"))
+        .select(
+            "series_id",
+            "channel",
+            F.explode(F.sequence(F.lit(0), F.lit(seq_len - 1))).alias("t"),
+        )
+        .withColumn("t", F.col("t").cast("bigint"))
+        .withColumn("value", F.expr(value))
+    )
+    if normalize:
+        df = znorm(df, key=["series_id", "channel"])
+    return df
+
+
+def to_wide(df: DataFrame, keys: list[str] | None = None, value_col: str = "value") -> DataFrame:
+    """Long → wide: one row per series with a t-sorted ARRAY<DOUBLE> —
+    the pandas-UDF-boundary representation (SURVEY §1.4)."""
+    keys = keys or ["series_id"]
+    return (
+        df.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value_col).alias("v")))).alias("_pts"))
+        .select(*keys, F.col("_pts.v").alias("values"))
+    )
+
+
+def to_long(df: DataFrame, keys: list[str] | None = None, values_col: str = "values") -> DataFrame:
+    """Wide → long via posexplode (inverse of to_wide)."""
+    keys = keys or ["series_id"]
+    return df.select(
+        *keys, F.posexplode(values_col).alias("t", "value")
+    ).withColumn("t", F.col("t").cast("bigint"))
+
+
 def generate_custom_decay(
     spark: SparkSession,
     n_series: int,

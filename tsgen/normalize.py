@@ -22,19 +22,20 @@ EPS = 1e-8
 def znorm(
     df: DataFrame,
     value_col: str = "value",
-    key: str = "series_id",
+    key: str | list[str] = "series_id",
     broadcast_stats: bool = True,
 ) -> DataFrame:
     """broadcast_stats=False for corpora whose per-key stats table is itself
     too large to broadcast (>~100M keys) — falls back to a shuffle hash join
     on the key, which is the same single shuffle the window variant costs."""
-    stats = df.groupBy(key).agg(
+    keys = [key] if isinstance(key, str) else list(key)
+    stats = df.groupBy(*keys).agg(
         F.avg(value_col).alias("_mu"), F.stddev_samp(value_col).alias("_sd")
     )
     if broadcast_stats:
         stats = F.broadcast(stats)
     return (
-        df.join(stats, key)
+        df.join(stats, keys)
         .withColumn(value_col, (F.col(value_col) - F.col("_mu")) / (F.col("_sd") + F.lit(EPS)))
         .drop("_mu", "_sd")
     )

@@ -186,6 +186,30 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- dim>1: multichannel generator ---------------------------------------
+MC_N, MC_DIM, MC_LEN = 8, 3, 48
+
+
+def _q_multichannel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = generators.generate_multichannel(spark, MC_N, MC_LEN, MC_DIM, "mixed")
+    return round6(out, "value")
+
+
+def _multichannel_sql() -> str:
+    from .normalize import znorm_sql
+
+    ck = generators.multichannel_key()
+    value = E.noisy_signal_expr("mixed", MC_LEN, sid=ck)
+    inner = (
+        f"SELECT series_id, channel, t, {value} AS value FROM "
+        f"(SELECT range AS series_id FROM range({MC_N})) "
+        f"CROSS JOIN (SELECT range AS channel FROM range({MC_DIM})) "
+        f"CROSS JOIN (SELECT range AS t FROM range({MC_LEN}))"
+    )
+    normed = znorm_sql(inner, key="series_id, channel")
+    return f"SELECT series_id, channel, t, {E.round6('value')} AS value FROM ({normed})"
+
+
 # --- I1 + B19: conditional (forecast) sampling — rows-only ----------------
 def _q_sample_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import diffusion
@@ -202,6 +226,9 @@ _REGISTRY.update(
         "gen_union": Query("gen_union", _q_union, _union_sql(), ("generator",)),
         "patchify_stats": Query("patchify_stats", _q_patchify, _patchify_sql(), ("expr",)),
         "event_set_ops": Query("event_set_ops", _q_set_ops, _SET_OPS_SQL, ("setop",)),
+        "gen_multichannel": Query(
+            "gen_multichannel", _q_multichannel, _multichannel_sql(), ("generator",)
+        ),
         "orders_cube": Query("orders_cube", _q_cube, _CUBE_SQL, ("agg",)),
         "sample_forecast": Query("sample_forecast", _q_sample_forecast, None, ("diffusion",)),
     }
