@@ -27,3 +27,30 @@ def test_entry_contract(spark):
     # at minimum each is finite and non-negative
     for r in rows:
         assert r.trend_frac >= 0 and r.seas_frac >= 0 and r.resid_frac >= 0
+
+
+def test_bucketed_join_no_shuffle(spark):
+    # bucketed layout: join on the bucket key needs NO Exchange on either side
+    a = generators.generate(spark, 64, 16, "sine")
+    b = generators.generate(spark, 64, 16, "cosine").withColumnRenamed("value", "value_b")
+    io.save_bucketed(a, "bkt_a", n_buckets=8)
+    io.save_bucketed(b, "bkt_b", n_buckets=8)
+    ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+    # force sort-merge (broadcast would win at this toy size and hide the
+    # bucketing benefit being asserted)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # per-series agg on the bucket key + join back: BOTH stages reuse
+        # the bucketing, so the whole plan is shuffle-free
+        from pyspark.sql import functions as F
+
+        stats = tb.groupBy("series_id").agg(F.avg("value_b").alias("mu_b"))
+        joined = ta.join(stats, "series_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: no shuffle anywhere
+        assert joined.count() == 64 * 16
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE bkt_a")
+        spark.sql("DROP TABLE bkt_b")

@@ -7,6 +7,9 @@ downstream per-series operators (decompose, FFT) read co-located data and
 joins on series_id can skip the shuffle (bucket pruning)."""
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -19,6 +22,32 @@ def save_series(df: DataFrame, path: str, partition_by: str | None = None) -> No
 
 def load_series(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "series_id",
+    n_buckets: int = 32,
+    sort_col: str | None = "t",
+) -> None:
+    """Persist bucketed (and optionally sorted) by key — the layout that
+    makes every subsequent join/groupBy on `bucket_col` shuffle-free
+    (SortMergeJoin without Exchange). At 100 TB this is how the series
+    tables should live: bucket count ≈ cluster cores, sorted within bucket
+    by t so per-series windows need no re-sort."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dropped in-memory-catalog table leaves its files behind; a stale
+    # location blocks re-creation with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(warehouse.removeprefix("file:")) / table
+    if loc.exists():
+        shutil.rmtree(loc)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(bucket_col, sort_col)
+    w.saveAsTable(table)
 
 
 def save_run(

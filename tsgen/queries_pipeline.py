@@ -96,8 +96,15 @@ def _q_multimodal(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def _q_tfidf(spark, sf_dir):
+    from .queries import round6 as _r
+
+    return _r(text.tfidf_top_terms(_docs(spark, sf_dir), top_n=3), "tfidf")
+
+
 _REGISTRY.update(
     {
+        "tfidf_top_terms": Query("tfidf_top_terms", _q_tfidf, text.tfidf_sql(3), ("text",)),
         "text_stats": Query("text_stats", _q_text_stats, text.TEXT_STATS_SQL, ("text",)),
         "lang_id": Query("lang_id", _q_lang_id, text.LANG_ID_SQL, ("text",)),
         "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),

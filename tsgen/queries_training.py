@@ -124,3 +124,54 @@ _REGISTRY.update(
         "ev_percentiles": Query("ev_percentiles", _q_percentiles, _PERCENTILES_SQL, ("agg",)),
     }
 )
+
+
+# --- funnel: click -> purchase conversion within 24h ----------------------
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    conv = (
+        purchases.join(F.broadcast(first_click), "user_id")
+        .where(
+            (F.col("pts") >= F.col("fc"))
+            & (F.col("pts") < F.col("fc") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases_24h"), F.sum("value").alias("purchase_value"))
+    )
+    out = (
+        first_click.join(conv, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("fc").alias("first_click_s"),
+            F.coalesce("n_purchases_24h", F.lit(0)).alias("n_purchases_24h"),
+            (F.round(F.coalesce("purchase_value", F.lit(0.0)), 6) + F.lit(0.0)).alias("purchase_value"),
+            (F.coalesce("n_purchases_24h", F.lit(0)) > 0).alias("converted"),
+        )
+    )
+    return out
+
+
+_FUNNEL_SQL = """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS fc FROM events WHERE event_type = 'click' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id, count(*) AS n_purchases_24h, sum(e.value) AS purchase_value
+  FROM events e JOIN first_click f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= f.fc AND e.ts < f.fc + INTERVAL 24 HOURS
+  GROUP BY e.user_id)
+SELECT f.user_id, CAST(floor(epoch(f.fc)) AS BIGINT) AS first_click_s,
+       COALESCE(c.n_purchases_24h, 0) AS n_purchases_24h,
+       (round(COALESCE(c.purchase_value, 0.0e0),6)+0.0e0) AS purchase_value,
+       (COALESCE(c.n_purchases_24h, 0) > 0) AS converted
+FROM first_click f LEFT JOIN conv c ON f.user_id = c.user_id
+"""
+
+_REGISTRY["ev_funnel"] = Query("ev_funnel", _q_funnel, _FUNNEL_SQL, ("join",))

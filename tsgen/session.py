@@ -24,6 +24,7 @@ def get_spark(app_name: str = "tsgen", shuffle_partitions: int | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("TSGEN_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/tsgen-warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -97,6 +97,50 @@ FROM documents
 """
 
 
+def tfidf_top_terms(df: DataFrame, text: str = "text", top_n: int = 3) -> DataFrame:
+    """TF-IDF scoring, Spark-native (no MLlib pipeline needed):
+    tf = in-doc term count, idf = ln(N / df), score = tf·idf; returns the
+    top_n terms per document. Two shuffles: token-level groupBys for df and
+    tf; the doc-count N is a broadcast scalar.
+
+    SURVEY §2.K names HashingTF+IDF — implemented directly over exact terms
+    instead so the result is deterministic and oracle-checkable (HashingTF
+    buckets collide by design and differ per hash impl).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.explode(F.split(F.col(text), " ")).alias("token"))
+    n_docs = df.count()
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def tfidf_sql(top_n: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, (round(tfidf,6)+0.0e0) AS tfidf, rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * ln(n.n_docs / dfreq.df) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n_docs / dfreq.df) DESC, tf.token) AS rank
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+WHERE rank <= {top_n}
+"""
+
+
 def token_freq(df: DataFrame, text: str = "text", top_n: int = 20) -> DataFrame:
     """Global token frequency top-N (explode → count → rank)."""
     from pyspark.sql import Window
