@@ -363,3 +363,90 @@ _REGISTRY.update(
         "approx_distinct": Query("approx_distinct", _q_approx_distinct, None, ("agg",)),
     }
 )
+
+
+# --- pivot: per-user avg value by event type ------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.avg("value"))
+    )
+    for c in _EVENT_TYPES:
+        out = out.withColumn(c, F.round(c, 6) + F.lit(0.0))
+    return out
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+""".format(
+    cols=",\n       ".join(
+        f"(round(avg(CASE WHEN event_type = '{t}' THEN value END),6)+0.0e0) AS {t}"
+        for t in _EVENT_TYPES
+    )
+)
+
+
+# --- JSON property extraction (semi-structured column) --------------------
+def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    out = (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.avg("k").alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+    return round6(out, "avg_k")
+
+
+_PROPS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       (round(avg(CAST(json_extract(props, '$.k') AS BIGINT)),6)+0.0e0) AS avg_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --- deterministic sampling (hash-based, engine-portable) -----------------
+def _q_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df.sample() randomness is engine-internal; a u01(event_id) predicate
+    # gives a reproducible, cross-engine, pushdown-friendly 10% sample
+    from . import expr as E
+
+    ev = _events(spark, sf_dir)
+    out = ev.filter(F.expr(f"{E.u01('event_id', 777)} < 1.0e-1")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return round6(out, "value")
+
+
+def _sample_events_sql() -> str:
+    from . import expr as E
+
+    return f"""
+SELECT event_id, user_id, event_type, (round(value,6)+0.0e0) AS value
+FROM events WHERE {E.u01('event_id', 777)} < 1.0e-1
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_pivot": Query("ev_pivot", _q_pivot, _PIVOT_SQL, ("agg",)),
+        "ev_props_json": Query("ev_props_json", _q_props_json, _PROPS_JSON_SQL, ("json",)),
+        "ev_sample": Query("ev_sample", _q_sample_events, _sample_events_sql(), ("sample",)),
+    }
+)
