@@ -103,16 +103,7 @@ WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= {threshold}
 """
 
 
-def ivf_assign(df: DataFrame, n_cells: int = 8, vec: str = "embedding") -> DataFrame:
-    """Coarse quantization: centroid seeds = the first n_cells vectors
-    (deterministic); each vector assigned to its nearest (max-cosine) seed.
-
-    → corpus with cell_id. At cluster scale, write bucketed by cell_id.
-    """
-    v = with_norm(df, vec)
-    seeds = v.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("_vec").alias("svec"), F.col("norm").alias("snorm")
-    )
+def _assign_to_centroids(v: DataFrame, seeds: DataFrame) -> DataFrame:
     joined = v.crossJoin(F.broadcast(seeds)).withColumn(
         "cs", cosine("_vec", "svec") / (F.col("norm") * F.col("snorm"))
     )
@@ -124,6 +115,46 @@ def ivf_assign(df: DataFrame, n_cells: int = 8, vec: str = "embedding") -> DataF
     )
 
 
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Lloyd step: new centroid = element-wise mean of each cell's vectors.
+
+    posexplode → (cell, dim_idx) partial-agg avg → collect back to arrays;
+    the shuffle carries n_cells·dim doubles total.
+    """
+    comp = assigned.select("cell_id", F.posexplode("_vec").alias("i", "x"))
+    means = comp.groupBy("cell_id", "i").agg(F.avg("x").alias("m"))
+    cent = (
+        means.groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_pts"))
+        .select("cell_id", F.col("_pts.m").alias("svec"))
+    )
+    dot = F.aggregate(
+        F.zip_with("svec", "svec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return cent.withColumn("snorm", F.sqrt(dot))
+
+
+def ivf_assign(
+    df: DataFrame, n_cells: int = 8, vec: str = "embedding", refine_iters: int = 1
+) -> DataFrame:
+    """Coarse quantization: deterministic seeds (the first n_cells vectors)
+    + `refine_iters` Lloyd iterations (centroid = mean of assigned cell,
+    re-assign). One refinement typically fixes the arbitrary-seed cell
+    shapes at the cost of one extra broadcast join pass over the corpus.
+
+    → corpus with cell_id. At cluster scale, write bucketed by cell_id.
+    """
+    v = with_norm(df, vec)
+    seeds = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("_vec").alias("svec"), F.col("norm").alias("snorm")
+    )
+    assigned = _assign_to_centroids(v, seeds)
+    for _ in range(refine_iters):
+        seeds = _recompute_centroids(assigned)
+        assigned = _assign_to_centroids(v, seeds)
+    return assigned, seeds
+
+
 def ivf_topk(
     df: DataFrame, n_queries: int, k: int = 5, n_cells: int = 8, nprobe: int = 3, vec: str = "embedding"
 ) -> DataFrame:
@@ -131,9 +162,10 @@ def ivf_topk(
 
     Recall < 1 by design (ANN); tests assert recall vs brute force.
     """
-    assigned = ivf_assign(df, n_cells, vec).cache()
-    seeds = assigned.filter(F.col("vec_id") < n_cells).select(
-        F.col("cell_id").alias("probe_cell"), F.col("_vec").alias("svec"), F.col("norm").alias("snorm")
+    assigned, cents = ivf_assign(df, n_cells, vec)
+    assigned = assigned.cache()
+    seeds = cents.select(
+        F.col("cell_id").alias("probe_cell"), "svec", "snorm"
     )
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("_vec").alias("qvec"), F.col("norm").alias("qnorm")
