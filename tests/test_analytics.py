@@ -52,3 +52,18 @@ def test_asof_join_no_prior_is_null(spark):
     )
     out = analytics.asof_join(left, right, "user_id", "ts", "value").collect()
     assert out[0].asof_value is None
+
+
+def test_sql_surface(spark):
+    from tsgen import catalog
+
+    catalog.register_testdata(spark, "/root/testdata/sf0.001")
+    catalog.register_generated(spark, "syn", 4, 16, "sine")
+    out = spark.sql(
+        """
+        SELECT (SELECT count(*) FROM events) AS n_events,
+               (SELECT count(*) FROM lineitem) AS n_li,
+               (SELECT count(*) FROM syn) AS n_syn
+        """
+    ).collect()[0]
+    assert out.n_events > 0 and out.n_li > 0 and out.n_syn == 64

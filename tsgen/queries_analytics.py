@@ -450,3 +450,74 @@ _REGISTRY.update(
         "ev_sample": Query("ev_sample", _q_sample_events, _sample_events_sql(), ("sample",)),
     }
 )
+
+
+# --- time-range window (rangeBetween) -------------------------------------
+def _q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).withColumn("ts_s", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum("value").over(w).alias("sum_last_hour"),
+    )
+    return round6(out, "sum_last_hour")
+
+
+_RANGE_WINDOW_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       (round(sum(value) OVER w,6)+0.0e0) AS sum_last_hour
+FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- ranking-function family ----------------------------------------------
+def _q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    out = ev.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("value").over(w).alias("top_value"),
+    ).filter(F.col("rn") <= 200)
+    return round6(out, "top_value")
+
+
+_RANK_FUNCS_SQL = """
+SELECT event_id, event_type, rn, rnk, drnk, decile,
+       (round(pct_rank,6)+0.0e0) AS pct_rank, (round(cume,6)+0.0e0) AS cume,
+       (round(top_value,6)+0.0e0) AS top_value
+FROM (
+  SELECT event_id, event_type,
+         row_number() OVER w AS rn,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         first_value(value) OVER w AS top_value
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+WHERE rn <= 200
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_range_window": Query("ev_range_window", _q_range_window, _RANGE_WINDOW_SQL, ("window",)),
+        "ev_rank_funcs": Query("ev_rank_funcs", _q_rank_funcs, _RANK_FUNCS_SQL, ("window",)),
+    }
+)
