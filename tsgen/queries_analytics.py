@@ -521,3 +521,88 @@ _REGISTRY.update(
         "ev_rank_funcs": Query("ev_rank_funcs", _q_rank_funcs, _RANK_FUNCS_SQL, ("window",)),
     }
 )
+
+
+# --- correlation / covariance aggregates ----------------------------------
+def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+        F.corr("l_discount", "l_tax").alias("corr_disc_tax"),
+    )
+    out = out.withColumn("covar_qty_price", F.round("covar_qty_price", 2) + F.lit(0.0))
+    return round6(out, "corr_qty_price", "corr_disc_tax")
+
+
+_CORR_SQL = """
+SELECT l_returnflag,
+       (round(corr(l_quantity, l_extendedprice),6)+0.0e0) AS corr_qty_price,
+       (round(covar_samp(l_quantity, l_extendedprice),2)+0.0e0) AS covar_qty_price,
+       (round(corr(l_discount, l_tax),6)+0.0e0) AS corr_disc_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- histogram via explicit binning (width_bucket absent in DuckDB 1.0) ---
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 200.0, 20
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    step = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col("value") - HIST_LO) / step).cast("bigint"), F.lit(0)),
+        F.lit(HIST_BINS - 1),
+    )
+    out = (
+        ev.groupBy(bin_expr.alias("bin"))
+        .agg(F.count("*").alias("n"), F.avg("value").alias("bin_avg"))
+    )
+    return round6(out, "bin_avg")
+
+
+def _histogram_sql() -> str:
+    step = (HIST_HI - HIST_LO) / HIST_BINS
+    b = f"least(greatest(CAST(floor((value - {HIST_LO:.1e}) / {step!r}e0) AS BIGINT), 0), {HIST_BINS - 1})"
+    return f"""
+SELECT {b} AS bin, count(*) AS n, (round(avg(value),6)+0.0e0) AS bin_avg
+FROM events GROUP BY {b}
+"""
+
+
+# --- Levenshtein near-dup over blocked doc prefixes -----------------------
+def _q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", "source", F.col("prefix").alias("pa"))
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("_lang"),
+        F.col("source").alias("_source"),
+        F.col("prefix").alias("pb"),
+    )
+    pairs = a.join(
+        b,
+        (a.lang == b._lang) & (a.source == b._source) & (a.doc_a < b.doc_b),
+    ).select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("edit_dist"))
+    return pairs.filter(F.col("edit_dist") <= 25)
+
+
+_LEVENSHTEIN_SQL = """
+WITH d AS (SELECT doc_id, lang, source, substring(text, 1, 40) AS prefix FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 25
+"""
+
+
+_REGISTRY.update(
+    {
+        "li_correlation": Query("li_correlation", _q_corr, _CORR_SQL, ("agg",)),
+        "ev_histogram": Query("ev_histogram", _q_histogram, _histogram_sql(), ("agg",)),
+        "doc_levenshtein": Query("doc_levenshtein", _q_levenshtein, _LEVENSHTEIN_SQL, ("dedup",)),
+    }
+)
