@@ -67,3 +67,28 @@ def test_sql_surface(spark):
         """
     ).collect()[0]
     assert out.n_events > 0 and out.n_li > 0 and out.n_syn == 64
+
+
+def test_resample_interpolate_linear(spark):
+    # three points: (0s, 0.0), (100s, 10.0), (200s, 30.0); grid step 50s
+    rows = [
+        Row(k=1, ts="2024-01-01 00:00:00", v=0.0),
+        Row(k=1, ts="2024-01-01 00:01:40", v=10.0),
+        Row(k=1, ts="2024-01-01 00:03:20", v=30.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    out = (
+        analytics.resample_interpolate(df, "k", "ts", "v", 50)
+        .toPandas()
+        .sort_values("grid_s")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5  # 0, 50, 100, 150, 200
+    assert list(out.value_interp) == [0.0, 5.0, 10.0, 20.0, 30.0]
+
+
+def test_zscore_outliers(spark):
+    rows = [Row(g="a", v=float(i % 10)) for i in range(200)] + [Row(g="a", v=500.0)]
+    df = spark.createDataFrame(rows)
+    out = analytics.zscore_outliers(df, "g", "v", threshold=3.0).collect()
+    assert len(out) == 1 and out[0].v == 500.0

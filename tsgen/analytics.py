@@ -117,6 +117,90 @@ def topk_per_group(df: DataFrame, group: list[str], order: list, k: int) -> Data
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Resample each key's irregular series onto a regular `step_seconds`
+    grid with linear interpolation between surrounding observations.
+
+    Spark-native: per-key min/max anchor the grid (sequence + explode);
+    observed points are unioned in; two ordered windows fill the previous/
+    next known (ts, value) pairs; interpolation is a closed-form projection.
+    One shuffle on (key, time). Grid edges before the first / after the
+    last observation carry the nearest known value.
+    """
+    span = df.groupBy(key).agg(
+        F.min(F.unix_timestamp(ts)).alias("_lo"), F.max(F.unix_timestamp(ts)).alias("_hi")
+    )
+    grid = span.select(
+        key,
+        F.explode(
+            F.sequence(
+                (F.ceil(F.col("_lo") / step_seconds) * step_seconds).cast("bigint"),
+                F.col("_hi").cast("bigint"),
+                F.lit(step_seconds).cast("bigint"),
+            )
+        ).alias("grid_s"),
+    ).withColumn("_obs_v", F.lit(None).cast("double"))
+    obs = df.select(
+        F.col(key),
+        F.unix_timestamp(ts).alias("grid_s"),
+        F.col(value).cast("double").alias("_obs_v"),
+    )
+    u = grid.unionByName(obs).withColumn("_is_grid", F.col("_obs_v").isNull())
+    wp = Window.partitionBy(key).orderBy("grid_s", "_is_grid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(key).orderBy(F.desc("grid_s"), F.desc("_is_grid")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev_v = F.last("_obs_v", ignorenulls=True).over(wp)
+    prev_t = F.last(F.when(F.col("_obs_v").isNotNull(), F.col("grid_s")), ignorenulls=True).over(wp)
+    next_v = F.last("_obs_v", ignorenulls=True).over(wn)
+    next_t = F.last(F.when(F.col("_obs_v").isNotNull(), F.col("grid_s")), ignorenulls=True).over(wn)
+    interp = F.when(next_t == prev_t, prev_v).otherwise(
+        prev_v + (next_v - prev_v) * (F.col("grid_s") - prev_t) / (next_t - prev_t)
+    )
+    filled = (
+        u.withColumn("_pv", prev_v)
+        .withColumn("_pt", prev_t)
+        .withColumn("_nv", next_v)
+        .withColumn("_nt", next_t)
+        .filter(F.col("_is_grid"))
+        .withColumn(
+            "value_interp",
+            F.when(F.col("_pv").isNull(), F.col("_nv"))
+            .when(F.col("_nv").isNull(), F.col("_pv"))
+            .otherwise(
+                F.when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(
+                    F.col("_pv")
+                    + (F.col("_nv") - F.col("_pv"))
+                    * (F.col("grid_s") - F.col("_pt"))
+                    / (F.col("_nt") - F.col("_pt"))
+                )
+            ),
+        )
+    )
+    return filled.select(key, "grid_s", "value_interp")
+
+
+def zscore_outliers(df: DataFrame, group: str, value: str, threshold: float = 3.0) -> DataFrame:
+    """Per-group z-score outlier flags (|x − μ|/σ > threshold)."""
+    stats = df.groupBy(group).agg(
+        F.avg(value).alias("_mu"), F.stddev_samp(value).alias("_sd")
+    )
+    return (
+        df.join(F.broadcast(stats), group)
+        .withColumn("zscore", (F.col(value) - F.col("_mu")) / F.col("_sd"))
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("_mu", "_sd")
+    )
+
+
 def bucketed_range_join(
     left: DataFrame,
     intervals: DataFrame,

@@ -606,3 +606,72 @@ _REGISTRY.update(
         "doc_levenshtein": Query("doc_levenshtein", _q_levenshtein, _LEVENSHTEIN_SQL, ("dedup",)),
     }
 )
+
+
+# --- z-score outliers ------------------------------------------------------
+def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = analytics.zscore_outliers(ev, "event_type", "value", threshold=2.5)
+    out = out.select("event_id", "event_type", "value", "zscore")
+    return round6(out, "value", "zscore")
+
+
+_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, (round(value,6)+0.0e0) AS value,
+       (round((value - mu) / sd,6)+0.0e0) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((value - mu) / sd) > 2.5
+"""
+
+
+# --- resample + linear interpolation (per-user 30-minute grid) ------------
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    out = analytics.resample_interpolate(ev, "user_id", "ts", "value", 1800)
+    return round6(out, "value_interp")
+
+
+_RESAMPLE_SQL = """
+WITH obs AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS grid_s,
+         CAST(value AS DOUBLE) AS obs_v, FALSE AS is_grid
+  FROM events WHERE user_id < 20),
+span AS (
+  SELECT user_id, min(grid_s) AS lo, max(grid_s) AS hi FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(CAST(ceil(lo / 1800.0e0) AS BIGINT) * 1800, hi, 1800)) AS grid_s,
+         CAST(NULL AS DOUBLE) AS obs_v, TRUE AS is_grid
+  FROM span),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+fwd AS (
+  SELECT *,
+         last_value(obs_v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN obs_v IS NOT NULL THEN grid_s END IGNORE NULLS) OVER wp AS pt
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY grid_s, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+bwd AS (
+  SELECT *,
+         last_value(obs_v IGNORE NULLS) OVER wn AS nv,
+         last_value(CASE WHEN obs_v IS NOT NULL THEN grid_s END IGNORE NULLS) OVER wn AS nt
+  FROM fwd
+  WINDOW wn AS (PARTITION BY user_id ORDER BY grid_s DESC, is_grid DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, grid_s,
+       (round(CASE WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   WHEN nt = pt THEN pv
+                   ELSE pv + (nv - pv) * (grid_s - pt) / (nt - pt) END,6)+0.0e0) AS value_interp
+FROM bwd WHERE is_grid
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_outliers": Query("ev_outliers", _q_outliers, _OUTLIERS_SQL, ("agg",)),
+        "ev_resample": Query("ev_resample", _q_resample, _RESAMPLE_SQL, ("window",)),
+    }
+)
