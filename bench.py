@@ -65,6 +65,13 @@ def main() -> None:
         ),
     )
 
+    # 2b. reverse-diffusion sampling at the reference's exact cost shape
+    #     (T=500 sequential denoise steps, config.json:16) — fused form
+    bench(
+        "sample_fused_1kx512_T500",
+        lambda: force(diffusion.sample_fused(spark, 1_000, 512, timesteps=500)),
+    )
+
     # 3. decomposition (pandas-UDF FFT path) at 2k x 512
     bench(
         "decompose_2kx512",

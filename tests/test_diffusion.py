@@ -61,3 +61,22 @@ def test_qsample_t0_near_identity(spark):
     pdf = noisy.toPandas()
     if len(pdf):
         assert np.abs(pdf.x_t - pdf.value).max() < 0.05  # beta0=1e-4 → tiny noise
+
+
+def test_sample_fused_equals_driver_loop(spark):
+    # the fused single-pass loop must reproduce the driver-loop sampler
+    # (identical LCG noise; fp association in the trend projection differs
+    # at ~1e-13, amplified slightly over steps)
+    a = (
+        diffusion.sample(spark, 4, 32, timesteps=6, checkpoint_every=3)
+        .toPandas()
+        .sort_values(["series_id", "t"])
+        .reset_index(drop=True)
+    )
+    b = (
+        diffusion.sample_fused(spark, 4, 32, timesteps=6)
+        .toPandas()
+        .sort_values(["series_id", "t"])
+        .reset_index(drop=True)
+    )
+    assert np.abs(a.x.to_numpy() - b.x.to_numpy()).max() < 1e-6

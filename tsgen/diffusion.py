@@ -137,6 +137,98 @@ def sample(
     return df
 
 
+def _np_lcg3(key, salt: int):
+    """Exact numpy replica of expr.lcg3 (int64-safe: all products < 2^62)."""
+    h = (key * E.LCG_A + E.LCG_C + salt) % E.M31
+    h = (h * h + E.LCG_A) % E.M31
+    h = (h * E.LCG_A + E.LCG_C) % E.M31
+    h = (h * h + E.LCG_C) % E.M31
+    return h
+
+
+def _np_normal(key, salt: int):
+    import numpy as np
+
+    u1 = _np_lcg3(key, salt) / E.M31
+    u2 = _np_lcg3(key, salt + 7919) / E.M31
+    return np.sqrt(-2.0 * np.log(1.0 - u1)) * np.cos(E.TWO_PI * u2)
+
+
+def sample_fused(
+    spark: SparkSession,
+    n_series: int,
+    seq_len: int,
+    timesteps: int = 50,
+    kind: str = "cosine",
+    degree: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reverse diffusion with the WHOLE T-step loop fused into one
+    mapInPandas pass.
+
+    Key insight: each series evolves independently (the denoiser and the
+    posterior step are per-series; noise is a pure function of
+    (series_id, t, step)), so the loop needs NO cross-series communication —
+    the driver-loop form (`sample`) pays T shuffles purely for Spark's
+    iteration mechanics. Fusing yields identical values (the numpy LCG is an
+    exact integer replica of the SQL one; asserted in tests) with exactly
+    ONE narrow pass: Range → mapInPandas. At T=500 (config.json:16) this is
+    the difference between 500 scheduled jobs and one.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .decompose import DEFAULT_DEGREE, DEFAULT_TOP_K, _poly_design
+
+    degree = DEFAULT_DEGREE if degree is None else degree
+    top_k = DEFAULT_TOP_K if top_k is None else top_k
+    sched = {
+        r.t_step: r.asDict() for r in schedule_table(spark, timesteps, kind).collect()
+    }
+    A = _poly_design(seq_len, degree)
+    proj = A @ np.linalg.pinv(A)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sids = pdf["series_id"].to_numpy()
+            m = len(sids)
+            ts = np.arange(seq_len, dtype=np.int64)
+            keys = (sids[:, None] * 131071 + ts[None, :]) % E.M31
+            X = _np_normal(keys, SALT_INIT)
+            for t in reversed(range(timesteps)):
+                trend = X @ proj.T
+                det = X - trend
+                spec = np.fft.rfft(det, axis=1)
+                mag = np.abs(spec)
+                kk = min(top_k, spec.shape[1])
+                idx = np.argpartition(-mag, kk - 1, axis=1)[:, :kk]
+                mask = np.zeros_like(mag)
+                np.put_along_axis(mask, idx, 1.0, axis=1)
+                x0 = trend + np.fft.irfft(spec * mask, n=seq_len, axis=1)
+                if t > 0:
+                    row = sched[t]
+                    mean = (
+                        row["alpha"] ** 0.5 * (1.0 - row["alpha_cumprod_prev"]) * X
+                        + row["alpha_cumprod_prev"] ** 0.5 * (1.0 - row["alpha"]) * x0
+                    ) / (1.0 - row["alpha_cumprod"])
+                    noise = _np_normal(keys, SALT_PNOISE + t)
+                    X = mean + row["posterior_variance"] ** 0.5 * noise
+                else:
+                    X = x0
+            yield pd.DataFrame(
+                {
+                    "series_id": np.repeat(sids, seq_len),
+                    "t": np.tile(ts, m),
+                    "x": X.reshape(-1),
+                }
+            )
+
+    grid = spark.range(n_series).withColumnRenamed("id", "series_id")
+    return grid.mapInPandas(fn, "series_id bigint, t bigint, x double")
+
+
 def sample_conditional(
     spark: SparkSession,
     n_series: int,

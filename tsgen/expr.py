@@ -181,5 +181,12 @@ def noisy_signal_expr(family: str, seq_len: int, **kw) -> str:
 
 def round6(x: str) -> str:
     """Round to 6 dp and normalize -0.0 → 0.0 so value-hashes agree across
-    engines despite last-ulp libm differences."""
-    return f"(round({x}, 6) + 0.0e0)"
+    engines despite last-ulp libm differences.
+
+    The +1e-9 nudge kills decimal ties: Spark rounds doubles via their
+    SHORTEST DECIMAL representation (51.51125 → HALF_UP → .5113) while
+    DuckDB rounds numerically (the same double is < the .5 midpoint →
+    .5112). Real-world 2-decimal inputs produce such exact ties constantly
+    under division; the nudge pushes both engines decisively off the
+    midpoint in the same direction."""
+    return f"(round(({x}) + 1.0e-9, 6) + 0.0e0)"

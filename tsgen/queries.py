@@ -71,7 +71,8 @@ def oracle_sql() -> dict[str, str]:
 def round6(df: DataFrame, *cols: str) -> DataFrame:
     """Round named double columns to 6dp and normalize -0.0 (match oracle)."""
     for c in cols:
-        df = df.withColumn(c, F.round(F.col(c), 6) + F.lit(0.0))
+        # +1e-9 tie-nudge: see tsgen.expr.round6
+        df = df.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 6) + F.lit(0.0))
     return df
 
 

@@ -36,10 +36,10 @@ def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLING_SQL = """
-SELECT event_id, user_id, (round(value,6)+0.0e0) AS value,
-       (round(avg(value) OVER w,6)+0.0e0) AS roll_avg,
-       (round(min(value) OVER w,6)+0.0e0) AS roll_min,
-       (round(max(value) OVER w,6)+0.0e0) AS roll_max
+SELECT event_id, user_id, (round((value) + 1.0e-9,6)+0.0e0) AS value,
+       (round((avg(value) OVER w) + 1.0e-9,6)+0.0e0) AS roll_avg,
+       (round((min(value) OVER w) + 1.0e-9,6)+0.0e0) AS roll_min,
+       (round((max(value) OVER w) + 1.0e-9,6)+0.0e0) AS roll_max
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
@@ -55,7 +55,7 @@ def _q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LAG_SQL = """
 SELECT event_id, user_id,
-       (round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),6)+0.0e0) AS delta
+       (round((value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) + 1.0e-9,6)+0.0e0) AS delta
 FROM events
 """
 
@@ -92,7 +92,7 @@ WITH flagged AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s, CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
-       (round(sum(value),6)+0.0e0) AS sum_value
+       (round((sum(value)) + 1.0e-9,6)+0.0e0) AS sum_value
 FROM sess GROUP BY user_id, session_id
 """
 
@@ -105,17 +105,17 @@ def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("bucket").alias("bucket_s"),
         "event_type",
         "n_events",
-        "sum_value",
-        "avg_value",
+        (F.round(F.col("sum_value") + F.lit(1e-9), 4) + F.lit(0.0)).alias("sum_value"),
+        (F.round(F.col("avg_value") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_value"),
     )
-    return round6(out, "sum_value", "avg_value")
+    return out
 
 
 _TUMBLING_SQL = """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s, event_type,
        count(*) AS n_events,
-       (round(sum(value),6)+0.0e0) AS sum_value,
-       (round(avg(value),6)+0.0e0) AS avg_value
+       (round((sum(value)) + 1.0e-9,4)+0.0e0) AS sum_value,
+       (round((avg(value)) + 1.0e-9,4)+0.0e0) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -144,7 +144,7 @@ WITH clicks AS (
     FROM events WHERE event_type = 'purchase') WHERE rn = 1
 )
 SELECT c.event_id, c.user_id, CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
-       (round(p.value,6)+0.0e0) AS last_purchase
+       (round((p.value) + 1.0e-9,6)+0.0e0) AS last_purchase
 FROM clicks c ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """
@@ -159,7 +159,7 @@ def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_SQL = """
-SELECT user_id, event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, (round(value,6)+0.0e0) AS value
+SELECT user_id, event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, (round((value) + 1.0e-9,6)+0.0e0) AS value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events) WHERE rn = 1
@@ -185,21 +185,23 @@ def _q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
-    out = out.withColumn("sum_qty", F.round("sum_qty", 2) + F.lit(0.0))
+    out = out.withColumn("sum_qty", F.round(F.col("sum_qty") + F.lit(1e-9), 2) + F.lit(0.0))
     for c in ("sum_base_price", "sum_disc_price", "sum_charge"):
-        out = out.withColumn(c, F.round(c, 2) + F.lit(0.0))
-    return round6(out, "avg_qty", "avg_price", "avg_disc")
+        out = out.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 2) + F.lit(0.0))
+    for c in ("avg_qty", "avg_price", "avg_disc"):
+        out = out.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 4) + F.lit(0.0))
+    return out
 
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       (round(sum(l_quantity),2)+0.0e0) AS sum_qty,
-       (round(sum(l_extendedprice),2)+0.0e0) AS sum_base_price,
-       (round(sum(l_extendedprice * (1 - l_discount)),2)+0.0e0) AS sum_disc_price,
-       (round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),2)+0.0e0) AS sum_charge,
-       (round(avg(l_quantity),6)+0.0e0) AS avg_qty,
-       (round(avg(l_extendedprice),6)+0.0e0) AS avg_price,
-       (round(avg(l_discount),6)+0.0e0) AS avg_disc,
+       (round((sum(l_quantity)) + 1.0e-9,2)+0.0e0) AS sum_qty,
+       (round((sum(l_extendedprice)) + 1.0e-9,2)+0.0e0) AS sum_base_price,
+       (round((sum(l_extendedprice * (1 - l_discount))) + 1.0e-9,2)+0.0e0) AS sum_disc_price,
+       (round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) + 1.0e-9,2)+0.0e0) AS sum_charge,
+       (round((avg(l_quantity)) + 1.0e-9,4)+0.0e0) AS avg_qty,
+       (round((avg(l_extendedprice)) + 1.0e-9,4)+0.0e0) AS avg_price,
+       (round((avg(l_discount)) + 1.0e-9,4)+0.0e0) AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -211,14 +213,14 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     out = o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("sum_total"),
+        (F.round(F.sum("o_totalprice") + F.lit(1e-9), 2) + F.lit(0.0)).alias("sum_total"),
     )
     return out
 
 
 _ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       (round(sum(o_totalprice),2)+0.0e0) AS sum_total
+       (round((sum(o_totalprice)) + 1.0e-9,2)+0.0e0) AS sum_total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -238,7 +240,7 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = analytics.topk_per_group(rev, ["n_name"], [F.desc("revenue"), F.asc("c_custkey")], 3)
     return out.select(
-        "n_name", "c_custkey", (F.round("revenue", 2) + F.lit(0.0)).alias("revenue"), "rank"
+        "n_name", "c_custkey", (F.round(F.col("revenue") + F.lit(1e-9), 2) + F.lit(0.0)).alias("revenue"), "rank"
     )
 
 
@@ -250,7 +252,7 @@ WITH rev AS (
        JOIN customer ON o_custkey = c_custkey
        JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name, c_custkey)
-SELECT n_name, c_custkey, (round(revenue,2)+0.0e0) AS revenue, rank FROM (
+SELECT n_name, c_custkey, (round((revenue) + 1.0e-9,2)+0.0e0) AS revenue, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rank
   FROM rev) WHERE rank <= 3
 """
@@ -294,7 +296,7 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .withColumn("revenue", F.round("revenue", 2) + F.lit(0.0))
+        .withColumn("revenue", F.round(F.col("revenue") + F.lit(1e-9), 2) + F.lit(0.0))
         .withColumn("o_orderdate_s", F.unix_timestamp("o_orderdate"))
         .drop("o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -305,7 +307,7 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHIPPING_SQL = """
 SELECT l_orderkey, o_orderpriority,
-       (round(sum(l_extendedprice * (1 - l_discount)),2)+0.0e0) AS revenue,
+       (round((sum(l_extendedprice * (1 - l_discount))) + 1.0e-9,2)+0.0e0) AS revenue,
        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
      JOIN customer ON o_custkey = c_custkey
@@ -330,13 +332,13 @@ def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(c.c_nationkey == s.s_nationkey)  # local supplier, as in Q5
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .withColumn("revenue", F.round("revenue", 2) + F.lit(0.0))
+        .withColumn("revenue", F.round(F.col("revenue") + F.lit(1e-9), 2) + F.lit(0.0))
     )
     return out
 
 
 _NATION_REVENUE_SQL = """
-SELECT n_name, (round(sum(l_extendedprice * (1 - l_discount)),2)+0.0e0) AS revenue
+SELECT n_name, (round((sum(l_extendedprice * (1 - l_discount))) + 1.0e-9,2)+0.0e0) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
      JOIN supplier ON l_suppkey = s_suppkey
      JOIN customer ON o_custkey = c_custkey
@@ -377,7 +379,7 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("value"))
     )
     for c in _EVENT_TYPES:
-        out = out.withColumn(c, F.round(c, 6) + F.lit(0.0))
+        out = out.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 6) + F.lit(0.0))
     return out
 
 
@@ -387,7 +389,7 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """.format(
     cols=",\n       ".join(
-        f"(round(avg(CASE WHEN event_type = '{t}' THEN value END),6)+0.0e0) AS {t}"
+        f"(round((avg(CASE WHEN event_type = '{t}' THEN value END)) + 1.0e-9,6)+0.0e0) AS {t}"
         for t in _EVENT_TYPES
     )
 )
@@ -414,7 +416,7 @@ def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_JSON_SQL = """
 SELECT event_type, count(*) AS n,
        sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       (round(avg(CAST(json_extract(props, '$.k') AS BIGINT)),6)+0.0e0) AS avg_k,
+       (round((avg(CAST(json_extract(props, '$.k') AS BIGINT))) + 1.0e-9,6)+0.0e0) AS avg_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -438,7 +440,7 @@ def _sample_events_sql() -> str:
     from . import expr as E
 
     return f"""
-SELECT event_id, user_id, event_type, (round(value,6)+0.0e0) AS value
+SELECT event_id, user_id, event_type, (round((value) + 1.0e-9,6)+0.0e0) AS value
 FROM events WHERE {E.u01('event_id', 777)} < 1.0e-1
 """
 
@@ -470,7 +472,7 @@ def _q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_WINDOW_SQL = """
 SELECT event_id, user_id,
        count(*) OVER w AS n_last_hour,
-       (round(sum(value) OVER w,6)+0.0e0) AS sum_last_hour
+       (round((sum(value) OVER w) + 1.0e-9,6)+0.0e0) AS sum_last_hour
 FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
@@ -489,8 +491,8 @@ def _q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("cume"),
         F.first("value").over(w).alias("top_value"),
     ).filter(F.col("rn") <= 200)
     return round6(out, "top_value")
@@ -498,8 +500,8 @@ def _q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANK_FUNCS_SQL = """
 SELECT event_id, event_type, rn, rnk, drnk, decile,
-       (round(pct_rank,6)+0.0e0) AS pct_rank, (round(cume,6)+0.0e0) AS cume,
-       (round(top_value,6)+0.0e0) AS top_value
+       (round((pct_rank) + 1.0e-9,6)+0.0e0) AS pct_rank, (round((cume) + 1.0e-9,6)+0.0e0) AS cume,
+       (round((top_value) + 1.0e-9,6)+0.0e0) AS top_value
 FROM (
   SELECT event_id, event_type,
          row_number() OVER w AS rn,
@@ -531,15 +533,15 @@ def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
         F.corr("l_discount", "l_tax").alias("corr_disc_tax"),
     )
-    out = out.withColumn("covar_qty_price", F.round("covar_qty_price", 2) + F.lit(0.0))
+    out = out.withColumn("covar_qty_price", F.round(F.col("covar_qty_price") + F.lit(1e-9), 2) + F.lit(0.0))
     return round6(out, "corr_qty_price", "corr_disc_tax")
 
 
 _CORR_SQL = """
 SELECT l_returnflag,
-       (round(corr(l_quantity, l_extendedprice),6)+0.0e0) AS corr_qty_price,
-       (round(covar_samp(l_quantity, l_extendedprice),2)+0.0e0) AS covar_qty_price,
-       (round(corr(l_discount, l_tax),6)+0.0e0) AS corr_disc_tax
+       (round((corr(l_quantity, l_extendedprice)) + 1.0e-9,6)+0.0e0) AS corr_qty_price,
+       (round((covar_samp(l_quantity, l_extendedprice)) + 1.0e-9,2)+0.0e0) AS covar_qty_price,
+       (round((corr(l_discount, l_tax)) + 1.0e-9,6)+0.0e0) AS corr_disc_tax
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -566,7 +568,7 @@ def _histogram_sql() -> str:
     step = (HIST_HI - HIST_LO) / HIST_BINS
     b = f"least(greatest(CAST(floor((value - {HIST_LO:.1e}) / {step!r}e0) AS BIGINT), 0), {HIST_BINS - 1})"
     return f"""
-SELECT {b} AS bin, count(*) AS n, (round(avg(value),6)+0.0e0) AS bin_avg
+SELECT {b} AS bin, count(*) AS n, (round((avg(value)) + 1.0e-9,6)+0.0e0) AS bin_avg
 FROM events GROUP BY {b}
 """
 
@@ -620,8 +622,8 @@ _OUTLIERS_SQL = """
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
   FROM events GROUP BY event_type)
-SELECT event_id, e.event_type, (round(value,6)+0.0e0) AS value,
-       (round((value - mu) / sd,6)+0.0e0) AS zscore
+SELECT event_id, e.event_type, (round((value) + 1.0e-9,6)+0.0e0) AS value,
+       (round(((value - mu) / sd) + 1.0e-9,6)+0.0e0) AS zscore
 FROM events e JOIN stats s ON e.event_type = s.event_type
 WHERE abs((value - mu) / sd) > 2.5
 """
@@ -661,10 +663,10 @@ bwd AS (
   WINDOW wn AS (PARTITION BY user_id ORDER BY grid_s DESC, is_grid DESC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT user_id, grid_s,
-       (round(CASE WHEN pv IS NULL THEN nv
+       (round((CASE WHEN pv IS NULL THEN nv
                    WHEN nv IS NULL THEN pv
                    WHEN nt = pt THEN pv
-                   ELSE pv + (nv - pv) * (grid_s - pt) / (nt - pt) END,6)+0.0e0) AS value_interp
+                   ELSE pv + (nv - pv) * (grid_s - pt) / (nt - pt) END) + 1.0e-9,6)+0.0e0) AS value_interp
 FROM bwd WHERE is_grid
 """
 

@@ -99,6 +99,15 @@ def _q_sample_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(out.select("series_id", "t", "x"), "x")
 
 
+def _q_sample_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I1 fused: whole T-step loop in one mapInPandas pass (equivalence to
+    # the driver loop asserted in tests/test_diffusion.py)
+    from . import diffusion
+
+    out = diffusion.sample_fused(spark, 8, 64, timesteps=20)
+    return round6(out.select("series_id", "t", "x"), "x")
+
+
 _REGISTRY.update(
     {
         "trend_linear": Query("trend_linear", _q_trend_linear, _trend_linear_sql(), ("decompose",)),
@@ -110,5 +119,6 @@ _REGISTRY.update(
         "loss_fourier": Query("loss_fourier", _q_loss_fourier, None, ("loss",)),
         "loss_combined": Query("loss_combined", _q_loss_combined, None, ("loss",)),
         "sample_loop": Query("sample_loop", _q_sample_loop, None, ("diffusion",)),
+        "sample_fused": Query("sample_fused", _q_sample_fused, None, ("diffusion",)),
     }
 )

@@ -22,7 +22,7 @@ def _q_poly_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _POLY_BASIS_SQL = f"""
-SELECT t, {", ".join(f"(round(pow(CAST(t AS DOUBLE) / {BASIS_N}, {i}),6)+0.0e0) AS p{i}" for i in range(BASIS_DEG + 1))}
+SELECT t, {", ".join(f"(round((pow(CAST(t AS DOUBLE) / {BASIS_N}, {i})) + 1.0e-9,6)+0.0e0) AS p{i}" for i in range(BASIS_DEG + 1))}
 FROM (SELECT range AS t FROM range({BASIS_N}))
 """
 
@@ -51,8 +51,8 @@ def _q_posenc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POSENC_SQL = f"""
 SELECT pos, i,
-       (round(sin(CAST(pos AS DOUBLE) * exp(-9.2103403719761840e0 * CAST(2*i AS DOUBLE) / {PE_DIM})),6)+0.0e0) AS pe_sin,
-       (round(cos(CAST(pos AS DOUBLE) * exp(-9.2103403719761840e0 * CAST(2*i AS DOUBLE) / {PE_DIM})),6)+0.0e0) AS pe_cos
+       (round((sin(CAST(pos AS DOUBLE) * exp(-9.2103403719761840e0 * CAST(2*i AS DOUBLE) / {PE_DIM}))) + 1.0e-9,6)+0.0e0) AS pe_sin,
+       (round((cos(CAST(pos AS DOUBLE) * exp(-9.2103403719761840e0 * CAST(2*i AS DOUBLE) / {PE_DIM}))) + 1.0e-9,6)+0.0e0) AS pe_cos
 FROM (SELECT range AS pos FROM range({PE_LEN})) CROSS JOIN (SELECT range AS i FROM range({PE_DIM // 2}))
 """
 
@@ -87,7 +87,7 @@ emb AS (
          sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS emb_norm
   FROM embeddings)
-SELECT series_id, labels.label, (round(emb_norm,6)+0.0e0) AS emb_norm
+SELECT series_id, labels.label, (round((emb_norm) + 1.0e-9,6)+0.0e0) AS emb_norm
 FROM labels JOIN emb ON labels.label = emb.label
 """
 
@@ -136,8 +136,8 @@ def _patchify_sql() -> str:
     inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
     return f"""
 SELECT series_id, t // {PATCH} AS patch_id, count(*) AS n,
-       (round(avg(value),6)+0.0e0) AS patch_mean,
-       (round(max(value),6)+0.0e0) AS patch_max
+       (round((avg(value)) + 1.0e-9,6)+0.0e0) AS patch_mean,
+       (round((max(value)) + 1.0e-9,6)+0.0e0) AS patch_max
 FROM ({inner}) GROUP BY series_id, t // {PATCH}
 """
 
@@ -175,13 +175,13 @@ def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        (F.round(F.avg("o_totalprice"), 4) + F.lit(0.0)).alias("avg_total"),
+        (F.round(F.avg("o_totalprice") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_total"),
     )
 
 
 _CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       (round(avg(o_totalprice),4)+0.0e0) AS avg_total
+       (round((avg(o_totalprice)) + 1.0e-9,4)+0.0e0) AS avg_total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 

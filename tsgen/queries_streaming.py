@@ -12,12 +12,12 @@ from .queries import _REGISTRY, Query, round6
 def _q_stream_tumbling(spark, sf_dir):
     s = streaming.events_stream(spark, sf_dir)
     out = streaming.run_to_completion(streaming.tumbling_counts(s))
-    return round6(out, "sum_value")
+    return out.withColumn("sum_value", F.round(F.col("sum_value") + F.lit(1e-9), 4) + F.lit(0.0))
 
 
 _STREAM_TUMBLING_SQL = """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s, event_type,
-       count(*) AS n_events, (round(sum(value),6)+0.0e0) AS sum_value
+       count(*) AS n_events, (round((sum(value)) + 1.0e-9,4)+0.0e0) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -25,7 +25,7 @@ FROM events GROUP BY 1, 2
 def _q_stream_sliding(spark, sf_dir):
     s = streaming.events_stream(spark, sf_dir)
     out = streaming.run_to_completion(streaming.sliding_counts(s))
-    return round6(out, "sum_value")
+    return out.withColumn("sum_value", F.round(F.col("sum_value") + F.lit(1e-9), 4) + F.lit(0.0))
 
 
 # sliding 1h/30min: an event at epoch e belongs to windows starting at
@@ -34,7 +34,7 @@ _STREAM_SLIDING_SQL = """
 WITH b AS (
   SELECT (CAST(floor(floor(epoch(ts)) / 1800) AS BIGINT) * 1800) - off.o AS start_s, value
   FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS o) off)
-SELECT start_s, count(*) AS n_events, (round(sum(value),6)+0.0e0) AS sum_value
+SELECT start_s, count(*) AS n_events, (round((sum(value)) + 1.0e-9,4)+0.0e0) AS sum_value
 FROM b GROUP BY start_s
 """
 
@@ -60,7 +60,7 @@ WITH flagged AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
-       count(*) AS n_events, (round(sum(value),6)+0.0e0) AS sum_value
+       count(*) AS n_events, (round((sum(value)) + 1.0e-9,6)+0.0e0) AS sum_value
 FROM sess GROUP BY user_id, session_id
 """
 

@@ -53,8 +53,8 @@ WITH grid AS (
 per_epoch AS (
   SELECT epoch, avg(pow({noisy} - {clean}, 2)) AS train_loss
   FROM grid GROUP BY epoch)
-SELECT epoch, (round(train_loss,6)+0.0e0) AS train_loss,
-       (round(min(train_loss) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),6)+0.0e0) AS best_loss,
+SELECT epoch, (round((train_loss) + 1.0e-9,6)+0.0e0) AS train_loss,
+       (round((min(train_loss) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 1.0e-9,6)+0.0e0) AS best_loss,
        (train_loss = min(train_loss) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS is_best
 FROM per_epoch
 """
@@ -91,7 +91,7 @@ WITH incidents AS (
   FROM events WHERE event_type = 'error'
   GROUP BY 1 HAVING count(*) >= 5)
 SELECT CAST(floor(epoch(i.w_start)) AS BIGINT) AS w_start_s, e.event_type,
-       count(*) AS n_in_window, (round(sum(e.value),6)+0.0e0) AS sum_value
+       count(*) AS n_in_window, (round((sum(e.value)) + 1.0e-9,6)+0.0e0) AS sum_value
 FROM events e JOIN incidents i ON e.ts >= i.w_start AND e.ts < i.w_end
 GROUP BY 1, 2
 """
@@ -110,9 +110,9 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PERCENTILES_SQL = """
 SELECT event_type,
-       (round(quantile_cont(value, 0.5),6)+0.0e0) AS p50,
-       (round(quantile_cont(value, 0.9),6)+0.0e0) AS p90,
-       (round(quantile_cont(value, 0.99),6)+0.0e0) AS p99
+       (round((quantile_cont(value, 0.5)) + 1.0e-9,6)+0.0e0) AS p50,
+       (round((quantile_cont(value, 0.9)) + 1.0e-9,6)+0.0e0) AS p90,
+       (round((quantile_cont(value, 0.99)) + 1.0e-9,6)+0.0e0) AS p99
 FROM events GROUP BY event_type
 """
 
@@ -152,7 +152,7 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.unix_timestamp("fc").alias("first_click_s"),
             F.coalesce("n_purchases_24h", F.lit(0)).alias("n_purchases_24h"),
-            (F.round(F.coalesce("purchase_value", F.lit(0.0)), 6) + F.lit(0.0)).alias("purchase_value"),
+            (F.round(F.coalesce("purchase_value", F.lit(0.0)) + F.lit(1e-9), 6) + F.lit(0.0)).alias("purchase_value"),
             (F.coalesce("n_purchases_24h", F.lit(0)) > 0).alias("converted"),
         )
     )
@@ -169,7 +169,7 @@ conv AS (
   GROUP BY e.user_id)
 SELECT f.user_id, CAST(floor(epoch(f.fc)) AS BIGINT) AS first_click_s,
        COALESCE(c.n_purchases_24h, 0) AS n_purchases_24h,
-       (round(COALESCE(c.purchase_value, 0.0e0),6)+0.0e0) AS purchase_value,
+       (round((COALESCE(c.purchase_value, 0.0e0)) + 1.0e-9,6)+0.0e0) AS purchase_value,
        (COALESCE(c.n_purchases_24h, 0) > 0) AS converted
 FROM first_click f LEFT JOIN conv c ON f.user_id = c.user_id
 """

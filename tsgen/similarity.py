@@ -68,7 +68,7 @@ pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cos_sim
   FROM n q JOIN n c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)
-SELECT query_id, neighbor_id, (round(cos_sim,6)+0.0e0) AS cos_sim, rank FROM (
+SELECT query_id, neighbor_id, (round((cos_sim) + 1.0e-9,6)+0.0e0) AS cos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM pairs) WHERE rank <= {k}
 """
@@ -97,7 +97,7 @@ WITH v AS (
   FROM embeddings),
 n AS (SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       (round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm),6)+0.0e0) AS cos_sim
+       (round((list_dot_product(a.vec, b.vec) / (a.norm * b.norm)) + 1.0e-9,6)+0.0e0) AS cos_sim
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= {threshold}
 """

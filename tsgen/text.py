@@ -46,9 +46,9 @@ TEXT_STATS_SQL = f"""
 SELECT doc_id, length(text) AS n_chars,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct,
-       (round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks),6)+0.0e0) AS distinct_ratio,
-       (round(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks),6)+0.0e0) AS avg_token_len,
-       (round(CAST(len(list_filter(toks, w -> w IN ({_in_list(QUALITY_STOPWORDS)}))) AS DOUBLE) / len(toks),6)+0.0e0) AS stopword_ratio
+       (round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) + 1.0e-9,6)+0.0e0) AS distinct_ratio,
+       (round((CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)) + 1.0e-9,6)+0.0e0) AS avg_token_len,
+       (round((CAST(len(list_filter(toks, w -> w IN ({_in_list(QUALITY_STOPWORDS)}))) AS DOUBLE) / len(toks)) + 1.0e-9,6)+0.0e0) AS stopword_ratio
 FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """
 
@@ -71,8 +71,8 @@ def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
 
 LANG_ID_SQL = f"""
 SELECT doc_id, lang,
-       (round(en_hits / n,6)+0.0e0) AS en_score,
-       (round(es_hits / n,6)+0.0e0) AS es_score,
+       (round((en_hits / n) + 1.0e-9,6)+0.0e0) AS en_score,
+       (round((es_hits / n) + 1.0e-9,6)+0.0e0) AS es_score,
        CASE WHEN en_hits / n >= es_hits / n THEN 'en' ELSE 'es' END AS pred_lang
 FROM (
   SELECT doc_id, lang,
@@ -131,7 +131,7 @@ WITH toks AS (
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
 dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
-SELECT doc_id, token, tf, df, (round(tfidf,6)+0.0e0) AS tfidf, rank FROM (
+SELECT doc_id, token, tf, df, (round((tfidf) + 1.0e-9,6)+0.0e0) AS tfidf, rank FROM (
   SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
          tf.tf * ln(n.n_docs / dfreq.df) AS tfidf,
          row_number() OVER (PARTITION BY tf.doc_id
