@@ -677,3 +677,68 @@ _REGISTRY.update(
         "ev_resample": Query("ev_resample", _q_resample, _RESAMPLE_SQL, ("window",)),
     }
 )
+
+
+# --- GROUPING SETS with grouping_id ---------------------------------------
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               count(*) AS n_orders
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- stream-static broadcast join -----------------------------------------
+def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched against a static dimension (customer) via
+    broadcast — the canonical stream-static join pattern."""
+    from . import streaming
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    s = streaming.events_stream(spark, sf_dir)
+    joined = (
+        s.join(F.broadcast(c), "user_id")
+        .groupBy("c_nationkey", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    out = streaming.run_to_completion(joined)
+    return out.withColumn("sum_value", F.round(F.col("sum_value") + F.lit(1e-9), 4) + F.lit(0.0))
+
+
+_STREAM_STATIC_SQL = """
+SELECT c_nationkey, event_type, count(*) AS n,
+       (round(sum(value) + 1.0e-9,4)+0.0e0) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey, event_type
+"""
+
+
+_REGISTRY.update(
+    {
+        "orders_grouping_sets": Query(
+            "orders_grouping_sets", _q_grouping_sets, _GROUPING_SETS_SQL, ("agg",)
+        ),
+        "stream_static_join": Query(
+            "stream_static_join", _q_stream_static_join, _STREAM_STATIC_SQL, ("streaming",)
+        ),
+    }
+)
