@@ -97,3 +97,18 @@ def test_decompose_seasonality_orthogonal_to_kept_bins(spark):
         s = seas_spec[seas_spec.series_id == sid].sort_values("freq_idx").magnitude.to_numpy()
         kept = s > 1e-9
         assert r[kept].max() < 1e-9  # no overlap between kept bins and residual
+
+
+def test_trend_quadratic_recovers_exact_parabola(spark):
+    # value = 1 - 2c + 0.5c^2 → closed-form Cramer fit recovers coefficients
+    n = 40
+    df = generators.base_grid(spark, 3, n).withColumn(
+        "value",
+        F.expr(
+            f"1.0e0 - 2.0e0 * (CAST(t AS DOUBLE)/{n}) + 5.0e-1 * pow(CAST(t AS DOUBLE)/{n}, 2)"
+        ),
+    )
+    pdf = decompose.trend_quadratic(df).toPandas()
+    assert np.allclose(pdf.c0, 1.0, atol=1e-8)
+    assert np.allclose(pdf.c1, -2.0, atol=1e-7)
+    assert np.allclose(pdf.c2, 0.5, atol=1e-7)

@@ -182,6 +182,51 @@ def trend_linear(df: DataFrame, value_col: str = "value", key: str = "series_id"
     )
 
 
+def quad_trend_sql_exprs() -> dict[str, str]:
+    """Degree-2 least squares in CLOSED FORM (Cramer's rule on the 3×3
+    normal equations) over moment columns m0..m4, b0..b2 — shared SQL text
+    for both engines; no UDF anywhere.
+
+    A = [[m0,m1,m2],[m1,m2,m3],[m2,m3,m4]], rhs = [b0,b1,b2];
+    c_i = det(A with column i replaced by rhs) / det(A).
+    """
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g}) + {c}*({d}*{h} - {e}*{g}))"
+        )
+
+    D = det3("m0", "m1", "m2", "m1", "m2", "m3", "m2", "m3", "m4")
+    D0 = det3("b0", "m1", "m2", "b1", "m2", "m3", "b2", "m3", "m4")
+    D1 = det3("m0", "b0", "m2", "m1", "b1", "m3", "m2", "b2", "m4")
+    D2 = det3("m0", "m1", "b0", "m1", "m2", "b1", "m2", "m3", "b2")
+    return {"det": D, "c0": f"({D0} / {D})", "c1": f"({D1} / {D})", "c2": f"({D2} / {D})"}
+
+
+def trend_quadratic(df: DataFrame, value_col: str = "value", key: str = "series_id") -> DataFrame:
+    """Degree-2 polynomial trend coefficients per series, pure Catalyst:
+    one partial-agg shuffle for the moments, then closed-form Cramer
+    expressions (quad_trend_sql_exprs — the identical text runs in the
+    DuckDB oracle). Basis c = t/n as in _poly_design."""
+    n_df = df.groupBy(key).agg(F.count("*").alias("_n"))
+    j = df.join(n_df, key)
+    c = F.col("t").cast("double") / F.col("_n")
+    g = j.groupBy(key).agg(
+        F.count("*").cast("double").alias("m0"),
+        F.sum(c).alias("m1"),
+        F.sum(c * c).alias("m2"),
+        F.sum(c * c * c).alias("m3"),
+        F.sum(c * c * c * c).alias("m4"),
+        F.sum(F.col(value_col)).alias("b0"),
+        F.sum(c * F.col(value_col)).alias("b1"),
+        F.sum(c * c * F.col(value_col)).alias("b2"),
+    )
+    e = quad_trend_sql_exprs()
+    return g.select(
+        key, F.expr(e["c0"]).alias("c0"), F.expr(e["c1"]).alias("c1"), F.expr(e["c2"]).alias("c2")
+    )
+
+
 def trend_poly(
     df: DataFrame, degree: int = DEFAULT_DEGREE, value_col: str = "value", key: str = "series_id"
 ) -> DataFrame:

@@ -122,3 +122,32 @@ _REGISTRY.update(
         "sample_fused": Query("sample_fused", _q_sample_fused, None, ("diffusion",)),
     }
 )
+
+
+def _q_trend_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, N_D, LEN_D, "linear_sum")
+    return round6(decompose.trend_quadratic(df), "c0", "c1", "c2")
+
+
+def _trend_quadratic_sql() -> str:
+    gen = oracle.generate_sql(N_D, LEN_D, "linear_sum", rounded=False)
+    e = decompose.quad_trend_sql_exprs()
+    return (
+        f"WITH s AS ({gen}), g AS ("
+        "SELECT series_id, CAST(count(*) AS DOUBLE) AS m0, "
+        f"sum(CAST(t AS DOUBLE)/{LEN_D}) AS m1, "
+        f"sum(pow(CAST(t AS DOUBLE)/{LEN_D}, 2)) AS m2, "
+        f"sum(pow(CAST(t AS DOUBLE)/{LEN_D}, 3)) AS m3, "
+        f"sum(pow(CAST(t AS DOUBLE)/{LEN_D}, 4)) AS m4, "
+        "sum(value) AS b0, "
+        f"sum(CAST(t AS DOUBLE)/{LEN_D} * value) AS b1, "
+        f"sum(pow(CAST(t AS DOUBLE)/{LEN_D}, 2) * value) AS b2 "
+        "FROM s GROUP BY series_id) "
+        f"SELECT series_id, {E.round6(e['c0'])} AS c0, "
+        f"{E.round6(e['c1'])} AS c1, {E.round6(e['c2'])} AS c2 FROM g"
+    )
+
+
+_REGISTRY["trend_quadratic"] = Query(
+    "trend_quadratic", _q_trend_quadratic, _trend_quadratic_sql(), ("decompose",)
+)
