@@ -30,7 +30,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("tsgen-bench")
 
-    from pyspark.sql import functions as F
+
 
     from tsgen import decompose, diffusion, generators
     from tsgen.queries import registry

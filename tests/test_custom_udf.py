@@ -1,9 +1,7 @@
 """User-callable decay (SURVEY §2.J scalar-UDF surface) + edge cases."""
 import numpy as np
-from pyspark.sql import functions as F
 
 from tsgen import decompose, generators
-from tsgen import expr as E
 
 
 def test_custom_decay_callable_matches_closed_form(spark):

@@ -7,7 +7,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from tsgen import expr as E, generators
-from tsgen.normalize import znorm
 
 
 def test_znorm_properties(spark):

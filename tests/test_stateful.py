@@ -1,5 +1,4 @@
 """Stateful streaming EWMA vs batch twin; range/salted join equivalence."""
-import numpy as np
 from pyspark.sql import Row, functions as F
 
 from tsgen import analytics, streaming

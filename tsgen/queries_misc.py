@@ -4,7 +4,7 @@ union (F4), patchify (G6), set ops (F ext), cube (C ext), conditional
 sampling (I1 + B19)."""
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import expr as E, generators
 from .queries import _REGISTRY, Query, round6
