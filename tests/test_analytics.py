@@ -92,3 +92,27 @@ def test_zscore_outliers(spark):
     df = spark.createDataFrame(rows)
     out = analytics.zscore_outliers(df, "g", "v", threshold=3.0).collect()
     assert len(out) == 1 and out[0].v == 500.0
+
+
+def test_ses_forecast_matches_pandas(spark):
+    from tsgen import forecast, generators
+
+    df = generators.generate(spark, 4, 32, "mixed")
+    got = forecast.ses_forecast(df, alpha=0.2).toPandas().set_index("series_id").sort_index()
+    pdf = df.toPandas().sort_values(["series_id", "t"])
+    for sid, g in pdf.groupby("series_id"):
+        level = None
+        for v in g.value:
+            level = v if level is None else 0.2 * v + 0.8 * level
+        assert abs(got.loc[sid, "level"] - level) < 1e-12
+
+
+def test_seasonal_naive_repeats_last_season(spark):
+    from tsgen import forecast, generators
+
+    df = generators.generate(spark, 2, 32, "sine")
+    out = forecast.seasonal_naive(df, season=8, horizon=16).toPandas()
+    src = df.toPandas().set_index(["series_id", "t"]).value
+    for _, r in out.iterrows():
+        want = src.loc[(r.series_id, 31 + 1 + (r.h - 1) % 8 - 8)]
+        assert abs(r.forecast - want) < 1e-12

@@ -233,3 +233,47 @@ _REGISTRY.update(
         "sample_forecast": Query("sample_forecast", _q_sample_forecast, None, ("diffusion",)),
     }
 )
+
+
+# --- forecasting ----------------------------------------------------------
+def _q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    out = forecast.seasonal_naive(df, season=16, horizon=24)
+    return round6(out, "forecast")
+
+
+def _seasonal_naive_sql() -> str:
+    from . import forecast, oracle
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    sql = forecast.seasonal_naive_sql(inner, season=16, horizon=24)
+    return (
+        f"SELECT series_id, t, h, {E.round6('forecast')} AS forecast FROM ({sql})"
+    )
+
+
+def _q_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(forecast.ses_forecast(df, alpha=0.3), "level")
+
+
+def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 16, 96, "linear_sum")
+    return round6(forecast.anomalies(df, threshold=2.5), "value", "residual", "res_z")
+
+
+_REGISTRY.update(
+    {
+        "forecast_seasonal_naive": Query(
+            "forecast_seasonal_naive", _q_seasonal_naive, _seasonal_naive_sql(), ("forecast",)
+        ),
+        "forecast_ses": Query("forecast_ses", _q_ses, None, ("forecast",)),
+        "ts_anomalies": Query("ts_anomalies", _q_ts_anomalies, None, ("forecast",)),
+    }
+)
