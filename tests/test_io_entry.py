@@ -1,6 +1,8 @@
 """Persistence round-trip (SURVEY §2 A5) and flagship entry smoke."""
 import tempfile
 
+from pyspark.sql import functions as F
+
 from tsgen import generators, io
 
 
@@ -54,3 +56,15 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE bkt_a")
         spark.sql("DROP TABLE bkt_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    # partition-by-family layout: a family filter must prune at the source
+    a = generators.generate(spark, 8, 16, "sine").withColumn("family", F.lit("sine"))
+    b = generators.generate(spark, 8, 16, "cosine").withColumn("family", F.lit("cosine"))
+    path = str(tmp_path / "part")
+    io.save_series(a.unionByName(b), path, partition_by="family")
+    back = io.load_series(spark, path).filter(F.col("family") == "sine")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(family" in plan
+    assert back.count() == 8 * 16
