@@ -80,3 +80,21 @@ def test_sample_fused_equals_driver_loop(spark):
         .reset_index(drop=True)
     )
     assert np.abs(a.x.to_numpy() - b.x.to_numpy()).max() < 1e-6
+
+
+def test_sample_conditional_fused_equals_driver_loop(spark):
+    a = (
+        diffusion.sample_conditional(spark, 3, 32, timesteps=5, history_len=12)
+        .select("series_id", "t", "observed", "x")
+        .toPandas()
+        .sort_values(["series_id", "t"])
+        .reset_index(drop=True)
+    )
+    b = (
+        diffusion.sample_conditional_fused(spark, 3, 32, timesteps=5, history_len=12)
+        .toPandas()
+        .sort_values(["series_id", "t"])
+        .reset_index(drop=True)
+    )
+    assert (a.observed.to_numpy() == b.observed.to_numpy()).all()
+    assert np.abs(a.x.to_numpy() - b.x.to_numpy()).max() < 1e-5

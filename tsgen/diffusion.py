@@ -229,6 +229,104 @@ def sample_fused(
     return grid.mapInPandas(fn, "series_id bigint, t bigint, x double")
 
 
+def _np_u01(key, salt: int):
+    return _np_lcg3(key, salt) / E.M31
+
+
+def _np_mixed_signal(sids, seq_len: int):
+    """numpy replica of expr.signal_expr('mixed', seq_len) (libm-identical
+    up to 1 ulp)."""
+    import numpy as np
+
+    def u(salt, lo, hi):
+        return lo + (hi - lo) * _np_u01(sids, salt)
+
+    tv = np.arange(seq_len) * (4.0 * E.PI / (seq_len - 1))
+    f1 = u(E.SALT_FREQ1, 2.0, 4.0)[:, None]
+    f2 = u(E.SALT_FREQ2, 2.0, 4.0)[:, None]
+    p1 = u(E.SALT_PHASE1, 0.0, E.TWO_PI)[:, None]
+    p2 = u(E.SALT_PHASE2, 0.0, E.TWO_PI)[:, None]
+    a1 = u(E.SALT_AMP1, 0.3, 0.7)[:, None]
+    a2 = u(E.SALT_AMP2, 0.3, 0.7)[:, None]
+    return a1 * np.sin(f1 * tv[None, :] + p1) + a2 * np.cos(f2 * tv[None, :] + p2)
+
+
+def sample_conditional_fused(
+    spark: SparkSession,
+    n_series: int,
+    seq_len: int,
+    timesteps: int = 10,
+    history_len: int = 16,
+    kind: str = "cosine",
+    degree: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Fused form of sample_conditional: the whole forecast-conditioned
+    reverse-diffusion loop in one mapInPandas pass (same independence
+    argument as sample_fused; equivalence tested)."""
+    import numpy as np
+    import pandas as pd
+
+    from .decompose import DEFAULT_DEGREE, DEFAULT_TOP_K, _poly_design
+
+    degree = DEFAULT_DEGREE if degree is None else degree
+    top_k = DEFAULT_TOP_K if top_k is None else top_k
+    sched = {
+        r.t_step: r.asDict() for r in schedule_table(spark, timesteps, kind).collect()
+    }
+    A = _poly_design(seq_len, degree)
+    proj = A @ np.linalg.pinv(A)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sids = pdf["series_id"].to_numpy()
+            m = len(sids)
+            ts = np.arange(seq_len, dtype=np.int64)
+            keys = (sids[:, None] * 131071 + ts[None, :]) % E.M31
+            observed = ts[None, :] < history_len
+            known = _np_mixed_signal(sids, seq_len)
+            X = _np_normal(keys, SALT_INIT)
+            for t in reversed(range(timesteps)):
+                trend = X @ proj.T
+                det = X - trend
+                spec = np.fft.rfft(det, axis=1)
+                mag = np.abs(spec)
+                kk = min(top_k, spec.shape[1])
+                idx = np.argpartition(-mag, kk - 1, axis=1)[:, :kk]
+                mask = np.zeros_like(mag)
+                np.put_along_axis(mask, idx, 1.0, axis=1)
+                x0 = trend + np.fft.irfft(spec * mask, n=seq_len, axis=1)
+                if t > 0:
+                    row = sched[t]
+                    mean = (
+                        row["alpha"] ** 0.5 * (1.0 - row["alpha_cumprod_prev"]) * X
+                        + row["alpha_cumprod_prev"] ** 0.5 * (1.0 - row["alpha"]) * x0
+                    ) / (1.0 - row["alpha_cumprod"])
+                    X = mean + row["posterior_variance"] ** 0.5 * _np_normal(
+                        keys, SALT_PNOISE + t
+                    )
+                    prev = sched[t - 1]
+                    noised_known = prev["sqrt_ac"] * known + prev["sqrt_1m_ac"] * _np_normal(
+                        keys, SALT_QNOISE + t
+                    )
+                    X = np.where(observed, noised_known, X)
+                else:
+                    X = np.where(observed, known, x0)
+            yield pd.DataFrame(
+                {
+                    "series_id": np.repeat(sids, seq_len),
+                    "t": np.tile(ts, m),
+                    "observed": np.tile(observed[0], m),
+                    "x": X.reshape(-1),
+                }
+            )
+
+    grid = spark.range(n_series).withColumnRenamed("id", "series_id")
+    return grid.mapInPandas(fn, "series_id bigint, t bigint, observed boolean, x double")
+
+
 def sample_conditional(
     spark: SparkSession,
     n_series: int,

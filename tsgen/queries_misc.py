@@ -212,9 +212,11 @@ def _multichannel_sql() -> str:
 
 # --- I1 + B19: conditional (forecast) sampling — rows-only ----------------
 def _q_sample_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fused form (equivalence to the driver-loop sampler is tested); the
+    # step-per-job form remains available as diffusion.sample_conditional
     from . import diffusion
 
-    out = diffusion.sample_conditional(spark, 4, 32, timesteps=6, history_len=16)
+    out = diffusion.sample_conditional_fused(spark, 4, 32, timesteps=6, history_len=16)
     return round6(out.select("series_id", "t", "observed", "x"), "x")
 
 
