@@ -24,9 +24,20 @@ from . import expr as E
 from .schedules import schedule_table
 
 SALT_TSTEP = 31
-SALT_QNOISE = 41
-SALT_PNOISE = 53
-SALT_INIT = 67
+# Per-step noise roles live in widely-separated bases, stepped by a stride
+# larger than normal()'s internal u2 offset (+7919, tsgen/expr.py), so no
+# (role, step) pair — including the hidden u2 stream — ever reuses an LCG
+# stream. With small additive bases, QNOISE+t collided with PNOISE+(t-12)
+# for every t and PNOISE+14 equaled INIT.
+SALT_STRIDE = 1 << 14  # > 7919, so u2 shadows never land on another step
+SALT_QNOISE = 1 << 24
+SALT_PNOISE = 1 << 25
+SALT_INIT = 1 << 26
+
+
+def step_salt(base: int, t: int) -> int:
+    """Salt for noise role `base` at loop step `t` (collision-free)."""
+    return base + t * SALT_STRIDE
 
 
 def draw_t_step(timesteps: int, sid: str = "series_id") -> str:
@@ -97,7 +108,7 @@ def p_sample_step(
         F.lit(alpha_t**0.5) * F.lit(1.0 - ac_prev) * F.col(x_col)
         + F.lit(ac_prev**0.5) * F.lit(1.0 - alpha_t) * F.col(x0_col)
     ) / F.lit(1.0 - ac_t)
-    noise = F.expr(E.normal(E.pt_key(), noise_salt + t))
+    noise = F.expr(E.normal(E.pt_key(), step_salt(noise_salt, t)))
     return df.withColumn(out_col, mean + F.lit(post_var**0.5) * noise)
 
 
@@ -213,7 +224,7 @@ def sample_fused(
                         row["alpha"] ** 0.5 * (1.0 - row["alpha_cumprod_prev"]) * X
                         + row["alpha_cumprod_prev"] ** 0.5 * (1.0 - row["alpha"]) * x0
                     ) / (1.0 - row["alpha_cumprod"])
-                    noise = _np_normal(keys, SALT_PNOISE + t)
+                    noise = _np_normal(keys, step_salt(SALT_PNOISE, t))
                     X = mean + row["posterior_variance"] ** 0.5 * noise
                 else:
                     X = x0
@@ -305,11 +316,11 @@ def sample_conditional_fused(
                         + row["alpha_cumprod_prev"] ** 0.5 * (1.0 - row["alpha"]) * x0
                     ) / (1.0 - row["alpha_cumprod"])
                     X = mean + row["posterior_variance"] ** 0.5 * _np_normal(
-                        keys, SALT_PNOISE + t
+                        keys, step_salt(SALT_PNOISE, t)
                     )
                     prev = sched[t - 1]
                     noised_known = prev["sqrt_ac"] * known + prev["sqrt_1m_ac"] * _np_normal(
-                        keys, SALT_QNOISE + t
+                        keys, step_salt(SALT_QNOISE, t)
                     )
                     X = np.where(observed, noised_known, X)
                 else:
@@ -366,7 +377,7 @@ def sample_conditional(
             row = sched.filter(F.col("t_step") == t - 1).collect()[0]
             noised_known = F.lit(row.sqrt_ac) * F.col("x_known") + F.lit(
                 row.sqrt_1m_ac
-            ) * F.expr(_E.normal(_E.pt_key(), SALT_QNOISE + t))
+            ) * F.expr(_E.normal(_E.pt_key(), step_salt(SALT_QNOISE, t)))
             df = df.withColumn("x", F.when(F.col("observed"), noised_known).otherwise(F.col("x")))
         else:
             df = df.withColumn("x", F.when(F.col("observed"), F.col("x_known")).otherwise(F.col("x")))

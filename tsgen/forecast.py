@@ -71,11 +71,14 @@ def ses_forecast(
             out_keys, levels = [], []
             for k, vs in zip(pdf[key], pdf["vs"]):
                 arr = np.asarray(vs, dtype=float)
-                level = arr[0]
-                for x in arr[1:]:
-                    level = alpha * x + (1 - alpha) * level
+                n = len(arr)
+                # Closed form of the recursion level_t = α·y_t + (1−α)·level_{t−1}:
+                #   level_{n−1} = (1−α)^(n−1)·y_0 + α·Σ_{t≥1} (1−α)^(n−1−t)·y_t
+                # — one vectorized dot product per series, no per-point loop.
+                w = alpha * np.power(1.0 - alpha, np.arange(n - 1, -1, -1, dtype=float))
+                w[0] = (1.0 - alpha) ** (n - 1)
                 out_keys.append(k)
-                levels.append(level)
+                levels.append(float(w @ arr))
             yield pd.DataFrame({key: out_keys, "level": levels})
 
     return wide.mapInPandas(fn, f"{key} bigint, level double")

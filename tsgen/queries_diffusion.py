@@ -82,7 +82,7 @@ P_T = 10  # fixed timestep for the posterior-step query
 def _posterior_sql() -> str:
     clean = E.signal_expr("mixed", LEN_Q)
     noisy = E.noisy_signal_expr("mixed", LEN_Q)
-    pn = E.normal(E.pt_key(), diffusion.SALT_PNOISE + P_T)
+    pn = E.normal(E.pt_key(), diffusion.step_salt(diffusion.SALT_PNOISE, P_T))
     mean = (
         "(sqrt(alpha) * (1.0e0 - alpha_cumprod_prev) * x"
         " + sqrt(alpha_cumprod_prev) * (1.0e0 - alpha) * x0)"

@@ -25,6 +25,11 @@ def get_spark(app_name: str = "tsgen", shuffle_partitions: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("TSGEN_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/tsgen-warehouse")
+        # events.parquet is TIMESTAMP(NANOS), which the vectorized reader
+        # rejects; read nanos as long everywhere (the _events helper converts
+        # ts DIV 1000 → timestamp). Set at build time so no code path can
+        # touch the file before the conf exists (test-order flake otherwise).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -110,11 +110,17 @@ def tfidf_top_terms(df: DataFrame, text: str = "text", top_n: int = 3) -> DataFr
     from pyspark.sql import Window
 
     toks = df.select("doc_id", F.explode(F.split(F.col(text), " ")).alias("token"))
-    n_docs = df.count()
+    # N as a broadcast 1-row aggregate, not a driver-side .count() action —
+    # keeps the whole computation one lazy plan (no extra scheduled job).
+    n_docs = df.select(F.count("*").cast("double").alias("n_docs"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    # No broadcast hint on dfreq: it has one row per DISTINCT TOKEN, which at
+    # corpus scale does not fit in a broadcast. AQE broadcasts it when small.
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
@@ -142,13 +148,20 @@ WHERE rank <= {top_n}
 
 
 def token_freq(df: DataFrame, text: str = "text", top_n: int = 20) -> DataFrame:
-    """Global token frequency top-N (explode → count → rank)."""
+    """Global token frequency top-N (explode → count → rank).
+
+    The global rank is orderBy+limit — Spark executes that as
+    TakeOrderedAndProject (per-partition local top-N, merge top_n rows on the
+    driver), NOT a sort. An unpartitioned row_number window here would funnel
+    every distinct token through one reducer; the rank window below runs over
+    only the top_n surviving rows."""
     from pyspark.sql import Window
 
     toks = with_tokens(df, text).select(F.explode("tokens").alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_n)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def token_freq_sql(top_n: int = 20) -> str:
