@@ -112,3 +112,40 @@ def test_trend_quadratic_recovers_exact_parabola(spark):
     assert np.allclose(pdf.c0, 1.0, atol=1e-8)
     assert np.allclose(pdf.c1, -2.0, atol=1e-7)
     assert np.allclose(pdf.c2, 0.5, atol=1e-7)
+
+
+def test_decompose_multichannel_additive_and_independent(spark):
+    # composite-key decomposition: additivity holds per (series, channel),
+    # and each channel's decomposition equals what that channel decomposes
+    # to in isolation (channel independence)
+    df = generators.generate_multichannel(spark, 3, 32, 2, "mixed")
+    dec = decompose.decompose(df, key=["series_id", "channel"])
+    err = dec.agg(
+        F.max(F.abs(F.col("value") - F.col("trend") - F.col("seasonality") - F.col("residual")))
+    ).collect()[0][0]
+    assert err < 1e-10
+    one = df.filter(F.col("channel") == 1).select("series_id", "t", "value")
+    dec_one = decompose.decompose(one).select(
+        "series_id", "t", F.col("trend").alias("trend_solo")
+    )
+    j = dec.filter(F.col("channel") == 1).join(dec_one, ["series_id", "t"])
+    diff = j.agg(F.max(F.abs(F.col("trend") - F.col("trend_solo")))).collect()[0][0]
+    assert diff < 1e-10
+
+
+def test_trend_cubic_closed_form_matches_udf_solve(spark):
+    # Cramer closed form (pure Catalyst) vs normal-equation np.linalg.solve
+    df = generators.generate(spark, 6, 48, "linear_sum")
+    cf = decompose.trend_cubic(df).toPandas().set_index("series_id").sort_index()
+    # trend_poly emits per-point trend; recover coefficients by evaluating
+    # against the same design instead: compare fitted values
+    from tsgen.decompose import CUBIC_EVAL
+    fitted = (
+        df.withColumn("cc", F.col("t").cast("double") / 48.0)
+        .join(decompose.trend_cubic(df), "series_id")
+        .withColumn("trend_cf", F.expr(CUBIC_EVAL))
+        .select("series_id", "t", "trend_cf")
+    )
+    udf_fit = decompose.trend_poly(df, degree=3).select("series_id", "t", "trend")
+    j = fitted.join(udf_fit, ["series_id", "t"]).toPandas()
+    assert np.allclose(j["trend_cf"], j["trend"], rtol=0, atol=1e-7)

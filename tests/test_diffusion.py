@@ -98,3 +98,38 @@ def test_sample_conditional_fused_equals_driver_loop(spark):
     )
     assert (a.observed.to_numpy() == b.observed.to_numpy()).all()
     assert np.abs(a.x.to_numpy() - b.x.to_numpy()).max() < 1e-5
+
+
+def test_label_conditional_guidance1_recovers_family_signal(spark):
+    # with w=1 the CFG blend x0 = cond at every step, so the t=0 replace
+    # returns exactly the labeled family's clean signal — the conditional
+    # sampler is pinned to the A2 label contract
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tsgen import diffusion, generators
+
+    out = diffusion.sample_conditional_label(spark, 16, 32, timesteps=4, guidance=1.0)
+    clean = generators.generate_labeled(
+        spark, 16, 32, noise=False, normalize=False
+    ).select("series_id", "label", "t", F.col("value").alias("expect"))
+    j = out.join(clean, ["series_id", "label", "t"], "inner").toPandas()
+    # labels must agree (inner join keeps all rows) and values match to ulp
+    assert len(j) == 16 * 32
+    assert np.allclose(j["x"], j["expect"], rtol=0, atol=1e-9)
+
+
+def test_label_conditional_guidance_blends(spark):
+    # 0 < w < 1 must differ from both the unconditional sampler and the
+    # clean signal (it's a genuine blend, not a constant)
+    from pyspark.sql import functions as F
+
+    from tsgen import diffusion
+
+    half = diffusion.sample_conditional_label(spark, 4, 32, timesteps=4, guidance=0.5)
+    uncond = diffusion.sample_fused(spark, 4, 32, timesteps=4)
+    j = half.join(
+        uncond.select("series_id", "t", F.col("x").alias("x_uncond")), ["series_id", "t"]
+    )
+    n_diff = j.filter(F.abs(F.col("x") - F.col("x_uncond")) > 1e-12).count()
+    assert n_diff > 0

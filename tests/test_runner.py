@@ -56,3 +56,33 @@ def test_wide_long_roundtrip(spark):
     a = df.toPandas().sort_values(["series_id", "t"]).reset_index(drop=True)
     b = back.toPandas().sort_values(["series_id", "t"]).reset_index(drop=True)
     assert np.allclose(a.value.to_numpy(), b.value.to_numpy())
+
+
+def test_runner_dim3_decomposes_per_channel(spark):
+    cfg = dict(REFERENCE_CONFIG, dim=3, seq_len=64, loss_type="mse")
+    res = runner.run_config(spark, cfg, scale=0.001)
+    dec = res.decomposition
+    assert "channel" in dec.columns
+    # each (series, channel) decomposes independently and additively
+    err = dec.agg(
+        F.max(F.abs(F.col("value") - F.col("trend") - F.col("seasonality") - F.col("residual")))
+    ).collect()[0][0]
+    assert err < 1e-10
+    # every (series, channel) pair present with the full grid — channels were
+    # NOT interleaved into one duplicate-t series
+    counts = dec.groupBy("series_id", "channel").count().toPandas()
+    assert set(counts["count"]) == {64}
+    assert counts.shape[0] == counts[["series_id", "channel"]].drop_duplicates().shape[0]
+    # per-channel noise in q_sample: channels of one series get DIFFERENT
+    # noise realizations at the same t
+    noisy = res.losses  # losses built from q_sample already; re-derive directly
+    from tsgen import diffusion
+
+    q = diffusion.q_sample(res.val, res.schedule, 500, channel="channel")
+    pdf = (
+        q.filter((F.col("series_id") == 0) & (F.col("t") < 8))
+        .select("channel", "t", "noise")
+        .toPandas()
+        .pivot(index="t", columns="channel", values="noise")
+    )
+    assert (pdf[0] != pdf[1]).any() and (pdf[1] != pdf[2]).any()

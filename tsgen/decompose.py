@@ -47,12 +47,15 @@ def decompose(
     degree: int = DEFAULT_DEGREE,
     top_k: int = DEFAULT_TOP_K,
     value_col: str = "value",
-    key: str = "series_id",
+    key: str | list[str] = "series_id",
 ) -> DataFrame:
     """Full decomposition, batch-vectorized.
 
-    → (series_id, t, value, trend, seasonality, residual) with
-    value = trend + seasonality + residual exactly.
+    → (*key, t, value, trend, seasonality, residual) with
+    value = trend + seasonality + residual exactly. `key` may be a composite
+    (e.g. ["series_id", "channel"] for the reference's dim>1 contract,
+    utils/data_generators.py:40,51) — each (series, channel) decomposes
+    independently.
 
     Physical plan: ONE shuffle (groupBy collect_list to wide form), then a
     narrow mapInPandas that processes a whole Arrow batch of series at once —
@@ -63,10 +66,12 @@ def decompose(
     """
     from collections.abc import Iterator
 
-    schema = f"{key} bigint, t bigint, {value_col} double, trend double, seasonality double, residual double"
-    wide = df.groupBy(key).agg(
+    keys = [key] if isinstance(key, str) else list(key)
+    key_schema = ", ".join(f"{k} bigint" for k in keys)
+    schema = f"{key_schema}, t bigint, {value_col} double, trend double, seasonality double, residual double"
+    wide = df.groupBy(*keys).agg(
         F.array_sort(F.collect_list(F.struct("t", F.col(value_col).alias("v")))).alias("pts")
-    ).select(key, F.col("pts.t").alias("ts"), F.col("pts.v").alias("vs"))
+    ).select(*keys, F.col("pts.t").alias("ts"), F.col("pts.v").alias("vs"))
     # field extraction happens JVM-side: Arrow hands the UDF plain
     # list<double> columns, so stacking below is pure numpy (no dict walks)
 
@@ -96,7 +101,7 @@ def decompose(
                 seas = np.fft.irfft(spec * mask, n=int(n), axis=1)
                 yield pd.DataFrame(
                     {
-                        key: np.repeat(sub[key].to_numpy(), n),
+                        **{k: np.repeat(sub[k].to_numpy(), n) for k in keys},
                         "t": T.reshape(-1),
                         value_col: X.reshape(-1),
                         "trend": trend.reshape(-1),
@@ -225,6 +230,65 @@ def trend_quadratic(df: DataFrame, value_col: str = "value", key: str = "series_
     return g.select(
         key, F.expr(e["c0"]).alias("c0"), F.expr(e["c1"]).alias("c1"), F.expr(e["c2"]).alias("c2")
     )
+
+
+def cubic_trend_sql_exprs() -> dict[str, str]:
+    """Degree-3 least squares in CLOSED FORM (Cramer's rule on the 4×4
+    normal equations) over moments m0..m6, b0..b3 — generalizes
+    quad_trend_sql_exprs; the identical text runs in both engines so the
+    results are bit-equal.
+
+    A[i][j] = m_{i+j} (i,j ≤ 3), rhs = [b0..b3];
+    c_i = det(A with column i replaced by rhs) / det(A),
+    det4 by cofactor expansion along the first row.
+    """
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g}) + {c}*({d}*{h} - {e}*{g}))"
+        )
+
+    def det4(m):
+        terms = []
+        for j, sign in zip(range(4), ("+", "-", "+", "-")):
+            sub = [[r[k] for k in range(4) if k != j] for r in m[1:]]
+            terms.append(f"{sign} {m[0][j]}*{det3(*sub[0], *sub[1], *sub[2])}")
+        return "(" + " ".join(terms) + ")"
+
+    A = [[f"m{i + j}" for j in range(4)] for i in range(4)]
+    rhs = ["b0", "b1", "b2", "b3"]
+    D = det4(A)
+    out = {"det": D}
+    for i in range(4):
+        Ai = [list(row) for row in A]
+        for r in range(4):
+            Ai[r][i] = rhs[r]
+        out[f"c{i}"] = f"({det4(Ai)} / {D})"
+    return out
+
+
+# per-point cubic evaluation — SHARED text (identical parse tree both engines)
+CUBIC_EVAL = "(c0 + c1*cc + c2*(cc*cc) + c3*(cc*cc*cc))"
+
+
+def trend_cubic(df: DataFrame, value_col: str = "value", key: str = "series_id") -> DataFrame:
+    """Degree-3 polynomial trend coefficients per series, pure Catalyst (no
+    UDF): one partial-agg shuffle for the moments m0..m6 / b0..b3, then the
+    closed-form Cramer expressions (cubic_trend_sql_exprs — identical text in
+    the DuckDB oracle). Basis c = t/n as in _poly_design."""
+    n_df = df.groupBy(key).agg(F.count("*").alias("_n"))
+    j = df.join(n_df, key).withColumn(
+        "cc", F.col("t").cast("double") / F.col("_n")
+    )
+    aggs = [F.expr("CAST(count(*) AS DOUBLE)").alias("m0")]
+    for i in range(1, 7):
+        aggs.append(F.expr("sum(" + "*".join(["cc"] * i) + ")").alias(f"m{i}"))
+    for i in range(4):
+        prod = "*".join(["cc"] * i + [value_col]) if i else value_col
+        aggs.append(F.expr(f"sum({prod})").alias(f"b{i}"))
+    g = j.groupBy(key).agg(*aggs)
+    e = cubic_trend_sql_exprs()
+    return g.select(key, *[F.expr(e[f"c{i}"]).alias(f"c{i}") for i in range(4)])
 
 
 def trend_poly(

@@ -50,13 +50,26 @@ def q_sample(
     schedule: DataFrame,
     timesteps: int,
     noise_salt: int = SALT_QNOISE,
+    channel: str | None = None,
 ) -> DataFrame:
     """Forward diffusion x_t = √ᾱ_t·x₀ + √(1−ᾱ_t)·ε (diffusion_ts_model.py:610-628).
 
     Adds columns: t_step (per-series draw), noise, x_t.
+
+    For multivariate series pass `channel`: the timestep draw stays
+    per-SAMPLE (one t for the whole (seq_len, dim) tensor, matching the
+    reference's per-batch-element randint) while the noise key folds the
+    channel in, so each channel gets an independent ε realization instead
+    of dim copies of the same one.
     """
+    if channel is None:
+        noise_key = E.pt_key()
+    else:
+        from .generators import multichannel_key
+
+        noise_key = E.pt_key(multichannel_key("series_id", channel))
     df = df.withColumn("t_step", F.expr(draw_t_step(timesteps))).withColumn(
-        "noise", F.expr(E.normal(E.pt_key(), noise_salt))
+        "noise", F.expr(E.normal(noise_key, noise_salt))
     )
     sched = F.broadcast(schedule.select("t_step", "sqrt_ac", "sqrt_1m_ac"))
     return (
@@ -244,22 +257,32 @@ def _np_u01(key, salt: int):
     return _np_lcg3(key, salt) / E.M31
 
 
-def _np_mixed_signal(sids, seq_len: int):
-    """numpy replica of expr.signal_expr('mixed', seq_len) (libm-identical
-    up to 1 ulp)."""
+def _np_signal(family: str, sids, seq_len: int, lambda_decay: float = 0.5):
+    """numpy replica of expr.signal_expr(family, seq_len) (libm-identical
+    up to 1 ulp). sids: int64 array of series ids → (len(sids), seq_len)."""
     import numpy as np
 
     def u(salt, lo, hi):
-        return lo + (hi - lo) * _np_u01(sids, salt)
+        return (lo + (hi - lo) * _np_u01(sids, salt))[:, None]
 
-    tv = np.arange(seq_len) * (4.0 * E.PI / (seq_len - 1))
-    f1 = u(E.SALT_FREQ1, 2.0, 4.0)[:, None]
-    f2 = u(E.SALT_FREQ2, 2.0, 4.0)[:, None]
-    p1 = u(E.SALT_PHASE1, 0.0, E.TWO_PI)[:, None]
-    p2 = u(E.SALT_PHASE2, 0.0, E.TWO_PI)[:, None]
-    a1 = u(E.SALT_AMP1, 0.3, 0.7)[:, None]
-    a2 = u(E.SALT_AMP2, 0.3, 0.7)[:, None]
-    return a1 * np.sin(f1 * tv[None, :] + p1) + a2 * np.cos(f2 * tv[None, :] + p2)
+    tv = (np.arange(seq_len) * (4.0 * E.PI / (seq_len - 1)))[None, :]
+    f1, p1 = u(E.SALT_FREQ1, 2.0, 4.0), u(E.SALT_PHASE1, 0.0, E.TWO_PI)
+    if family == "sine":
+        return np.sin(f1 * tv + p1)
+    if family == "cosine":
+        return np.cos(f1 * tv + p1)
+    if family == "mixed":
+        f2, p2 = u(E.SALT_FREQ2, 2.0, 4.0), u(E.SALT_PHASE2, 0.0, E.TWO_PI)
+        a1, a2 = u(E.SALT_AMP1, 0.3, 0.7), u(E.SALT_AMP2, 0.3, 0.7)
+        return a1 * np.sin(f1 * tv + p1) + a2 * np.cos(f2 * tv + p2)
+    if family == "exponential_decay":
+        decay = np.exp(-lambda_decay * tv / (4.0 * E.PI))
+        return decay * np.sin(f1 * tv + p1)
+    raise ValueError(f"unknown family: {family}")
+
+
+def _np_mixed_signal(sids, seq_len: int):
+    return _np_signal("mixed", sids, seq_len)
 
 
 def sample_conditional_fused(
@@ -384,3 +407,100 @@ def sample_conditional(
         if (i + 1) % checkpoint_every == 0:
             df = df.localCheckpoint(eager=True)
     return df
+
+
+def sample_conditional_label(
+    spark: SparkSession,
+    n_series: int,
+    seq_len: int,
+    timesteps: int = 10,
+    kind: str = "cosine",
+    families: tuple[str, ...] = ("sine", "cosine", "mixed", "exponential_decay"),
+    guidance: float = 1.0,
+    degree: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Label-conditional reverse diffusion with classifier-free-guidance-style
+    blending — the deterministic analog of the reference's class-conditioned
+    sampling (ClassEmbedding diffusion_ts_model.py:152-198; y/force_uncond
+    conditioning :512-521; conditional smoke test :872-915).
+
+    Each series draws the SAME label as create_labeled_dataset (A2,
+    SALT_LABEL), and at every step the x̂₀ estimate is the CFG blend
+
+        x̂₀ = uncond + w·(cond − uncond)
+
+    where `uncond` is the unconditional decomposition denoiser output,
+    `cond` is the labeled family's clean signal (what the class-conditioned
+    model predicts in the w→∞ limit), and w=`guidance` (0 → unconditional,
+    1 → fully conditioned, >1 extrapolates as in CFG). Fused: the whole
+    T-step loop runs in one mapInPandas pass (same per-series independence
+    argument as sample_fused).
+
+    → (series_id, label, t, x); with guidance=1 the t=0 replace makes the
+    final x exactly the labeled family signal (property-tested).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .decompose import DEFAULT_DEGREE, DEFAULT_TOP_K, _poly_design
+
+    degree = DEFAULT_DEGREE if degree is None else degree
+    top_k = DEFAULT_TOP_K if top_k is None else top_k
+    n_fam = len(families)
+    sched = {
+        r.t_step: r.asDict() for r in schedule_table(spark, timesteps, kind).collect()
+    }
+    A = _poly_design(seq_len, degree)
+    proj = A @ np.linalg.pinv(A)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sids = pdf["series_id"].to_numpy()
+            m = len(sids)
+            ts = np.arange(seq_len, dtype=np.int64)
+            keys = (sids[:, None] * 131071 + ts[None, :]) % E.M31
+            labels = np.floor(_np_u01(sids, E.SALT_LABEL) * n_fam).astype(np.int64)
+            # per-label family dispatch: evaluate each family's signal for the
+            # batch, select rows by label (n_fam small → negligible overhead)
+            cond = np.zeros((m, seq_len))
+            for li, fam in enumerate(families):
+                sel = labels == li
+                if sel.any():
+                    cond[sel] = _np_signal(fam, sids[sel], seq_len)
+            X = _np_normal(keys, SALT_INIT)
+            for t in reversed(range(timesteps)):
+                trend = X @ proj.T
+                det = X - trend
+                spec = np.fft.rfft(det, axis=1)
+                mag = np.abs(spec)
+                kk = min(top_k, spec.shape[1])
+                idx = np.argpartition(-mag, kk - 1, axis=1)[:, :kk]
+                mask = np.zeros_like(mag)
+                np.put_along_axis(mask, idx, 1.0, axis=1)
+                uncond = trend + np.fft.irfft(spec * mask, n=seq_len, axis=1)
+                x0 = uncond + guidance * (cond - uncond)
+                if t > 0:
+                    row = sched[t]
+                    mean = (
+                        row["alpha"] ** 0.5 * (1.0 - row["alpha_cumprod_prev"]) * X
+                        + row["alpha_cumprod_prev"] ** 0.5 * (1.0 - row["alpha"]) * x0
+                    ) / (1.0 - row["alpha_cumprod"])
+                    X = mean + row["posterior_variance"] ** 0.5 * _np_normal(
+                        keys, step_salt(SALT_PNOISE, t)
+                    )
+                else:
+                    X = x0
+            yield pd.DataFrame(
+                {
+                    "series_id": np.repeat(sids, seq_len),
+                    "label": np.repeat(labels, seq_len),
+                    "t": np.tile(ts, m),
+                    "x": X.reshape(-1),
+                }
+            )
+
+    grid = spark.range(n_series).withColumnRenamed("id", "series_id")
+    return grid.mapInPandas(fn, "series_id bigint, label bigint, t bigint, x double")

@@ -36,9 +36,41 @@ def _trend_linear_sql() -> str:
 
 
 def _q_trend_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # closed-form degree-3 fit (Cramer, no UDF) evaluated per point — the
+    # identical expression text runs in the DuckDB oracle, turning the last
+    # G5 entry from rows-only to hash-checked. Equivalence of the closed
+    # form to the normal-equation UDF solve (trend_poly) is unit-tested.
     df = generators.generate(spark, N_D, LEN_D, "linear_sum")
-    out = decompose.trend_poly(df, degree=3).select("series_id", "t", "trend")
+    coeffs = decompose.trend_cubic(df)
+    out = (
+        df.withColumn("cc", F.col("t").cast("double") / F.lit(float(LEN_D)))
+        .join(coeffs, "series_id")
+        .withColumn("trend", F.expr(decompose.CUBIC_EVAL))
+        .select("series_id", "t", "trend")
+    )
     return round6(out, "trend")
+
+
+def _trend_poly3_sql() -> str:
+    gen = oracle.generate_sql(N_D, LEN_D, "linear_sum", rounded=False)
+    e = decompose.cubic_trend_sql_exprs()
+    cc = f"CAST(t AS DOUBLE)/{LEN_D}"
+    moments = ", ".join(
+        f"sum({'*'.join(['cc'] * i)}) AS m{i}" for i in range(1, 7)
+    )
+    bs = ", ".join(
+        f"sum({'*'.join(['cc'] * i + ['value']) if i else 'value'}) AS b{i}"
+        for i in range(4)
+    )
+    return (
+        f"WITH s AS (SELECT series_id, t, value, {cc} AS cc FROM ({gen})), "
+        f"g AS (SELECT series_id, CAST(count(*) AS DOUBLE) AS m0, {moments}, {bs} "
+        "FROM s GROUP BY series_id), "
+        f"co AS (SELECT series_id, {e['c0']} AS c0, {e['c1']} AS c1, "
+        f"{e['c2']} AS c2, {e['c3']} AS c3 FROM g) "
+        f"SELECT s.series_id, s.t, {E.round6(decompose.CUBIC_EVAL)} AS trend "
+        "FROM s JOIN co ON s.series_id = co.series_id"
+    )
 
 
 def _q_fft_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,6 +99,16 @@ def _q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = generators.generate(spark, N_D, LEN_D, "linear_sum")
     out = decompose.decompose(df)
+    return round6(out, "value", "trend", "seasonality", "residual")
+
+
+def _q_decompose_multichannel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dim>1 contract (utils/data_generators.py:40,51): each (series, channel)
+    # decomposes independently on the composite key. Rows-only (FFT); the
+    # per-channel additivity + channel-independence invariants are asserted
+    # in tests/test_decompose.py.
+    df = generators.generate_multichannel(spark, 6, LEN_D, 3, "mixed")
+    out = decompose.decompose(df, key=["series_id", "channel"])
     return round6(out, "value", "trend", "seasonality", "residual")
 
 
@@ -111,11 +153,14 @@ def _q_sample_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY.update(
     {
         "trend_linear": Query("trend_linear", _q_trend_linear, _trend_linear_sql(), ("decompose",)),
-        "trend_poly3": Query("trend_poly3", _q_trend_poly, None, ("decompose",)),
+        "trend_poly3": Query("trend_poly3", _q_trend_poly, _trend_poly3_sql(), ("decompose",)),
         "fft_spectrum": Query("fft_spectrum", _q_fft_spectrum, None, ("spectral",)),
         "fft_topk": Query("fft_topk", _q_fft_topk, None, ("spectral",)),
         "seasonality_topk": Query("seasonality_topk", _q_seasonality, None, ("decompose",)),
         "decompose_full": Query("decompose_full", _q_decompose, None, ("decompose",)),
+        "decompose_multichannel": Query(
+            "decompose_multichannel", _q_decompose_multichannel, None, ("decompose",)
+        ),
         "loss_fourier": Query("loss_fourier", _q_loss_fourier, None, ("loss",)),
         "loss_combined": Query("loss_combined", _q_loss_combined, None, ("loss",)),
         "sample_loop": Query("sample_loop", _q_sample_loop, None, ("diffusion",)),

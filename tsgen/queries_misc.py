@@ -142,6 +142,37 @@ FROM ({inner}) GROUP BY series_id, t // {PATCH}
 """
 
 
+# --- G6 inverse: patchify → unpatchify round-trip --------------------------
+def _q_patch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unpatchify ((b, s/p, p·d) -> (b, s, d), diffusion_ts_model.py:445-470):
+    # pack each patch into an ordered array, then posexplode back and rebuild
+    # t = patch_id·p + pos. Output ≡ the original series — the oracle is the
+    # generator itself, so the round-trip identity is driver-hash-checked.
+    df = generators.generate(spark, 8, 64, "mixed")
+    packed = (
+        df.withColumn("patch_id", F.expr(f"t DIV {PATCH}"))
+        .withColumn("pos", F.expr(f"t % {PATCH}"))
+        .groupBy("series_id", "patch_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", F.col("value").alias("v")))).alias("patch"))
+    )
+    unpacked = packed.select(
+        "series_id",
+        "patch_id",
+        F.posexplode(F.col("patch.v")).alias("pos", "value"),
+    ).select(
+        "series_id",
+        (F.col("patch_id") * PATCH + F.col("pos")).cast("bigint").alias("t"),
+        "value",
+    )
+    return round6(unpacked, "value")
+
+
+def _patch_roundtrip_sql() -> str:
+    from . import oracle
+
+    return oracle.generate_sql(8, 64, "mixed")
+
+
 # --- set ops: users who clicked but never purchased -----------------------
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_analytics import _events
@@ -220,6 +251,17 @@ def _q_sample_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(out.select("series_id", "t", "observed", "x"), "x")
 
 
+# --- I1 + A2: label-conditional sampling (CFG analogue) — rows-only --------
+def _q_sample_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # guidance=0.5: genuinely blends the unconditional denoiser with the
+    # label-conditioned prediction each step (guidance=1 collapses to the
+    # clean family signal — that identity is the property test)
+    from . import diffusion
+
+    out = diffusion.sample_conditional_label(spark, 8, 32, timesteps=6, guidance=0.5)
+    return round6(out.select("series_id", "label", "t", "x"), "x")
+
+
 _REGISTRY.update(
     {
         "poly_basis": Query("poly_basis", _q_poly_basis, _POLY_BASIS_SQL, ("expr",)),
@@ -227,12 +269,16 @@ _REGISTRY.update(
         "label_embedding": Query("label_embedding", _q_label_embedding, _label_embedding_sql(), ("join",)),
         "gen_union": Query("gen_union", _q_union, _union_sql(), ("generator",)),
         "patchify_stats": Query("patchify_stats", _q_patchify, _patchify_sql(), ("expr",)),
+        "patch_roundtrip": Query("patch_roundtrip", _q_patch_roundtrip, _patch_roundtrip_sql(), ("expr",)),
         "event_set_ops": Query("event_set_ops", _q_set_ops, _SET_OPS_SQL, ("setop",)),
         "gen_multichannel": Query(
             "gen_multichannel", _q_multichannel, _multichannel_sql(), ("generator",)
         ),
         "orders_cube": Query("orders_cube", _q_cube, _CUBE_SQL, ("agg",)),
         "sample_forecast": Query("sample_forecast", _q_sample_forecast, None, ("diffusion",)),
+        "sample_conditional_label": Query(
+            "sample_conditional_label", _q_sample_label, None, ("diffusion",)
+        ),
     }
 )
 

@@ -56,25 +56,32 @@ def run_config(spark: SparkSession, config: dict, scale: float = 1.0) -> RunResu
     kind = config.get("beta_schedule", "cosine")
     top_k = int(config.get("top_k", 4))
     degree = int(config.get("poly_degree", 3))
-    if int(config.get("dim", 1)) != 1:
-        fam_dim = int(config["dim"])
-        train = generators.generate_multichannel(spark, n_train, seq_len, fam_dim, fam, lam)
-        val = generators.generate_multichannel(spark, n_val, seq_len, fam_dim, fam, lam)
+    dim = int(config.get("dim", 1))
+    if dim != 1:
+        train = generators.generate_multichannel(spark, n_train, seq_len, dim, fam, lam)
+        val = generators.generate_multichannel(spark, n_val, seq_len, dim, fam, lam)
     else:
         train = generators.generate(spark, n_train, seq_len, fam, lambda_decay=lam)
         val = generators.generate(spark, n_val, seq_len, fam, lambda_decay=lam)
 
     sched = schedule_table(spark, timesteps, kind)
 
-    # decomposition of a validation slice (entry point 3 contract)
+    # decomposition of a validation slice (entry point 3 contract); dim>1
+    # decomposes each (series, channel) independently — the reference's
+    # (batch, seq_len, input_dim) contract, diffusion_ts_model.py:472-487
+    dec_keys = ["series_id", "channel"] if dim != 1 else ["series_id"]
     dec = decompose.decompose(
-        val.filter(F.col("series_id") < 32).select("series_id", "t", "value"),
+        val.filter(F.col("series_id") < 32).select(*dec_keys, "t", "value"),
         degree=degree,
         top_k=top_k,
+        key=dec_keys,
     )
 
-    # training-loss surface (q_sample → loss between x_t and clean signal)
-    noisy = diffusion.q_sample(val, sched, timesteps)
+    # training-loss surface (q_sample → loss between x_t and clean signal);
+    # dim>1: one t_step per sample, independent noise per channel
+    noisy = diffusion.q_sample(
+        val, sched, timesteps, channel="channel" if dim != 1 else None
+    )
     loss_type = config.get("loss_type", "mse")
     if loss_type == "mse":
         losses = metrics.mse(noisy, "x_t", "value", out="loss")
