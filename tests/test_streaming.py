@@ -41,3 +41,57 @@ def test_stream_session_counts_match_batch_sessionize(spark):
     want = sess.groupBy("user_id", "session_id").count().toPandas()
     assert len(got) == len(want)  # same number of sessions
     assert got.n_events.sum() == want["count"].sum()
+
+
+def test_chunked_replay_tumbling_matches_single_batch(tmp_path, spark):
+    # 4 micro-batches (time-ordered chunks, one file per trigger): the
+    # windowed aggregate must converge to the same result as one-shot replay
+    s = streaming.replay_chunked(spark, SF, 4, str(tmp_path / "chunks"))
+    got = streaming.run_to_completion(streaming.tumbling_counts(s)).toPandas()
+
+    one = streaming.events_stream(spark, SF)
+    want = streaming.run_to_completion(streaming.tumbling_counts(one)).toPandas()
+    key = ["bucket_s", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key + ["n_events"]].equals(want[key + ["n_events"]])
+    assert (got.sum_value - want.sum_value).abs().max() < 1e-9
+
+
+def test_chunked_replay_ewma_state_carries(tmp_path, spark):
+    # the stateful EWMA must carry state across micro-batch boundaries: the
+    # LAST emitted row per user after a 3-chunk replay equals the single-
+    # batch result
+    s3 = streaming.replay_chunked(spark, SF, 3, str(tmp_path / "chunks3"))
+    multi = streaming.run_to_completion(streaming.ewma_stateful(s3), mode="update").toPandas()
+    # update mode emits one row per (user, batch); keep the final emit
+    multi = multi.loc[multi.groupby("user_id")["n_events"].idxmax()]
+
+    one = streaming.events_stream(spark, SF)
+    single = streaming.run_to_completion(streaming.ewma_stateful(one), mode="update").toPandas()
+    single = single.loc[single.groupby("user_id")["n_events"].idxmax()]
+    j = multi.set_index("user_id").join(
+        single.set_index("user_id"), lsuffix="_m", rsuffix="_s"
+    )
+    assert (j["n_events_m"] == j["n_events_s"]).all()
+    assert (j["ewma_m"] - j["ewma_s"]).abs().max() < 1e-9
+
+
+def test_foreach_batch_sink_roundtrip(tmp_path, spark):
+    s = streaming.replay_chunked(spark, SF, 3, str(tmp_path / "chunks_fb"))
+    out = streaming.foreach_batch_parquet_sink(
+        s.select("event_id", "user_id", "value"), str(tmp_path / "sink")
+    )
+    from tsgen.queries_analytics import _events
+
+    ev = _events(spark, SF)
+    assert out.count() == ev.count()
+    # multiple micro-batches actually happened
+    assert out.select("_batch_id").distinct().count() == 3
+    # content identical (not just cardinality)
+    assert out.select(F.sum("value")).collect()[0][0] is not None
+    diff = (
+        out.select("event_id").exceptAll(ev.select("event_id")).count()
+        + ev.select("event_id").exceptAll(out.select("event_id")).count()
+    )
+    assert diff == 0

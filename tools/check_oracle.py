@@ -52,6 +52,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            # int-on-one-side / float-on-the-other passes a numeric compare
+            # but can fail a stringified value-hash ("580" vs "580.0") — the
+            # DuckDB sum(BIGINT)→HUGEINT→float64 trap. Flag it as a failure.
+            if np.issubdtype(av.dtype, np.integer) or np.issubdtype(bv.dtype, np.integer):
+                problems.append(
+                    f"col {c}: dtype skew spark={av.dtype} oracle={bv.dtype} "
+                    "(cast the oracle aggregate, e.g. CAST(sum(..) AS BIGINT))"
+                )
+                continue
             av = np.asarray(av, dtype=float)
             bv = np.asarray(bv, dtype=float)
             # The driver hashes EXACT values — any bit difference fails there,

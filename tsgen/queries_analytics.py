@@ -417,7 +417,7 @@ def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROPS_JSON_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        (round((avg(CAST(json_extract(props, '$.k') AS BIGINT))) + 1.0e-9,4)+0.0e0) AS avg_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k

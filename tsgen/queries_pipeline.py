@@ -110,6 +110,82 @@ def _q_tfidf(spark, sf_dir):
     return _r(text.tfidf_top_terms(_docs(spark, sf_dir), top_n=3), "tfidf")
 
 
+# --- end-to-end corpus curation (the LLM training-data pipeline, fused) ----
+# One query composing the whole curation funnel the way a real pipeline
+# runs it: exact dedup (md5 fingerprint, keeper = min doc_id) → language
+# filter (heuristic pred must agree with the recorded lang) → quality
+# filter (length + lexical-diversity gates) → per-(lang, source) corpus
+# stats. All quality/lang signals are per-row projections computed in ONE
+# codegen'd pass (no joins between the "stages"); total cost = one window
+# shuffle (dedup) + one agg shuffle — at 100 TB this is the minimal-shuffle
+# shape for the funnel.
+CUR_MIN_TOKENS, CUR_MAX_TOKENS, CUR_MIN_DISTINCT = 8, 5000, 0.3
+
+
+def _q_corpus_curation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = text.fingerprint(_docs(spark, sf_dir))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    en_hits = F.expr(
+        f"size(filter(split(text, ' '), w -> w IN ({text._in_list(text.STOPWORDS['en'])})))"
+    )
+    es_hits = F.expr(
+        f"size(filter(split(text, ' '), w -> w IN ({text._in_list(text.STOPWORDS['es'])})))"
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    cur = (
+        docs.withColumn("n_tokens", n)
+        .withColumn("distinct_ratio", F.size(F.array_distinct(toks)) / n)
+        .withColumn(
+            "pred_lang",
+            F.when(en_hits / n >= es_hits / n, F.lit("en")).otherwise(F.lit("es")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("pred_lang") == F.col("lang"))
+            & F.col("n_tokens").between(CUR_MIN_TOKENS, CUR_MAX_TOKENS)
+            & (F.col("distinct_ratio") >= CUR_MIN_DISTINCT)
+        )
+    )
+    out = cur.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    from .queries import roundn
+
+    return roundn(out, 4, "avg_tokens")
+
+
+_CORPUS_CURATION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ({text._in_list(text.STOPWORDS['en'])}))) AS DOUBLE) / len(string_split(text, ' '))
+                >= CAST(len(list_filter(string_split(text, ' '), w -> w IN ({text._in_list(text.STOPWORDS['es'])}))) AS DOUBLE) / len(string_split(text, ' '))
+              THEN 'en' ELSE 'es' END AS pred_lang,
+         row_number() OVER (
+           PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       (round((avg(n_tokens)) + 1.0e-9,4)+0.0e0) AS avg_tokens,
+       min(doc_id) AS first_doc
+FROM scored
+WHERE rn = 1 AND pred_lang = lang
+  AND n_tokens BETWEEN {CUR_MIN_TOKENS} AND {CUR_MAX_TOKENS}
+  AND distinct_ratio >= {CUR_MIN_DISTINCT:.9e}
+GROUP BY lang, source
+"""
+
+
 _REGISTRY.update(
     {
         "tfidf_top_terms": Query("tfidf_top_terms", _q_tfidf, text.tfidf_sql(3), ("text",)),
@@ -118,6 +194,9 @@ _REGISTRY.update(
         "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),
         "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),
         "dedup_exact_docs": Query("dedup_exact_docs", _q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
+        "corpus_curation": Query(
+            "corpus_curation", _q_corpus_curation, _CORPUS_CURATION_SQL, ("dedup", "text")
+        ),
         "ngram_jaccard": Query(
             "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)
         ),

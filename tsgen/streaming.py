@@ -148,6 +148,64 @@ def ewma_stateful(stream: DataFrame, alpha: float = 0.1) -> DataFrame:
     )
 
 
+def replay_chunked(
+    spark: SparkSession, sf_dir: str, n_chunks: int, chunk_dir: str
+) -> DataFrame:
+    """Kafka-style rate-limited replay: split the events table into
+    `n_chunks` time-ordered parquet files and stream them one file per
+    micro-batch (maxFilesPerTrigger=1), so windowed/stateful operators are
+    exercised across REAL micro-batch boundaries (state carry, watermark
+    advance) instead of a single replayed batch.
+
+    Test harness only — the ntile chunking is a global sort, fine for test
+    data, not a production path (production = an actual Kafka source with
+    `.readStream.format("kafka")`, same downstream code).
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    chunked = ev.withColumn(
+        "_chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{chunk_dir}/chunk={i}")
+        )
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def foreach_batch_parquet_sink(stream_df: DataFrame, out_dir: str) -> DataFrame:
+    """foreachBatch sink example: append each micro-batch to a parquet
+    dataset (the generic escape hatch for sinks Structured Streaming lacks —
+    JDBC upserts, multi-table writes, MERGE INTO). Runs to completion with
+    availableNow and returns the materialized dataset."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(out_dir)
+
+
 def stream_dedup(stream: DataFrame) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) within the
     watermark (dropDuplicatesWithinWatermark)."""
