@@ -118,3 +118,42 @@ def test_multimodal_plumbing(spark, docs):
     want = multimodal.decode_stub(row.text.encode())
     got = feats[feats.doc_id == 0].iloc[0]
     assert got.byte_len == want["byte_len"] and got.checksum == want["checksum"]
+
+
+def test_connected_components_chain_star_clique(spark):
+    # chain 0-1-...-9 (diameter 9: exercises pointer jumping), star at 100,
+    # triangle at 200, singleton edge at 300 — all in one edge list
+    edges = (
+        [(i, i + 1) for i in range(9)]
+        + [(100, x) for x in (101, 102, 103)]
+        + [(200, 201), (201, 202), (200, 202)]
+        + [(300, 301)]
+    )
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.label for r in dedup.connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[x] == 100 for x in (100, 101, 102, 103))
+    assert all(got[x] == 200 for x in (200, 201, 202))
+    assert got[300] == 300 and got[301] == 300
+
+
+def test_connected_components_matches_union_find(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, ["lang"], threshold=0.01).select(
+        "doc_a", "doc_b"
+    )
+    rows = pairs.collect()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {r.node: r.label for r in dedup.connected_components(pairs).collect()}
+    assert got == want

@@ -110,6 +110,48 @@ def _q_tfidf(spark, sf_dir):
     return _r(text.tfidf_top_terms(_docs(spark, sf_dir), top_n=3), "tfidf")
 
 
+# --- near-dup clustering: pairs → connected components → canonical doc ----
+# The dedup step real pipelines run AFTER pair generation: group transitively
+# linked near-dups into clusters, keep min doc_id as canonical. Spark side =
+# dedup.connected_components (min-label propagation + pointer jumping);
+# oracle = recursive CTE computing min reachable node. Threshold/blocking
+# chosen so the sf graph has multi-hop chains (clusters up to ~19 docs),
+# exercising >1 propagation round.
+CLUSTER_THR = 0.02
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    lab = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        lab.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    return f"""
+WITH RECURSIVE jp AS ({jp}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+cc_nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM cc_nodes
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lab
+"""
+
+
 # --- end-to-end corpus curation (the LLM training-data pipeline, fused) ----
 # One query composing the whole curation funnel the way a real pipeline
 # runs it: exact dedup (md5 fingerprint, keeper = min doc_id) → language
@@ -196,6 +238,9 @@ _REGISTRY.update(
         "dedup_exact_docs": Query("dedup_exact_docs", _q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
         "corpus_curation": Query(
             "corpus_curation", _q_corpus_curation, _CORPUS_CURATION_SQL, ("dedup", "text")
+        ),
+        "dedup_clusters": Query(
+            "dedup_clusters", _q_dedup_clusters, _dedup_clusters_sql(), ("dedup",)
         ),
         "ngram_jaccard": Query(
             "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)
