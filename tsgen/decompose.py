@@ -232,39 +232,46 @@ def trend_quadratic(df: DataFrame, value_col: str = "value", key: str = "series_
     )
 
 
+def det3_expr(a, b, c, d, e, f, g, h, i) -> str:
+    """3×3 determinant as shared SQL text over column symbols."""
+    return (
+        f"({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g}) + {c}*({d}*{h} - {e}*{g}))"
+    )
+
+
+def det4_expr(m: list[list[str]]) -> str:
+    """4×4 determinant (cofactor expansion along the first row)."""
+    terms = []
+    for j, sign in zip(range(4), ("+", "-", "+", "-")):
+        sub = [[r[k] for k in range(4) if k != j] for r in m[1:]]
+        terms.append(f"{sign} {m[0][j]}*{det3_expr(*sub[0], *sub[1], *sub[2])}")
+    return "(" + " ".join(terms) + ")"
+
+
+def cramer4_exprs(A: list[list[str]], rhs: list[str]) -> dict[str, str]:
+    """Solve A·w = rhs in closed form (Cramer's rule) over symbolic 4×4
+    entries — returns {'det': ..., 'c0'..'c3': ...} as SQL text usable
+    identically in Spark and DuckDB (bit-equal given bit-equal inputs)."""
+    D = det4_expr(A)
+    out = {"det": D}
+    for i in range(4):
+        Ai = [list(row) for row in A]
+        for r in range(4):
+            Ai[r][i] = rhs[r]
+        out[f"c{i}"] = f"({det4_expr(Ai)} / {D})"
+    return out
+
+
 def cubic_trend_sql_exprs() -> dict[str, str]:
     """Degree-3 least squares in CLOSED FORM (Cramer's rule on the 4×4
     normal equations) over moments m0..m6, b0..b3 — generalizes
     quad_trend_sql_exprs; the identical text runs in both engines so the
     results are bit-equal.
 
-    A[i][j] = m_{i+j} (i,j ≤ 3), rhs = [b0..b3];
-    c_i = det(A with column i replaced by rhs) / det(A),
-    det4 by cofactor expansion along the first row.
+    A[i][j] = m_{i+j} (i,j ≤ 3), rhs = [b0..b3].
     """
-
-    def det3(a, b, c, d, e, f, g, h, i):
-        return (
-            f"({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g}) + {c}*({d}*{h} - {e}*{g}))"
-        )
-
-    def det4(m):
-        terms = []
-        for j, sign in zip(range(4), ("+", "-", "+", "-")):
-            sub = [[r[k] for k in range(4) if k != j] for r in m[1:]]
-            terms.append(f"{sign} {m[0][j]}*{det3(*sub[0], *sub[1], *sub[2])}")
-        return "(" + " ".join(terms) + ")"
-
     A = [[f"m{i + j}" for j in range(4)] for i in range(4)]
-    rhs = ["b0", "b1", "b2", "b3"]
-    D = det4(A)
-    out = {"det": D}
-    for i in range(4):
-        Ai = [list(row) for row in A]
-        for r in range(4):
-            Ai[r][i] = rhs[r]
-        out[f"c{i}"] = f"({det4(Ai)} / {D})"
-    return out
+    return cramer4_exprs(A, ["b0", "b1", "b2", "b3"])
 
 
 # per-point cubic evaluation — SHARED text (identical parse tree both engines)

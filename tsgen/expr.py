@@ -189,4 +189,11 @@ def round6(x: str) -> str:
     .5112). Real-world 2-decimal inputs produce such exact ties constantly
     under division; the nudge pushes both engines decisively off the
     midpoint in the same direction."""
-    return f"(round(({x}) + 1.0e-9, 6) + 0.0e0)"
+    return roundn(x, 6)
+
+
+def roundn(x: str, dp: int) -> str:
+    """round6 at an arbitrary precision — use dp ≤ 4 for averages/ratios of
+    large sums, where cross-engine fp association differences exceed the
+    6dp quantum (the ev_props_json lesson)."""
+    return f"(round(({x}) + 1.0e-9, {dp}) + 0.0e0)"

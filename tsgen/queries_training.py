@@ -117,9 +117,60 @@ FROM events GROUP BY event_type
 """
 
 
+# --- closed-form denoiser training step (I2/I3 analog) --------------------
+# One exact least-squares "epoch" of a linear noise predictor over q_sample
+# output (models/train_diffusion_ts.py:34-64): sufficient statistics via one
+# aggregation pass, Cramer 4x4 solve as shared SQL text, MSE with no second
+# data pass. See tsgen/train.py for the scale argument.
+TD_N, TD_LEN, TD_T = 16, 64, 50
+
+
+def _q_train_denoiser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import diffusion, train
+    from .queries import roundn
+    from .schedules import schedule_table
+
+    df = generators.generate(spark, TD_N, TD_LEN, "mixed")
+    sched = schedule_table(spark, TD_T, "cosine")
+    noisy = diffusion.q_sample(df, sched, TD_T).join(
+        F.broadcast(sched.select("t_step", "sqrt_1m_ac")), "t_step"
+    )
+    out = train.fit_linear_denoiser(noisy)
+    return roundn(out, 4, "w0", "w1", "w2", "w3", "train_mse", "baseline_mse")
+
+
+def _train_denoiser_sql() -> str:
+    from . import diffusion, oracle, train
+    from .schedules import duckdb_from_clause, schedule_sql
+
+    gen = oracle.generate_sql(TD_N, TD_LEN, "mixed", rounded=False)
+    sched = schedule_sql(TD_T, "cosine", duckdb_from_clause(TD_T))
+    tstep = diffusion.draw_t_step(TD_T)
+    noise = E.normal(E.pt_key(), diffusion.SALT_QNOISE)
+    e = train.solver_exprs()
+    r4 = lambda x: E.roundn(x, 4)  # noqa: E731
+    return f"""
+WITH src AS ({gen}), sch AS ({sched}),
+b AS (SELECT series_id, t, value, {tstep} AS t_step, {noise} AS noise FROM src),
+j AS (SELECT (sch.sqrt_ac * b.value + sch.sqrt_1m_ac * b.noise) AS x,
+             sch.sqrt_1m_ac AS s_t, b.noise AS y
+      FROM b JOIN sch ON b.t_step = sch.t_step),
+g AS (SELECT {train.sums_select_sql("x", "s_t", "y")} FROM j),
+w AS (SELECT *, {e["w0"]} AS w0, {e["w1"]} AS w1, {e["w2"]} AS w2, {e["w3"]} AS w3 FROM g)
+SELECT CAST(a00 AS BIGINT) AS n,
+       {r4("w0")} AS w0, {r4("w1")} AS w1, {r4("w2")} AS w2, {r4("w3")} AS w3,
+       {r4(e["train_mse"])} AS train_mse,
+       {r4(e["baseline_mse"])} AS baseline_mse
+FROM w
+"""
+
+
 _REGISTRY.update(
     {
         "epoch_metrics": Query("epoch_metrics", _q_epoch_metrics, _epoch_metrics_sql(), ("training",)),
+        "train_denoiser": Query(
+            "train_denoiser", _q_train_denoiser, _train_denoiser_sql(), ("training",)
+        ),
         "ev_interval_join": Query("ev_interval_join", _q_interval_join, _INTERVAL_SQL, ("join",)),
         "ev_percentiles": Query("ev_percentiles", _q_percentiles, _PERCENTILES_SQL, ("agg",)),
     }
