@@ -157,3 +157,17 @@ def test_connected_components_matches_union_find(spark, docs):
     want = {n: find(n) for n in parent}
     got = {r.node: r.label for r in dedup.connected_components(pairs).collect()}
     assert got == want
+
+
+def test_repetition_stats_flags_planted_boilerplate(spark):
+    from pyspark.sql import Row
+    from tsgen import text as T
+
+    rows = [
+        Row(doc_id=0, text="buy now " * 20 + "limited offer"),  # spam
+        Row(doc_id=1, text="the quick brown fox jumps over a lazy dog near town"),
+    ]
+    out = {r.doc_id: r for r in T.repetition_stats(spark.createDataFrame(rows)).collect()}
+    assert out[0].repetitive and out[0].top_bigram_frac > 0.4
+    assert not out[1].repetitive
+    assert out[1].n_tokens == 11 and abs(out[1].top_token_frac - 1 / 11) < 1e-12

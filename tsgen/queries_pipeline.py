@@ -42,6 +42,11 @@ def _q_token_freq(spark, sf_dir):
     return text.token_freq(_docs(spark, sf_dir), top_n=20)
 
 
+def _q_repetition(spark, sf_dir):
+    out = text.repetition_stats(_docs(spark, sf_dir))
+    return round6(out, "top_token_frac", "top_bigram_frac", "mean_token_len")
+
+
 # --- dedup ----------------------------------------------------------------
 def _q_dedup_exact(spark, sf_dir):
     out = dedup.exact_dedup(_docs(spark, sf_dir))
@@ -235,6 +240,9 @@ _REGISTRY.update(
         "lang_id": Query("lang_id", _q_lang_id, text.LANG_ID_SQL, ("text",)),
         "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),
         "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),
+        "repetition_stats": Query(
+            "repetition_stats", _q_repetition, text.REPETITION_SQL, ("text",)
+        ),
         "dedup_exact_docs": Query("dedup_exact_docs", _q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
         "corpus_curation": Query(
             "corpus_curation", _q_corpus_curation, _CORPUS_CURATION_SQL, ("dedup", "text")

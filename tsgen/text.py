@@ -173,3 +173,79 @@ SELECT token, n, rank FROM (
   GROUP BY token)
 WHERE rank <= {top_n}
 """
+
+
+def repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of all
+    tokens taken by the single most frequent token, and of all bigrams by
+    the most frequent bigram — high values flag boilerplate/spam that
+    length- and stopword-based quality gates miss.
+
+    Shape: two explode→groupBy chains (token level and bigram level), each
+    partial-aggregated on (doc_id, term) then reduced to one row per doc —
+    uniform keys, no skew (a doc contributes only its own terms). The two
+    per-doc one-row tables then join on doc_id. No Python anywhere.
+    """
+    toks = df.select("doc_id", F.explode(F.split(F.col(text), " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("n"), F.first(F.length("token")).alias("tok_len")
+    )
+    tok_stats = tf.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("top_token_n"),
+        (F.sum(F.col("n") * F.col("tok_len")) / F.sum("n")).alias("mean_token_len"),
+    )
+    bigram = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(0, size(_toks) - 2), i -> concat_ws(' ', _toks[i], _toks[i+1])) "
+        "ELSE array() END"
+    )
+    bg = (
+        df.withColumn("_toks", F.split(F.col(text), " "))
+        .select("doc_id", F.explode(bigram).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n"))
+    )
+    out = tok_stats.join(bg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("top_token_n") / F.col("n_tokens")).alias("top_token_frac"),
+        F.coalesce(F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        "mean_token_len",
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_token_frac") > 0.2) | (F.col("top_bigram_frac") > 0.18),
+    )
+
+
+REPETITION_SQL = """
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS n, first(length(token)) AS tok_len
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token),
+tok_stats AS (
+  SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_token_n,
+         CAST(sum(n * tok_len) AS DOUBLE) / sum(n) AS mean_token_len
+  FROM tf GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_bigram_n FROM (
+    SELECT doc_id, bg, count(*) AS n FROM (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+    GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       (round((CAST(t.top_token_n AS DOUBLE) / t.n_tokens) + 1.0e-9,6)+0.0e0) AS top_token_frac,
+       (round((COALESCE(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 0.0e0)) + 1.0e-9,6)+0.0e0) AS top_bigram_frac,
+       (round((t.mean_token_len) + 1.0e-9,6)+0.0e0) AS mean_token_len,
+       (CAST(t.top_token_n AS DOUBLE) / t.n_tokens > 2.0e-1
+        OR COALESCE(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 0.0e0) > 1.8e-1) AS repetitive
+FROM tok_stats t LEFT JOIN bg b ON t.doc_id = b.doc_id
+"""
