@@ -171,3 +171,27 @@ def test_repetition_stats_flags_planted_boilerplate(spark):
     assert out[0].repetitive and out[0].top_bigram_frac > 0.4
     assert not out[1].repetitive
     assert out[1].n_tokens == 11 and abs(out[1].top_token_frac - 1 / 11) < 1e-12
+
+
+def test_doc_chunks_cover_all_tokens(spark):
+    from pyspark.sql import Row
+    from tsgen import text as T
+
+    rows = [
+        Row(doc_id=0, text=" ".join(f"w{i}" for i in range(40)), lang="en", source="s"),
+        Row(doc_id=1, text=" ".join(f"u{i}" for i in range(16)), lang="en", source="s"),
+        Row(doc_id=2, text="a b c", lang="en", source="s"),
+    ]
+    out = T.doc_chunks(spark.createDataFrame(rows), size=16, stride=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # exactly size tokens -> one chunk; short doc -> one short chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 16
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b c"
+    # every token of doc 0 appears in some chunk; stride overlap = size-stride
+    seen = set()
+    for r in by_doc[0]:
+        seen.update(r.chunk_text.split())
+    assert seen == {f"w{i}" for i in range(40)}
+    assert len(by_doc[0]) == 3  # ceil((40-16)/12)+1

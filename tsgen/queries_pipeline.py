@@ -115,6 +115,23 @@ def _q_tfidf(spark, sf_dir):
     return _r(text.tfidf_top_terms(_docs(spark, sf_dir), top_n=3), "tfidf")
 
 
+# --- chunking / packing / quantization (pretraining preproc) --------------
+def _q_doc_chunks(spark, sf_dir):
+    return text.doc_chunks(_docs(spark, sf_dir))
+
+
+def _q_pack_sequences(spark, sf_dir):
+    return round6(text.pack_sequences(_docs(spark, sf_dir)), "fill_ratio")
+
+
+def _q_embed_quantize(spark, sf_dir):
+    from .queries import roundn
+
+    return roundn(
+        similarity.quantize_int8(_emb(spark, sf_dir)), 9, "scale", "recon_mse"
+    )
+
+
 # --- near-dup clustering: pairs → connected components → canonical doc ----
 # The dedup step real pipelines run AFTER pair generation: group transitively
 # linked near-dups into clusters, keep min doc_id as canonical. Spark side =
@@ -249,6 +266,13 @@ _REGISTRY.update(
         ),
         "dedup_clusters": Query(
             "dedup_clusters", _q_dedup_clusters, _dedup_clusters_sql(), ("dedup",)
+        ),
+        "doc_chunks": Query("doc_chunks", _q_doc_chunks, text.CHUNKS_SQL, ("text",)),
+        "pack_sequences": Query(
+            "pack_sequences", _q_pack_sequences, text.PACK_SQL, ("text",)
+        ),
+        "embed_quantize": Query(
+            "embed_quantize", _q_embed_quantize, similarity.QUANTIZE_SQL, ("similarity",)
         ),
         "ngram_jaccard": Query(
             "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)

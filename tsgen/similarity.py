@@ -187,3 +187,58 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
     )
+
+
+# --- int8 quantization (storage/bandwidth path for ANN at scale) ----------
+def quantize_int8(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5). The write-side of a quantized ANN index —
+    4× less storage/shuffle bandwidth for candidate generation, with the
+    float vector kept only for re-ranking.
+
+    Pure per-row array expressions (no shuffle). floor(x + 0.5) instead of
+    round() so both engines break .5 ties identically. Emits per-vector
+    checksums + reconstruction MSE (sequential left fold in BOTH engines →
+    bit-identical) rather than the int array itself, keeping result rows
+    small."""
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    df = df.withColumn("_v", v).withColumn(
+        "scale",
+        F.aggregate("_v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / 127.0,
+    )
+    q = F.transform("_v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("long"))
+    df = df.withColumn("_q", q)
+    err2 = F.zip_with("_v", "_q", lambda a, b: (a - b * F.col("scale")) * (a - b * F.col("scale")))
+    return df.select(
+        "vec_id",
+        "scale",
+        F.aggregate("_q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min("_q").alias("q_min"),
+        F.array_max("_q").alias("q_max"),
+        (
+            F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x) / F.size("_v")
+        ).alias("recon_mse"),
+    )
+
+
+QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings),
+s AS (
+  SELECT vec_id, vv,
+         list_max(list_transform(vv, x -> abs(x))) / 127.0e0 AS scale
+  FROM v),
+q AS (
+  SELECT vec_id, vv, scale,
+         list_transform(vv, x -> CAST(floor(x / scale + 5.0e-1) AS BIGINT)) AS qq
+  FROM s)
+SELECT vec_id, (round((scale) + 1.0e-9,9)+0.0e0) AS scale,
+       CAST(list_sum(qq) AS BIGINT) AS q_sum,
+       CAST(list_min(qq) AS BIGINT) AS q_min,
+       CAST(list_max(qq) AS BIGINT) AS q_max,
+       (round((list_sum(list_transform(vv,
+            x -> (x - floor(x / scale + 5.0e-1) * scale)
+               * (x - floor(x / scale + 5.0e-1) * scale))) / len(vv)) + 1.0e-9,9)+0.0e0) AS recon_mse
+FROM q
+"""

@@ -249,3 +249,95 @@ SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
         OR COALESCE(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 0.0e0) > 1.8e-1) AS repetitive
 FROM tok_stats t LEFT JOIN bg b ON t.doc_id = b.doc_id
 """
+
+
+# --- training-window chunking + sequence packing (LLM pretraining preproc) --
+CHUNK_LEN, CHUNK_STRIDE, PACK_BUDGET = 16, 12, 256
+
+
+def doc_chunks(
+    df: DataFrame, text: str = "text", size: int = CHUNK_LEN, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows — the
+    step that turns a curated corpus into training sequences. Pure per-row
+    array expressions (split → slice per window → posexplode): NO shuffle at
+    all; the scan parallelism is the operator's parallelism.
+
+    n_chunks = ceil(max(n-size, 0)/stride) + 1, so the last window may be
+    short (kept, with its true token count, for the packer to use).
+    """
+    n = "size(_toks)"
+    n_chunks = f"(CAST(ceil(greatest({n} - {size}, 0) / CAST({stride} AS DOUBLE)) AS INT) + 1)"
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> slice(_toks, i * {stride} + 1, {size}))"
+    )
+    return (
+        df.withColumn("_toks", F.split(F.col(text), " "))
+        .select("doc_id", "lang", "source", F.posexplode(F.expr(chunks)).alias("chunk_id", "_c"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "chunk_id",
+            F.size("_c").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "_c").alias("chunk_text"),
+        )
+    )
+
+
+CHUNKS_SQL = f"""
+WITH base AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+idx AS (
+  SELECT doc_id, lang, source, toks,
+         unnest(range(0, CAST(ceil(greatest(len(toks) - {CHUNK_LEN}, 0)
+                / CAST({CHUNK_STRIDE} AS DOUBLE)) AS INT) + 1)) AS chunk_id
+  FROM base)
+SELECT doc_id, lang, source, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_LEN}]) AS INT) AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_LEN}], ' ') AS chunk_text
+FROM idx
+"""
+
+
+def pack_sequences(df: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Greedy scan-order sequence packing: assign docs to fixed token-budget
+    bins via an exclusive-prefix-sum over doc_id order WITHIN each
+    (lang, source) shard. Shard-local packing is the 100 TB shape — a global
+    packing order would funnel the cumsum through one reducer, while real
+    pipelines pack per output shard anyway. A doc may straddle its bin
+    boundary (bins overflow by < one doc) — the standard streaming-pack
+    approximation.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = (
+        df.withColumn("n_tokens", n)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("bin_id", F.floor((F.col("cum") - F.col("n_tokens")) / budget))
+    )
+    return binned.groupBy("lang", "source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_packed"),
+        (F.sum("n_tokens") / F.lit(float(budget))).alias("fill_ratio"),
+    )
+
+
+PACK_SQL = f"""
+WITH binned AS (
+  SELECT lang, source, n_tokens,
+         (CAST(sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
+           // {PACK_BUDGET} AS bin_id
+  FROM (SELECT doc_id, lang, source, len(string_split(text, ' ')) AS n_tokens FROM documents))
+SELECT lang, source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed,
+       (round((CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}.0e0) + 1.0e-9,6)+0.0e0) AS fill_ratio
+FROM binned GROUP BY lang, source, bin_id
+"""
