@@ -42,6 +42,10 @@ def _q_token_freq(spark, sf_dir):
     return text.token_freq(_docs(spark, sf_dir), top_n=20)
 
 
+def _q_token_bpe(spark, sf_dir):
+    return round6(text.token_count_bpe(_docs(spark, sf_dir)), "bpe_per_word")
+
+
 def _q_repetition(spark, sf_dir):
     out = text.repetition_stats(_docs(spark, sf_dir))
     return round6(out, "top_token_frac", "top_bigram_frac", "mean_token_len")
@@ -259,6 +263,9 @@ _REGISTRY.update(
         "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),
         "repetition_stats": Query(
             "repetition_stats", _q_repetition, text.REPETITION_SQL, ("text",)
+        ),
+        "token_count_bpe": Query(
+            "token_count_bpe", _q_token_bpe, text.TOKEN_BPE_SQL, ("text",)
         ),
         "dedup_exact_docs": Query("dedup_exact_docs", _q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
         "corpus_curation": Query(

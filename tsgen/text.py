@@ -341,3 +341,33 @@ SELECT lang, source, bin_id, count(*) AS n_docs,
        (round((CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}.0e0) + 1.0e-9,6)+0.0e0) AS fill_ratio
 FROM binned GROUP BY lang, source, bin_id
 """
+
+
+# --- BPE-ish subword token counting ---------------------------------------
+# A GPT-2-style pre-tokenizer approximation: runs of letters, runs of
+# digits, or single punctuation marks. Whitespace tokenization undercounts
+# what an LLM tokenizer bills for; this regex is the standard cheap proxy.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-doc whitespace vs regex-subword token counts + the ratio an LLM
+    data-budget estimate needs. Single codegen'd projection, no shuffle."""
+    ws = F.size(F.split(F.col(text), " "))
+    bpe = F.size(F.regexp_extract_all(F.col(text), F.lit(BPE_RE), 0))
+    return df.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / ws).alias("bpe_per_word"),
+    )
+
+
+TOKEN_BPE_SQL = rf"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens,
+       (round((CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS DOUBLE)
+          / len(string_split(text, ' '))) + 1.0e-9,6)+0.0e0) AS bpe_per_word
+FROM documents
+"""
