@@ -94,9 +94,16 @@ def main() -> None:
         "ngram_jaccard",
         "minhash_lsh",
         "simhash_pairs",
+        "dedup_clusters",
+        "corpus_curation",
+        "repetition_stats",
+        "doc_chunks",
+        "pack_sequences",
         "cosine_topk",
         "embed_neardup",
         "ann_ivf",
+        "embed_quantize",
+        "train_denoiser",
         "multimodal_features",
     ]
     reg = registry()
