@@ -95,3 +95,22 @@ def test_foreach_batch_sink_roundtrip(tmp_path, spark):
         + ev.select("event_id").exceptAll(out.select("event_id")).count()
     )
     assert diff == 0
+
+
+def test_stream_stream_join_state_spans_microbatches(tmp_path, spark):
+    # pairs whose click and purchase arrive in DIFFERENT micro-batches must
+    # still join (buffered state); chunked replay == single-batch replay
+    s3 = streaming.replay_chunked(spark, SF, 3, str(tmp_path / "chunks_j"))
+    multi = streaming.run_to_completion(
+        streaming.stream_stream_join(s3), mode="append"
+    ).toPandas()
+
+    one = streaming.events_stream(spark, SF)
+    single = streaming.run_to_completion(
+        streaming.stream_stream_join(one), mode="append"
+    ).toPandas()
+    key = ["user_id", "c_ts", "p_ts"]
+    multi = multi.sort_values(key).reset_index(drop=True)
+    single = single.sort_values(key).reset_index(drop=True)
+    assert len(multi) == len(single) and len(single) > 0
+    assert multi[key].equals(single[key])

@@ -76,6 +76,32 @@ SELECT user_id, count(DISTINCT event_type) AS n_types FROM events GROUP BY user_
 """
 
 
+def _q_stream_join(spark, sf_dir):
+    # stream-stream join executed to completion, then a BATCH aggregation of
+    # the materialized pairs (aggregating ON the append-mode join stream
+    # would need a second watermark chain; the pair emission itself is the
+    # streaming semantics under test)
+    s = streaming.events_stream(spark, sf_dir)
+    pairs = streaming.run_to_completion(streaming.stream_stream_join(s), mode="append")
+    out = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("p_val").alias("sum_purchase"),
+    )
+    return out.withColumn(
+        "sum_purchase", F.round(F.col("sum_purchase") + F.lit(1e-9), 4) + F.lit(0.0)
+    )
+
+
+_STREAM_JOIN_SQL = """
+SELECT c.user_id, count(*) AS n_pairs,
+       (round((sum(p.value)) + 1.0e-9,4)+0.0e0) AS sum_purchase
+FROM events c JOIN events p
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+"""
+
+
 def _q_stream_ewma(spark, sf_dir):
     # applyInPandasWithState custom stateful op; recursive EWMA is not
     # SQL-expressible without numerically-unstable rescaling → rows-only
@@ -92,5 +118,6 @@ _REGISTRY.update(
         "stream_sliding": Query("stream_sliding", _q_stream_sliding, _STREAM_SLIDING_SQL, ("streaming",)),
         "stream_session": Query("stream_session", _q_stream_session, _STREAM_SESSION_SQL, ("streaming",)),
         "stream_dedup": Query("stream_dedup", _q_stream_dedup, _STREAM_DEDUP_SQL, ("streaming",)),
+        "stream_join": Query("stream_join", _q_stream_join, _STREAM_JOIN_SQL, ("streaming",)),
     }
 )

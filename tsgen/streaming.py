@@ -214,3 +214,37 @@ def stream_dedup(stream: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def stream_stream_join(stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with watermarks + a time-range condition:
+    purchases joined to the same user's clicks from the preceding `horizon`.
+    Both sides are filters of the same source stream (a supported streaming
+    self-join); the watermark bounds the join state — click state older
+    than watermark+horizon is evicted, so state size is O(rate × horizon),
+    not O(stream length). Append mode: pairs emit once their window closes.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_val"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_val"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {horizon}"
+        ),
+    ).select("user_id", "c_ts", "p_ts", "c_val", "p_val")
