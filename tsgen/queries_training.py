@@ -165,11 +165,91 @@ FROM w
 """
 
 
+# --- the full multi-epoch training loop, as ONE aggregation ---------------
+# Reference shape (test_training.py:144-176): per epoch draw fresh timesteps
+# + noise, fit, track the best (min) loss. Here every epoch's 15 sufficient
+# statistics partial-aggregate in the SAME shuffle (groupBy epoch), each row
+# solves its own normal equations, and best-so-far is a running-min window —
+# E epochs over 100 TB cost one pass, not E passes.
+EP_N, EP_LEN, EP_T, EP_EPOCHS = 8, 64, 50, 6
+
+
+def _ep_exprs() -> tuple[str, str]:
+    from . import diffusion
+
+    tkey = f"((series_id * 131 + epoch) % {E.M31})"
+    nkey = f"((({E.pt_key()}) * 131 + epoch) % {E.M31})"
+    tstep = f"CAST(floor({E.u01(tkey, diffusion.SALT_TSTEP)} * {EP_T}) AS BIGINT)"
+    noise = E.normal(nkey, diffusion.SALT_QNOISE)
+    return tstep, noise
+
+
+_EP_ROUND = ("w0", "w1", "w2", "w3", "train_mse", "best_mse")
+
+
+def _q_train_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import train
+    from .queries import roundn
+    from .schedules import schedule_table
+
+    tstep, noise = _ep_exprs()
+    epochs = spark.range(EP_EPOCHS).select(F.col("id").alias("epoch"))
+    sched = schedule_table(spark, EP_T, "cosine")
+    df = (
+        generators.generate(spark, EP_N, EP_LEN, "mixed")
+        .crossJoin(F.broadcast(epochs))
+        .withColumn("t_step", F.expr(tstep))
+        .withColumn("noise", F.expr(noise))
+        .join(F.broadcast(sched.select("t_step", "sqrt_ac", "sqrt_1m_ac")), "t_step")
+        .withColumn(
+            "x_t", F.col("sqrt_ac") * F.col("value") + F.col("sqrt_1m_ac") * F.col("noise")
+        )
+    )
+    fit = train.fit_linear_denoiser(df, group=["epoch"])
+    w = Window.orderBy("epoch").rowsBetween(Window.unboundedPreceding, 0)
+    out = fit.withColumn("best_mse", F.min("train_mse").over(w)).withColumn(
+        "is_best", F.col("train_mse") == F.col("best_mse")
+    )
+    return roundn(out.drop("baseline_mse"), 4, *_EP_ROUND)
+
+
+def _train_epochs_sql() -> str:
+    from . import oracle, train
+    from .schedules import duckdb_from_clause, schedule_sql
+
+    tstep, noise = _ep_exprs()
+    e = train.solver_exprs()
+    r4 = lambda x: E.roundn(x, 4)  # noqa: E731
+    return f"""
+WITH src AS ({oracle.generate_sql(EP_N, EP_LEN, "mixed", rounded=False)}),
+ep AS (SELECT range AS epoch FROM range({EP_EPOCHS})),
+sch AS ({schedule_sql(EP_T, "cosine", duckdb_from_clause(EP_T))}),
+b AS (SELECT series_id, t, value, epoch, {tstep} AS t_step, {noise} AS noise
+      FROM src CROSS JOIN ep),
+j AS (SELECT b.epoch, (sch.sqrt_ac * b.value + sch.sqrt_1m_ac * b.noise) AS x,
+             sch.sqrt_1m_ac AS s_t, b.noise AS y
+      FROM b JOIN sch ON b.t_step = sch.t_step),
+g AS (SELECT epoch, {train.sums_select_sql("x", "s_t", "y")} FROM j GROUP BY epoch),
+w AS (SELECT *, {e["w0"]} AS w0, {e["w1"]} AS w1, {e["w2"]} AS w2, {e["w3"]} AS w3 FROM g),
+m AS (SELECT *, {e["train_mse"]} AS _mse FROM w),
+f AS (SELECT *, min(_mse) OVER (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW) AS _best FROM m)
+SELECT epoch, CAST(a00 AS BIGINT) AS n,
+       {r4("w0")} AS w0, {r4("w1")} AS w1, {r4("w2")} AS w2, {r4("w3")} AS w3,
+       {r4("_mse")} AS train_mse, {r4("_best")} AS best_mse,
+       (_mse = _best) AS is_best
+FROM f
+"""
+
+
 _REGISTRY.update(
     {
         "epoch_metrics": Query("epoch_metrics", _q_epoch_metrics, _epoch_metrics_sql(), ("training",)),
         "train_denoiser": Query(
             "train_denoiser", _q_train_denoiser, _train_denoiser_sql(), ("training",)
+        ),
+        "train_epochs": Query(
+            "train_epochs", _q_train_epochs, _train_epochs_sql(), ("training",)
         ),
         "ev_interval_join": Query("ev_interval_join", _q_interval_join, _INTERVAL_SQL, ("join",)),
         "ev_percentiles": Query("ev_percentiles", _q_percentiles, _PERCENTILES_SQL, ("agg",)),

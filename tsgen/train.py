@@ -68,18 +68,34 @@ def sums_select_sql(x: str, s: str, y: str) -> str:
     )
 
 
-def fit_linear_denoiser(noisy: DataFrame) -> DataFrame:
+def fit_linear_denoiser(noisy: DataFrame, group: list[str] | None = None) -> DataFrame:
     """One exact training "epoch": expects q_sample output re-joined with
-    sqrt_1m_ac (columns x_t, sqrt_1m_ac, noise); returns a single row
-    (n, w0..w3, train_mse, baseline_mse). baseline_mse = Σε²/n is the loss
-    of the zero predictor — train_mse < baseline_mse is the 'loss went
-    down' signal the reference checks (test_training.py:157-159)."""
-    g = noisy.selectExpr("x_t AS x", "sqrt_1m_ac AS s", "noise AS y").selectExpr(
-        sums_select_sql("x", "s", "y").split(", ")
+    sqrt_1m_ac (columns x_t, sqrt_1m_ac, noise); returns one row per group
+    (or a single global row): (n, w0..w3, train_mse, baseline_mse).
+    baseline_mse = Σε²/n is the loss of the zero predictor — train_mse <
+    baseline_mse is the 'loss went down' signal the reference checks
+    (test_training.py:157-159).
+
+    With group=['epoch'] this is the whole multi-epoch training loop as ONE
+    aggregation: each epoch's 15 sums partial-aggregate in the same shuffle
+    and each output row solves its own normal equations."""
+    base = noisy.selectExpr(
+        *(group or []), "x_t AS x", "sqrt_1m_ac AS s", "noise AS y"
     )
+    aggs = sums_select_sql("x", "s", "y").split(", ")
+    if group:
+        g = base.groupBy(*group).agg(
+            *[
+                F.expr(a.rsplit(" AS ", 1)[0]).alias(a.rsplit(" AS ", 1)[1])
+                for a in aggs
+            ]
+        )
+    else:
+        g = base.selectExpr(aggs)
     e = solver_exprs()
     w = g.select("*", *[F.expr(e[f"w{i}"]).alias(f"w{i}") for i in range(4)])
     return w.select(
+        *(group or []),
         F.col("a00").cast("bigint").alias("n"),
         "w0",
         "w1",
