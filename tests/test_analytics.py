@@ -116,3 +116,40 @@ def test_seasonal_naive_repeats_last_season(spark):
     for _, r in out.iterrows():
         want = src.loc[(r.series_id, 31 + 1 + (r.h - 1) % 8 - 8)]
         assert abs(r.forecast - want) < 1e-12
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the join key co-locates matching rows at
+    WRITE time, so the join needs no Exchange at READ time — the 100 TB
+    recipe for repeated large-large joins (pay one shuffle once, reuse it
+    every query)."""
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    od = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("li_bkt")
+    od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("od_bkt")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        j = spark.table("li_bkt").join(
+            spark.table("od_bkt"), F.expr("l_orderkey = o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the same join on the raw parquet DOES shuffle both sides
+        raw = li.join(od, F.expr("l_orderkey = o_orderkey"))
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert raw_plan.count("Exchange") == 2
+        assert j.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS od_bkt")
