@@ -195,3 +195,27 @@ def test_doc_chunks_cover_all_tokens(spark):
         seen.update(r.chunk_text.split())
     assert seen == {f"w{i}" for i in range(40)}
     assert len(by_doc[0]) == 3  # ceil((40-16)/12)+1
+
+
+def test_winnowing_detects_shared_passage(spark):
+    from pyspark.sql import Row
+    from tsgen import text as T
+
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(200)]
+    a = list(rng.choice(vocab, size=60))
+    b = list(rng.choice(vocab, size=60))
+    passage = [f"quote{i}" for i in range(12)]  # >= w+k-1 = 8 tokens
+    rows = [
+        Row(doc_id=0, text=" ".join(a[:30] + passage + a[30:])),
+        Row(doc_id=1, text=" ".join(b[:10] + passage + b[10:])),
+        Row(doc_id=2, text=" ".join(list(rng.choice(vocab, size=60)))),
+    ]
+    fps = T.winnow_fingerprints(spark.createDataFrame(rows)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: a shared run of >= w+k-1 tokens shares >= 1 fp
+    assert by_doc[0] & by_doc[1]
+    # unrelated doc shares nothing with either
+    assert not (by_doc[2] & by_doc[0]) and not (by_doc[2] & by_doc[1])

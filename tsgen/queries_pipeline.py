@@ -46,6 +46,10 @@ def _q_token_bpe(spark, sf_dir):
     return round6(text.token_count_bpe(_docs(spark, sf_dir)), "bpe_per_word")
 
 
+def _q_winnow(spark, sf_dir):
+    return text.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def _q_repetition(spark, sf_dir):
     out = text.repetition_stats(_docs(spark, sf_dir))
     return round6(out, "top_token_frac", "top_bigram_frac", "mean_token_len")
@@ -267,6 +271,7 @@ _REGISTRY.update(
         "token_count_bpe": Query(
             "token_count_bpe", _q_token_bpe, text.TOKEN_BPE_SQL, ("text",)
         ),
+        "doc_winnow": Query("doc_winnow", _q_winnow, text.WINNOW_SQL, ("text",)),
         "dedup_exact_docs": Query("dedup_exact_docs", _q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
         "corpus_curation": Query(
             "corpus_curation", _q_corpus_curation, _CORPUS_CURATION_SQL, ("dedup", "text")

@@ -371,3 +371,56 @@ SELECT doc_id,
           / len(string_split(text, ' '))) + 1.0e-9,6)+0.0e0) AS bpe_per_word
 FROM documents
 """
+
+
+# --- winnowing: rolling k-gram fingerprints (MOSS) ------------------------
+WINNOW_K, WINNOW_W = 4, 5
+
+
+def winnow_fingerprints(
+    df: DataFrame, text: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
+    SIGMOD'03): hash every token k-gram, slide a window of w hashes, keep
+    each window's minimum — guaranteed-coverage sub-linear fingerprints for
+    partial-overlap detection (plagiarism/quote/near-dup at passage level).
+
+    The k-gram "hash" is the md5 hex string and the window minimum is
+    LEXICOGRAPHIC — identically ordered in Spark and DuckDB, so the operator
+    is oracle-checkable (an integer rolling hash would be engine-specific).
+    Pure per-row array expressions + one explode: no shuffle except the
+    final distinct's, and selection density is ~2/(w+1) of k-grams.
+    """
+    n = "size(_toks)"
+    grams = (
+        f"CASE WHEN {n} >= {k} THEN "
+        f"transform(sequence(0, {n} - {k}), i -> md5(concat_ws(' ', slice(_toks, i + 1, {k})))) "
+        "ELSE array(md5(concat_ws(' ', _toks))) END"
+    )
+    sels = (
+        f"array_distinct(transform(sequence(0, greatest(size(_hs) - {w}, 0)), "
+        f"i -> array_min(slice(_hs, i + 1, {w}))))"
+    )
+    return (
+        df.withColumn("_toks", F.split(F.col(text), " "))
+        .withColumn("_hs", F.expr(grams))
+        .select("doc_id", F.explode(F.expr(sels)).alias("fp"))
+        .distinct()
+    )
+
+
+WINNOW_SQL = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {WINNOW_K} THEN
+           list_transform(range(1, len(toks) - {WINNOW_K} + 2),
+                          i -> md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')))
+         ELSE [md5(array_to_string(toks, ' '))] END AS hl
+  FROM base)
+SELECT DISTINCT doc_id,
+       unnest(list_distinct(list_transform(
+         range(0, greatest(len(hl) - {WINNOW_W}, 0) + 1),
+         i -> list_min(hl[i+1:i+{WINNOW_W}])))) AS fp
+FROM hs
+"""
