@@ -272,6 +272,12 @@ _REGISTRY.update(
             "token_count_bpe", _q_token_bpe, text.TOKEN_BPE_SQL, ("text",)
         ),
         "doc_winnow": Query("doc_winnow", _q_winnow, text.WINNOW_SQL, ("text",)),
+        "winnow_overlap": Query(
+            "winnow_overlap",
+            lambda spark, sf_dir: text.winnow_overlap_pairs(_docs(spark, sf_dir)),
+            text.winnow_pairs_sql(),
+            ("text", "dedup"),
+        ),
         "dedup_exact_docs": Query("dedup_exact_docs", _q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
         "corpus_curation": Query(
             "corpus_curation", _q_corpus_curation, _CORPUS_CURATION_SQL, ("dedup", "text")

@@ -424,3 +424,43 @@ SELECT DISTINCT doc_id,
          i -> list_min(hl[i+1:i+{WINNOW_W}])))) AS fp
 FROM hs
 """
+
+
+def winnow_overlap_pairs(
+    df: DataFrame, min_shared: int = 2, df_cap: int = 50, text: str = "text"
+) -> DataFrame:
+    """Passage-overlap candidate pairs: docs sharing >= min_shared winnowing
+    fingerprints. Same scalable shape as the shingle join (equi-join on the
+    fingerprint itself — only docs that DO share a fingerprint ever pair),
+    with the same df-cap guard: a boilerplate passage appearing in df docs
+    would contribute df² pairs, so fingerprints with document frequency
+    above df_cap are dropped (boilerplate is exactly what overlap detection
+    does NOT want to match on)."""
+    fps = winnow_fingerprints(df, text)
+    fps = fps.localCheckpoint(eager=False)
+    hot = (
+        fps.groupBy("fp").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_pairs_sql(min_shared: int = 2, df_cap: int = 50) -> str:
+    return f"""
+WITH fps AS ({WINNOW_SQL}),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {df_cap}),
+f2 AS (SELECT fps.* FROM fps JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
