@@ -306,3 +306,36 @@ FROM first_click f LEFT JOIN conv c ON f.user_id = c.user_id
 """
 
 _REGISTRY["ev_funnel"] = Query("ev_funnel", _q_funnel, _FUNNEL_SQL, ("join",))
+
+
+# --- cohort retention: users active N days after their first day ----------
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention matrix (completes the funnel/sessionize
+    product-analytics triad): cohort = first active day, cell = distinct
+    users active at each day offset. Two shuffles (first-day agg keyed by
+    user, cohort-cell agg keyed by (cohort, offset)) — both uniform keys."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    j = act.join(first, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day")
+    )
+    return j.groupBy(
+        F.unix_timestamp("cohort_day").alias("cohort_s"), "day_offset"
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+SELECT CAST(floor(epoch(f.cohort_day)) AS BIGINT) AS cohort_s,
+       CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+_REGISTRY["ev_retention"] = Query("ev_retention", _q_retention, _RETENTION_SQL, ("agg",))
