@@ -68,3 +68,25 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(family" in plan
     assert back.count() == 8 * 16
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from tsgen import io
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .limit(200)
+    )
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / fmt)
+        io.save_table(src, p, fmt=fmt)
+        back = io.load_table(spark, p, fmt=fmt, schema=src.schema)
+        assert back.count() == 200
+        a = {r.o_orderkey: r for r in src.collect()}
+        b = {r.o_orderkey: r for r in back.collect()}
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k].o_custkey == b[k].o_custkey
+            assert abs(a[k].o_totalprice - b[k].o_totalprice) < 1e-9
+            assert a[k].o_orderstatus == b[k].o_orderstatus

@@ -73,3 +73,31 @@ def load_run(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     df = load_series(spark, f"{path}/data")
     cfg_row = spark.read.json(f"{path}/config").collect()[0]
     return df, json.loads(cfg_row.config)
+
+
+# --- generic source/sink formats (engine extension) ------------------------
+_FMT_OPTS = {
+    "csv": {"header": "true", "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+    "json": {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+    "parquet": {},
+}
+
+
+def save_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Write in any Spark batch format (parquet/csv/json/orc). Text formats
+    are for interchange only — at scale parquet/orc keep column pruning,
+    predicate pushdown, and compression that csv/json lose."""
+    df.write.mode("overwrite").options(**{**_FMT_OPTS.get(fmt, {}), **options}).format(
+        fmt
+    ).save(path)
+
+
+def load_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options):
+    """Read any Spark batch format. Pass an explicit schema for csv/json —
+    schema inference costs an extra full scan and can mistype columns."""
+    r = spark.read.options(**{**_FMT_OPTS.get(fmt, {}), **options})
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt == "csv":
+        r = r.option("inferSchema", "true")
+    return r.format(fmt).load(path)
