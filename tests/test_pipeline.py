@@ -131,6 +131,9 @@ def test_connected_components_chain_star_clique(spark):
     )
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.node: r.label for r in dedup.connected_components(df).collect()}
+    # and the distributed join-loop path must agree (local_finish=0 forces it)
+    loop = {r.node: r.label for r in dedup.connected_components(df, local_finish=0).collect()}
+    assert loop == got
     assert all(got[i] == 0 for i in range(10))
     assert all(got[x] == 100 for x in (100, 101, 102, 103))
     assert all(got[x] == 200 for x in (200, 201, 202))
