@@ -222,3 +222,13 @@ def test_winnowing_detects_shared_passage(spark):
     assert by_doc[0] & by_doc[1]
     # unrelated doc shares nothing with either
     assert not (by_doc[2] & by_doc[0]) and not (by_doc[2] & by_doc[1])
+
+
+def test_resize_pool_shape_and_determinism(spark, docs):
+    media = multimodal.as_media_table(docs.withColumn("n_chars", F.length("text")))
+    out = multimodal.resize_pool(media, out_len=16).collect()
+    assert len(out) == docs.count()
+    assert all(len(bytes(r.thumb)) == 16 for r in out)
+    # deterministic: same input -> same thumbnail bytes
+    again = {r.doc_id: bytes(r.thumb) for r in multimodal.resize_pool(media, out_len=16).collect()}
+    assert all(bytes(r.thumb) == again[r.doc_id] for r in out)

@@ -75,3 +75,65 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+FRAME_SIZE, FRAME_STRIDE = 32, 64
+
+
+def frame_sample(
+    media: DataFrame, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Video-style frame sampling plumbing: slice each binary payload into
+    fixed-size frames at a stride, one OUTPUT ROW per sampled frame — the
+    1→N row-explosion shape real frame extraction has. Emits md5 + length
+    per frame (stand-ins for the decoded frame tensor) so results are
+    value-checkable; a real deployment decodes frame bytes instead.
+    Narrow mapInPandas: no shuffle, batch memory bounded by Arrow batching.
+    """
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                j = 0
+                while j * stride < n:
+                    chunk = payload[j * stride : j * stride + frame_size]
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+                    lens.append(len(chunk))
+                    j += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes, "frame_len": lens}
+            ).astype({"doc_id": "int64", "frame_idx": "int32", "frame_len": "int32"})
+
+    return media.mapInPandas(
+        fn, "doc_id bigint, frame_idx int, frame_md5 string, frame_len int"
+    )
+
+
+def resize_pool(media: DataFrame, out_len: int = 16) -> DataFrame:
+    """Image-resize plumbing: average-pool each payload's bytes down to
+    out_len buckets (the stand-in for bilinear resize; a real deployment
+    decodes + PIL-resizes instead). Output is a fixed-length tiny binary —
+    the schema/batch shape of a thumbnail column."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(arr) == 0:
+                    out.append(b"\x00" * out_len)
+                    continue
+                splits = np.array_split(arr, out_len)
+                out.append(bytes(int(s.mean()) if len(s) else 0 for s in splits))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "thumb": out}
+            )
+
+    return media.mapInPandas(fn, "doc_id bigint, thumb binary")

@@ -140,6 +140,31 @@ def _q_embed_quantize(spark, sf_dir):
     )
 
 
+# --- multimodal frame sampling (oracle via ASCII string slicing) ----------
+def _q_multimodal_frames(spark, sf_dir):
+    media = multimodal.as_media_table(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media)
+
+
+# The corpus is pure ASCII (verified: octet_length == length at every sf),
+# so byte offsets == character offsets and DuckDB can replay the byte
+# slicing with string substring + md5. Non-ASCII corpora would need a
+# rows-only check instead.
+_FRAMES_SQL = f"""
+WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+f AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, (n + {multimodal.FRAME_STRIDE} - 1)
+                          // {multimodal.FRAME_STRIDE})) AS frame_idx
+  FROM base)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(substring(text, CAST(frame_idx * {multimodal.FRAME_STRIDE} + 1 AS BIGINT),
+                     {multimodal.FRAME_SIZE})) AS frame_md5,
+       CAST(least({multimodal.FRAME_SIZE}, n - frame_idx * {multimodal.FRAME_STRIDE}) AS INT) AS frame_len
+FROM f
+"""
+
+
 # --- near-dup clustering: pairs → connected components → canonical doc ----
 # The dedup step real pipelines run AFTER pair generation: group transitively
 # linked near-dups into clusters, keep min doc_id as canonical. Spark side =
@@ -291,6 +316,9 @@ _REGISTRY.update(
         ),
         "embed_quantize": Query(
             "embed_quantize", _q_embed_quantize, similarity.QUANTIZE_SQL, ("similarity",)
+        ),
+        "multimodal_frames": Query(
+            "multimodal_frames", _q_multimodal_frames, _FRAMES_SQL, ("multimodal",)
         ),
         "ngram_jaccard": Query(
             "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)
