@@ -232,3 +232,12 @@ def test_resize_pool_shape_and_determinism(spark, docs):
     # deterministic: same input -> same thumbnail bytes
     again = {r.doc_id: bytes(r.thumb) for r in multimodal.resize_pool(media, out_len=16).collect()}
     assert all(bytes(r.thumb) == again[r.doc_id] for r in out)
+
+
+def test_lsh_pairs_finds_planted_neardup(spark, emb):
+    # planted near-identical pair (3, 7): cosine ~ 1 -> signatures agree on
+    # every band -> must survive candidate generation and verification
+    out = similarity.lsh_pairs(emb, threshold=0.9).toPandas()
+    assert any((a, b) == (3, 7) for a, b in zip(out.id_a, out.id_b))
+    # and every emitted pair is genuinely >= threshold (verify step works)
+    assert (out.cos_sim >= 0.9).all()

@@ -132,6 +132,10 @@ def _q_pack_sequences(spark, sf_dir):
     return round6(text.pack_sequences(_docs(spark, sf_dir)), "fill_ratio")
 
 
+def _q_ann_lsh(spark, sf_dir):
+    return round6(similarity.lsh_pairs(_emb(spark, sf_dir)), "cos_sim")
+
+
 def _q_embed_quantize(spark, sf_dir):
     from .queries import roundn
 
@@ -319,6 +323,9 @@ _REGISTRY.update(
         ),
         "multimodal_frames": Query(
             "multimodal_frames", _q_multimodal_frames, _FRAMES_SQL, ("multimodal",)
+        ),
+        "ann_lsh": Query(
+            "ann_lsh", _q_ann_lsh, similarity.lsh_pairs_sql(), ("similarity",)
         ),
         "ngram_jaccard": Query(
             "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)

@@ -242,3 +242,127 @@ SELECT vec_id, (round((scale) + 1.0e-9,9)+0.0e0) AS scale,
                * (x - floor(x / scale + 5.0e-1) * scale))) / len(vv)) + 1.0e-9,9)+0.0e0) AS recon_mse
 FROM q
 """
+
+
+# --- random-hyperplane LSH ANN (complements the IVF path) -----------------
+# Sign-of-projection signatures (Charikar SimHash for vectors): H
+# deterministic pseudo-random hyperplanes (the engine's portable LCG normal,
+# so BOTH engines build bit-identical planes), banded into H/8-bit bucket
+# keys; vectors sharing any band bucket become candidates, verified with
+# exact cosine. Collision probability per bit is 1 - angle/pi, so the
+# banding trades recall for candidate count exactly like MinHash bands.
+SALT_HYPER = 1 << 27  # disjoint from every diffusion/noise salt range
+LSH_PLANES, LSH_BANDS = 32, 4
+
+
+def _plane_table(spark, dim: int, n_planes: int = LSH_PLANES):
+    from . import expr as E
+
+    return (
+        spark.range(n_planes * dim)
+        .select(
+            (F.col("id") / dim).cast("long").alias("plane"),
+            F.pmod(F.col("id"), F.lit(dim)).alias("d"),
+            F.expr(E.normal("id", SALT_HYPER)).alias("w"),
+        )
+        .groupBy("plane")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "w"))).alias("ws"))
+        .select("plane", F.col("ws.w").alias("wvec"))
+    )
+
+
+def lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH candidate pairs + exact-cosine verify.
+
+    Cost shape: O(N·H·d) flops for signatures (corpus × broadcast planes —
+    no shuffle), one groupBy to assemble bit rows, one self-equi-join on
+    (band, band_bits) uniform keys, exact verify on candidates only."""
+    rows = n_planes // bands
+    v = with_norm(df, vec).select("vec_id", "_vec", "norm")
+    v = v.localCheckpoint(eager=False)
+    planes = _plane_table(df.sparkSession, len(df.select(vec).first()[0]), n_planes)
+    proj = (
+        v.crossJoin(F.broadcast(planes))
+        .withColumn("bit", (cosine("_vec", "wvec") >= 0).cast("int"))
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("plane", "bit"))).alias("bits"))
+        .select("vec_id", F.col("bits.bit").alias("sig"))
+    )
+    banded = proj.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)],
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bkey")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bkey"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("_vec").alias("xa"), F.col("norm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("_vec").alias("xb"), F.col("norm").alias("nb"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine("xa", "xb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    return out
+
+
+def lsh_pairs_sql(
+    threshold: float = 0.35, n_planes: int = LSH_PLANES, bands: int = LSH_BANDS, dim: int = 64
+) -> str:
+    from . import expr as E
+
+    rows = n_planes // bands
+    band_cases = ", ".join(
+        "array_to_string(sig[%d:%d], '')" % (b * rows + 1, b * rows + rows)
+        for b in range(bands)
+    )
+    return f"""
+WITH planes AS (
+  SELECT range // {dim} AS plane, range % {dim} AS d,
+         {E.normal("range", SALT_HYPER)} AS w
+  FROM range({n_planes * dim})),
+pl AS (SELECT plane, list(w ORDER BY d) AS wvec FROM planes GROUP BY plane),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+proj AS (
+  SELECT vec_id, list(CASE WHEN list_dot_product(vec, wvec) >= 0 THEN '1' ELSE '0' END
+                      ORDER BY plane) AS sig
+  FROM n CROSS JOIN pl GROUP BY vec_id),
+banded AS (
+  SELECT vec_id, unnest(range(0, {bands})) AS band,
+         unnest([{band_cases}]) AS bkey
+  FROM proj),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+   AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       (round((list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm)) + 1.0e-9,6)+0.0e0) AS cos_sim
+FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+WHERE list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) >= {threshold:.9e}
+"""
