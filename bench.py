@@ -102,6 +102,7 @@ def main() -> None:
         "cosine_topk",
         "embed_neardup",
         "ann_ivf",
+        "ann_lsh",
         "embed_quantize",
         "train_denoiser",
         "multimodal_features",
