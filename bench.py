@@ -96,6 +96,8 @@ def main() -> None:
         "simhash_pairs",
         "dedup_clusters",
         "corpus_curation",
+        "doc_contamination",
+        "ev_cusum",
         "repetition_stats",
         "doc_chunks",
         "pack_sequences",

@@ -1,0 +1,72 @@
+"""Sequence/path analytics + decontamination properties (queries_paths)."""
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from tsgen import queries_paths as qp
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                user_id=u,
+                ts=dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m),
+                event_type=t,
+                value=float(v),
+            )
+            for i, (u, m, t, v) in enumerate(rows)
+        ]
+    )
+
+
+def test_transition_probs_sum_to_one(spark):
+    ev = _ev(
+        spark,
+        [(1, 0, "a", 1), (1, 1, "b", 2), (1, 2, "a", 3), (2, 0, "a", 1), (2, 1, "c", 2)],
+    )
+    out = qp.event_transitions(ev)
+    sums = out.groupBy("prev_type").agg(F.sum("p").alias("s")).collect()
+    assert all(abs(r.s - 1.0) < 1e-12 for r in sums)
+    got = {(r.prev_type, r.next_type): r.n for r in out.collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "c"): 1}
+
+
+def test_user_paths_short_users_truncate(spark):
+    ev = _ev(spark, [(1, 0, "a", 1), (1, 1, "b", 1), (1, 2, "c", 1), (1, 3, "d", 1), (2, 0, "x", 1)])
+    got = {r.path: r.n_users for r in qp.user_paths(ev, k=3).collect()}
+    # user 1 truncated to first 3; user 2 keeps its 1-event path
+    assert got == {"a>b>c": 1, "x": 1}
+
+
+def test_autocorr_perfect_alternation(spark):
+    # strictly alternating +1/-1 has ACF(1) = -1, ACF(2) = +1
+    ev = _ev(spark, [(1, m, "a", 1 if m % 2 == 0 else -1) for m in range(40)])
+    row = qp.autocorr(ev, lags=(1, 2)).collect()[0]
+    assert abs(row.acf1 + 1.0) < 1e-9
+    assert abs(row.acf2 - 1.0) < 1e-9
+
+
+def test_cusum_peaks_at_level_shift(spark):
+    # 20 points at 0 then 20 at 10: |CUSUM| peaks exactly at the shift point
+    ev = _ev(spark, [(1, m, "a", 0 if m < 20 else 10) for m in range(40)])
+    row = qp.cusum(ev).collect()[0]
+    shift_ts = int(dt.datetime(2024, 1, 1, 0, 19).timestamp())
+    assert row.cp_ts == shift_ts  # last pre-shift point holds the max deviation
+    assert abs(row.max_abs_s - 100.0) < 1e-6  # 20 * |0 - 5|
+
+
+def test_contamination_planted_overlap(spark):
+    # doc 97*2 is benchmark; doc 5 copies its text -> ratio 1; doc 7 disjoint -> 0
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=194, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=5, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=7, text="entirely different words with zero shingle overlap here"),
+        ]
+    )
+    got = {r.doc_id: (r.n_hit, round(r.ratio, 6)) for r in qp.contamination(docs).collect()}
+    assert set(got) == {5, 7}
+    assert got[5][0] == got[5][0] and got[5][1] == 1.0
+    assert got[7] == (0, 0.0)

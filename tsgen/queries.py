@@ -145,6 +145,7 @@ def _ensure_populated() -> None:
         queries_decompose,
         queries_diffusion,
         queries_misc,
+        queries_paths,
         queries_pipeline,
         queries_streaming,
         queries_training,
@@ -173,12 +174,15 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
         .agg(F.avg("value").alias("value"))
     )
     w = Window.partitionBy("event_type").orderBy("bucket")
+    # Rank series ids on the distinct-key table (|event_types| rows), not the
+    # full hourly table — an unpartitioned window over the data itself is a
+    # single-reducer wall at scale.
+    keys = hourly.select("event_type").distinct().withColumn(
+        "series_id", F.dense_rank().over(Window.orderBy("event_type")).cast("bigint") - 1
+    )
     ev_series = (
         hourly.withColumn("t", F.row_number().over(w).cast("bigint") - 1)
-        .withColumn(
-            "series_id",
-            F.dense_rank().over(Window.orderBy("event_type")).cast("bigint") - 1,
-        )
+        .join(F.broadcast(keys), "event_type")
         .select("series_id", F.col("event_type").alias("series_key"), "t", "value")
     )
     syn = generators.generate(spark, 16, 128, "linear_sum", normalize=False).withColumn(

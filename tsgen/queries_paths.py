@@ -1,0 +1,287 @@
+"""Sequence/path analytics + decontamination (SURVEY §2 D/E/F extensions and
+the LLM-pipeline mandate).
+
+Operators:
+- ev_transitions: first-order Markov transition counts/probabilities over
+  event_type per user (reference has ordered iteration F2; this is the
+  event-sequence analytics a telemetry user expects).
+- ev_user_paths: first-3-event path per user → path frequency table.
+- ts_autocorr: per-series autocorrelation at lags 1/2/3 (classic TS
+  diagnostic; complements the FFT seasonality path, tsgen/spectral.py).
+- ev_cusum: CUSUM changepoint score per user — max |cumsum(value - mean)|
+  and the timestamp where it peaks.
+- doc_contamination: benchmark-decontamination check — fraction of each
+  training doc's 3-shingles that appear in a held-out "benchmark" doc set
+  (doc_id % 97 == 0). The canonical n-gram-overlap decontamination pass of
+  an LLM data pipeline.
+
+Scale notes (100 TB):
+- Every operator shuffles once on its natural key (user_id / prev_type /
+  shingle). No global unpartitioned windows, no driver collects.
+- ev_transitions' second aggregation runs on the (prev_type, next_type)
+  matrix — |event_types|² rows, tiny regardless of input scale.
+- doc_contamination joins exploded shingles against the benchmark shingle
+  set on the shingle itself (equi-join, semi) — benchmark side is the small
+  side but NOT assumed broadcastable; Spark/AQE picks broadcast when it
+  fits. No all-pairs anything.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import dedup
+from .queries import _REGISTRY, Query, canon_types, round6, roundn
+from .queries_analytics import _events, _t
+
+
+# --- ev_transitions: Markov transition matrix ------------------------------
+def event_transitions(ev: DataFrame) -> DataFrame:
+    """(prev_type → next_type) counts and row-normalized probabilities.
+
+    One shuffle on user_id for the lag, one partial-agg'd shuffle on the
+    pair; the probability normalizer is a window over prev_type on the
+    already-tiny matrix."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p", F.col("n") / F.sum("n").over(tot)
+    )
+
+
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = event_transitions(_events(spark, sf_dir))
+    return round6(out.select("prev_type", "next_type", "n", "p"), "p")
+
+
+_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+m AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n,
+       (round((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)) + 1.0e-9,6)+0.0e0) AS p
+FROM m
+"""
+
+
+# --- ev_user_paths: first-k event path frequencies -------------------------
+def user_paths(ev: DataFrame, k: int = 3) -> DataFrame:
+    """First-k-event path string per user ('a>b>c'), then path frequencies.
+
+    row_number + conditional agg per user (one shuffle), then a tiny
+    aggregation over distinct paths. concat_ws skips NULLs, so users with
+    fewer than k events get their full shorter path — same in DuckDB."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_user = rn.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", *[F.max(F.when(F.col("rn") == i + 1, F.col("event_type"))) for i in range(k)]
+        ).alias("path")
+    )
+    return per_user.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
+def _q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canon_types(user_paths(_events(spark, sf_dir), k=3))
+
+
+_USER_PATHS_SQL = """
+WITH rn AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         concat_ws('>',
+           max(CASE WHEN rn = 1 THEN event_type END),
+           max(CASE WHEN rn = 2 THEN event_type END),
+           max(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM rn WHERE rn <= 3 GROUP BY user_id)
+SELECT path, count(*) AS n_users FROM per_user GROUP BY path
+"""
+
+
+# --- ts_autocorr: per-series ACF at small lags -----------------------------
+def autocorr(ev: DataFrame, lags: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Per-user autocorrelation of `value` at the given lags: one window
+    pass builds the lagged columns, one groupBy computes Pearson corr per
+    lag (corr skips NULL pairs in both engines)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    for lg in lags:
+        ev = ev.withColumn(f"_l{lg}", F.lag("value", lg).over(w))
+    aggs = [F.count("*").alias("n")]
+    for lg in lags:
+        c = F.corr("value", f"_l{lg}")
+        aggs.append(F.when(F.isnan(c), None).otherwise(c).alias(f"acf{lg}"))
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = autocorr(_events(spark, sf_dir))
+    # corr is a ratio of large centered sums — 4dp (see queries.roundn)
+    return roundn(out, 4, "acf1", "acf2", "acf3")
+
+
+_AUTOCORR_SQL = """
+WITH lagged AS (
+  SELECT user_id, value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*) AS n,
+       (round((corr(value, l1)) + 1.0e-9,4)+0.0e0) AS acf1,
+       (round((corr(value, l2)) + 1.0e-9,4)+0.0e0) AS acf2,
+       (round((corr(value, l3)) + 1.0e-9,4)+0.0e0) AS acf3
+FROM lagged GROUP BY user_id
+"""
+
+
+# --- ev_cusum: changepoint score per series --------------------------------
+def cusum(ev: DataFrame) -> DataFrame:
+    """CUSUM changepoint statistic per user: S_t = Σ_{i<=t}(v_i − mean_v);
+    emit max |S_t| and the earliest timestamp achieving it.
+
+    Two windows over ONE (user_id, ts) sort: the partition-wide mean and
+    the running sum reuse the same shuffle. The argmax is the
+    max-then-filter-then-min formulation — deterministic under ties (min
+    ts) and engine-stable because the comparison happens on 4dp-rounded
+    values. No second shuffle: the groupBys re-use the user_id
+    partitioning."""
+    wp = Window.partitionBy("user_id")
+    wo = wp.orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    b = (
+        ev.withColumn("_mean", F.avg("value").over(wp))
+        .withColumn("_s", F.sum(F.col("value") - F.col("_mean")).over(run))
+        .withColumn("abs_s", F.round(F.abs("_s") + F.lit(1e-9), 4) + F.lit(0.0))
+        .withColumn("ts_s", F.unix_timestamp("ts"))
+        .select("user_id", "abs_s", "ts_s")
+    )
+    m = b.groupBy("user_id").agg(
+        F.max("abs_s").alias("max_abs_s"), F.count("*").alias("n")
+    )
+    cp = (
+        b.join(m, "user_id")
+        .filter(F.col("abs_s") == F.col("max_abs_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("cp_ts"))
+    )
+    return m.join(cp, "user_id").select("user_id", "n", "max_abs_s", "cp_ts")
+
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum(_events(spark, sf_dir))
+
+
+_CUSUM_SQL = """
+WITH b AS (
+  SELECT user_id,
+         (round((abs(sum(value - mean_v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) + 1.0e-9,4)+0.0e0) AS abs_s,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM (SELECT *, avg(value) OVER (PARTITION BY user_id) AS mean_v FROM events)),
+m AS (SELECT user_id, max(abs_s) AS max_abs_s, count(*) AS n FROM b GROUP BY user_id)
+SELECT m.user_id, m.n, m.max_abs_s, min(b.ts_s) AS cp_ts
+FROM b JOIN m ON b.user_id = m.user_id AND b.abs_s = m.max_abs_s
+GROUP BY m.user_id, m.n, m.max_abs_s
+"""
+
+
+# --- doc_contamination: benchmark n-gram overlap ---------------------------
+BENCH_MOD = 97
+
+
+def contamination(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Benchmark-decontamination pass: docs with doc_id % 97 == 0 form the
+    held-out benchmark; for every other doc, the fraction of its distinct
+    word 3-shingles that appear anywhere in the benchmark set.
+
+    Shingle the corpus ONCE (dedup.shingles), split into benchmark /
+    training, and count hits with a left-semi equi-join on the shingle —
+    the same single-shuffle shape as the dedup family; no pairwise
+    comparisons."""
+    # One exploded pass per side. The benchmark side (1/97 of docs — in a
+    # real decontamination run, the held-out benchmark is a tiny fraction of
+    # the corpus) is distinct'd and LEFT-joined onto the train side, so n_sh
+    # and n_hit come out of ONE doc_id aggregation: the train corpus is
+    # shingled once and shuffled once on `shingle` (or not at all when the
+    # benchmark set broadcasts, which it does at any realistic ratio).
+    sh = dedup.shingles(docs, "text", k).select("doc_id", "shingles")
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_sh = (
+        sh.filter(is_bench)
+        # explode_outer: `shingles` is never null/empty by construction, and
+        # plain explode's implicit IsNotNull/size>0 filter re-evaluates the
+        # whole shingling CASE expression ~3x per row (seen in the plan)
+        .select(F.explode_outer("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("in_bench", F.lit(1).cast("bigint"))
+    )
+    out = (
+        sh.filter(~is_bench)
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .join(bench_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce("in_bench", F.lit(0))).alias("n_hit"),
+        )
+        .withColumn("ratio", F.col("n_hit") / F.col("n_sh"))
+    )
+    return out
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = contamination(_t(spark, sf_dir, "documents"))
+    return canon_types(round6(out, "ratio"))
+
+
+_CONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+train AS (
+  SELECT doc_id, len(shingles) AS n_sh, shingles FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM train),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM ex
+  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id)
+SELECT t.doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+       (round((CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_sh) + 1.0e-9,6)+0.0e0) AS ratio
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_transitions": Query(
+            "ev_transitions", _q_transitions, _TRANSITIONS_SQL, ("analytics",)
+        ),
+        "ev_user_paths": Query(
+            "ev_user_paths", _q_user_paths, _USER_PATHS_SQL, ("analytics",)
+        ),
+        "ts_autocorr": Query("ts_autocorr", _q_autocorr, _AUTOCORR_SQL, ("analytics",)),
+        "ev_cusum": Query("ev_cusum", _q_cusum, _CUSUM_SQL, ("analytics",)),
+        "doc_contamination": Query(
+            "doc_contamination", _q_contamination, _CONTAMINATION_SQL, ("pipeline",)
+        ),
+    }
+)
