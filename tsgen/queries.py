@@ -148,6 +148,7 @@ def _ensure_populated() -> None:
         queries_paths,
         queries_pipeline,
         queries_streaming,
+        queries_tpch,
         queries_training,
     )
 

@@ -1,0 +1,170 @@
+"""Classic decision-support queries over the TPC-H-shaped testdata tables
+(SURVEY §2 C/E/F extensions — the analytic surface a warehouse user of the
+engine runs daily). Shapes follow the public TPC-H specification (Q14, Q15,
+Q17, Q18 analogues), adapted to the columns the testdata actually has.
+
+Scale notes (100 TB):
+- part / supplier are dimension sides: joined with broadcast() explicitly —
+  lineitem (the fact side) is never shuffled for those joins.
+- top_supplier avoids the global-window single-reducer trap: the max is a
+  1-row aggregate joined back (same pattern as ev_cusum's argmax).
+- small_qty_revenue's per-part average is a partial-agg'd groupBy on
+  l_partkey, then joined fact-to-fact on the SAME key — at scale both sides
+  hash-partition on l_partkey, and AQE handles residual skew.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import _REGISTRY, Query, canon_types, roundn
+from .queries_analytics import _t
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# --- promo_revenue (Q14 shape): monthly promo revenue share ----------------
+def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    out = (
+        j.groupBy(
+            F.year("l_shipdate").alias("yr"), F.month("l_shipdate").cast("bigint").alias("mo")
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
+                / F.sum(_rev())
+            ).alias("promo_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return canon_types(roundn(out, 4, "promo_share"))
+
+
+_PROMO_SQL = f"""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, CAST(month(l_shipdate) AS BIGINT) AS mo,
+       (round((100.0e0 * sum(CASE WHEN p_type = 'PROMO' THEN {REV_SQL} ELSE 0.0e0 END)
+               / sum({REV_SQL})) + 1.0e-9,4)+0.0e0) AS promo_share,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+"""
+
+
+# --- top_supplier (Q15 shape): max-revenue supplier(s) for a quarter -------
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def _q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START)) & (F.col("l_shipdate") < F.lit(Q15_END))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("_r"))
+        # round BEFORE the max/filter so both engines agree on who wins
+        .withColumn("total_rev", F.round(F.col("_r") + F.lit(1e-9), 2) + F.lit(0.0))
+        .drop("_r")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        rev.join(F.broadcast(mx), rev.total_rev == mx._mx)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name", "total_rev")
+    )
+    return out
+
+
+_TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, (round((sum({REV_SQL})) + 1.0e-9,2)+0.0e0) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}' AND l_shipdate < TIMESTAMP '{Q15_END}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+# --- small_qty_revenue (Q17 shape): revenue locked in small-lot orders -----
+def _q_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    brand_parts = (
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    out = (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return canon_types(roundn(out, 4, "avg_yearly"))
+
+
+_SMALL_QTY_SQL = """
+WITH pa AS (SELECT l_partkey, 0.5e0 * avg(l_quantity) AS half_avg FROM lineitem GROUP BY 1)
+SELECT (round((sum(l.l_extendedprice) / 7.0e0) + 1.0e-9,4)+0.0e0) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.half_avg
+"""
+
+
+# --- large_volume_orders (Q18 shape) ---------------------------------------
+Q18_MIN_QTY = 170.0
+
+
+def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.unix_timestamp("o_orderdate").alias("o_date_s"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_date_s", "o_totalprice", "sum_qty")
+    )
+    return canon_types(roundn(out, 4, "sum_qty", "o_totalprice"))
+
+
+_LARGE_ORDERS_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_s,
+       (round((o_totalprice) + 1.0e-9,4)+0.0e0) AS o_totalprice,
+       (round((sum_qty) + 1.0e-9,4)+0.0e0) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+      GROUP BY 1 HAVING sum(l_quantity) > {Q18_MIN_QTY:.9e})
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+_REGISTRY.update(
+    {
+        "promo_revenue": Query("promo_revenue", _q_promo_revenue, _PROMO_SQL, ("agg",)),
+        "top_supplier": Query("top_supplier", _q_top_supplier, _TOP_SUPPLIER_SQL, ("agg",)),
+        "small_qty_revenue": Query("small_qty_revenue", _q_small_qty, _SMALL_QTY_SQL, ("agg",)),
+        "large_volume_orders": Query(
+            "large_volume_orders", _q_large_orders, _LARGE_ORDERS_SQL, ("agg",)
+        ),
+    }
+)
