@@ -57,3 +57,30 @@ def test_fit_matches_numpy_lstsq(spark):
     mse_np = float(np.mean((pdf.noise.to_numpy() - X @ w_np) ** 2))
     assert abs(out.train_mse - mse_np) < 1e-9
     assert out.train_mse < out.baseline_mse
+
+
+def test_fourier_fit_matches_numpy_lstsq(spark):
+    # Fourier time-embedding basis: same Cramer solve, numpy parity, and the
+    # sinusoidal conditioning still beats the zero predictor
+    df = generators.generate(spark, 16, 64, "mixed")
+    sched = schedule_table(spark, 50, "cosine")
+    noisy = diffusion.q_sample(df, sched, 50)
+    base = noisy.selectExpr("x_t AS x", "t_step", "noise AS y")
+    out = train.fit_feature_denoiser(base, train.fourier_feats(50)).collect()[0]
+
+    pdf = noisy.select("x_t", "t_step", "noise").toPandas()
+    w = 2.0 * np.pi / 50
+    X = np.column_stack(
+        [
+            np.ones(len(pdf)),
+            pdf.x_t,
+            pdf.x_t * np.sin(w * pdf.t_step),
+            pdf.x_t * np.cos(w * pdf.t_step),
+        ]
+    )
+    w_np, *_ = np.linalg.lstsq(X, pdf.noise.to_numpy(), rcond=None)
+    for i in range(4):
+        assert abs(out[f"w{i}"] - w_np[i]) < 1e-6
+    mse_np = float(np.mean((pdf.noise.to_numpy() - X @ w_np) ** 2))
+    assert abs(out.train_mse - mse_np) < 1e-9
+    assert out.train_mse < out.baseline_mse

@@ -165,6 +165,48 @@ FROM w
 """
 
 
+# --- Fourier time-embedding denoiser (sinusoidal-PE analog) ---------------
+def _q_train_denoiser_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import diffusion, train
+    from .queries import roundn
+    from .schedules import schedule_table
+
+    df = generators.generate(spark, TD_N, TD_LEN, "mixed")
+    sched = schedule_table(spark, TD_T, "cosine")
+    noisy = diffusion.q_sample(df, sched, TD_T)
+    base = noisy.selectExpr("x_t AS x", "t_step", "noise AS y")
+    out = train.fit_feature_denoiser(base, train.fourier_feats(TD_T))
+    return roundn(out, 4, "w0", "w1", "w2", "w3", "train_mse", "baseline_mse")
+
+
+def _train_denoiser_fourier_sql() -> str:
+    from . import diffusion, oracle, train
+    from .schedules import duckdb_from_clause, schedule_sql
+
+    gen = oracle.generate_sql(TD_N, TD_LEN, "mixed", rounded=False)
+    sched = schedule_sql(TD_T, "cosine", duckdb_from_clause(TD_T))
+    tstep = diffusion.draw_t_step(TD_T)
+    noise = E.normal(E.pt_key(), diffusion.SALT_QNOISE)
+    e = train.solver_exprs()
+    feats = train.fourier_feats(TD_T)
+    r4 = lambda x: E.roundn(x, 4)  # noqa: E731
+    return f"""
+WITH src AS ({gen}), sch AS ({sched}),
+b AS (SELECT series_id, t, value, {tstep} AS t_step, {noise} AS noise FROM src),
+j AS (SELECT b.t_step,
+             (sch.sqrt_ac * b.value + sch.sqrt_1m_ac * b.noise) AS x,
+             b.noise AS y
+      FROM b JOIN sch ON b.t_step = sch.t_step),
+g AS (SELECT {train.sums_select_sql_feats(feats, "y")} FROM j),
+w AS (SELECT *, {e["w0"]} AS w0, {e["w1"]} AS w1, {e["w2"]} AS w2, {e["w3"]} AS w3 FROM g)
+SELECT CAST(a00 AS BIGINT) AS n,
+       {r4("w0")} AS w0, {r4("w1")} AS w1, {r4("w2")} AS w2, {r4("w3")} AS w3,
+       {r4(e["train_mse"])} AS train_mse,
+       {r4(e["baseline_mse"])} AS baseline_mse
+FROM w
+"""
+
+
 # --- the full multi-epoch training loop, as ONE aggregation ---------------
 # Reference shape (test_training.py:144-176): per epoch draw fresh timesteps
 # + noise, fit, track the best (min) loss. Here every epoch's 15 sufficient
@@ -250,6 +292,12 @@ _REGISTRY.update(
         ),
         "train_epochs": Query(
             "train_epochs", _q_train_epochs, _train_epochs_sql(), ("training",)
+        ),
+        "train_denoiser_fourier": Query(
+            "train_denoiser_fourier",
+            _q_train_denoiser_fourier,
+            _train_denoiser_fourier_sql(),
+            ("training",),
         ),
         "ev_interval_join": Query("ev_interval_join", _q_interval_join, _INTERVAL_SQL, ("join",)),
         "ev_percentiles": Query("ev_percentiles", _q_percentiles, _PERCENTILES_SQL, ("agg",)),

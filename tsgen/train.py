@@ -68,6 +68,66 @@ def sums_select_sql(x: str, s: str, y: str) -> str:
     )
 
 
+def sums_select_sql_feats(feats: list[str], y: str) -> str:
+    """Generalized sufficient statistics for an arbitrary 4-feature basis:
+    the upper triangle of A = Σ φφᵀ (10 sums), b = Σ φy (4), and Σy² — as
+    shared Spark/DuckDB select-list text. Feature expressions must be
+    comma-free (single-arg functions only) and use E-notation float
+    literals (tsgen/expr.py docstring)."""
+    assert len(feats) == 4
+    parts = []
+    for i in range(4):
+        for j in range(i, 4):
+            parts.append(f"sum(({feats[i]})*({feats[j]})) AS a{i}{j}")
+    for i in range(4):
+        parts.append(f"sum(({feats[i]})*({y})) AS b{i}")
+    parts.append(f"sum(({y})*({y})) AS syy")
+    return ", ".join(parts)
+
+
+def fourier_feats(timesteps: int) -> list[str]:
+    """Fourier time-embedding basis for the denoiser: φ = [1, x,
+    x·sin(ωt), x·cos(ωt)] with ω = 2π/T over the diffusion step t_step —
+    the closed-form analog of the reference's sinusoidal timestep embedding
+    feeding a linear head (models/diffusion_ts_model.py:101-150 sinusoidal
+    PE of t conditions the denoiser)."""
+    import math
+
+    w = 2.0 * math.pi / timesteps
+    return ["1.0e0", "x", f"(x*sin({w:.17e}*t_step))", f"(x*cos({w:.17e}*t_step))"]
+
+
+def fit_feature_denoiser(
+    base: DataFrame, feats: list[str], group: list[str] | None = None
+) -> DataFrame:
+    """Closed-form least-squares fit of ε̂ = Σ wᵢφᵢ for an arbitrary
+    4-feature basis. `base` must expose every column the feature
+    expressions reference (e.g. x, t_step) plus `y`; same
+    one-shuffle-of-sufficient-statistics shape as fit_linear_denoiser."""
+    aggs = sums_select_sql_feats(feats, "y").split(", ")
+    if group:
+        g = base.groupBy(*group).agg(
+            *[
+                F.expr(a.rsplit(" AS ", 1)[0]).alias(a.rsplit(" AS ", 1)[1])
+                for a in aggs
+            ]
+        )
+    else:
+        g = base.selectExpr(aggs)
+    e = solver_exprs()
+    w = g.select("*", *[F.expr(e[f"w{i}"]).alias(f"w{i}") for i in range(4)])
+    return w.select(
+        *(group or []),
+        F.col("a00").cast("bigint").alias("n"),
+        "w0",
+        "w1",
+        "w2",
+        "w3",
+        F.expr(e["train_mse"]).alias("train_mse"),
+        F.expr(e["baseline_mse"]).alias("baseline_mse"),
+    )
+
+
 def fit_linear_denoiser(noisy: DataFrame, group: list[str] | None = None) -> DataFrame:
     """One exact training "epoch": expects q_sample output re-joined with
     sqrt_1m_ac (columns x_t, sqrt_1m_ac, noise); returns one row per group
