@@ -114,3 +114,15 @@ def test_stream_stream_join_state_spans_microbatches(tmp_path, spark):
     single = single.sort_values(key).reset_index(drop=True)
     assert len(multi) == len(single) and len(single) > 0
     assert multi[key].equals(single[key])
+
+
+def test_rate_replay_exact_rows_per_batch(spark):
+    # rate-micro-batch ticks x stream-static join: every event arrives
+    # exactly once, in deterministic batches of `rows_per_batch`
+    sf = "/root/testdata/sf0.001"
+    total = spark.read.parquet(f"{sf}/events.parquet").count()
+    stream = streaming.replay_rate(spark, sf, rows_per_batch=500)
+    out, n_batches = streaming.run_rate_replay_until(stream, total)
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total
+    assert n_batches >= 2  # real micro-batch boundaries, not one replay

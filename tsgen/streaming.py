@@ -185,6 +185,69 @@ def replay_chunked(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+def replay_rate(
+    spark: SparkSession, sf_dir: str, rows_per_batch: int
+) -> DataFrame:
+    """Deterministic rows-per-micro-batch replay — the file twin of a Kafka
+    consumer with `maxOffsetsPerTrigger`: a `rate-micro-batch` tick stream
+    (EXACTLY `rows_per_batch` ticks per micro-batch, deterministic values
+    0,1,2,…) is stream-static joined on a precomputed per-event sequence
+    number, so micro-batch k carries events [k·n, (k+1)·n) in time order.
+
+    Complements replay_chunked (file-per-trigger): this one controls the
+    ROW rate, the knob you actually turn on a production Kafka source. The
+    static side is materialized once (localCheckpoint) so each micro-batch
+    joins against the indexed table instead of re-sorting the source; the
+    global row_number is test-harness-only (production = Kafka offsets,
+    which arrive pre-ordered per partition).
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    indexed = ev.withColumn(
+        "_seq",
+        F.row_number().over(Window.orderBy("ts", "event_id")).cast("bigint") - 1,
+    ).localCheckpoint()
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select(F.col("value").alias("_seq"))
+    )
+    return ticks.join(indexed, "_seq").drop("_seq")
+
+
+def run_rate_replay_until(
+    stream_df: DataFrame, n_rows: int, timeout_s: float = 120.0
+) -> tuple[DataFrame, int]:
+    """Run an (unbounded) rate-replay stream into a memory sink until
+    `n_rows` rows have been emitted, then stop. Returns (materialized
+    result, number of non-empty micro-batches)."""
+    import time
+
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    spark = stream_df.sparkSession
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if spark.table(name).count() >= n_rows:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return spark.table(name), n_batches
+
+
 def foreach_batch_parquet_sink(stream_df: DataFrame, out_dir: str) -> DataFrame:
     """foreachBatch sink example: append each micro-batch to a parquet
     dataset (the generic escape hatch for sinks Structured Streaming lacks —
