@@ -70,3 +70,44 @@ def test_contamination_planted_overlap(spark):
     assert set(got) == {5, 7}
     assert got[5][0] == got[5][0] and got[5][1] == 1.0
     assert got[7] == (0, 0.0)
+
+
+def test_doc_entropy_bounds(spark):
+    from tsgen import text
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),      # uniform: H = ln(4), norm 1
+            Row(doc_id=2, text="x x x x"),      # single type: H = 0
+        ]
+    )
+    import math
+
+    got = {r.doc_id: r for r in text.doc_entropy(docs).collect()}
+    assert abs(got[1].entropy - math.log(4)) < 1e-12
+    assert abs(got[1].norm_entropy - 1.0) < 1e-12
+    assert got[2].entropy == 0.0 and got[2].norm_entropy == 0.0
+
+
+def test_crosscorr_detects_shifted_copy(spark):
+    # series b is a's values one hour later -> xcorr peaks (=1) at lag +1
+    rows = []
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0]
+    for h, v in enumerate(vals):
+        rows.append((h, "a", v))
+        rows.append((h + 1, "b", v))
+    ev = spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                user_id=1,
+                ts=dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(hours=h),
+                event_type=t,
+                value=v,
+            )
+            for i, (h, t, v) in enumerate(rows)
+        ]
+    )
+    got = {(r.type_a, r.type_b, r.lag): r.xcorr for r in qp.crosscorr(ev).collect()}
+    assert abs(got[("a", "b", 1)] - 1.0) < 1e-9
+    assert got[("a", "b", 0)] < 0.99

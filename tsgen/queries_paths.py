@@ -270,6 +270,63 @@ FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+# --- ts_crosscorr: lead/lag cross-correlation between event-type series ----
+XCORR_LAGS = (-2, -1, 0, 1, 2)
+
+
+def crosscorr(ev: DataFrame, lags: tuple[int, ...] = XCORR_LAGS) -> DataFrame:
+    """Pairwise cross-correlation between hourly event-type series at signed
+    hour lags: positive peak lag means type_a leads type_b.
+
+    The raw stream collapses to an (hour-bucket × type) aggregate FIRST —
+    everything after runs on that tiny table, so the pair×lag join never
+    touches raw-event scale data. One shuffle for the bucket agg, one for
+    the (pair, lag) corr agg."""
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("b_s"),
+        "event_type",
+    ).agg(F.avg("value").alias("v"))
+    lag_df = ev.sparkSession.createDataFrame([(lg,) for lg in lags], "lag bigint")
+    a = hourly.crossJoin(F.broadcast(lag_df)).select(
+        F.col("event_type").alias("type_a"),
+        "lag",
+        (F.col("b_s") + F.col("lag") * 3600).alias("tb_s"),
+        F.col("v").alias("va"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), F.col("b_s").alias("tb_s"), F.col("v").alias("vb")
+    )
+    c = F.corr("va", "vb")
+    return (
+        a.join(b, "tb_s")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.when(F.isnan(c), None).otherwise(c).alias("xcorr"),
+            F.count("*").alias("n_buckets"),
+        )
+    )
+
+
+def _q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roundn(crosscorr(_events(spark, sf_dir)), 4, "xcorr")
+
+
+_CROSSCORR_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS b_s,
+         event_type, avg(value) AS v
+  FROM events GROUP BY 1, 2),
+lags AS (SELECT unnest([{", ".join(str(lg) for lg in XCORR_LAGS)}]) AS lag)
+SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(lag AS BIGINT) AS lag,
+       (round((corr(a.v, b.v)) + 1.0e-9,4)+0.0e0) AS xcorr,
+       count(*) AS n_buckets
+FROM hourly a CROSS JOIN lags
+JOIN hourly b ON b.b_s = a.b_s + lag * 3600 AND a.event_type < b.event_type
+GROUP BY 1, 2, 3
+"""
+
+
 _REGISTRY.update(
     {
         "ev_transitions": Query(
@@ -279,6 +336,7 @@ _REGISTRY.update(
             "ev_user_paths", _q_user_paths, _USER_PATHS_SQL, ("analytics",)
         ),
         "ts_autocorr": Query("ts_autocorr", _q_autocorr, _AUTOCORR_SQL, ("analytics",)),
+        "ts_crosscorr": Query("ts_crosscorr", _q_crosscorr, _CROSSCORR_SQL, ("analytics",)),
         "ev_cusum": Query("ev_cusum", _q_cusum, _CUSUM_SQL, ("analytics",)),
         "doc_contamination": Query(
             "doc_contamination", _q_contamination, _CONTAMINATION_SQL, ("pipeline",)

@@ -30,6 +30,12 @@ def _q_text_stats(spark, sf_dir):
     return round6(out, "distinct_ratio", "avg_token_len", "stopword_ratio")
 
 
+def _q_doc_entropy(spark, sf_dir):
+    from .queries import canon_types
+
+    return canon_types(round6(text.doc_entropy(_docs(spark, sf_dir)), "entropy", "norm_entropy"))
+
+
 def _q_lang_id(spark, sf_dir):
     return round6(text.lang_id(_docs(spark, sf_dir)), "en_score", "es_score")
 
@@ -291,6 +297,7 @@ _REGISTRY.update(
     {
         "tfidf_top_terms": Query("tfidf_top_terms", _q_tfidf, text.tfidf_sql(3), ("text",)),
         "text_stats": Query("text_stats", _q_text_stats, text.TEXT_STATS_SQL, ("text",)),
+        "doc_entropy": Query("doc_entropy", _q_doc_entropy, text.ENTROPY_SQL, ("text",)),
         "lang_id": Query("lang_id", _q_lang_id, text.LANG_ID_SQL, ("text",)),
         "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),
         "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),

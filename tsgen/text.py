@@ -251,6 +251,47 @@ FROM tok_stats t LEFT JOIN bg b ON t.doc_id = b.doc_id
 """
 
 
+def doc_entropy(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document unigram entropy (nats) + normalized entropy — the
+    information-density quality signal (low H = repetitive/boilerplate,
+    complements repetition_stats' max-frequency view).
+
+    H = −Σ (c/n)·ln(c/n); norm = H / ln(vocab) (1.0 = uniform usage).
+    Same two-level (doc_id, token) → doc_id aggregation shape as
+    repetition_stats: uniform keys, partial-agg'd, no Python."""
+    toks = df.select("doc_id", F.explode(F.split(F.col(text), " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    out = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        (
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("entropy"),
+    )
+    return out.withColumn(
+        "norm_entropy",
+        F.when(F.col("vocab") > 1, F.col("entropy") / F.log("vocab")).otherwise(0.0),
+    )
+
+
+# H = ln(n) − Σ c·ln(c)/n (algebraic form of −Σ (c/n)ln(c/n)) — shared shape
+ENTROPY_SQL = """
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token),
+g AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS vocab,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+  FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+       (round((entropy) + 1.0e-9,6)+0.0e0) AS entropy,
+       (round((CASE WHEN vocab > 1 THEN entropy / ln(vocab) ELSE 0.0e0 END) + 1.0e-9,6)+0.0e0) AS norm_entropy
+FROM g
+"""
+
+
 # --- training-window chunking + sequence packing (LLM pretraining preproc) --
 CHUNK_LEN, CHUNK_STRIDE, PACK_BUDGET = 16, 12, 256
 
