@@ -111,3 +111,18 @@ def test_crosscorr_detects_shifted_copy(spark):
     got = {(r.type_a, r.type_b, r.lag): r.xcorr for r in qp.crosscorr(ev).collect()}
     assert abs(got[("a", "b", 1)] - 1.0) < 1e-9
     assert got[("a", "b", 0)] < 0.99
+
+
+def test_mix_sample_rates_and_determinism(spark):
+    from tsgen import mixing
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "zh", n_chars=100) for i in range(2000)]
+    )
+    s1 = mixing.mix_sample(docs, {"en": 0.3, "zh": 1.0}).filter("keep")
+    s2 = mixing.mix_sample(docs, {"en": 0.3, "zh": 1.0}).filter("keep")
+    # deterministic: identical sample both runs
+    assert s1.select("doc_id").subtract(s2.select("doc_id")).count() == 0
+    got = {r.lang: r.c for r in s1.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert got["zh"] == 1000            # rate 1.0 keeps everything
+    assert 200 < got["en"] < 400        # rate 0.3 of 1000, u01 tolerance

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, mixing, multimodal, similarity, text
 from .queries import _REGISTRY, Query, round6
 
 
@@ -34,6 +34,13 @@ def _q_doc_entropy(spark, sf_dir):
     from .queries import canon_types
 
     return canon_types(round6(text.doc_entropy(_docs(spark, sf_dir)), "entropy", "norm_entropy"))
+
+
+def _q_source_mixture(spark, sf_dir):
+    from .queries import canon_types, round6 as r6
+
+    out = mixing.mixture_summary(_docs(spark, sf_dir))
+    return canon_types(r6(out, "keep_rate", "doc_share", "char_share"))
 
 
 def _q_lang_id(spark, sf_dir):
@@ -298,6 +305,9 @@ _REGISTRY.update(
         "tfidf_top_terms": Query("tfidf_top_terms", _q_tfidf, text.tfidf_sql(3), ("text",)),
         "text_stats": Query("text_stats", _q_text_stats, text.TEXT_STATS_SQL, ("text",)),
         "doc_entropy": Query("doc_entropy", _q_doc_entropy, text.ENTROPY_SQL, ("text",)),
+        "source_mixture": Query(
+            "source_mixture", _q_source_mixture, mixing.mixture_summary_sql(), ("pipeline",)
+        ),
         "lang_id": Query("lang_id", _q_lang_id, text.LANG_ID_SQL, ("text",)),
         "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),
         "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),
