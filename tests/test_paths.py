@@ -126,3 +126,19 @@ def test_mix_sample_rates_and_determinism(spark):
     got = {r.lang: r.c for r in s1.groupBy("lang").agg(F.count("*").alias("c")).collect()}
     assert got["zh"] == 1000            # rate 1.0 keeps everything
     assert 200 < got["en"] < 400        # rate 0.3 of 1000, u01 tolerance
+
+
+def test_streaks_gaps_and_islands(spark):
+    # user 1 active days 1,2,3, 7,8, 20 -> streaks 3,2,1; longest 3
+    ev = _ev(spark, [(1, d * 24 * 60, "a", 1) for d in [1, 2, 3, 7, 8, 20]])
+    row = qp.streaks(ev).collect()[0]
+    assert (row.n_active_days, row.longest_streak, row.n_streaks) == (6, 3, 3)
+
+
+def test_delta_stats_regular_grid(spark):
+    # perfectly regular 1-minute grid: sd_dt = 0, all delta-of-deltas zero
+    ev = _ev(spark, [(1, m, "a", float(m)) for m in range(30)])
+    row = qp.delta_stats(ev).collect()[0]
+    assert row.avg_dt == 60.0 and row.sd_dt == 0.0
+    assert row.dod_zero_frac == 1.0
+    assert row.avg_abs_dv == 1.0  # value increments by exactly 1

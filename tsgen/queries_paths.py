@@ -270,6 +270,96 @@ FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+# --- ev_streaks: gaps-and-islands longest-activity-streak ------------------
+def streaks(ev: DataFrame) -> DataFrame:
+    """Longest run of consecutive active DAYS per user (gaps-and-islands):
+    distinct active days → day_num − row_number() is constant within a
+    consecutive run → max run length per user. Two windows over one
+    (user_id, day) sort; all keys uniform."""
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    isl = days.withColumn(
+        "island", F.col("day_num") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.max("run_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+def _q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canon_types(streaks(_events(spark, sf_dir)))
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day_num
+  FROM events),
+isl AS (
+  SELECT user_id, day_num,
+         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS island
+  FROM days),
+runs AS (
+  SELECT user_id, island, count(*) AS run_len FROM isl GROUP BY user_id, island)
+SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n_active_days, max(run_len) AS longest_streak,
+       count(*) AS n_streaks
+FROM runs GROUP BY user_id
+"""
+
+
+# --- ts_delta_stats: delta / delta-of-delta compressibility ----------------
+def delta_stats(ev: DataFrame) -> DataFrame:
+    """Per-series delta and delta-of-delta statistics — the signal a
+    Gorilla/TSZ-style time-series codec exploits (how regular are the
+    timestamps, how smooth are the values). One (user_id, ts) window pass."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("dt", F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w)))
+        .withColumn("dv", F.col("value") - F.lag("value", 1).over(w))
+        .withColumn("ddt", F.col("dt") - F.lag("dt", 1).over(w))
+    )
+    return d.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.avg("dt").alias("avg_dt"),
+        F.stddev_samp("dt").alias("sd_dt"),
+        F.avg(F.abs("dv")).alias("avg_abs_dv"),
+        (
+            F.sum(F.when(F.col("ddt") == 0, 1).otherwise(0))
+            / F.sum(F.when(F.col("ddt").isNotNull(), 1).otherwise(0))
+        ).alias("dod_zero_frac"),
+    )
+
+
+def _q_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = delta_stats(_events(spark, sf_dir))
+    return canon_types(roundn(out, 4, "avg_dt", "sd_dt", "avg_abs_dv", "dod_zero_frac"))
+
+
+_DELTA_STATS_SQL = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         epoch_s - lag(epoch_s, 1) OVER w AS dt,
+         value - lag(value, 1) OVER w AS dv
+  FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+dd AS (
+  SELECT user_id, dt, dv,
+         dt - lag(dt, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ddt
+  FROM d)
+SELECT user_id, count(*) AS n,
+       (round((avg(dt)) + 1.0e-9,4)+0.0e0) AS avg_dt,
+       (round((stddev_samp(dt)) + 1.0e-9,4)+0.0e0) AS sd_dt,
+       (round((avg(abs(dv))) + 1.0e-9,4)+0.0e0) AS avg_abs_dv,
+       (round((CAST(sum(CASE WHEN ddt = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN ddt IS NOT NULL THEN 1 ELSE 0 END)) + 1.0e-9,4)+0.0e0) AS dod_zero_frac
+FROM dd GROUP BY user_id
+"""
+
+
 # --- ts_crosscorr: lead/lag cross-correlation between event-type series ----
 XCORR_LAGS = (-2, -1, 0, 1, 2)
 
@@ -338,6 +428,10 @@ _REGISTRY.update(
         "ts_autocorr": Query("ts_autocorr", _q_autocorr, _AUTOCORR_SQL, ("analytics",)),
         "ts_crosscorr": Query("ts_crosscorr", _q_crosscorr, _CROSSCORR_SQL, ("analytics",)),
         "ev_cusum": Query("ev_cusum", _q_cusum, _CUSUM_SQL, ("analytics",)),
+        "ev_streaks": Query("ev_streaks", _q_streaks, _STREAKS_SQL, ("analytics",)),
+        "ts_delta_stats": Query(
+            "ts_delta_stats", _q_delta_stats, _DELTA_STATS_SQL, ("analytics",)
+        ),
         "doc_contamination": Query(
             "doc_contamination", _q_contamination, _CONTAMINATION_SQL, ("pipeline",)
         ),
