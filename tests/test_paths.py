@@ -142,3 +142,14 @@ def test_delta_stats_regular_grid(spark):
     assert row.avg_dt == 60.0 and row.sd_dt == 0.0
     assert row.dod_zero_frac == 1.0
     assert row.avg_abs_dv == 1.0  # value increments by exactly 1
+
+
+def test_outliers_mad_robust_to_extreme_point(spark):
+    # 40 values near 0 plus one huge spike: MAD threshold stays tight and
+    # flags exactly the spike (a mean/stddev z-score would be dragged)
+    vals = [float(i % 5) for i in range(40)] + [1000.0]
+    ev = _ev(spark, [(1, m, "a", v) for m, v in enumerate(vals)])
+    row = qp.outliers_mad(ev).collect()[0]
+    assert row.n == 41
+    assert row.n_outliers == 1
+    assert row.med == 2.0

@@ -360,6 +360,64 @@ FROM dd GROUP BY user_id
 """
 
 
+# --- ev_outliers_mad: robust (median/MAD) outlier counts -------------------
+MAD_K = 3.0 * 1.4826  # 3 sigma-equivalents under normality
+
+
+def outliers_mad(ev: DataFrame) -> DataFrame:
+    """Median/MAD outlier detection per series — the robust twin of
+    ev_outliers' mean/stddev z-score (one extreme point can't drag the
+    threshold). Exact medians via percentile(0.5): two groupBys on
+    user_id + one broadcastable join of the per-user medians back."""
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med"), F.count("*").alias("n")
+    )
+    j = ev.select("user_id", "value").join(med, "user_id")
+    mad = j.groupBy("user_id").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+        F.first("n").alias("n"),
+    )
+    out = (
+        ev.select("user_id", "value")
+        .join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+    return out
+
+
+def _q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = outliers_mad(_events(spark, sf_dir))
+    return canon_types(roundn(out, 4, "med", "mad"))
+
+
+_OUTLIERS_MAD_SQL = f"""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 5.0e-1) AS med, count(*) AS n
+  FROM events GROUP BY user_id),
+mad AS (
+  SELECT e.user_id, quantile_cont(abs(e.value - m.med), 5.0e-1) AS mad,
+         first(m.med) AS med, first(m.n) AS n
+  FROM events e JOIN med m ON e.user_id = m.user_id GROUP BY e.user_id)
+SELECT e.user_id, first(m.n) AS n,
+       (round((first(m.med)) + 1.0e-9,4)+0.0e0) AS med,
+       (round((first(m.mad)) + 1.0e-9,4)+0.0e0) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > {MAD_K:.17e} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad m ON e.user_id = m.user_id
+GROUP BY e.user_id
+"""
+
+
 # --- ts_crosscorr: lead/lag cross-correlation between event-type series ----
 XCORR_LAGS = (-2, -1, 0, 1, 2)
 
@@ -431,6 +489,9 @@ _REGISTRY.update(
         "ev_streaks": Query("ev_streaks", _q_streaks, _STREAKS_SQL, ("analytics",)),
         "ts_delta_stats": Query(
             "ts_delta_stats", _q_delta_stats, _DELTA_STATS_SQL, ("analytics",)
+        ),
+        "ev_outliers_mad": Query(
+            "ev_outliers_mad", _q_outliers_mad, _OUTLIERS_MAD_SQL, ("analytics",)
         ),
         "doc_contamination": Query(
             "doc_contamination", _q_contamination, _CONTAMINATION_SQL, ("pipeline",)

@@ -158,6 +158,64 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- forecast_revenue_change (Q6 shape): pure scan-aggregate ---------------
+# The canonical predicate-pushdown query: every filter reaches the parquet
+# scan, output is one row — at 100 TB this is scan-bound and embarrassingly
+# parallel (partial agg, no real shuffle).
+def _q_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return canon_types(roundn(out, 4, "revenue_delta"))
+
+
+_REVENUE_CHANGE_SQL = """
+SELECT (round((sum(l_extendedprice * l_discount)) + 1.0e-9,4)+0.0e0) AS revenue_delta,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 5.0e-2 AND l_discount <= 7.0e-2 AND l_quantity < 24
+"""
+
+
+# --- late_order_priority (Q4 shape): EXISTS semi-join ----------------------
+# Orders with at least one line shipped after the order date + 90 days,
+# counted per priority. left-semi: the fact side never duplicates.
+def _q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        "left_semi",
+    )
+    return canon_types(
+        late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    )
+
+
+_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 _REGISTRY.update(
     {
         "promo_revenue": Query("promo_revenue", _q_promo_revenue, _PROMO_SQL, ("agg",)),
@@ -165,6 +223,12 @@ _REGISTRY.update(
         "small_qty_revenue": Query("small_qty_revenue", _q_small_qty, _SMALL_QTY_SQL, ("agg",)),
         "large_volume_orders": Query(
             "large_volume_orders", _q_large_orders, _LARGE_ORDERS_SQL, ("agg",)
+        ),
+        "revenue_change": Query(
+            "revenue_change", _q_revenue_change, _REVENUE_CHANGE_SQL, ("agg",)
+        ),
+        "late_order_priority": Query(
+            "late_order_priority", _q_late_orders, _LATE_ORDERS_SQL, ("join",)
         ),
     }
 )
