@@ -153,3 +153,18 @@ def test_outliers_mad_robust_to_extreme_point(spark):
     assert row.n == 41
     assert row.n_outliers == 1
     assert row.med == 2.0
+
+
+def test_pca_variance_matches_numpy(spark):
+    import numpy as np
+    from tsgen import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.pca_variance(emb, k=4).toPandas()
+    X = np.stack(emb.toPandas().embedding.to_numpy()).astype(np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(C)[::-1]
+    for c in range(4):
+        assert abs(got.eigenvalue[c] - evals[c]) < 1e-5
+    assert abs(got.var_share.sum() - got.cum_share[3]) < 1e-9
+    assert 0 < got.cum_share[3] <= 1.0

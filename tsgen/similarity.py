@@ -366,3 +366,75 @@ SELECT id_a, id_b,
 FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
 WHERE list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) >= {threshold:.9e}
 """
+
+
+# --- distributed PCA (variance structure of the embedding space) -----------
+def pca_variance(df: DataFrame, vec: str = "embedding", k: int = 8) -> DataFrame:
+    """Top-k PCA eigenvalues / variance shares of the embedding cloud.
+
+    Spark-first shape for 100 TB: each partition reduces its rows to ONE
+    sufficient-statistics record (count, column sums, upper-triangular Gram
+    X'X — O(dim^2) floats) via an Arrow-batched mapInPandas; the records
+    are exploded to (slot, value) and summed by slot (tiny shuffle:
+    partitions x dim^2/2 rows regardless of row count). Only the final
+    dim x dim eigensolve runs on the driver — on 64-dim embeddings that is
+    a 64x64 numpy eigh, O(1) vs the data.
+
+    Rows-only query (eigendecomposition is not SQL-expressible); numpy
+    parity is asserted in tests/test_paths.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    dim = len(df.select(vec).first()[0])
+    ut = [(i, j) for i in range(dim) for j in range(i, dim)]
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            g = X.T @ X
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [[g[i, j] for i, j in ut]],
+                }
+            )
+
+    part = df.select(vec).mapInPandas(
+        partials, schema="n double, s array<double>, g array<double>"
+    ).localCheckpoint()  # materialize the tiny partials once; 3 reads below
+    # elementwise reduce: explode each partial to (slot, value), sum by slot
+    ns = part.agg(F.sum("n").alias("n")).collect()[0].n
+    ssum = (
+        part.select(F.posexplode("s").alias("pos", "v"))
+        .groupBy("pos").agg(F.sum("v").alias("v")).collect()
+    )
+    gsum = (
+        part.select(F.posexplode("g").alias("pos", "v"))
+        .groupBy("pos").agg(F.sum("v").alias("v")).collect()
+    )
+    s = np.zeros(dim)
+    for r in ssum:
+        s[r.pos] = r.v
+    G = np.zeros((dim, dim))
+    for r in gsum:
+        i, j = ut[r.pos]
+        G[i, j] = G[j, i] = r.v
+    # covariance = E[xx'] - mean mean'
+    mu = s / ns
+    C = G / ns - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(C)[::-1]
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for c in range(k):
+        lam = float(evals[c])
+        cum += lam
+        rows.append((c, round(lam, 6), round(lam / total, 6), round(cum / total, 6)))
+    return spark.createDataFrame(
+        rows, "component bigint, eigenvalue double, var_share double, cum_share double"
+    )
