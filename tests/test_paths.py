@@ -168,3 +168,18 @@ def test_pca_variance_matches_numpy(spark):
         assert abs(got.eigenvalue[c] - evals[c]) < 1e-5
     assert abs(got.var_share.sum() - got.cum_share[3]) < 1e-9
     assert 0 < got.cum_share[3] <= 1.0
+
+
+def test_wau_window_semantics(spark):
+    # one user active on days 0 and 10; another on day 0 only.
+    # day 0: dau=2, wau=2. day 10: dau=1, wau=1 (day-0 activity expired).
+    ev = _ev(
+        spark,
+        [(1, 0, "a", 1), (2, 0, "a", 1), (1, 10 * 24 * 60, "a", 1)],
+    )
+    got = {r.day_s // 86400 - 19723: r for r in qp.wau(ev).collect()}
+    d0 = min(got)
+    assert got[d0].dau == 2 and got[d0].wau == 2
+    d10 = max(got)
+    assert got[d10].dau == 1 and got[d10].wau == 1
+    assert abs(got[d0].stickiness - 1.0) < 1e-12

@@ -360,6 +360,61 @@ FROM dd GROUP BY user_id
 """
 
 
+# --- ev_wau: rolling 7-day distinct active users ---------------------------
+def wau(ev: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU / rolling-7-day WAU / stickiness per active day.
+
+    Sliding distinct-count done the scale-safe way: the raw stream first
+    collapses to distinct (user, day); each pair then fans out to the
+    `window_days` windows it belongs to (bounded 7x blowup of the ALREADY
+    tiny user-day table — never of raw events), distinct'd and counted per
+    window day. No range-window distinct (Spark can't, and a naive
+    collect_set window would hold per-day user sets in one task's state)."""
+    active = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint").alias("day_num"),
+    ).distinct()
+    dau = active.groupBy("day_num").agg(F.countDistinct("user_id").alias("dau"))
+    offs = ev.sparkSession.range(window_days).select(F.col("id").alias("off"))
+    win = (
+        active.crossJoin(F.broadcast(offs))
+        .select("user_id", (F.col("day_num") + F.col("off")).alias("w_day"))
+        .distinct()
+        .groupBy("w_day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(win, dau.day_num == win.w_day)
+        .select(
+            (F.col("day_num") * 86400).alias("day_s"),
+            "dau",
+            "wau",
+            (F.col("dau") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+def _q_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canon_types(round6(wau(_events(spark, sf_dir)), "stickiness"))
+
+
+_WAU_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day_num
+  FROM events),
+dau AS (SELECT day_num, count(DISTINCT user_id) AS dau FROM active GROUP BY day_num),
+win AS (
+  SELECT w_day, count(*) AS wau FROM (
+    SELECT DISTINCT user_id, day_num + off AS w_day
+    FROM active CROSS JOIN (SELECT unnest(range(0, 7)) AS off))
+  GROUP BY w_day)
+SELECT day_num * 86400 AS day_s, dau, wau,
+       (round((CAST(dau AS DOUBLE) / wau) + 1.0e-9,6)+0.0e0) AS stickiness
+FROM dau JOIN win ON day_num = w_day
+"""
+
+
 # --- ev_outliers_mad: robust (median/MAD) outlier counts -------------------
 MAD_K = 3.0 * 1.4826  # 3 sigma-equivalents under normality
 
@@ -490,6 +545,7 @@ _REGISTRY.update(
         "ts_delta_stats": Query(
             "ts_delta_stats", _q_delta_stats, _DELTA_STATS_SQL, ("analytics",)
         ),
+        "ev_wau": Query("ev_wau", _q_wau, _WAU_SQL, ("analytics",)),
         "ev_outliers_mad": Query(
             "ev_outliers_mad", _q_outliers_mad, _OUTLIERS_MAD_SQL, ("analytics",)
         ),
