@@ -183,3 +183,22 @@ def test_wau_window_semantics(spark):
     d10 = max(got)
     assert got[d10].dau == 1 and got[d10].wau == 1
     assert abs(got[d0].stickiness - 1.0) < 1e-12
+
+
+def test_lm_score_flags_unusual_tokens(spark):
+    import math
+    from tsgen import text
+
+    # corpus dominated by 'the'; doc 3 is all rare tokens -> higher score
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the the the the"),
+            Row(doc_id=2, text="the the the the"),
+            Row(doc_id=3, text="zyx qwv jkl mno"),
+        ]
+    )
+    got = {r.doc_id: r.lm_score for r in text.lm_score(docs).collect()}
+    # p(the) = 8/12; p(rare) = 1/12 each
+    assert abs(got[1] - (-math.log(8 / 12))) < 1e-12
+    assert abs(got[3] - (-math.log(1 / 12))) < 1e-12
+    assert got[3] > got[1]

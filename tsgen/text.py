@@ -292,6 +292,47 @@ FROM g
 """
 
 
+def lm_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """CCNet-style unigram LM quality score: train a unigram LM on the
+    corpus itself (p(w) = corpus frequency), score each doc by mean
+    negative log-likelihood. High score = tokens unusual for the corpus
+    (boilerplate/garbled); low = stereotypical text. The classic
+    perplexity-bucket filter of an LLM ingest pipeline, minus the external
+    KenLM binary.
+
+    Shape: one (token) aggregation for the LM (+1-row total broadcast),
+    one token-keyed join back, one doc aggregation — the LM table is
+    joined on the SAME key it was aggregated on (exchange reuse / AQE
+    broadcast when the vocab is small)."""
+    toks = df.select("doc_id", F.explode(F.split(F.col(text), " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("_total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("tf") / F.col("_total")).alias("p")
+    )
+    return (
+        toks.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(-F.log("p")).alias("lm_score"),
+        )
+    )
+
+
+LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+lm AS (
+  SELECT token, CAST(tf AS DOUBLE) / (SELECT sum(tf) FROM vocab) AS p FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       (round((avg(-ln(p))) + 1.0e-9,4)+0.0e0) AS lm_score
+FROM toks JOIN lm USING (token)
+GROUP BY doc_id
+"""
+
+
 # --- training-window chunking + sequence packing (LLM pretraining preproc) --
 CHUNK_LEN, CHUNK_STRIDE, PACK_BUDGET = 16, 12, 256
 
