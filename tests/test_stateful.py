@@ -58,3 +58,19 @@ def test_salted_join_matches_plain(spark):
     gs = got.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
     ws = want.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
     assert abs(gs - ws) < 1e-6
+
+
+def test_anomalies_state_carries_across_microbatches(tmp_path, spark):
+    # chunked replay (4 real micro-batches) must produce the same flagged
+    # set as a single-batch replay: Welford state carries across batches
+    sf = "/root/testdata/sf0.001"
+    single = streaming.run_to_completion(
+        streaming.anomalies_stateful(streaming.events_stream(spark, sf)), mode="update"
+    )
+    chunked_src = streaming.replay_chunked(spark, sf, 4, str(tmp_path / "chunks"))
+    chunked = streaming.run_to_completion(
+        streaming.anomalies_stateful(chunked_src), mode="update"
+    )
+    a = {(r.user_id, r.event_id): round(r.z, 9) for r in single.collect()}
+    b = {(r.user_id, r.event_id): round(r.z, 9) for r in chunked.collect()}
+    assert a == b and len(a) > 0

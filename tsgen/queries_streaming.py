@@ -102,6 +102,35 @@ GROUP BY c.user_id
 """
 
 
+def _q_stream_anomalies(spark, sf_dir):
+    # custom stateful op (Welford prefix stats) — but its semantics ARE the
+    # preceding-rows window, so the streaming result is fully oracle-checked
+    from .queries import canon_types, roundn
+
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(
+        streaming.anomalies_stateful(s, z_thresh=3.0), mode="update"
+    )
+    return canon_types(roundn(out.select("user_id", "event_id", "ts_s", "value", "z"), 4, "value", "z"))
+
+
+_STREAM_ANOMALIES_SQL = """
+WITH pre AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,
+         avg(value) OVER w AS p_mean,
+         stddev_samp(value) OVER w AS p_sd,
+         count(*) OVER w AS p_n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id, ts_s,
+       (round((value) + 1.0e-9,4)+0.0e0) AS value,
+       (round(((value - p_mean) / p_sd) + 1.0e-9,4)+0.0e0) AS z
+FROM pre
+WHERE p_n >= 2 AND p_sd > 0 AND abs(value - p_mean) / p_sd > 3.0e0
+"""
+
+
 def _q_stream_ewma(spark, sf_dir):
     # applyInPandasWithState custom stateful op; recursive EWMA is not
     # SQL-expressible without numerically-unstable rescaling → rows-only
@@ -114,6 +143,9 @@ def _q_stream_ewma(spark, sf_dir):
 _REGISTRY.update(
     {
         "stream_ewma": Query("stream_ewma", _q_stream_ewma, None, ("streaming",)),
+        "stream_anomalies": Query(
+            "stream_anomalies", _q_stream_anomalies, _STREAM_ANOMALIES_SQL, ("streaming",)
+        ),
         "stream_tumbling": Query("stream_tumbling", _q_stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming",)),
         "stream_sliding": Query("stream_sliding", _q_stream_sliding, _STREAM_SLIDING_SQL, ("streaming",)),
         "stream_session": Query("stream_session", _q_stream_session, _STREAM_SESSION_SQL, ("streaming",)),

