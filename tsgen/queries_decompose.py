@@ -1,9 +1,11 @@
 """Queries for spectral + decomposition operators (SURVEY §2 G1-G7, D5).
 
-FFT has no DuckDB equivalent → those entries are rows-only checks (driver
-records the weaker gate) backed by property tests in tests/test_decompose.py
-(Parseval, round-trip, k=all identity, exact-poly recovery).
-trend_linear IS oracle-checked (closed-form aggregation in both engines).
+The FFT family is fully DuckDB-oracle-checked via brute-force O(n²) DFT
+SQL (trivially cheap at registry test sizes) — spectrum, top-k, top-k
+seasonality reconstruction, the full decompose chain (cubic Cramer trend +
+DFT seasonality + residual) and both Fourier losses all hash-match the
+pandas-UDF FFT path. Property tests (Parseval, round-trip, k=all identity,
+exact-poly recovery) remain in tests/test_decompose.py.
 """
 from __future__ import annotations
 
@@ -78,8 +80,39 @@ def _q_fft_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(spectral.rfft(df), "re", "im", "magnitude")
 
 
+# Brute-force O(n²) DFT as the DuckDB oracle: at the registry's test sizes
+# (8 series × 64 points × 33 bins ≈ 17k terms) the quadratic definition is
+# trivially cheap, and it hash-checks the pandas-UDF FFT path end-to-end —
+# the FFT family no longer has to settle for rows-only.
+_FFT_BINS = LEN_D // 2 + 1
+_FFT_W = f"{2 * 3.141592653589793 / LEN_D:.17e}"
+
+
+def _dft_spec_ctes() -> str:
+    gen = oracle.generate_sql(8, LEN_D, "mixed", noise=False, normalize=False, rounded=False)
+    return f"""
+src AS ({gen}),
+k AS (SELECT unnest(range(0, {_FFT_BINS})) AS freq_idx),
+spec AS (
+  SELECT series_id, freq_idx,
+         sum(value * cos({_FFT_W} * freq_idx * t)) AS re,
+         sum(-value * sin({_FFT_W} * freq_idx * t)) AS im
+  FROM src CROSS JOIN k GROUP BY series_id, freq_idx)"""
+
+
+def _fft_spectrum_sql() -> str:
+    return f"""
+WITH {_dft_spec_ctes()}
+SELECT series_id, freq_idx, {E.round6('re')} AS re, {E.round6('im')} AS im,
+       {E.round6('sqrt(re*re + im*im)')} AS magnitude
+FROM spec
+"""
+
+
 def _q_fft_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # D5: ranking window + filter = top-k (torch.topk, diffusion_ts_model.py:279)
+    from .queries import canon_types
+
     df = generators.generate(spark, 8, LEN_D, "mixed", noise=False, normalize=False)
     spec = spectral.rfft(df)
     w = Window.partitionBy("series_id").orderBy(F.desc("magnitude"), F.asc("freq_idx"))
@@ -88,7 +121,38 @@ def _q_fft_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 4)
         .select("series_id", "freq_idx", "magnitude", "rank")
     )
-    return round6(out, "magnitude")
+    return canon_types(round6(out, "magnitude"))
+
+
+def _fft_topk_sql() -> str:
+    return f"""
+WITH {_dft_spec_ctes()},
+ranked AS (
+  SELECT series_id, freq_idx, sqrt(re*re + im*im) AS magnitude,
+         row_number() OVER (PARTITION BY series_id
+                            ORDER BY sqrt(re*re + im*im) DESC, freq_idx) AS rank
+  FROM spec)
+SELECT series_id, freq_idx, {E.round6('magnitude')} AS magnitude, rank
+FROM ranked WHERE rank <= 4
+"""
+
+
+def _seasonality_sql() -> str:
+    # inverse DFT of the top-4 bins: x_t = (1/n)·Σ_sel w_k·(re·cos − im·sin),
+    # w = 1 for DC/Nyquist, 2 for interior bins (real-signal half spectrum)
+    return f"""
+WITH {_dft_spec_ctes()},
+sel AS (
+  SELECT series_id, freq_idx, re, im,
+         CASE WHEN freq_idx = 0 OR freq_idx = {LEN_D // 2} THEN 1.0e0 ELSE 2.0e0 END AS wgt,
+         row_number() OVER (PARTITION BY series_id
+                            ORDER BY sqrt(re*re + im*im) DESC, freq_idx) AS rk
+  FROM spec)
+SELECT g.series_id, g.t,
+       {E.round6(f'sum(s.wgt * (s.re * cos({_FFT_W} * s.freq_idx * g.t) - s.im * sin({_FFT_W} * s.freq_idx * g.t))) / {LEN_D}')} AS seasonality
+FROM src g JOIN sel s ON g.series_id = s.series_id AND s.rk <= 4
+GROUP BY g.series_id, g.t
+"""
 
 
 def _q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,14 +166,128 @@ def _q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(out, "value", "trend", "seasonality", "residual")
 
 
+def _decompose_chain_sql(gen: str, keys: str) -> str:
+    # full decomposition oracle: cubic Cramer trend (same closed form as
+    # trend_poly3 — the UDF's pinv solves the same normal equations) +
+    # brute-DFT top-4 seasonality of the detrended + exact residual;
+    # `keys` is the comma-joined decomposition key ("series_id" or
+    # "series_id, channel" for the dim>1 contract)
+    e = decompose.cubic_trend_sql_exprs()
+    moments = ", ".join(f"sum({'*'.join(['cc'] * i)}) AS m{i}" for i in range(1, 7))
+    bs = ", ".join(
+        f"sum({'*'.join(['cc'] * i + ['value']) if i else 'value'}) AS b{i}"
+        for i in range(4)
+    )
+    w = f"{2 * 3.141592653589793 / LEN_D:.17e}"
+    nbins = LEN_D // 2 + 1
+    kl = [x.strip() for x in keys.split(",")]
+    sk = ", ".join(kl)
+    def on(a, b):
+        return " AND ".join(f"{a}.{c} = {b}.{c}" for c in kl)
+    sel_k = lambda a: ", ".join(f"{a}.{c}" for c in kl)  # noqa: E731
+    return f"""
+WITH s AS (SELECT {sk}, t, value, CAST(t AS DOUBLE)/{LEN_D} AS cc FROM ({gen})),
+g AS (SELECT {sk}, CAST(count(*) AS DOUBLE) AS m0, {moments}, {bs} FROM s GROUP BY {sk}),
+co AS (SELECT {sk}, {e['c0']} AS c0, {e['c1']} AS c1, {e['c2']} AS c2, {e['c3']} AS c3 FROM g),
+tr AS (
+  SELECT {sel_k('s')}, s.t, s.value, {decompose.CUBIC_EVAL} AS trend,
+         s.value - {decompose.CUBIC_EVAL} AS det
+  FROM s JOIN co ON {on('s', 'co')}),
+k AS (SELECT unnest(range(0, {nbins})) AS freq_idx),
+spec AS (
+  SELECT {sk}, freq_idx,
+         sum(det * cos({w} * freq_idx * t)) AS re,
+         sum(-det * sin({w} * freq_idx * t)) AS im
+  FROM tr CROSS JOIN k GROUP BY {sk}, freq_idx),
+sel AS (
+  SELECT {sk}, freq_idx, re, im,
+         CASE WHEN freq_idx = 0 OR freq_idx = {LEN_D // 2} THEN 1.0e0 ELSE 2.0e0 END AS wgt,
+         row_number() OVER (PARTITION BY {sk}
+                            ORDER BY sqrt(re*re + im*im) DESC, freq_idx) AS rk
+  FROM spec),
+seas AS (
+  SELECT {sel_k('tr')}, tr.t,
+         sum(s.wgt * (s.re * cos({w} * s.freq_idx * tr.t)
+                      - s.im * sin({w} * s.freq_idx * tr.t))) / {LEN_D} AS seasonality
+  FROM tr JOIN sel s ON {on('tr', 's')} AND s.rk <= 4
+  GROUP BY {sel_k('tr')}, tr.t)
+SELECT {sel_k('tr')}, tr.t, {E.round6('tr.value')} AS value, {E.round6('tr.trend')} AS trend,
+       {E.round6('seas.seasonality')} AS seasonality,
+       {E.round6('tr.value - tr.trend - seas.seasonality')} AS residual
+FROM tr JOIN seas ON {on('tr', 'seas')} AND tr.t = seas.t
+"""
+
+
+
+def _decompose_full_sql() -> str:
+    gen = oracle.generate_sql(N_D, LEN_D, "linear_sum", rounded=False)
+    return _decompose_chain_sql(gen, "series_id")
+
+
+def _decompose_multichannel_sql() -> str:
+    from .normalize import znorm_sql
+
+    ck = generators.multichannel_key()
+    value = E.noisy_signal_expr("mixed", LEN_D, sid=ck)
+    inner = (
+        f"SELECT series_id, channel, t, {value} AS value FROM "
+        "(SELECT range AS series_id FROM range(6)) "
+        "CROSS JOIN (SELECT range AS channel FROM range(3)) "
+        f"CROSS JOIN (SELECT range AS t FROM range({LEN_D}))"
+    )
+    normed = znorm_sql(inner, key="series_id, channel")
+    return _decompose_chain_sql(normed, "series_id, channel")
+
+
 def _q_decompose_multichannel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim>1 contract (utils/data_generators.py:40,51): each (series, channel)
-    # decomposes independently on the composite key. Rows-only (FFT); the
-    # per-channel additivity + channel-independence invariants are asserted
-    # in tests/test_decompose.py.
+    # decomposes independently on the composite key; oracle = the same
+    # Cramer+DFT chain keyed on (series_id, channel). Per-channel additivity
+    # + channel-independence invariants also in tests/test_decompose.py.
     df = generators.generate_multichannel(spark, 6, LEN_D, 3, "mixed")
     out = decompose.decompose(df, key=["series_id", "channel"])
     return round6(out, "value", "trend", "seasonality", "residual")
+
+
+def _loss_ctes() -> str:
+    """Shared CTE chain for the Fourier-loss oracles: pred/target signals on
+    the same grid, brute-DFT magnitude spectra of both, time + freq MSEs."""
+    w = f"{2 * 3.141592653589793 / LEN_D:.17e}"
+    nbins = LEN_D // 2 + 1
+    return f"""
+src AS (
+  SELECT series_id, t, {E.noisy_signal_expr("mixed", LEN_D)} AS pred,
+         {E.signal_expr("mixed", LEN_D)} AS target
+  FROM {oracle.grid_sql(8, LEN_D)}),
+k AS (SELECT unnest(range(0, {nbins})) AS freq_idx),
+spec AS (
+  SELECT series_id, freq_idx,
+         sqrt(pow(sum(pred * cos({w} * freq_idx * t)), 2)
+              + pow(sum(-pred * sin({w} * freq_idx * t)), 2)) AS m_pred,
+         sqrt(pow(sum(target * cos({w} * freq_idx * t)), 2)
+              + pow(sum(-target * sin({w} * freq_idx * t)), 2)) AS m_target
+  FROM src CROSS JOIN k GROUP BY series_id, freq_idx),
+tl AS (SELECT avg(pow(pred - target, 2)) AS time_loss FROM src),
+fl AS (SELECT avg(pow(m_pred - m_target, 2)) AS freq_loss FROM spec)"""
+
+
+def _loss_fourier_sql() -> str:
+    return f"""
+WITH {_loss_ctes()}
+SELECT {E.round6('time_loss')} AS time_loss, {E.round6('freq_loss')} AS freq_loss,
+       {E.round6('time_loss + freq_loss')} AS fourier_loss
+FROM tl CROSS JOIN fl
+"""
+
+
+def _loss_combined_sql() -> str:
+    return f"""
+WITH {_loss_ctes()}
+SELECT {E.round6('time_loss')} AS time_loss, {E.round6('freq_loss')} AS freq_loss,
+       {E.round6('time_loss + freq_loss')} AS fourier_loss,
+       {E.round6('time_loss + 5.0e-1 * (time_loss + freq_loss)')} AS combined_loss
+FROM tl CROSS JOIN fl
+"""
 
 
 def _q_loss_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,15 +332,24 @@ _REGISTRY.update(
     {
         "trend_linear": Query("trend_linear", _q_trend_linear, _trend_linear_sql(), ("decompose",)),
         "trend_poly3": Query("trend_poly3", _q_trend_poly, _trend_poly3_sql(), ("decompose",)),
-        "fft_spectrum": Query("fft_spectrum", _q_fft_spectrum, None, ("spectral",)),
-        "fft_topk": Query("fft_topk", _q_fft_topk, None, ("spectral",)),
-        "seasonality_topk": Query("seasonality_topk", _q_seasonality, None, ("decompose",)),
-        "decompose_full": Query("decompose_full", _q_decompose, None, ("decompose",)),
-        "decompose_multichannel": Query(
-            "decompose_multichannel", _q_decompose_multichannel, None, ("decompose",)
+        "fft_spectrum": Query("fft_spectrum", _q_fft_spectrum, _fft_spectrum_sql(), ("spectral",)),
+        "fft_topk": Query("fft_topk", _q_fft_topk, _fft_topk_sql(), ("spectral",)),
+        "seasonality_topk": Query(
+            "seasonality_topk", _q_seasonality, _seasonality_sql(), ("decompose",)
         ),
-        "loss_fourier": Query("loss_fourier", _q_loss_fourier, None, ("loss",)),
-        "loss_combined": Query("loss_combined", _q_loss_combined, None, ("loss",)),
+        "decompose_full": Query(
+            "decompose_full", _q_decompose, _decompose_full_sql(), ("decompose",)
+        ),
+        "decompose_multichannel": Query(
+            "decompose_multichannel",
+            _q_decompose_multichannel,
+            _decompose_multichannel_sql(),
+            ("decompose",)
+        ),
+        "loss_fourier": Query("loss_fourier", _q_loss_fourier, _loss_fourier_sql(), ("loss",)),
+        "loss_combined": Query(
+            "loss_combined", _q_loss_combined, _loss_combined_sql(), ("loss",)
+        ),
         "sample_loop": Query("sample_loop", _q_sample_loop, None, ("diffusion",)),
         "sample_fused": Query("sample_fused", _q_sample_fused, None, ("diffusion",)),
     }
