@@ -166,7 +166,7 @@ def _q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(out, "value", "trend", "seasonality", "residual")
 
 
-def _decompose_chain_sql(gen: str, keys: str) -> str:
+def _decompose_chain_sql(gen: str, keys: str, seq_len: int = LEN_D, rounded: bool = True) -> str:
     # full decomposition oracle: cubic Cramer trend (same closed form as
     # trend_poly3 — the UDF's pinv solves the same normal equations) +
     # brute-DFT top-4 seasonality of the detrended + exact residual;
@@ -178,15 +178,16 @@ def _decompose_chain_sql(gen: str, keys: str) -> str:
         f"sum({'*'.join(['cc'] * i + ['value']) if i else 'value'}) AS b{i}"
         for i in range(4)
     )
-    w = f"{2 * 3.141592653589793 / LEN_D:.17e}"
-    nbins = LEN_D // 2 + 1
+    w = f"{2 * 3.141592653589793 / seq_len:.17e}"
+    nbins = seq_len // 2 + 1
     kl = [x.strip() for x in keys.split(",")]
     sk = ", ".join(kl)
     def on(a, b):
         return " AND ".join(f"{a}.{c} = {b}.{c}" for c in kl)
     sel_k = lambda a: ", ".join(f"{a}.{c}" for c in kl)  # noqa: E731
+    rv = E.round6 if rounded else (lambda x: f"({x})")
     return f"""
-WITH s AS (SELECT {sk}, t, value, CAST(t AS DOUBLE)/{LEN_D} AS cc FROM ({gen})),
+WITH s AS (SELECT {sk}, t, value, CAST(t AS DOUBLE)/{seq_len} AS cc FROM ({gen})),
 g AS (SELECT {sk}, CAST(count(*) AS DOUBLE) AS m0, {moments}, {bs} FROM s GROUP BY {sk}),
 co AS (SELECT {sk}, {e['c0']} AS c0, {e['c1']} AS c1, {e['c2']} AS c2, {e['c3']} AS c3 FROM g),
 tr AS (
@@ -201,19 +202,19 @@ spec AS (
   FROM tr CROSS JOIN k GROUP BY {sk}, freq_idx),
 sel AS (
   SELECT {sk}, freq_idx, re, im,
-         CASE WHEN freq_idx = 0 OR freq_idx = {LEN_D // 2} THEN 1.0e0 ELSE 2.0e0 END AS wgt,
+         CASE WHEN freq_idx = 0 OR freq_idx = {seq_len // 2} THEN 1.0e0 ELSE 2.0e0 END AS wgt,
          row_number() OVER (PARTITION BY {sk}
                             ORDER BY sqrt(re*re + im*im) DESC, freq_idx) AS rk
   FROM spec),
 seas AS (
   SELECT {sel_k('tr')}, tr.t,
          sum(s.wgt * (s.re * cos({w} * s.freq_idx * tr.t)
-                      - s.im * sin({w} * s.freq_idx * tr.t))) / {LEN_D} AS seasonality
+                      - s.im * sin({w} * s.freq_idx * tr.t))) / {seq_len} AS seasonality
   FROM tr JOIN sel s ON {on('tr', 's')} AND s.rk <= 4
   GROUP BY {sel_k('tr')}, tr.t)
-SELECT {sel_k('tr')}, tr.t, {E.round6('tr.value')} AS value, {E.round6('tr.trend')} AS trend,
-       {E.round6('seas.seasonality')} AS seasonality,
-       {E.round6('tr.value - tr.trend - seas.seasonality')} AS residual
+SELECT {sel_k('tr')}, tr.t, {rv('tr.value')} AS value, {rv('tr.trend')} AS trend,
+       {rv('seas.seasonality')} AS seasonality,
+       {rv('tr.value - tr.trend - seas.seasonality')} AS residual
 FROM tr JOIN seas ON {on('tr', 'seas')} AND tr.t = seas.t
 """
 
@@ -311,6 +312,81 @@ def _q_loss_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(out, "time_loss", "freq_loss", "fourier_loss", "combined_loss")
 
 
+def _sample_loop_sql(n_series: int, seq_len: int, timesteps: int, kind: str = "cosine") -> str:
+    """The ENTIRE reverse-diffusion sampling loop unrolled as SQL: T chained
+    decompose-denoiser + DDPM-posterior stages (each stage = the same
+    Cramer-trend + brute-DFT-seasonality chain as decompose_full, then the
+    posterior mean/noise step with schedule constants as scalar subqueries).
+    ~8 CTEs per step — mechanical to generate, and it hash-checks the
+    iterative sampler end-to-end against pure SQL."""
+    from . import diffusion
+    from .schedules import duckdb_from_clause, schedule_sql
+
+    e = decompose.cubic_trend_sql_exprs()
+    moments = ", ".join(f"sum({'*'.join(['cc'] * i)}) AS m{i}" for i in range(1, 7))
+    bs = ", ".join(
+        f"sum({'*'.join(['cc'] * i + ['value']) if i else 'value'}) AS b{i}"
+        for i in range(4)
+    )
+    w = f"{2 * 3.141592653589793 / seq_len:.17e}"
+    nbins, nyq = seq_len // 2 + 1, seq_len // 2
+    ctes = [
+        f"sch AS ({schedule_sql(timesteps, kind, duckdb_from_clause(timesteps))})",
+        f"k AS (SELECT unnest(range(0, {nbins})) AS freq_idx)",
+        f"st{timesteps} AS (SELECT series_id, t, {E.normal(E.pt_key(), diffusion.SALT_INIT)} AS x "
+        f"FROM {oracle.grid_sql(n_series, seq_len)})",
+    ]
+    cur = f"st{timesteps}"
+    for t in reversed(range(timesteps)):
+        p = f"d{t}_"
+        ctes += [
+            f"{p}s AS MATERIALIZED (SELECT series_id, t, x AS value, CAST(t AS DOUBLE)/{seq_len} AS cc FROM {cur})",
+            f"{p}g AS (SELECT series_id, CAST(count(*) AS DOUBLE) AS m0, {moments}, {bs} "
+            f"FROM {p}s GROUP BY series_id)",
+            f"{p}co AS (SELECT series_id, {e['c0']} AS c0, {e['c1']} AS c1, {e['c2']} AS c2, "
+            f"{e['c3']} AS c3 FROM {p}g)",
+            f"{p}tr AS MATERIALIZED (SELECT s.series_id, s.t, s.value, {decompose.CUBIC_EVAL} AS trend, "
+            f"s.value - {decompose.CUBIC_EVAL} AS det "
+            f"FROM {p}s s JOIN {p}co co ON s.series_id = co.series_id)",
+            f"{p}spec AS MATERIALIZED (SELECT series_id, freq_idx, "
+            f"sum(det * cos({w} * freq_idx * t)) AS re, "
+            f"sum(-det * sin({w} * freq_idx * t)) AS im "
+            f"FROM {p}tr CROSS JOIN k GROUP BY series_id, freq_idx)",
+            f"{p}sel AS (SELECT series_id, freq_idx, re, im, "
+            f"CASE WHEN freq_idx = 0 OR freq_idx = {nyq} THEN 1.0e0 ELSE 2.0e0 END AS wgt, "
+            f"row_number() OVER (PARTITION BY series_id "
+            f"ORDER BY sqrt(re*re + im*im) DESC, freq_idx) AS rk FROM {p}spec)",
+            f"{p}seas AS (SELECT tr.series_id, tr.t, "
+            f"sum(s.wgt * (s.re * cos({w} * s.freq_idx * tr.t) "
+            f"- s.im * sin({w} * s.freq_idx * tr.t))) / {seq_len} AS seasonality "
+            f"FROM {p}tr tr JOIN {p}sel s ON tr.series_id = s.series_id AND s.rk <= 4 "
+            f"GROUP BY tr.series_id, tr.t)",
+            f"{p}x0 AS MATERIALIZED (SELECT tr.series_id, tr.t, tr.value AS x, "
+            f"tr.trend + seas.seasonality AS x0_pred "
+            f"FROM {p}tr tr JOIN {p}seas seas ON tr.series_id = seas.series_id AND tr.t = seas.t)",
+        ]
+        if t == 0:
+            ctes.append(f"st_final AS MATERIALIZED (SELECT series_id, t, x0_pred AS x FROM {p}x0)")
+            cur = "st_final"
+        else:
+            sub = lambda expr: f"(SELECT {expr} FROM sch WHERE t_step = {t})"  # noqa: E731
+            mean = (
+                f"({sub('sqrt(alpha)*(1.0e0 - alpha_cumprod_prev)')} * x "
+                f"+ {sub('sqrt(alpha_cumprod_prev)*(1.0e0 - alpha)')} * x0_pred) "
+                f"/ {sub('1.0e0 - alpha_cumprod')}"
+            )
+            noise = E.normal(E.pt_key(), diffusion.step_salt(diffusion.SALT_PNOISE, t))
+            ctes.append(
+                f"st{t} AS MATERIALIZED (SELECT series_id, t, {mean} "
+                f"+ {sub('sqrt(posterior_variance)')} * {noise} AS x FROM {p}x0)"
+            )
+            cur = f"st{t}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT series_id, t, {E.round6('x')} AS x FROM {cur}"
+    )
+
+
 def _q_sample_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # I1: reverse-diffusion sampling, decomposition denoiser, T=10
     from . import diffusion
@@ -350,8 +426,12 @@ _REGISTRY.update(
         "loss_combined": Query(
             "loss_combined", _q_loss_combined, _loss_combined_sql(), ("loss",)
         ),
-        "sample_loop": Query("sample_loop", _q_sample_loop, None, ("diffusion",)),
-        "sample_fused": Query("sample_fused", _q_sample_fused, None, ("diffusion",)),
+        "sample_loop": Query(
+            "sample_loop", _q_sample_loop, _sample_loop_sql(4, 32, 10), ("diffusion",)
+        ),
+        "sample_fused": Query(
+            "sample_fused", _q_sample_fused, _sample_loop_sql(8, 64, 20), ("diffusion",)
+        ),
     }
 )
 

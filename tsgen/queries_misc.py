@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import expr as E, generators
+from . import expr as E, generators, oracle
 from .queries import _REGISTRY, Query, round6
 
 # --- B10: polynomial basis table [1, c, c^2, c^3], c = t/n ----------------
@@ -309,6 +309,22 @@ def _q_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(forecast.ses_forecast(df, alpha=0.3), "level")
 
 
+def _ses_sql() -> str:
+    # closed form of the SES recursion (same identity the Spark side
+    # vectorizes, tsgen/forecast.py:75-79): level_{n−1} = (1−α)^(n−1)·y_0
+    # + α·Σ_{t≥1} (1−α)^(n−1−t)·y_t — a plain weighted aggregation in SQL
+    gen = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return f"""
+WITH src AS ({gen}),
+n AS (SELECT series_id, count(*) AS n FROM src GROUP BY series_id)
+SELECT s.series_id,
+       {E.round6("sum(CASE WHEN t = 0 THEN pow(7.0e-1, n.n - 1) "
+                 "ELSE 3.0e-1 * pow(7.0e-1, n.n - 1 - t) END * value)")} AS level
+FROM src s JOIN n ON s.series_id = n.series_id
+GROUP BY s.series_id
+"""
+
+
 def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -316,12 +332,33 @@ def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(forecast.anomalies(df, threshold=2.5), "value", "residual", "res_z")
 
 
+def _ts_anomalies_sql() -> str:
+    # rides the decompose oracle chain (queries_decompose): unrounded
+    # decomposition -> residual z-score filter, same 2.5 threshold
+    from .queries_decompose import _decompose_chain_sql
+
+    gen = oracle.generate_sql(16, 96, "linear_sum", rounded=False)
+    chain = _decompose_chain_sql(gen, "series_id", seq_len=96, rounded=False)
+    return f"""
+WITH d AS ({chain}),
+st AS (SELECT series_id, avg(residual) AS mu, stddev_samp(residual) AS sd
+       FROM d GROUP BY series_id)
+SELECT d.series_id, d.t, {E.round6('d.value')} AS value,
+       {E.round6('d.residual')} AS residual,
+       {E.round6('(d.residual - st.mu) / st.sd')} AS res_z
+FROM d JOIN st ON d.series_id = st.series_id
+WHERE abs((d.residual - st.mu) / st.sd) > 2.5e0
+"""
+
+
 _REGISTRY.update(
     {
         "forecast_seasonal_naive": Query(
             "forecast_seasonal_naive", _q_seasonal_naive, _seasonal_naive_sql(), ("forecast",)
         ),
-        "forecast_ses": Query("forecast_ses", _q_ses, None, ("forecast",)),
-        "ts_anomalies": Query("ts_anomalies", _q_ts_anomalies, None, ("forecast",)),
+        "forecast_ses": Query("forecast_ses", _q_ses, _ses_sql(), ("forecast",)),
+        "ts_anomalies": Query(
+            "ts_anomalies", _q_ts_anomalies, _ts_anomalies_sql(), ("forecast",)
+        ),
     }
 )
