@@ -312,7 +312,15 @@ def _q_loss_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(out, "time_loss", "freq_loss", "fourier_loss", "combined_loss")
 
 
-def _sample_loop_sql(n_series: int, seq_len: int, timesteps: int, kind: str = "cosine") -> str:
+def _sample_loop_sql(
+    n_series: int,
+    seq_len: int,
+    timesteps: int,
+    kind: str = "cosine",
+    mode: str = "plain",
+    history_len: int = 16,
+    guidance: float = 1.0,
+) -> str:
     """The ENTIRE reverse-diffusion sampling loop unrolled as SQL: T chained
     decompose-denoiser + DDPM-posterior stages (each stage = the same
     Cramer-trend + brute-DFT-seasonality chain as decompose_full, then the
@@ -330,6 +338,24 @@ def _sample_loop_sql(n_series: int, seq_len: int, timesteps: int, kind: str = "c
     )
     w = f"{2 * 3.141592653589793 / seq_len:.17e}"
     nbins, nyq = seq_len // 2 + 1, seq_len // 2
+    known = E.signal_expr("mixed", seq_len)
+    if mode == "label":
+        fams = ("sine", "cosine", "mixed", "exponential_decay")
+        label_of = lambda sid: (  # noqa: E731
+            f"CAST(floor({E.u01(sid, E.SALT_LABEL)} * {len(fams)}) AS BIGINT)"
+        )
+        label = label_of("series_id")
+        def cond_of(sid, t):
+            return "CASE " + " ".join(
+                f"WHEN ({label_of(sid)}) = {i} THEN ({E.signal_expr(f, seq_len, sid=sid, t=t)})"
+                for i, f in enumerate(fams)
+            ) + " ELSE 0.0e0 END"
+        g = E.NUM(guidance)
+        x0_eff = lambda u: (  # noqa: E731
+            f"(({u}) + {g} * (({cond_of('tr.series_id', 'tr.t')}) - ({u})))"
+        )
+    else:
+        x0_eff = lambda u: f"({u})"  # noqa: E731
     ctes = [
         f"sch AS ({schedule_sql(timesteps, kind, duckdb_from_clause(timesteps))})",
         f"k AS (SELECT unnest(range(0, {nbins})) AS freq_idx)",
@@ -362,11 +388,16 @@ def _sample_loop_sql(n_series: int, seq_len: int, timesteps: int, kind: str = "c
             f"FROM {p}tr tr JOIN {p}sel s ON tr.series_id = s.series_id AND s.rk <= 4 "
             f"GROUP BY tr.series_id, tr.t)",
             f"{p}x0 AS MATERIALIZED (SELECT tr.series_id, tr.t, tr.value AS x, "
-            f"tr.trend + seas.seasonality AS x0_pred "
+            f"{x0_eff('tr.trend + seas.seasonality')} AS x0_pred "
             f"FROM {p}tr tr JOIN {p}seas seas ON tr.series_id = seas.series_id AND tr.t = seas.t)",
         ]
         if t == 0:
-            ctes.append(f"st_final AS MATERIALIZED (SELECT series_id, t, x0_pred AS x FROM {p}x0)")
+            final_x = "x0_pred"
+            if mode == "forecast":
+                final_x = f"CASE WHEN t < {history_len} THEN ({known}) ELSE x0_pred END"
+            ctes.append(
+                f"st_final AS MATERIALIZED (SELECT series_id, t, {final_x} AS x FROM {p}x0)"
+            )
             cur = "st_final"
         else:
             sub = lambda expr: f"(SELECT {expr} FROM sch WHERE t_step = {t})"  # noqa: E731
@@ -376,15 +407,26 @@ def _sample_loop_sql(n_series: int, seq_len: int, timesteps: int, kind: str = "c
                 f"/ {sub('1.0e0 - alpha_cumprod')}"
             )
             noise = E.normal(E.pt_key(), diffusion.step_salt(diffusion.SALT_PNOISE, t))
+            nxt = f"{mean} + {sub('sqrt(posterior_variance)')} * {noise}"
+            if mode == "forecast":
+                prev = lambda expr: f"(SELECT {expr} FROM sch WHERE t_step = {t - 1})"  # noqa: E731
+                qn = E.normal(E.pt_key(), diffusion.step_salt(diffusion.SALT_QNOISE, t))
+                nxt = (
+                    f"CASE WHEN t < {history_len} THEN "
+                    f"({prev('sqrt_ac')} * ({known}) + {prev('sqrt_1m_ac')} * {qn}) "
+                    f"ELSE {nxt} END"
+                )
             ctes.append(
-                f"st{t} AS MATERIALIZED (SELECT series_id, t, {mean} "
-                f"+ {sub('sqrt(posterior_variance)')} * {noise} AS x FROM {p}x0)"
+                f"st{t} AS MATERIALIZED (SELECT series_id, t, {nxt} AS x FROM {p}x0)"
             )
             cur = f"st{t}"
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT series_id, t, {E.round6('x')} AS x FROM {cur}"
-    )
+    if mode == "forecast":
+        final = f"SELECT series_id, t, t < {history_len} AS observed, {E.round6('x')} AS x FROM {cur}"
+    elif mode == "label":
+        final = f"SELECT series_id, {label} AS label, t, {E.round6('x')} AS x FROM {cur}"
+    else:
+        final = f"SELECT series_id, t, {E.round6('x')} AS x FROM {cur}"
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 def _q_sample_loop(spark: SparkSession, sf_dir: str) -> DataFrame:

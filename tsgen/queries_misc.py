@@ -251,7 +251,21 @@ def _q_sample_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(out.select("series_id", "t", "observed", "x"), "x")
 
 
-# --- I1 + A2: label-conditional sampling (CFG analogue) — rows-only --------
+def _sample_forecast_sql() -> str:
+    # unrolled-loop oracle (queries_decompose._sample_loop_sql) in forecast
+    # mode: per-step history re-noising + observed-mask replace in SQL
+    from .queries_decompose import _sample_loop_sql
+
+    return _sample_loop_sql(4, 32, 6, mode="forecast", history_len=16)
+
+
+def _sample_label_sql() -> str:
+    from .queries_decompose import _sample_loop_sql
+
+    return _sample_loop_sql(8, 32, 6, mode="label", guidance=0.5)
+
+
+# --- I1 + A2: label-conditional sampling (CFG analogue) --------------------
 def _q_sample_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guidance=0.5: genuinely blends the unconditional denoiser with the
     # label-conditioned prediction each step (guidance=1 collapses to the
@@ -275,9 +289,11 @@ _REGISTRY.update(
             "gen_multichannel", _q_multichannel, _multichannel_sql(), ("generator",)
         ),
         "orders_cube": Query("orders_cube", _q_cube, _CUBE_SQL, ("agg",)),
-        "sample_forecast": Query("sample_forecast", _q_sample_forecast, None, ("diffusion",)),
+        "sample_forecast": Query(
+            "sample_forecast", _q_sample_forecast, _sample_forecast_sql(), ("diffusion",)
+        ),
         "sample_conditional_label": Query(
-            "sample_conditional_label", _q_sample_label, None, ("diffusion",)
+            "sample_conditional_label", _q_sample_label, _sample_label_sql()
         ),
     }
 )

@@ -132,17 +132,33 @@ WHERE p_n >= 2 AND p_sd > 0 AND abs(value - p_mean) / p_sd > 3.0e0
 
 
 def _q_stream_ewma(spark, sf_dir):
-    # applyInPandasWithState custom stateful op; recursive EWMA is not
-    # SQL-expressible without numerically-unstable rescaling → rows-only
-    # (batch-twin equivalence proven in tests/test_stateful.py)
+    # applyInPandasWithState custom stateful op (batch-twin equivalence also
+    # in tests/test_stateful.py); oracle = the recursion's closed form
+    # ewma = (1−α)^(n−1)·y_0 + α·Σ_{i≥1} (1−α)^(n−1−i)·y_i as a weighted SQL
+    # aggregation (same identity as forecast_ses; pow underflow for huge n
+    # contributes exactly the terms the recursion has already forgotten)
     s = streaming.events_stream(spark, sf_dir)
     out = streaming.run_to_completion(streaming.ewma_stateful(s, alpha=0.1), mode="update")
     return round6(out, "ewma")
 
 
+_STREAM_EWMA_SQL = """
+WITH o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events),
+n AS (SELECT user_id, count(*) AS n_events FROM o GROUP BY user_id)
+SELECT o.user_id, first(n.n_events) AS n_events,
+       (round((sum(CASE WHEN o.i = 0 THEN pow(9.0e-1, n.n_events - 1)
+                        ELSE 1.0e-1 * pow(9.0e-1, n.n_events - 1 - o.i) END * o.value)) + 1.0e-9,6)+0.0e0) AS ewma
+FROM o JOIN n ON o.user_id = n.user_id
+GROUP BY o.user_id
+"""
+
+
 _REGISTRY.update(
     {
-        "stream_ewma": Query("stream_ewma", _q_stream_ewma, None, ("streaming",)),
+        "stream_ewma": Query("stream_ewma", _q_stream_ewma, _STREAM_EWMA_SQL, ("streaming",)),
         "stream_anomalies": Query(
             "stream_anomalies", _q_stream_anomalies, _STREAM_ANOMALIES_SQL, ("streaming",)
         ),
