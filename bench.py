@@ -99,6 +99,8 @@ def main() -> None:
         "doc_contamination",
         "ev_cusum",
         "repetition_stats",
+        "doc_lm_score",
+        "doc_entropy",
         "doc_chunks",
         "pack_sequences",
         "cosine_topk",
