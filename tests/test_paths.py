@@ -202,3 +202,31 @@ def test_lm_score_flags_unusual_tokens(spark):
     assert abs(got[1] - (-math.log(8 / 12))) < 1e-12
     assert abs(got[3] - (-math.log(1 / 12))) < 1e-12
     assert got[3] > got[1]
+
+
+def test_dq_checks_detect_violations(spark, tmp_path):
+    # plant one FK violation and one null: checks must count them
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ["orders", "customer", "lineitem", "events", "region", "nation",
+              "supplier", "part", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    # rewrite orders with one bogus custkey
+    orders = spark.read.parquet(f"{src}/orders.parquet").toPandas()
+    orders.loc[0, "o_custkey"] = 10**9
+    import pandas as pd  # noqa: F401
+    (d / "orders.parquet").unlink()
+    spark.createDataFrame(orders).coalesce(1).write.parquet(str(d / "orders_tmp"))
+    import glob, os
+    part = glob.glob(str(d / "orders_tmp" / "*.parquet"))[0]
+    os.rename(part, d / "orders.parquet")
+
+    from tsgen.queries_quality import dq_checks
+
+    got = {r.check_name: r for r in dq_checks(spark, str(d)).collect()}
+    assert got["orders_custkey_fk"].n_violations == 1
+    assert not got["orders_custkey_fk"].passed
+    assert got["orders_pk_unique"].passed

@@ -147,6 +147,7 @@ def _ensure_populated() -> None:
         queries_misc,
         queries_paths,
         queries_pipeline,
+        queries_quality,
         queries_streaming,
         queries_tpch,
         queries_training,
