@@ -1,0 +1,111 @@
+"""Tests for warehouse-maintenance operators (queries_warehouse)."""
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tsgen.queries_warehouse import (
+    forward_fill,
+    key_skew,
+    scd2_intervals,
+    table_profile,
+    zorder_key,
+)
+
+
+def _ev(spark):
+    rows = [
+        # user 1: a a b b a  (3 changes)
+        (1, 1, "a", 10.0), (2, 1, "a", 11.0), (3, 1, "b", 12.0),
+        (4, 1, "b", 13.0), (5, 1, "a", 14.0),
+        # user 2: x  (1 interval)
+        (6, 2, "x", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, value double")
+    return df.withColumn("ts", F.timestamp_seconds(F.col("event_id") * 100))
+
+
+def test_scd2_intervals(spark):
+    out = scd2_intervals(_ev(spark)).orderBy("user_id", "version").collect()
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.event_type for r in u1] == ["a", "b", "a"]
+    # contiguous: valid_to of version v == valid_from of v+1
+    for prev, nxt in zip(u1, u1[1:]):
+        assert prev.valid_to_s == nxt.valid_from_s
+    # exactly one open interval per user
+    assert sum(r.is_current for r in u1) == 1
+    assert u1[-1].is_current and u1[-1].valid_to_s is None
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current
+
+
+def test_forward_fill_matches_pandas(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat([1, 2], 50),
+            "t": np.tile(np.arange(50), 2),
+            "v": rng.normal(size=100),
+        }
+    )
+    pdf.loc[pdf.index % 3 == 0, "v"] = None
+    df = spark.createDataFrame(pdf)
+    got = (
+        forward_fill(df, "k", ["t"], "v")
+        .orderBy("k", "t")
+        .toPandas()["v_filled"]
+        .to_numpy()
+    )
+    want = pdf.sort_values(["k", "t"]).groupby("k")["v"].ffill().to_numpy()
+    mask = ~np.isnan(want)
+    assert np.allclose(got[mask], want[mask])
+    assert np.isnan(got[~mask]).all()  # leading nulls stay null
+
+
+def _morton_ref(a: int, b: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (1234, 4321), (40000, 7)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r.a, r.b): r.zkey for r in zorder_key(df, "a", "b").collect()}
+    for a, b in rows:
+        assert got[(a, b)] == _morton_ref(a, b), (a, b)
+
+
+def test_zorder_locality(spark):
+    # a full 2-dim grid: every bucket must span a bounded sub-rectangle,
+    # far smaller than the global range in BOTH dims
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    from tsgen.queries_warehouse import zorder_cluster_stats
+
+    st = zorder_cluster_stats(grid, "a", "b", shift=8).collect()
+    assert len(st) == 16
+    for r in st:
+        assert r.a_max - r.a_min <= 15
+        assert r.b_max - r.b_min <= 15
+
+
+def test_table_profile_one_row_per_col(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (2, 30.0)], "k long, v double"
+    )
+    out = {r.col_name: r for r in table_profile(df, ["k", "v"]).collect()}
+    assert out["k"].n_vals == 3 and out["k"].n_distinct == 2 and out["k"].n_null == 0
+    assert out["v"].n_vals == 2 and out["v"].n_null == 1
+    assert out["v"].min_v == 10.0 and out["v"].max_v == 30.0
+
+
+def test_key_skew_orders_and_shares(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 10 + [2] * 5 + [3] * 2 + [4]], "k long"
+    )
+    rows = key_skew(df, "k", top_n=3).orderBy(F.desc("cnt")).collect()
+    assert [r.k for r in rows] == [1, 2, 3]
+    assert abs(rows[0].share - 10 / 18) < 1e-12

@@ -151,6 +151,7 @@ def _ensure_populated() -> None:
         queries_streaming,
         queries_tpch,
         queries_training,
+        queries_warehouse,
     )
 
 

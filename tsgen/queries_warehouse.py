@@ -1,0 +1,296 @@
+"""Warehouse-maintenance / dimensional-modeling operators (north-star
+extension: the jobs a data-platform team runs around the analytics engine).
+
+- ev_scd2: type-2 slowly-changing-dimension build from an event stream
+  (change detection + interval assembly — the MERGE/SCD pattern).
+- ev_ffill: forward-fill of sparse measurements (last_value IGNORE NULLS).
+- table_profile: one-pass column profiler (the ANALYZE TABLE / data-catalog
+  statistics job).
+- key_skew_profile: join-key skew diagnostics — the first thing to run
+  before debugging a slow shuffle at 100 TB.
+- zorder_cluster: Morton (Z-order) interleaved sort key over two dimensions
+  — the multi-dimensional clustering layout used for data-skipping file
+  layouts; per-bucket locality stats prove both key dims stay range-bounded
+  within a bucket.
+
+Scale notes: scd2/ffill are single-shuffle window jobs partitioned by the
+entity key; table_profile reduces the table in ONE pass to a single stats
+row (stack() unpivots driver-side-free); key_skew_profile is a partial-agg
+count + TakeOrderedAndProject (no global sort); zorder_cluster is a pure
+projection + one partial-agged groupBy on a 64-value bucket key.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .queries import _REGISTRY, Query, canon_types, round6, roundn
+from .queries_analytics import _events, _t
+
+
+# --- SCD2 intervals -------------------------------------------------------
+def scd2_intervals(
+    ev: DataFrame, key: str = "user_id", attr: str = "event_type"
+) -> DataFrame:
+    """Type-2 SCD: per entity, each change of `attr` closes the previous
+    interval and opens a new one. Change detection (lag) and interval
+    assembly (lead / row_number) share one hash-partitioning on `key`, so
+    the whole build is a single shuffle regardless of table size."""
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    ch = (
+        ev.select(key, attr, "ts", "event_id")
+        .withColumn("_prev", F.lag(attr).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(attr) != F.col("_prev")))
+    )
+    w2 = Window.partitionBy(key).orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return ch.select(
+        F.col(key),
+        F.col(attr),
+        F.unix_timestamp("ts").alias("valid_from_s"),
+        F.unix_timestamp(nxt).alias("valid_to_s"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_intervals(_events(spark, sf_dir))
+
+
+_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+ch AS (SELECT user_id, event_type, ts, event_id FROM e
+       WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+       CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+       lead(ts) OVER w IS NULL AS is_current,
+       CAST(row_number() OVER w AS BIGINT) AS version
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- forward fill ---------------------------------------------------------
+def forward_fill(
+    df: DataFrame, key: str, order: list[str], value: str
+) -> DataFrame:
+    """Carry the last non-null observation forward per entity (the gap-fill
+    every sensor/metrics pipeline needs). One window shuffle on `key`."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(f"{value}_filled", F.last(value, ignorenulls=True).over(w))
+
+
+def _q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # deterministic sparsity: drop every 7th measurement, then fill it back
+    masked = ev.withColumn(
+        "_m", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    )
+    out = forward_fill(masked, "user_id", ["ts", "event_id"], "_m")
+    return round6(
+        out.select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            (F.col("event_id") % 7 == 0).alias("was_null"),
+            F.coalesce("_m_filled", F.lit(0.0)).alias("v_filled"),
+        ),
+        "v_filled",
+    )
+
+
+_FFILL_SQL = """
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       event_id % 7 = 0 AS was_null,
+       (round((coalesce(
+          last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          0.0e0)) + 1.0e-9,6)+0.0e0) AS v_filled
+FROM events
+"""
+
+
+# --- one-pass column profiler ---------------------------------------------
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate_s"]
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column statistics (count / nulls / distinct / min / max / avg) for
+    every column in ONE scan: a single agg produces one wide stats row,
+    stack() unpivots it to a row per column without touching the driver.
+    countDistinct is exact (the catalog-quality variant); swap for
+    approx_count_distinct when profiling petabyte tables on a budget."""
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            F.avg(d).alias(f"{c}__avg"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__avg"
+        for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(col_name, n_vals, n_null, n_distinct, min_v, max_v, avg_v)"
+        )
+    )
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_s", F.unix_timestamp("o_orderdate")
+    )
+    out = table_profile(o, _PROFILE_COLS)
+    # avg of large sums → 4dp (fp association differs across engines)
+    return roundn(out, 4, "min_v", "max_v", "avg_v")
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        src = "CAST(floor(epoch(o_orderdate)) AS BIGINT)" if c == "o_orderdate_s" else c
+        d = f"CAST({src} AS DOUBLE)"
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name, CAST(count({src}) AS BIGINT) AS n_vals,
+       CAST(sum(CASE WHEN {src} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {src}) AS BIGINT) AS n_distinct,
+       (round((min({d})) + 1.0e-9,4)+0.0e0) AS min_v,
+       (round((max({d})) + 1.0e-9,4)+0.0e0) AS max_v,
+       (round((avg({d})) + 1.0e-9,4)+0.0e0) AS avg_v
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# --- join-key skew diagnostics --------------------------------------------
+def key_skew(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Top-N heaviest join keys with their row share — the diagnostic run
+    before choosing salting / broadcast strategies. Partial-agg count per
+    key, then TakeOrderedAndProject (orderBy+limit compiles to a per-
+    partition top-N merge, no global sort)."""
+    cnt = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("_total"))
+    top = cnt.orderBy(F.desc("cnt"), F.asc(key)).limit(top_n)
+    return top.crossJoin(F.broadcast(tot)).select(
+        key,
+        "cnt",
+        (F.col("cnt") / F.col("_total")).alias("share"),
+    )
+
+
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = key_skew(_t(spark, sf_dir, "lineitem"), "l_partkey")
+    return round6(out, "share")
+
+
+_KEY_SKEW_SQL = """
+WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+top AS (SELECT * FROM c ORDER BY cnt DESC, l_partkey LIMIT 10)
+SELECT l_partkey, cnt,
+       (round((CAST(cnt AS DOUBLE) / t.total) + 1.0e-9,6)+0.0e0) AS share
+FROM top CROSS JOIN t
+"""
+
+
+# --- Z-order (Morton) clustering key ---------------------------------------
+def _morton_expr(a: str, b: str, shl) -> str:
+    """Interleave the low 16 bits of `a` and `b` into a 32-bit Morton code.
+
+    Shared-text formula: the SAME arithmetic is rendered for Spark
+    (shiftleft) and DuckDB (<<) via the `shl` formatter, so both engines
+    compute bit-identical keys. Classic mask-spread: each & keeps every
+    other bit group after doubling the spacing."""
+
+    def spread(x: str) -> str:
+        e = f"({x} & 65535)"
+        e = f"(({e} | {shl(e, 8)}) & 16711935)"
+        e = f"(({e} | {shl(e, 4)}) & 252645135)"
+        e = f"(({e} | {shl(e, 2)}) & 858993459)"
+        e = f"(({e} | {shl(e, 1)}) & 1431655765)"
+        return e
+
+    return f"({spread(a)} | {shl(spread(b), 1)})"
+
+
+def zorder_key(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Add a Morton `zkey` column interleaving two dimensions — sorting /
+    range-partitioning by zkey co-locates rows close in BOTH dims, the
+    layout that makes min/max file statistics prune on either predicate.
+    Pure projection: no shuffle, stays in whole-stage codegen."""
+    shl = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+    return df.withColumn("zkey", F.expr(_morton_expr(a, b, shl)))
+
+
+def zorder_cluster_stats(df: DataFrame, a: str, b: str, shift: int = 16) -> DataFrame:
+    """Bucket rows by their Morton key >> `shift` (= the file an
+    optimize-zorder rewrite would place them in) and report per-bucket
+    ranges of both dims: bounded ranges in BOTH columns per bucket is the
+    locality property data skipping relies on."""
+    z = zorder_key(df, a, b)
+    bucket = F.shiftrightunsigned(F.col("zkey"), shift)
+    return (
+        z.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+            F.min(a).alias("a_min"),
+            F.max(a).alias("a_max"),
+            F.min(b).alias("b_min"),
+            F.max(b).alias("b_max"),
+        )
+    )
+
+
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return zorder_cluster_stats(li, "l_partkey", "l_suppkey")
+
+
+def _zorder_sql() -> str:
+    shl = lambda e, n: f"({e} << {n})"  # noqa: E731
+    z = _morton_expr("l_partkey", "l_suppkey", shl)
+    return f"""
+WITH zt AS (SELECT l_partkey, l_suppkey, {z} AS zkey FROM lineitem)
+SELECT zkey // 65536 AS bucket, count(*) AS n_rows,
+       min(zkey) AS z_min, max(zkey) AS z_max,
+       min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+       min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+FROM zt GROUP BY 1
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_scd2": Query("ev_scd2", _q_scd2, _SCD2_SQL, ("warehouse",)),
+        "ev_ffill": Query("ev_ffill", _q_ffill, _FFILL_SQL, ("warehouse",)),
+        "table_profile": Query(
+            "table_profile", _q_table_profile, _profile_sql(), ("warehouse",)
+        ),
+        "key_skew_profile": Query(
+            "key_skew_profile", _q_key_skew, _KEY_SKEW_SQL, ("warehouse",)
+        ),
+        "zorder_cluster": Query(
+            "zorder_cluster", _q_zorder, _zorder_sql(), ("warehouse",)
+        ),
+    }
+)
