@@ -109,3 +109,20 @@ def test_key_skew_orders_and_shares(spark):
     rows = key_skew(df, "k", top_n=3).orderBy(F.desc("cnt")).collect()
     assert [r.k for r in rows] == [1, 2, 3]
     assert abs(rows[0].share - 10 / 18) < 1e-12
+
+
+def test_dup_ngram_coverage_planted(spark):
+    from tsgen.text import dup_ngram_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens: two 5-gram windows
+    docs = [
+        (0, shared + " unique0 filler0 morefill0 tail0"),
+        (1, shared + " unique1 filler1 morefill1 tail1"),
+        (2, "totally distinct words nothing here matches anything else at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_ngram_coverage(df, k=5).collect()}
+    # the shared 6-token passage is covered in both docs 0 and 1
+    assert out[0].n_dup_tokens == 6 and out[1].n_dup_tokens == 6
+    assert out[2].n_dup_tokens == 0 and out[2].dup_frac == 0.0
+    assert abs(out[0].dup_frac - 6 / 10) < 1e-12

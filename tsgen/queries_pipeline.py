@@ -310,8 +310,19 @@ GROUP BY lang, source
 """
 
 
+# --- exact-substring dup coverage (Lee et al. dedup signal) ---------------
+def _q_dup_ngram_coverage(spark, sf_dir):
+    return round6(text.dup_ngram_coverage(_docs(spark, sf_dir)), "dup_frac")
+
+
 _REGISTRY.update(
     {
+        "dup_ngram_coverage": Query(
+            "dup_ngram_coverage",
+            _q_dup_ngram_coverage,
+            text.dup_ngram_coverage_sql(),
+            ("dedup",),
+        ),
         "tfidf_top_terms": Query("tfidf_top_terms", _q_tfidf, text.tfidf_sql(3), ("text",)),
         "text_stats": Query("text_stats", _q_text_stats, text.TEXT_STATS_SQL, ("text",)),
         "doc_entropy": Query("doc_entropy", _q_doc_entropy, text.ENTROPY_SQL, ("text",)),

@@ -546,3 +546,80 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
 FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 """
+
+
+def dup_ngram_coverage(
+    df: DataFrame, text: str = "text", k: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Per-document duplicated-n-gram token coverage — the exact-substring
+    dedup signal (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): what fraction of a document's tokens sit inside a
+    k-gram that also appears in ≥ min_df−1 OTHER documents. Pipelines drop
+    or trim documents with high coverage.
+
+    Scale shape: one explode to (doc, start, gram); corpus-wide gram
+    document-frequency via partial-agged groupBy on the gram (uniform text
+    keys); duplicated grams flow back over a LEFT SEMI equi-join (each
+    exploded row matches at most once — no df² pair blowup, unlike a
+    pair-join); covered token positions are a bounded k× expansion of the
+    matched starts, deduplicated per (doc, position) then counted. No
+    Python anywhere; every shuffle key is either the gram or doc_id.
+    """
+    toks = df.withColumn("_toks", F.split(F.col(text), " "))
+    base = toks.select("doc_id", F.size("_toks").alias("n_tokens"), "_toks")
+    grams = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n_tokens - {k}), i -> "
+                    f"struct(i AS start, concat_ws(' ', slice(_toks, i + 1, {k})) AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.start", "g.gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("gram")
+    )
+    cov = (
+        grams.join(dup, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    out = (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .withColumn("n_dup_tokens", F.coalesce("n_dup_tokens", F.lit(0)))
+    )
+    return out.withColumn("dup_frac", F.col("n_dup_tokens") / F.col("n_tokens"))
+
+
+def dup_ngram_coverage_sql(k: int = 5, min_df: int = 2) -> str:
+    """DuckDB twin (1-based lists; positions differ by a constant offset
+    from the Spark side, which cancels in the per-doc distinct counts)."""
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tk),
+gi AS (SELECT doc_id, unnest(range(1, n_tokens - {k} + 2)) AS i, toks
+       FROM base WHERE n_tokens >= {k}),
+g AS (SELECT doc_id, i, array_to_string(toks[i:i+{k - 1}], ' ') AS gram FROM gi),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= {min_df}),
+cov AS (SELECT DISTINCT doc_id, i + o AS pos
+        FROM (SELECT g.doc_id, g.i, unnest(range(0, {k})) AS o
+              FROM g JOIN dup USING (gram))),
+c AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       (round((CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / b.n_tokens) + 1.0e-9,6)+0.0e0) AS dup_frac
+FROM base b LEFT JOIN c USING (doc_id)
+"""
