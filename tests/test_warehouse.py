@@ -126,3 +126,27 @@ def test_dup_ngram_coverage_planted(spark):
     assert out[0].n_dup_tokens == 6 and out[1].n_dup_tokens == 6
     assert out[2].n_dup_tokens == 0 and out[2].dup_frac == 0.0
     assert abs(out[0].dup_frac - 6 / 10) < 1e-12
+
+
+def test_holt_matches_scalar_reference(spark):
+    from tsgen.forecast import holt_forecast
+
+    rng = np.random.default_rng(11)
+    rows = []
+    lens = {1: 30, 2: 17, 3: 5}
+    series = {}
+    for sid, n in lens.items():
+        ys = rng.normal(size=n).cumsum()
+        series[sid] = ys
+        rows += [(sid, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = {r.series_id: r for r in holt_forecast(df, alpha=0.4, beta=0.1, horizon=3).collect()}
+    for sid, ys in series.items():
+        l, b = ys[0], ys[1] - ys[0]
+        for t in range(1, len(ys)):
+            ln = 0.4 * ys[t] + 0.6 * (l + b)
+            b = 0.1 * (ln - l) + 0.9 * b
+            l = ln
+        assert abs(out[sid].level - l) < 1e-12, sid
+        assert abs(out[sid].trend - b) < 1e-12, sid
+        assert abs(out[sid].fc - (l + 3 * b)) < 1e-12, sid

@@ -99,3 +99,88 @@ def anomalies(
         .filter(F.abs(F.col("res_z")) > threshold)
         .select(key, "t", value, "residual", "res_z")
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    horizon: int = 4,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing:
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    init l_0 = y_0, b_0 = y_1 − y_0; h-step forecast = l_T + h·b_T.
+
+    The recursion is sequential in t but embarrassingly parallel across
+    series, so the mapInPandas kernel iterates TIME steps only (T numpy
+    ops), with every step vectorized across all series of the Arrow batch —
+    no per-point Python loop (the ses_forecast lesson). Series of unequal
+    length are NaN-padded and masked. Requires ≥ 2 points per series.
+    """
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+    oma, omb = 1.0 - alpha, 1.0 - beta
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(v, dtype=float) for v in pdf["vs"]]
+            n = np.array([len(a) for a in arrs])
+            T = int(n.max())
+            Y = np.full((len(arrs), T), np.nan)
+            for i, a in enumerate(arrs):
+                Y[i, : len(a)] = a
+            level = Y[:, 0].copy()
+            trend = Y[:, 1] - Y[:, 0]
+            for t in range(1, T):
+                active = t < n
+                y = Y[:, t]
+                l_new = alpha * y + oma * (level + trend)
+                b_new = beta * (l_new - level) + omb * trend
+                level = np.where(active, l_new, level)
+                trend = np.where(active, b_new, trend)
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    "level": level,
+                    "trend": trend,
+                    "fc": level + horizon * trend,
+                }
+            )
+
+    return wide.mapInPandas(fn, f"{key} bigint, level double, trend double, fc double")
+
+
+def holt_sql(inner: str, alpha: float = 0.3, beta: float = 0.2, horizon: int = 4) -> str:
+    """DuckDB oracle twin: the recursion replayed exactly (same literals,
+    same association order) by a recursive CTE — one iteration per time
+    step, all series advanced together per iteration."""
+    from . import expr as E
+
+    A, OMA = E.NUM(alpha), E.NUM(1.0 - alpha)
+    B, OMB = E.NUM(beta), E.NUM(1.0 - beta)
+    lnew = f"({A}*s.value + {OMA}*(r.l + r.b))"
+    return f"""
+WITH RECURSIVE src AS ({inner}),
+n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+y0 AS (SELECT series_id, value AS v0 FROM src WHERE t = 0),
+y1 AS (SELECT series_id, value AS v1 FROM src WHERE t = 1),
+rec(series_id, t, l, b) AS (
+  SELECT y0.series_id, CAST(0 AS BIGINT), y0.v0, y1.v1 - y0.v0
+  FROM y0 JOIN y1 USING (series_id)
+  UNION ALL
+  SELECT r.series_id, r.t + 1,
+         {lnew},
+         {B}*({lnew} - r.l) + {OMB}*r.b
+  FROM rec r JOIN src s ON s.series_id = r.series_id AND s.t = r.t + 1)
+SELECT r.series_id, {E.round6('r.l')} AS level, {E.round6('r.b')} AS trend,
+       {E.round6(f'r.l + {horizon}*r.b')} AS fc
+FROM rec r JOIN n ON r.series_id = n.series_id AND r.t = n.tmax
+"""

@@ -341,6 +341,20 @@ GROUP BY s.series_id
 """
 
 
+def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(forecast.holt_forecast(df), "level", "trend", "fc")
+
+
+def _holt_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.holt_sql(inner)
+
+
 def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -373,6 +387,7 @@ _REGISTRY.update(
             "forecast_seasonal_naive", _q_seasonal_naive, _seasonal_naive_sql(), ("forecast",)
         ),
         "forecast_ses": Query("forecast_ses", _q_ses, _ses_sql(), ("forecast",)),
+        "forecast_holt": Query("forecast_holt", _q_holt, _holt_sql(), ("forecast",)),
         "ts_anomalies": Query(
             "ts_anomalies", _q_ts_anomalies, _ts_anomalies_sql(), ("forecast",)
         ),

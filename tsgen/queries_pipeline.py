@@ -310,6 +310,49 @@ GROUP BY lang, source
 """
 
 
+# --- SemDeDup: semantic dedup over the embedding space --------------------
+# The embedding-space analogue of dedup_clusters (SemDeDup, Abbas et al.):
+# hyperplane-LSH candidate pairs above a cosine threshold → connected
+# components → one canonical vector per semantic cluster. Every stage is
+# the deterministic, cross-engine-reproducible machinery already proven
+# out by ann_lsh (portable-LCG hyperplanes) and dedup_clusters (hybrid CC),
+# so unlike the k-means formulation of the paper, the whole pipeline is
+# hash-checkable against the DuckDB oracle (recursive-CTE closure).
+SEM_THR = 0.3
+
+
+def _q_semdedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pairs = similarity.lsh_pairs(_emb(spark, sf_dir), threshold=SEM_THR)
+    lab = dedup.connected_components(pairs, a="id_a", b="id_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        lab.select(F.col("node").alias("vec_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
+def _semdedup_sql() -> str:
+    lp = similarity.lsh_pairs_sql(threshold=SEM_THR)
+    return f"""
+WITH RECURSIVE lp AS ({lp}),
+edges AS (SELECT id_a AS u, id_b AS v FROM lp
+          UNION ALL SELECT id_b, id_a FROM lp),
+cc_nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM cc_nodes
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+lab AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM lab
+"""
+
+
 # --- exact-substring dup coverage (Lee et al. dedup signal) ---------------
 def _q_dup_ngram_coverage(spark, sf_dir):
     return round6(text.dup_ngram_coverage(_docs(spark, sf_dir)), "dup_frac")
@@ -317,6 +360,7 @@ def _q_dup_ngram_coverage(spark, sf_dir):
 
 _REGISTRY.update(
     {
+        "semdedup": Query("semdedup", _q_semdedup, _semdedup_sql(), ("dedup", "similarity")),
         "dup_ngram_coverage": Query(
             "dup_ngram_coverage",
             _q_dup_ngram_coverage,
