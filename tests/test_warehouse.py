@@ -150,3 +150,59 @@ def test_holt_matches_scalar_reference(spark):
         assert abs(out[sid].level - l) < 1e-12, sid
         assert abs(out[sid].trend - b) < 1e-12, sid
         assert abs(out[sid].fc - (l + 3 * b)) < 1e-12, sid
+
+
+def test_attribution_last_touch(spark):
+    rows = [
+        (1, 1, "view", 100), (2, 1, "click", 200), (3, 1, "purchase", 300),
+        (4, 2, "purchase", 400),                      # no touch -> direct
+        (5, 3, "click", 100), (6, 3, "purchase", 100 + 8 * 24 * 3600),  # outside window
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, sec long")
+    df = df.withColumn("ts", F.timestamp_seconds("sec")).withColumn("value", F.lit(1.0))
+    from tsgen.queries_experiments import last_touch_attribution
+
+    out = {r.user_id: r for r in last_touch_attribution(df).collect()}
+    assert out[1].touch_type == "click" and out[1].touch_event_id == 2
+    assert out[1].touch_age_s == 100
+    assert out[2].touch_type == "direct" and out[2].touch_event_id is None
+    assert out[3].touch_type == "direct"  # touch exists but outside lookback
+
+
+def test_triangle_stats_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (no new triangle)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    from tsgen.queries_experiments import triangle_stats
+
+    r = triangle_stats(df).collect()[0]
+    assert r.n_triangles == 4
+    assert r.n_nodes == 5 and r.n_edges == 7
+    # wedges: degrees 3,3,3,4,1 -> 3+3+3+6+0 = 15
+    assert r.n_wedges == 15
+    assert abs(r.clustering_coeff - 12 / 15) < 1e-12
+
+
+def test_ab_readout_balanced_and_deterministic(spark):
+    from tsgen.queries_experiments import ab_readout
+
+    ev = spark.range(1000).select(
+        F.col("id").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        (F.col("id") % 10).cast("double").alias("value"),
+    )
+    r1 = ab_readout(ev).collect()[0]
+    r2 = ab_readout(ev).collect()[0]
+    assert r1 == r2  # deterministic assignment
+    assert 300 < r1.n_a < 700 and r1.n_a + r1.n_b == 1000
+
+
+def test_winsorize_clamps(spark):
+    from tsgen.queries_experiments import winsorize
+
+    vals = [float(i) for i in range(1, 100)] + [10000.0]  # one huge outlier
+    df = spark.createDataFrame(
+        [("t", v) for v in vals], "event_type string, value double"
+    )
+    r = winsorize(df).collect()[0]
+    assert r.n_clamped_hi >= 1 and r.mean_winsorized < r.mean_raw

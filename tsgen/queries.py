@@ -144,6 +144,7 @@ def _ensure_populated() -> None:
         queries_analytics,
         queries_decompose,
         queries_diffusion,
+        queries_experiments,
         queries_misc,
         queries_paths,
         queries_pipeline,

@@ -1,0 +1,271 @@
+"""Product-experimentation + graph-metric queries (north-star extension:
+the analyses run on top of the event stream / near-dup graph).
+
+- ev_attribution: last-touch marketing attribution — each purchase credits
+  the latest prior click/view of the same user inside a lookback window.
+  One window shuffle on user_id (no join): conditional last_value IGNORE
+  NULLS carries the touch forward to the conversion row.
+- ab_experiment: deterministic hash-split A/B readout with a Welch t-stat
+  — assignment is pure arithmetic on user_id (identical in both engines),
+  the whole readout is two partial-agged aggregations.
+- ev_winsorize: per-group winsorized means — exact interpolated p05/p95
+  per event_type (tiny result) broadcast back, then clamp + re-aggregate.
+- graph_triangles: triangle count + global clustering coefficient of the
+  near-dup graph (the structure check after pair generation: near-dup
+  clusters should be dense). Standard edge-join formulation: E⋈E produces
+  wedges, a semi-join against E closes them; the df-capped pair generator
+  bounds max degree, which bounds the wedge blowup.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import dedup
+from .queries import _REGISTRY, Query, round6, roundn
+from .queries_analytics import _events
+from .queries_pipeline import CLUSTER_THR, _docs
+
+LOOKBACK_S = 7 * 24 * 3600
+
+
+# --- last-touch attribution ------------------------------------------------
+def last_touch_attribution(
+    ev: DataFrame,
+    conversion: str = "purchase",
+    touches: tuple[str, ...] = ("click", "view"),
+    lookback_s: int = LOOKBACK_S,
+) -> DataFrame:
+    """For every conversion event: the most recent prior touch event of the
+    same user, or 'direct' if none within the lookback window."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*touches)
+    tt = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    tts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    tid = F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w)
+    out = (
+        ev.select(
+            "event_id", "user_id", "ts", "event_type", "value",
+            tt.alias("_tt"), tts.alias("_tts"), tid.alias("_tid"),
+        )
+        .filter(F.col("event_type") == conversion)
+    )
+    age = F.unix_timestamp("ts") - F.unix_timestamp("_tts")
+    in_window = F.col("_tts").isNotNull() & (age <= lookback_s)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("value"),
+        F.when(in_window, F.col("_tt")).otherwise(F.lit("direct")).alias("touch_type"),
+        F.when(in_window, F.col("_tid")).alias("touch_event_id"),
+        F.when(in_window, age).alias("touch_age_s"),
+    )
+
+
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(last_touch_attribution(_events(spark, sf_dir)), "value")
+
+
+_ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS) OVER w AS tt,
+         last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS) OVER w AS tts,
+         last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS) OVER w AS tid
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       (round((value) + 1.0e-9,6)+0.0e0) AS value,
+       CASE WHEN tts IS NOT NULL
+             AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(tts)) AS BIGINT) <= {LOOKBACK_S}
+            THEN tt ELSE 'direct' END AS touch_type,
+       CASE WHEN tts IS NOT NULL
+             AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(tts)) AS BIGINT) <= {LOOKBACK_S}
+            THEN tid END AS touch_event_id,
+       CASE WHEN tts IS NOT NULL
+             AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(tts)) AS BIGINT) <= {LOOKBACK_S}
+            THEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(tts)) AS BIGINT) END AS touch_age_s
+FROM e WHERE event_type = 'purchase'
+"""
+
+
+# --- A/B experiment readout ------------------------------------------------
+def ab_readout(ev: DataFrame, metric_type: str = "purchase") -> DataFrame:
+    """Hash-split users into A/B by deterministic arithmetic, compare mean
+    per-user metric with a Welch t-statistic. Two aggregations total; the
+    per-variant stats table is 2 rows, so the t computation is free."""
+    per_user = (
+        ev.filter(F.col("event_type") == metric_type)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("m"))
+        .withColumn("variant", ((F.col("user_id") * 2654435761) % 2147483647) % 2)
+    )
+    stats = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.avg("m").alias("mean_m"),
+        F.var_samp("m").alias("var_m"),
+    )
+    a = stats.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean_m").alias("mean_a"), F.col("var_m").alias("var_a")
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean_m").alias("mean_b"), F.col("var_m").alias("var_b")
+    )
+    out = a.crossJoin(b)
+    se = F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+    return out.select(
+        "n_a", "n_b", "mean_a", "mean_b",
+        (F.col("mean_b") - F.col("mean_a")).alias("lift"),
+        ((F.col("mean_b") - F.col("mean_a")) / se).alias("t_stat"),
+    )
+
+
+def _q_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roundn(
+        ab_readout(_events(spark, sf_dir)), 4,
+        "mean_a", "mean_b", "lift", "t_stat",
+    )
+
+
+_AB_SQL = """
+WITH pu AS (
+  SELECT user_id, sum(value) AS m,
+         ((user_id * 2654435761) % 2147483647) % 2 AS variant
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+s AS (SELECT variant, count(*) AS n, avg(m) AS mean_m, var_samp(m) AS var_m
+      FROM pu GROUP BY variant)
+SELECT a.n AS n_a, b.n AS n_b,
+       (round((a.mean_m) + 1.0e-9,4)+0.0e0) AS mean_a,
+       (round((b.mean_m) + 1.0e-9,4)+0.0e0) AS mean_b,
+       (round((b.mean_m - a.mean_m) + 1.0e-9,4)+0.0e0) AS lift,
+       (round(((b.mean_m - a.mean_m) / sqrt(a.var_m / a.n + b.var_m / b.n)) + 1.0e-9,4)+0.0e0) AS t_stat
+FROM (SELECT * FROM s WHERE variant = 0) a CROSS JOIN (SELECT * FROM s WHERE variant = 1) b
+"""
+
+
+# --- winsorized means ------------------------------------------------------
+def winsorize(ev: DataFrame, lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Per-group winsorization: exact interpolated quantiles per group
+    (tiny result, broadcast back), clamp, re-aggregate. Two shuffles on the
+    same group key; the quantile agg is the only O(n log n)-ish step and it
+    partial-aggregates (Spark's percentile uses a per-group digest)."""
+    q = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {lo})").alias("_plo"),
+        F.expr(f"percentile(value, {hi})").alias("_phi"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("_plo")), F.col("_phi"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("_plo")).cast("long")).alias("n_clamped_lo"),
+        F.sum((F.col("value") > F.col("_phi")).cast("long")).alias("n_clamped_hi"),
+        F.avg("value").alias("mean_raw"),
+        F.avg(clamped).alias("mean_winsorized"),
+    )
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roundn(
+        winsorize(_events(spark, sf_dir)), 4, "mean_raw", "mean_winsorized"
+    )
+
+
+_WINSORIZE_SQL = """
+WITH q AS (SELECT event_type, quantile_cont(value, 0.05) AS plo,
+                  quantile_cont(value, 0.95) AS phi
+           FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN value < plo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(CASE WHEN value > phi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+       (round((avg(value)) + 1.0e-9,4)+0.0e0) AS mean_raw,
+       (round((avg(least(greatest(value, plo), phi))) + 1.0e-9,4)+0.0e0) AS mean_winsorized
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# --- triangle count / clustering coefficient -------------------------------
+def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Global triangle count + clustering coefficient over an undirected
+    edge list (a < b). Wedges from E⋈E (join on the middle vertex), closed
+    by a semi-join back to E; wedge count per node from the degree table.
+    Max degree is bounded by the pair generator's df-cap, which bounds the
+    E⋈E fan-out — the standard scalable triangle-count shape."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    e = e.localCheckpoint(eager=False)
+    # wedges u<v<w centered anywhere: join (u,v) with (v,w)
+    w1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = w1.join(w2, "y")
+    tri = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("z")), ["x", "z"], "left_semi"
+    ).agg(F.count("*").alias("n_triangles"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    sums = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count("*").alias("n_edges"))
+    out = sums.crossJoin(ecnt).crossJoin(tri)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges"))
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    return round6(triangle_stats(pairs), "clustering_coeff")
+
+
+def _triangles_sql() -> str:
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    return f"""
+WITH jp AS ({jp}),
+e AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM jp),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+deg AS (SELECT node, count(*) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM deg),
+ec AS (SELECT count(*) AS n_edges FROM e)
+SELECT s.n_nodes, ec.n_edges, tri.n_triangles, s.n_wedges,
+       CASE WHEN s.n_wedges > 0
+            THEN (round((3.0e0 * tri.n_triangles / s.n_wedges) + 1.0e-9,6)+0.0e0)
+            ELSE 0.0e0 END AS clustering_coeff
+FROM s CROSS JOIN ec CROSS JOIN tri
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_attribution": Query(
+            "ev_attribution", _q_attribution, _ATTRIBUTION_SQL, ("product",)
+        ),
+        "ab_experiment": Query("ab_experiment", _q_ab, _AB_SQL, ("product",)),
+        "ev_winsorize": Query("ev_winsorize", _q_winsorize, _WINSORIZE_SQL, ("agg",)),
+        "graph_triangles": Query(
+            "graph_triangles", _q_triangles, _triangles_sql(), ("graph",)
+        ),
+    }
+)
