@@ -90,3 +90,41 @@ def test_csv_json_roundtrip(spark, tmp_path):
             assert a[k].o_custkey == b[k].o_custkey
             assert abs(a[k].o_totalprice - b[k].o_totalprice) < 1e-9
             assert a[k].o_orderstatus == b[k].o_orderstatus
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tsgen.io import upsert_parquet
+
+    base = spark.createDataFrame(
+        [(1, 0, "old1"), (2, 0, "old2"), (3, 0, "old3")], "k long, ver long, payload string"
+    )
+    p = str(tmp_path / "tbl")
+    base.write.parquet(p)
+    updates = spark.createDataFrame(
+        [(2, 1, "new2"), (4, 1, "new4")], "k long, ver long, payload string"
+    )
+    upsert_parquet(spark, p, updates, ["k"], "ver")
+    got = {r.k: r for r in spark.read.parquet(p).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2].payload == "new2" and got[2].ver == 1
+    assert got[1].payload == "old1" and got[4].payload == "new4"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Partition pruning: a filter on the partition column must reach the
+    scan as a PartitionFilter and read only that directory's files."""
+    from pyspark.sql import functions as F
+
+    from tsgen.io import save_series
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("part"), F.col("id").alias("x")
+    )
+    p = str(tmp_path / "parted")
+    save_series(df, p, partition_by="part")
+    rd = spark.read.parquet(p).filter(F.col("part") == 2)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan, plan
+    assert rd.count() == 250

@@ -101,3 +101,40 @@ def load_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None
     elif fmt == "csv":
         r = r.option("inferSchema", "true")
     return r.format(fmt).load(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """MERGE-style upsert into a parquet dataset: union the update batch
+    with the base, keep the newest row per key (largest `order_col`), and
+    atomically swap the result in (write to a sibling temp dir, then
+    rename). This is the portable emulation of MERGE INTO for plain
+    parquet; on a real deployment the same latest_by_key plan runs behind
+    a table format's transaction log instead of a directory swap.
+
+    Scale shape: ONE window shuffle on the merge keys over base ∪ updates;
+    nothing is collected. The rewrite cost is the whole dataset — the known
+    plain-parquet limitation (a table format turns that into file-level
+    replacement, same plan otherwise)."""
+    import uuid
+
+    from pyspark.sql import Window, functions as F
+
+    base = spark.read.parquet(path)
+    merged = base.unionByName(updates)
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    latest.write.mode("overwrite").parquet(tmp)
+    dst = Path(path)
+    shutil.rmtree(dst)
+    Path(tmp).rename(dst)
