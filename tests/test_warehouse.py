@@ -206,3 +206,27 @@ def test_winsorize_clamps(spark):
     )
     r = winsorize(df).collect()[0]
     assert r.n_clamped_hi >= 1 and r.mean_winsorized < r.mean_raw
+
+
+def test_pagerank_matches_numpy(spark):
+    from tsgen.queries_experiments import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]  # 4-cycle + chord
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.pr for r in pagerank(df, n_iter=8).collect()}
+
+    import numpy as np
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((4, 4))
+    for u, v in edges:
+        A[idx[v], idx[u]] = 1.0
+        A[idx[u], idx[v]] = 1.0
+    deg = A.sum(axis=0)
+    pr = np.full(4, 0.25)
+    for _ in range(8):
+        pr = 0.15 / 4 + 0.85 * (A @ (pr / deg))
+    for n in nodes:
+        assert abs(got[n] - pr[idx[n]]) < 1e-12, n
+    assert abs(sum(got.values()) - 1.0) < 1e-9

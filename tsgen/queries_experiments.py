@@ -257,6 +257,90 @@ FROM s CROSS JOIN ec CROSS JOIN tri
 """
 
 
+# --- PageRank over the near-dup graph --------------------------------------
+PR_DAMP, PR_ITER = 0.85, 8
+
+
+def pagerank(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b",
+    damping: float = PR_DAMP, n_iter: int = PR_ITER,
+) -> DataFrame:
+    """PageRank on an undirected edge list (symmetrized): fixed-iteration
+    power method. Per round: one equi-join (edge ⋈ rank on the source) +
+    one partial-agged sum by destination — the canonical distributed shape.
+    The rank/degree table is localCheckpointed per round to cut lineage
+    (same driver-loop hygiene as connected_components). Every node of a
+    symmetrized graph has out-degree ≥ 1, so there is no dangling mass.
+
+    Cross-engine determinism: per-node contribution sums are O(deg)-term
+    float sums whose association-order noise is ~1e-15 — far below the
+    6 dp rounding of the query output — so a fixed iteration count is
+    hash-checkable against an unrolled SQL oracle."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")).select(
+        F.col("u").alias("node"), "deg"
+    )
+    nn = deg.agg(F.count("*").cast("double").alias("n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(n_iter):
+        acc = (
+            sym.join(pr.select(F.col("node").alias("u"), "deg", "pr"), "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("acc"))
+            .select(F.col("v").alias("node"), "acc")
+        )
+        pr = (
+            pr.drop("pr")
+            .join(acc, "node", "left")
+            .select(
+                "node", "deg", "n",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("node", "deg", "pr")
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    return round6(pagerank(pairs), "pr")
+
+
+def _pagerank_sql() -> str:
+    from . import expr as E
+
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    D, OMD = E.NUM(PR_DAMP), E.NUM(1.0 - PR_DAMP)
+    ctes = [
+        f"jp AS ({jp})",
+        "e AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM jp)",
+        "sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+        "deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        "pr0 AS (SELECT node, deg, 1.0e0 / nn.n AS pr FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(PR_ITER):
+        ctes.append(
+            f"""pr{i + 1} AS (
+  SELECT d.node, d.deg, {OMD} / nn.n + {D} * coalesce(s.acc, 0.0e0) AS pr
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (SELECT sym.v AS node, sum(p.pr / p.deg) AS acc
+             FROM sym JOIN pr{i} p ON p.node = sym.u GROUP BY sym.v) s
+    ON s.node = d.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, deg, {E.round6('pr')} AS pr FROM pr{PR_ITER}"
+    )
+
+
 _REGISTRY.update(
     {
         "ev_attribution": Query(
@@ -266,6 +350,9 @@ _REGISTRY.update(
         "ev_winsorize": Query("ev_winsorize", _q_winsorize, _WINSORIZE_SQL, ("agg",)),
         "graph_triangles": Query(
             "graph_triangles", _q_triangles, _triangles_sql(), ("graph",)
+        ),
+        "graph_pagerank": Query(
+            "graph_pagerank", _q_pagerank, _pagerank_sql(), ("graph",)
         ),
     }
 )
