@@ -109,6 +109,11 @@ def main() -> None:
         "ann_lsh",
         "embed_quantize",
         "train_denoiser",
+        "ev_scd2",
+        "dup_ngram_coverage",
+        "semdedup",
+        "graph_triangles",
+        "zorder_cluster",
         "multimodal_features",
     ]
     reg = registry()

@@ -230,3 +230,45 @@ def test_pagerank_matches_numpy(spark):
     for n in nodes:
         assert abs(got[n] - pr[idx[n]]) < 1e-12, n
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_running_balance_matches_scalar_loop(spark):
+    from tsgen.queries_tsdb import running_balance
+
+    rng = np.random.default_rng(3)
+    deltas = rng.normal(scale=5, size=60)
+    rows = [(1, t, float(d)) for t, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "user_id long, t long, delta double")
+    got = [
+        r.balance
+        for r in running_balance(df, "user_id", ["t"], "delta").orderBy("t").collect()
+    ]
+    bal, want = 0.0, []
+    for d in deltas:
+        bal = max(0.0, bal + d)
+        want.append(bal)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_ohlc_first_last(spark):
+    from tsgen.queries_tsdb import ohlc_bars
+
+    rows = [
+        (1, "t", 0, 5.0), (2, "t", 60, 9.0), (3, "t", 120, 1.0), (4, "t", 180, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, sec long, value double")
+    df = df.withColumn("ts", F.timestamp_seconds("sec"))
+    r = ohlc_bars(df).collect()[0]
+    assert (r.open, r.high, r.low, r.close) == (5.0, 9.0, 1.0, 7.0)
+    assert r.n_trades == 4 and r.volume == 22.0
+
+
+def test_time_features_monday(spark):
+    from tsgen.queries_tsdb import time_features
+
+    df = spark.createDataFrame([(1, 100)], "event_id long, x long").select(
+        "event_id", F.lit("2026-08-10 10:00:00").cast("timestamp").alias("ts")
+    )
+    r = time_features(df).collect()[0]
+    assert r.dow == 0 and r.hour == 10 and not r.is_weekend
+    assert abs(r.hour_sin - np.sin(10 * 2 * np.pi / 24)) < 1e-12

@@ -152,6 +152,7 @@ def _ensure_populated() -> None:
         queries_streaming,
         queries_tpch,
         queries_training,
+        queries_tsdb,
         queries_warehouse,
     )
 
