@@ -272,3 +272,39 @@ def test_time_features_monday(spark):
     r = time_features(df).collect()[0]
     assert r.dow == 0 and r.hour == 10 and not r.is_weekend
     assert abs(r.hour_sin - np.sin(10 * 2 * np.pi / 24)) < 1e-12
+
+
+def test_interval_union_merges_overlaps(spark):
+    from tsgen.queries_tsdb import interval_union
+
+    # user 1: events at 0s and 100s (overlapping with hold=300) and 1000s
+    rows = [(1, 1, 0), (2, 1, 100), (3, 1, 1000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec long")
+    df = df.withColumn("ts", F.timestamp_seconds("sec"))
+    r = interval_union(df).collect()[0]
+    assert r.n_islands == 2
+    assert r.covered_s == (100 + 300) + 300  # [0,400) + [1000,1300)
+
+
+def test_bpe_merge_counts_adjacent_pairs(spark):
+    from tsgen.text import bpe_merge_candidates
+
+    docs = [(0, "a b a b c"), (1, "a b x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bpe_merge_candidates(df, top_n=3).collect()
+    assert rows[0].pair == "a b" and rows[0].n == 3
+    counts = {r.pair: r.n for r in rows}
+    assert counts["b a"] == 1
+
+
+def test_doc_split_deterministic_and_partitions(spark):
+    from tsgen.text import doc_split
+
+    df = spark.createDataFrame(
+        [(i, "en", 100 + i) for i in range(1000)], "doc_id long, lang string, n_chars long"
+    )
+    r1 = {r.split: r.n_docs for r in doc_split(df).collect()}
+    r2 = {r.split: r.n_docs for r in doc_split(df).collect()}
+    assert r1 == r2
+    assert sum(r1.values()) == 1000
+    assert r1["train"] > r1["val"] and r1["train"] > r1["test"]

@@ -358,9 +358,24 @@ def _q_dup_ngram_coverage(spark, sf_dir):
     return round6(text.dup_ngram_coverage(_docs(spark, sf_dir)), "dup_frac")
 
 
+# --- tokenizer induction / dataset split ----------------------------------
+def _q_bpe_merge(spark, sf_dir):
+    return text.bpe_merge_candidates(_docs(spark, sf_dir))
+
+
+def _q_doc_split(spark, sf_dir):
+    from .queries import roundn
+
+    return roundn(text.doc_split(_docs(spark, sf_dir)), 4, "avg_chars")
+
+
 _REGISTRY.update(
     {
         "semdedup": Query("semdedup", _q_semdedup, _semdedup_sql(), ("dedup", "similarity")),
+        "bpe_merge_step": Query(
+            "bpe_merge_step", _q_bpe_merge, text.bpe_merge_sql(), ("text",)
+        ),
+        "doc_split": Query("doc_split", _q_doc_split, text.doc_split_sql(), ("text",)),
         "dup_ngram_coverage": Query(
             "dup_ngram_coverage",
             _q_dup_ngram_coverage,

@@ -255,3 +255,70 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- interval union (total covered time) -----------------------------------
+HOLD_S = 300
+
+
+def interval_union(df: DataFrame, key: str = "user_id", hold_s: int = HOLD_S) -> DataFrame:
+    """Total covered time per entity when each event opens a [ts, ts+hold)
+    activity interval: merge overlapping intervals with the gaps-and-islands
+    pattern (island starts where start > running max of previous ends; sum
+    island extents). Two stacked windows on one key partitioning — the
+    interval-union that usually gets written as a sweep-line loop."""
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    start = F.unix_timestamp("ts")
+    end = start + hold_s
+    d = df.select(F.col(key), F.col("ts"), F.col("event_id"), start.alias("s"), end.alias("e"))
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "island", F.sum(
+            F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-(1 << 62))), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    isl = d.groupBy(key, "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return isl.groupBy(key).agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_s"),
+    )
+
+
+def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_union(_events(spark, sf_dir))
+
+
+_INTERVAL_UNION_SQL = f"""
+WITH d AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {HOLD_S} AS e, ts
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme,
+         ts, event_id
+  FROM d),
+isl AS (
+  SELECT user_id, s, e,
+         CAST(sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+  FROM m),
+g AS (SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+      FROM isl GROUP BY user_id, island)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_s
+FROM g GROUP BY user_id
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_interval_union": Query(
+            "ev_interval_union", _q_interval_union, _INTERVAL_UNION_SQL, ("tsdb",)
+        ),
+    }
+)

@@ -623,3 +623,71 @@ SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
        (round((CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / b.n_tokens) + 1.0e-9,6)+0.0e0) AS dup_frac
 FROM base b LEFT JOIN c USING (doc_id)
 """
+
+
+def bpe_merge_candidates(df: DataFrame, text: str = "text", top_n: int = 20) -> DataFrame:
+    """One BPE-trainer merge iteration at word granularity: count adjacent
+    token pairs across the corpus, rank the top merge candidates. The
+    explode emits n−1 pairs per doc; the count partial-aggregates on the
+    pair text (uniform-ish keys) and the rank is orderBy+limit
+    (TakeOrderedAndProject — per-partition top-N merge, no global sort).
+    Ties broken by pair text so the top-N set is deterministic."""
+    toks = df.withColumn("_toks", F.split(F.col(text), " "))
+    pairs = toks.filter(F.size("_toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2), "
+                "i -> concat(_toks[i], ' ', _toks[i + 1]))"
+            )
+        ).alias("pair")
+    )
+    cnt = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    return cnt.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)
+
+
+def bpe_merge_sql(top_n: int = 20) -> str:
+    return f"""
+WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      FROM tk WHERE len(toks) >= 2)
+SELECT pair, count(*) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT {top_n}
+"""
+
+
+def doc_split(df: DataFrame, train: int = 80, val: int = 10) -> DataFrame:
+    """Deterministic train/val/test assignment by arithmetic hash of
+    doc_id (stable across runs, engines, and cluster sizes — the property
+    a reproducible data pipeline needs; never use rand()). Returns
+    per-(split, lang) counts + length stats. Pure projection + one
+    partial-agged aggregation."""
+    bucket = ((F.col("doc_id") * 2654435761) % 2147483647) % 100
+    split = (
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test")
+    )
+    return (
+        df.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def doc_split_sql(train: int = 80, val: int = 10) -> str:
+    return f"""
+WITH s AS (
+  SELECT *, CASE WHEN ((doc_id * 2654435761) % 2147483647) % 100 < {train} THEN 'train'
+                 WHEN ((doc_id * 2654435761) % 2147483647) % 100 < {train + val} THEN 'val'
+                 ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, count(*) AS n_docs,
+       (round((avg(n_chars)) + 1.0e-9,4)+0.0e0) AS avg_chars,
+       min(doc_id) AS first_doc
+FROM s GROUP BY split, lang
+"""
