@@ -232,3 +232,237 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- volume_shipping (Q7 shape): bilateral trade volume by year ------------
+VS_N1, VS_N2 = "NATION_1", "NATION_2"
+
+
+def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # fact⋈fact (lineitem⋈orders) shuffles on the natural key; customer joins
+    # via shuffle (it scales with SF); supplier+nation broadcast (dims)
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == VS_N1) & (F.col("cust_nation") == VS_N2))
+            | ((F.col("supp_nation") == VS_N2) & (F.col("cust_nation") == VS_N1))
+        )
+    )
+    out = j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
+    ).agg(F.sum(_rev()).alias("revenue"), F.count("*").alias("n_items"))
+    return canon_types(roundn(out, 4, "revenue"))
+
+
+_VOLUME_SHIPPING_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS yr,
+       (round((sum({REV_SQL})) + 1.0e-9,4)+0.0e0) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = '{VS_N1}' AND cn.n_name = '{VS_N2}')
+    OR (sn.n_name = '{VS_N2}' AND cn.n_name = '{VS_N1}'))
+GROUP BY 1, 2, 3
+"""
+
+
+# --- profit_by_nation (Q9 shape, retailprice-proxy cost) -------------------
+def _q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    # profit proxy: revenue − 60% of retail price × quantity (no partsupp
+    # table in the testdata; the plan shape — fact ⋈ two broadcast dims ⋈
+    # agg — is the Q9 shape regardless of the cost formula)
+    profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        F.broadcast(sn), li.l_suppkey == sn.s_suppkey
+    )
+    out = j.groupBy("nation", F.year("l_shipdate").alias("yr")).agg(
+        F.sum(profit).alias("profit"), F.count("*").alias("n_items")
+    )
+    return canon_types(roundn(out, 4, "profit"))
+
+
+_PROFIT_SQL = f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS yr,
+       (round((sum({REV_SQL} - 6.0e-1 * p_retailprice * l_quantity)) + 1.0e-9,4)+0.0e0) AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --- returned_customers (Q10 shape): top returned-revenue customers --------
+def _q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("revenue"), F.count("*").alias("n_items"))
+    )
+    out = (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey"), F.col("c_name"), F.col("n_name").alias("nation"),
+            "revenue", "n_items",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+    return canon_types(roundn(out, 4, "revenue"))
+
+
+_RETURNED_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey, sum({REV_SQL}) AS revenue, count(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, n_name AS nation,
+       (round((revenue) + 1.0e-9,4)+0.0e0) AS revenue, n_items
+FROM rev JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev.revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# --- order_count_distribution (Q13 shape) ----------------------------------
+def _q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    out = per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+    return canon_types(out)
+
+
+_CUSTDIST_SQL = """
+WITH pc AS (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count
+"""
+
+
+# --- brand_size_revenue (Q19 shape): disjunctive pushdown ------------------
+def _q_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 30))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") < 15))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30))
+    )
+    out = j.filter(cond).agg(
+        F.sum(_rev()).alias("revenue"), F.count("*").alias("n_items")
+    )
+    return canon_types(roundn(out, 4, "revenue"))
+
+
+_BRAND_SIZE_SQL = f"""
+SELECT (round((sum({REV_SQL})) + 1.0e-9,4)+0.0e0) AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 30)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity < 15)
+   OR (p_brand = 'Brand#3' AND p_size <= 30)
+"""
+
+
+# --- idle_customers (Q22 shape): anti-join + scalar avg subquery -----------
+IDLE_SINCE = "2000-01-01"
+
+
+def _q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= IDLE_SINCE)
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    cand = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = cand.join(o, cand.c_custkey == o.o_custkey, "left_anti")
+    out = idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"), F.sum("c_acctbal").alias("total_bal")
+    )
+    return canon_types(roundn(out, 4, "total_bal"))
+
+
+_IDLE_SQL = f"""
+SELECT c_nationkey, count(*) AS n_custs,
+       (round((sum(c_acctbal)) + 1.0e-9,4)+0.0e0) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{IDLE_SINCE}')
+GROUP BY c_nationkey
+"""
+
+
+_REGISTRY.update(
+    {
+        "volume_shipping": Query(
+            "volume_shipping", _q_volume_shipping, _VOLUME_SHIPPING_SQL, ("tpch",)
+        ),
+        "profit_by_nation": Query(
+            "profit_by_nation", _q_profit_by_nation, _PROFIT_SQL, ("tpch",)
+        ),
+        "returned_customers": Query(
+            "returned_customers", _q_returned_customers, _RETURNED_SQL, ("tpch",)
+        ),
+        "order_count_distribution": Query(
+            "order_count_distribution", _q_custdist, _CUSTDIST_SQL, ("tpch",)
+        ),
+        "brand_size_revenue": Query(
+            "brand_size_revenue", _q_brand_size, _BRAND_SIZE_SQL, ("tpch",)
+        ),
+        "idle_customers": Query(
+            "idle_customers", _q_idle_customers, _IDLE_SQL, ("tpch",)
+        ),
+    }
+)
