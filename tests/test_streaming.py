@@ -126,3 +126,19 @@ def test_rate_replay_exact_rows_per_batch(spark):
     assert out.count() == total
     assert out.select("event_id").distinct().count() == total
     assert n_batches >= 2  # real micro-batch boundaries, not one replay
+
+
+def test_chunked_replay_ohlc_argmin_state_carries(tmp_path, spark):
+    # min_by/max_by partial state (open/close) must merge across micro-batch
+    # boundaries: 4-chunk replay equals the single-batch result exactly
+    s4 = streaming.replay_chunked(spark, SF, 4, str(tmp_path / "chunks_ohlc"))
+    multi = streaming.run_to_completion(streaming.ohlc_stream(s4)).toPandas()
+    one = streaming.events_stream(spark, SF)
+    single = streaming.run_to_completion(streaming.ohlc_stream(one)).toPandas()
+    key = ["bucket_s", "event_type"]
+    multi = multi.sort_values(key).reset_index(drop=True)
+    single = single.sort_values(key).reset_index(drop=True)
+    assert len(multi) == len(single)
+    for c in ["open", "high", "low", "close", "volume"]:
+        assert (multi[c] - single[c]).abs().max() < 1e-9, c
+    assert multi["n_trades"].equals(single["n_trades"])

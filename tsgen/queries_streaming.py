@@ -169,3 +169,31 @@ _REGISTRY.update(
         "stream_join": Query("stream_join", _q_stream_join, _STREAM_JOIN_SQL, ("streaming",)),
     }
 )
+
+
+def _q_stream_ohlc(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.ohlc_stream(s))
+    return round6(out, "open", "high", "low", "close", "volume")
+
+
+_STREAM_OHLC_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+       event_type,
+       (round((arg_min(value, ts)) + 1.0e-9,6)+0.0e0) AS open,
+       (round((max(value)) + 1.0e-9,6)+0.0e0) AS high,
+       (round((min(value)) + 1.0e-9,6)+0.0e0) AS low,
+       (round((arg_max(value, ts)) + 1.0e-9,6)+0.0e0) AS close,
+       count(*) AS n_trades,
+       (round((sum(value)) + 1.0e-9,6)+0.0e0) AS volume
+FROM events
+GROUP BY 1, 2
+"""
+
+_REGISTRY.update(
+    {
+        "stream_ohlc": Query(
+            "stream_ohlc", _q_stream_ohlc, _STREAM_OHLC_SQL, ("streaming",)
+        ),
+    }
+)

@@ -359,3 +359,27 @@ def stream_stream_join(stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
             f"user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {horizon}"
         ),
     ).select("user_id", "c_ts", "p_ts", "c_val", "p_val")
+
+
+def ohlc_stream(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Streaming OHLC bars (twin of queries_tsdb.ohlc_bars): per event_type
+    and tumbling window, open/close via min_by/max_by on the event time —
+    declarative aggregates whose partial state (value, argmin key) merges
+    across micro-batches exactly like sum/count, so the incremental result
+    equals the batch computation."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width), F.col("event_type"))
+        .agg(
+            F.expr("min_by(value, ts)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, ts)").alias("close"),
+            F.count("*").alias("n_trades"),
+            F.sum("value").alias("volume"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("bucket_s"),
+            "event_type", "open", "high", "low", "close", "n_trades", "volume",
+        )
+    )
