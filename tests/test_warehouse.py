@@ -308,3 +308,43 @@ def test_doc_split_deterministic_and_partitions(spark):
     assert r1 == r2
     assert sum(r1.values()) == 1000
     assert r1["train"] > r1["val"] and r1["train"] > r1["test"]
+
+
+def test_checksum_flips_on_single_row_change(spark):
+    from tsgen.queries_warehouse import table_checksum
+
+    base = spark.createDataFrame(
+        [(i, i * 7, "O", 100.0 + i, "P1") for i in range(50)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderpriority string",
+    ).withColumn("o_orderdate", F.lit("1996-01-01").cast("timestamp"))
+    c1 = table_checksum(base).collect()[0].checksum
+    mutated = base.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 25, 999.99).otherwise(F.col("o_totalprice")),
+    )
+    c2 = table_checksum(mutated).collect()[0].checksum
+    assert c1 != c2
+    # XOR is order-independent: a shuffled layout gives the same checksum
+    c3 = table_checksum(base.repartition(7)).collect()[0].checksum
+    assert c1 == c3
+
+
+def test_snapshot_diff_statuses(spark):
+    from tsgen.queries_warehouse import snapshot_diff
+
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    new = spark.createDataFrame([(2, 20.0), (3, 99.0), (4, 40.0)], "k long, v double")
+    got = {r.status: r.n_rows for r in snapshot_diff(old, new, "k", "v").collect()}
+    assert got == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+
+def test_rolling_beta_exact_on_linear_series(spark):
+    from tsgen.queries_warehouse import rolling_beta
+
+    rows = [(i, 1, i, 3.0 * i + 7.0) for i in range(40)]  # value = 3x + 7
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec long, value double")
+    df = df.withColumn("ts", F.timestamp_seconds("sec"))
+    out = rolling_beta(df).orderBy("event_id").collect()
+    assert out[0].beta is None  # single-point window
+    for r in out[1:]:
+        assert abs(r.beta - 3.0) < 1e-9

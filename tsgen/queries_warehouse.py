@@ -294,3 +294,174 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- table checksum (cross-environment reconciliation) ---------------------
+def _canon_row_spark() -> "F.Column":
+    return F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        F.unix_timestamp("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+
+
+def table_checksum(orders: DataFrame) -> DataFrame:
+    """Order-independent content fingerprint per partition-ish group:
+    bit_xor of a 60-bit md5 prefix of the canonical row string. XOR is the
+    right combiner at scale — commutative/associative (partial-aggregates
+    map-side), overflow-free, and any single changed row flips the result.
+    The canonical string uses only exactly-representable atoms (ints,
+    cents, epoch seconds, enums) so both engines render identical bytes.
+    This is the "compare prod vs migrated copy without moving data" job."""
+    h = F.conv(F.substring(F.md5(_canon_row_spark()), 1, 15), 16, 10).cast("bigint")
+    return (
+        orders.withColumn("_h", h)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+    )
+
+
+def _q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_checksum(_t(spark, sf_dir, "orders"))
+
+
+_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT o_orderstatus,
+         CAST('0x' || substring(md5(concat_ws('|',
+              CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+              o_orderstatus,
+              CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR),
+              o_orderpriority)), 1, 15) AS BIGINT) AS h
+  FROM orders)
+SELECT o_orderstatus, count(*) AS n_rows, bit_xor(h) AS checksum
+FROM h GROUP BY o_orderstatus
+"""
+
+
+# --- snapshot diff (reconciliation between two table versions) -------------
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, cmp: str) -> DataFrame:
+    """Full-outer-join reconciliation: rows added / removed / changed /
+    unchanged between two snapshots, counted per status. One shuffle on the
+    key for the join, one tiny agg."""
+    o = old.select(F.col(key).alias("k"), F.col(cmp).alias("v_old"))
+    n = new.select(F.col(key).alias("k"), F.col(cmp).alias("v_new"))
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("v_old").isNull(), "added")
+        .when(F.col("v_new").isNull(), "removed")
+        .when(F.col("v_old") != F.col("v_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(status.alias("status")).agg(F.count("*").alias("n_rows"))
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # deterministic synthetic "yesterday vs today": keys ≡0 (mod 97) appear
+    # only today (added); keys ≡0 (mod 89) changed price today
+    old = orders.filter(F.col("o_orderkey") % 97 != 0)
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", "o_totalprice")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v_old FROM orders
+             WHERE o_orderkey % 97 <> 0),
+new AS (SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0e1
+                    ELSE o_totalprice END AS v_new
+        FROM orders),
+j AS (SELECT v_old, v_new FROM old FULL OUTER JOIN new USING (k))
+SELECT CASE WHEN v_old IS NULL THEN 'added'
+            WHEN v_new IS NULL THEN 'removed'
+            WHEN v_old <> v_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_rows
+FROM j GROUP BY 1
+"""
+
+
+# --- rolling regression slope ----------------------------------------------
+BETA_W = 20
+
+
+def rolling_beta(ev: DataFrame, window_rows: int = BETA_W) -> DataFrame:
+    """Rolling least-squares slope of value over the last `window_rows`
+    events per user, with the event INDEX as the regressor (trend per
+    event). Using the row index keeps every sum over small exact integers —
+    the numerically-stable formulation; raw epoch-seconds regressors
+    (x² ≈ 10¹⁸) would lose the cancellation n·Σx² − (Σx)² to float error.
+    Both windows (row_number, frame sums) share one user_id partitioning —
+    a single Exchange."""
+    w0 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w0.rowsBetween(-(window_rows - 1), 0)
+    d = _idx = None  # noqa: F841 (readability)
+    df = ev.withColumn("x", (F.row_number().over(w0) - 1).cast("double"))
+    n = F.count("*").over(wf).cast("double")
+    sx = F.sum("x").over(wf)
+    sy = F.sum("value").over(wf)
+    sxy = F.sum(F.col("x") * F.col("value")).over(wf)
+    sxx = F.sum(F.col("x") * F.col("x")).over(wf)
+    den = n * sxx - sx * sx
+    return df.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("value"),
+        F.when(den > 0, (n * sxy - sx * sy) / den).alias("beta"),
+    )
+
+
+def _q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(rolling_beta(_events(spark, sf_dir)), "value", "beta")
+
+
+_ROLLING_BETA_SQL = f"""
+WITH d AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS DOUBLE) AS x
+  FROM events),
+s AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(count(*) OVER w AS DOUBLE) AS n,
+         sum(x) OVER w AS sx, sum(value) OVER w AS sy,
+         sum(x * value) OVER w AS sxy, sum(x * x) OVER w AS sxx
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {BETA_W - 1} PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       (round((value) + 1.0e-9,6)+0.0e0) AS value,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN (round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) + 1.0e-9,6)+0.0e0)
+            END AS beta
+FROM s
+"""
+
+
+_REGISTRY.update(
+    {
+        "orders_checksum": Query(
+            "orders_checksum", _q_checksum, _CHECKSUM_SQL, ("warehouse",)
+        ),
+        "snapshot_diff": Query(
+            "snapshot_diff", _q_snapshot_diff, _SNAPSHOT_DIFF_SQL, ("warehouse",)
+        ),
+        "ev_rolling_beta": Query(
+            "ev_rolling_beta", _q_rolling_beta, _ROLLING_BETA_SQL, ("tsdb",)
+        ),
+    }
+)
