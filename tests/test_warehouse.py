@@ -348,3 +348,24 @@ def test_rolling_beta_exact_on_linear_series(spark):
     assert out[0].beta is None  # single-point window
     for r in out[1:]:
         assert abs(r.beta - 3.0) < 1e-9
+
+
+def test_kalman_matches_scalar_reference(spark):
+    from tsgen.forecast import kalman_filter
+
+    rng = np.random.default_rng(5)
+    ys = (np.sin(np.arange(50) / 5.0) + 0.3 * rng.normal(size=50)).tolist()
+    rows = [(1, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = {r.t: r for r in kalman_filter(df, q=0.01, r=0.5).collect()}
+    l, v = ys[0], 1.0
+    assert out[0].level == ys[0] and out[0].gain == 0.0
+    for t in range(1, 50):
+        pv = v + 0.01
+        k = pv / (pv + 0.5)
+        l = l + k * (ys[t] - l)
+        v = (1 - k) * pv
+        assert abs(out[t].level - l) < 1e-12, t
+        assert abs(out[t].gain - k) < 1e-12, t
+    # gain converges to the steady-state Riccati fixed point
+    assert abs(out[49].gain - out[48].gain) < 1e-6

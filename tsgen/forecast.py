@@ -184,3 +184,90 @@ SELECT r.series_id, {E.round6('r.l')} AS level, {E.round6('r.b')} AS trend,
        {E.round6(f'r.l + {horizon}*r.b')} AS fc
 FROM rec r JOIN n ON r.series_id = n.series_id AND r.t = n.tmax
 """
+
+
+def kalman_filter(
+    df: DataFrame,
+    q: float = 0.01,
+    r: float = 0.5,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """1-D Kalman filter (local-level model), the optimal online smoother:
+        pv_t = v_{t−1} + q;  k_t = pv_t/(pv_t + r)
+        l_t  = l_{t−1} + k_t·(y_t − l_{t−1});  v_t = (1−k_t)·pv_t
+    init l_0 = y_0, v_0 = 1. Emits the filtered level and gain per point.
+
+    Same execution shape as holt_forecast: the t-recursion runs as T numpy
+    steps, each vectorized across every series of the Arrow batch; output
+    is exploded back to long (series, t, level, gain) form."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(v, dtype=float) for v in pdf["vs"]]
+            n = np.array([len(a) for a in arrs])
+            T = int(n.max())
+            Y = np.full((len(arrs), T), np.nan)
+            for i, a in enumerate(arrs):
+                Y[i, : len(a)] = a
+            level = Y[:, 0].copy()
+            var = np.ones(len(arrs))
+            levels = [level.copy()]
+            gains = [np.zeros(len(arrs))]
+            for t in range(1, T):
+                active = t < n
+                pv = var + q
+                k = pv / (pv + r)
+                l_new = level + k * (Y[:, t] - level)
+                v_new = (1.0 - k) * pv
+                level = np.where(active, l_new, level)
+                var = np.where(active, v_new, var)
+                levels.append(level.copy())
+                gains.append(np.where(active, k, 0.0))
+            out = []
+            for i, s in enumerate(pdf[key]):
+                ln = int(n[i])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            key: s,
+                            "t": np.arange(ln),
+                            "level": [levels[t][i] for t in range(ln)],
+                            "gain": [gains[t][i] for t in range(ln)],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return wide.mapInPandas(fn, f"{key} bigint, t bigint, level double, gain double")
+
+
+def kalman_sql(inner: str, q: float = 0.01, r: float = 0.5) -> str:
+    """Recursive-CTE oracle replaying the exact recursion (the gain
+    expression is inlined with identical association order)."""
+    from . import expr as E
+
+    Q, R = E.NUM(q), E.NUM(r)
+    k = f"((rec.v + {Q}) / ((rec.v + {Q}) + {R}))"
+    return f"""
+WITH RECURSIVE src AS ({inner}),
+n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+rec(series_id, t, l, v, g) AS (
+  SELECT series_id, CAST(0 AS BIGINT), value, CAST(1.0e0 AS DOUBLE), 0.0e0
+  FROM src WHERE t = 0
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1,
+         rec.l + {k} * (s.value - rec.l),
+         (1.0e0 - {k}) * (rec.v + {Q}),
+         {k}
+  FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1)
+SELECT series_id, t, {E.round6('l')} AS level, {E.round6('g')} AS gain
+FROM rec
+"""
