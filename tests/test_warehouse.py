@@ -369,3 +369,43 @@ def test_kalman_matches_scalar_reference(spark):
         assert abs(out[t].gain - k) < 1e-12, t
     # gain converges to the steady-state Riccati fixed point
     assert abs(out[49].gain - out[48].gain) < 1e-6
+
+
+def test_sql_api_matches_dataframe_path(spark):
+    from tsgen import sqlapi
+    from tsgen.queries import registry
+
+    sf = "/root/testdata/sf0.001"
+    got = sqlapi.sql(
+        spark,
+        sf,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+    rows = {(r.l_returnflag, r.l_linestatus): r for r in got.collect()}
+    # same aggregate through the DataFrame path
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    want = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n"))
+    )
+    for r in want.collect():
+        g = rows[(r.l_returnflag, r.l_linestatus)]
+        assert g.sum_qty == r.sum_qty and g.n == r.n
+
+
+def test_sql_api_events_normalized(spark):
+    from tsgen import sqlapi
+
+    sf = "/root/testdata/sf0.001"
+    sqlapi.register_tables(spark, sf)
+    r = spark.sql("SELECT count(*) AS n, min(ts) AS lo FROM events").collect()[0]
+    assert r.n > 0 and str(r.lo.year) >= "1995"
