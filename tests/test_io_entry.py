@@ -128,3 +128,33 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(part" in plan, plan
     assert rd.count() == 250
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from tsgen.io import compact_parquet
+
+    p = str(tmp_path / "frag")
+    spark.range(10000).repartition(32).write.parquet(p)
+    import pathlib
+
+    before = len(list(pathlib.Path(p).glob("*.parquet")))
+    after = compact_parquet(spark, p, target_files=2)
+    assert before == 32 and after == 2
+    assert spark.read.parquet(p).count() == 10000
+
+
+def test_incremental_agg_state_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from tsgen.io import agg_state, merge_agg_state
+
+    full = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    b1 = full.filter(F.col("id") < 600)
+    b2 = full.filter(F.col("id") >= 600)
+    merged = merge_agg_state(agg_state(b1, ["k"], "v"), agg_state(b2, ["k"], "v"), ["k"])
+    want = {r.k: r for r in agg_state(full, ["k"], "v").collect()}
+    for r in merged.collect():
+        assert r.cnt == want[r.k].cnt
+        assert abs(r.total - want[r.k].total) < 1e-6

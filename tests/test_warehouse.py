@@ -409,3 +409,35 @@ def test_sql_api_events_normalized(spark):
     sqlapi.register_tables(spark, sf)
     r = spark.sql("SELECT count(*) AS n, min(ts) AS lo FROM events").collect()[0]
     assert r.n > 0 and str(r.lo.year) >= "1995"
+
+
+def test_running_balance_identity_hypothesis(spark):
+    """Property: the window form equals the sequential clamp loop for ANY
+    delta sequence (hypothesis-driven)."""
+    from hypothesis import given, settings, strategies as st
+
+    from tsgen.queries_tsdb import running_balance
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(deltas):
+        rows = [(1, t, float(d)) for t, d in enumerate(deltas)]
+        df = spark.createDataFrame(rows, "user_id long, t long, delta double")
+        got = [
+            r.balance
+            for r in running_balance(df, "user_id", ["t"], "delta")
+            .orderBy("t")
+            .collect()
+        ]
+        bal = 0.0
+        for d, g in zip(deltas, got):
+            bal = max(0.0, bal + float(np.float32(d)))
+            assert abs(g - bal) < 1e-6
+
+    check()

@@ -138,3 +138,53 @@ def upsert_parquet(
     dst = Path(path)
     shutil.rmtree(dst)
     Path(tmp).rename(dst)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into `target_files`
+    files (default: sized by `spark.sql.files.maxPartitionBytes`-ish row
+    estimate — here simply the current parallelism). The streaming
+    foreachBatch sink and incremental upserts both accrete small files;
+    scan cost at 100 TB is dominated by file-open overhead unless a
+    compaction job runs. Atomic swap like upsert_parquet. Returns the new
+    file count."""
+    import uuid
+
+    df = spark.read.parquet(path)
+    n = target_files or max(1, df.rdd.getNumPartitions() // 4)
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    # coalesce (no shuffle) is correct for merging small files; repartition
+    # would add an Exchange for nothing
+    df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    dst = Path(path)
+    shutil.rmtree(dst)
+    Path(tmp).rename(dst)
+    return len([p for p in Path(path).glob("*.parquet")])
+
+
+def merge_agg_state(
+    state: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental aggregation-state maintenance: combine a persisted
+    (key, cnt, total) state table with a new batch's partial state WITHOUT
+    rescanning history — the sum/count algebra every incremental
+    materialized view relies on (avg = total/cnt stays derivable).
+    One union + one partial-agged groupBy on the keys."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+    )
+
+
+def agg_state(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Build the mergeable (cnt, total) state for a batch."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*keys).agg(
+        F.count(value).alias("cnt"), F.sum(value).alias("total")
+    )
