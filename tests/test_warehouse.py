@@ -441,3 +441,27 @@ def test_running_balance_identity_hypothesis(spark):
             assert abs(g - bal) < 1e-6
 
     check()
+
+
+def test_hll_accuracy(spark):
+    from tsgen.sketches import hll_distinct
+
+    # m=256 registers -> standard error 1.04/sqrt(256) ~ 6.5%; allow 3 sigma
+    for n, tol in ((150, 0.2), (5000, 0.2)):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        # duplicate every row: cardinality unchanged
+        df = df.union(df)
+        est = hll_distinct(df, "k").collect()[0].est
+        assert abs(est - n) / n < tol, (n, est)
+
+
+def test_cms_overestimates_only_and_tight_for_heavy_hitters(spark):
+    from tsgen.sketches import cms_estimate_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = cms_estimate_tokens(docs).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.cms_n >= r.exact_n  # CMS never undercounts
+        # width 1024 on a small vocab: overcount should be tiny
+        assert r.overcount <= 0.05 * r.exact_n + 50, r

@@ -465,3 +465,68 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- portable sketches ------------------------------------------------------
+def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sketches
+
+    ev = _events(spark, sf_dir)
+    parts = []
+    for name, key in (("user_id", "user_id"), ("event_id", "event_id")):
+        est = sketches.hll_distinct(ev, key)
+        exact = ev.agg(F.countDistinct(key).alias("exact_n"))
+        parts.append(
+            est.crossJoin(exact).select(
+                F.lit(name).alias("key_name"),
+                F.col("est"),
+                F.col("exact_n"),
+                ((F.col("est") - F.col("exact_n")) / F.col("exact_n")).alias("rel_err"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return roundn(out, 6, "est", "rel_err")
+
+
+def _hll_sql() -> str:
+    from . import sketches
+
+    parts = []
+    for name, key in (("user_id", "user_id"), ("event_id", "event_id")):
+        regs = sketches.hll_registers_sql(key, "events", sketches._duck_hexparse)
+        est = sketches.hll_estimate_sql(regs)
+        parts.append(
+            f"""
+SELECT '{name}' AS key_name,
+       (round((est) + 1.0e-9,6)+0.0e0) AS est,
+       (SELECT count(DISTINCT {key}) FROM events) AS exact_n,
+       (round(((est - (SELECT count(DISTINCT {key}) FROM events))
+               / (SELECT count(DISTINCT {key}) FROM events)) + 1.0e-9,6)+0.0e0) AS rel_err
+FROM ({est})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sketches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketches.cms_estimate_tokens(docs)
+
+
+def _cms_sql() -> str:
+    from . import sketches
+
+    return sketches.cms_tokens_sql()
+
+
+_REGISTRY.update(
+    {
+        "hll_cardinality": Query(
+            "hll_cardinality", _q_hll, _hll_sql(), ("sketch",)
+        ),
+        "cms_token_freq": Query(
+            "cms_token_freq", _q_cms, _cms_sql(), ("sketch",)
+        ),
+    }
+)

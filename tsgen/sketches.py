@@ -1,0 +1,202 @@
+"""Portable probabilistic sketches (north-star extension: cardinality and
+frequency estimation at 100 TB — but ENGINE-PORTABLE, so the driver's
+DuckDB oracle hash-checks them).
+
+Spark's own approx_count_distinct (HLL++) is engine-specific, which forces
+a rows-only correctness check. These sketches rebuild the math from public
+algorithms (Flajolet et al. HLL; Cormode–Muthukrishnan count-min) on top of
+a portable hash — a 48-bit md5 prefix — rendered as the SAME expression
+text for Spark and DuckDB (only the hex→int parse differs per engine), so
+estimates match bit-for-bit.
+
+Scale shapes:
+- HLL: one partial-agged groupBy over 2^p registers (max combines
+  map-side) — the sketch IS the shuffle payload, constant-size per group.
+- CMS: one partial-agged count per (row, cell) — d·w counters total
+  regardless of stream length; point queries join the tiny counter table.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import expr as E
+
+HLL_P = 8          # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+# bias correction for m = 256 (Flajolet et al. 2007)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HASH_BITS = 48     # 12 hex chars of md5: exactly representable in double
+
+
+def _hash48(key_sql: str, hexparse) -> str:
+    """Portable 48-bit integer hash of an expression: md5 prefix parsed to
+    BIGINT. `hexparse` renders the engine-specific hex→int."""
+    return hexparse(f"substring(md5(CAST({key_sql} AS STRING)), 1, 12)")
+
+
+def _spark_hexparse(h: str) -> str:
+    return f"CAST(conv({h}, 16, 10) AS BIGINT)"
+
+
+def _duck_hexparse(h: str) -> str:
+    return f"CAST('0x' || {h} AS BIGINT)"
+
+
+def _rank_case(v: str, vbits: int) -> str:
+    """Position of the leading 1-bit of `v` (1-based from the top of the
+    vbits-wide field), as a branch chain of exact integer compares —
+    identical text on both engines (no log2 float hazards)."""
+    branches = " ".join(
+        f"WHEN {v} >= {1 << (vbits - 1 - i)} THEN {i + 1}" for i in range(vbits)
+    )
+    return f"(CASE {branches} ELSE {vbits + 1} END)"
+
+
+def hll_registers_sql(key_sql: str, table: str, hexparse) -> str:
+    """(bucket, max-rank) register table for distinct-count of key_sql."""
+    h = _hash48(key_sql, hexparse)
+    vbits = HASH_BITS - HLL_P
+    v = f"CAST(({h!s} - ({h!s} % {HLL_M})) / {HLL_M} AS BIGINT)"
+    # one CTE level so h is written once per branch chain, not re-hashed
+    return f"""
+SELECT bucket, max(rank) AS rank FROM (
+  SELECT hh % {HLL_M} AS bucket,
+         {_rank_case(f"CAST((hh - (hh % {HLL_M})) / {HLL_M} AS BIGINT)", vbits)} AS rank
+  FROM (SELECT {h} AS hh FROM {table})
+) GROUP BY bucket
+"""
+
+
+def hll_estimate_sql(registers: str) -> str:
+    """Raw HLL estimate + small-range (linear counting) correction, from a
+    (bucket, rank) register table; empty registers count as rank 0."""
+    a = E.NUM(HLL_ALPHA)
+    m = HLL_M
+    return f"""
+SELECT CASE WHEN raw <= {E.NUM(2.5 * m)} AND zeros > 0
+            THEN {m}.0e0 * ln({m}.0e0 / zeros)
+            ELSE raw END AS est
+FROM (
+  SELECT {a} * {m}.0e0 * {m}.0e0 / (sum(pow(2.0e0, -rank)) + ({m} - count(*))) AS raw,
+         ({m} - count(*)) + sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM ({registers})
+)
+"""
+
+
+def hll_distinct(df: DataFrame, key: str) -> DataFrame:
+    """Spark side: F.expr over the SAME generated text (register build),
+    then the same estimate combination — one groupBy shuffle of ≤2^p rows."""
+    vbits = HASH_BITS - HLL_P
+    h = _hash48(key, _spark_hexparse)
+    hh = F.expr(h)
+    d = df.select(hh.alias("hh"))
+    v = F.expr(f"CAST((hh - (hh % {HLL_M})) / {HLL_M} AS BIGINT)")
+    rank = F.expr(_rank_case(f"CAST((hh - (hh % {HLL_M})) / {HLL_M} AS BIGINT)", vbits))
+    regs = d.select((F.col("hh") % HLL_M).alias("bucket"), rank.alias("rank")).groupBy(
+        "bucket"
+    ).agg(F.max("rank").alias("rank"))
+    agg = regs.agg(
+        (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M))
+            * F.lit(float(HLL_M))
+            / (F.sum(F.expr("pow(2.0e0, -rank)")) + (F.lit(HLL_M) - F.count("*")))
+        ).alias("raw"),
+        ((F.lit(HLL_M) - F.count("*")) + F.sum((F.col("rank") == 0).cast("long"))).alias(
+            "zeros"
+        ),
+    )
+    est = F.when(
+        (F.col("raw") <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(F.col("raw"))
+    return agg.select(est.alias("est"))
+
+
+# --- count-min sketch -------------------------------------------------------
+CMS_D, CMS_W = 4, 1024
+CMS_P = (1 << 31) - 1
+CMS_A = (1299721, 15485863, 32452843, 49979687)
+CMS_B = (7919, 104729, 1299709, 15485867)
+
+
+def _cms_cell(i: int, x: str) -> str:
+    return f"((({CMS_A[i]} * ({x} % {CMS_P}) + {CMS_B[i]}) % {CMS_P}) % {CMS_W})"
+
+
+def cms_estimate_tokens(df: DataFrame, text: str = "text", top_n: int = 15) -> DataFrame:
+    """Count-min frequency estimates for the corpus's top tokens, beside
+    exact counts. Counters: d passes of (row, cell) partial-agged counts
+    (d·w cells total); probes: the exact top-N tokens re-hashed and joined
+    against the tiny counter table; estimate = min over rows. The CMS
+    guarantee (est ≥ exact; est ≤ exact + εN w.h.p.) is asserted in tests
+    and visible in the output columns."""
+    toks = df.select(F.explode(F.split(F.col(text), " ")).alias("token"))
+    toks = toks.localCheckpoint(eager=False)
+    x = _hash48("token", _spark_hexparse)
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.expr(_cms_cell(i, x)).alias("cell"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.row", "rc.cell")
+    counters = cells.groupBy("row", "cell").agg(F.count("*").alias("cnt"))
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(top_n)
+    )
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.expr(_cms_cell(i, x)).alias("cell"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "exact_n", "rc.row", "rc.cell")
+    est = (
+        probes.join(F.broadcast(counters), ["row", "cell"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return est.withColumn("overcount", F.col("cms_n") - F.col("exact_n"))
+
+
+def cms_tokens_sql(top_n: int = 15) -> str:
+    x = _hash48("token", _duck_hexparse)
+    cell_rows = " UNION ALL ".join(
+        f"SELECT token, {i} AS row, {_cms_cell(i, x)} AS cell FROM toks"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+cells AS ({cell_rows}),
+counters AS (SELECT row, cell, count(*) AS cnt FROM cells GROUP BY row, cell),
+exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+          ORDER BY exact_n DESC, token LIMIT {top_n}),
+probes AS (
+  SELECT e.token, e.exact_n, c.row, c.cell
+  FROM exact e JOIN (SELECT DISTINCT token, row, cell FROM cells) c
+    ON c.token = e.token),
+est AS (
+  SELECT p.token, p.exact_n, min(cnt) AS cms_n
+  FROM probes p JOIN counters USING (row, cell)
+  GROUP BY p.token, p.exact_n)
+SELECT token, exact_n, cms_n, cms_n - exact_n AS overcount FROM est
+"""
