@@ -465,3 +465,15 @@ def test_cms_overestimates_only_and_tight_for_heavy_hitters(spark):
         assert r.cms_n >= r.exact_n  # CMS never undercounts
         # width 1024 on a small vocab: overcount should be tiny
         assert r.overcount <= 0.05 * r.exact_n + 50, r
+
+
+def test_hll_set_ops_inclusion_exclusion(spark):
+    from tsgen.sketches import hll_set_ops
+
+    # A = users 0..99, B = users 50..149 -> |A|=|B|=100, |A∪B|=150, |A∩B|=50
+    rows = [(u, "a") for u in range(100)] + [(u, "b") for u in range(50, 150)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = hll_set_ops(df, "user_id", "event_type", "a", "b").collect()[0]
+    assert abs(r.est_a - 100) / 100 < 0.2
+    assert abs(r.est_union - 150) / 150 < 0.2
+    assert abs(r.est_intersection - 50) < 0.3 * 150  # I-E compounds error

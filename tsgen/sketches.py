@@ -200,3 +200,91 @@ est AS (
   GROUP BY p.token, p.exact_n)
 SELECT token, exact_n, cms_n, cms_n - exact_n AS overcount FROM est
 """
+
+
+def hll_registers(df: DataFrame, key: str, group: str) -> DataFrame:
+    """Per-group HLL register tables (group, bucket, rank) — the mergeable
+    partial state: union of sets ≡ elementwise max of registers, which is
+    why HLL states combine map-side and across partitions/days/sources
+    without re-reading data."""
+    vbits = HASH_BITS - HLL_P
+    h = _hash48(key, _spark_hexparse)
+    d = df.select(F.col(group).alias("grp"), F.expr(h).alias("hh"))
+    rank = F.expr(_rank_case(f"CAST((hh - (hh % {HLL_M})) / {HLL_M} AS BIGINT)", vbits))
+    return (
+        d.select("grp", (F.col("hh") % HLL_M).alias("bucket"), rank.alias("rank"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def _estimate_from_regs(regs: DataFrame, by: list[str]) -> DataFrame:
+    agg = regs.groupBy(*by).agg(
+        (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M))
+            * F.lit(float(HLL_M))
+            / (F.sum(F.expr("pow(2.0e0, -rank)")) + (F.lit(HLL_M) - F.count("*")))
+        ).alias("raw"),
+        ((F.lit(HLL_M) - F.count("*")) + F.sum((F.col("rank") == 0).cast("long"))).alias(
+            "zeros"
+        ),
+    )
+    est = F.when(
+        (F.col("raw") <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(F.col("raw"))
+    return agg.select(*by, est.alias("est"))
+
+
+def hll_set_ops(df: DataFrame, key: str, group: str, g_a: str, g_b: str) -> DataFrame:
+    """|A|, |B|, |A∪B| from merged registers (max per bucket), and the
+    inclusion-exclusion intersection estimate — all without touching raw
+    data twice. Returns one row."""
+    regs = hll_registers(df.filter(F.col(group).isin(g_a, g_b)), key, group)
+    regs = regs.localCheckpoint(eager=False)
+    singles = _estimate_from_regs(regs, ["grp"])
+    union_regs = regs.groupBy("bucket").agg(F.max("rank").alias("rank")).withColumn(
+        "grp", F.lit("union")
+    )
+    u = _estimate_from_regs(union_regs, ["grp"])
+    a = singles.filter(F.col("grp") == g_a).select(F.col("est").alias("est_a"))
+    b = singles.filter(F.col("grp") == g_b).select(F.col("est").alias("est_b"))
+    uu = u.select(F.col("est").alias("est_union"))
+    out = a.crossJoin(b).crossJoin(uu)
+    return out.select(
+        "est_a", "est_b", "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_intersection"),
+    )
+
+
+def hll_set_ops_sql(key: str, table: str, group: str, g_a: str, g_b: str) -> str:
+    h = _hash48(key, _duck_hexparse)
+    vbits = HASH_BITS - HLL_P
+    a = E.NUM(HLL_ALPHA)
+    m = HLL_M
+    est = (
+        f"CASE WHEN raw <= {E.NUM(2.5 * m)} AND zeros > 0 "
+        f"THEN {m}.0e0 * ln({m}.0e0 / zeros) ELSE raw END"
+    )
+    agg = (
+        f"{a} * {m}.0e0 * {m}.0e0 / (sum(pow(2.0e0, -rank)) + ({m} - count(*))) AS raw, "
+        f"({m} - count(*)) + sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS zeros"
+    )
+    return f"""
+WITH src AS (SELECT {group} AS grp, {h} AS hh FROM {table}
+             WHERE {group} IN ('{g_a}', '{g_b}')),
+regs AS (
+  SELECT grp, hh % {m} AS bucket,
+         max({_rank_case(f"CAST((hh - (hh % {m})) / {m} AS BIGINT)", vbits)}) AS rank
+  FROM src GROUP BY grp, bucket),
+singles AS (
+  SELECT grp, {est} AS est FROM (SELECT grp, {agg} FROM regs GROUP BY grp)),
+uregs AS (SELECT bucket, max(rank) AS rank FROM regs GROUP BY bucket),
+uest AS (SELECT {est} AS est FROM (SELECT {agg} FROM uregs))
+SELECT sa.est AS est_a, sb.est AS est_b, uest.est AS est_union,
+       sa.est + sb.est - uest.est AS est_intersection
+FROM (SELECT est FROM singles WHERE grp = '{g_a}') sa
+CROSS JOIN (SELECT est FROM singles WHERE grp = '{g_b}') sb
+CROSS JOIN uest
+"""
