@@ -142,3 +142,15 @@ def test_chunked_replay_ohlc_argmin_state_carries(tmp_path, spark):
     for c in ["open", "high", "low", "close", "volume"]:
         assert (multi[c] - single[c]).abs().max() < 1e-9, c
     assert multi["n_trades"].equals(single["n_trades"])
+
+
+def test_chunked_replay_hll_state_merges(tmp_path, spark):
+    # HLL max-register state must merge across micro-batches: 3-chunk
+    # replay produces the identical register table as a single batch
+    s3 = streaming.replay_chunked(spark, SF, 3, str(tmp_path / "chunks_hll"))
+    multi = streaming.run_to_completion(streaming.hll_register_stream(s3)).toPandas()
+    one = streaming.events_stream(spark, SF)
+    single = streaming.run_to_completion(streaming.hll_register_stream(one)).toPandas()
+    multi = multi.sort_values("bucket").reset_index(drop=True)
+    single = single.sort_values("bucket").reset_index(drop=True)
+    assert multi.equals(single)

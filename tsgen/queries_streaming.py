@@ -197,3 +197,49 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_stream_hll(spark, sf_dir):
+    from . import sketches
+
+    s = streaming.events_stream(spark, sf_dir)
+    regs = streaming.run_to_completion(streaming.hll_register_stream(s))
+    agg = regs.agg(
+        (
+            F.lit(sketches.HLL_ALPHA)
+            * F.lit(float(sketches.HLL_M))
+            * F.lit(float(sketches.HLL_M))
+            / (
+                F.sum(F.expr("pow(2.0e0, -rank)"))
+                + (F.lit(sketches.HLL_M) - F.count("*"))
+            )
+        ).alias("raw"),
+        (
+            (F.lit(sketches.HLL_M) - F.count("*"))
+            + F.sum((F.col("rank") == 0).cast("long"))
+        ).alias("zeros"),
+    )
+    est = F.when(
+        (F.col("raw") <= 2.5 * sketches.HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(sketches.HLL_M))
+        * F.log(F.lit(float(sketches.HLL_M)) / F.col("zeros")),
+    ).otherwise(F.col("raw"))
+    out = agg.select(est.alias("est"))
+    return out.withColumn("est", F.round(F.col("est") + F.lit(1e-9), 6) + F.lit(0.0))
+
+
+def _stream_hll_sql() -> str:
+    from . import sketches
+
+    regs = sketches.hll_registers_sql("user_id", "events", sketches._duck_hexparse)
+    est = sketches.hll_estimate_sql(regs)
+    return f"SELECT (round((est) + 1.0e-9,6)+0.0e0) AS est FROM ({est})"
+
+
+_REGISTRY.update(
+    {
+        "stream_hll": Query(
+            "stream_hll", _q_stream_hll, _stream_hll_sql(), ("streaming", "sketch")
+        ),
+    }
+)

@@ -383,3 +383,23 @@ def ohlc_stream(stream: DataFrame, width: str = "1 hour") -> DataFrame:
             "event_type", "open", "high", "low", "close", "n_trades", "volume",
         )
     )
+
+
+def hll_register_stream(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming HLL register build: the (bucket, max rank) state is a
+    plain streaming max aggregation, so sketch state merges across
+    micro-batches exactly like it merges across partitions — the same
+    property that makes HLL the right distinct-count structure for both
+    axes. Finalize with sketches-side estimate over the materialized
+    registers (two-level aggs aren't allowed inside one streaming query)."""
+    from .sketches import HASH_BITS, HLL_M, HLL_P, _hash48, _rank_case, _spark_hexparse
+
+    vbits = HASH_BITS - HLL_P
+    h = _hash48(key, _spark_hexparse)
+    d = stream.select(F.expr(h).alias("hh"))
+    rank = F.expr(_rank_case(f"CAST((hh - (hh % {HLL_M})) / {HLL_M} AS BIGINT)", vbits))
+    return (
+        d.select((F.col("hh") % HLL_M).alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
