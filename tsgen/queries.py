@@ -21,7 +21,7 @@ class Query:
     name: str
     spark_fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None
-    tags: tuple[str, ...] = field(default=tuple)
+    tags: tuple[str, ...] = field(default_factory=tuple)
 
 
 _REGISTRY: dict[str, Query] = {}
