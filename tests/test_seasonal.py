@@ -1,0 +1,72 @@
+"""Classical decomposition / interpolation / LTTB downsampling properties."""
+import math
+
+from pyspark.sql import Row, functions as F
+
+from tsgen.queries_seasonal import (
+    classical_decompose,
+    interpolate_linear,
+    lttb_downsample,
+)
+
+
+def _series(spark, n=48, period=12):
+    # exact additive construction: trend 0.5·t + seasonal sin(2πp/12)
+    rows = [
+        Row(series_id=0, t=t, value=0.5 * t + math.sin(2 * math.pi * (t % period) / period))
+        for t in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_classical_decompose_additive_and_recovers_linear_trend(spark):
+    out = classical_decompose(_series(spark), period=12, half=6).toPandas()
+    inner = out[out.trend.notna()]
+    assert len(inner) > 0
+    # additivity is exact by construction: value = trend + seasonal + residual
+    err = (inner.value - (inner.trend + inner.seasonal + inner.residual)).abs().max()
+    assert err < 1e-9
+    # a 13-point centered MA of (linear trend + zero-sum-ish seasonal)
+    # recovers the line up to the seasonal leakage of the odd window
+    mid = inner[(inner.t >= 12) & (inner.t < 36)]
+    assert (mid.trend - 0.5 * mid.t).abs().max() < 0.15
+
+
+def test_interpolate_exact_on_linear_series(spark):
+    # linear series with interior gaps: interpolation must be exact
+    rows = [
+        Row(user_id=1, rn=i, v=None if i in (3, 4, 7) else 2.0 * i + 1.0)
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, rn long, v double")
+    out = interpolate_linear(df, "user_id", "rn", "v").toPandas().set_index("rn")
+    for i in range(1, 11):
+        assert abs(out.loc[i, "filled"] - (2.0 * i + 1.0)) < 1e-9
+    assert not out.loc[3, "was_observed"] and out.loc[5, "was_observed"]
+
+
+def test_interpolate_edge_gaps_take_nearest(spark):
+    rows = [
+        Row(user_id=1, rn=1, v=None),
+        Row(user_id=1, rn=2, v=5.0),
+        Row(user_id=1, rn=3, v=None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, rn long, v double")
+    out = interpolate_linear(df, "user_id", "rn", "v").toPandas().set_index("rn")
+    assert out.loc[1, "filled"] == 5.0 and out.loc[3, "filled"] == 5.0
+
+
+def test_lttb_keeps_the_spike(spark):
+    # three hourly buckets; middle bucket has a flat line plus one spike —
+    # the spike is the largest-triangle point and must be the survivor
+    base = "2024-01-01 10:{m:02d}:00"
+    rows = []
+    for h, vals in ((9, [1.0] * 4), (10, [1.0, 9.0, 1.0, 1.0]), (11, [1.0] * 4)):
+        for m, v in enumerate(vals):
+            rows.append(
+                Row(event_type="a", ts=f"2024-01-01 {h:02d}:{m * 10:02d}:00", value=v)
+            )
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    out = lttb_downsample(df).toPandas()
+    assert len(out) == 1  # only the interior bucket has both anchors
+    assert out.iloc[0]["value"] == 9.0
