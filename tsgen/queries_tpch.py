@@ -466,3 +466,378 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# ===========================================================================
+# Remaining TPC-H shapes (Q2/Q8/Q11/Q12/Q16/Q20/Q21 analogues), adapted to
+# the testdata columns (no partsupp table — lineitem's (l_partkey,l_suppkey)
+# pairs stand in for the part-supplier relationship; no l_shipmode /
+# l_receiptdate — l_returnflag and l_shipdate-vs-o_orderdate lateness are the
+# stand-ins). With these, all 22 canonical TPC-H plan shapes are covered.
+#
+# Scale notes (100 TB):
+# - Q2: the per-(part,supplier) agg partial-aggregates before its shuffle;
+#   the min-unit-cost lookup is an agg-to-agg join on p_partkey (uniform).
+# - Q8: one fact-side shuffle (lineitem⋈orders on orderkey); all dimension
+#   joins broadcast. The market-share CASE runs map-side.
+# - Q11: scalar total via broadcast 1-row aggregate (no driver collect).
+# - Q21: per-order aggregates groupBy(l_orderkey) — same key as the
+#   lineitem⋈orders semi-join, so AQE reuses the exchange partitioning.
+# ===========================================================================
+
+# --- min_cost_supplier (Q2 shape): min-unit-cost supplier per part ---------
+Q2_REGION = "EUROPE"
+Q2_TYPE = "ECONOMY"
+Q2_MAX_SIZE = 10
+
+
+def _q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE))
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    # unit cost per (part, supplier): avg sale unit price; rounded BEFORE the
+    # min/equality so both engines agree on the winner (cf. top_supplier)
+    cost = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal")
+        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("_c"))
+        .withColumn("unit_cost", F.round(F.col("_c") + F.lit(1e-9), 4) + F.lit(0.0))
+        .drop("_c")
+    )
+    mn = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("_mn"))
+    out = (
+        cost.join(mn, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("_mn"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+            "unit_cost",
+        )
+    )
+    return canon_types(roundn(out, 4, "s_acctbal"))
+
+
+_MIN_COST_SQL = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, s_name, s_acctbal,
+         (round((avg(l_extendedprice / l_quantity)) + 1.0e-9,4)+0.0e0) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+       AND p_type = '{Q2_TYPE}' AND p_size <= {Q2_MAX_SIZE}
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = '{Q2_REGION}'
+  GROUP BY 1, 2, 3, 4)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
+       (round((s_acctbal) + 1.0e-9,4)+0.0e0) AS s_acctbal, unit_cost
+FROM cost c
+WHERE unit_cost = (SELECT min(unit_cost) FROM cost c2 WHERE c2.l_partkey = c.l_partkey)
+"""
+
+
+# --- market_share (Q8 shape): national revenue share in a region -----------
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_1"
+
+
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_in_region, o.o_custkey == cust_in_region.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+    )
+    out = j.groupBy(F.year("l_shipdate").alias("yr")).agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == Q8_NATION, _rev()).otherwise(0.0))
+            / F.sum(_rev())
+        ).alias("mkt_share"),
+        F.count("*").alias("n_items"),
+    )
+    return canon_types(roundn(out, 4, "mkt_share"))
+
+
+_MARKET_SHARE_SQL = f"""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+       (round((sum(CASE WHEN sn.n_name = '{Q8_NATION}' THEN {REV_SQL} ELSE 0.0e0 END)
+               / sum({REV_SQL})) + 1.0e-9,4)+0.0e0) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --- important_parts (Q11 shape): value-concentration with scalar subquery -
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 1e-3
+
+
+def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    total = val.agg((F.sum("value") * F.lit(Q11_FRACTION)).alias("_thresh"))
+    out = (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thresh"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+    return canon_types(roundn(out, 2, "value"))
+
+
+_IMPORTANT_PARTS_SQL = f"""
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = '{Q11_NATION}'
+  GROUP BY 1)
+SELECT l_partkey AS p_partkey, (round((value) + 1.0e-9,2)+0.0e0) AS value
+FROM val
+WHERE value > (SELECT sum(value) * {Q11_FRACTION:.9e} FROM val)
+"""
+
+
+# --- late_shipment_priority (Q12 shape): lateness × priority counts --------
+Q12_LATE_DAYS = 60
+
+
+def _q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q12_LATE_DAYS)
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = late.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+    )
+    return canon_types(out)
+
+
+_LATE_PRIORITY_SQL = f"""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY 1
+"""
+
+
+# --- part_supplier_counts (Q16 shape): distinct suppliers per part class ---
+def _q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#3")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    # "complaint" analog: suppliers in the red are excluded via anti-join
+    bad_sup = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+    )
+    out = pairs.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+    return canon_types(out)
+
+
+_PART_SUPPLIER_SQL = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0e0)
+GROUP BY 1, 2
+"""
+
+
+# --- excess_shippers (Q20 shape): nested-aggregate semi-join ---------------
+Q20_NATION = "NATION_2"
+Q20_PREFIX = "red"
+Q20_MIN_QTY = 100.0
+
+
+def _q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_PREFIX))
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q20_NATION)
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    shipped = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q20_MIN_QTY)
+    )
+    out = (
+        sup.join(shipped, sup.s_suppkey == shipped.l_suppkey)
+        .select("s_suppkey", "s_name", "total_qty")
+    )
+    return canon_types(roundn(out, 4, "total_qty"))
+
+
+_EXCESS_SHIPPERS_SQL = f"""
+SELECT s_suppkey, s_name, (round((total_qty) + 1.0e-9,4)+0.0e0) AS total_qty
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = '{Q20_NATION}'
+JOIN (SELECT l_suppkey, sum(l_quantity) AS total_qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '{Q20_PREFIX}%'
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 HAVING sum(l_quantity) > {Q20_MIN_QTY:.9e}) sq
+  ON s_suppkey = sq.l_suppkey
+"""
+
+
+# --- waiting_suppliers (Q21 shape): sole-blocker detection -----------------
+def _q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_f, F.col("l_orderkey") == o_f.o_orderkey, "left_semi")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_mx"),
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+    )
+    at_max = (
+        li.join(per_order, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("_mx"))
+        .select("l_orderkey", "l_suppkey", "_n_supp")
+        .distinct()
+    )
+    # the blocker must be the SOLE supplier at the order's last ship date,
+    # in an order that involved at least one other supplier
+    n_max = at_max.groupBy("l_orderkey").agg(F.count("*").alias("_n_max"))
+    blockers = (
+        at_max.join(n_max, "l_orderkey")
+        .filter((F.col("_n_max") == 1) & (F.col("_n_supp") >= 2))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        blockers.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+    return canon_types(out)
+
+
+_WAITING_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS mx, count(DISTINCT l_suppkey) AS n_supp
+  FROM li GROUP BY 1),
+at_max AS (
+  SELECT DISTINCT li.l_orderkey, l_suppkey, n_supp
+  FROM li JOIN per_order ON li.l_orderkey = per_order.l_orderkey
+  WHERE l_shipdate = mx),
+blockers AS (
+  SELECT l_orderkey, min(l_suppkey) AS l_suppkey, min(n_supp) AS n_supp
+  FROM at_max GROUP BY 1 HAVING count(*) = 1)
+SELECT s_name, count(*) AS numwait
+FROM blockers JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2
+GROUP BY 1
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+_REGISTRY.update(
+    {
+        "min_cost_supplier": Query(
+            "min_cost_supplier", _q_min_cost_supplier, _MIN_COST_SQL, ("tpch",)
+        ),
+        "market_share": Query(
+            "market_share", _q_market_share, _MARKET_SHARE_SQL, ("tpch",)
+        ),
+        "important_parts": Query(
+            "important_parts", _q_important_parts, _IMPORTANT_PARTS_SQL, ("tpch",)
+        ),
+        "late_shipment_priority": Query(
+            "late_shipment_priority", _q_late_shipment_priority, _LATE_PRIORITY_SQL, ("tpch",)
+        ),
+        "part_supplier_counts": Query(
+            "part_supplier_counts", _q_part_supplier_counts, _PART_SUPPLIER_SQL, ("tpch",)
+        ),
+        "excess_shippers": Query(
+            "excess_shippers", _q_excess_shippers, _EXCESS_SHIPPERS_SQL, ("tpch",)
+        ),
+        "waiting_suppliers": Query(
+            "waiting_suppliers", _q_waiting_suppliers, _WAITING_SQL, ("tpch",)
+        ),
+    }
+)
