@@ -477,3 +477,57 @@ def test_hll_set_ops_inclusion_exclusion(spark):
     assert abs(r.est_a - 100) / 100 < 0.2
     assert abs(r.est_union - 150) / 150 < 0.2
     assert abs(r.est_intersection - 50) < 0.3 * 150  # I-E compounds error
+
+
+def test_dd_quantiles_relative_error_bound(spark):
+    from tsgen.sketches import DD_ALPHA, dd_quantiles
+
+    df = spark.range(1, 20001).selectExpr(
+        "CAST(id AS DOUBLE) * 0.37 + 0.01 AS value"
+    )
+    rows = dd_quantiles(df, "value").collect()
+    assert len(rows) == 4
+    for r in rows:
+        # DDSketch guarantee: relative error within alpha of the true quantile
+        assert abs(r.rel_err) <= DD_ALPHA + 1e-9, (r.q, r.rel_err)
+
+
+def test_dd_sketch_merges(spark):
+    # bucket counts ADD: sketch(A ∪ B) == merge(sketch(A), sketch(B)).
+    import pyspark.sql.functions as F
+
+    from tsgen.sketches import _dd_bucket
+
+    full = spark.range(1, 5001).selectExpr("CAST(id AS DOUBLE) * 1.3 AS value")
+    a = full.filter(F.col("value") < 3000)
+    b = full.filter(F.col("value") >= 3000)
+
+    def sketch(df):
+        return (
+            df.select(F.expr(_dd_bucket("value")).alias("b"))
+            .groupBy("b").count()
+        )
+
+    merged = (
+        sketch(a).unionByName(sketch(b))
+        .groupBy("b").agg(F.sum("count").alias("count"))
+    )
+    got = {r.b: r["count"] for r in merged.collect()}
+    want = {r.b: r["count"] for r in sketch(full).collect()}
+    assert got == want
+
+
+def test_bloom_no_false_negatives(spark):
+    import pyspark.sql.functions as F
+
+    from tsgen.sketches import bloom_prune
+
+    build = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    r = bloom_prune(build, probe, "k", "k").collect()[0]
+    # every true member passes the bloom (no false negatives, by construction)
+    assert r.bloom_pass_rows >= r.true_match_rows
+    assert r.n_probe_rows == 5000
+    # m=16384 bits, k=4, n=500 inserted: fp rate should be well under 5%
+    fp_rate = r.false_positive_rows / (r.n_probe_rows - r.true_match_rows)
+    assert fp_rate < 0.05, fp_rate

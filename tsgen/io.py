@@ -13,6 +13,26 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events `ts` column to session-zoned TIMESTAMP across
+    Spark versions. events.parquet stores TIMESTAMP(NANOS):
+    - with spark.sql.legacy.parquet.nanosAsLong honored (<= Spark 4.0) the
+      column arrives as BIGINT nanos -> integer-divide to micros (a double
+      division would lose precision at 1e18);
+    - Spark 4.1 reads parquet nanos natively as TIMESTAMP_NTZ (truncated to
+      micros, legacy conf ignored) -> cast re-zones it (session tz is UTC);
+    - already TIMESTAMP -> unchanged.
+    Schema-driven, not value-driven, so the choice is deterministic."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def save_series(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     w = df.write.mode("overwrite")
     if partition_by:

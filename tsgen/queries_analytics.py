@@ -15,14 +15,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read nanos as long and convert with integer division (a double
-    division would lose precision at 1e18)."""
+    """events.parquet stores TIMESTAMP(NANOS); normalize ts to session-zoned
+    TIMESTAMP whatever this Spark version reads it as (bigint nanos under the
+    legacy conf, TIMESTAMP_NTZ on Spark 4.1+)."""
+    from .io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return ev
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 # --- rolling window -------------------------------------------------------

@@ -560,3 +560,53 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sketches
+
+    ev = _events(spark, sf_dir)
+    out = sketches.dd_quantiles(ev, "value")
+    return roundn(out, 6, "est", "exact_q", "rel_err")
+
+
+def _dd_quantiles_sql() -> str:
+    from . import sketches
+
+    inner = sketches.dd_quantiles_sql("value", "events")
+    return f"""
+SELECT q, (round((est) + 1.0e-9,6)+0.0e0) AS est,
+       (round((exact_q) + 1.0e-9,6)+0.0e0) AS exact_q,
+       (round((rel_err) + 1.0e-9,6)+0.0e0) AS rel_err
+FROM ({inner}) ORDER BY q
+"""
+
+
+def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sketches
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return sketches.bloom_prune(cust, orders, "c_custkey", "o_custkey")
+
+
+def _bloom_prune_sql() -> str:
+    from . import sketches
+
+    return sketches.bloom_prune_sql(
+        "customer", "c_custkey", "c_mktsegment = 'BUILDING'", "orders", "o_custkey"
+    )
+
+
+_REGISTRY.update(
+    {
+        "dd_quantiles": Query(
+            "dd_quantiles", _q_dd_quantiles, _dd_quantiles_sql(), ("sketch",)
+        ),
+        "bloom_prune": Query(
+            "bloom_prune", _q_bloom_prune, _bloom_prune_sql(), ("sketch",)
+        ),
+    }
+)

@@ -288,3 +288,207 @@ FROM (SELECT est FROM singles WHERE grp = '{g_a}') sa
 CROSS JOIN (SELECT est FROM singles WHERE grp = '{g_b}') sb
 CROSS JOIN uest
 """
+
+
+# --- DDSketch quantiles -----------------------------------------------------
+# Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable quantile sketch
+# with relative-error guarantees" (VLDB 2019). Log-spaced buckets give a
+# relative-error bound alpha on any quantile; bucket COUNTS ADD, so sketches
+# merge across partitions/days/sources exactly like HLL registers.
+DD_ALPHA = 0.01
+DD_GAMMA = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
+
+
+def _dd_bucket(v: str) -> str:
+    """Bucket index ceil(ln(v)/ln(gamma)) for v > 0 — identical text on both
+    engines (tiny nudge keeps exact-power boundaries from flipping per-libm)."""
+    return f"CAST(ceiling(ln({v}) / ln({E.NUM(DD_GAMMA)}) - 1.0e-12) AS BIGINT)"
+
+
+def dd_quantiles(
+    df: DataFrame, value: str = "value", qs: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99)
+) -> DataFrame:
+    """DDSketch quantile estimates beside the exact (type-1, lower) quantile.
+
+    Scale shape: the raw table reduces in ONE partial-agged groupBy to
+    ≤ O(ln(max/min)/alpha) bucket rows (~1100 buckets across 15 decades at
+    alpha=1%) — the sketch IS the shuffle payload. The cumulative walk and
+    quantile probes run on that constant-size table, so the unpartitioned
+    window is bounded work (same argument as the HLL register combine).
+    Estimate 2·gamma^b/(gamma+1) is the bucket's geometric midpoint; the
+    guarantee |est − exact|/exact ≤ alpha is asserted in tests.
+    """
+    from pyspark.sql import Window
+
+    pos = df.filter(F.col(value) > 0)
+    buckets = (
+        pos.select(F.expr(_dd_bucket(value)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # per q: the first bucket whose cumulative count reaches rank ceil(q*n)
+    probe = (
+        F.broadcast(qdf)
+        .crossJoin(cum)
+        .filter(F.col("cum") >= F.expr("CAST(ceiling(q * total) AS BIGINT)"))
+        .groupBy("q")
+        .agg(F.min("b").alias("b"), F.first("total").alias("n"))
+    )
+    # exact lower quantile via the same rank definition, for the error column
+    rk = pos.select(
+        F.col(value).alias("v"),
+        F.row_number().over(Window.orderBy(value)).alias("r"),
+        F.count("*").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
+    )
+    exact = (
+        F.broadcast(qdf)
+        .crossJoin(rk)
+        .filter(F.col("r") == F.expr("CAST(ceiling(q * n) AS BIGINT)"))
+        .select("q", F.col("v").alias("exact_q"))
+    )
+    g = E.NUM(DD_GAMMA)
+    est = F.expr(f"2.0e0 * pow({g}, b) / ({g} + 1.0e0)")
+    return (
+        probe.join(exact, "q")
+        .select(
+            "q",
+            est.alias("est"),
+            "exact_q",
+            ((est - F.col("exact_q")) / F.col("exact_q")).alias("rel_err"),
+        )
+        .orderBy("q")
+    )
+
+
+def dd_quantiles_sql(
+    value: str, table: str, qs: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99)
+) -> str:
+    qrows = " UNION ALL ".join(f"SELECT {E.NUM(q)} AS q" for q in qs)
+    g = E.NUM(DD_GAMMA)
+    return f"""
+WITH pos AS (SELECT {value} AS v FROM {table} WHERE {value} > 0),
+buckets AS (SELECT {_dd_bucket('v')} AS b, count(*) AS cnt FROM pos GROUP BY 1),
+cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum, sum(cnt) OVER () AS total
+        FROM buckets),
+qs AS ({qrows}),
+probe AS (
+  SELECT q, min(b) AS b, min(total) AS n FROM qs JOIN cum
+    ON cum >= CAST(ceiling(q * total) AS BIGINT) GROUP BY q),
+rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r, count(*) OVER () AS n
+       FROM pos),
+exact AS (
+  SELECT q, v AS exact_q FROM qs JOIN rk
+    ON r = CAST(ceiling(q * n) AS BIGINT))
+SELECT probe.q,
+       2.0e0 * pow({g}, b) / ({g} + 1.0e0) AS est,
+       exact_q,
+       (2.0e0 * pow({g}, b) / ({g} + 1.0e0) - exact_q) / exact_q AS rel_err
+FROM probe JOIN exact ON probe.q = exact.q
+ORDER BY probe.q
+"""
+
+
+# --- portable Bloom filter --------------------------------------------------
+# Bloom (CACM 1970). k independent bit positions per key from the salted
+# portable hash; the bit table is the mergeable state (union of sets = union
+# of bit positions). Primary use at scale: a runtime semi-join filter — build
+# bits from the SMALL side, broadcast (≤ m rows), and pre-filter the big
+# probe side before the real join ever shuffles it.
+BF_M = 1 << 14   # bits
+BF_K = 4
+
+
+def _bf_bits(key_sql: str, hexparse) -> list[str]:
+    out = []
+    for i in range(BF_K):
+        salted = f"concat(CAST({key_sql} AS STRING), '#', '{i}')"
+        out.append(f"({_hash48(salted, hexparse)} % {BF_M})")
+    return out
+
+
+def bloom_bits(df: DataFrame, key: str) -> DataFrame:
+    """Distinct set-bit positions for the build side — the filter state
+    (≤ m rows no matter how large the build side is)."""
+    exprs = _bf_bits(key, _spark_hexparse)
+    return (
+        df.select(F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_prune(
+    build: DataFrame, probe: DataFrame, build_key: str, probe_key: str
+) -> DataFrame:
+    """Summary of bloom-filter join pruning: how many probe rows pass the
+    bloom (all k bits set) vs truly match, and the false-positive count.
+
+    The probe side is filtered via its DISTINCT keys (k bit lookups against
+    the broadcast bit table, count == k ⇔ all bits set) — the big table
+    itself is never shuffled; the verdict joins back on the key."""
+    bits = bloom_bits(build, build_key)
+    keys = probe.select(F.col(probe_key).alias("k")).distinct()
+    exprs = _bf_bits("k", _spark_hexparse)
+    pb = keys.select(
+        "k", F.posexplode(F.array(*[F.expr(e) for e in exprs])).alias("i", "bit")
+    )
+    passed = (
+        pb.join(F.broadcast(bits), "bit")
+        .groupBy("k")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") == BF_K)
+        .select("k")
+    )
+    truth = build.select(F.col(build_key).alias("k")).distinct()
+    verdict = keys.join(
+        passed.withColumn("bloom_pass", F.lit(1)), "k", "left"
+    ).join(truth.withColumn("is_member", F.lit(1)), "k", "left")
+    pr = probe.select(F.col(probe_key).alias("k")).join(verdict, "k")
+    return pr.agg(
+        F.count("*").alias("n_probe_rows"),
+        F.sum(F.coalesce(F.col("bloom_pass"), F.lit(0))).alias("bloom_pass_rows"),
+        F.sum(F.coalesce(F.col("is_member"), F.lit(0))).alias("true_match_rows"),
+        F.sum(
+            F.coalesce(F.col("bloom_pass"), F.lit(0))
+            * (1 - F.coalesce(F.col("is_member"), F.lit(0)))
+        ).alias("false_positive_rows"),
+    )
+
+
+def bloom_prune_sql(
+    build_table: str, build_key: str, build_where: str, probe_table: str, probe_key: str
+) -> str:
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {e} AS bit FROM build" for e in _bf_bits(build_key, _duck_hexparse)
+    )
+    probe_bits = " UNION ALL ".join(
+        f"SELECT k, {e} AS bit FROM keys" for e in _bf_bits("k", _duck_hexparse)
+    )
+    return f"""
+WITH build AS (SELECT * FROM {build_table} WHERE {build_where}),
+bits AS (SELECT DISTINCT bit FROM ({bit_rows})),
+keys AS (SELECT DISTINCT {probe_key} AS k FROM {probe_table}),
+pb AS ({probe_bits}),
+passed AS (
+  SELECT k FROM pb JOIN bits USING (bit) GROUP BY k HAVING count(*) = {BF_K}),
+truth AS (SELECT DISTINCT {build_key} AS k FROM build),
+verdict AS (
+  SELECT keys.k,
+         CASE WHEN passed.k IS NULL THEN 0 ELSE 1 END AS bloom_pass,
+         CASE WHEN truth.k IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM keys LEFT JOIN passed ON keys.k = passed.k
+            LEFT JOIN truth ON keys.k = truth.k)
+SELECT count(*) AS n_probe_rows,
+       CAST(sum(bloom_pass) AS BIGINT) AS bloom_pass_rows,
+       CAST(sum(is_member) AS BIGINT) AS true_match_rows,
+       CAST(sum(bloom_pass * (1 - is_member)) AS BIGINT) AS false_positive_rows
+FROM {probe_table} p JOIN verdict ON p.{probe_key} = verdict.k
+"""

@@ -41,15 +41,24 @@ EVENTS_SCHEMA = StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (one-file replay)."""
+    """File-source stream over the events table (one-file replay).
+
+    The stream schema is taken from a batch read of the same file, NOT a
+    hardcoded one: how the TIMESTAMP(NANOS) ts column arrives (bigint nanos
+    vs TIMESTAMP_NTZ) depends on the Spark version, and forcing LongType on
+    a reader that resolves nanos to NTZ silently yields micros — a 1000×
+    timestamp corruption. Inferring then normalizing is version-proof."""
+    from .io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def run_to_completion(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
@@ -211,8 +220,12 @@ def replay_chunked(
     """
     from pyspark.sql import Window
 
+    from .io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # normalize ts BEFORE writing the chunks, so the re-read schema is a
+    # plain TIMESTAMP on every Spark version (see events_stream docstring)
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     chunked = ev.withColumn(
         "_chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
     )
@@ -225,12 +238,12 @@ def replay_chunked(
             .parquet(f"{chunk_dir}/chunk={i}")
         )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(chunk_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def replay_rate(
@@ -251,9 +264,10 @@ def replay_rate(
     """
     from pyspark.sql import Window
 
+    from .io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     indexed = ev.withColumn(
         "_seq",
         F.row_number().over(Window.orderBy("ts", "event_id")).cast("bigint") - 1,
