@@ -241,3 +241,46 @@ def test_lsh_pairs_finds_planted_neardup(spark, emb):
     assert any((a, b) == (3, 7) for a, b in zip(out.id_a, out.id_b))
     # and every emitted pair is genuinely >= threshold (verify step works)
     assert (out.cos_sim >= 0.9).all()
+
+
+def test_containment_detects_embedded_doc(spark):
+    from pyspark.sql import Row
+
+    words = [f"w{i}" for i in range(30)]
+    rows = [
+        Row(doc_id=0, text=" ".join(words), lang="en", source="s0"),
+        # doc 1 = a 10-word passage of doc 0 wrapped in noise-free extraction:
+        # fully contained, but Jaccard is diluted by the size gap
+        Row(doc_id=1, text=" ".join(words[5:15]), lang="en", source="s0"),
+    ]
+    df = spark.createDataFrame(rows)
+    p = dedup.jaccard_pairs(
+        df, ["lang", "source"], threshold=0.0, df_cap=None, containment=True
+    ).collect()[0]
+    assert p.containment == 1.0
+    assert p.jaccard < 0.5
+
+
+def test_global_row_ids_dense_and_ordered(spark):
+    from tsgen.queries_scale import global_row_ids
+
+    df = spark.range(0, 5000).selectExpr("(id * 2654435761) % 1000003 AS k")
+    df = df.dropDuplicates(["k"])
+    n = df.count()
+    out = global_row_ids(df, "k", partitions=7).orderBy("k").collect()
+    rids = [r.rid for r in out]
+    assert rids == list(range(n))  # dense, 0-based, in key order
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    from tsgen.queries_scale import stratified_sample
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS key", "CAST(id % 3 AS STRING) AS stratum"
+    )
+    s1 = stratified_sample(df, "stratum", "key", k=40)
+    got = {r.stratum: r.n for r in s1.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert got == {"0": 40, "1": 40, "2": 40}
+    # deterministic: same rows on a re-run with different partitioning
+    s2 = stratified_sample(df.repartition(13), "stratum", "key", k=40)
+    assert sorted(r.key for r in s1.collect()) == sorted(r.key for r in s2.collect())

@@ -148,6 +148,7 @@ def _ensure_populated() -> None:
         queries_misc,
         queries_paths,
         queries_pipeline,
+        queries_scale,
         queries_seasonal,
         queries_quality,
         queries_streaming,

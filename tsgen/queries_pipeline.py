@@ -98,6 +98,13 @@ def _q_jaccard(spark, sf_dir):
     return round6(out, "jaccard")
 
 
+def _q_containment(spark, sf_dir):
+    out = dedup.jaccard_pairs(
+        _docs(spark, sf_dir), ["lang", "source"], threshold=0.01, containment=True
+    )
+    return round6(out, "jaccard", "containment")
+
+
 def _q_minhash(spark, sf_dir):
     # xxhash64-based → engine-specific → rows-only; recall asserted in tests
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), verify_threshold=0.05)
@@ -428,6 +435,12 @@ _REGISTRY.update(
         ),
         "ngram_jaccard": Query(
             "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)
+        ),
+        "jaccard_containment": Query(
+            "jaccard_containment",
+            _q_containment,
+            dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01, containment=True),
+            ("dedup",),
         ),
         "minhash_lsh": Query("minhash_lsh", _q_minhash, None, ("dedup",)),
         "simhash": Query("simhash", _q_simhash, None, ("dedup",)),

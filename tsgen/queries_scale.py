@@ -1,0 +1,114 @@
+"""Scale-idiom operators: the distributed building blocks every 100 TB
+pipeline eventually needs, each expressed WITHOUT the single-reducer trap
+its naive SQL form implies.
+
+- global_row_ids: dense 0-based global index in key order. The naive
+  `row_number() OVER (ORDER BY key)` funnels the whole table through ONE
+  task; the scalable form is range-partition → per-partition counts (tiny)
+  → prefix-sum offsets (window over #partitions rows) → offset + local
+  row_number. Both shuffles touch uniform partitions; no task ever sees
+  more than its slice. (The DuckDB oracle IS the naive form — same answer.)
+- stratified_sample: exact-k-per-stratum deterministic sample. The rank
+  runs per-stratum (partitionBy), so the window is as parallel as the
+  stratum count; order is a portable hash u01(key), so the "random" sample
+  is reproducible across engines, retries, and partitionings — the property
+  `df.sample()` cannot give.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import expr as E
+from .queries import _REGISTRY, Query, canon_types, round6
+from .queries_analytics import _events
+
+
+def global_row_ids(df: DataFrame, key: str, partitions: int | None = None) -> DataFrame:
+    """Adds `rid`: the 0-based dense index of each row in global `key` order.
+
+    Range-partitioning gives partition i keys strictly below partition i+1,
+    so rid = (rows in partitions < i) + local rank. The per-partition count
+    table has one row per partition — its prefix-sum window is bounded work
+    no matter the table size. The second window (local rank) re-shuffles on
+    the partition id, which is uniform by construction of the range split.
+    Requires `key` to be unique (callers pass the table's primary key).
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    d = df.repartitionByRange(int(n), F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pin ONE materialization of the range exchange: its boundaries come from
+    # sampling, so the counts job and the join branch must not re-derive them
+    # independently (offsets would describe a different partitioning).
+    # Cluster equivalent: persist() or a real checkpoint.
+    d = d.localCheckpoint(eager=False)
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(key))
+    return (
+        d.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn("rid", (F.col("_off") + local - 1).cast("bigint"))
+        .drop("_pid", "_off")
+    )
+
+
+def _q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    return canon_types(global_row_ids(ev, "event_id").select("event_id", "user_id", "rid"))
+
+
+_GLOBAL_ROW_IDS_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER (ORDER BY event_id) - 1 AS rid
+FROM events
+"""
+
+
+SAMPLE_K = 50
+SAMPLE_SALT = 4243
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str, key: str, k: int = SAMPLE_K, salt: int = SAMPLE_SALT
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by portable-hash
+    order — deterministic equal-probability sampling without a global sort."""
+    u = F.expr(E.u01(key, salt))
+    w = Window.partitionBy(stratum).orderBy(u.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = stratified_sample(ev, "event_type", "event_id").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return round6(out, "value")
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT event_id, user_id, event_type, (round((value) + 1.0e-9,6)+0.0e0) AS value
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {E.u01("event_id", SAMPLE_SALT)} ASC, event_id ASC) AS rk
+  FROM events)
+WHERE rk <= {SAMPLE_K}
+"""
+
+
+_REGISTRY.update(
+    {
+        "global_row_ids": Query(
+            "global_row_ids", _q_global_row_ids, _GLOBAL_ROW_IDS_SQL, ("scale",)
+        ),
+        "stratified_sample": Query(
+            "stratified_sample", _q_stratified_sample, _STRATIFIED_SAMPLE_SQL, ("scale",)
+        ),
+    }
+)
