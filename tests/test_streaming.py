@@ -154,3 +154,31 @@ def test_chunked_replay_hll_state_merges(tmp_path, spark):
     multi = multi.sort_values("bucket").reset_index(drop=True)
     single = single.sort_values("bucket").reset_index(drop=True)
     assert multi.equals(single)
+
+
+def test_chunked_replay_scd2_state_carries(tmp_path, spark):
+    # intervals that SPAN a micro-batch boundary (opened in chunk k, closed
+    # in chunk k+1) must still come out exactly as in the one-batch build —
+    # the open row lives in the state store between triggers
+    from tsgen.queries_warehouse import scd2_intervals
+    from tsgen.queries_analytics import _events
+
+    s4 = streaming.replay_chunked(spark, SF, 4, str(tmp_path / "chunks_scd2"))
+    multi = (
+        streaming.run_to_completion(streaming.scd2_stateful(s4), mode="update")
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        scd2_intervals(_events(spark, SF))
+        .filter("NOT is_current")
+        .select("user_id", "event_type", "valid_from_s", "valid_to_s", "version")
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    assert len(multi) == len(batch)
+    assert (multi["event_type"].values == batch["event_type"].values).all()
+    assert (multi["valid_from_s"].values == batch["valid_from_s"].values).all()
+    assert (multi["valid_to_s"].values == batch["valid_to_s"].values).all()

@@ -531,3 +531,35 @@ def test_bloom_no_false_negatives(spark):
     # m=16384 bits, k=4, n=500 inserted: fp rate should be well under 5%
     fp_rate = r.false_positive_rows / (r.n_probe_rows - r.true_match_rows)
     assert fp_rate < 0.05, fp_rate
+
+
+def test_kalman_smoother_matches_scalar_reference_and_beats_filter(spark):
+    from tsgen.forecast import kalman_smoother
+
+    rng = np.random.default_rng(11)
+    truth = np.cumsum(0.05 * rng.normal(size=60))  # local-level random walk
+    ys = truth + 0.5 * rng.normal(size=60)
+    rows = [(1, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = {r.t: r for r in kalman_smoother(df, q=0.01, r=0.5).collect()}
+    # scalar forward pass
+    q, r = 0.01, 0.5
+    L, V = [ys[0]], [1.0]
+    for t in range(1, 60):
+        pv = V[-1] + q
+        k = pv / (pv + r)
+        L.append(L[-1] + k * (ys[t] - L[-1]))
+        V.append((1 - k) * pv)
+    # scalar RTS backward pass
+    SL, SV = L[:], V[:]
+    for t in range(58, -1, -1):
+        c = V[t] / (V[t] + q)
+        SL[t] = L[t] + c * (SL[t + 1] - L[t])
+        SV[t] = V[t] + c * c * (SV[t + 1] - (V[t] + q))
+    for t in range(60):
+        assert abs(out[t].level - L[t]) < 1e-12, t
+        assert abs(out[t].smoothed - SL[t]) < 1e-12, t
+    # the smoother (conditions on the whole series) beats the filter on MSE
+    mse_f = float(np.mean((np.array(L) - truth) ** 2))
+    mse_s = float(np.mean((np.array(SL) - truth) ** 2))
+    assert mse_s < mse_f

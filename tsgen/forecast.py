@@ -271,3 +271,112 @@ rec(series_id, t, l, v, g) AS (
 SELECT series_id, t, {E.round6('l')} AS level, {E.round6('g')} AS gain
 FROM rec
 """
+
+
+def kalman_smoother(
+    df: DataFrame,
+    q: float = 0.01,
+    r: float = 0.5,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Rauch–Tung–Striebel smoother over the 1-D local-level Kalman filter:
+    the OFFLINE optimum that conditions every estimate on the WHOLE series
+    (the filter only sees the past). Forward pass as in kalman_filter, then
+        C_t  = v_t / (v_t + q)                      (smoother gain)
+        sl_t = l_t + C_t·(sl_{t+1} − l_t)
+        sv_t = v_t + C_t²·(sv_{t+1} − (v_t + q))
+    backward from sl_T = l_T. Emits filtered `level` and smoothed `smoothed`
+    per point.
+
+    Execution shape matches holt/kalman: both sweeps are T numpy steps
+    vectorized across every series of the Arrow batch (series are the
+    parallel axis; the recursion is only over time)."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(v, dtype=float) for v in pdf["vs"]]
+            n = np.array([len(a) for a in arrs])
+            T = int(n.max())
+            Y = np.full((len(arrs), T), np.nan)
+            for i, a in enumerate(arrs):
+                Y[i, : len(a)] = a
+            level = Y[:, 0].copy()
+            var = np.ones(len(arrs))
+            levels, vars_ = [level.copy()], [var.copy()]
+            for t in range(1, T):
+                active = t < n
+                pv = var + q
+                k = pv / (pv + r)
+                level = np.where(active, level + k * (Y[:, t] - level), level)
+                var = np.where(active, (1.0 - k) * pv, var)
+                levels.append(level.copy())
+                vars_.append(var.copy())
+            L = np.stack(levels, axis=1)   # (series, T) filtered means
+            V = np.stack(vars_, axis=1)    # (series, T) filtered vars
+            SL, SV = L.copy(), V.copy()    # last point: smoothed = filtered
+            for t in range(T - 2, -1, -1):
+                active = (t + 1) < n
+                c = V[:, t] / (V[:, t] + q)
+                sl = L[:, t] + c * (SL[:, t + 1] - L[:, t])
+                sv = V[:, t] + c * c * (SV[:, t + 1] - (V[:, t] + q))
+                SL[:, t] = np.where(active, sl, SL[:, t])
+                SV[:, t] = np.where(active, sv, SV[:, t])
+            out = []
+            for i, s in enumerate(pdf[key]):
+                ln = int(n[i])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            key: s,
+                            "t": np.arange(ln),
+                            "level": L[i, :ln],
+                            "smoothed": SL[i, :ln],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return wide.mapInPandas(fn, f"{key} bigint, t bigint, level double, smoothed double")
+
+
+def kalman_smoother_sql(inner: str, q: float = 0.01, r: float = 0.5) -> str:
+    """Recursive-CTE oracle: the forward CTE replays kalman_sql's recursion,
+    the backward CTE replays the RTS update with IDENTICAL association
+    order (f.l + C·(rec.sl − f.l), C = f.v / (f.v + Q))."""
+    from . import expr as E
+
+    Q, R = E.NUM(q), E.NUM(r)
+    k = f"((rec.v + {Q}) / ((rec.v + {Q}) + {R}))"
+    c = f"(f.v / (f.v + {Q}))"
+    return f"""
+WITH RECURSIVE src AS ({inner}),
+n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+rec(series_id, t, l, v) AS (
+  SELECT series_id, CAST(0 AS BIGINT), value, CAST(1.0e0 AS DOUBLE)
+  FROM src WHERE t = 0
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1,
+         rec.l + {k} * (s.value - rec.l),
+         (1.0e0 - {k}) * (rec.v + {Q})
+  FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1),
+back(series_id, t, sl, sv) AS (
+  SELECT rec.series_id, rec.t, rec.l, rec.v
+  FROM rec JOIN n ON rec.series_id = n.series_id AND rec.t = n.tmax
+  UNION ALL
+  SELECT back.series_id, back.t - 1,
+         f.l + {c} * (back.sl - f.l),
+         f.v + {c} * {c} * (back.sv - (f.v + {Q}))
+  FROM back JOIN rec f ON f.series_id = back.series_id AND f.t = back.t - 1
+  WHERE back.t > 0)
+SELECT rec.series_id, rec.t, {E.round6('rec.l')} AS level,
+       {E.round6('back.sl')} AS smoothed
+FROM rec JOIN back ON rec.series_id = back.series_id AND rec.t = back.t
+"""

@@ -369,6 +369,20 @@ def _kalman_sql() -> str:
     return forecast.kalman_sql(inner)
 
 
+def _q_kalman_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(forecast.kalman_smoother(df), "level", "smoothed")
+
+
+def _kalman_smoother_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.kalman_smoother_sql(inner)
+
+
 def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -403,6 +417,9 @@ _REGISTRY.update(
         "forecast_ses": Query("forecast_ses", _q_ses, _ses_sql(), ("forecast",)),
         "forecast_holt": Query("forecast_holt", _q_holt, _holt_sql(), ("forecast",)),
         "kalman_filter": Query("kalman_filter", _q_kalman, _kalman_sql(), ("forecast",)),
+        "kalman_smoother": Query(
+            "kalman_smoother", _q_kalman_smoother, _kalman_smoother_sql(), ("forecast",)
+        ),
         "ts_anomalies": Query(
             "ts_anomalies", _q_ts_anomalies, _ts_anomalies_sql(), ("forecast",)
         ),

@@ -243,3 +243,43 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_stream_scd2(spark, sf_dir):
+    # streaming type-2 SCD build (applyInPandasWithState); output = the
+    # CLOSED intervals of the batch scd2_intervals build (the open row per
+    # entity lives in the state store until the next change arrives)
+    from .queries import canon_types
+
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.scd2_stateful(s), mode="update")
+    return canon_types(
+        out.select("user_id", "event_type", "valid_from_s", "valid_to_s", "version")
+    )
+
+
+_STREAM_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+ch AS (SELECT user_id, event_type, ts, event_id FROM e
+       WHERE prev IS NULL OR event_type <> prev),
+iv AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+         CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+         CAST(row_number() OVER w AS BIGINT) AS version
+  FROM ch
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_type, valid_from_s, valid_to_s, version
+FROM iv WHERE valid_to_s IS NOT NULL
+"""
+
+_REGISTRY.update(
+    {
+        "stream_scd2": Query(
+            "stream_scd2", _q_stream_scd2, _STREAM_SCD2_SQL, ("streaming",)
+        ),
+    }
+)

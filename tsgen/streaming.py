@@ -417,3 +417,66 @@ def hll_register_stream(stream: DataFrame, key: str = "user_id") -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rank").alias("rank"))
     )
+
+
+def scd2_stateful(stream: DataFrame, key: str = "user_id", attr: str = "event_type") -> DataFrame:
+    """Streaming type-2 SCD build via applyInPandasWithState: per entity the
+    state is the OPEN dimension row (current attr value, its valid_from,
+    version counter); every arriving change CLOSES the previous interval and
+    emits it. The streaming output is therefore exactly the closed-interval
+    subset of the batch scd2_intervals build (asserted in tests and by the
+    driver oracle), with state carried across micro-batch boundaries —
+    O(1) state per entity regardless of stream length.
+
+    Production shape: change-data-capture events land on Kafka, this
+    operator maintains the dimension; a foreachBatch MERGE (io.upsert_parquet)
+    persists emitted rows. Late data caveat: rows are applied in arrival
+    order per micro-batch (no watermark reordering across batches) — same
+    contract as any CDC-ordered consumer.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} bigint, {attr} string, valid_from_s bigint, "
+        "valid_to_s bigint, version bigint"
+    )
+    state_schema = "cur string, from_ns bigint, version bigint"
+
+    def fn(k, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        cur, from_ns, version = state.get if state.exists else (None, 0, 0)
+        out = {c: [] for c in (key, attr, "from_ns", "to_ns", "version")}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_ns = pdf["ts"].astype("int64").to_numpy()
+            vals = pdf[attr].to_numpy()
+            for v, t in zip(vals, ts_ns):
+                if cur is None:
+                    cur, from_ns, version = str(v), int(t), 1
+                elif v != cur:
+                    out[key].append(k[0])
+                    out[attr].append(cur)
+                    out["from_ns"].append(from_ns)
+                    out["to_ns"].append(int(t))
+                    out["version"].append(version)
+                    cur, from_ns, version = str(v), int(t), version + 1
+        state.update((cur, from_ns, version))
+        if not out[key]:
+            yield pd.DataFrame(
+                columns=[key, attr, "valid_from_s", "valid_to_s", "version"]
+            )
+            return
+        yield pd.DataFrame(
+            {
+                key: out[key],
+                attr: out[attr],
+                "valid_from_s": [t // 1_000_000_000 for t in out["from_ns"]],
+                "valid_to_s": [t // 1_000_000_000 for t in out["to_ns"]],
+                "version": out["version"],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
