@@ -284,3 +284,24 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
     # deterministic: same rows on a re-run with different partitioning
     s2 = stratified_sample(df.repartition(13), "stratum", "key", k=40)
     assert sorted(r.key for r in s1.collect()) == sorted(r.key for r in s2.collect())
+
+
+def test_bigram_lm_flags_scrambled_text(spark):
+    from pyspark.sql import Row
+
+    from tsgen import text as T
+
+    # corpus of structured sentences; doc 99 = doc 0's tokens SHUFFLED:
+    # identical unigram profile, broken transitions
+    sent = "the cat sat on the mat and the dog sat on the rug".split()
+    rows = [Row(doc_id=i, text=" ".join(sent)) for i in range(20)]
+    rng = np.random.RandomState(3)
+    shuffled = sent.copy()
+    rng.shuffle(shuffled)
+    rows.append(Row(doc_id=99, text=" ".join(shuffled)))
+    df = spark.createDataFrame(rows)
+    scores = {r.doc_id: r.bigram_lm_score for r in T.bigram_lm_score(df).collect()}
+    assert scores[99] > scores[0]
+    # unigram LM cannot tell them apart
+    uni = {r.doc_id: r.lm_score for r in T.lm_score(df).collect()}
+    assert abs(uni[99] - uni[0]) < 1e-9

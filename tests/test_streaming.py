@@ -182,3 +182,29 @@ def test_chunked_replay_scd2_state_carries(tmp_path, spark):
     assert (multi["event_type"].values == batch["event_type"].values).all()
     assert (multi["valid_from_s"].values == batch["valid_from_s"].values).all()
     assert (multi["valid_to_s"].values == batch["valid_to_s"].values).all()
+
+
+def test_chunked_replay_dd_sketch_state_merges(tmp_path, spark):
+    # DDSketch bucket counts must ADD across micro-batches: a 3-chunk replay
+    # yields the identical bucket table as one batch pass
+    from tsgen.sketches import _dd_bucket
+    from tsgen.queries_analytics import _events
+    import pyspark.sql.functions as F
+
+    s3 = streaming.replay_chunked(spark, SF, 3, str(tmp_path / "chunks_dd"))
+    multi = {
+        r.b: r.cnt
+        for r in streaming.run_to_completion(
+            streaming.dd_bucket_stream(s3, "value")
+        ).collect()
+    }
+    batch = {
+        r.b: r.cnt
+        for r in _events(spark, SF)
+        .filter(F.col("value") > 0)
+        .select(F.expr(_dd_bucket("value")).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert multi == batch

@@ -46,6 +46,14 @@ def _q_lm_score(spark, sf_dir):
     return canon_types(roundn(text.lm_score(_docs(spark, sf_dir)), 4, "lm_score"))
 
 
+def _q_bigram_lm(spark, sf_dir):
+    from .queries import canon_types, roundn
+
+    return canon_types(
+        roundn(text.bigram_lm_score(_docs(spark, sf_dir)), 4, "bigram_lm_score")
+    )
+
+
 def _q_source_mixture(spark, sf_dir):
     from .queries import canon_types, round6 as r6
 
@@ -393,6 +401,9 @@ _REGISTRY.update(
         "text_stats": Query("text_stats", _q_text_stats, text.TEXT_STATS_SQL, ("text",)),
         "doc_entropy": Query("doc_entropy", _q_doc_entropy, text.ENTROPY_SQL, ("text",)),
         "doc_lm_score": Query("doc_lm_score", _q_lm_score, text.LM_SCORE_SQL, ("text",)),
+        "doc_bigram_lm": Query(
+            "doc_bigram_lm", _q_bigram_lm, text.bigram_lm_sql(), ("text",)
+        ),
         "embed_pca": Query("embed_pca", _q_embed_pca, None, ("similarity",)),
         "source_mixture": Query(
             "source_mixture", _q_source_mixture, mixing.mixture_summary_sql(), ("pipeline",)

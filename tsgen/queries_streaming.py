@@ -283,3 +283,33 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_stream_dd(spark, sf_dir):
+    # streaming DDSketch: bucket counts accumulate across micro-batches,
+    # quantile probes run on the final merged sketch
+    from . import sketches
+
+    s = streaming.events_stream(spark, sf_dir)
+    buckets = streaming.run_to_completion(streaming.dd_bucket_stream(s, "value"))
+    probe = sketches.dd_probe_buckets(buckets)
+    out = probe.select("q", sketches.dd_estimate_col().alias("est")).orderBy("q")
+    return round6(out, "est")
+
+
+def _stream_dd_sql() -> str:
+    from . import sketches
+
+    inner = sketches.dd_quantiles_sql("value", "events")
+    return f"""
+SELECT q, (round((est) + 1.0e-9,6)+0.0e0) AS est FROM ({inner}) ORDER BY q
+"""
+
+
+_REGISTRY.update(
+    {
+        "stream_dd_quantiles": Query(
+            "stream_dd_quantiles", _q_stream_dd, _stream_dd_sql(), ("streaming",)
+        ),
+    }
+)

@@ -305,6 +305,36 @@ def _dd_bucket(v: str) -> str:
     return f"CAST(ceiling(ln({v}) / ln({E.NUM(DD_GAMMA)}) - 1.0e-12) AS BIGINT)"
 
 
+def dd_probe_buckets(
+    buckets: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99)
+) -> DataFrame:
+    """Quantile probes over a (b, cnt) DDSketch bucket table — the finalize
+    step, shared by the batch sketch and the streaming merged-state sketch.
+    The unpartitioned windows run over the CONSTANT-size sketch, not data."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    qdf = buckets.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    # per q: the first bucket whose cumulative count reaches rank ceil(q*n)
+    return (
+        F.broadcast(qdf)
+        .crossJoin(cum)
+        .filter(F.col("cum") >= F.expr("CAST(ceiling(q * total) AS BIGINT)"))
+        .groupBy("q")
+        .agg(F.min("b").alias("b"), F.first("total").alias("n"))
+    )
+
+
+def dd_estimate_col():
+    """The bucket-midpoint estimate expression 2·gamma^b/(gamma+1)."""
+    g = E.NUM(DD_GAMMA)
+    return F.expr(f"2.0e0 * pow({g}, b) / ({g} + 1.0e0)")
+
+
 def dd_quantiles(
     df: DataFrame, value: str = "value", qs: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99)
 ) -> DataFrame:
@@ -326,22 +356,8 @@ def dd_quantiles(
         .groupBy("b")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    cum = buckets.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "total", F.sum("cnt").over(Window.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing))
-    )
-    qdf = df.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
-    )
-    # per q: the first bucket whose cumulative count reaches rank ceil(q*n)
-    probe = (
-        F.broadcast(qdf)
-        .crossJoin(cum)
-        .filter(F.col("cum") >= F.expr("CAST(ceiling(q * total) AS BIGINT)"))
-        .groupBy("q")
-        .agg(F.min("b").alias("b"), F.first("total").alias("n"))
-    )
+    probe = dd_probe_buckets(buckets, qs)
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
     # exact lower quantile via the same rank definition, for the error column
     rk = pos.select(
         F.col(value).alias("v"),
@@ -355,8 +371,7 @@ def dd_quantiles(
         .filter(F.col("r") == F.expr("CAST(ceiling(q * n) AS BIGINT)"))
         .select("q", F.col("v").alias("exact_q"))
     )
-    g = E.NUM(DD_GAMMA)
-    est = F.expr(f"2.0e0 * pow({g}, b) / ({g} + 1.0e0)")
+    est = dd_estimate_col()
     return (
         probe.join(exact, "q")
         .select(

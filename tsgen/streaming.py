@@ -480,3 +480,19 @@ def scd2_stateful(stream: DataFrame, key: str = "user_id", attr: str = "event_ty
     return stream.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def dd_bucket_stream(stream: DataFrame, value: str = "value") -> DataFrame:
+    """Streaming DDSketch bucket build: the (bucket, count) state is a plain
+    streaming count aggregation, so sketch state merges across micro-batches
+    exactly as bucket counts add across partitions — the DDSketch
+    mergeability property on the time axis. Finalize with
+    sketches.dd_probe_buckets over the materialized bucket table."""
+    from .sketches import _dd_bucket
+
+    return (
+        stream.filter(F.col(value) > 0)
+        .select(F.expr(_dd_bucket(value)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )

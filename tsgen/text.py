@@ -691,3 +691,77 @@ SELECT split, lang, count(*) AS n_docs,
        min(doc_id) AS first_doc
 FROM s GROUP BY split, lang
 """
+
+
+BIGRAM_K = 0.1
+
+
+def bigram_lm_score(df: DataFrame, text: str = "text", k: float = BIGRAM_K) -> DataFrame:
+    """Bigram LM quality score with add-k smoothing — the order-2 upgrade of
+    lm_score: p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1} ·) + k·V),
+    score = mean −ln p over the doc's bigrams. Catches scrambled/boilerplate
+    text whose unigram profile looks normal but whose transitions don't.
+
+    Shape: bigram construction is a pure array expression per row (NO join
+    to shift positions); the model is two token-keyed aggregations (bigram
+    counts + history counts) joined back on their own grouping keys; V is a
+    1-row broadcast. Docs with < 2 tokens have no bigrams and drop out."""
+    from . import expr as E  # noqa: F401  (shared literal discipline)
+
+    bg = (
+        df.withColumn("_toks", F.split(F.col(text), " "))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2), "
+                    "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bg = bg.localCheckpoint(eager=False)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = bg.select(F.col("w2").alias("token")).union(
+        bg.select(F.col("w1"))
+    ).agg(F.countDistinct("token").cast("double").alias("v"))
+    kk = float(k)
+    p = (F.col("c2") + F.lit(kk)) / (F.col("c1") + F.lit(kk) * F.col("v"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(-F.log(p)).alias("bigram_lm_score"),
+        )
+    )
+
+
+def bigram_lm_sql(k: float = BIGRAM_K) -> str:
+    from . import expr as E
+
+    K = E.NUM(k)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS b
+  FROM t WHERE len(toks) >= 2),
+bge AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
+      FROM (SELECT w1 AS token FROM bge UNION ALL SELECT w2 FROM bge)),
+scored AS (
+  SELECT bge.doc_id,
+         (c2.c2 + {K}) / (c1.c1 + {K} * v.v) AS p
+  FROM bge JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       (round((avg(-ln(p))) + 1.0e-9,4)+0.0e0) AS bigram_lm_score
+FROM scored GROUP BY doc_id
+"""
