@@ -158,3 +158,4 @@ def test_incremental_agg_state_equals_full_recompute(spark):
     for r in merged.collect():
         assert r.cnt == want[r.k].cnt
         assert abs(r.total - want[r.k].total) < 1e-6
+

@@ -563,3 +563,42 @@ def test_kalman_smoother_matches_scalar_reference_and_beats_filter(spark):
     mse_f = float(np.mean((np.array(L) - truth) ** 2))
     mse_s = float(np.mean((np.array(SL) - truth) ** 2))
     assert mse_s < mse_f
+
+
+def test_kalman_em_matches_scalar_reference_and_moves_toward_truth(spark):
+    from tsgen.forecast import kalman_em
+
+    rng = np.random.default_rng(21)
+    q_true, r_true = 0.04, 0.25
+    truth = np.cumsum(np.sqrt(q_true) * rng.normal(size=200))
+    ys = truth + np.sqrt(r_true) * rng.normal(size=200)
+    rows = [(1, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    q0, r0 = 0.01, 1.0  # deliberately wrong initial guess
+    got = kalman_em(df, q=q0, r=r0).collect()[0]
+
+    # scalar replay of E-step + M-step
+    T = len(ys)
+    L, V = [ys[0]], [1.0]
+    for t in range(1, T):
+        pv = V[-1] + q0
+        k = pv / (pv + r0)
+        L.append(L[-1] + k * (ys[t] - L[-1]))
+        V.append((1 - k) * pv)
+    SL, SV = L[:], V[:]
+    C = [v / (v + q0) for v in V]
+    for t in range(T - 2, -1, -1):
+        SL[t] = L[t] + C[t] * (SL[t + 1] - L[t])
+        SV[t] = V[t] + C[t] * C[t] * (SV[t + 1] - (V[t] + q0))
+    qh = np.mean(
+        [
+            (SL[t] - SL[t - 1]) ** 2 + SV[t] + SV[t - 1] - 2 * C[t - 1] * SV[t]
+            for t in range(1, T)
+        ]
+    )
+    rh = np.mean([(ys[t] - SL[t]) ** 2 + SV[t] for t in range(T)])
+    assert abs(got.q_hat - qh) < 1e-10
+    assert abs(got.r_hat - rh) < 1e-10
+    # one EM step from a bad guess moves BOTH parameters toward the truth
+    assert abs(got.r_hat - r_true) < abs(r0 - r_true)
+    assert abs(got.q_hat - q_true) < abs(q0 - q_true)

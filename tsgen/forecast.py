@@ -380,3 +380,113 @@ SELECT rec.series_id, rec.t, {E.round6('rec.l')} AS level,
        {E.round6('back.sl')} AS smoothed
 FROM rec JOIN back ON rec.series_id = back.series_id AND rec.t = back.t
 """
+
+
+def kalman_em(
+    df: DataFrame,
+    q: float = 0.01,
+    r: float = 0.5,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """One EM iteration for the local-level model's parameters (q, r)
+    (Shumway & Stoffer 1982): E-step = Kalman filter + RTS smoother under
+    the CURRENT (q, r); M-step closed forms from the smoothed moments,
+    using the lag-one smoothed covariance P_{t,t−1} = C_{t−1}·SV_t:
+        q̂ = mean_t[(sl_t − sl_{t−1})² + sv_t + sv_{t−1} − 2·C_{t−1}·sv_t]
+        r̂ = mean_t[(y_t − sl_t)² + sv_t]
+    Emits (key, n_points, q_hat, r_hat) per series; iterate by calling again
+    with the updated parameters (each call is one distributed pass).
+    """
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_rows = {key: [], "n_points": [], "q_hat": [], "r_hat": []}
+            for s, vs in zip(pdf[key], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                T = len(y)
+                L = np.empty(T)
+                V = np.empty(T)
+                L[0], V[0] = y[0], 1.0
+                for t in range(1, T):
+                    pv = V[t - 1] + q
+                    k = pv / (pv + r)
+                    L[t] = L[t - 1] + k * (y[t] - L[t - 1])
+                    V[t] = (1.0 - k) * pv
+                SL, SV = L.copy(), V.copy()
+                C = V / (V + q)  # smoother gains (only C[t-1] for t>=1 used)
+                for t in range(T - 2, -1, -1):
+                    SL[t] = L[t] + C[t] * (SL[t + 1] - L[t])
+                    SV[t] = V[t] + C[t] * C[t] * (SV[t + 1] - (V[t] + q))
+                dq = (
+                    (SL[1:] - SL[:-1]) ** 2
+                    + SV[1:]
+                    + SV[:-1]
+                    - 2.0 * C[:-1] * SV[1:]
+                )
+                dr = (y - SL) ** 2 + SV
+                out_rows[key].append(s)
+                out_rows["n_points"].append(T)
+                out_rows["q_hat"].append(float(np.mean(dq)))
+                out_rows["r_hat"].append(float(np.mean(dr)))
+            yield pd.DataFrame(out_rows)
+
+    return wide.mapInPandas(
+        fn, f"{key} bigint, n_points bigint, q_hat double, r_hat double"
+    )
+
+
+def kalman_em_sql(inner: str, q: float = 0.01, r: float = 0.5) -> str:
+    """Oracle: the smoother CTEs extended with the M-step aggregations —
+    per-term arithmetic has identical association order; the final mean is
+    rounded to 4dp (sum association across t differs between engines)."""
+    from . import expr as E
+
+    Q, R = E.NUM(q), E.NUM(r)
+    k = f"((rec.v + {Q}) / ((rec.v + {Q}) + {R}))"
+    c = f"(f.v / (f.v + {Q}))"
+    c0 = f"(f0.v / (f0.v + {Q}))"
+    return f"""
+WITH RECURSIVE src AS ({inner}),
+n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+rec(series_id, t, l, v) AS (
+  SELECT series_id, CAST(0 AS BIGINT), value, CAST(1.0e0 AS DOUBLE)
+  FROM src WHERE t = 0
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1,
+         rec.l + {k} * (s.value - rec.l),
+         (1.0e0 - {k}) * (rec.v + {Q})
+  FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1),
+back(series_id, t, sl, sv) AS (
+  SELECT rec.series_id, rec.t, rec.l, rec.v
+  FROM rec JOIN n ON rec.series_id = n.series_id AND rec.t = n.tmax
+  UNION ALL
+  SELECT back.series_id, back.t - 1,
+         f.l + {c} * (back.sl - f.l),
+         f.v + {c} * {c} * (back.sv - (f.v + {Q}))
+  FROM back JOIN rec f ON f.series_id = back.series_id AND f.t = back.t - 1
+  WHERE back.t > 0),
+tq AS (
+  SELECT b1.series_id,
+         (b1.sl - b0.sl) * (b1.sl - b0.sl) + b1.sv + b0.sv
+           - 2.0e0 * {c0} * b1.sv AS term
+  FROM back b1
+  JOIN back b0 ON b0.series_id = b1.series_id AND b0.t = b1.t - 1
+  JOIN rec f0 ON f0.series_id = b1.series_id AND f0.t = b1.t - 1),
+tr AS (
+  SELECT b.series_id, (s.value - b.sl) * (s.value - b.sl) + b.sv AS term
+  FROM back b JOIN src s ON s.series_id = b.series_id AND s.t = b.t)
+SELECT q.series_id, n.tmax + 1 AS n_points,
+       {E.roundn('q.q_hat', 4)} AS q_hat, {E.roundn('r.r_hat', 4)} AS r_hat
+FROM (SELECT series_id, avg(term) AS q_hat FROM tq GROUP BY series_id) q
+JOIN (SELECT series_id, avg(term) AS r_hat FROM tr GROUP BY series_id) r
+  ON q.series_id = r.series_id
+JOIN n ON n.series_id = q.series_id
+"""

@@ -208,3 +208,4 @@ def agg_state(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     return df.groupBy(*keys).agg(
         F.count(value).alias("cnt"), F.sum(value).alias("total")
     )
+

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import expr as E, generators, oracle
-from .queries import _REGISTRY, Query, round6
+from .queries import _REGISTRY, Query, round6, roundn
 
 # --- B10: polynomial basis table [1, c, c^2, c^3], c = t/n ----------------
 BASIS_N, BASIS_DEG = 64, 3
@@ -383,6 +383,20 @@ def _kalman_smoother_sql() -> str:
     return forecast.kalman_smoother_sql(inner)
 
 
+def _q_kalman_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return roundn(forecast.kalman_em(df), 4, "q_hat", "r_hat")
+
+
+def _kalman_em_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.kalman_em_sql(inner)
+
+
 def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -420,6 +434,7 @@ _REGISTRY.update(
         "kalman_smoother": Query(
             "kalman_smoother", _q_kalman_smoother, _kalman_smoother_sql(), ("forecast",)
         ),
+        "kalman_em": Query("kalman_em", _q_kalman_em, _kalman_em_sql(), ("forecast",)),
         "ts_anomalies": Query(
             "ts_anomalies", _q_ts_anomalies, _ts_anomalies_sql(), ("forecast",)
         ),

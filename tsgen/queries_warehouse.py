@@ -610,3 +610,28 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_dd_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sketches
+
+    out = sketches.dd_quantiles_by(_events(spark, sf_dir), "event_type", "value")
+    return roundn(out, 6, "est")
+
+
+def _dd_by_type_sql() -> str:
+    from . import sketches
+
+    inner = sketches.dd_quantiles_by_sql("event_type", "value", "events")
+    return f"""
+SELECT grp, q, (round((est) + 1.0e-9,6)+0.0e0) AS est FROM ({inner}) ORDER BY grp, q
+"""
+
+
+_REGISTRY.update(
+    {
+        "dd_quantiles_by_type": Query(
+            "dd_quantiles_by_type", _q_dd_by_type, _dd_by_type_sql(), ("sketch",)
+        ),
+    }
+)

@@ -507,3 +507,59 @@ SELECT count(*) AS n_probe_rows,
        CAST(sum(bloom_pass * (1 - is_member)) AS BIGINT) AS false_positive_rows
 FROM {probe_table} p JOIN verdict ON p.{probe_key} = verdict.k
 """
+
+
+def dd_quantiles_by(
+    df: DataFrame,
+    group: str,
+    value: str = "value",
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-group DDSketch quantiles (the p50/p95/p99-per-service shape).
+    One partial-agged groupBy to (group, bucket) sketch rows; the cumulative
+    walk windows are PARTITIONED by group, so the probe stage is as parallel
+    as the group count and each partition holds one constant-size sketch."""
+    from pyspark.sql import Window
+
+    buckets = (
+        df.filter(F.col(value) > 0)
+        .select(F.col(group).alias("grp"), F.expr(_dd_bucket(value)).alias("b"))
+        .groupBy("grp", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(tw)
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    probe = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.expr("CAST(ceiling(q * total) AS BIGINT)"))
+        .groupBy("grp", "q")
+        .agg(F.min("b").alias("b"))
+    )
+    return probe.select("grp", "q", dd_estimate_col().alias("est")).orderBy("grp", "q")
+
+
+def dd_quantiles_by_sql(
+    group: str, value: str, table: str, qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> str:
+    qrows = " UNION ALL ".join(f"SELECT {E.NUM(q)} AS q" for q in qs)
+    g = E.NUM(DD_GAMMA)
+    return f"""
+WITH pos AS (SELECT {group} AS grp, {value} AS v FROM {table} WHERE {value} > 0),
+buckets AS (SELECT grp, {_dd_bucket('v')} AS b, count(*) AS cnt
+            FROM pos GROUP BY grp, 2),
+cum AS (SELECT grp, b, sum(cnt) OVER (PARTITION BY grp ORDER BY b) AS cum,
+               sum(cnt) OVER (PARTITION BY grp) AS total
+        FROM buckets),
+qs AS ({qrows}),
+probe AS (
+  SELECT grp, q, min(b) AS b FROM cum JOIN qs
+    ON cum >= CAST(ceiling(q * total) AS BIGINT) GROUP BY grp, q)
+SELECT grp, q, 2.0e0 * pow({g}, b) / ({g} + 1.0e0) AS est
+FROM probe ORDER BY grp, q
+"""
