@@ -208,3 +208,23 @@ def test_chunked_replay_dd_sketch_state_merges(tmp_path, spark):
         .collect()
     }
     assert multi == batch
+
+
+def test_chunked_replay_cms_counters_add(tmp_path, spark):
+    # CMS counters must ADD across micro-batches: 3-chunk replay counter
+    # table == single-pass counter table, cell for cell
+    s3 = streaming.replay_chunked(spark, SF, 3, str(tmp_path / "chunks_cms"))
+    multi = {
+        (r.row, r.cell): r.cnt
+        for r in streaming.run_to_completion(
+            streaming.cms_counter_stream(s3, "user_id")
+        ).collect()
+    }
+    one = streaming.events_stream(spark, SF)
+    single = {
+        (r.row, r.cell): r.cnt
+        for r in streaming.run_to_completion(
+            streaming.cms_counter_stream(one, "user_id")
+        ).collect()
+    }
+    assert multi == single

@@ -284,3 +284,30 @@ def salted_agg(
             raise ValueError(f"non-composable agg: {kind}")
     p1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_aggs)
     return p1.groupBy(*keys).agg(*phase2_aggs)
+
+
+def rolling_median(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    window_rows: int,
+) -> DataFrame:
+    """Exact rolling median (and p90) over the previous `window_rows` rows —
+    the robust twin of rolling_stats (a mean is one outlier away from
+    useless; SRE latency dashboards live on windowed p50/p90).
+
+    Spark has no percentile over a window FRAME, so the frame is collected
+    as an array (bounded: window_rows values), sorted, and indexed at the
+    type-1 (lower) rank — exact, engine-portable integer indexing, same
+    shuffle as any per-key window (one hash partition by key). Cost is
+    O(w log w) per row at w = window_rows — fine for dashboard-scale
+    windows (w ≤ a few hundred); for huge windows use dd_quantiles_by over
+    tumbling buckets instead."""
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(-(window_rows - 1), 0)
+    arr = F.array_sort(F.collect_list(F.col(value)).over(w))
+    # explicit floor: Spark's float->int cast truncates, DuckDB's ROUNDS —
+    # a bare CAST((n+1)/2 AS INT) silently picks different ranks per engine
+    med = F.element_at(arr, F.floor((F.size(arr) + 1) / 2).cast("int"))
+    p90 = F.element_at(arr, F.ceil(F.size(arr) * 0.9).cast("int"))
+    return df.withColumn("roll_median", med).withColumn("roll_p90", p90)

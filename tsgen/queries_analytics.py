@@ -743,3 +743,32 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = analytics.rolling_median(ev, "user_id", ["ts", "event_id"], "value", 15)
+    return round6(
+        out.select("event_id", "user_id", "value", "roll_median", "roll_p90"),
+        "value", "roll_median", "roll_p90",
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+SELECT event_id, user_id, (round((value) + 1.0e-9,6)+0.0e0) AS value,
+       (round((l[CAST(floor((len(l) + 1) / 2) AS INT)]) + 1.0e-9,6)+0.0e0) AS roll_median,
+       (round((l[CAST(ceil(len(l) * 0.9e0) AS INT)]) + 1.0e-9,6)+0.0e0) AS roll_p90
+FROM (
+  SELECT event_id, user_id, value,
+         list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS l
+  FROM events)
+"""
+
+_REGISTRY.update(
+    {
+        "ev_rolling_median": Query(
+            "ev_rolling_median", _q_rolling_median, _ROLLING_MEDIAN_SQL, ("window",)
+        ),
+    }
+)

@@ -313,3 +313,78 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_stream_cms(spark, sf_dir):
+    # streaming CMS heavy-hitter estimates for the top-10 users: counters
+    # accumulate across micro-batches; probes run on the merged sketch
+    from . import sketches
+    from .queries import canon_types
+
+    s = streaming.events_stream(spark, sf_dir)
+    counters = streaming.run_to_completion(streaming.cms_counter_stream(s, "user_id"))
+    from .queries_analytics import _events
+
+    ev = _events(spark, sf_dir)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    x = sketches._hash48("user_id", sketches._spark_hexparse)
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.expr(sketches._cms_cell(i, x)).alias("cell"),
+                    )
+                    for i in range(sketches.CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", "exact_n", "rc.row", "rc.cell")
+    est = (
+        probes.join(F.broadcast(counters), ["row", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return canon_types(est.withColumn("overcount", F.col("cms_n") - F.col("exact_n")))
+
+
+def _stream_cms_sql() -> str:
+    from . import sketches
+
+    x = sketches._hash48("user_id", sketches._duck_hexparse)
+    cell_rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row, {sketches._cms_cell(i, x)} AS cell FROM events"
+        for i in range(sketches.CMS_D)
+    )
+    return f"""
+WITH cells AS ({cell_rows}),
+counters AS (SELECT row, cell, count(*) AS cnt FROM cells GROUP BY row, cell),
+exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+          ORDER BY exact_n DESC, user_id LIMIT 10),
+probes AS (
+  SELECT e.user_id, e.exact_n, c.row, c.cell
+  FROM exact e JOIN (SELECT DISTINCT user_id, row, cell FROM cells) c
+    ON c.user_id = e.user_id),
+est AS (
+  SELECT p.user_id, p.exact_n, min(cnt) AS cms_n
+  FROM probes p JOIN counters USING (row, cell)
+  GROUP BY p.user_id, p.exact_n)
+SELECT user_id, exact_n, cms_n, cms_n - exact_n AS overcount FROM est
+"""
+
+
+_REGISTRY.update(
+    {
+        "stream_cms_topk": Query(
+            "stream_cms_topk", _q_stream_cms, _stream_cms_sql(), ("streaming",)
+        ),
+    }
+)

@@ -496,3 +496,31 @@ def dd_bucket_stream(stream: DataFrame, value: str = "value") -> DataFrame:
         .groupBy("b")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def cms_counter_stream(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming count-min sketch build over `key`: the (row, cell) counter
+    table is a plain streaming count aggregation — CMS counters ADD, so the
+    sketch accumulates across micro-batches exactly as it partial-aggregates
+    across partitions. d·w counters of state regardless of stream length."""
+    from .sketches import CMS_D, _cms_cell, _hash48, _spark_hexparse
+
+    x = _hash48(key, _spark_hexparse)
+    return (
+        stream.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            F.expr(_cms_cell(i, x)).alias("cell"),
+                        )
+                        for i in range(CMS_D)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .select("rc.row", "rc.cell")
+        .groupBy("row", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
