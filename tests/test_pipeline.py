@@ -305,3 +305,43 @@ def test_bigram_lm_flags_scrambled_text(spark):
     # unigram LM cannot tell them apart
     uni = {r.doc_id: r.lm_score for r in T.lm_score(df).collect()}
     assert abs(uni[99] - uni[0]) < 1e-9
+
+
+def test_weighted_sample_favors_heavy_and_is_deterministic(spark):
+    from tsgen.queries_scale import weighted_sample
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN 20.0 ELSE 1.0 END AS w"
+    )
+    s1 = weighted_sample(df, "k", "w", k=200)
+    rows = s1.collect()
+    heavy = sum(1 for r in rows if r.k % 2 == 0)
+    assert heavy > 150  # 20:1 weights dominate the sample
+    s2 = weighted_sample(df.repartition(17), "k", "w", k=200)
+    assert sorted(r.k for r in rows) == sorted(r.k for r in s2.collect())
+
+
+def test_phash_finds_planted_media_neardup(spark):
+    from pyspark.sql import Row
+
+    from tsgen import multimodal
+
+    rng = np.random.RandomState(17)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    base = " ".join(rng.choice(vocab, size=200))
+    rows.append(Row(doc_id=0, text=base, lang="en", source="s"))
+    # near-dup payload: one word changed in 200 -> thumbnails nearly equal
+    mutated = base.split()
+    mutated[100] = "omega"
+    rows.append(Row(doc_id=1, text=" ".join(mutated), lang="en", source="s"))
+    for i in range(2, 20):
+        rows.append(
+            Row(doc_id=i, text=" ".join(rng.choice(vocab, size=200)), lang="en", source="s")
+        )
+    media = multimodal.as_media_table(spark.createDataFrame(rows))
+    pairs = multimodal.phash_pairs(media, max_hamming=8).collect()
+    assert any({p.doc_a, p.doc_b} == {0, 1} for p in pairs)
+    planted = [p.hamming for p in pairs if {p.doc_a, p.doc_b} == {0, 1}][0]
+    others = [p.hamming for p in pairs if {p.doc_a, p.doc_b} != {0, 1}]
+    assert all(planted <= h for h in others)  # the planted pair is closest

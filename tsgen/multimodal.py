@@ -137,3 +137,86 @@ def resize_pool(media: DataFrame, out_len: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(fn, "doc_id bigint, thumb binary")
+
+
+AHASH_BITS, AHASH_BANDS = 64, 4
+
+
+def ahash(media: DataFrame, out_len: int = AHASH_BITS) -> DataFrame:
+    """Perceptual average-hash (aHash) over the pooled thumbnail: bit i = 1
+    iff bucket i's intensity is above the thumbnail mean. On real images
+    (swap decode_stub for PIL) this is the classic 64-bit near-duplicate
+    image fingerprint; tiny edits flip few bits, so near-dups sit at small
+    Hamming distance. Narrow mapInPandas — zero shuffles to fingerprint."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(arr) == 0:
+                    ids.append(doc_id)
+                    sigs.append(0)
+                    continue
+                splits = np.array_split(arr, out_len)
+                pooled = np.array([s.mean() if len(s) else 0.0 for s in splits])
+                bits = pooled > pooled.mean()
+                sig = 0
+                for b in bits:
+                    sig = (sig << 1) | int(b)
+                # keep in signed-int64 range (bit 63 set -> negative is fine)
+                ids.append(doc_id)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs}).astype(
+                {"doc_id": "int64", "sig": "int64"}
+            )
+
+    return media.mapInPandas(fn, "doc_id bigint, sig bigint")
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate media pairs by perceptual hash: band the 64-bit aHash
+    into 4×16-bit bands and equi-join on (band, band-key). Pigeonhole: a
+    pair at Hamming distance d ≤ 3 MUST share an untouched band (4 bands,
+    ≤ 3 flipped bits); for 3 < d ≤ max_hamming the band join is a
+    high-recall heuristic and the popcount verify is exact either way, so
+    missed candidates are the only loss and false ones cost one check.
+    Candidates come from a uniform-key equi-join — no all-pairs. Same shape
+    as the SimHash text path (dedup.py); this is its media-column twin over
+    stub-decoded thumbnails (swap decode for PIL on a real deployment)."""
+    sig = ahash(media).localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+                    )
+                    for i in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", "b.band", "b.bkey")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

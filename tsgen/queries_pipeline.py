@@ -155,6 +155,14 @@ def _q_multimodal(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def _q_multimodal_phash(spark, sf_dir):
+    # perceptual-hash near-dup pairs over stub-decoded thumbnails; banding
+    # keys ride on pooled byte means -> engine-specific float pooling, so
+    # rows-only (recall proven by the planted-dup test)
+    media = multimodal.as_media_table(_docs(spark, sf_dir))
+    return multimodal.phash_pairs(media)
+
+
 def _q_tfidf(spark, sf_dir):
     from .queries import round6 as _r
 
@@ -464,5 +472,6 @@ _REGISTRY.update(
         ),
         "ann_ivf": Query("ann_ivf", _q_ann_ivf, None, ("similarity",)),
         "multimodal_features": Query("multimodal_features", _q_multimodal, None, ("multimodal",)),
+        "multimodal_phash": Query("multimodal_phash", _q_multimodal_phash, None, ("multimodal",)),
     }
 )

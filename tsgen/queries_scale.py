@@ -112,3 +112,51 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+WS_K = 100
+WS_SALT = 9176
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: str, k: int = WS_K, salt: int = WS_SALT
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    each row draws u = u01(key) and ranks by u^(1/w) — the top-k ranks ARE
+    a weighted sample without replacement. One TakeOrderedAndProject pass
+    (per-partition local top-k, merge k rows), no global sort, and the
+    portable hash makes the draw reproducible across engines/retries —
+    the sampling primitive for quality-weighted corpus subsetting."""
+    score = F.pow(F.expr(E.u01(key, salt)), 1.0 / F.col(weight))
+    return (
+        df.withColumn("_ws", score)
+        .orderBy(F.desc("_ws"), F.asc(key))
+        .limit(k)
+        .drop("_ws")
+    )
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-weighted doc sampling: weight = n_chars (longer docs likelier)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample(docs, "doc_id", "n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return canon_types(out)
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         pow({E.u01("doc_id", WS_SALT)}, 1.0e0 / n_chars) AS ws
+  FROM documents)
+ORDER BY ws DESC, doc_id ASC LIMIT {WS_K}
+"""
+
+_REGISTRY.update(
+    {
+        "weighted_sample": Query(
+            "weighted_sample", _q_weighted_sample, _WEIGHTED_SAMPLE_SQL, ("scale",)
+        ),
+    }
+)
