@@ -115,6 +115,14 @@ def main() -> None:
         "graph_triangles",
         "zorder_cluster",
         "multimodal_features",
+        # round-3 session families: mergeable sketches, scale idioms,
+        # state-space kernels, robust windows
+        "dd_quantiles_by_type",
+        "bloom_prune",
+        "global_row_ids",
+        "ev_rolling_median",
+        "weighted_sample",
+        "kalman_em",
     ]
     reg = registry()
     for name in suite:
@@ -122,6 +130,16 @@ def main() -> None:
         bench(name, lambda q=q: force(q.spark_fn(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparability: the suite GROWS as operators land, so
+    # also report the subtotal over the original r01 query set
+    r01 = {
+        "generate_10kx512", "qsample_10kx512", "sample_fused_1kx512_T500",
+        "decompose_2kx512", "ev_rolling", "ev_sessionize", "ev_asof",
+        "ev_tumbling", "pricing_summary", "orders_rollup", "top_customers",
+        "distinct_counts", "text_stats", "doc_fingerprint", "dedup_exact_docs",
+        "ngram_jaccard", "minhash_lsh", "simhash_pairs", "cosine_topk",
+        "embed_neardup", "ann_ivf", "multimodal_features",
+    }
     print(
         json.dumps(
             {
@@ -129,6 +147,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r01_subset_total": round(
+                    sum(v for k, v in timings.items() if k in r01), 3
+                ),
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         )

@@ -602,3 +602,14 @@ def test_kalman_em_matches_scalar_reference_and_moves_toward_truth(spark):
     # one EM step from a bad guess moves BOTH parameters toward the truth
     assert abs(got.r_hat - r_true) < abs(r0 - r_true)
     assert abs(got.q_hat - q_true) < abs(q0 - q_true)
+
+
+def test_sketch_deciles_balanced(spark):
+    # equi-depth binning from DDSketch boundaries: each decile holds ~10%
+    # of rows, within the sketch's relative-error tolerance
+    from tsgen.queries_warehouse import _q_value_deciles
+
+    out = _q_value_deciles(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_events for r in out)
+    for r in out:
+        assert abs(r.n_events / total - 0.1) < 0.05, (r.decile, r.n_events)

@@ -635,3 +635,69 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate equi-depth binning WITHOUT a global sort: decile
+    # boundaries come from the DDSketch (constant-size state), then every
+    # event is assigned bucket = 1 + #boundaries below it via a broadcast
+    # join against the 9-row boundary table — the scalable substitute for
+    # ntile(10) OVER (ORDER BY value), whose global sort is a single
+    # reducer at 100 TB. Both engines derive identical boundaries, so even
+    # this approximate operator hash-checks.
+    from . import sketches
+
+    ev = _events(spark, sf_dir)
+    qs = tuple(i / 10.0 for i in range(1, 10))
+    pos = ev.filter(F.col("value") > 0)
+    buckets = (
+        pos.select(F.expr(sketches._dd_bucket("value")).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = sketches.dd_probe_buckets(buckets, qs).select(
+        sketches.dd_estimate_col().alias("bound")
+    )
+    assigned = (
+        pos.crossJoin(F.broadcast(bounds))
+        .groupBy("event_id")
+        .agg(
+            (1 + F.sum((F.col("bound") < F.col("value")).cast("long"))).alias("decile")
+        )
+    )
+    out = assigned.groupBy("decile").agg(F.count("*").alias("n_events"))
+    return canon_types(out.orderBy("decile"))
+
+
+def _value_deciles_sql() -> str:
+    from . import sketches
+
+    qs = tuple(i / 10.0 for i in range(1, 10))
+    qrows = " UNION ALL ".join(f"SELECT {sketches.E.NUM(q)} AS q" for q in qs)
+    g = sketches.E.NUM(sketches.DD_GAMMA)
+    return f"""
+WITH pos AS (SELECT event_id, value FROM events WHERE value > 0),
+buckets AS (SELECT {sketches._dd_bucket('value')} AS b, count(*) AS cnt
+            FROM pos GROUP BY 1),
+cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum, sum(cnt) OVER () AS total
+        FROM buckets),
+qs AS ({qrows}),
+probe AS (
+  SELECT q, min(b) AS b FROM qs JOIN cum
+    ON cum >= CAST(ceiling(q * total) AS BIGINT) GROUP BY q),
+bounds AS (SELECT 2.0e0 * pow({g}, b) / ({g} + 1.0e0) AS bound FROM probe),
+assigned AS (
+  SELECT event_id,
+         1 + CAST(sum(CASE WHEN bound < value THEN 1 ELSE 0 END) AS BIGINT) AS decile
+  FROM pos CROSS JOIN bounds GROUP BY event_id)
+SELECT decile, count(*) AS n_events FROM assigned GROUP BY decile ORDER BY decile
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_value_deciles": Query(
+            "ev_value_deciles", _q_value_deciles, _value_deciles_sql(), ("sketch",)
+        ),
+    }
+)
