@@ -345,3 +345,15 @@ def test_phash_finds_planted_media_neardup(spark):
     planted = [p.hamming for p in pairs if {p.doc_a, p.doc_b} == {0, 1}][0]
     others = [p.hamming for p in pairs if {p.doc_a, p.doc_b} != {0, 1}]
     assert all(planted <= h for h in others)  # the planted pair is closest
+
+
+def test_pii_scrub_finds_and_removes_planted_pii(spark):
+    from tsgen import text as T
+    from tsgen.queries_pipeline import _plant_pii, _docs
+
+    out = T.pii_scrub(_plant_pii(_docs(spark, "/root/testdata/sf0.001"))).collect()
+    assert sum(r.n_emails for r in out) > 0
+    assert sum(r.n_phones for r in out) > 0
+    assert all(r.residual_pii == 0 for r in out)  # redaction is complete
+    # docs not selected for planting carry no PII
+    assert all(r.n_emails == 0 for r in out if r.doc_id % 7 != 0)

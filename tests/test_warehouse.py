@@ -613,3 +613,32 @@ def test_sketch_deciles_balanced(spark):
     total = sum(r.n_events for r in out)
     for r in out:
         assert abs(r.n_events / total - 0.1) < 0.05, (r.decile, r.n_events)
+
+
+def test_holt_winters_matches_scalar_and_learns_seasonality(spark):
+    from tsgen.forecast import holt_winters
+
+    m, T = 8, 64
+    seas = [3.0, 1.0, -2.0, 0.5, -1.0, 2.0, -3.0, -0.5]
+    ys = [0.05 * t + seas[t % m] for t in range(T)]
+    rows = [(1, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = {r.h: r.forecast for r in holt_winters(df, season=m, horizon=8).collect()}
+
+    # scalar replay
+    a, b, g = 0.3, 0.1, 0.2
+    L = ys[0]
+    B = (ys[m] - ys[0]) / m
+    S = [ys[i] - ys[0] for i in range(m)]
+    for t in range(m, T):
+        s_old = S[t % m]
+        l_new = a * (ys[t] - s_old) + (1 - a) * (L + B)
+        B = g_b = b * (l_new - L) + (1 - b) * B
+        S[t % m] = g * (ys[t] - l_new) + (1 - g) * s_old
+        L = l_new
+    for h in range(1, 9):
+        want = L + h * B + S[(T + h - 1) % m]
+        assert abs(out[h] - want) < 1e-12, h
+    # the h-step forecasts track the true seasonal+trend signal closely
+    errs = [abs(out[h] - (0.05 * (T - 1 + h) + seas[(T - 1 + h) % m])) for h in range(1, 9)]
+    assert max(errs) < 0.6, errs

@@ -490,3 +490,112 @@ JOIN (SELECT series_id, avg(term) AS r_hat FROM tr GROUP BY series_id) r
   ON q.series_id = r.series_id
 JOIN n ON n.series_id = q.series_id
 """
+
+
+def holt_winters(
+    df: DataFrame,
+    season: int = 8,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 8,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Additive Holt–Winters (triple exponential smoothing) — the seasonal
+    completion of the SES → Holt family:
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+    Deterministic init (no averages, so both engines replay bit-exactly):
+    l = y_0, b = (y_m − y_0)/m, s_i = y_i − y_0 for i < m; the recursion
+    consumes t = m..T−1. h-step forecast = l_T + h·b_T + s_{T−m+((h−1) mod m)+1}.
+
+    Kernel shape: T−m numpy steps, each vectorized across every series of
+    the Arrow batch; the seasonal state is an (n_series, m) matrix indexed
+    by t mod m. Requires equal-length series with T ≥ m+1 (generator
+    output)."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+    m = season
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Y = np.stack([np.asarray(v, dtype=float) for v in pdf["vs"]])
+            n, T = Y.shape
+            L = Y[:, 0].copy()
+            B = (Y[:, m] - Y[:, 0]) / m
+            S = Y[:, :m] - Y[:, [0]]
+            for t in range(m, T):
+                s_old = S[:, t % m]
+                l_new = alpha * (Y[:, t] - s_old) + (1.0 - alpha) * (L + B)
+                B = beta * (l_new - L) + (1.0 - beta) * B
+                S[:, t % m] = gamma * (Y[:, t] - l_new) + (1.0 - gamma) * s_old
+                L = l_new
+            out = []
+            for h in range(1, horizon + 1):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            key: pdf[key],
+                            "t": T - 1 + h,
+                            "h": h,
+                            "forecast": L + h * B + S[:, (T + h - 1) % m],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return wide.mapInPandas(fn, f"{key} bigint, t bigint, h bigint, forecast double")
+
+
+def holt_winters_sql(
+    inner: str,
+    season: int = 8,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 8,
+) -> str:
+    """Recursive-CTE oracle: the seasonal state rides along as a LIST column
+    (oldest index first for the CURRENT phase); each step consumes s[1]
+    (= s_{t−m} when the list is kept phase-rotated) and appends the fresh
+    seasonal. Identical literals + association order as the kernel."""
+    from . import expr as E
+
+    m = season
+    A, OMA = E.NUM(alpha), E.NUM(1.0 - alpha)
+    B_, OMB = E.NUM(beta), E.NUM(1.0 - beta)
+    G, OMG = E.NUM(gamma), E.NUM(1.0 - gamma)
+    lnew = f"({A}*(sv.value - r.s[1]) + {OMA}*(r.l + r.b))"
+    hrows = " UNION ALL ".join(f"SELECT {h} AS h" for h in range(1, horizon + 1))
+    return f"""
+WITH RECURSIVE src AS ({inner}),
+n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+y0 AS (SELECT series_id, value AS v0 FROM src WHERE t = 0),
+ym AS (SELECT series_id, value AS vm FROM src WHERE t = {m}),
+sinit AS (
+  SELECT s.series_id, list(s.value - y0.v0 ORDER BY s.t) AS s
+  FROM src s JOIN y0 ON s.series_id = y0.series_id
+  WHERE s.t < {m} GROUP BY s.series_id),
+rec(series_id, t, l, b, s) AS (
+  SELECT y0.series_id, CAST({m - 1} AS BIGINT), y0.v0,
+         (ym.vm - y0.v0) / {E.NUM(float(m))}, sinit.s
+  FROM y0 JOIN ym USING (series_id) JOIN sinit USING (series_id)
+  UNION ALL
+  SELECT r.series_id, r.t + 1,
+         {lnew},
+         {B_}*({lnew} - r.l) + {OMB}*r.b,
+         list_append(r.s[2:], {G}*(sv.value - {lnew}) + {OMG}*r.s[1])
+  FROM rec r JOIN src sv ON sv.series_id = r.series_id AND sv.t = r.t + 1)
+SELECT r.series_id, n.tmax + h.h AS t, CAST(h.h AS BIGINT) AS h,
+       {E.round6(f'r.l + h.h * r.b + r.s[CAST((h.h - 1) % {m} + 1 AS BIGINT)]')} AS forecast
+FROM rec r
+JOIN n ON r.series_id = n.series_id AND r.t = n.tmax
+CROSS JOIN ({hrows}) h
+"""

@@ -397,6 +397,20 @@ def _kalman_em_sql() -> str:
     return forecast.kalman_em_sql(inner)
 
 
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(forecast.holt_winters(df), "forecast")
+
+
+def _holt_winters_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.holt_winters_sql(inner)
+
+
 def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -435,6 +449,9 @@ _REGISTRY.update(
             "kalman_smoother", _q_kalman_smoother, _kalman_smoother_sql(), ("forecast",)
         ),
         "kalman_em": Query("kalman_em", _q_kalman_em, _kalman_em_sql(), ("forecast",)),
+        "forecast_holt_winters": Query(
+            "forecast_holt_winters", _q_holt_winters, _holt_winters_sql(), ("forecast",)
+        ),
         "ts_anomalies": Query(
             "ts_anomalies", _q_ts_anomalies, _ts_anomalies_sql(), ("forecast",)
         ),

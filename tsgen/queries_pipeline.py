@@ -475,3 +475,45 @@ _REGISTRY.update(
         "multimodal_phash": Query("multimodal_phash", _q_multimodal_phash, None, ("multimodal",)),
     }
 )
+
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    # deterministic synthetic PII: every 7th doc gains an email, every 11th
+    # a phone number (doc_id-derived, so both engines plant identical text)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(t, F.lit(" call 555-010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(t)
+    return docs.withColumn("text", t)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    from .queries import canon_types
+
+    return canon_types(text.pii_scrub(_plant_pii(_docs(spark, sf_dir))))
+
+
+_PII_PLANTED_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE text END ||
+       CASE WHEN doc_id % 11 = 0
+            THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS text
+FROM documents
+"""
+
+
+_REGISTRY.update(
+    {
+        "pii_scrub": Query(
+            "pii_scrub", _q_pii_scrub, text.pii_scrub_sql(_PII_PLANTED_SQL), ("text",)
+        ),
+    }
+)

@@ -765,3 +765,55 @@ SELECT doc_id, count(*) AS n_bigrams,
        (round((avg(-ln(p))) + 1.0e-9,4)+0.0e0) AS bigram_lm_score
 FROM scored GROUP BY doc_id
 """
+
+
+PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrub pass every LLM ingest pipeline
+    runs before training. Counts and masks email/phone patterns per doc;
+    pure regexp projections (codegen, zero shuffles, zero Python).
+
+    The synthetic corpus contains no organic PII, so the query wrapper
+    PLANTS deterministic addresses/numbers first (doc_id-keyed) — the
+    operator is exercised end-to-end and the redaction invariant
+    (scrubbed text matches nothing) is part of the output the oracle
+    hashes."""
+    t = F.col(text)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (
+            F.regexp_count(scrubbed, F.lit(PII_EMAIL_RE))
+            + F.regexp_count(scrubbed, F.lit(PII_PHONE_RE))
+        ).cast("bigint").alias("residual_pii"),
+    )
+
+
+def pii_scrub_sql(planted: str) -> str:
+    """Oracle twin over a subquery yielding (doc_id, text). DuckDB needs the
+    'g' flag for global regexp_replace (Spark replaces all by default)."""
+    e, p = PII_EMAIL_RE, PII_PHONE_RE
+    scrub = (
+        f"regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),"
+        f" '{p}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH src AS ({planted})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones,
+       CAST(length({scrub}) AS BIGINT) AS scrubbed_len,
+       md5({scrub}) AS scrubbed_md5,
+       CAST(len(regexp_extract_all({scrub}, '{e}'))
+            + len(regexp_extract_all({scrub}, '{p}')) AS BIGINT) AS residual_pii
+FROM src
+"""
