@@ -642,3 +642,30 @@ def test_holt_winters_matches_scalar_and_learns_seasonality(spark):
     # the h-step forecasts track the true seasonal+trend signal closely
     errs = [abs(out[h] - (0.05 * (T - 1 + h) + seas[(T - 1 + h) % m])) for h in range(1, 9)]
     assert max(errs) < 0.6, errs
+
+
+def test_theta_matches_scalar_and_has_no_python_stage(spark):
+    from tsgen.forecast import theta_forecast
+
+    a, T = 0.3, 50
+    ys = [2.0 * t + 5.0 + ((-1) ** t) * 0.3 for t in range(T)]
+    rows = [(1, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = {r.h: r.forecast for r in theta_forecast(df, alpha=a, horizon=4).collect()}
+    # scalar closed form
+    oma = 1 - a
+    level = oma ** (T - 1) * ys[0] + sum(
+        a * oma ** (T - 1 - t) * ys[t] for t in range(1, T)
+    )
+    n = float(T)
+    sx = sum(range(T)); sy = sum(ys)
+    sxy = sum(t * y for t, y in enumerate(ys)); sxx = sum(t * t for t in range(T))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for h in range(1, 5):
+        want = level + b / 2 * (h - 1 + 1 / a - oma ** T / a)
+        assert abs(out[h] - want) < 1e-9, h
+    # pure-trend series: slope recovered exactly -> forecasts track 2t+5
+    assert abs(b - 2.0) < 0.01
+    # the whole forecaster is Catalyst-only: no Python workers in the plan
+    plan = theta_forecast(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

@@ -411,6 +411,20 @@ def _holt_winters_sql() -> str:
     return forecast.holt_winters_sql(inner)
 
 
+def _q_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return roundn(forecast.theta_forecast(df), 4, "forecast")
+
+
+def _theta_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.theta_sql(inner)
+
+
 def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -452,6 +466,7 @@ _REGISTRY.update(
         "forecast_holt_winters": Query(
             "forecast_holt_winters", _q_holt_winters, _holt_winters_sql(), ("forecast",)
         ),
+        "forecast_theta": Query("forecast_theta", _q_theta, _theta_sql(), ("forecast",)),
         "ts_anomalies": Query(
             "ts_anomalies", _q_ts_anomalies, _ts_anomalies_sql(), ("forecast",)
         ),
