@@ -357,3 +357,16 @@ def test_pii_scrub_finds_and_removes_planted_pii(spark):
     assert all(r.residual_pii == 0 for r in out)  # redaction is complete
     # docs not selected for planting carry no PII
     assert all(r.n_emails == 0 for r in out if r.doc_id % 7 != 0)
+
+
+def test_kcore_keeps_clique_drops_chain(spark):
+    from tsgen.queries_experiments import kcore_nodes
+
+    # K4 clique (all degree 3) + a chain 10-11-12-13 (interior degree 2,
+    # ends degree 1): 2-core = clique + nothing of the chain ends; the
+    # chain unravels completely once the ends are peeled
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (10, 11), (11, 12), (12, 13)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = sorted(r.node for r in kcore_nodes(df, k=2, rounds=4).collect())
+    assert out == [0, 1, 2, 3]

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import dedup
-from .queries import _REGISTRY, Query, round6, roundn
+from .queries import _REGISTRY, Query, canon_types, round6, roundn
 from .queries_analytics import _events
 from .queries_pipeline import CLUSTER_THR, _docs
 
@@ -354,5 +354,87 @@ _REGISTRY.update(
         "graph_pagerank": Query(
             "graph_pagerank", _q_pagerank, _pagerank_sql(), ("graph",)
         ),
+    }
+)
+
+
+# --- k-core decomposition (fixed-round peeling) ----------------------------
+KCORE_K, KCORE_ROUNDS = 2, 4
+
+
+def kcore_nodes(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
+                a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """k-core via synchronous peeling: each round drops nodes whose degree
+    among SURVIVORS is < k; `rounds` fixed rounds (fixed-point for this
+    graph size is asserted in tests; fixed rounds keep the computation
+    oracle-replayable, same convention as the PageRank oracle).
+
+    Per round: one degree aggregation + one semi-join — both keyed on the
+    node id, uniform shuffles; the survivor set is localCheckpointed so the
+    plan stays bounded (lineage would otherwise double per round)."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    e = e.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    surv = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )
+    return surv.orderBy("node")
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    return canon_types(kcore_nodes(pairs))
+
+
+def _kcore_sql() -> str:
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round's edge CTE three times, so DuckDB's default CTE inlining would
+    # re-evaluate the whole jaccard chain 3^rounds times
+    from . import dedup
+
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) GROUP BY node),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= {KCORE_K}),
+e{i} AS MATERIALIZED (SELECT u, v FROM {prev}
+         WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i}))""")
+        prev = f"e{i}"
+    last = f"e{KCORE_ROUNDS}"
+    return f"""
+WITH jp AS MATERIALIZED ({jp}),
+e0 AS MATERIALIZED (SELECT DISTINCT doc_a AS u, doc_b AS v FROM jp),{','.join(rounds)}
+SELECT node, count(*) AS core_deg FROM (
+  SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})
+GROUP BY node HAVING count(*) >= {KCORE_K}
+ORDER BY node
+"""
+
+
+_REGISTRY.update(
+    {
+        "graph_kcore": Query("graph_kcore", _q_kcore, _kcore_sql(), ("graph",)),
     }
 )
