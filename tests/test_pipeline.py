@@ -370,3 +370,37 @@ def test_kcore_keeps_clique_drops_chain(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     out = sorted(r.node for r in kcore_nodes(df, k=2, rounds=4).collect())
     assert out == [0, 1, 2, 3]
+
+
+def test_pq_reconstruction_improves_with_lloyd_and_beats_random(spark, emb):
+    from tsgen.similarity import pq_train_assign
+
+    c0, _ = pq_train_assign(emb, refine_iters=0)
+    c2, _ = pq_train_assign(emb, refine_iters=2)
+    e0 = c0.agg(F.sum("sub_sqerr").alias("e")).collect()[0].e
+    e2 = c2.agg(F.sum("sub_sqerr").alias("e")).collect()[0].e
+    assert e2 < e0  # Lloyd iterations strictly reduce total quantization error
+
+
+def test_pq_adc_topk_recall_vs_brute_force(spark, emb):
+    import numpy as np
+
+    from tsgen.similarity import pq_train_assign
+
+    codes, cb = pq_train_assign(emb, refine_iters=2)
+    # asymmetric distance (ADC): reconstruct each vector from its codebook
+    # entries, rank by L2 to a query vector, compare against exact ranks
+    cbm = {(r.s, r.code): np.array(r.cvec) for r in cb.collect()}
+    recon = {}
+    for r in codes.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc")
+    ).collect():
+        recon[r.vec_id] = np.concatenate([cbm[(p.s, p.code)] for p in r.sc])
+    exact = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    q = exact[0]
+    true_top = set(sorted((k for k in exact if k != 0),
+                          key=lambda k: np.linalg.norm(exact[k] - q))[:20])
+    pq_top = set(sorted((k for k in recon if k != 0),
+                        key=lambda k: np.linalg.norm(recon[k] - q))[:20])
+    recall = len(true_top & pq_top) / 20
+    assert recall >= 0.3, recall  # 64->4-byte codes still find the neighborhood

@@ -182,6 +182,15 @@ def _q_ann_lsh(spark, sf_dir):
     return round6(similarity.lsh_pairs(_emb(spark, sf_dir)), "cos_sim")
 
 
+def _q_embed_pq(spark, sf_dir):
+    # iterative float k-means -> engine-specific codes -> rows-only; PQ
+    # recall + Lloyd-monotonicity asserted in tests
+    from .queries import canon_types, roundn
+
+    out = similarity.pq_summary(_emb(spark, sf_dir))
+    return canon_types(roundn(out.drop("codes"), 4, "recon_err"))
+
+
 def _q_embed_quantize(spark, sf_dir):
     from .queries import roundn
 
@@ -473,6 +482,7 @@ _REGISTRY.update(
         "ann_ivf": Query("ann_ivf", _q_ann_ivf, None, ("similarity",)),
         "multimodal_features": Query("multimodal_features", _q_multimodal, None, ("multimodal",)),
         "multimodal_phash": Query("multimodal_phash", _q_multimodal_phash, None, ("multimodal",)),
+        "embed_pq": Query("embed_pq", _q_embed_pq, None, ("similarity",)),
     }
 )
 

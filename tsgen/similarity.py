@@ -438,3 +438,91 @@ def pca_variance(df: DataFrame, vec: str = "embedding", k: int = 8) -> DataFrame
     return spark.createDataFrame(
         rows, "component bigint, eigenvalue double, var_share double, cum_share double"
     )
+
+
+# --- product quantization (PQ codes, Jégou et al. 2011) --------------------
+PQ_SUB, PQ_CENT = 4, 16
+
+
+def pq_train_assign(
+    df: DataFrame,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    refine_iters: int = 2,
+    vec: str = "embedding",
+):
+    """Product quantization: split each d-dim vector into n_sub subvectors,
+    k-means a tiny codebook (n_cent centroids) per subspace, store each
+    vector as n_sub small codes — d floats → n_sub bytes (64× compression
+    at d=64/float32), the memory layout ANN indexes use at billion scale
+    (Jégou, Douze, Schmid 2011).
+
+    Training shape per Lloyd iteration: one broadcast-codebook assign pass
+    (codebook = n_sub·n_cent rows, always broadcast) + one posexplode →
+    per-(subspace, code, dim) partial-agged mean to recompute centroids —
+    both linear passes, no pairwise blowup. Deterministic seeding (first
+    n_cent vectors' subvectors); float means make the exact codes
+    engine-specific → rows-only correctness + recall/monotonicity tests.
+
+    Returns (codes, codebook): codes = (vec_id, s, code, sub_sqerr);
+    codebook = (s, code, cvec)."""
+    d_sub = F.expr(f"int(size({vec}) / {n_sub})")
+    sub = df.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}), "
+                f"s -> struct(s AS s, transform(slice({vec}, s * int(size({vec}) / {n_sub}) + 1, "
+                f"int(size({vec}) / {n_sub})), x -> CAST(x AS DOUBLE)) AS subvec))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.s", "p.subvec")
+    sub = sub.localCheckpoint(eager=False)
+    codebook = sub.filter(F.col("vec_id") < n_cent).select(
+        "s", F.col("vec_id").cast("int").alias("code"), F.col("subvec").alias("cvec")
+    )
+
+    sqdist = F.expr(
+        "aggregate(zip_with(subvec, cvec, (a, b) -> (a - b) * (a - b)), "
+        "0.0e0, (acc, x) -> acc + x)"
+    )
+
+    def assign(cb):
+        cand = sub.join(F.broadcast(cb), "s").withColumn("_d2", sqdist)
+        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("_d2"), F.asc("code"))
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "s", "code", "subvec", F.col("_d2").alias("sub_sqerr"))
+        )
+
+    assigned = assign(codebook)
+    for _ in range(refine_iters):
+        codebook = (
+            assigned.select("s", "code", F.posexplode("subvec").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+            .select("s", "code", F.col("pc.cx").alias("cvec"))
+        )
+        assigned = assign(codebook)
+    return assigned.drop("subvec"), codebook
+
+
+def pq_summary(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Per-vector PQ codes + reconstruction error — the quantized index's
+    write side (columnar codes table) plus its quality metric."""
+    codes, _ = pq_train_assign(df, vec=vec)
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"),
+            F.sum("sub_sqerr").alias("recon_sqerr"),
+        )
+        .select(
+            "vec_id",
+            F.col("sc.code").alias("codes"),
+            F.sqrt(F.col("recon_sqerr")).alias("recon_err"),
+        )
+    )
