@@ -701,3 +701,117 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental distinct counting: per-day HLL register tables, plus the
+    # ALL-days estimate from MERGING the daily registers (max per bucket) —
+    # the daily-batch pattern where yesterday's sketch is never recomputed
+    from . import sketches
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    regs = sketches.hll_registers(ev, "user_id", "day")
+    regs = regs.localCheckpoint(eager=False)
+    daily = sketches._estimate_from_regs(regs, ["grp"])
+    merged = (
+        regs.groupBy("bucket").agg(F.max("rank").alias("rank"))
+        .withColumn("grp", F.lit("__all__"))
+    )
+    total = sketches._estimate_from_regs(merged, ["grp"])
+    out = daily.unionByName(total).select(F.col("grp").alias("day"), "est")
+    return roundn(out.orderBy("day"), 6, "est")
+
+
+def _hll_daily_sql() -> str:
+    from . import sketches
+
+    h = sketches._hash48("user_id", sketches._duck_hexparse)
+    m = sketches.HLL_M
+    vbits = sketches.HASH_BITS - sketches.HLL_P
+    a = sketches.E.NUM(sketches.HLL_ALPHA)
+    rank = sketches._rank_case(f"CAST((hh - (hh % {m})) / {m} AS BIGINT)", vbits)
+    est = (
+        f"CASE WHEN raw <= {sketches.E.NUM(2.5 * m)} AND zeros > 0 "
+        f"THEN {m}.0e0 * ln({m}.0e0 / zeros) ELSE raw END"
+    )
+    agg = (
+        f"{a} * {m}.0e0 * {m}.0e0 / (sum(pow(2.0e0, -rank)) + ({m} - count(*))) AS raw, "
+        f"({m} - count(*)) + sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS zeros"
+    )
+    return f"""
+WITH src AS (SELECT strftime(ts, '%Y-%m-%d') AS day, {h} AS hh FROM events),
+regs AS (
+  SELECT day, hh % {m} AS bucket, max({rank}) AS rank
+  FROM src GROUP BY day, bucket),
+daily AS (
+  SELECT day, {est} AS est FROM (SELECT day, {agg} FROM regs GROUP BY day)),
+mregs AS (SELECT bucket, max(rank) AS rank FROM regs GROUP BY bucket),
+mtotal AS (SELECT '__all__' AS day, {est} AS est FROM (SELECT {agg} FROM mregs))
+SELECT day, (round((est) + 1.0e-9,6)+0.0e0) AS est
+FROM (SELECT * FROM daily UNION ALL SELECT * FROM mtotal) ORDER BY day
+"""
+
+
+def _q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution-drift monitor: split the embedding corpus into two
+    # deterministic halves (hash split = "yesterday vs today"), compare
+    # per-label centroids by cosine — the data-quality check run before
+    # (re)training on a new batch. Two partial-agged passes + a 1-row-per-
+    # label join; everything else is array arithmetic.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    half = (F.col("vec_id") % 2).alias("half")
+    e = emb.select("vec_id", F.col("label").cast("bigint").alias("label"), half, v.alias("v"))
+    pos = e.select("label", "half", F.posexplode("v").alias("pos", "x"))
+    cents = (
+        pos.groupBy("label", "half", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label", "half")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select("label", "half", F.col("pc.cx").alias("c"))
+    )
+    a = cents.filter(F.col("half") == 0).select("label", F.col("c").alias("ca"))
+    b = cents.filter(F.col("half") == 1).select("label", F.col("c").alias("cb"))
+    dot = F.expr("aggregate(zip_with(ca, cb, (x, y) -> x * y), 0.0e0, (acc, x) -> acc + x)")
+    na = F.sqrt(F.expr("aggregate(transform(ca, x -> x * x), 0.0e0, (acc, x) -> acc + x)"))
+    nb = F.sqrt(F.expr("aggregate(transform(cb, x -> x * x), 0.0e0, (acc, x) -> acc + x)"))
+    out = a.join(b, "label").select(
+        "label", (dot / (na * nb)).alias("centroid_cos")
+    )
+    return roundn(out.orderBy("label"), 4, "centroid_cos")
+
+
+_EMBED_DRIFT_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+pos AS (
+  SELECT label, half, unnest(v) AS x,
+         unnest(range(1, len(v) + 1)) AS pos
+  FROM e),
+cents AS (
+  SELECT label, half, list(avg_x ORDER BY pos) AS c
+  FROM (SELECT label, half, pos, avg(x) AS avg_x FROM pos GROUP BY label, half, pos)
+  GROUP BY label, half)
+SELECT a.label,
+       (round((list_dot_product(a.c, b.c)
+               / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))) + 1.0e-9,4)+0.0e0) AS centroid_cos
+FROM (SELECT label, c FROM cents WHERE half = 0) a
+JOIN (SELECT label, c FROM cents WHERE half = 1) b USING (label)
+ORDER BY a.label
+"""
+
+
+_REGISTRY.update(
+    {
+        "hll_daily_users": Query(
+            "hll_daily_users", _q_hll_daily, _hll_daily_sql(), ("sketch",)
+        ),
+        "embed_drift": Query(
+            "embed_drift", _q_embed_drift, _EMBED_DRIFT_SQL, ("similarity",)
+        ),
+    }
+)
