@@ -387,3 +387,61 @@ GROUP BY 1, 2
 """
 
 _REGISTRY["ev_retention"] = Query("ev_retention", _q_retention, _RETENTION_SQL, ("agg",))
+
+
+def _q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # strict-ORDER multi-stage funnel: first view, first click AFTER that
+    # view, first purchase AFTER that click — per-user stage reached, then
+    # the classic funnel report (n_users per stage). Three conditional-min
+    # aggregations chained by broadcast joins on user_id (each stage table
+    # is one row per user); no window over raw events.
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    out = (
+        v.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit("1_view"))
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit("2_click_after_view"))
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit("3_purchase_after_click"))
+        )
+    )
+    return out.select("stage", "n_users").orderBy("stage")
+
+
+_FUNNEL_STAGES_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS fv FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS fc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS fp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY e.user_id)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+  UNION ALL SELECT '2_click_after_view', count(*) FROM c
+  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+ORDER BY stage
+"""
+
+_REGISTRY["ev_funnel_stages"] = Query(
+    "ev_funnel_stages", _q_funnel_stages, _FUNNEL_STAGES_SQL, ("join",)
+)
