@@ -669,3 +669,45 @@ def test_theta_matches_scalar_and_has_no_python_stage(spark):
     # the whole forecaster is Catalyst-only: no Python workers in the plan
     plan = theta_forecast(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_hll_daily_merge_dominates_and_tracks_exact(spark):
+    from tsgen.queries_warehouse import _q_hll_daily
+    from tsgen.queries_analytics import _events
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.day: r.est for r in _q_hll_daily(spark, sf).collect()}
+    merged = rows.pop("__all__")
+    # union of days ⊇ any single day (register max can only grow)
+    assert merged >= max(rows.values()) - 1e-6
+    exact = _events(spark, sf).agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(merged - exact) / exact < 0.15  # m=256 registers ≈ 6.5% σ
+
+
+def test_embed_drift_identical_halves_give_cos_1(spark):
+    from tsgen.queries_warehouse import _q_embed_drift
+    import tempfile, os
+
+    # corpus where half 0 and half 1 are the SAME vectors per label
+    rows = []
+    for label in range(3):
+        for i in range(10):
+            vec = [float(label * 10 + (i % 5)) + j * 0.1 for j in range(8)]
+            rows.append((2 * (label * 10 + i), vec, label))       # even: half 0
+            rows.append((2 * (label * 10 + i) + 1, vec, label))   # odd: half 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = _q_embed_drift(spark, d).collect()
+    assert len(out) == 3
+    for r in out:
+        assert abs(r.centroid_cos - 1.0) < 1e-9
+
+
+def test_funnel_stages_monotone(spark):
+    from tsgen.queries_training import _q_funnel_stages
+
+    rows = {r.stage: r.n_users for r in
+            _q_funnel_stages(spark, "/root/testdata/sf0.001").collect()}
+    assert rows["1_view"] >= rows["2_click_after_view"] >= rows["3_purchase_after_click"]
+    assert rows["1_view"] > 0
