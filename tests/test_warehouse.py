@@ -711,3 +711,28 @@ def test_funnel_stages_monotone(spark):
             _q_funnel_stages(spark, "/root/testdata/sf0.001").collect()}
     assert rows["1_view"] >= rows["2_click_after_view"] >= rows["3_purchase_after_click"]
     assert rows["1_view"] > 0
+
+
+def test_dd_sketch_error_bound_hypothesis(spark):
+    """Property: DDSketch quantile estimates respect the alpha relative-
+    error bound for ANY positive value distribution (heavy-tailed, tiny,
+    clustered — hypothesis picks)."""
+    from hypothesis import given, settings, strategies as st
+
+    from tsgen.sketches import DD_ALPHA, dd_quantiles
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=1e-3, max_value=1e6, allow_nan=False,
+                      allow_infinity=False),
+            min_size=50,
+            max_size=200,
+        )
+    )
+    def check(vals):
+        df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+        for r in dd_quantiles(df, "value").collect():
+            assert abs(r.rel_err) <= DD_ALPHA + 1e-9, (r.q, r.rel_err)
+
+    check()
