@@ -736,3 +736,15 @@ def test_dd_sketch_error_bound_hypothesis(spark):
             assert abs(r.rel_err) <= DD_ALPHA + 1e-9, (r.q, r.rel_err)
 
     check()
+
+
+def test_km_survival_monotone_and_gini_in_range(spark):
+    from tsgen.queries_experiments import _q_revenue_gini, _q_user_survival
+
+    sf = "/root/testdata/sf0.01"
+    surv = [r.survival for r in _q_user_survival(spark, sf).collect()]
+    assert len(surv) > 0
+    assert all(0.0 < s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
+    g = _q_revenue_gini(spark, sf).collect()[0].gini
+    assert 0.0 <= g <= 1.0

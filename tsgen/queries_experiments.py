@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import dedup
 from .queries import _REGISTRY, Query, canon_types, round6, roundn
-from .queries_analytics import _events
+from .queries_analytics import _events, _t
 from .queries_pipeline import CLUSTER_THR, _docs
 
 LOOKBACK_S = 7 * 24 * 3600
@@ -436,5 +436,132 @@ ORDER BY node
 _REGISTRY.update(
     {
         "graph_kcore": Query("graph_kcore", _q_kcore, _kcore_sql(), ("graph",)),
+    }
+)
+
+
+# --- Kaplan–Meier survival over user lifetimes -----------------------------
+KM_CENSOR_H = 24
+
+
+def _q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-limit estimator over user lifetimes (first→last event, hours);
+    # users still active within KM_CENSOR_H hours of the corpus end are
+    # right-censored. S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) — the cumulative
+    # product is exp(Σ ln(·)) over a window ORDERED BY EVENT TIME on the
+    # tiny distinct-lifetime table (bounded by #distinct durations), not
+    # the user table. Everything upstream is two partial-agged passes.
+    ev = _events(spark, sf_dir)
+    life = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("corpus_end"))
+    d = (
+        life.crossJoin(F.broadcast(end))
+        .select(
+            "user_id",
+            ((F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")) / 3600)
+            .cast("bigint").alias("dur_d"),
+            (
+                (F.unix_timestamp("corpus_end") - F.unix_timestamp("last_ts")) / 3600
+                < KM_CENSOR_H
+            ).cast("int").alias("censored"),
+        )
+    )
+    n_total = d.count()
+    ev_t = (
+        d.groupBy("dur_d")
+        .agg(
+            F.sum(1 - F.col("censored")).alias("d_i"),
+            F.count("*").alias("leaving"),
+        )
+    )
+    w = Window.orderBy("dur_d").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = ev_t.withColumn(
+        "n_i", F.lit(n_total) - F.coalesce(F.sum("leaving").over(w), F.lit(0))
+    ).filter(F.col("d_i") > 0)
+    wcum = Window.orderBy("dur_d").rowsBetween(Window.unboundedPreceding, 0)
+    surv = at_risk.withColumn(
+        "survival",
+        F.exp(F.sum(F.log(1.0 - F.col("d_i") / F.col("n_i"))).over(wcum)),
+    )
+    out = surv.select("dur_d", "d_i", "n_i", "survival")
+    return canon_types(roundn(out.orderBy("dur_d"), 6, "survival"))
+
+
+_USER_SURVIVAL_SQL = f"""
+WITH life AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY user_id),
+d AS (
+  SELECT user_id,
+         CAST(floor((epoch(last_ts) - epoch(first_ts)) / 3600) AS BIGINT) AS dur_d,
+         CASE WHEN (epoch((SELECT max(ts) FROM events)) - epoch(last_ts)) / 3600
+                   < {KM_CENSOR_H}
+              THEN 1 ELSE 0 END AS censored
+  FROM life),
+evt AS (
+  SELECT dur_d, CAST(sum(1 - censored) AS BIGINT) AS d_i, count(*) AS leaving
+  FROM d GROUP BY dur_d),
+ar AS (
+  SELECT dur_d, d_i,
+         (SELECT count(*) FROM d) - COALESCE(sum(leaving) OVER (ORDER BY dur_d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_i
+  FROM evt),
+s AS (
+  SELECT dur_d, d_i, CAST(n_i AS BIGINT) AS n_i,
+         exp(sum(ln(1.0e0 - CAST(d_i AS DOUBLE) / n_i)) OVER (ORDER BY dur_d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS survival
+  FROM ar WHERE d_i > 0)
+SELECT dur_d, d_i, n_i, (round((survival) + 1.0e-9,6)+0.0e0) AS survival
+FROM s ORDER BY dur_d
+"""
+
+
+# --- Gini concentration of customer revenue --------------------------------
+def _q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G = (2·Σ rank·x)/(n·Σx) − (n+1)/n with rank = 1..n in revenue order.
+    # The global rank REUSES global_row_ids (range partition + offsets) —
+    # no single-reducer row_number over all customers; the final reduction
+    # is one partial-agged aggregate to a single row.
+    from .queries_scale import global_row_ids
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    # composite sort key makes the rank total and deterministic under ties
+    keyed = rev.withColumn(
+        "rk", F.concat(
+            F.lpad(F.format_number(F.col("rev"), 4), 24, "0"),
+            F.lit("#"),
+            F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+        )
+    )
+    ranked = global_row_ids(keyed, "rk")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum((F.col("rid") + 1) * F.col("rev")).alias("srx"),
+    )
+    gini = (2.0 * F.col("srx")) / (F.col("n") * F.col("sx")) - (F.col("n") + 1.0) / F.col("n")
+    return roundn(agg.select("n", gini.alias("gini")), 6, "gini")
+
+
+_REVENUE_GINI_SQL = """
+WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey),
+r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rank FROM rev)
+SELECT count(*) AS n,
+       (round(((2.0e0 * sum(rank * rev)) / (count(*) * sum(rev))
+               - (count(*) + 1.0e0) / count(*)) + 1.0e-9,6)+0.0e0) AS gini
+FROM r
+"""
+
+
+_REGISTRY.update(
+    {
+        "user_survival": Query(
+            "user_survival", _q_user_survival, _USER_SURVIVAL_SQL, ("experiment",)
+        ),
+        "revenue_gini": Query(
+            "revenue_gini", _q_revenue_gini, _REVENUE_GINI_SQL, ("experiment",)
+        ),
     }
 )
