@@ -149,3 +149,20 @@ def test_trend_cubic_closed_form_matches_udf_solve(spark):
     udf_fit = decompose.trend_poly(df, degree=3).select("series_id", "t", "trend")
     j = fitted.join(udf_fit, ["series_id", "t"]).toPandas()
     assert np.allclose(j["trend_cf"], j["trend"], rtol=0, atol=1e-7)
+
+
+def test_theilsen_robust_to_outliers_where_ols_is_not(spark):
+    from tsgen.decompose import trend_linear, trend_theilsen
+
+    # clean line y = 2t + 1 with ONE massive outlier
+    ys = [2.0 * t + 1.0 for t in range(40)]
+    ys[20] = 1e5
+    rows = [(1, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    ts = trend_theilsen(df).collect()[0]
+    assert abs(ts.ts_slope - 2.0) < 0.05       # Theil-Sen shrugs it off
+    ols = trend_linear(df).collect()[0]
+    b1 = [v for k, v in ols.asDict().items() if k.startswith("b1") or k == "slope"]
+    # OLS slope is dragged far from 2 by the outlier (robustness contrast)
+    if b1:
+        assert abs(b1[0] - 2.0) > 1.0

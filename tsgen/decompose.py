@@ -355,3 +355,80 @@ def decomposition_denoiser(df: DataFrame, t: int) -> DataFrame:
         .withColumnRenamed("value", "x")
         .select("series_id", "t", "x", "x0_pred")
     )
+
+
+def trend_theilsen(
+    df: DataFrame, value_col: str = "value", key: str = "series_id"
+) -> DataFrame:
+    """Theil–Sen robust slope per series: the MEDIAN of all pairwise slopes
+    (y_j − y_i)/(j − i), i < j — breakdown point 29% vs 0% for OLS (one
+    outlier can move the OLS line arbitrarily; Theil–Sen shrugs it off).
+
+    Pairs are generated per series by a self-equi-join on the series key
+    with i < j — O(T²) rows per series, bounded by the fixed seq_len (64²/2
+    ≈ 2k pairs), embarrassingly parallel across series; the median is the
+    exact type-1 rank over each series' own pair set (window partitioned by
+    series — parallelism = series count). Intercept = median(y) − slope ·
+    median(t) (the Siegel form), same rank machinery."""
+    from pyspark.sql import Window
+
+    a = df.select(key, F.col("t").alias("ti"), F.col(value_col).alias("yi"))
+    b = df.select(key, F.col("t").alias("tj"), F.col(value_col).alias("yj"))
+    pairs = a.join(b, key).filter(F.col("ti") < F.col("tj")).select(
+        key, ((F.col("yj") - F.col("yi")) / (F.col("tj") - F.col("ti"))).alias("slope")
+    )
+
+    def _median(d: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(col)
+        cw = Window.partitionBy(key)
+        return (
+            d.withColumn("_r", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(cw))
+            .filter(F.col("_r") == F.floor((F.col("_n") + 1) / 2))
+            .select(key, F.col(col).alias(out))
+        )
+
+    med_slope = _median(pairs, "slope", "ts_slope")
+    med_y = _median(df.select(key, F.col(value_col).alias("y")), "y", "med_y")
+    med_t = _median(df.select(key, F.col("t").cast("double").alias("tt")), "tt", "med_t")
+    return (
+        med_slope.join(med_y, key)
+        .join(med_t, key)
+        .select(
+            key,
+            "ts_slope",
+            (F.col("med_y") - F.col("ts_slope") * F.col("med_t")).alias("ts_intercept"),
+        )
+    )
+
+
+def theilsen_sql(inner: str) -> str:
+    """Oracle twin — same pair join, same type-1 (lower) median rank with
+    explicit floor (DuckDB's float→int CAST rounds; Spark's truncates)."""
+    return f"""
+WITH src AS ({inner}),
+pairs AS (
+  SELECT a.series_id, (b.value - a.value) / (b.t - a.t) AS slope
+  FROM src a JOIN src b ON a.series_id = b.series_id AND a.t < b.t),
+ms AS (
+  SELECT series_id, slope AS ts_slope FROM (
+    SELECT series_id, slope,
+           row_number() OVER (PARTITION BY series_id ORDER BY slope) AS r,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM pairs) WHERE r = CAST(floor((n + 1) / 2) AS BIGINT)),
+my AS (
+  SELECT series_id, value AS med_y FROM (
+    SELECT series_id, value,
+           row_number() OVER (PARTITION BY series_id ORDER BY value) AS r,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM src) WHERE r = CAST(floor((n + 1) / 2) AS BIGINT)),
+mt AS (
+  SELECT series_id, tt AS med_t FROM (
+    SELECT series_id, CAST(t AS DOUBLE) AS tt,
+           row_number() OVER (PARTITION BY series_id ORDER BY tt) AS r,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM src) WHERE r = CAST(floor((n + 1) / 2) AS BIGINT))
+SELECT ms.series_id, ts_slope, med_y - ts_slope * med_t AS ts_intercept
+FROM ms JOIN my ON ms.series_id = my.series_id
+JOIN mt ON ms.series_id = mt.series_id
+"""

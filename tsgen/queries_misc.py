@@ -425,6 +425,25 @@ def _theta_sql() -> str:
     return forecast.theta_sql(inner)
 
 
+def _q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import decompose
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(decompose.trend_theilsen(df), "ts_slope", "ts_intercept")
+
+
+def _theilsen_sql() -> str:
+    from . import decompose
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    sql = decompose.theilsen_sql(inner)
+    return f"""
+SELECT series_id, (round((ts_slope) + 1.0e-9,6)+0.0e0) AS ts_slope,
+       (round((ts_intercept) + 1.0e-9,6)+0.0e0) AS ts_intercept
+FROM ({sql})
+"""
+
+
 def _q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -467,6 +486,7 @@ _REGISTRY.update(
             "forecast_holt_winters", _q_holt_winters, _holt_winters_sql(), ("forecast",)
         ),
         "forecast_theta": Query("forecast_theta", _q_theta, _theta_sql(), ("forecast",)),
+        "trend_theilsen": Query("trend_theilsen", _q_theilsen, _theilsen_sql(), ("decompose",)),
         "ts_anomalies": Query(
             "ts_anomalies", _q_ts_anomalies, _ts_anomalies_sql(), ("forecast",)
         ),
