@@ -166,3 +166,24 @@ def test_theilsen_robust_to_outliers_where_ols_is_not(spark):
     # OLS slope is dragged far from 2 by the outlier (robustness contrast)
     if b1:
         assert abs(b1[0] - 2.0) > 1.0
+
+
+def test_ts_strength_separates_trend_from_seasonal_series(spark):
+    from tsgen.decompose import decompose as dec_fn
+    import pyspark.sql.functions as F
+
+    # series 1: pure steep trend; series 2: pure seasonal tone
+    rows = [(1, t, 3.0 * t + 0.01 * ((t * 7) % 5)) for t in range(64)]
+    rows += [(2, t, 5.0 * np.sin(2 * np.pi * 4 * t / 64)) for t in range(64)]
+    df = spark.createDataFrame([(s, t, float(v)) for s, t, v in rows],
+                               "series_id long, t long, value double")
+    d = dec_fn(df)
+    agg = d.groupBy("series_id").agg(
+        F.var_samp(F.col("trend") + F.col("residual")).alias("v_tr"),
+        F.var_samp(F.col("seasonality") + F.col("residual")).alias("v_sr"),
+        F.var_samp("residual").alias("v_r"),
+    ).collect()
+    s = {r.series_id: (max(0, 1 - r.v_r / r.v_tr), max(0, 1 - r.v_r / r.v_sr)) for r in agg}
+    assert s[1][0] > 0.95          # trended series: high trend strength
+    assert s[2][1] > 0.95          # seasonal series: high seasonal strength
+    assert s[2][0] < s[2][1]       # and its seasonal strength dominates

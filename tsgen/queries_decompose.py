@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import decompose, generators, metrics, oracle, spectral
 from . import expr as E
-from .queries import _REGISTRY, Query, round6
+from .queries import _REGISTRY, Query, round6, roundn
 
 N_D, LEN_D = 12, 64
 
@@ -504,4 +504,52 @@ def _trend_quadratic_sql() -> str:
 
 _REGISTRY["trend_quadratic"] = Query(
     "trend_quadratic", _q_trend_quadratic, _trend_quadratic_sql(), ("decompose",)
+)
+
+
+# --- decomposition-strength diagnostics (Hyndman & Athanasopoulos) ---------
+def _q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trend strength F_T = max(0, 1 − var(R)/var(T+R)) and seasonal
+    # strength F_S = max(0, 1 − var(R)/var(S+R)) from the engine's own
+    # decomposition — the triage stat that says WHICH model family a
+    # series deserves (flat vs trended vs seasonal) before fitting any.
+    # One decomposition pass + one per-series aggregation.
+    df = generators.generate(spark, N_D, LEN_D, "mixed")
+    dec = decompose.decompose(df)
+    agg = dec.groupBy("series_id").agg(
+        F.var_samp(F.col("trend") + F.col("residual")).alias("v_tr"),
+        F.var_samp(F.col("seasonality") + F.col("residual")).alias("v_sr"),
+        F.var_samp("residual").alias("v_r"),
+    )
+    out = agg.select(
+        "series_id",
+        F.greatest(F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_tr")).alias("trend_strength"),
+        F.greatest(F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_sr")).alias("seasonal_strength"),
+    )
+    return roundn(out.orderBy("series_id"), 4, "trend_strength", "seasonal_strength")
+
+
+def _ts_strength_sql() -> str:
+    gen = oracle.generate_sql(N_D, LEN_D, "mixed", rounded=False)
+    chain = _decompose_chain_sql(gen, "series_id", rounded=False)
+    return """
+WITH d AS ({chain}),
+a AS (
+  SELECT series_id, var_samp(trend + residual) AS v_tr,
+         var_samp(seasonality + residual) AS v_sr,
+         var_samp(residual) AS v_r
+  FROM d GROUP BY series_id)
+SELECT series_id,
+       (round((greatest(0.0e0, 1.0e0 - v_r / v_tr)) + 1.0e-9,4)+0.0e0) AS trend_strength,
+       (round((greatest(0.0e0, 1.0e0 - v_r / v_sr)) + 1.0e-9,4)+0.0e0) AS seasonal_strength
+FROM a ORDER BY series_id
+""".format(chain=chain)
+
+
+_REGISTRY.update(
+    {
+        "ts_strength": Query(
+            "ts_strength", _q_ts_strength, _ts_strength_sql(), ("decompose",)
+        ),
+    }
 )
