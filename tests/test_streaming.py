@@ -228,3 +228,69 @@ def test_chunked_replay_cms_counters_add(tmp_path, spark):
         ).collect()
     }
     assert multi == single
+
+
+def test_watermark_drops_late_event_across_restart(tmp_path, spark):
+    """The late-data contract, in its production shape: a checkpointed
+    append-mode aggregation is stopped after emitting a finalized window;
+    on restart, a straggler aimed at that window arrives. The PERSISTED
+    watermark must drop it (numRowsDroppedByWatermark), and the window
+    must never be re-emitted.
+
+    (Caveat discovered here: WITHIN one availableNow run, Spark 4.1 plans
+    the late-row filter with the query-start watermark, so a mid-run
+    watermark advance evicts state but does not filter input — the
+    restart path below is where the drop is guaranteed.)"""
+    import pyspark.sql.functions as F
+
+    base, ck = str(tmp_path / "wm_data"), str(tmp_path / "wm_ck")
+
+    def add(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(base)
+
+    add([
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 10:30:00", 1.0),
+        (3, "2024-01-01 13:30:00", 1.0),  # watermark -> 11:30 > window end
+    ])
+    schema = spark.read.parquet(base).schema
+    emitted, dropped = [], []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(base)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_timestamp("window.start").alias("s"), "n")
+        )
+
+        def fb(df, bid):
+            emitted.extend((r.s, r.n) for r in df.collect())
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(fb)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for p in q.recentProgress:
+            for so in p.get("stateOperators", []):
+                dropped.append(so.get("numRowsDroppedByWatermark", 0))
+
+    run_once()
+    import calendar
+
+    w10 = calendar.timegm((2024, 1, 1, 10, 0, 0))
+    assert emitted == [(w10, 2)]  # finalized with its two on-time rows
+    # restart with a straggler aimed at the finalized window
+    add([(9, "2024-01-01 10:45:00", 1.0), (4, "2024-01-01 14:00:00", 1.0)])
+    run_once()
+    assert sum(dropped) == 1               # the straggler was DROPPED
+    assert emitted == [(w10, 2)]           # and the window never re-emitted
