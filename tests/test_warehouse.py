@@ -748,3 +748,28 @@ def test_km_survival_monotone_and_gini_in_range(spark):
     assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
     g = _q_revenue_gini(spark, sf).collect()[0].gini
     assert 0.0 <= g <= 1.0
+
+
+def test_new_sketch_ops_plan_shapes(spark):
+    """Plan assertions for the scale claims: small sides broadcast, no
+    unexpected shuffles of the big side."""
+    from tsgen.queries_scale import global_row_ids
+    from tsgen.sketches import bloom_prune, dd_quantiles
+
+    big = spark.range(0, 100000).selectExpr("id AS k", "CAST(id % 997 AS DOUBLE) + 1.0 AS value")
+
+    # dd_quantiles: the q-probe table is broadcast against the tiny sketch
+    plan = dd_quantiles(big, "value")._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    # bloom_prune: the bit table joins broadcast — the probe side's rows are
+    # filtered without a shuffle of the probe table itself
+    build = spark.range(0, 500).select((spark.range(1).columns and F.col("id") * 3).alias("k"))
+    bp = bloom_prune(build, big, "k", "k")
+    plan = bp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # global_row_ids: offsets (one row per partition) broadcast back
+    # (the range partitioning itself sits behind the localCheckpoint, so
+    # the visible plan starts at Scan ExistingRDD — density is asserted
+    # behaviorally in test_global_row_ids_dense_and_ordered)
+    plan = global_row_ids(big, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
