@@ -763,7 +763,7 @@ def test_new_sketch_ops_plan_shapes(spark):
     assert "Broadcast" in plan
     # bloom_prune: the bit table joins broadcast — the probe side's rows are
     # filtered without a shuffle of the probe table itself
-    build = spark.range(0, 500).select((spark.range(1).columns and F.col("id") * 3).alias("k"))
+    build = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
     bp = bloom_prune(build, big, "k", "k")
     plan = bp._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
