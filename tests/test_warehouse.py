@@ -773,3 +773,12 @@ def test_new_sketch_ops_plan_shapes(spark):
     # behaviorally in test_global_row_ids_dense_and_ordered)
     plan = global_row_ids(big, "k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cms_join_size_never_underestimates_and_is_tight(spark):
+    from tsgen.queries_warehouse import _q_cms_join_size
+
+    r = _q_cms_join_size(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.est_join_size >= r.exact_join_size      # CMS inner product ≥ truth
+    # and within the ε·N₁·N₂/w ballpark: demand ≤ 2× here
+    assert r.est_join_size <= 2 * r.exact_join_size, r

@@ -815,3 +815,95 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # join-size estimation WITHOUT running the join (Alon-Matias-Szegedy /
+    # Cormode-Muthukrishnan): |A ⋈ B on k| = Σ_k n_A(k)·n_B(k), estimated
+    # by the inner product of the two sides' count-min rows (min over the
+    # d rows is the classic upper-bound estimate). Each side reduces to
+    # d·w counters; the estimate is a d·w-row join of two TINY tables —
+    # the cardinality the optimizer wants before picking a join strategy,
+    # at sketch cost. Exact value beside it; integers, hash-exact.
+    from . import sketches
+
+    ev = _events(spark, sf_dir).select(F.col("user_id").alias("k"))
+    od = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+
+    def counters(d: DataFrame) -> DataFrame:
+        x = sketches._hash48("k", sketches._spark_hexparse)
+        return (
+            d.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("row"),
+                                F.expr(sketches._cms_cell(i, x)).alias("cell"),
+                            )
+                            for i in range(sketches.CMS_D)
+                        ]
+                    )
+                ).alias("rc")
+            )
+            .select("rc.row", "rc.cell")
+            .groupBy("row", "cell")
+            .agg(F.count("*").alias("cnt"))
+        )
+    ca, cb = counters(ev), counters(od)
+    est = (
+        ca.withColumnRenamed("cnt", "ca")
+        .join(cb.withColumnRenamed("cnt", "cb"), ["row", "cell"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("row_est"))
+        .agg(F.min("row_est").alias("est_join_size"))
+    )
+    exact = (
+        ev.groupBy("k").agg(F.count("*").alias("na"))
+        .join(od.groupBy("k").agg(F.count("*").alias("nb")), "k")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_join_size"))
+    )
+    out = est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias("overcount"),
+    )
+    return canon_types(out)
+
+
+def _cms_join_size_sql() -> str:
+    from . import sketches
+
+    x = sketches._hash48("k", sketches._duck_hexparse)
+
+    def cells(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {i} AS row, {sketches._cms_cell(i, x)} AS cell FROM {src}"
+            for i in range(sketches.CMS_D)
+        )
+    return f"""
+WITH a AS (SELECT user_id AS k FROM events),
+b AS (SELECT o_custkey AS k FROM orders),
+ca AS (SELECT row, cell, count(*) AS ca FROM ({cells('a')}) GROUP BY row, cell),
+cb AS (SELECT row, cell, count(*) AS cb FROM ({cells('b')}) GROUP BY row, cell),
+est AS (
+  SELECT CAST(min(row_est) AS BIGINT) AS est_join_size FROM (
+    SELECT row, sum(ca * cb) AS row_est FROM ca JOIN cb USING (row, cell)
+    GROUP BY row)),
+ex AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM
+    (SELECT k, count(*) AS na FROM a GROUP BY k) x
+    JOIN (SELECT k, count(*) AS nb FROM b GROUP BY k) y USING (k))
+SELECT est_join_size, exact_join_size,
+       est_join_size - exact_join_size AS overcount
+FROM est CROSS JOIN ex
+"""
+
+
+_REGISTRY.update(
+    {
+        "cms_join_size": Query(
+            "cms_join_size", _q_cms_join_size, _cms_join_size_sql(), ("sketch",)
+        ),
+    }
+)
