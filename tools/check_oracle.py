@@ -90,6 +90,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
+    first_n = None  # --first=N replicates the driver's first-N window
+    for f in list(filters):
+        if f.startswith("--first="):
+            first_n = int(f.split("=", 1)[1])
+            filters.remove(f)
     import __spark_entry__ as entry_mod
     from tsgen.session import get_spark
 
@@ -98,7 +103,9 @@ def main() -> int:
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
     n_pass = n_fail = n_noracle = 0
-    for name, fn in qs.items():
+    for i, (name, fn) in enumerate(qs.items()):
+        if first_n is not None and i >= first_n:
+            break
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()

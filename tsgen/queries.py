@@ -35,9 +35,51 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
     return deco
 
 
+# The driver's correctness gate hashes only the FIRST 50 entries of queries()
+# in dict order. Rotate this list each round so every oracle-bearing query
+# eventually gets a driver-green row on record (VERDICT r02 item 1). Names
+# listed here are moved to the front of the registry in this order; everything
+# else follows in registration order. Keep the 9 generator queries first as
+# cheap cross-round canaries.
+#
+# Round-3 window: 9 canaries + 41 never-driver-checked oracle queries
+# (B19 masks / C3 loss, misc B-ops, LLM-pipeline core, 10 streaming twins).
+# Ever-checked through r02: see CORRECTNESS_r01.json + CORRECTNESS_r02.json.
+_WINDOW_PRIORITY: tuple[str, ...] = (
+    # canaries (green r01+r02)
+    "gen_sine", "gen_cosine", "gen_mixed", "gen_exponential_decay",
+    "gen_linear_sum", "gen_custom_decay", "gen_labeled", "series_stats",
+    "sample_data_mixed",
+    # B14-B19 family losses/masks that lost their green row in r02 rotation
+    "mask_forecast", "mask_impute", "loss_mse",
+    # misc never-checked B/E/F/G ops
+    "poly_basis", "posenc", "label_embedding", "gen_union", "gen_multichannel",
+    "patchify_stats", "patch_roundtrip", "epoch_metrics", "orders_cube",
+    "event_set_ops", "ev_interval_join",
+    # LLM-data-pipeline core (first driver rows for the family)
+    "dedup_exact_docs", "ngram_jaccard", "dedup_clusters", "semdedup",
+    "corpus_curation", "tfidf_top_terms", "cosine_topk", "ann_lsh",
+    "text_stats", "doc_fingerprint", "lang_id", "token_freq", "pii_scrub",
+    "doc_chunks", "pack_sequences", "embed_neardup",
+    # forecast op touched this round
+    "kalman_em",
+    # streaming twins (VERDICT item 5: >=8 green streaming rows)
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "stream_join", "stream_ohlc", "stream_hll", "stream_scd2",
+    "stream_dd_quantiles", "stream_cms_topk",
+)
+
+
 def registry() -> dict[str, Query]:
     _ensure_populated()
-    return _REGISTRY
+    ordered: dict[str, Query] = {}
+    for name in _WINDOW_PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
 
 
 def canon_types(df: DataFrame) -> DataFrame:
