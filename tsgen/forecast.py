@@ -168,7 +168,7 @@ def holt_sql(inner: str, alpha: float = 0.3, beta: float = 0.2, horizon: int = 4
     B, OMB = E.NUM(beta), E.NUM(1.0 - beta)
     lnew = f"({A}*s.value + {OMA}*(r.l + r.b))"
     return f"""
-WITH RECURSIVE src AS ({inner}),
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
 n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
 y0 AS (SELECT series_id, value AS v0 FROM src WHERE t = 0),
 y1 AS (SELECT series_id, value AS v1 FROM src WHERE t = 1),
@@ -256,8 +256,10 @@ def kalman_sql(inner: str, q: float = 0.01, r: float = 0.5) -> str:
 
     Q, R = E.NUM(q), E.NUM(r)
     k = f"((rec.v + {Q}) / ((rec.v + {Q}) + {R}))"
+    # src MATERIALIZED: the recursion references it once per step — inlined,
+    # DuckDB would re-evaluate the (possibly generated) inner SQL every step.
     return f"""
-WITH RECURSIVE src AS ({inner}),
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
 n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
 rec(series_id, t, l, v, g) AS (
   SELECT series_id, CAST(0 AS BIGINT), value, CAST(1.0e0 AS DOUBLE), 0.0e0
@@ -356,8 +358,12 @@ def kalman_smoother_sql(inner: str, q: float = 0.01, r: float = 0.5) -> str:
     Q, R = E.NUM(q), E.NUM(r)
     k = f"((rec.v + {Q}) / ((rec.v + {Q}) + {R}))"
     c = f"(f.v / (f.v + {Q}))"
+    # src + recm MATERIALIZED: without them DuckDB inlines CTE references, so
+    # every backward-recursion step would replay the ENTIRE forward recursion
+    # (which itself re-evaluates `inner` per step) — minutes instead of ms on
+    # a 64-step series (same lesson as the k-core oracle).
     return f"""
-WITH RECURSIVE src AS ({inner}),
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
 n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
 rec(series_id, t, l, v) AS (
   SELECT series_id, CAST(0 AS BIGINT), value, CAST(1.0e0 AS DOUBLE)
@@ -367,18 +373,19 @@ rec(series_id, t, l, v) AS (
          rec.l + {k} * (s.value - rec.l),
          (1.0e0 - {k}) * (rec.v + {Q})
   FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1),
+recm AS MATERIALIZED (SELECT * FROM rec),
 back(series_id, t, sl, sv) AS (
-  SELECT rec.series_id, rec.t, rec.l, rec.v
-  FROM rec JOIN n ON rec.series_id = n.series_id AND rec.t = n.tmax
+  SELECT recm.series_id, recm.t, recm.l, recm.v
+  FROM recm JOIN n ON recm.series_id = n.series_id AND recm.t = n.tmax
   UNION ALL
   SELECT back.series_id, back.t - 1,
          f.l + {c} * (back.sl - f.l),
          f.v + {c} * {c} * (back.sv - (f.v + {Q}))
-  FROM back JOIN rec f ON f.series_id = back.series_id AND f.t = back.t - 1
+  FROM back JOIN recm f ON f.series_id = back.series_id AND f.t = back.t - 1
   WHERE back.t > 0)
-SELECT rec.series_id, rec.t, {E.round6('rec.l')} AS level,
+SELECT recm.series_id, recm.t, {E.round6('recm.l')} AS level,
        {E.round6('back.sl')} AS smoothed
-FROM rec JOIN back ON rec.series_id = back.series_id AND rec.t = back.t
+FROM recm JOIN back ON recm.series_id = back.series_id AND recm.t = back.t
 """
 
 
@@ -405,38 +412,55 @@ def kalman_em(
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Execution shape matches kalman_smoother: both sweeps are T numpy
+        # steps vectorized across every series of the Arrow batch (series are
+        # the parallel axis; the recursion is only over time). No per-series
+        # Python loop — the M-step reduces with masked row-wise sums.
         for pdf in batches:
             if not len(pdf):
                 continue
-            out_rows = {key: [], "n_points": [], "q_hat": [], "r_hat": []}
-            for s, vs in zip(pdf[key], pdf["vs"]):
-                y = np.asarray(vs, dtype=float)
-                T = len(y)
-                L = np.empty(T)
-                V = np.empty(T)
-                L[0], V[0] = y[0], 1.0
-                for t in range(1, T):
-                    pv = V[t - 1] + q
-                    k = pv / (pv + r)
-                    L[t] = L[t - 1] + k * (y[t] - L[t - 1])
-                    V[t] = (1.0 - k) * pv
-                SL, SV = L.copy(), V.copy()
-                C = V / (V + q)  # smoother gains (only C[t-1] for t>=1 used)
-                for t in range(T - 2, -1, -1):
-                    SL[t] = L[t] + C[t] * (SL[t + 1] - L[t])
-                    SV[t] = V[t] + C[t] * C[t] * (SV[t + 1] - (V[t] + q))
-                dq = (
-                    (SL[1:] - SL[:-1]) ** 2
-                    + SV[1:]
-                    + SV[:-1]
-                    - 2.0 * C[:-1] * SV[1:]
-                )
-                dr = (y - SL) ** 2 + SV
-                out_rows[key].append(s)
-                out_rows["n_points"].append(T)
-                out_rows["q_hat"].append(float(np.mean(dq)))
-                out_rows["r_hat"].append(float(np.mean(dr)))
-            yield pd.DataFrame(out_rows)
+            arrs = [np.asarray(v, dtype=float) for v in pdf["vs"]]
+            n = np.array([len(a) for a in arrs])
+            T = int(n.max())
+            Y = np.full((len(arrs), T), np.nan)
+            for i, a in enumerate(arrs):
+                Y[i, : len(a)] = a
+            level = Y[:, 0].copy()
+            var = np.ones(len(arrs))
+            levels, vars_ = [level.copy()], [var.copy()]
+            for t in range(1, T):
+                active = t < n
+                pv = var + q
+                k = pv / (pv + r)
+                level = np.where(active, level + k * (Y[:, t] - level), level)
+                var = np.where(active, (1.0 - k) * pv, var)
+                levels.append(level.copy())
+                vars_.append(var.copy())
+            L = np.stack(levels, axis=1)   # (series, T) filtered means
+            V = np.stack(vars_, axis=1)    # (series, T) filtered vars
+            SL, SV = L.copy(), V.copy()    # last point: smoothed = filtered
+            C = V / (V + q)  # smoother gains (only C[:, t-1] for t>=1 used)
+            for t in range(T - 2, -1, -1):
+                active = (t + 1) < n
+                sl = L[:, t] + C[:, t] * (SL[:, t + 1] - L[:, t])
+                sv = V[:, t] + C[:, t] * C[:, t] * (SV[:, t + 1] - (V[:, t] + q))
+                SL[:, t] = np.where(active, sl, SL[:, t])
+                SV[:, t] = np.where(active, sv, SV[:, t])
+            tcols = np.arange(T)
+            mq = tcols[None, 1:] < n[:, None]   # valid transition terms t=1..n-1
+            mr = tcols[None, :] < n[:, None]    # valid observation terms t=0..n-1
+            dq = (
+                (SL[:, 1:] - SL[:, :-1]) ** 2
+                + SV[:, 1:]
+                + SV[:, :-1]
+                - 2.0 * C[:, :-1] * SV[:, 1:]
+            )
+            dr = (Y - SL) ** 2 + SV
+            q_hat = np.where(mq, dq, 0.0).sum(axis=1) / np.maximum(n - 1, 1)
+            r_hat = np.where(mr, np.nan_to_num(dr), 0.0).sum(axis=1) / n
+            yield pd.DataFrame(
+                {key: pdf[key], "n_points": n, "q_hat": q_hat, "r_hat": r_hat}
+            )
 
     return wide.mapInPandas(
         fn, f"{key} bigint, n_points bigint, q_hat double, r_hat double"
@@ -453,8 +477,11 @@ def kalman_em_sql(inner: str, q: float = 0.01, r: float = 0.5) -> str:
     k = f"((rec.v + {Q}) / ((rec.v + {Q}) + {R}))"
     c = f"(f.v / (f.v + {Q}))"
     c0 = f"(f0.v / (f0.v + {Q}))"
+    # src/recm/backm MATERIALIZED: inlined CTE references make DuckDB replay
+    # the forward recursion per backward step and the backward recursion per
+    # M-step join — 56 s instead of <1 s on a 64-step series.
     return f"""
-WITH RECURSIVE src AS ({inner}),
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
 n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
 rec(series_id, t, l, v) AS (
   SELECT series_id, CAST(0 AS BIGINT), value, CAST(1.0e0 AS DOUBLE)
@@ -464,25 +491,27 @@ rec(series_id, t, l, v) AS (
          rec.l + {k} * (s.value - rec.l),
          (1.0e0 - {k}) * (rec.v + {Q})
   FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1),
+recm AS MATERIALIZED (SELECT * FROM rec),
 back(series_id, t, sl, sv) AS (
-  SELECT rec.series_id, rec.t, rec.l, rec.v
-  FROM rec JOIN n ON rec.series_id = n.series_id AND rec.t = n.tmax
+  SELECT recm.series_id, recm.t, recm.l, recm.v
+  FROM recm JOIN n ON recm.series_id = n.series_id AND recm.t = n.tmax
   UNION ALL
   SELECT back.series_id, back.t - 1,
          f.l + {c} * (back.sl - f.l),
          f.v + {c} * {c} * (back.sv - (f.v + {Q}))
-  FROM back JOIN rec f ON f.series_id = back.series_id AND f.t = back.t - 1
+  FROM back JOIN recm f ON f.series_id = back.series_id AND f.t = back.t - 1
   WHERE back.t > 0),
+backm AS MATERIALIZED (SELECT * FROM back),
 tq AS (
   SELECT b1.series_id,
          (b1.sl - b0.sl) * (b1.sl - b0.sl) + b1.sv + b0.sv
            - 2.0e0 * {c0} * b1.sv AS term
-  FROM back b1
-  JOIN back b0 ON b0.series_id = b1.series_id AND b0.t = b1.t - 1
-  JOIN rec f0 ON f0.series_id = b1.series_id AND f0.t = b1.t - 1),
+  FROM backm b1
+  JOIN backm b0 ON b0.series_id = b1.series_id AND b0.t = b1.t - 1
+  JOIN recm f0 ON f0.series_id = b1.series_id AND f0.t = b1.t - 1),
 tr AS (
   SELECT b.series_id, (s.value - b.sl) * (s.value - b.sl) + b.sv AS term
-  FROM back b JOIN src s ON s.series_id = b.series_id AND s.t = b.t)
+  FROM backm b JOIN src s ON s.series_id = b.series_id AND s.t = b.t)
 SELECT q.series_id, n.tmax + 1 AS n_points,
        {E.roundn('q.q_hat', 4)} AS q_hat, {E.roundn('r.r_hat', 4)} AS r_hat
 FROM (SELECT series_id, avg(term) AS q_hat FROM tq GROUP BY series_id) q
@@ -575,7 +604,7 @@ def holt_winters_sql(
     lnew = f"({A}*(sv.value - r.s[1]) + {OMA}*(r.l + r.b))"
     hrows = " UNION ALL ".join(f"SELECT {h} AS h" for h in range(1, horizon + 1))
     return f"""
-WITH RECURSIVE src AS ({inner}),
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
 n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
 y0 AS (SELECT series_id, value AS v0 FROM src WHERE t = 0),
 ym AS (SELECT series_id, value AS vm FROM src WHERE t = {m}),
