@@ -480,12 +480,12 @@ def test_hll_set_ops_inclusion_exclusion(spark):
 
 
 def test_dd_quantiles_relative_error_bound(spark):
-    from tsgen.sketches import DD_ALPHA, dd_quantiles
+    from tsgen.sketches import DD_ALPHA, dd_quantiles_with_exact
 
     df = spark.range(1, 20001).selectExpr(
         "CAST(id AS DOUBLE) * 0.37 + 0.01 AS value"
     )
-    rows = dd_quantiles(df, "value").collect()
+    rows = dd_quantiles_with_exact(df, "value").collect()
     assert len(rows) == 4
     for r in rows:
         # DDSketch guarantee: relative error within alpha of the true quantile
@@ -719,7 +719,7 @@ def test_dd_sketch_error_bound_hypothesis(spark):
     clustered — hypothesis picks)."""
     from hypothesis import given, settings, strategies as st
 
-    from tsgen.sketches import DD_ALPHA, dd_quantiles
+    from tsgen.sketches import DD_ALPHA, dd_quantiles_with_exact
 
     @settings(max_examples=8, deadline=None)
     @given(
@@ -732,7 +732,7 @@ def test_dd_sketch_error_bound_hypothesis(spark):
     )
     def check(vals):
         df = spark.createDataFrame([(float(v),) for v in vals], "value double")
-        for r in dd_quantiles(df, "value").collect():
+        for r in dd_quantiles_with_exact(df, "value").collect():
             assert abs(r.rel_err) <= DD_ALPHA + 1e-9, (r.q, r.rel_err)
 
     check()

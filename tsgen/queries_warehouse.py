@@ -567,7 +567,7 @@ def _q_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     out = sketches.dd_quantiles(ev, "value")
-    return roundn(out, 6, "est", "exact_q", "rel_err")
+    return roundn(out, 6, "est")
 
 
 def _dd_quantiles_sql() -> str:
@@ -575,9 +575,7 @@ def _dd_quantiles_sql() -> str:
 
     inner = sketches.dd_quantiles_sql("value", "events")
     return f"""
-SELECT q, (round((est) + 1.0e-9,6)+0.0e0) AS est,
-       (round((exact_q) + 1.0e-9,6)+0.0e0) AS exact_q,
-       (round((rel_err) + 1.0e-9,6)+0.0e0) AS rel_err
+SELECT q, (round((est) + 1.0e-9,6)+0.0e0) AS est, n
 FROM ({inner}) ORDER BY q
 """
 

@@ -338,7 +338,7 @@ def dd_estimate_col():
 def dd_quantiles(
     df: DataFrame, value: str = "value", qs: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99)
 ) -> DataFrame:
-    """DDSketch quantile estimates beside the exact (type-1, lower) quantile.
+    """DDSketch quantile estimates — sketch-only output (q, est, n).
 
     Scale shape: the raw table reduces in ONE partial-agged groupBy to
     ≤ O(ln(max/min)/alpha) bucket rows (~1100 buckets across 15 decades at
@@ -346,10 +346,11 @@ def dd_quantiles(
     quantile probes run on that constant-size table, so the unpartitioned
     window is bounded work (same argument as the HLL register combine).
     Estimate 2·gamma^b/(gamma+1) is the bucket's geometric midpoint; the
-    guarantee |est − exact|/exact ≤ alpha is asserted in tests.
+    guarantee |est − exact|/exact ≤ alpha is asserted in tests via
+    dd_quantiles_with_exact (kept OUT of this production path: computing
+    the exact quantile needs a global rank — a single-reducer wall at
+    scale, which is the whole reason the sketch exists).
     """
-    from pyspark.sql import Window
-
     pos = df.filter(F.col(value) > 0)
     buckets = (
         pos.select(F.expr(_dd_bucket(value)).alias("b"))
@@ -357,8 +358,20 @@ def dd_quantiles(
         .agg(F.count("*").alias("cnt"))
     )
     probe = dd_probe_buckets(buckets, qs)
+    return probe.select("q", dd_estimate_col().alias("est"), "n").orderBy("q")
+
+
+def dd_quantiles_with_exact(
+    df: DataFrame, value: str = "value", qs: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99)
+) -> DataFrame:
+    """TEST-ONLY: dd_quantiles beside the exact (type-1, lower) quantile and
+    its relative error. The exact side is an UNPARTITIONED global rank — fine
+    at test scale, a dead executor at 100 TB. Production code must use
+    dd_quantiles / dd_quantiles_by."""
+    from pyspark.sql import Window
+
+    pos = df.filter(F.col(value) > 0)
     qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
-    # exact lower quantile via the same rank definition, for the error column
     rk = pos.select(
         F.col(value).alias("v"),
         F.row_number().over(Window.orderBy(value)).alias("r"),
@@ -371,17 +384,13 @@ def dd_quantiles(
         .filter(F.col("r") == F.expr("CAST(ceiling(q * n) AS BIGINT)"))
         .select("q", F.col("v").alias("exact_q"))
     )
-    est = dd_estimate_col()
-    return (
-        probe.join(exact, "q")
-        .select(
-            "q",
-            est.alias("est"),
-            "exact_q",
-            ((est - F.col("exact_q")) / F.col("exact_q")).alias("rel_err"),
-        )
-        .orderBy("q")
-    )
+    est = dd_quantiles(df, value, qs)
+    return est.join(exact, "q").select(
+        "q",
+        "est",
+        "exact_q",
+        ((F.col("est") - F.col("exact_q")) / F.col("exact_q")).alias("rel_err"),
+    ).orderBy("q")
 
 
 def dd_quantiles_sql(
@@ -396,19 +405,13 @@ cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum, sum(cnt) OVER () AS total
         FROM buckets),
 qs AS ({qrows}),
 probe AS (
-  SELECT q, min(b) AS b, min(total) AS n FROM qs JOIN cum
-    ON cum >= CAST(ceiling(q * total) AS BIGINT) GROUP BY q),
-rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r, count(*) OVER () AS n
-       FROM pos),
-exact AS (
-  SELECT q, v AS exact_q FROM qs JOIN rk
-    ON r = CAST(ceiling(q * n) AS BIGINT))
-SELECT probe.q,
+  SELECT q, min(b) AS b, CAST(min(total) AS BIGINT) AS n FROM qs JOIN cum
+    ON cum >= CAST(ceiling(q * total) AS BIGINT) GROUP BY q)
+SELECT q,
        2.0e0 * pow({g}, b) / ({g} + 1.0e0) AS est,
-       exact_q,
-       (2.0e0 * pow({g}, b) / ({g} + 1.0e0) - exact_q) / exact_q AS rel_err
-FROM probe JOIN exact ON probe.q = exact.q
-ORDER BY probe.q
+       n
+FROM probe
+ORDER BY q
 """
 
 
