@@ -81,3 +81,36 @@ def test_all_families_finite(spark, family):
     pdf = generators.generate(spark, 4, 32, family).toPandas()
     assert len(pdf) == 128
     assert np.isfinite(pdf.value).all()
+
+
+def test_dim1_headline_plans_unchanged_by_channel_threading(spark):
+    """Regression pin for the r02 bench scare: the dim=1 (single-channel)
+    generate / q_sample / decompose plans must stay at the exchange counts
+    they had before multichannel support landed — zero extra shuffles or
+    projections from channel threading, and no channel column at all.
+    (The r02 2x drift bisected to env noise — same code re-measured at r01
+    speeds — but this pins the plan shape so a real regression can't hide
+    behind that diagnosis again.)"""
+    from tsgen import decompose, diffusion
+    from tsgen.schedules import schedule_table
+
+    def shape(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_broadcast = plan.count("BroadcastExchange")
+        n_shuffle = plan.count("Exchange") - n_broadcast
+        return n_shuffle, n_broadcast, ("channel" in plan)
+
+    g = generators.generate(spark, 100, 64, "linear_sum")
+    # znorm: per-series stats join back via broadcast — no data shuffle
+    assert shape(g) == (0, 1, False)
+
+    sched = schedule_table(spark, 500, "cosine")
+    q = diffusion.q_sample(generators.generate(spark, 100, 64, "linear_sum"), sched, 500)
+    # one shuffle (schedule build side), schedule + znorm stats broadcast
+    assert shape(q) == (1, 2, False)
+
+    d = decompose.decompose(generators.generate(spark, 100, 64, "mixed"))
+    # collect_list groupBy is AQE-deferred; visible: znorm stats broadcast
+    n_shuffle, n_broadcast, has_channel = shape(d)
+    assert (n_shuffle, has_channel) == (0, False)
+    assert n_broadcast == 1
