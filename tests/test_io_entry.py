@@ -159,3 +159,24 @@ def test_incremental_agg_state_equals_full_recompute(spark):
         assert r.cnt == want[r.k].cnt
         assert abs(r.total - want[r.k].total) < 1e-6
 
+
+
+def test_doc_counts_match_registry():
+    """README/COVERAGE query counts are generated claims — keep them equal to
+    the registry truth so they can't drift (ADVICE r02: three mutually
+    inconsistent hand-maintained counts)."""
+    import re
+
+    from tsgen.queries import registry
+
+    r = registry()
+    total, oracled = len(r), sum(1 for q in r.values() if q.oracle)
+    rows_only = total - oracled
+    readme = open("README.md").read()
+    m = re.search(r"\((\d+) queries: (\d+) DuckDB-oracle-\s*checked, (\d+) rows-only", readme)
+    assert m, "README registry count line missing"
+    assert tuple(map(int, m.groups())) == (total, oracled, rows_only)
+    cov = open("COVERAGE.md").read()
+    m = re.search(r"(\d+) registry queries — (\d+) oracle-checked, (\d+)\s*rows-only", cov)
+    assert m, "COVERAGE totals line missing"
+    assert tuple(map(int, m.groups())) == (total, oracled, rows_only)

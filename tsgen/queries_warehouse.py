@@ -409,7 +409,6 @@ def rolling_beta(ev: DataFrame, window_rows: int = BETA_W) -> DataFrame:
     a single Exchange."""
     w0 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w0.rowsBetween(-(window_rows - 1), 0)
-    d = _idx = None  # noqa: F841 (readability)
     df = ev.withColumn("x", (F.row_number().over(w0) - 1).cast("double"))
     n = F.count("*").over(wf).cast("double")
     sx = F.sum("x").over(wf)

@@ -69,7 +69,14 @@ SELECT bucket, max(rank) AS rank FROM (
 
 def hll_estimate_sql(registers: str) -> str:
     """Raw HLL estimate + small-range (linear counting) correction, from a
-    (bucket, rank) register table; empty registers count as rank 0."""
+    (bucket, rank) register table.
+
+    No current producer emits rank 0 (_rank_case ranges 1..vbits+1; absent
+    buckets contribute via the (m − count(*)) term instead), so the
+    `rank = 0` branch of `zeros` is defensive: it keeps the estimate
+    correct for a DENSE merged-register input — e.g. registers exported
+    from another system where all m buckets are materialized and empty
+    ones carry rank 0. Same term on the Spark side (hll_distinct)."""
     a = E.NUM(HLL_ALPHA)
     m = HLL_M
     return f"""

@@ -430,7 +430,10 @@ def scd2_stateful(stream: DataFrame, key: str = "user_id", attr: str = "event_ty
         out = {c: [] for c in (key, attr, "from_ns", "to_ns", "version")}
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts", "event_id"])
-            ts_ns = pdf["ts"].astype("int64").to_numpy()
+            # normalize to ns explicitly: a pandas/pyarrow combo that keeps
+            # the Arrow us unit would make a bare astype(int64) emit micros
+            # and the //1e9 epoch-seconds below off by 1000x
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
             vals = pdf[attr].to_numpy()
             for v, t in zip(vals, ts_ns):
                 if cur is None:
