@@ -1,4 +1,6 @@
 """Schedule invariants + diffusion algebra properties (FIXTURES.md §95-100)."""
+import os
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -133,3 +135,40 @@ def test_label_conditional_guidance_blends(spark):
     )
     n_diff = j.filter(F.abs(F.col("x") - F.col("x_uncond")) > 1e-12).count()
     assert n_diff > 0
+
+
+def test_sample_return_intermediates_stride_capture(spark):
+    """The reference sample()'s return_intermediates contract
+    (utils/visualisation.py:74-76): captures every max(1, T//5)-th step,
+    each a full snapshot of the evolving grid, last capture == final state."""
+    final, caps = diffusion.sample(
+        spark, 3, 16, timesteps=10, checkpoint_every=4, return_intermediates=True
+    )
+    assert [s for s, _ in caps] == [2, 4, 6, 8, 10]
+    for _, df in caps:
+        pdf = df.toPandas()
+        assert len(pdf) == 3 * 16
+        assert np.isfinite(pdf.x).all()
+    a = final.toPandas().sort_values(["series_id", "t"]).reset_index(drop=True)
+    b = caps[-1][1].toPandas().sort_values(["series_id", "t"]).reset_index(drop=True)
+    assert np.abs(a.x.to_numpy() - b.x.to_numpy()).max() == 0.0
+
+
+def test_visualize_diffusion_process_headless_guard(spark):
+    # container has no matplotlib: the PNG sink must fail loudly, not wrongly
+    from tsgen import viz
+
+    if viz.HAVE_MPL:  # pragma: no cover - env-dependent branch
+        import tempfile
+
+        _, caps = diffusion.sample(
+            spark, 2, 16, timesteps=5, return_intermediates=True
+        )
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            viz.visualize_diffusion_process(caps, f.name, n_samples=2)
+            assert os.path.getsize(f.name) > 0
+    else:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            viz.visualize_diffusion_process([], "/tmp/x.png")

@@ -133,7 +133,9 @@ def sample(
     kind: str = "cosine",
     denoiser: Callable[[DataFrame, int], DataFrame] | None = None,
     checkpoint_every: int = 10,
-) -> DataFrame:
+    return_intermediates: bool = False,
+    n_intermediates: int = 5,
+) -> DataFrame | tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Reverse-diffusion sampling loop (diffusion_ts_model.py:736-772).
 
     Starts from x ~ N(0,1) on the (series, t) grid and runs T sequential
@@ -141,6 +143,12 @@ def sample(
     given current `x` (the reference uses the learned model here; the
     engine's deterministic default — trend+seasonality decomposition — is
     wired in decompose.decomposition_denoiser).
+
+    With `return_intermediates` (the reference sample()'s flag, consumed by
+    visualize_diffusion_process, utils/visualisation.py:62-95) also returns
+    [(step_number, snapshot_df), ...] captured every max(1, T//n_intermediates)-th
+    step — the SURVEY §2 F3 stride filter. Snapshots are localCheckpoint-pinned
+    so capturing doesn't re-run the prefix of the loop per snapshot.
     """
     from .generators import base_grid
 
@@ -153,11 +161,18 @@ def sample(
     df = base_grid(spark, n_series, seq_len).withColumn(
         "x", F.expr(E.normal(E.pt_key(), SALT_INIT))
     )
+    stride = max(1, timesteps // n_intermediates)
+    captures: list[tuple[int, DataFrame]] = []
     for i, t in enumerate(reversed(range(timesteps))):
         df = denoiser(df, t)
         df = p_sample_step(df, sched, t).drop("x0_pred")
         if (i + 1) % checkpoint_every == 0:
             df = df.localCheckpoint(eager=True)
+        if return_intermediates and (i + 1) % stride == 0:
+            df = df.localCheckpoint(eager=True)
+            captures.append((i + 1, df))
+    if return_intermediates:
+        return df, captures
     return df
 
 
