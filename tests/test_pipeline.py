@@ -372,6 +372,21 @@ def test_kcore_keeps_clique_drops_chain(spark):
     assert out == [0, 1, 2, 3]
 
 
+def test_label_propagation_separates_planted_clusters(spark):
+    from tsgen.queries_experiments import label_propagation
+
+    # two K4 cliques joined by a single bridge edge: LPA must give each
+    # clique one community and must NOT merge them across the bridge
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = k4a + k4b + [(3, 10)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r.node: r.community for r in label_propagation(df).collect()}
+    assert len({out[n] for n in range(4)}) == 1
+    assert len({out[n] for n in range(10, 14)}) == 1
+    assert out[0] != out[10]
+
+
 def test_pq_reconstruction_improves_with_lloyd_and_beats_random(spark, emb):
     from tsgen.similarity import pq_train_assign
 

@@ -440,6 +440,97 @@ _REGISTRY.update(
 )
 
 
+# --- label-propagation communities (fixed-round synchronous LPA) -----------
+LP_ITER = 4
+
+
+def label_propagation(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b", n_iter: int = LP_ITER
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et al.
+    2007, Phys. Rev. E 76): init label = node id; each round every node
+    adopts the most frequent label among its neighbors AND itself, ties
+    broken by the smallest label — fully deterministic, so a fixed round
+    count is hash-checkable against an unrolled SQL oracle (the async/
+    random-order variant of the paper is not; same convention as PageRank).
+
+    Per round: one equi-join (edge ⋈ label on the source) + one count
+    aggregation + one per-node argmax window — all keyed on the node id,
+    uniform shuffles; the vote-count table a window ranks over holds at
+    most deg(v)+1 distinct labels per node, so the window input is the
+    message table itself, never a global sort. Labels are checkpointed per
+    round (lineage hygiene as in pagerank/connected_components)."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=False)
+    lab = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(n_iter):
+        msgs = (
+            sym.join(lab.select(F.col("node").alias("u"), "label"), "u")
+            .select(F.col("v").alias("node"), "label")
+            .union(lab)  # self-vote: stabilizes 2-cycles of plain sync LPA
+        )
+        lab = (
+            msgs.groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return lab.select("node", F.col("label").alias("community")).orderBy("node")
+
+
+def _q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    return canon_types(label_propagation(pairs))
+
+
+def _communities_sql() -> str:
+    # AS MATERIALIZED on every round: each round references the previous
+    # label CTE twice (neighbor votes + self-vote), so DuckDB's default
+    # inlining would re-evaluate the jaccard chain 2^rounds times
+    from . import dedup
+
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    ctes = [
+        f"jp AS MATERIALIZED ({jp})",
+        "e AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM jp)",
+        "sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for i in range(LP_ITER):
+        ctes.append(f"""lab{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM (SELECT node, label, count(*) AS cnt FROM (
+            SELECT sym.v AS node, l.label FROM sym
+            JOIN lab{i} l ON l.node = sym.u
+            UNION ALL SELECT node, label FROM lab{i})
+          GROUP BY node, label))
+  WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM lab{LP_ITER} ORDER BY node"
+    )
+
+
+_REGISTRY.update(
+    {
+        "graph_communities": Query(
+            "graph_communities", _q_communities, _communities_sql(), ("graph",)
+        ),
+    }
+)
+
+
 # --- Kaplan–Meier survival over user lifetimes -----------------------------
 KM_CENSOR_H = 24
 
