@@ -70,3 +70,42 @@ def test_lttb_keeps_the_spike(spark):
     out = lttb_downsample(df).toPandas()
     assert len(out) == 1  # only the interior bucket has both anchors
     assert out.iloc[0]["value"] == 9.0
+
+
+def test_sax_ramp_gives_sorted_word(spark):
+    from tsgen.queries_seasonal import sax_words
+
+    # a z-normalized ramp: PAA means increase monotonically, so the SAX
+    # word must be non-decreasing letters spanning 'a'..'d'
+    import numpy as np
+
+    y = np.linspace(0, 1, 64)
+    y = (y - y.mean()) / y.std()
+    rows = [(0, t, float(v)) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    word = sax_words(df, n_segments=8).collect()[0].sax_word
+    assert len(word) == 8
+    assert list(word) == sorted(word)
+    assert word[0] == "a" and word[-1] == "d"
+
+
+def test_matrix_profile_finds_planted_motif(spark):
+    from tsgen.queries_seasonal import matrix_profile
+
+    # noise series with the SAME shape planted at i=10 and i=40: those two
+    # windows must be each other's nearest neighbors with mp ~ 0, and far
+    # below the profile's median
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    y = rng.randn(64)
+    motif = np.sin(np.linspace(0, 2 * np.pi, 8)) * 3
+    y[10:18] = motif
+    y[40:48] = motif
+    rows = [(0, t, float(v)) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = {r.i: r for r in matrix_profile(df, m=8).collect()}
+    assert out[10].nn == 40 and out[40].nn == 10
+    assert out[10].mp < 1e-6
+    med = float(np.median([r.mp for r in out.values()]))
+    assert out[10].mp < med / 10

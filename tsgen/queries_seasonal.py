@@ -286,3 +286,202 @@ _REGISTRY.update(
         "ev_lttb": Query("ev_lttb", _q_lttb, _LTTB_SQL, ("tsdb",)),
     }
 )
+
+
+# --- SAX symbolization ------------------------------------------------------
+SAX_SEGMENTS = 16
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartiles → 4-letter alphabet
+
+
+def sax_words(
+    df: DataFrame,
+    n_segments: int = SAX_SEGMENTS,
+    breaks: tuple[float, ...] = SAX_BREAKS,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """SAX symbolization (Lin/Keogh/Lonardi/Chiu 2003): PAA-reduce each
+    (z-normalized) series to `n_segments` segment means, then quantize each
+    mean against the standard-normal breakpoints into a letter — the whole
+    series becomes one short word, the index key for motif/novelty search
+    over billions of series.
+
+    Pure Catalyst: one count window + one groupBy(key, seg) partial agg +
+    one word-assembly agg, all partitioned by the series key — two shuffles,
+    no UDF. PAA means are 6dp-rounded BEFORE the breakpoint compare so a
+    mean sitting within float-noise of a breakpoint can't flip its letter
+    between engines."""
+    wk = Window.partitionBy(key)
+    seg = df.withColumn("_T", F.count("*").over(wk)).withColumn(
+        "seg", F.floor(F.col("t") * n_segments / F.col("_T")).cast("bigint")
+    )
+    paa = seg.groupBy(key, "seg").agg(
+        (F.round(F.avg(value) + F.lit(1e-9), 6) + F.lit(0.0)).alias("paa")
+    )
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN paa < {E.NUM(b)} THEN '{chr(97 + i)}'"
+            for i, b in enumerate(breaks)
+        )
+        + f" ELSE '{chr(97 + len(breaks))}' END"
+    )
+    lettered = paa.withColumn("sym", F.expr(case))
+    return lettered.groupBy(key).agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(seg, sym))),"
+            " x -> x.sym))"
+        ).alias("sax_word")
+    )
+
+
+def _q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, 12, 96, "mixed")
+    return sax_words(df).orderBy("series_id")
+
+
+def _sax_sql() -> str:
+    gen = oracle.generate_sql(12, 96, "mixed", rounded=False)
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN paa < {E.NUM(b)} THEN '{chr(97 + i)}'"
+            for i, b in enumerate(SAX_BREAKS)
+        )
+        + f" ELSE '{chr(97 + len(SAX_BREAKS))}' END"
+    )
+    return f"""
+WITH src AS ({gen}),
+seg AS (
+  SELECT series_id,
+         CAST(floor(t * {SAX_SEGMENTS} / cnt) AS BIGINT) AS seg, value
+  FROM (SELECT series_id, t, value,
+               count(*) OVER (PARTITION BY series_id) AS cnt FROM src)),
+paa AS (
+  SELECT series_id, seg, (round((avg(value)) + 1.0e-9,6)+0.0e0) AS paa
+  FROM seg GROUP BY series_id, seg),
+sym AS (SELECT series_id, seg, {case} AS sym FROM paa)
+SELECT series_id, string_agg(sym, '' ORDER BY seg) AS sax_word
+FROM sym GROUP BY series_id ORDER BY series_id
+"""
+
+
+# --- matrix profile (exact, brute-force within series) ----------------------
+MP_M = 8          # subsequence length
+MP_SERIES, MP_LEN = 8, 64
+
+
+def matrix_profile(
+    df: DataFrame, m: int = MP_M, key: str = "series_id", value: str = "value"
+) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016): for every length-`m` window
+    of each series, the z-normalized Euclidean distance to its nearest
+    non-trivial neighbor window in the SAME series (exclusion zone m//2) —
+    the primitive under motif discovery and discord (anomaly) detection.
+
+    Execution shape: series are the parallel axis (one groupBy collect to
+    wide form — the decompose/forecast pattern); per series the kernel is
+    pure matrix algebra (window-matrix Gram product), not a Python loop per
+    pair. Exact O(n_w²) per series, which is the right baseline at the
+    reference's seq_len≈512; the O(n log n) MASS/STOMP refinement drops in
+    behind the same (key, i, mp, nn) contract if series get long.
+
+    Cross-engine determinism: the nearest neighbor is chosen by
+    (6dp-rounded distance, smallest j) so association-order float noise
+    between the numpy Gram product and the oracle's SQL sums can't flip
+    the argmin; the emitted mp is rounded by the caller (4dp — it is a
+    sum of m products)."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+    excl = m // 2
+
+    def fn(batches: "pd.Iterator") -> "pd.Iterator":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for sid, vs in zip(pdf[key], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                nw = len(y) - m + 1
+                X = np.lib.stride_tricks.sliding_window_view(y, m)
+                mu = X.mean(axis=1)
+                # same formula text as the oracle (avg(v²) − avg(v)²)
+                sd = np.sqrt(np.maximum((X * X).mean(axis=1) - mu * mu, 1e-24))
+                G = X @ X.T
+                d2 = 2.0 * m * (1.0 - (G - m * np.outer(mu, mu)) / (m * np.outer(sd, sd)))
+                d = np.sqrt(np.maximum(d2, 0.0))
+                ii, jj = np.indices((nw, nw))
+                d[np.abs(ii - jj) < excl] = np.inf
+                dr = np.round(d + 1e-9, 6)
+                nn = np.argmin(dr, axis=1)  # first min = smallest j on ties
+                mp = d[np.arange(nw), nn]
+                out.append(pd.DataFrame({
+                    key: sid, "i": np.arange(nw), "mp": mp, "nn": nn,
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    return wide.mapInPandas(fn, f"{key} bigint, i bigint, mp double, nn bigint")
+
+
+def _q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import roundn
+
+    df = generators.generate(spark, MP_SERIES, MP_LEN, "mixed")
+    return roundn(matrix_profile(df).orderBy("series_id", "i"), 4, "mp")
+
+
+def _matrix_profile_sql() -> str:
+    from .queries import Query  # noqa: F401 (registered below)
+
+    gen = oracle.generate_sql(MP_SERIES, MP_LEN, "mixed", rounded=False)
+    m, excl = MP_M, MP_M // 2
+    return f"""
+WITH src AS MATERIALIZED ({gen}),
+n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+win AS MATERIALIZED (
+  SELECT s.series_id, w.i, s.t - w.i AS k, s.value AS v
+  FROM src s
+  JOIN (SELECT src.series_id, t AS i FROM src JOIN n USING (series_id)
+        WHERE t <= tmax - {m - 1}) w
+    ON w.series_id = s.series_id AND s.t >= w.i AND s.t < w.i + {m}),
+stats AS MATERIALIZED (
+  SELECT series_id, i, avg(v) AS mu,
+         sqrt(greatest(avg(v*v) - avg(v)*avg(v), 1.0e-24)) AS sd
+  FROM win GROUP BY series_id, i),
+dots AS (
+  SELECT a.series_id, a.i, b.i AS j, sum(a.v * b.v) AS dot
+  FROM win a JOIN win b
+    ON b.series_id = a.series_id AND b.k = a.k AND abs(b.i - a.i) >= {excl}
+  GROUP BY a.series_id, a.i, b.i),
+dist AS (
+  SELECT d.series_id, d.i, d.j,
+         sqrt(greatest(2.0e0 * {m} * (1.0e0 -
+           (d.dot - {m} * sa.mu * sb.mu) / ({m} * sa.sd * sb.sd)), 0.0e0)) AS dist
+  FROM dots d
+  JOIN stats sa ON sa.series_id = d.series_id AND sa.i = d.i
+  JOIN stats sb ON sb.series_id = d.series_id AND sb.i = d.j),
+ranked AS (
+  SELECT series_id, i, j, dist,
+         row_number() OVER (PARTITION BY series_id, i
+                            ORDER BY (round((dist) + 1.0e-9,6)+0.0e0) ASC, j ASC) AS rn
+  FROM dist)
+SELECT series_id, i, {E.roundn('dist', 4)} AS mp, j AS nn
+FROM ranked WHERE rn = 1
+ORDER BY series_id, i
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_sax": Query("ts_sax", _q_sax, _sax_sql(), ("tsdb",)),
+        "ts_matrix_profile": Query(
+            "ts_matrix_profile", _q_matrix_profile, _matrix_profile_sql(), ("tsdb",)
+        ),
+    }
+)
