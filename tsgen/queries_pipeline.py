@@ -266,6 +266,63 @@ FROM lab
 """
 
 
+# --- canonical-doc selection per near-dup cluster --------------------------
+# The step AFTER clustering that actually shrinks the corpus: keep the best
+# doc per cluster (longest text, ties → smallest doc_id — the usual "most
+# complete variant wins" policy), report what was dropped. One window over
+# the cluster assignment (partitioned by cluster_id — cluster sizes are
+# bounded by the pair generator's df-cap, so no skewed reducer).
+def _q_dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.length("text").alias("doc_len"))
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    lab = dedup.connected_components(pairs.select("doc_a", "doc_b")).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("doc_len").desc(), F.col("doc_id").asc()
+    )
+    ranked = lab.join(docs, "doc_id").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_len"))).alias("kept_len"),
+            F.count("*").alias("cluster_size"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    return f"""
+WITH RECURSIVE jp AS MATERIALIZED ({jp}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+cc_nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM cc_nodes
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+lab AS MATERIALIZED (SELECT node AS doc_id, min(r) AS cluster_id
+                     FROM reach GROUP BY node),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, len(d.text) AS doc_len,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY len(d.text) DESC, l.doc_id ASC) AS rn
+  FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+       max(CASE WHEN rn = 1 THEN doc_len END) AS kept_len,
+       count(*) AS cluster_size,
+       count(*) - 1 AS n_dropped
+FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 # --- end-to-end corpus curation (the LLM training-data pipeline, fused) ----
 # One query composing the whole curation funnel the way a real pipeline
 # runs it: exact dedup (md5 fingerprint, keeper = min doc_id) → language
@@ -444,6 +501,9 @@ _REGISTRY.update(
         "dedup_exact_docs": Query("dedup_exact_docs", _q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
         "corpus_curation": Query(
             "corpus_curation", _q_corpus_curation, _CORPUS_CURATION_SQL, ("dedup", "text")
+        ),
+        "dedup_keep_best": Query(
+            "dedup_keep_best", _q_dedup_keep_best, _dedup_keep_best_sql(), ("dedup",)
         ),
         "dedup_clusters": Query(
             "dedup_clusters", _q_dedup_clusters, _dedup_clusters_sql(), ("dedup",)
