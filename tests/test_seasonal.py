@@ -109,3 +109,50 @@ def test_matrix_profile_finds_planted_motif(spark):
     assert out[10].mp < 1e-6
     med = float(np.median([r.mp for r in out.values()]))
     assert out[10].mp < med / 10
+
+
+def test_changepoint_finds_planted_mean_shift(spark):
+    from tsgen.queries_seasonal import changepoint
+
+    # level shift at k=30 (1-based row 31): constant 0 then constant 5,
+    # tiny deterministic ripple so means aren't degenerate
+    rows = [
+        ("a", t, (0.0 if t < 30 else 5.0) + 0.01 * (t % 3)) for t in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    r = changepoint(df, "k", "o", "v").collect()[0]
+    assert r.split_k == 30
+    assert abs(r.mean_left - 0.01) < 0.02
+    assert abs(r.mean_right - 5.01) < 0.02
+
+
+def test_spectral_entropy_tone_below_noise(spark):
+    # a pure tone concentrates the spectrum (entropy ~ 0); a broadband
+    # pseudo-noise series spreads it (entropy_norm near 1)
+    import numpy as np
+
+    from tsgen.queries_decompose import _q_spectral_entropy
+    from tsgen import spectral
+    from pyspark.sql import functions as F
+    from tsgen.queries import roundn
+
+    t = np.arange(64)
+    tone = np.sin(2 * np.pi * 4 * t / 64)
+    rng = np.random.RandomState(3)
+    noise = rng.randn(64)
+    rows = [(0, int(i), float(v)) for i, v in enumerate(tone)] + [
+        (1, int(i), float(v)) for i, v in enumerate(noise)
+    ]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    spec = spectral.rfft(df).filter(F.col("freq_idx") > 0)
+    pw = spec.select("series_id", (F.col("magnitude") ** 2).alias("p"))
+    tot = pw.groupBy("series_id").agg(F.sum("p").alias("tot"))
+    ent = (
+        pw.join(tot, "series_id")
+        .withColumn("pn", F.col("p") / F.col("tot"))
+        .groupBy("series_id")
+        .agg((-F.sum(F.when(F.col("pn") > 0, F.col("pn") * F.log("pn")).otherwise(0.0))).alias("h"))
+    )
+    h = {r.series_id: r.h for r in ent.collect()}
+    assert h[0] < 0.1          # tone: all mass in one bin
+    assert h[1] > 2.0          # broadband: spread over ~32 bins (ln 32 ≈ 3.5)

@@ -446,9 +446,58 @@ def _q_sample_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(out.select("series_id", "t", "x"), "x")
 
 
+def _q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shannon entropy of the normalized power spectrum — the standard
+    # "how periodic vs noise-like is this series" feature (low = one
+    # dominant tone, high = flat/noisy spectrum). Reuses the rfft kernel;
+    # DC is excluded (it carries the mean, not structure).
+    from .queries import roundn
+
+    df = generators.generate(spark, 8, LEN_D, "mixed", noise=False, normalize=False)
+    spec = spectral.rfft(df).filter(F.col("freq_idx") > 0)
+    pw = spec.select(
+        "series_id", (F.col("magnitude") * F.col("magnitude")).alias("p")
+    )
+    tot = pw.groupBy("series_id").agg(F.sum("p").alias("tot"))
+    out = (
+        pw.join(F.broadcast(tot), "series_id")
+        .withColumn("pn", F.col("p") / F.col("tot"))
+        .groupBy("series_id")
+        .agg(
+            (-F.sum(F.when(F.col("pn") > 0, F.col("pn") * F.log("pn")).otherwise(0.0)))
+            .alias("entropy"),
+            F.count("*").alias("n_bins"),
+        )
+        .withColumn("entropy_norm", F.col("entropy") / F.log(F.col("n_bins").cast("double")))
+    )
+    return roundn(out.select("series_id", "n_bins", "entropy", "entropy_norm"), 6,
+                  "entropy", "entropy_norm")
+
+
+def _spectral_entropy_sql() -> str:
+    return f"""
+WITH {_dft_spec_ctes()},
+pw AS (SELECT series_id, (re*re + im*im) AS p FROM spec WHERE freq_idx > 0),
+tot AS (SELECT series_id, sum(p) AS tot FROM pw GROUP BY series_id),
+agg AS (
+  SELECT pw.series_id,
+         -sum(CASE WHEN pw.p / t.tot > 0
+                   THEN (pw.p / t.tot) * ln(pw.p / t.tot) ELSE 0.0e0 END) AS entropy,
+         count(*) AS n_bins
+  FROM pw JOIN tot t ON t.series_id = pw.series_id
+  GROUP BY pw.series_id)
+SELECT series_id, n_bins, {E.round6('entropy')} AS entropy,
+       {E.round6('entropy / ln(CAST(n_bins AS DOUBLE))')} AS entropy_norm
+FROM agg
+"""
+
+
 _REGISTRY.update(
     {
         "trend_linear": Query("trend_linear", _q_trend_linear, _trend_linear_sql(), ("decompose",)),
+        "ts_spectral_entropy": Query(
+            "ts_spectral_entropy", _q_spectral_entropy, _spectral_entropy_sql(), ("spectral",)
+        ),
         "trend_poly3": Query("trend_poly3", _q_trend_poly, _trend_poly3_sql(), ("decompose",)),
         "fft_spectrum": Query("fft_spectrum", _q_fft_spectrum, _fft_spectrum_sql(), ("spectral",)),
         "fft_topk": Query("fft_topk", _q_fft_topk, _fft_topk_sql(), ("spectral",)),

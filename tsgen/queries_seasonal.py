@@ -485,3 +485,115 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- single changepoint detection (CUSUM / binary-segmentation step) --------
+CP_MIN_SEG = 5
+
+
+def changepoint(
+    df: DataFrame, key: str, order: str, value: str, min_seg: int = CP_MIN_SEG
+) -> DataFrame:
+    """Most-likely single mean-shift point per series: argmax over split
+    positions k of the scaled between-segment statistic
+        score(k) = k·(T−k)/T · (mean_left − mean_right)²
+    — the square of the CUSUM statistic, equivalently the variance
+    reduction of a one-split binary-segmentation step (Scott & Knott 1974).
+
+    Pure Catalyst: one running-sum window + one count window + one argmax
+    window, all partitioned by the series key — a single shuffle. The
+    argmax orders by (6dp-rounded score, split index) so association-order
+    float noise can't flip the winner between engines. Recursing on the two
+    halves gives full binary segmentation; one level is the oracle-checkable
+    unit."""
+    wk = Window.partitionBy(key)
+    wo = Window.partitionBy(key).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = (
+        df.withColumn("_T", F.count("*").over(wk))
+        .withColumn("_tot", F.sum(value).over(wk))
+        .withColumn("_k", F.row_number().over(Window.partitionBy(key).orderBy(order)))
+        .withColumn("_cum", F.sum(value).over(wo))
+    )
+    k, T = F.col("_k").cast("double"), F.col("_T").cast("double")
+    ml = F.col("_cum") / k
+    mr = (F.col("_tot") - F.col("_cum")) / (T - k)
+    scored = d.filter(
+        (F.col("_k") >= min_seg) & (F.col("_k") <= F.col("_T") - min_seg)
+    ).withColumn("score", k * (T - k) / T * (ml - mr) * (ml - mr))
+    wa = Window.partitionBy(key).orderBy(
+        (F.round(F.col("score") + F.lit(1e-9), 6) + F.lit(0.0)).desc(),
+        F.col("_k").asc(),
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select(
+            key,
+            F.col("_k").alias("split_k"),
+            F.col(order).alias("split_at"),
+            ml.alias("mean_left"),
+            mr.alias("mean_right"),
+            F.col("score"),
+        )
+    )
+
+
+def _q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import canon_types, roundn
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.avg("value").alias("value"))
+    out = changepoint(hourly, "event_type", "bucket", "value")
+    out = out.select(
+        "event_type", "split_k",
+        F.unix_timestamp("split_at").alias("split_s"),
+        "mean_left", "mean_right", "score",
+    )
+    return canon_types(roundn(out, 6, "mean_left", "mean_right", "score"))
+
+
+_CHANGEPOINT_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, avg(value) AS value
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+d AS (
+  SELECT event_type, bucket, value,
+         count(*) OVER (PARTITION BY event_type) AS _T,
+         sum(value) OVER (PARTITION BY event_type) AS _tot,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS _k,
+         sum(value) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+  FROM hourly),
+scored AS (
+  SELECT event_type, bucket, _k,
+         _cum / _k AS mean_left,
+         (_tot - _cum) / (_T - _k) AS mean_right,
+         CAST(_k AS DOUBLE) * (_T - _k) / _T
+           * ((_cum / _k) - ((_tot - _cum) / (_T - _k)))
+           * ((_cum / _k) - ((_tot - _cum) / (_T - _k))) AS score
+  FROM d WHERE _k >= {CP_MIN_SEG} AND _k <= _T - {CP_MIN_SEG}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY (round((score) + 1.0e-9,6)+0.0e0) DESC, _k ASC) AS rn
+  FROM scored)
+SELECT event_type, _k AS split_k,
+       CAST(floor(epoch(bucket)) AS BIGINT) AS split_s,
+       (round((mean_left) + 1.0e-9,6)+0.0e0) AS mean_left,
+       (round((mean_right) + 1.0e-9,6)+0.0e0) AS mean_right,
+       (round((score) + 1.0e-9,6)+0.0e0) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_changepoint": Query(
+            "ts_changepoint", _q_changepoint, _CHANGEPOINT_SQL, ("tsdb",)
+        ),
+    }
+)
