@@ -156,3 +156,27 @@ def test_spectral_entropy_tone_below_noise(spark):
     h = {r.series_id: r.h for r in ent.collect()}
     assert h[0] < 0.1          # tone: all mass in one bin
     assert h[1] > 2.0          # broadband: spread over ~32 bins (ln 32 ≈ 3.5)
+
+
+def test_dtw_aligns_phase_shift(spark):
+    from tsgen.queries_seasonal import dtw_pairs
+
+    # DTW must align a phase-shifted copy almost perfectly (only edge
+    # cells pay), while a different-frequency series stays far away
+    import numpy as np
+
+    t = np.arange(48)
+    base = np.sin(2 * np.pi * t / 16)
+    shifted = np.sin(2 * np.pi * (t - 2) / 16)
+    other = np.sin(2 * np.pi * t / 5)
+    rows = (
+        [(0, int(i), float(v)) for i, v in enumerate(base)]
+        + [(1, int(i), float(v)) for i, v in enumerate(shifted)]
+        + [(2, int(i), float(v)) for i, v in enumerate(other)]
+    )
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    d = {(r.series_a, r.series_b): r.dtw for r in dtw_pairs(df).collect()}
+    # only the 2-sample edge pays (~1.0); lock-step euclidean is ~3.7
+    assert d[(0, 1)] < 1.2
+    assert d[(0, 2)] > 3 * d[(0, 1)]
+    assert d[(0, 1)] < 0.5 * float(np.sqrt(((base - shifted) ** 2).sum()))

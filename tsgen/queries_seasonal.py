@@ -597,3 +597,133 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- dynamic time warping --------------------------------------------------
+DTW_SERIES, DTW_LEN = 8, 32
+
+
+def dtw_pairs(
+    df: DataFrame, key: str = "series_id", value: str = "value"
+) -> DataFrame:
+    """All-pairs dynamic time warping distance (squared-difference cost,
+    symmetric step pattern): the classic elastic similarity measure that
+    aligns series with phase shifts/local stretches where Euclidean
+    distance fails.
+
+    Execution shape: the DP recurrence D(i,j) = c(i,j) + min(D(i−1,j),
+    D(i,j−1), D(i−1,j−1)) is sequential along ANTI-DIAGONALS — cells on one
+    diagonal depend only on the previous two — so the kernel loops over the
+    n+m−1 diagonals and vectorizes each update across (pairs × diagonal
+    cells), the same time-axis-only loop discipline as the forecast
+    kernels. All-pairs is O(P²) by nature: the scale path is pairing
+    against a fixed reference set or LB_Keogh-pruned candidates, both of
+    which reuse this kernel unchanged; the oracle-checkable unit here is
+    all pairs of a bounded series set."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+    a = wide.select(
+        F.col(key).alias("series_a"), F.col("vs").alias("a_vs")
+    )
+    b = wide.select(
+        F.col(key).alias("series_b"), F.col("vs").alias("b_vs")
+    )
+    # broadcast the right side: without it the inequality join plans as a
+    # 32×32-partition nested-loop cross product (1024 tasks for 28 rows)
+    pairs = a.join(F.broadcast(b), F.col("series_a") < F.col("series_b"))
+
+    def fn(batches: "pd.Iterator") -> "pd.Iterator":
+        import numpy as np
+        import pandas as pd
+
+        INF = 1.0e30  # same guard literal as the oracle's out-of-range case
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=float) for v in pdf["a_vs"]])
+            B = np.stack([np.asarray(v, dtype=float) for v in pdf["b_vs"]])
+            P, n = A.shape
+            m = B.shape[1]
+            C = A[:, :, None] - B[:, None, :]
+            C = C * C
+            D = np.full((P, n + 1, m + 1), INF)
+            D[:, 0, 0] = 0.0
+            for d in range(2, n + m + 1):
+                i = np.arange(max(1, d - m), min(n, d - 1) + 1)
+                j = d - i
+                D[:, i, j] = C[:, i - 1, j - 1] + np.minimum(
+                    np.minimum(D[:, i - 1, j], D[:, i, j - 1]), D[:, i - 1, j - 1]
+                )
+            yield pd.DataFrame(
+                {
+                    "series_a": pdf["series_a"],
+                    "series_b": pdf["series_b"],
+                    "dtw": np.sqrt(D[:, n, m]),
+                }
+            )
+
+    return pairs.mapInPandas(fn, "series_a bigint, series_b bigint, dtw double")
+
+
+def _q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import round6 as r6
+
+    df = generators.generate(spark, DTW_SERIES, DTW_LEN, "mixed")
+    return r6(dtw_pairs(df).orderBy("series_a", "series_b"), "dtw")
+
+
+def _dtw_sql() -> str:
+    # The DP replayed diagonal-by-diagonal in a recursive CTE whose state is
+    # the previous TWO anti-diagonals as LIST columns (the holt_winters
+    # rotating-LIST trick). Cell (i, d−i) of diagonal d reads:
+    #   up   D(i−1, d−1−(i−1)) → prev list         left D(i, d−1−i) → prev
+    #   diag D(i−1, d−2−(i−1)) → prev2 (or the D(0,0)=0 base when d=2)
+    # with 1e30 guards where the neighbor falls off the previous diagonal's
+    # valid row range [max(1, d'−m), min(n, d'−1)]. Costs are (a[i]−b[j])²
+    # via explicit multiply (pow() rounds differently per libm).
+    gen = oracle.generate_sql(DTW_SERIES, DTW_LEN, "mixed", rounded=False)
+    n = m = DTW_LEN
+    up = (
+        f"CASE WHEN i - 1 >= greatest(1, r.d - {m}) AND i - 1 <= least({n}, r.d - 1) "
+        f"THEN r.cur[i - 1 - greatest(1, r.d - {m}) + 1] ELSE 1.0e30 END"
+    )
+    left = (
+        f"CASE WHEN i >= greatest(1, r.d - {m}) AND i <= least({n}, r.d - 1) "
+        f"THEN r.cur[i - greatest(1, r.d - {m}) + 1] ELSE 1.0e30 END"
+    )
+    diag = (
+        f"CASE WHEN r.d = 1 AND i = 1 THEN 0.0e0 "
+        f"WHEN i - 1 >= greatest(1, r.d - 1 - {m}) AND i - 1 <= least({n}, r.d - 2) "
+        f"THEN r.prev[i - 1 - greatest(1, r.d - 1 - {m}) + 1] ELSE 1.0e30 END"
+    )
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({gen}),
+s AS (SELECT series_id, list(value ORDER BY t) AS vs FROM src GROUP BY series_id),
+pairs AS MATERIALIZED (
+  SELECT a.series_id AS sa, b.series_id AS sb, a.vs AS a_l, b.vs AS b_l
+  FROM s a JOIN s b ON b.series_id > a.series_id),
+rec(sa, sb, d, cur, prev) AS (
+  SELECT sa, sb, 1, CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[]) FROM pairs
+  UNION ALL
+  SELECT r.sa, r.sb, r.d + 1,
+         list_transform(
+           range(greatest(1, r.d + 1 - {m}), least({n}, r.d) + 1),
+           i -> (p.a_l[i] - p.b_l[r.d + 1 - i]) * (p.a_l[i] - p.b_l[r.d + 1 - i])
+                + least({up}, {left}, {diag})),
+         r.cur
+  FROM rec r JOIN pairs p ON p.sa = r.sa AND p.sb = r.sb
+  WHERE r.d < {n + m})
+SELECT sa AS series_a, sb AS series_b, {E.round6('sqrt(cur[1])')} AS dtw
+FROM rec WHERE d = {n + m}
+ORDER BY series_a, series_b
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_dtw": Query("ts_dtw", _q_dtw, _dtw_sql(), ("tsdb",)),
+    }
+)
