@@ -123,6 +123,15 @@ def main() -> None:
         "ev_rolling_median",
         "weighted_sample",
         "kalman_em",
+        # round-3 session families: graph communities, canonical-doc
+        # selection, TS toolkit (SAX / matrix profile / DTW / changepoint)
+        "graph_communities",
+        "dedup_keep_best",
+        "ts_sax",
+        "ts_matrix_profile",
+        "ts_dtw",
+        "ts_changepoint",
+        "ts_spectral_entropy",
     ]
     reg = registry()
     for name in suite:

@@ -419,3 +419,18 @@ def test_pq_adc_topk_recall_vs_brute_force(spark, emb):
                         key=lambda k: np.linalg.norm(recon[k] - q))[:20])
     recall = len(true_top & pq_top) / 20
     assert recall >= 0.3, recall  # 64->4-byte codes still find the neighborhood
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    from tsgen.queries_pipeline import _q_dsir_scores
+
+    out = _q_dsir_scores(spark, "/root/testdata/sf0.001").collect()
+    docs = {r.doc_id: r.lang for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "lang").collect()}
+    import numpy as np
+
+    en = [r.dsir_score for r in out if docs[r.doc_id] == "en"]
+    non = [r.dsir_score for r in out if docs[r.doc_id] != "en"]
+    assert en and non
+    # target = en slice: en docs must score higher on average than non-en
+    assert float(np.mean(en)) > float(np.mean(non))

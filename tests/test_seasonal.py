@@ -180,3 +180,30 @@ def test_dtw_aligns_phase_shift(spark):
     assert d[(0, 1)] < 1.2
     assert d[(0, 2)] > 3 * d[(0, 1)]
     assert d[(0, 1)] < 0.5 * float(np.sqrt(((base - shifted) ** 2).sum()))
+
+
+def test_period_detects_planted_cycle(spark):
+    from tsgen.queries_seasonal import ACF_MAX_LAG, ACF_MIN_LAG  # noqa: F401
+    import numpy as np
+    from pyspark.sql import functions as F, Window
+    from tsgen.queries_seasonal import _q_period  # registry form uses generators
+
+    # direct check on a constructed series: period-12 sawtooth + tiny ripple
+    t = np.arange(96)
+    y = np.sin(2 * np.pi * t / 12)
+    rows = [(0, int(i), float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    w = Window.partitionBy("series_id").orderBy("t")
+    lag_cols = [F.lag("value", lg).over(w).alias(f"lag{lg}") for lg in range(2, 25)]
+    stack = "stack(23, " + ", ".join(
+        f"CAST({lg} AS BIGINT), value * lag{lg}" for lg in range(2, 25)
+    ) + ") AS (l, prod)"
+    pr = df.select("series_id", "t", "value", *lag_cols).selectExpr("series_id", stack)
+    ss = df.groupBy("series_id").agg(F.sum(F.col("value") * F.col("value")).alias("ss"))
+    acf = (
+        pr.filter(F.col("prod").isNotNull())
+        .groupBy("series_id", "l").agg(F.sum("prod").alias("num"))
+        .join(ss, "series_id").withColumn("acf", F.col("num") / F.col("ss"))
+    )
+    best = acf.orderBy(F.desc("acf"), F.asc("l")).collect()[0]
+    assert best.l == 12

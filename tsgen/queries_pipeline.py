@@ -323,6 +323,83 @@ FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
+# --- DSIR-style importance weighting ---------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023): score
+# every raw doc by how target-like its hashed n-gram features are —
+# score(doc) = mean over tokens of log p̂_target(bucket) − log p̂_raw(bucket),
+# with add-alpha smoothing over B hash buckets. The standard modern recipe
+# for "give me more docs that look like this reference corpus" at 100 TB:
+# the bucket LM is a B-row table (broadcast), the scan is one explode +
+# two partial-agged passes — no shuffle of the corpus beyond the per-doc agg.
+DSIR_B, DSIR_ALPHA = 128, 0.5
+DSIR_TARGET = "lang = 'en'"   # target distribution: the corpus's en slice
+
+
+def _q_dsir_scores(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .queries import roundn
+    from .sketches import _hash48, _spark_hexparse
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    )
+    feats = toks.withColumn(
+        "b", F.expr(f"({_hash48('tok', _spark_hexparse)}) % {DSIR_B}")
+    )
+    counts = feats.groupBy("b").agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.expr(f"CAST({DSIR_TARGET} AS LONG)")).alias("n_tgt"),
+    )
+    tot = counts.agg(
+        F.sum("n_all").alias("t_all"), F.sum("n_tgt").alias("t_tgt")
+    )
+    a, ab = F.lit(DSIR_ALPHA), F.lit(DSIR_ALPHA * DSIR_B)
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("n_tgt") + a) / (F.col("t_tgt") + ab))
+            - F.log((F.col("n_all") + a) / (F.col("t_all") + ab))
+        ).alias("w"),
+    )
+    out = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.avg("w").alias("dsir_score"), F.count("*").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+    return roundn(out, 4, "dsir_score")
+
+
+def _dsir_sql() -> str:
+    from .sketches import _duck_hexparse, _hash48
+
+    h = _hash48("tok", _duck_hexparse)
+    a, ab = f"{DSIR_ALPHA:.9e}", f"{DSIR_ALPHA * DSIR_B:.9e}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents),
+feats AS (SELECT doc_id, lang, ({h}) % {DSIR_B} AS b FROM toks),
+counts AS (
+  SELECT b, count(*) AS n_all,
+         sum(CASE WHEN {DSIR_TARGET} THEN 1 ELSE 0 END) AS n_tgt
+  FROM feats GROUP BY b),
+tot AS (SELECT sum(n_all) AS t_all, sum(n_tgt) AS t_tgt FROM counts),
+w AS (
+  SELECT b, ln((n_tgt + {a}) / (t_tgt + {ab}))
+            - ln((n_all + {a}) / (t_all + {ab})) AS w
+  FROM counts CROSS JOIN tot)
+SELECT f.doc_id, (round((avg(w.w)) + 1.0e-9,4)+0.0e0) AS dsir_score,
+       count(*) AS n_tokens
+FROM feats f JOIN w ON w.b = f.b
+GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+
 # --- end-to-end corpus curation (the LLM training-data pipeline, fused) ----
 # One query composing the whole curation funnel the way a real pipeline
 # runs it: exact dedup (md5 fingerprint, keeper = min doc_id) → language
@@ -504,6 +581,9 @@ _REGISTRY.update(
         ),
         "dedup_keep_best": Query(
             "dedup_keep_best", _q_dedup_keep_best, _dedup_keep_best_sql(), ("dedup",)
+        ),
+        "dsir_scores": Query(
+            "dsir_scores", _q_dsir_scores, _dsir_sql(), ("text",)
         ),
         "dedup_clusters": Query(
             "dedup_clusters", _q_dedup_clusters, _dedup_clusters_sql(), ("dedup",)

@@ -727,3 +727,86 @@ _REGISTRY.update(
         "ts_dtw": Query("ts_dtw", _q_dtw, _dtw_sql(), ("tsdb",)),
     }
 )
+
+
+# --- dominant period via the autocorrelation peak ---------------------------
+ACF_MIN_LAG, ACF_MAX_LAG = 2, 24
+
+
+def _q_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant period per series = argmax over lags 2..24 of the ACF
+    (z-normalized series, so acf_l = Σ x_t·x_{t−l} / Σ x_t²). One lag
+    window per candidate (all sharing a single series partitioning →
+    ONE shuffle), stack-unpivoted to (lag, product) rows, partial-agged —
+    not the explode-×-lags join, which would multiply the shuffled data
+    23×. Argmax on (6dp-rounded acf, smallest lag)."""
+    from .queries import canon_types, roundn
+
+    df = generators.generate(spark, 12, 96, "mixed")
+    w = Window.partitionBy("series_id").orderBy("t")
+    lag_cols = [
+        F.lag("value", lg).over(w).alias(f"lag{lg}")
+        for lg in range(ACF_MIN_LAG, ACF_MAX_LAG + 1)
+    ]
+    stack = (
+        f"stack({ACF_MAX_LAG - ACF_MIN_LAG + 1}, "
+        + ", ".join(
+            f"CAST({lg} AS BIGINT), value * lag{lg}"
+            for lg in range(ACF_MIN_LAG, ACF_MAX_LAG + 1)
+        )
+        + ") AS (l, prod)"
+    )
+    pr = df.select("series_id", "t", "value", *lag_cols).selectExpr(
+        "series_id", stack
+    )
+    ss = df.groupBy("series_id").agg(
+        F.sum(F.col("value") * F.col("value")).alias("ss")
+    )
+    acf = (
+        pr.filter(F.col("prod").isNotNull())
+        .groupBy("series_id", "l")
+        .agg(F.sum("prod").alias("num"))
+        .join(F.broadcast(ss), "series_id")
+        .withColumn("acf", F.col("num") / F.col("ss"))
+    )
+    wa = Window.partitionBy("series_id").orderBy(
+        (F.round(F.col("acf") + F.lit(1e-9), 6) + F.lit(0.0)).desc(),
+        F.col("l").asc(),
+    )
+    out = (
+        acf.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("series_id", F.col("l").alias("period"), F.col("acf").alias("acf_peak"))
+        .orderBy("series_id")
+    )
+    return canon_types(roundn(out, 6, "acf_peak"))
+
+
+def _period_sql() -> str:
+    gen = oracle.generate_sql(12, 96, "mixed", rounded=False)
+    return f"""
+WITH src AS ({gen}),
+lags AS (SELECT unnest(range({ACF_MIN_LAG}, {ACF_MAX_LAG + 1})) AS l),
+ss AS (SELECT series_id, sum(value * value) AS ss FROM src GROUP BY series_id),
+acf AS (
+  SELECT a.series_id, lags.l, sum(a.value * b.value) / any_value(ss.ss) AS acf
+  FROM src a
+  CROSS JOIN lags
+  JOIN src b ON b.series_id = a.series_id AND b.t = a.t - lags.l
+  JOIN ss ON ss.series_id = a.series_id
+  GROUP BY a.series_id, lags.l),
+ranked AS (
+  SELECT series_id, l, acf, row_number() OVER (
+    PARTITION BY series_id
+    ORDER BY (round((acf) + 1.0e-9,6)+0.0e0) DESC, l ASC) AS rn
+  FROM acf)
+SELECT series_id, l AS period, {E.round6('acf')} AS acf_peak
+FROM ranked WHERE rn = 1 ORDER BY series_id
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_period": Query("ts_period", _q_period, _period_sql(), ("tsdb",)),
+    }
+)
