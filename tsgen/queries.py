@@ -187,6 +187,7 @@ def _ensure_populated() -> None:
         queries_decompose,
         queries_diffusion,
         queries_experiments,
+        queries_forecast2,
         queries_misc,
         queries_paths,
         queries_pipeline,

@@ -1,0 +1,347 @@
+"""Forecasting toolkit, part 2 (north-star TS-engine extension; complements
+the SES/Holt/Holt-Winters/theta/Kalman family in tsgen/forecast.py with the
+remaining M-competition classics):
+
+- forecast_ar2: per-series AR(2) autoregression — OLS fit on the centered
+  series via the 2x2 normal equations (Cramer), then an h-step recursive
+  forecast. Entirely Catalyst: one shuffle fits every series at once; the
+  h-step recurrence is unrolled as nested column expressions over the tiny
+  per-series coefficient table (no driver loop over data).
+- forecast_accuracy: the M-competition benchmark harness — naive /
+  seasonal-naive / drift forecasts on a train/test split, scored with
+  MAE / RMSE / sMAPE / MASE per (series, method). This is the query a
+  forecasting user runs FIRST to know whether a fancy model beats the
+  benchmarks (Hyndman & Athanasopoulos chapter 5).
+- forecast_croston: Croston's method for intermittent demand — separate
+  SES levels for the nonzero demand sizes and the inter-arrival intervals,
+  forecast rate = size_level / interval_level. Uses the same closed-form
+  SES identity as forecast_ses (tsgen/queries_misc.py:328): the recursion
+  level_n is a plain weighted sum, so the whole method is one filter + one
+  window + one aggregation.
+
+Scale notes (100 TB):
+- ar2: the data-sized work is ONE hash partitioning on series_id shared by
+  the window pass and the groupBy (same key -> no second exchange); the
+  recurrence runs over n_series coefficient rows, never over raw points.
+- accuracy: lag window + per-series scalar agg share the series_id
+  partitioning; the scalars table (n_series rows) is broadcast back.
+- croston: arrivals filter prunes before the shuffle; the SES closed form
+  makes the "sequential" recursion a partial-aggregable weighted sum.
+
+Reference scope anchor: the reference's models consume the same generated
+series (utils/data_generators.py:28-113); forecasting is engine surface on
+top, mirroring what its TS users run downstream.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import expr as E, generators, oracle
+from .queries import _REGISTRY, Query, roundn
+
+AR2_H = 8
+ACC_TRAIN_N, ACC_SEASON = 48, 16
+CROSTON_ALPHA = 0.3
+CROSTON_SALT = 52121
+
+
+# --- AR(2) -----------------------------------------------------------------
+def ar2_forecast(
+    df: DataFrame,
+    horizon: int = AR2_H,
+    key: str = "series_id",
+    t: str = "t",
+    value: str = "value",
+) -> DataFrame:
+    """Fit y_t - mu = phi1 (y_{t-1} - mu) + phi2 (y_{t-2} - mu) by OLS per
+    series, then forecast `horizon` steps by running the recurrence forward
+    from the last two observations.
+
+    The fit is the 2x2 normal-equation solve (Cramer): sums of lag products
+    are conditional aggregates over one series_id partitioning. The h-step
+    recurrence is unrolled as nested column expressions — expression-tree
+    size grows Fibonacci-like in `horizon`, fine for the small horizons this
+    targets (keep horizon <= ~16)."""
+    wp = Window.partitionBy(key)
+    wo = Window.partitionBy(key).orderBy(t)
+    d = (
+        df.withColumn("mu", F.avg(value).over(wp))
+        .withColumn("t_max", F.max(t).over(wp))
+        .withColumn("c", F.col(value) - F.col("mu"))
+        .withColumn("l1", F.lag(value, 1).over(wo) - F.col("mu"))
+        .withColumn("l2", F.lag(value, 2).over(wo) - F.col("mu"))
+    )
+    ok = F.col("l2").isNotNull()
+    agg = d.groupBy(key).agg(
+        F.max("mu").alias("mu"),
+        F.sum(F.when(ok, F.col("l1") * F.col("l1"))).alias("s11"),
+        F.sum(F.when(ok, F.col("l2") * F.col("l2"))).alias("s22"),
+        F.sum(F.when(ok, F.col("l1") * F.col("l2"))).alias("s12"),
+        F.sum(F.when(ok, F.col("c") * F.col("l1"))).alias("sy1"),
+        F.sum(F.when(ok, F.col("c") * F.col("l2"))).alias("sy2"),
+        F.max(F.when(F.col(t) == F.col("t_max"), F.col("c"))).alias("f1"),
+        F.max(F.when(F.col(t) == F.col("t_max") - 1, F.col("c"))).alias("f2"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    coef = agg.withColumn(
+        "phi1", (F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")) / det
+    ).withColumn(
+        "phi2", (F.col("s11") * F.col("sy2") - F.col("s12") * F.col("sy1")) / det
+    )
+    f_prev2, f_prev1 = F.col("f2"), F.col("f1")
+    steps = []
+    for _ in range(horizon):
+        f_new = F.col("phi1") * f_prev1 + F.col("phi2") * f_prev2
+        steps.append(f_new + F.col("mu"))
+        f_prev2, f_prev1 = f_prev1, f_new
+    out = coef.select(
+        key, "phi1", "phi2", F.posexplode(F.array(*steps)).alias("h0", "forecast")
+    )
+    return out.select(
+        key, (F.col("h0") + 1).alias("h"), "forecast", "phi1", "phi2"
+    )
+
+
+def _q_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, 8, 64, "mixed")
+    return roundn(ar2_forecast(df), 6, "forecast", "phi1", "phi2")
+
+
+def _ar2_sql(horizon: int = AR2_H) -> str:
+    gen = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return f"""
+WITH RECURSIVE src AS ({gen}),
+d AS (
+  SELECT series_id, t, value,
+         avg(value) OVER (PARTITION BY series_id) AS mu,
+         max(t) OVER (PARTITION BY series_id) AS t_max,
+         lag(value, 1) OVER wa AS p1,
+         lag(value, 2) OVER wa AS p2
+  FROM src WINDOW wa AS (PARTITION BY series_id ORDER BY t)),
+coef0 AS (
+  SELECT series_id, max(mu) AS mu,
+         sum(CASE WHEN p2 IS NOT NULL THEN (p1 - mu) * (p1 - mu) END) AS s11,
+         sum(CASE WHEN p2 IS NOT NULL THEN (p2 - mu) * (p2 - mu) END) AS s22,
+         sum(CASE WHEN p2 IS NOT NULL THEN (p1 - mu) * (p2 - mu) END) AS s12,
+         sum(CASE WHEN p2 IS NOT NULL THEN (value - mu) * (p1 - mu) END) AS sy1,
+         sum(CASE WHEN p2 IS NOT NULL THEN (value - mu) * (p2 - mu) END) AS sy2,
+         max(CASE WHEN t = t_max THEN value - mu END) AS f1,
+         max(CASE WHEN t = t_max - 1 THEN value - mu END) AS f2
+  FROM d GROUP BY series_id),
+coef AS (
+  SELECT series_id, mu, f1, f2,
+         (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) AS phi1,
+         (s11 * sy2 - s12 * sy1) / (s11 * s22 - s12 * s12) AS phi2
+  FROM coef0),
+rec AS (
+  SELECT series_id, 1 AS h, phi1 * f1 + phi2 * f2 AS f, f1 AS fp,
+         mu, phi1, phi2
+  FROM coef
+  UNION ALL
+  SELECT series_id, h + 1, phi1 * f + phi2 * fp, f, mu, phi1, phi2
+  FROM rec WHERE h < {horizon})
+SELECT series_id, h, {E.round6('f + mu')} AS forecast,
+       {E.round6('phi1')} AS phi1, {E.round6('phi2')} AS phi2
+FROM rec
+"""
+
+
+# --- benchmark accuracy harness -------------------------------------------
+def forecast_accuracy(
+    df: DataFrame,
+    train_n: int = ACC_TRAIN_N,
+    season: int = ACC_SEASON,
+    key: str = "series_id",
+    t: str = "t",
+    value: str = "value",
+) -> DataFrame:
+    """Score the three M-competition benchmark forecasters on a holdout:
+    naive (last train value), seasonal-naive (value one season back — the
+    holdout must be <= one season so every lookback lands in train), drift
+    (line through first and last train points). Metrics per (series,
+    method): MAE, RMSE, sMAPE, and MASE scaled by the in-sample one-step
+    naive MAE (Hyndman's scale-free standard)."""
+    wo = Window.partitionBy(key).orderBy(t)
+    d = df.withColumn("snaive", F.lag(value, season).over(wo)).withColumn(
+        "prev", F.lag(value, 1).over(wo)
+    )
+    train = F.col(t) < train_n
+    scal = d.groupBy(key).agg(
+        F.max(F.when(F.col(t) == train_n - 1, F.col(value))).alias("y_last"),
+        F.max(F.when(F.col(t) == 0, F.col(value))).alias("y0"),
+        F.avg(
+            F.when(train & (F.col(t) >= 1), F.abs(F.col(value) - F.col("prev")))
+        ).alias("scale"),
+    )
+    test = (
+        d.filter(~train)
+        .join(F.broadcast(scal), key)
+        .withColumn("h", F.col(t) - F.lit(train_n - 1))
+    )
+    drift = F.col("y_last") + F.col("h") * (F.col("y_last") - F.col("y0")) / F.lit(
+        float(train_n - 1)
+    )
+    m = test.select(
+        key,
+        F.col(value).alias("y"),
+        "scale",
+        F.explode(
+            F.array(
+                F.struct(F.lit("naive").alias("method"), F.col("y_last").alias("yhat")),
+                F.struct(F.lit("snaive").alias("method"), F.col("snaive").alias("yhat")),
+                F.struct(F.lit("drift").alias("method"), drift.alias("yhat")),
+            )
+        ).alias("m"),
+    )
+    e = F.col("m.yhat") - F.col("y")
+    return m.groupBy(key, F.col("m.method").alias("method")).agg(
+        F.avg(F.abs(e)).alias("mae"),
+        F.sqrt(F.avg(e * e)).alias("rmse"),
+        F.avg(2.0 * F.abs(e) / (F.abs(F.col("y")) + F.abs(F.col("m.yhat")))).alias(
+            "smape"
+        ),
+        (F.avg(F.abs(e)) / F.max("scale")).alias("mase"),
+    )
+
+
+def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, 8, 64, "mixed")
+    return roundn(forecast_accuracy(df), 4, "mae", "rmse", "smape", "mase")
+
+
+def _accuracy_sql(train_n: int = ACC_TRAIN_N, season: int = ACC_SEASON) -> str:
+    gen = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return f"""
+WITH src AS ({gen}),
+d AS (
+  SELECT series_id, t, value,
+         lag(value, {season}) OVER wa AS snaive,
+         lag(value, 1) OVER wa AS prev
+  FROM src WINDOW wa AS (PARTITION BY series_id ORDER BY t)),
+scal AS (
+  SELECT series_id,
+         max(CASE WHEN t = {train_n - 1} THEN value END) AS y_last,
+         max(CASE WHEN t = 0 THEN value END) AS y0,
+         avg(CASE WHEN t >= 1 AND t < {train_n} THEN abs(value - prev) END)
+           AS scale
+  FROM d GROUP BY series_id),
+test AS (
+  SELECT d.series_id, d.t, d.value, d.snaive, s.y_last, s.y0, s.scale,
+         d.t - {train_n - 1} AS h
+  FROM d JOIN scal s ON d.series_id = s.series_id
+  WHERE d.t >= {train_n}),
+m AS (
+  SELECT series_id, 'naive' AS method, value AS y, y_last AS yhat, scale
+  FROM test
+  UNION ALL
+  SELECT series_id, 'snaive', value, snaive, scale FROM test
+  UNION ALL
+  SELECT series_id, 'drift',
+         value, y_last + h * (y_last - y0) / {E.NUM(train_n - 1)}, scale
+  FROM test)
+SELECT series_id, method,
+  {E.roundn('avg(abs(yhat - y))', 4)} AS mae,
+  {E.roundn('sqrt(avg((yhat - y) * (yhat - y)))', 4)} AS rmse,
+  {E.roundn('avg(2.0e0 * abs(yhat - y) / (abs(y) + abs(yhat)))', 4)} AS smape,
+  {E.roundn('avg(abs(yhat - y)) / max(scale)', 4)} AS mase
+FROM m GROUP BY series_id, method
+"""
+
+
+# --- Croston intermittent demand ------------------------------------------
+def _demand_expr() -> str:
+    """Deterministic intermittent-demand transform of the generated series:
+    ~35% of points carry a positive demand abs(value)+0.5, the rest are 0.
+    Engine-portable (same LCG u01 text on both sides)."""
+    k = E.pt_key()
+    return (
+        f"CASE WHEN {E.u01(k, CROSTON_SALT)} < 3.5e-1 "
+        f"THEN abs(value) + 5.0e-1 ELSE 0.0e0 END"
+    )
+
+
+def croston_forecast(
+    df: DataFrame,
+    alpha: float = CROSTON_ALPHA,
+    key: str = "series_id",
+    t: str = "t",
+    demand: str = "demand",
+) -> DataFrame:
+    """Croston (1972): SES level over the nonzero demand SIZES and a second
+    SES level over the inter-arrival INTERVALS (first interval = t+1, i.e.
+    time since series start); forecast demand rate = z_hat / p_hat.
+
+    The SES recursions use the closed-form weighted-sum identity (same as
+    forecast_ses): weight_i = (1-a)^(n-1) for the first arrival, else
+    a (1-a)^(n-i) — so the whole method aggregates in one pass instead of
+    replaying the recursion."""
+    wo = Window.partitionBy(key).orderBy(t)
+    wp = Window.partitionBy(key)
+    arr = (
+        df.filter(F.col(demand) > 0)
+        .withColumn("i", F.row_number().over(wo))
+        .withColumn(
+            "gap",
+            F.coalesce(F.col(t) - F.lag(t).over(wo), F.col(t) + F.lit(1)).cast(
+                "double"
+            ),
+        )
+        .withColumn("n", F.count("*").over(wp))
+    )
+    a = F.lit(alpha)
+    w_i = F.when(F.col("i") == 1, F.pow(1.0 - a, F.col("n") - 1)).otherwise(
+        a * F.pow(1.0 - a, F.col("n") - F.col("i"))
+    )
+    out = arr.groupBy(key).agg(
+        F.count("*").alias("n_arrivals"),
+        F.sum(w_i * F.col(demand)).alias("z_hat"),
+        F.sum(w_i * F.col("gap")).alias("p_hat"),
+    )
+    return out.withColumn("rate", F.col("z_hat") / F.col("p_hat"))
+
+
+def _q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, 8, 96, "mixed")
+    d = df.withColumn("demand", F.expr(_demand_expr()))
+    return roundn(croston_forecast(d), 6, "z_hat", "p_hat", "rate")
+
+
+def _croston_sql(alpha: float = CROSTON_ALPHA) -> str:
+    gen = oracle.generate_sql(8, 96, "mixed", rounded=False)
+    a, na = E.NUM(alpha), E.NUM(1.0 - alpha)
+    return f"""
+WITH src AS ({gen}),
+dem AS (SELECT series_id, t, {_demand_expr()} AS demand FROM src),
+arr AS (
+  SELECT series_id, t, demand,
+         row_number() OVER wa AS i,
+         CAST(coalesce(t - lag(t) OVER wa, t + 1) AS DOUBLE) AS gap,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM dem WHERE demand > 0
+  WINDOW wa AS (PARTITION BY series_id ORDER BY t)),
+wts AS (
+  SELECT series_id, demand, gap,
+         CASE WHEN i = 1 THEN pow({na}, n - 1)
+              ELSE {a} * pow({na}, n - i) END AS w_i
+  FROM arr),
+agg AS (
+  SELECT series_id, count(*) AS n_arrivals,
+         sum(w_i * demand) AS z_hat, sum(w_i * gap) AS p_hat
+  FROM wts GROUP BY series_id)
+SELECT series_id, n_arrivals, {E.round6('z_hat')} AS z_hat,
+       {E.round6('p_hat')} AS p_hat, {E.round6('z_hat / p_hat')} AS rate
+FROM agg
+"""
+
+
+_REGISTRY.update(
+    {
+        "forecast_ar2": Query("forecast_ar2", _q_ar2, _ar2_sql(), ("forecast",)),
+        "forecast_accuracy": Query(
+            "forecast_accuracy", _q_accuracy, _accuracy_sql(), ("forecast",)
+        ),
+        "forecast_croston": Query(
+            "forecast_croston", _q_croston, _croston_sql(), ("forecast",)
+        ),
+    }
+)
