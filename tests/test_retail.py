@@ -1,0 +1,59 @@
+"""Scalar-reference tests for the retail analytics operators
+(tsgen/queries_retail.py)."""
+import datetime
+
+from tsgen.queries_retail import basket_rules, rfm_segments
+
+
+def _d(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_rfm_quartiles_hand_checked(spark):
+    # 8 customers, engineered so quartile membership is unambiguous:
+    # custkey k has k orders of 100*k each, last order k days before gmax.
+    rows = []
+    gmax = _d("2020-01-31")
+    for k in range(1, 9):
+        for i in range(k):
+            rows.append(
+                (k * 1000 + i, k, "O", 100.0 * k, gmax - datetime.timedelta(days=k), "P")
+            )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = rfm_segments(orders).collect()
+    # customer k: r_days = k (asc -> cust 1,2 in quartile 1), freq = k
+    # (desc -> cust 8,7 in quartile 1), monetary = 100*k^2 (same order as
+    # freq). So cells are (1,4,4) for custs {1,2}, (2,3,3) for {3,4}, etc.
+    cells = {(r.r, r.f, r.m): r for r in out}
+    assert set(cells) == {(1, 4, 4), (2, 3, 3), (3, 2, 2), (4, 1, 1)}
+    assert all(r.n_customers == 2 for r in out)
+    top = cells[(4, 1, 1)]  # customers 7 and 8
+    assert abs(top.avg_freq - 7.5) < 1e-9
+    assert abs(top.avg_monetary - (4900.0 + 6400.0) / 2) < 1e-9
+
+
+def test_basket_rules_counts_and_lift(spark):
+    # 4 baskets over items attached to brands A/B/C:
+    #   o1: A,B   o2: A,B   o3: A,C   o4: B
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2), (4, 2)],
+        "l_orderkey long, l_partkey long",
+    )
+    out = {(r.brand_a, r.brand_b): r for r in basket_rules(li, part, minsup_inv=4).collect()}
+    # counts: A in 3, B in 3, C in 1; AB in 2, AC in 1; minsup 1/4 keeps both
+    ab, ac = out[("A", "B")], out[("A", "C")]
+    assert ab.n_ab == 2 and ac.n_ab == 1
+    assert abs(ab.support - 2 / 4) < 1e-12
+    assert abs(ab.conf_ab - 2 / 3) < 1e-12  # P(B|A)
+    assert abs(ab.conf_ba - 2 / 3) < 1e-12
+    assert abs(ab.lift - (4 * 2) / (3 * 3)) < 1e-12
+    assert abs(ac.lift - (4 * 1) / (3 * 1)) < 1e-12
+    # duplicate lineitem rows in o4 must not double-count B
+    assert ("B", "C") not in out or out[("B", "C")].n_ab == 0

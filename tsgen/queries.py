@@ -194,6 +194,7 @@ def _ensure_populated() -> None:
         queries_scale,
         queries_seasonal,
         queries_quality,
+        queries_retail,
         queries_streaming,
         queries_tpch,
         queries_training,

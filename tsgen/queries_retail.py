@@ -1,0 +1,187 @@
+"""Customer/retail analytics operators (north-star extension: the
+behavioral-analytics queries an events+orders warehouse runs daily).
+
+- rfm_segments: RFM customer segmentation — per-customer Recency /
+  Frequency / Monetary metrics scored into quartiles (ntile with a full
+  deterministic tiebreak), reported per (r,f,m) segment cell.
+- basket_rules: market-basket association rules at the brand level —
+  pairwise support / confidence / lift over order baskets, min-support
+  filtered with an integer predicate (no float-boundary risk).
+
+Scale notes (100 TB):
+- rfm_segments: the fact scan reduces to ONE row per customer via a
+  partial-agged groupBy; the global ntile windows run on that customer
+  dim only (orders of magnitude smaller than the facts — a total sort of
+  the dim is the textbook cost of exact quartile scoring; swap to
+  percentile boundaries if even the dim outgrows a sort).
+- basket_rules: the pair self-join is per-order (basket sizes are bounded
+  by lines-per-order, so pairs grow linearly in orders, not quadratically);
+  item counts (25 brands) and the scalar order count broadcast back.
+  Brand attachment is an equi-join on partkey — dim-sized, shuffle-safe.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .queries import _REGISTRY, Query, roundn
+from .queries_analytics import _t
+
+MINSUP_INV = 50  # min support = 1/50 = 2% of baskets
+
+
+# --- RFM segmentation ------------------------------------------------------
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """Quartile-score customers on recency (days since last order, lower =
+    better), frequency (order count), monetary (total spend); report each
+    (r,f,m) cell. Score 1 = best quartile. ntile ties are broken by
+    customer key so the assignment is fully deterministic."""
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    cust = cust.crossJoin(F.broadcast(gmax)).withColumn(
+        "r_days", F.datediff("gmax", "last_order")
+    )
+    scored = (
+        cust.withColumn(
+            "r", F.ntile(4).over(Window.orderBy(F.col("r_days").asc(), "o_custkey"))
+        )
+        .withColumn(
+            "f", F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        )
+        .withColumn(
+            "m",
+            F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")),
+        )
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        F.avg("freq").alias("avg_freq"),
+        F.avg("monetary").alias("avg_monetary"),
+    )
+
+
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roundn(rfm_segments(_t(spark, sf_dir, "orders")), 4, "avg_freq", "avg_monetary")
+
+
+_RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS freq, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, freq, monetary,
+         date_diff('day', last_order, (SELECT max(o_orderdate) FROM orders))
+           AS r_days
+  FROM cust),
+q AS (
+  SELECT ntile(4) OVER (ORDER BY r_days ASC, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+         freq, monetary
+  FROM scored)
+SELECT r, f, m, count(*) AS n_customers,
+       (round(avg(freq) + 1.0e-9, 4) + 0.0e0) AS avg_freq,
+       (round(avg(monetary) + 1.0e-9, 4) + 0.0e0) AS avg_monetary
+FROM q GROUP BY r, f, m
+"""
+
+
+# --- market-basket association rules --------------------------------------
+def basket_rules(li: DataFrame, part: DataFrame, minsup_inv: int = MINSUP_INV) -> DataFrame:
+    """Brand-level association rules over order baskets: for each brand
+    pair (a < b), support = P(a,b), confidence both directions, lift.
+    Min-support is the integer predicate n_ab * minsup_inv >= n_orders —
+    exact, no float boundary."""
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = items.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(cnt.withColumnRenamed("p_brand", "brand_a").withColumnRenamed("cnt", "cnt_a")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(cnt.withColumnRenamed("p_brand", "brand_b").withColumnRenamed("cnt", "cnt_b")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_ab") * minsup_inv >= F.col("n_orders"))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        (F.col("n_ab") / F.col("n_orders").cast("double")).alias("support"),
+        (F.col("n_ab") / F.col("cnt_a").cast("double")).alias("conf_ab"),
+        (F.col("n_ab") / F.col("cnt_b").cast("double")).alias("conf_ba"),
+        (
+            (F.col("n_orders").cast("double") * F.col("n_ab"))
+            / (F.col("cnt_a").cast("double") * F.col("cnt_b"))
+        ).alias("lift"),
+    )
+
+
+def _q_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roundn(
+        basket_rules(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")),
+        6,
+        "support",
+        "conf_ab",
+        "conf_ba",
+        "lift",
+    )
+
+
+_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+cnt AS (SELECT p_brand, count(*) AS cnt FROM items GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand)
+SELECT brand_a, brand_b, n_ab,
+  (round(n_ab / CAST(n.n_orders AS DOUBLE) + 1.0e-9, 6) + 0.0e0) AS support,
+  (round(n_ab / CAST(ca.cnt AS DOUBLE) + 1.0e-9, 6) + 0.0e0) AS conf_ab,
+  (round(n_ab / CAST(cb.cnt AS DOUBLE) + 1.0e-9, 6) + 0.0e0) AS conf_ba,
+  (round((CAST(n.n_orders AS DOUBLE) * n_ab)
+         / (CAST(ca.cnt AS DOUBLE) * cb.cnt) + 1.0e-9, 6) + 0.0e0) AS lift
+FROM pairs
+JOIN cnt ca ON ca.p_brand = pairs.brand_a
+JOIN cnt cb ON cb.p_brand = pairs.brand_b
+CROSS JOIN n
+WHERE n_ab * {MINSUP_INV} >= n.n_orders
+"""
+
+
+_REGISTRY.update(
+    {
+        "rfm_segments": Query("rfm_segments", _q_rfm, _RFM_SQL, ("retail",)),
+        "basket_rules": Query("basket_rules", _q_basket, _BASKET_SQL, ("retail",)),
+    }
+)
