@@ -1,0 +1,102 @@
+"""Tests for queries_warehouse2: MERGE-upsert invariants and skyline
+correctness vs a brute-force dominance check."""
+import datetime
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from tsgen.queries_warehouse2 import _profile, _sweep, doc_pareto, merge_upsert
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_merge_upsert_equals_full_recompute(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 8):
+        for i in range(u):
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=eid), u, f"t{eid % 3}", float(eid), "{}")
+            )
+    ev = _ev(spark, rows)
+    cut = t0 + datetime.timedelta(hours=14)
+    merged = merge_upsert(
+        _profile(ev.filter(F.col("ts") < cut)), _profile(ev.filter(F.col("ts") >= cut))
+    )
+    direct = _profile(ev)
+    m = {r.user_id: r for r in merged.collect()}
+    d = {r.user_id: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for u in d:
+        assert m[u].n_events == d[u].n_events, u
+        assert abs(m[u].sum_value - d[u].sum_value) < 1e-9, u
+        assert m[u].last_ts_s == d[u].last_ts_s, u
+        assert m[u].last_type == d[u].last_type, u
+    # action classification: users entirely after the cutoff insert,
+    # entirely before keep, spanning update
+    actions = {r.user_id: r.action for r in merged.collect()}
+    first_last = {u: (min(r[0] for r in rows if r[2] == u), max(r[0] for r in rows if r[2] == u)) for u in d}
+    for u, (lo, hi) in first_last.items():
+        lo_ts = t0 + datetime.timedelta(hours=lo)
+        hi_ts = t0 + datetime.timedelta(hours=hi)
+        want = (
+            "insert" if lo_ts >= cut else ("keep" if hi_ts < cut else "update")
+        )
+        assert actions[u] == want, u
+
+
+def test_skyline_matches_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    vocab = rng.integers(1, 50, size=200)
+    ntok = vocab + rng.integers(0, 40, size=200)  # vocab <= tokens
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    [f"w{j}" for j in range(int(v))]
+                    + ["pad" for _ in range(int(n - v))]
+                ),
+            )
+            for i, (v, n) in enumerate(zip(vocab, ntok))
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in doc_pareto(docs).collect()}
+    # brute force dominance over the (vocab, n_tokens) points
+    # note: "pad" itself is a distinct token, so vocab is v+1 unless n==v
+    pts = {}
+    for i, (v, n) in enumerate(zip(vocab, ntok)):
+        pts[i] = (int(v) + (1 if n > v else 0), int(n))
+    def dominated(p):
+        pv, pn = pts[p]
+        return any(
+            (qv >= pv and qn <= pn and (qv > pv or qn < pn))
+            for q, (qv, qn) in pts.items()
+            if q != p
+        )
+    want = {p for p in pts if not dominated(p)}
+    assert got == want
+
+
+def test_sweep_handles_ties():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5],
+         "vocab":    [5, 5, 4, 6, 6],
+         "n_tokens": [10, 10, 10, 12, 12]}
+    )
+    out = set(_sweep(pdf)["doc_id"])
+    # docs 1,2 tie at the (10-token, vocab 5) frontier point -> both stay;
+    # doc 3 dominated within-group; docs 4,5 add vocab 6 at 12 tokens
+    assert out == {1, 2, 4, 5}

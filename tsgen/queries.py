@@ -200,6 +200,7 @@ def _ensure_populated() -> None:
         queries_training,
         queries_tsdb,
         queries_warehouse,
+        queries_warehouse2,
     )
 
 

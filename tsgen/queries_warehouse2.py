@@ -1,0 +1,207 @@
+"""Warehouse-maintenance operators, part 2 (extends queries_warehouse.py):
+
+- ev_merge_upsert: the MERGE INTO / upsert pattern — a base profile table
+  (per-user aggregate before a cutoff) merged with a delta batch (events
+  after the cutoff): matched keys update (counts add, "last" fields take
+  the delta side), unmatched delta keys insert, unmatched base keys keep.
+  Emulated engine-agnostically as aggregate + FULL OUTER JOIN + coalesce —
+  the exact plan a Delta/Iceberg MERGE lowers to when the ON clause is an
+  equi-match. A pytest invariant asserts merged == direct full recompute.
+- doc_pareto: 2-D Pareto frontier (skyline) over documents — the corpus
+  curation question "which docs carry the most distinct vocabulary for the
+  fewest tokens". Dominance: q covers >= vocab with <= tokens and is
+  strictly better on one axis. Both axes are integers, so cross-engine
+  comparison is exact.
+
+Scale notes (100 TB):
+- ev_merge_upsert: both sides reduce to one row per key behind a shared
+  hash partitioning; the merge is an equi-join of two key-partitioned
+  aggregates — one shuffle each, no window over raw data. At petabyte
+  scale the delta side is typically tiny -> AQE turns the join broadcast.
+- doc_pareto: the frontier is computed by the classic two-phase skyline:
+  a per-partition sweep (mapInPandas, O(n log n) local) prunes to each
+  partition's local frontier — dominance is transitive, so the global
+  frontier is a subset of the union of local frontiers — then the final
+  sweep runs on that provably-small candidate set coalesced to one task.
+  No quadratic self-join anywhere; the oracle uses the same O(n log n)
+  sweep expressed with window functions (max-y per x-group vs running
+  strict-prefix max), NOT a NOT-EXISTS O(n^2) scan.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .queries import _REGISTRY, Query, round6, roundn
+from .queries_analytics import _events, _t
+
+MERGE_CUTOFF = "2024-01-21 00:00:00"
+
+
+# --- MERGE / upsert --------------------------------------------------------
+def _profile(ev: DataFrame) -> DataFrame:
+    """Per-user profile: counts + latest event fields. Window and groupBy
+    share one user_id partitioning."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max(F.unix_timestamp("ts")).alias("last_ts_s"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("last_type"),
+        )
+    )
+
+
+def merge_upsert(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """MERGE base WITH delta ON user_id: update matched (sum counts, delta
+    wins the "last" fields), insert delta-only, keep base-only."""
+    b = base.select(
+        F.col("user_id"),
+        F.col("n_events").alias("b_n"),
+        F.col("sum_value").alias("b_sum"),
+        F.col("last_ts_s").alias("b_ts"),
+        F.col("last_type").alias("b_type"),
+    )
+    d = delta.select(
+        F.col("user_id"),
+        F.col("n_events").alias("d_n"),
+        F.col("sum_value").alias("d_sum"),
+        F.col("last_ts_s").alias("d_ts"),
+        F.col("last_type").alias("d_type"),
+    )
+    m = b.join(d, "user_id", "full_outer")
+    return m.select(
+        "user_id",
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_events"),
+        (F.coalesce("b_sum", F.lit(0.0)) + F.coalesce("d_sum", F.lit(0.0))).alias(
+            "sum_value"
+        ),
+        F.coalesce("d_ts", "b_ts").alias("last_ts_s"),
+        F.coalesce("d_type", "b_type").alias("last_type"),
+        F.when(F.col("b_n").isNotNull() & F.col("d_n").isNotNull(), F.lit("update"))
+        .when(F.col("d_n").isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cut = F.lit(MERGE_CUTOFF).cast("timestamp")
+    out = merge_upsert(_profile(ev.filter(F.col("ts") < cut)), _profile(ev.filter(F.col("ts") >= cut)))
+    return round6(out, "sum_value")
+
+
+_MERGE_SQL = f"""
+WITH prof_b AS (
+  SELECT user_id, count(*) AS n_events, sum(value) AS sum_value,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_s,
+         max(CASE WHEN rn = 1 THEN event_type END) AS last_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}')
+  GROUP BY user_id),
+prof_d AS (
+  SELECT user_id, count(*) AS n_events, sum(value) AS sum_value,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts_s,
+         max(CASE WHEN rn = 1 THEN event_type END) AS last_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}')
+  GROUP BY user_id)
+SELECT coalesce(b.user_id, d.user_id) AS user_id,
+       coalesce(b.n_events, 0) + coalesce(d.n_events, 0) AS n_events,
+       (round(coalesce(b.sum_value, 0.0e0) + coalesce(d.sum_value, 0.0e0)
+              + 1.0e-9, 6) + 0.0e0) AS sum_value,
+       coalesce(d.last_ts_s, b.last_ts_s) AS last_ts_s,
+       coalesce(d.last_type, b.last_type) AS last_type,
+       CASE WHEN b.user_id IS NOT NULL AND d.user_id IS NOT NULL THEN 'update'
+            WHEN d.user_id IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM prof_b b FULL OUTER JOIN prof_d d ON b.user_id = d.user_id
+"""
+
+
+# --- Pareto frontier (skyline) --------------------------------------------
+_PARETO_SCHEMA = "doc_id long, vocab long, n_tokens long"
+
+
+def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+    """O(n log n) 2-D skyline sweep: maximize `vocab`, minimize `n_tokens`.
+    Survivors: within each n_tokens group, rows at the group-max vocab,
+    provided that vocab strictly beats the best vocab among all strictly
+    smaller n_tokens (a doc with fewer tokens and >= vocab dominates)."""
+    if pdf.empty:
+        return pdf
+    gy = pdf.groupby("n_tokens")["vocab"].transform("max")
+    best = (
+        pdf.groupby("n_tokens")["vocab"]
+        .max()
+        .sort_index()
+        .cummax()
+        .shift(1, fill_value=-1)
+    )
+    keep = (pdf["vocab"] == gy) & (pdf["vocab"] > pdf["n_tokens"].map(best))
+    return pdf[keep]
+
+
+def doc_pareto(docs: DataFrame) -> DataFrame:
+    """Docs on the vocabulary-vs-length Pareto frontier: no other doc has
+    >= distinct tokens with <= total tokens (strict on one axis).
+    Two-phase distributed skyline: local sweep per partition, then the
+    final sweep over the small union of local frontiers."""
+    toks = F.split(F.col("text"), " ")
+    pts = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("vocab"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _sweep(pdf)
+
+    cand = pts.mapInPandas(local, _PARETO_SCHEMA)
+    # global pass: candidates are a union of per-partition frontiers —
+    # provably small — so one task finishes the job
+    return cand.coalesce(1).mapInPandas(local, _PARETO_SCHEMA)
+
+
+def _q_doc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_pareto(_t(spark, sf_dir, "documents"))
+
+
+_PARETO_SQL = """
+WITH pts AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS vocab,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+g AS (SELECT n_tokens, max(vocab) AS gy FROM pts GROUP BY n_tokens),
+s AS (
+  SELECT n_tokens, gy,
+         coalesce(max(gy) OVER (ORDER BY n_tokens ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS best
+  FROM g)
+SELECT p.doc_id, p.vocab, p.n_tokens
+FROM pts p JOIN s ON p.n_tokens = s.n_tokens AND p.vocab = s.gy
+WHERE s.gy > s.best
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_merge_upsert": Query(
+            "ev_merge_upsert", _q_merge_upsert, _MERGE_SQL, ("warehouse",)
+        ),
+        "doc_pareto": Query("doc_pareto", _q_doc_pareto, _PARETO_SQL, ("pipeline",)),
+    }
+)
