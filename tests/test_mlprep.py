@@ -1,0 +1,84 @@
+"""Tests for queries_mlprep: JW kernel parity vs DuckDB, split properties,
+WOE scalar reference."""
+import math
+import random
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from tsgen.queries_mlprep import doc_woe, jaro_winkler, name_match_jw
+
+
+def test_jaro_winkler_parity_with_duckdb():
+    rng = random.Random(17)
+    alphabet = "abcdefg "
+    con = duckdb.connect()
+    cases = [("", ""), ("a", ""), ("abc", "abc"), ("martha", "marhta"),
+             ("dixon", "dicksonx"), ("crate", "trace")]
+    for _ in range(500):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        cases.append((a, b))
+    for a, b in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = jaro_winkler(a, b)
+        assert abs(got - want) < 1e-12, (a, b, got, want)
+
+
+def test_name_match_blocking_and_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "azure steel plate"),
+            (2, "azure steel plates"),   # near-dup of 1, same block
+            (3, "azure copper wire"),    # same block, dissimilar
+            (4, "bronze steel plate"),   # different block: never paired w/ 1
+        ],
+        "p_partkey long, p_name string",
+    )
+    out = {(r.key_a, r.key_b): r.jw for r in name_match_jw(df, threshold=0.9).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.9
+    assert (1, 3) not in out
+    assert all(4 not in k for k in out)
+
+
+def test_doc_woe_scalar_reference(spark):
+    # 2 bins, hand-computable: bin0 has 3 pos / 1 neg, bin1 has 1 pos / 3 neg
+    rows = [(i, "t", "en" if i < 3 else "de", "s", 10) for i in range(4)]
+    rows += [(i + 4, "t", "en" if i < 1 else "de", "s", 110) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.bin: r for r in doc_woe(docs, bin_w=100, bin_max=5).collect()}
+    pos_tot, neg_tot = 4, 4
+    for bin_, (np_, nn) in {0: (3, 1), 1: (1, 3)}.items():
+        pr = (np_ + 0.5) / (pos_tot + 0.5)
+        nr = (nn + 0.5) / (neg_tot + 0.5)
+        woe = math.log(pr / nr)
+        assert out[bin_].n_pos == np_ and out[bin_].n_neg == nn
+        assert abs(out[bin_].woe - woe) < 1e-12
+        assert abs(out[bin_].iv_term - (pr - nr) * woe) < 1e-12
+
+
+def test_split_assign_fractions(spark, tmp_path):
+    # deterministic: same ids -> same splits on rerun; fractions near 80/10/10
+    import tsgen.queries_mlprep as M
+
+    n = 5000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(10).alias("n_chars"),
+    )
+    assigned = docs.selectExpr("doc_id", f"{M._split_expr()} AS split")
+    counts = {r.split: r.c for r in assigned.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    assert abs(counts["test"] / n - 0.1) < 0.01
+    again = {r.doc_id: r.split for r in assigned.collect()}
+    twice = {r.doc_id: r.split for r in assigned.collect()}
+    assert again == twice

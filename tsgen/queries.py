@@ -189,6 +189,7 @@ def _ensure_populated() -> None:
         queries_experiments,
         queries_forecast2,
         queries_misc,
+        queries_mlprep,
         queries_paths,
         queries_pipeline,
         queries_scale,

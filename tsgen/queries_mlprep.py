@@ -1,0 +1,243 @@
+"""Training-data preparation operators (LLM-pipeline mandate, part 3):
+
+- split_assign: deterministic train/val/test assignment by hashing the
+  stable doc id through the engine-portable LCG (same u01 text on both
+  engines — reproducible across reruns, clusters, and engines; the
+  industry-standard alternative to rand() splits, which shift membership
+  every run). Reported as per-(split, lang) counts + achieved fractions.
+- name_match_jw: fuzzy entity resolution over part names — first-token
+  blocking, then Jaro-Winkler similarity on within-block pairs. The JW
+  kernel is an Arrow-batched pandas UDF implementing the textbook Winkler
+  variant (boost only when jaro > 0.7, prefix cap 4, p = 0.1) — verified
+  bit-equal to DuckDB's jaro_winkler_similarity, which the oracle uses.
+- doc_woe: weight-of-evidence / information-value scoring of a binned
+  feature (char-length buckets) against a binary label (lang = 'en') —
+  the standard credit-scoring-style diagnostic for "does this feature
+  separate the classes", used when building quality-classifier features.
+  Laplace +0.5 smoothing keeps empty cells finite, mirrored both sides.
+
+Scale notes (100 TB):
+- split_assign: the assignment is a pure per-row projection (no shuffle,
+  pushdown-safe); the report is one partial-agged groupBy over ~tens of
+  cells plus a broadcast scalar total.
+- name_match_jw: blocking bounds the candidate set (pairs grow with
+  block_size^2, not corpus^2); blocks shuffle once on the block key; the
+  UDF sees only surviving pairs. For heavier skew, swap first-token
+  blocking for multi-key blocking (first token x length band).
+- doc_woe: fixed-width binning avoids any global sort (compare ntile,
+  which would need one); two partial-agged groupBys + a broadcast totals
+  row.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import expr as E
+from .queries import _REGISTRY, Query, round6
+from .queries_analytics import _t
+
+SPLIT_SALT = 52127
+JW_THRESHOLD = 0.88
+WOE_BIN_W, WOE_BIN_MAX = 100, 5
+
+
+# --- deterministic split ---------------------------------------------------
+def _split_expr() -> str:
+    u = E.u01("doc_id", SPLIT_SALT)
+    return (
+        f"CASE WHEN {u} < 8.0e-1 THEN 'train' "
+        f"WHEN {u} < 9.0e-1 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count("*").alias("n_total"))
+    out = (
+        docs.withColumn("split", F.expr(_split_expr()))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("frac", F.col("n_docs") / F.col("n_total").cast("double"))
+        .drop("n_total")
+    )
+    return round6(out, "frac")
+
+
+_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT lang, n_chars, {_split_expr()} AS split FROM documents),
+tot AS (SELECT count(*) AS n_total FROM documents)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       (round(count(*) / CAST(tot.n_total AS DOUBLE) + 1.0e-9, 6) + 0.0e0)
+         AS frac
+FROM assigned CROSS JOIN tot
+GROUP BY split, lang, tot.n_total
+"""
+
+
+# --- Jaro-Winkler entity resolution ---------------------------------------
+def jaro_winkler(a: str, b: str) -> float:
+    """Textbook Jaro-Winkler (Winkler 1990): boost only when jaro > 0.7,
+    common-prefix length capped at 4, scaling p = 0.1. Bit-compatible with
+    DuckDB's jaro_winkler_similarity (probed empirically; the oracle relies
+    on this)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0  # DuckDB scores empty-vs-anything (incl. empty) as 0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    ma = [False] * la
+    mb = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions // 2
+    jaro = (matches / la + matches / lb + (matches - t) / matches) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+def name_match_jw(
+    df: DataFrame,
+    key: str = "p_partkey",
+    name: str = "p_name",
+    threshold: float = JW_THRESHOLD,
+) -> DataFrame:
+    """Within-block (first name token) pairs with JW similarity above the
+    threshold. Returns (key_a, key_b, jw)."""
+    blocked = df.select(
+        F.col(key),
+        F.col(name).alias("nm"),
+        F.split(F.col(name), " ").getItem(0).alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+    ).select(
+        F.col(f"a.{key}").alias("key_a"),
+        F.col(f"b.{key}").alias("key_b"),
+        F.col("a.nm").alias("nm_a"),
+        F.col("b.nm").alias("nm_b"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # threshold on the 6dp-rounded value so a last-ulp difference vs
+            # the oracle's C++ kernel can never flip pair membership
+            pdf["jw"] = [
+                round(jaro_winkler(x, y) + 1e-9, 6)
+                for x, y in zip(pdf["nm_a"], pdf["nm_b"])
+            ]
+            yield pdf[pdf["jw"] > threshold][["key_a", "key_b", "jw"]]
+
+    return pairs.mapInPandas(kernel, "key_a long, key_b long, jw double")
+
+
+def _q_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return name_match_jw(_t(spark, sf_dir, "part"))
+
+
+_JW_SQL = f"""
+WITH blocked AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part),
+scored AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         {E.round6('jaro_winkler_similarity(a.p_name, b.p_name)')} AS jw
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+SELECT key_a, key_b, jw FROM scored WHERE jw > {E.NUM(JW_THRESHOLD)}
+"""
+
+
+# --- weight of evidence ----------------------------------------------------
+def doc_woe(docs: DataFrame, bin_w: int = WOE_BIN_W, bin_max: int = WOE_BIN_MAX) -> DataFrame:
+    """Per char-length bin: smoothed WOE and IV contribution of the binary
+    label lang = 'en'. woe_b = ln((pos_b / pos_tot) / (neg_b / neg_tot))
+    with +0.5 Laplace smoothing on the cell counts."""
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    d = docs.withColumn(
+        "bin", F.least(F.floor(F.col("n_chars") / bin_w), F.lit(bin_max)).cast("bigint")
+    ).withColumn("pos", pos)
+    cells = d.groupBy("bin").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+    )
+    tot = d.agg(
+        F.sum("pos").alias("pos_tot"), F.sum(1 - F.col("pos")).alias("neg_tot")
+    )
+    out = cells.crossJoin(F.broadcast(tot))
+    pr = (F.col("n_pos") + 0.5) / (F.col("pos_tot") + 0.5)
+    nr = (F.col("n_neg") + 0.5) / (F.col("neg_tot") + 0.5)
+    woe = F.log(pr / nr)
+    return out.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        ((pr - nr) * woe).alias("iv_term"),
+    )
+
+
+def _q_doc_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(doc_woe(_t(spark, sf_dir, "documents")), "woe", "iv_term")
+
+
+_WOE_SQL = f"""
+WITH d AS (
+  SELECT least(CAST(floor(n_chars / {WOE_BIN_W}) AS BIGINT), {WOE_BIN_MAX})
+           AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+cells AS (
+  SELECT bin, CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(1 - pos) AS BIGINT) AS n_neg FROM d GROUP BY bin),
+tot AS (SELECT sum(pos) AS pos_tot, sum(1 - pos) AS neg_tot FROM d)
+SELECT bin, n_pos, n_neg,
+  {E.round6('ln(((n_pos + 5.0e-1) / (pos_tot + 5.0e-1)) '
+            '/ ((n_neg + 5.0e-1) / (neg_tot + 5.0e-1)))')} AS woe,
+  {E.round6('(((n_pos + 5.0e-1) / (pos_tot + 5.0e-1)) '
+            '- ((n_neg + 5.0e-1) / (neg_tot + 5.0e-1))) '
+            '* ln(((n_pos + 5.0e-1) / (pos_tot + 5.0e-1)) '
+            '/ ((n_neg + 5.0e-1) / (neg_tot + 5.0e-1)))')} AS iv_term
+FROM cells CROSS JOIN tot
+"""
+
+
+_REGISTRY.update(
+    {
+        "split_assign": Query("split_assign", _q_split_assign, _SPLIT_SQL, ("pipeline",)),
+        "name_match_jw": Query("name_match_jw", _q_name_match, _JW_SQL, ("pipeline",)),
+        "doc_woe": Query("doc_woe", _q_doc_woe, _WOE_SQL, ("pipeline",)),
+    }
+)
