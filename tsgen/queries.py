@@ -184,6 +184,7 @@ def _ensure_populated() -> None:
     # later stages register themselves here
     from . import (  # noqa: F401
         queries_analytics,
+        queries_causal,
         queries_decompose,
         queries_diffusion,
         queries_experiments,

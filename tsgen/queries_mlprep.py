@@ -234,10 +234,151 @@ FROM cells CROSS JOIN tot
 """
 
 
+# --- incremental batch dedup ----------------------------------------------
+def dedup_incremental(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Dedupe a NEW batch against an existing corpus by exact text
+    fingerprint, plus within-batch dedup (keep the min doc_id per
+    fingerprint). Per (lang, status) counts: status in kept / dup_corpus /
+    dup_within — the incremental-ingestion ledger.
+
+    Scale: corpus reduces to its distinct fingerprint set (partial-agged);
+    the membership check is an equi-join on the fingerprint; the
+    within-batch min is a window partitioned by fingerprint — all hash-
+    partitioned by fp, no global ops."""
+    from pyspark.sql import Window
+
+    fp = F.md5(F.col("text"))
+    corpus_fp = corpus.select(fp.alias("fp")).distinct().withColumn(
+        "in_corpus", F.lit(1)
+    )
+    b = batch.withColumn("fp", fp).join(corpus_fp, "fp", "left")
+    w = Window.partitionBy("fp")
+    b = b.withColumn("min_id", F.min("doc_id").over(w))
+    status = (
+        F.when(F.col("in_corpus") == 1, F.lit("dup_corpus"))
+        .when(F.col("doc_id") != F.col("min_id"), F.lit("dup_within"))
+        .otherwise(F.lit("kept"))
+    )
+    return b.groupBy("lang", status.alias("status")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+_DEDUP_INC_SQL = """
+WITH corpus_fp AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+b AS (
+  SELECT d.doc_id, d.lang, md5(d.text) AS fp,
+         min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS min_id,
+         (c.fp IS NOT NULL) AS in_corpus
+  FROM documents d LEFT JOIN corpus_fp c ON md5(d.text) = c.fp
+  WHERE d.doc_id % 2 = 1)
+SELECT lang,
+       CASE WHEN in_corpus THEN 'dup_corpus'
+            WHEN doc_id <> min_id THEN 'dup_within'
+            ELSE 'kept' END AS status,
+       count(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
+# --- reciprocal-rank fusion -----------------------------------------------
+RRF_K, RRF_NQ, RRF_TOPK = 60, 8, 5
+
+
+def ann_rrf(emb: DataFrame, n_queries: int = RRF_NQ, k: int = RRF_TOPK) -> DataFrame:
+    """Fuse two retrieval rankings per query — cosine similarity
+    (normalized) and raw dot product (unnormalized) — with reciprocal-rank
+    fusion: rrf = 1/(60 + rank_cos) + 1/(60 + rank_dot); emit the fused
+    top-k. The two rankings differ exactly where corpus norms vary, which
+    is what RRF is for.
+
+    Scale: query side broadcasts (small); the two row_number windows and
+    the final top-k share ONE query_id hash partitioning — a single
+    shuffle of the scored pairs."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine, with_norm
+
+    v = with_norm(emb)
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_vec").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_vec").alias("cv"), F.col("norm").alias("cn")
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("dot", cosine("qv", "cv")).withColumn(
+        "cos_sim", F.col("dot") / (F.col("qn") * F.col("cn"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    fused = (
+        scored.withColumn("r_cos", F.row_number().over(wc))
+        .withColumn("r_dot", F.row_number().over(wd))
+        .withColumn(
+            "rrf",
+            1.0 / (RRF_K + F.col("r_cos")) + 1.0 / (RRF_K + F.col("r_dot")),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "r_cos", "r_dot", "rrf", "rank")
+    )
+
+
+def _q_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(ann_rrf(_t(spark, sf_dir, "embeddings")), "rrf")
+
+
+_RRF_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.vec, c.vec) AS dot,
+         list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id < {RRF_NQ} AND c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS r_cos,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY dot DESC, neighbor_id) AS r_dot
+  FROM pairs),
+fused AS (
+  SELECT query_id, neighbor_id, r_cos, r_dot,
+         1.0e0 / ({RRF_K} + r_cos) + 1.0e0 / ({RRF_K} + r_dot) AS rrf
+  FROM ranked)
+SELECT query_id, neighbor_id, r_cos, r_dot,
+       {E.round6('rrf')} AS rrf, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf DESC, neighbor_id) AS rank FROM fused)
+WHERE rank <= {RRF_TOPK}
+"""
+
+
 _REGISTRY.update(
     {
         "split_assign": Query("split_assign", _q_split_assign, _SPLIT_SQL, ("pipeline",)),
         "name_match_jw": Query("name_match_jw", _q_name_match, _JW_SQL, ("pipeline",)),
         "doc_woe": Query("doc_woe", _q_doc_woe, _WOE_SQL, ("pipeline",)),
+        "dedup_incremental": Query(
+            "dedup_incremental", _q_dedup_incremental, _DEDUP_INC_SQL, ("pipeline",)
+        ),
+        "ann_rrf": Query("ann_rrf", _q_ann_rrf, _RRF_SQL, ("pipeline",)),
     }
 )
