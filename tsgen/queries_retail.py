@@ -95,26 +95,33 @@ def basket_rules(li: DataFrame, part: DataFrame, minsup_inv: int = MINSUP_INV) -
     """Brand-level association rules over order baskets: for each brand
     pair (a < b), support = P(a,b), confidence both directions, lift.
     Min-support is the integer predicate n_ab * minsup_inv >= n_orders —
-    exact, no float boundary."""
-    items = (
+    exact, no float boundary.
+
+    Pair generation: baskets collapse to ONE row per order
+    (collect_set(brand), bounded by lines-per-order), and the a<b pairs
+    come from a double explode of that bounded array — no self-join, no
+    second scan. The whole query is one orderkey shuffle for the basket
+    build plus tiny (~|brands|^2) partial-agged rollups."""
+    baskets = (
         li.select("l_orderkey", "l_partkey")
         .join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        # three consumers (scalar count, per-brand counts, pair explode):
+        # pin the basket build once instead of rescanning the facts 3x
+        .localCheckpoint()
     )
-    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    cnt = items.groupBy("p_brand").agg(F.count("*").alias("cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
-        )
+        baskets.select(F.explode("brands").alias("brand_a"), "brands")
+        .select("brand_a", F.explode("brands").alias("brand_b"))
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_ab"))
     )
     out = (
