@@ -119,6 +119,10 @@ def _q_minhash(spark, sf_dir):
     return round6(out, "jaccard")
 
 
+def _q_minhash_portable(spark, sf_dir):
+    return dedup.minhash_portable_pairs(_docs(spark, sf_dir), verify_threshold=0.05)
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -611,6 +615,12 @@ _REGISTRY.update(
             ("dedup",),
         ),
         "minhash_lsh": Query("minhash_lsh", _q_minhash, None, ("dedup",)),
+        "minhash_lsh_portable": Query(
+            "minhash_lsh_portable",
+            _q_minhash_portable,
+            dedup.minhash_portable_sql(verify_threshold=0.05),
+            ("dedup",),
+        ),
         "simhash": Query("simhash", _q_simhash, None, ("dedup",)),
         "simhash_pairs": Query("simhash_pairs", _q_simhash_pairs, None, ("dedup",)),
         "cosine_topk": Query(
