@@ -123,6 +123,11 @@ def _q_minhash_portable(spark, sf_dir):
     return dedup.minhash_portable_pairs(_docs(spark, sf_dir), verify_threshold=0.05)
 
 
+def _q_simhash_portable(spark, sf_dir):
+    sim = dedup.simhash_portable(_docs(spark, sf_dir))
+    return dedup.hamming_pairs(sim, max_dist=20)
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -622,6 +627,12 @@ _REGISTRY.update(
             ("dedup",),
         ),
         "simhash": Query("simhash", _q_simhash, None, ("dedup",)),
+        "simhash_portable": Query(
+            "simhash_portable",
+            _q_simhash_portable,
+            dedup.simhash_portable_sql(max_dist=20),
+            ("dedup",),
+        ),
         "simhash_pairs": Query("simhash_pairs", _q_simhash_pairs, None, ("dedup",)),
         "cosine_topk": Query(
             "cosine_topk", _q_cosine_topk, similarity.brute_force_topk_sql(N_QUERIES), ("similarity",)
