@@ -1,0 +1,136 @@
+"""Semantic tests for the TS-mining operators (queries_tsmining.py):
+Lomb-Scargle peak recovery, technical-indicator invariants, Hurst exponent
+regimes, Engle-Granger cointegration detection, and portable-hash parity for
+the oracle-checkable dedup variants."""
+import datetime
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsgen import dedup
+from tsgen.queries_tsmining import (
+    coint_sweep,
+    hurst_rs,
+    lombscargle,
+    technical_indicators,
+)
+
+
+def _ts_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+
+
+def test_lombscargle_recovers_planted_period(spark):
+    """A 6-hour sinusoid sampled at IRREGULAR times must put the global
+    periodogram peak at period_hours=6."""
+    rng = np.random.RandomState(7)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    t = 0.0
+    for i in range(2000):
+        t += rng.exponential(120.0)  # irregular: mean 2-minute gaps
+        v = math.sin(2 * math.pi * t / (6 * 3600.0)) + 0.1 * rng.randn()
+        rows.append((i, t0 + datetime.timedelta(seconds=t), 1, "a", float(v)))
+    out = lombscargle(_ts_df(spark, rows)).collect()
+    best = max(out, key=lambda r: r.power)
+    assert best.period_hours == 6
+    # the planted tone should dominate: normalized power near n/2 scale
+    others = [r.power for r in out if r.period_hours not in (6, 12, 18, 24)]
+    assert best.power > 5 * max(others)
+
+
+def test_technical_indicator_invariants(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "a", float(v))
+        for i, v in enumerate(np.cumsum(rng.randn(120)))
+    ]
+    out = technical_indicators(_ts_df(spark, rows)).orderBy("event_id").collect()
+    for r in out[:13]:  # windows not yet full
+        assert r.rsi14 is None
+    for r in out[:19]:
+        assert r.sma20 is None and r.bb_pctb is None and r.sma_cross is None
+    full = out[25:]
+    assert all(0.0 <= r.rsi14 <= 100.0 for r in full)
+    assert all(r.sma_cross in (0, 1) for r in full)
+    # monotone rising tail drives RSI high and %B above mid
+    rows2 = [
+        (i, t0 + datetime.timedelta(minutes=i), 2, "a", float(i) + 0.001 * rng.randn())
+        for i in range(60)
+    ]
+    out2 = technical_indicators(_ts_df(spark, rows2)).orderBy("event_id").collect()
+    assert out2[-1].rsi14 > 95
+    assert out2[-1].bb_pctb > 0.7
+
+
+def test_hurst_regimes(spark):
+    """White noise → H ≈ 0.5-0.6 (small-sample R/S bias is upward);
+    integrated noise (random walk) → H near 1."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for sid, series in enumerate([rng.randn(512), np.cumsum(rng.randn(512))]):
+        rows += [(sid, int(t), float(v)) for t, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "series_id int, t int, value double")
+    h = {r.series_id: r.hurst for r in hurst_rs(df).collect()}
+    assert 0.4 < h[0] < 0.75
+    assert h[1] > 0.85
+    assert h[1] > h[0] + 0.2
+
+
+def test_coint_detects_cointegrated_pair(spark):
+    """y = 2x + stationary noise cointegrates with x (df_t deeply negative);
+    two independent random walks do not."""
+    rng = np.random.RandomState(5)
+    n = 400
+    x = np.cumsum(rng.randn(n))
+    y = 2.0 * x + 0.5 * rng.randn(n)  # shares x's stochastic trend
+    w = np.cumsum(rng.randn(n))  # independent walk
+    rows = []
+    for sid, series in enumerate([x, y, w]):
+        rows += [(sid, int(t), float(v)) for t, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "series_id int, t int, value double")
+    out = {(r.sa, r.sb): r for r in coint_sweep(df).collect()}
+    pair = out[(0, 1)]
+    assert abs(pair.beta - 2.0) < 0.05
+    assert pair.df_t < -5.0  # strongly rejects unit root in the residual
+    indep = out[(0, 2)]
+    assert indep.df_t > -3.0  # cannot reject: not cointegrated
+
+
+def test_portable_hash_matches_polynomial_fold(spark):
+    """The Spark-side portable fold must equal the reference polynomial
+    31x+codepoint mod 2^31-1 (the DuckDB twin computes the same closed
+    form; cross-engine parity is the oracle gate's job)."""
+    df = spark.createDataFrame([("abc",), ("hello world",), ("",)], "s string")
+    got = df.select(
+        F.expr(dedup._FOLD_SPARK.format(c="s")).alias("h")
+    ).collect()
+
+    def fold(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 2147483647
+        return h
+
+    for row, (s,) in zip(got, [("abc",), ("hello world",), ("",)]):
+        assert row.h == fold(s)
+
+
+def test_simhash_portable_bands_consistent(spark):
+    """Band columns must be exact 16-bit slices of the signature, and
+    identical docs must collide on every band."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "completely different text here")],
+        "doc_id bigint, text string",
+    )
+    sim = {r.doc_id: r for r in dedup.simhash_portable(df).collect()}
+    for r in sim.values():
+        for b in range(4):
+            assert getattr(r, f"band{b}") == (r.simhash >> (16 * b)) & 0xFFFF
+    assert sim[1].simhash == sim[2].simhash
+    assert sim[1].simhash != sim[3].simhash

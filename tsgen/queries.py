@@ -201,6 +201,7 @@ def _ensure_populated() -> None:
         queries_tpch,
         queries_training,
         queries_tsdb,
+        queries_tsmining,
         queries_warehouse,
         queries_warehouse2,
     )

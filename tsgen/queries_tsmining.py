@@ -1,0 +1,385 @@
+"""Time-series mining operators (north-star TS-engine extension; complements
+the reference's spectral toolkit, SURVEY §2 G1-G5, models/diffusion_ts_model.py
+:242-289, with the periodicity/memory/equilibrium diagnostics a TS engine is
+expected to ship).
+
+Operators:
+- ts_lombscargle: Lomb-Scargle periodogram over IRREGULARLY sampled events —
+  the classical spectral estimator when there is no uniform grid for an FFT
+  (Lomb 1976, Scargle 1982). Implemented in ONE aggregation pass per
+  (event_type, period) via the trig identities: the time-offset tau and both
+  quadrature denominators are closed forms of five per-group sums, so no
+  second scan with tau joined back is needed.
+- ev_technical: rolling technical indicators per user — SMA20, Bollinger %B,
+  Cutler's RSI(14) (SMA-based, window-expressible — Wilder's EMA variant is
+  recursive), and an SMA 5/20 crossover flag. Pure window functions.
+- ts_hurst: Hurst exponent by rescaled-range (R/S) analysis — per series,
+  R/S over dyadic block sizes, then the log2-log2 OLS slope. Long-memory
+  diagnostic (H>0.5 persistent, <0.5 anti-persistent).
+- ts_coint: Engle-Granger cointegration sweep over all series pairs — OLS
+  hedge ratio, then the Dickey-Fuller t-statistic of the residual's AR(1)
+  drift term. Pairs-trading / spurious-regression screen.
+
+Scale notes (100 TB):
+- ts_lombscargle: per-type stats agg (tiny) broadcast back, then ONE
+  partial-aggregated groupBy over events x 24 periods — two shuffles total,
+  constant-size output. The phase is computed from exact BIGINT microsecond
+  arithmetic ((us - us0) % period_us) so cos/sin arguments stay in [0, 2pi)
+  — both engines' libm agree to ulps there, and the modulo is exact.
+- ev_technical: every window shares ONE (user_id, ts, event_id) sort — a
+  single shuffle, no joins.
+- ts_hurst: block stats are (series, bsize, block)-local; the final OLS is
+  over a 4-row-per-series table.
+- ts_coint: the pair join shuffles on t once; per-pair params are a tiny
+  agg broadcast back; everything downstream is pair-partitioned.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import expr as E, generators, oracle
+from .queries import _REGISTRY, Query, round6
+from .queries_analytics import _events
+
+TWO_PI = 2.0 * math.pi
+LS_MAX_HOURS = 24
+
+
+# --- Lomb-Scargle periodogram ---------------------------------------------
+def lombscargle(ev: DataFrame, max_hours: int = LS_MAX_HOURS) -> DataFrame:
+    """Lomb-Scargle power at candidate periods of 1..max_hours hours, per
+    event_type, from irregular (ts, value) samples.
+
+    One-pass form: with v' = v - vbar and theta = omega*t,
+        tau2  = atan2(sum sin 2theta, sum cos 2theta)        (= 2*omega*tau)
+        CC    = (n + cos(tau2)*sum cos 2theta + sin(tau2)*sum sin 2theta)/2
+        SS    = (n - ...)/2
+        SC    = cos(tau2/2)*sum v'cos(theta) + sin(tau2/2)*sum v'sin(theta)
+        SSm   = cos(tau2/2)*sum v'sin(theta) - sin(tau2/2)*sum v'cos(theta)
+        P     = (SC^2/CC + SSm^2/SS)/2,   P_norm = P/(sum v'^2 / (n-1))
+    """
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("vbar"), F.min(F.unix_micros("ts")).alias("us0")
+    )
+    periods = [(k, k * 3600 * 1_000_000) for k in range(1, max_hours + 1)]
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("period_hours"), F.lit(pus).alias("period_us"))
+                for k, pus in periods
+            ]
+        )
+    ).alias("g")
+    e = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            (F.col("value") - F.col("vbar")).alias("vc"),
+            (F.unix_micros("ts") - F.col("us0")).alias("dus"),
+            grid,
+        )
+        .select("event_type", "vc", "dus", "g.period_hours", "g.period_us")
+    )
+    theta = (F.col("dus") % F.col("period_us")).cast("double") * (
+        F.lit(TWO_PI) / F.col("period_us").cast("double")
+    )
+    e = e.withColumn("theta", theta)
+    agg = e.groupBy("event_type", "period_hours").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("vc") * F.cos("theta")).alias("svc"),
+        F.sum(F.col("vc") * F.sin("theta")).alias("svs"),
+        F.sum(F.cos(F.col("theta") * 2)).alias("c2"),
+        F.sum(F.sin(F.col("theta") * 2)).alias("s2"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sv2"),
+    )
+    tau2 = F.atan2("s2", "c2")
+    cc = (F.col("n") + F.cos(tau2) * F.col("c2") + F.sin(tau2) * F.col("s2")) / 2
+    ss = (F.col("n") - F.cos(tau2) * F.col("c2") - F.sin(tau2) * F.col("s2")) / 2
+    sc = F.cos(tau2 / 2) * F.col("svc") + F.sin(tau2 / 2) * F.col("svs")
+    ssm = F.cos(tau2 / 2) * F.col("svs") - F.sin(tau2 / 2) * F.col("svc")
+    power = (sc * sc / cc + ssm * ssm / ss) / 2
+    return agg.select(
+        "event_type",
+        "period_hours",
+        "n",
+        power.alias("power"),
+        (power / (F.col("sv2") / (F.col("n") - 1))).alias("power_norm"),
+    )
+
+
+def _q_lombscargle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(lombscargle(_events(spark, sf_dir)), "power", "power_norm")
+
+
+def _lombscargle_sql(max_hours: int = LS_MAX_HOURS) -> str:
+    return f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS vbar, min(epoch_us(ts)) AS us0
+  FROM events GROUP BY event_type),
+grid AS (SELECT unnest(range(1, {max_hours + 1})) AS period_hours),
+e AS (
+  SELECT ev.event_type, g.period_hours,
+         (ev.value - st.vbar) AS vc,
+         CAST((epoch_us(ev.ts) - st.us0) % (g.period_hours * 3600 * 1000000) AS DOUBLE)
+           * ({E.NUM(TWO_PI)} / CAST(g.period_hours * 3600 * 1000000 AS DOUBLE)) AS theta
+  FROM events ev
+  JOIN stats st ON st.event_type = ev.event_type
+  CROSS JOIN grid g),
+agg AS (
+  SELECT event_type, period_hours, count(*) AS n,
+         sum(vc * cos(theta)) AS svc, sum(vc * sin(theta)) AS svs,
+         sum(cos(theta * 2)) AS c2, sum(sin(theta * 2)) AS s2,
+         sum(vc * vc) AS sv2
+  FROM e GROUP BY event_type, period_hours),
+p AS (
+  SELECT event_type, period_hours, n,
+         ((cos(atan2(s2, c2) / 2) * svc + sin(atan2(s2, c2) / 2) * svs) ^ 2
+            / ((n + cos(atan2(s2, c2)) * c2 + sin(atan2(s2, c2)) * s2) / 2)
+          + (cos(atan2(s2, c2) / 2) * svs - sin(atan2(s2, c2) / 2) * svc) ^ 2
+            / ((n - cos(atan2(s2, c2)) * c2 - sin(atan2(s2, c2)) * s2) / 2)) / 2 AS power,
+         sv2
+  FROM agg)
+SELECT event_type, period_hours, n,
+       {E.round6("power")} AS power,
+       {E.round6("power / (sv2 / (n - 1))")} AS power_norm
+FROM p
+"""
+
+
+# --- technical indicators --------------------------------------------------
+def technical_indicators(
+    ev: DataFrame, key: str = "user_id", value: str = "value"
+) -> DataFrame:
+    """SMA20, Bollinger %B (20, 2sigma_pop), Cutler's RSI(14), SMA5/20
+    crossover flag — NULL until the window is full, like every charting
+    engine. One sort, no joins."""
+    order = [F.col("ts"), F.col("event_id")]
+    w20 = Window.partitionBy(key).orderBy(*order).rowsBetween(-19, 0)
+    w5 = Window.partitionBy(key).orderBy(*order).rowsBetween(-4, 0)
+    w14 = Window.partitionBy(key).orderBy(*order).rowsBetween(-13, 0)
+    wlag = Window.partitionBy(key).orderBy(*order)
+    v = F.col(value)
+    sma20 = F.when(F.count("*").over(w20) == 20, F.avg(v).over(w20))
+    sma5 = F.when(F.count("*").over(w5) == 5, F.avg(v).over(w5))
+    sigma = F.when(F.count("*").over(w20) == 20, F.stddev_pop(v).over(w20))
+    delta = v - F.lag(v).over(wlag)
+    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+    df = ev.withColumn("_gain", gain).withColumn("_loss", loss).withColumn(
+        "_d", delta
+    )
+    gsum = F.sum("_gain").over(w14)
+    lsum = F.sum("_loss").over(w14)
+    rsi = F.when(
+        (F.count("_d").over(w14) == 14) & (gsum + lsum > 0),
+        F.lit(100.0) * gsum / (gsum + lsum),
+    )
+    out = (
+        df.withColumn("sma20", sma20)
+        .withColumn(
+            "bb_pctb",
+            F.when(sigma > 0, (v - sma20 + 2 * sigma) / (4 * sigma)),
+        )
+        .withColumn("rsi14", rsi)
+        .withColumn(
+            "sma_cross",
+            F.when(sma5.isNotNull() & sma20.isNotNull(), (sma5 > sma20).cast("int")),
+        )
+    )
+    return out.select("event_id", key, value, "sma20", "bb_pctb", "rsi14", "sma_cross")
+
+
+def _q_technical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = technical_indicators(_events(spark, sf_dir))
+    return round6(out, "value", "sma20", "bb_pctb", "rsi14")
+
+
+_TECHNICAL_SQL = """
+WITH d AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN count(*) OVER w20 = 20 THEN avg(value) OVER w20 END AS sma20,
+         CASE WHEN count(*) OVER w5 = 5 THEN avg(value) OVER w5 END AS sma5,
+         CASE WHEN count(*) OVER w20 = 20 THEN stddev_pop(value) OVER w20 END AS sigma,
+         value - lag(value) OVER wl AS delta
+  FROM events
+  WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w5 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT event_id, user_id, ts, value, sma20, sma5, sigma,
+         sum(CASE WHEN delta > 0 THEN delta ELSE 0.0e0 END) OVER w14 AS gsum,
+         sum(CASE WHEN delta < 0 THEN -delta ELSE 0.0e0 END) OVER w14 AS lsum,
+         count(delta) OVER w14 AS nd
+  FROM d
+  WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, (round((value) + 1.0e-9,6)+0.0e0) AS value,
+       (round((sma20) + 1.0e-9,6)+0.0e0) AS sma20,
+       (round((CASE WHEN sigma > 0
+               THEN (value - sma20 + 2 * sigma) / (4 * sigma) END) + 1.0e-9,6)+0.0e0) AS bb_pctb,
+       (round((CASE WHEN nd = 14 AND gsum + lsum > 0
+               THEN 100.0e0 * gsum / (gsum + lsum) END) + 1.0e-9,6)+0.0e0) AS rsi14,
+       CASE WHEN sma5 IS NOT NULL AND sma20 IS NOT NULL
+            THEN CAST(sma5 > sma20 AS INT) END AS sma_cross
+FROM r
+"""
+
+
+# --- Hurst exponent (R/S analysis) -----------------------------------------
+HURST_SIZES = (16, 32, 64, 128)
+HURST_N, HURST_LEN = 12, 512
+
+
+def hurst_rs(df: DataFrame, sizes: tuple[int, ...] = HURST_SIZES) -> DataFrame:
+    """Rescaled-range Hurst exponent per series: for each block size n,
+    split the series into len/n full blocks; R = range of the cumulative
+    deviation from the block mean, S = population std; H = OLS slope of
+    log2(mean R/S) on log2(n)."""
+    grid = F.explode(F.array(*[F.lit(s) for s in sizes])).alias("bsize")
+    e = df.select("series_id", "t", "value", grid)
+    e = e.withColumn("block", (F.col("t") / F.col("bsize")).cast("int"))
+    wb = Window.partitionBy("series_id", "bsize", "block")
+    wcum = wb.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    e = e.withColumn("bmean", F.avg("value").over(wb)).withColumn(
+        "bstd", F.stddev_pop("value").over(wb)
+    )
+    e = e.withColumn("cum", F.sum(F.col("value") - F.col("bmean")).over(wcum))
+    blocks = e.groupBy("series_id", "bsize", "block").agg(
+        (F.max("cum") - F.min("cum")).alias("r"), F.first("bstd").alias("s")
+    )
+    rs = blocks.groupBy("series_id", "bsize").agg(
+        F.avg(F.col("r") / F.col("s")).alias("rs_mean")
+    )
+    rs = rs.withColumn("x", F.log2("bsize")).withColumn("y", F.log2("rs_mean"))
+    return (
+        rs.groupBy("series_id")
+        .agg(F.covar_pop("x", "y").alias("sxy"), F.var_pop("x").alias("sxx"))
+        .select("series_id", (F.col("sxy") / F.col("sxx")).alias("hurst"))
+    )
+
+
+def _q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, HURST_N, HURST_LEN, "mixed")
+    return round6(hurst_rs(df), "hurst")
+
+
+def _hurst_sql() -> str:
+    gen = oracle.generate_sql(HURST_N, HURST_LEN, "mixed", rounded=False)
+    sizes = ", ".join(str(s) for s in HURST_SIZES)
+    return f"""
+WITH src AS ({gen}),
+e AS (
+  SELECT series_id, t, value, g.bsize, CAST(floor(t / g.bsize) AS INT) AS block
+  FROM src CROSS JOIN (SELECT unnest([{sizes}]) AS bsize) g),
+d AS (
+  SELECT series_id, bsize, block, t, value,
+         avg(value) OVER wb AS bmean, stddev_pop(value) OVER wb AS bstd
+  FROM e
+  WINDOW wb AS (PARTITION BY series_id, bsize, block)),
+c AS (
+  SELECT series_id, bsize, block, bstd,
+         sum(value - bmean) OVER (PARTITION BY series_id, bsize, block ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+blocks AS (
+  SELECT series_id, bsize, block, max(cum) - min(cum) AS r, any_value(bstd) AS s
+  FROM c GROUP BY series_id, bsize, block),
+rs AS (
+  SELECT series_id, bsize, avg(r / s) AS rs_mean FROM blocks GROUP BY series_id, bsize),
+xy AS (SELECT series_id, log2(bsize) AS x, log2(rs_mean) AS y FROM rs)
+SELECT series_id, {E.round6("covar_pop(x, y) / var_pop(x)")} AS hurst
+FROM xy GROUP BY series_id
+"""
+
+
+# --- Engle-Granger cointegration sweep -------------------------------------
+COINT_N, COINT_LEN = 12, 256
+
+
+def coint_sweep(df: DataFrame) -> DataFrame:
+    """Engle-Granger step-1/2 over every ordered series pair (a < b):
+    OLS y ~ alpha + beta*x, residual z; Dickey-Fuller regression (no
+    constant) dz_t = phi * z_{t-1}: phi, its t-statistic. df_t below ~-3.4
+    rejects 'no cointegration' at 5% (MacKinnon)."""
+    a = df.select(
+        F.col("series_id").alias("sa"), "t", F.col("value").alias("x")
+    )
+    b = df.select(F.col("series_id").alias("sb"), "t", F.col("value").alias("y"))
+    j = a.join(b, "t").where(F.col("sa") < F.col("sb"))
+    ols = j.groupBy("sa", "sb").agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("beta"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+    )
+    z = (
+        j.join(F.broadcast(ols), ["sa", "sb"])
+        .withColumn(
+            "z", F.col("y") - (F.col("ybar") - F.col("beta") * F.col("xbar")) - F.col("beta") * F.col("x")
+        )
+        .select("sa", "sb", "t", "z")
+    )
+    w = Window.partitionBy("sa", "sb").orderBy("t")
+    z = z.withColumn("zl", F.lag("z").over(w)).where(F.col("zl").isNotNull())
+    df_agg = z.groupBy("sa", "sb").agg(
+        (F.sum(F.col("zl") * (F.col("z") - F.col("zl"))) / F.sum(F.col("zl") * F.col("zl"))).alias("phi"),
+        F.sum(F.col("zl") * F.col("zl")).alias("szz"),
+        F.count("*").alias("n"),
+        F.sum(F.col("zl") * (F.col("z") - F.col("zl"))).alias("szd"),
+        F.sum((F.col("z") - F.col("zl")) * (F.col("z") - F.col("zl"))).alias("sdd"),
+    )
+    # SSR of dz ~ phi*zl: sdd - 2 phi szd + phi^2 szz ; s2 = SSR/(n-1); se = sqrt(s2/szz)
+    ssr = F.col("sdd") - 2 * F.col("phi") * F.col("szd") + F.col("phi") * F.col("phi") * F.col("szz")
+    se = F.sqrt(ssr / (F.col("n") - 1) / F.col("szz"))
+    j2 = df_agg.join(F.broadcast(ols.select("sa", "sb", "beta")), ["sa", "sb"])
+    return j2.select(
+        "sa", "sb", "beta", "phi", (F.col("phi") / se).alias("df_t")
+    )
+
+
+def _q_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, COINT_N, COINT_LEN, "mixed")
+    return round6(coint_sweep(df), "beta", "phi", "df_t")
+
+
+def _coint_sql() -> str:
+    gen = oracle.generate_sql(COINT_N, COINT_LEN, "mixed", rounded=False)
+    return f"""
+WITH src AS ({gen}),
+j AS (
+  SELECT a.series_id AS sa, b.series_id AS sb, a.t, a.value AS x, b.value AS y
+  FROM src a JOIN src b ON a.t = b.t AND a.series_id < b.series_id),
+ols AS (
+  SELECT sa, sb, covar_pop(x, y) / var_pop(x) AS beta,
+         avg(x) AS xbar, avg(y) AS ybar
+  FROM j GROUP BY sa, sb),
+z AS (
+  SELECT j.sa, j.sb, j.t,
+         j.y - (ols.ybar - ols.beta * ols.xbar) - ols.beta * j.x AS z
+  FROM j JOIN ols ON ols.sa = j.sa AND ols.sb = j.sb),
+zl AS (
+  SELECT sa, sb, z, lag(z) OVER (PARTITION BY sa, sb ORDER BY t) AS zl FROM z),
+agg AS (
+  SELECT sa, sb,
+         sum(zl * (z - zl)) / sum(zl * zl) AS phi,
+         sum(zl * zl) AS szz, count(*) AS n,
+         sum(zl * (z - zl)) AS szd, sum((z - zl) * (z - zl)) AS sdd
+  FROM zl WHERE zl IS NOT NULL GROUP BY sa, sb)
+SELECT agg.sa, agg.sb,
+       {E.round6("ols.beta")} AS beta,
+       {E.round6("agg.phi")} AS phi,
+       {E.round6("agg.phi / sqrt((agg.sdd - 2 * agg.phi * agg.szd + agg.phi * agg.phi * agg.szz) / (agg.n - 1) / agg.szz)")} AS df_t
+FROM agg JOIN ols ON ols.sa = agg.sa AND ols.sb = agg.sb
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_lombscargle": Query(
+            "ts_lombscargle", _q_lombscargle, _lombscargle_sql(), ("tsdb",)
+        ),
+        "ev_technical": Query("ev_technical", _q_technical, _TECHNICAL_SQL, ("tsdb",)),
+        "ts_hurst": Query("ts_hurst", _q_hurst, _hurst_sql(), ("tsdb",)),
+        "ts_coint": Query("ts_coint", _q_coint, _coint_sql(), ("tsdb",)),
+    }
+)
