@@ -789,3 +789,28 @@ def test_cms_join_size_never_underestimates_and_is_tight(spark):
     n_a = _events(spark, sf).count()
     n_b = _t(spark, sf, "orders").count()
     assert r.overcount <= 2 * n_a * n_b / CMS_W, r
+
+
+def test_garch_matches_scalar_reference_and_clusters_volatility(spark):
+    from tsgen.forecast import garch_filter
+
+    rng = np.random.default_rng(9)
+    # calm first half, turbulent second half
+    rets = np.concatenate([0.1 * rng.normal(size=40), 2.0 * rng.normal(size=40)])
+    ys = np.concatenate([[0.0], np.cumsum(rets)])
+    rows = [(1, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    w, a, b = 0.05, 0.1, 0.85
+    out = {r.t: r for r in garch_filter(df, omega=w, alpha=a, beta=b).collect()}
+    s2 = w / (1 - a - b)
+    for t in range(1, len(ys)):
+        if t > 1:
+            rp = ys[t - 1] - ys[t - 2]
+            s2 = w + a * (rp * rp) + b * s2
+        assert abs(out[t].ret - (ys[t] - ys[t - 1])) < 1e-12, t
+        assert abs(out[t].sigma2 - s2) < 1e-10, t
+        assert out[t].sigma2 > 0
+    # volatility clustering: filtered variance in the turbulent regime is higher
+    calm = np.mean([out[t].sigma2 for t in range(10, 40)])
+    turb = np.mean([out[t].sigma2 for t in range(55, 80)])
+    assert turb > 3 * calm

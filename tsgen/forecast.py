@@ -711,3 +711,86 @@ SELECT series_id, h,
 FROM agg CROSS JOIN ({hrows})
 ORDER BY series_id, h
 """
+
+
+def garch_filter(
+    df: DataFrame,
+    omega: float = 0.05,
+    alpha: float = 0.1,
+    beta: float = 0.85,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """GARCH(1,1) conditional-variance filter (Bollerslev 1986), the
+    standard volatility-clustering model:
+        r_t  = y_t − y_{t−1}
+        σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1},   σ²_1 = ω/(1−α−β)
+    (unconditional-variance init). Emits (series, t, ret, sigma2) for t ≥ 1.
+
+    Execution shape matches holt/kalman: series are the parallel axis of
+    each Arrow batch; the recursion runs as T vectorized numpy steps."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(v, dtype=float) for v in pdf["vs"]]
+            n = np.array([len(a) for a in arrs])
+            T = int(n.max())
+            Y = np.full((len(arrs), T), np.nan)
+            for i, a in enumerate(arrs):
+                Y[i, : len(a)] = a
+            R = Y[:, 1:] - Y[:, :-1]  # returns, column t-1 holds r_{t}
+            s2 = np.full(len(arrs), omega / (1.0 - alpha - beta))
+            sigs = [s2.copy()]
+            for t in range(1, T - 1):
+                rp = R[:, t - 1]
+                s2 = omega + alpha * (rp * rp) + beta * s2
+                sigs.append(s2.copy())
+            out = []
+            for i, s in enumerate(pdf[key]):
+                ln = int(n[i]) - 1  # returns start at t=1
+                out.append(
+                    pd.DataFrame(
+                        {
+                            key: s,
+                            "t": np.arange(1, ln + 1),
+                            "ret": R[i, :ln],
+                            "sigma2": [sigs[t][i] for t in range(ln)],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return wide.mapInPandas(fn, f"{key} bigint, t bigint, ret double, sigma2 double")
+
+
+def garch_sql(
+    inner: str, omega: float = 0.05, alpha: float = 0.1, beta: float = 0.85
+) -> str:
+    """Recursive-CTE oracle replaying the exact recursion (same association
+    order as the numpy kernel: (ω + α·r²) + β·σ²)."""
+    from . import expr as E
+
+    W, A, B = E.NUM(omega), E.NUM(alpha), E.NUM(beta)
+    s20 = E.NUM(omega / (1.0 - alpha - beta))
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
+r AS MATERIALIZED (
+  SELECT series_id, t,
+         value - lag(value) OVER (PARTITION BY series_id ORDER BY t) AS ret
+  FROM src),
+rec(series_id, t, ret, s2) AS (
+  SELECT series_id, t, ret, CAST({s20} AS DOUBLE) FROM r WHERE t = 1
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1, r2.ret,
+         {W} + {A} * (rec.ret * rec.ret) + {B} * rec.s2
+  FROM rec JOIN r r2 ON r2.series_id = rec.series_id AND r2.t = rec.t + 1)
+SELECT series_id, t, {E.round6('ret')} AS ret, {E.round6('s2')} AS sigma2
+FROM rec
+"""

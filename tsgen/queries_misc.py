@@ -369,6 +369,20 @@ def _kalman_sql() -> str:
     return forecast.kalman_sql(inner)
 
 
+def _q_garch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(forecast.garch_filter(df), "ret", "sigma2")
+
+
+def _garch_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.garch_sql(inner)
+
+
 def _q_kalman_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -482,6 +496,7 @@ _REGISTRY.update(
             "kalman_smoother", _q_kalman_smoother, _kalman_smoother_sql(), ("forecast",)
         ),
         "kalman_em": Query("kalman_em", _q_kalman_em, _kalman_em_sql(), ("forecast",)),
+        "forecast_garch": Query("forecast_garch", _q_garch, _garch_sql(), ("forecast",)),
         "forecast_holt_winters": Query(
             "forecast_holt_winters", _q_holt_winters, _holt_winters_sql(), ("forecast",)
         ),
