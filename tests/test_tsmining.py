@@ -134,3 +134,16 @@ def test_simhash_portable_bands_consistent(spark):
             assert getattr(r, f"band{b}") == (r.simhash >> (16 * b)) & 0xFFFF
     assert sim[1].simhash == sim[2].simhash
     assert sim[1].simhash != sim[3].simhash
+
+
+def test_bfs_distances_path_graph(spark):
+    """Hop distances on a path 0-1-2-3-4-5-6-7 seeded at node 0 (0 % 13 == 0):
+    dist = node index, capped at max_depth; unreached nodes omitted."""
+    from tsgen.queries_experiments import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)] + [(100, 101)],  # plus an unseeded component
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {r.node: r.dist for r in bfs_distances(edges, seed_mod=13, max_depth=4).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # depth cap stops at 4

@@ -440,6 +440,86 @@ _REGISTRY.update(
 )
 
 
+# --- multi-source BFS shortest hops ----------------------------------------
+BFS_SEED_MOD, BFS_MAX_DEPTH = 13, 6
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seed_mod: int = BFS_SEED_MOD,
+    max_depth: int = BFS_MAX_DEPTH,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Multi-source BFS hop distances (seeds = node id % seed_mod == 0),
+    the Pregel pattern: each round joins the frontier with the edge list,
+    anti-joins already-visited nodes, and unions the new layer into the
+    distance table. Frontier and distances are localCheckpointed per round
+    (lineage would otherwise double); rounds are keyed equi-joins on the
+    node id — uniform shuffles, no driver-side data. Unreached nodes are
+    omitted (same convention both engines)."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    und = und.localCheckpoint(eager=False)
+    dist = (
+        und.select("u").distinct()
+        .filter(F.col("u") % seed_mod == 0)
+        .select(F.col("u").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("node")
+    for d in range(1, max_depth + 1):
+        cand = (
+            frontier.join(und, frontier.node == und.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = cand.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(d).cast("bigint").alias("dist")
+        )
+        new = new.localCheckpoint()  # eager: reused by the emptiness probe AND the union
+        if not new.take(1):
+            break
+        dist = dist.union(new).localCheckpoint(eager=False)
+        frontier = new.select("node")
+    return dist
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    return canon_types(bfs_distances(pairs))
+
+
+def _bfs_sql() -> str:
+    # UNION (not UNION ALL) in the recursive CTE is load-bearing: it dedups
+    # (node, dist) pairs per step, so the working set is bounded by
+    # nodes x depth instead of the exponential path count inside near-dup
+    # cliques; min(dist) at the end equals BFS first-visit depth.
+    from . import dedup
+
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    return f"""
+WITH RECURSIVE jp AS MATERIALIZED ({jp}),
+e AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM jp UNION SELECT doc_b, doc_a FROM jp),
+rec(node, dist) AS (
+  SELECT DISTINCT u AS node, 0 FROM e WHERE u % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.v, rec.dist + 1 FROM rec JOIN e ON e.u = rec.node
+  WHERE rec.dist < {BFS_MAX_DEPTH})
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM rec GROUP BY node
+"""
+
+
+_REGISTRY.update(
+    {
+        "graph_bfs": Query("graph_bfs", _q_bfs, _bfs_sql(), ("graph",)),
+    }
+)
+
+
 # --- label-propagation communities (fixed-round synchronous LPA) -----------
 LP_ITER = 4
 
