@@ -147,3 +147,41 @@ def test_bfs_distances_path_graph(spark):
     )
     out = {r.node: r.dist for r in bfs_distances(edges, seed_mod=13, max_depth=4).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # depth cap stops at 4
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    """For an AR(1) process (phi=0.6), PACF(1) ~= 0.6 and PACF(k>=2) ~= 0 —
+    the defining cutoff property Durbin-Levinson must reproduce."""
+    from tsgen.queries_tsmining import pacf_durbin_levinson
+
+    rng = np.random.RandomState(21)
+    n = 4000
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = 0.6 * x[t - 1] + rng.randn()
+    x = (x - x.mean()) / x.std()
+    df = spark.createDataFrame(
+        [(1, int(t), float(v)) for t, v in enumerate(x)],
+        "series_id bigint, t bigint, value double",
+    )
+    p = {r.lag: r.pacf for r in pacf_durbin_levinson(df).collect()}
+    assert abs(p[1] - 0.6) < 0.05
+    for k in range(2, 9):
+        assert abs(p[k]) < 0.08, (k, p[k])
+
+
+def test_gap_stats_burstiness_regimes(spark):
+    """Periodic arrivals → burstiness ~ -1; exponential (Poisson) → ~0."""
+    from tsgen.queries_tsmining import gap_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rng = np.random.RandomState(2)
+    rows = [(i, t0 + datetime.timedelta(seconds=60 * i), 1, "periodic", 0.0) for i in range(500)]
+    t = 0.0
+    for i in range(500):
+        t += rng.exponential(60.0)
+        rows.append((1000 + i, t0 + datetime.timedelta(seconds=t), 1, "poisson", 0.0))
+    out = {r.event_type: r for r in gap_stats(_ts_df(spark, rows)).collect()}
+    assert out["periodic"].burstiness < -0.95
+    assert abs(out["poisson"].burstiness) < 0.15
+    assert abs(out["poisson"].mean_gap_s - 60.0) < 10.0

@@ -373,6 +373,165 @@ FROM agg JOIN ols ON ols.sa = agg.sa AND ols.sb = agg.sb
 """
 
 
+# --- partial autocorrelation (Durbin-Levinson) -----------------------------
+PACF_K = 8
+PACF_N, PACF_LEN = 12, 256
+
+
+def pacf_durbin_levinson(df: DataFrame, k_max: int = PACF_K) -> DataFrame:
+    """PACF at lags 1..k_max per series via the Durbin-Levinson recursion
+    over the stationary ACF (rho_k = sum v_t v_{t-k} / sum v_t^2 on the
+    z-normalized series). The ACF build is a distributed lag join + one
+    aggregation; the recursion itself runs on k_max rows PER SERIES
+    (applyInPandas over a constant-size group — pure-Python loop, so the
+    summation order matches the oracle's list_sum exactly). rho is rounded
+    to 12dp on BOTH engines before the recursion: the k_max-step recursion
+    would otherwise amplify 1-ulp aggregation differences."""
+    import pandas as pd
+
+    ss = df.groupBy("series_id").agg(
+        F.sum(F.col("value") * F.col("value")).alias("ss")
+    )
+    a = df.select(
+        "series_id", "t", "value",
+        F.explode(F.array(*[F.lit(k) for k in range(1, k_max + 1)])).alias("l"),
+    )
+    b = df.select("series_id", F.col("t").alias("tb"), F.col("value").alias("vb"))
+    acf = (
+        a.join(b, (a.series_id == b.series_id) & (F.col("tb") == F.col("t") - F.col("l")))
+        .drop(b.series_id)
+        .groupBy("series_id", "l")
+        .agg(F.sum(F.col("value") * F.col("vb")).alias("num"))
+        .join(F.broadcast(ss), "series_id")
+        .select(
+            "series_id", "l",
+            (F.round(F.col("num") / F.col("ss") + F.lit(1.0e-15), 12)).alias("rho"),
+        )
+    )
+
+    def dl(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l")
+        rho = pdf["rho"].tolist()
+        sid = int(pdf["series_id"].iloc[0])
+        phi = [rho[0]]
+        rows = [(sid, 1, rho[0])]
+        for k in range(1, len(rho)):  # extend from order k to k+1
+            num = rho[k] - sum(phi[i - 1] * rho[k - i] for i in range(1, k + 1))
+            den = 1 - sum(phi[i - 1] * rho[i - 1] for i in range(1, k + 1))
+            pkk = num / den
+            phi = [phi[j - 1] - pkk * phi[k - j] for j in range(1, k + 1)] + [pkk]
+            rows.append((sid, k + 1, pkk))
+        return pd.DataFrame(rows, columns=["series_id", "lag", "pacf"])
+
+    return acf.groupBy("series_id").applyInPandas(
+        dl, "series_id bigint, lag bigint, pacf double"
+    )
+
+
+def _q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, PACF_N, PACF_LEN, "mixed")
+    return round6(pacf_durbin_levinson(df), "pacf")
+
+
+def _pacf_sql(k_max: int = PACF_K) -> str:
+    gen = oracle.generate_sql(PACF_N, PACF_LEN, "mixed", rounded=False)
+    num = (
+        f"(al.rho[rec.k + 1] - list_sum(list_transform(range(1, rec.k + 1), "
+        "i -> rec.phi[i] * al.rho[rec.k + 1 - i])))"
+    )
+    den = (
+        "(1 - list_sum(list_transform(range(1, rec.k + 1), "
+        "i -> rec.phi[i] * al.rho[i])))"
+    )
+    pkk = f"({num} / {den})"
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({gen}),
+ss AS (SELECT series_id, sum(value * value) AS ss FROM src GROUP BY series_id),
+lags AS (SELECT unnest(range(1, {k_max + 1})) AS l),
+acf AS (
+  SELECT a.series_id, lags.l,
+         round(sum(a.value * b.value) / any_value(ss.ss) + 1.0e-15, 12) AS rho
+  FROM src a
+  CROSS JOIN lags
+  JOIN src b ON b.series_id = a.series_id AND b.t = a.t - lags.l
+  JOIN ss ON ss.series_id = a.series_id
+  GROUP BY a.series_id, lags.l),
+al AS MATERIALIZED (SELECT series_id, list(rho ORDER BY l) AS rho FROM acf GROUP BY series_id),
+rec(series_id, k, phi, pkk) AS (
+  SELECT series_id, 1, [rho[1]], rho[1] FROM al
+  UNION ALL
+  SELECT rec.series_id, rec.k + 1,
+         list_append(
+           list_transform(range(1, rec.k + 1), j -> rec.phi[j] - {pkk} * rec.phi[rec.k + 1 - j]),
+           {pkk}),
+         {pkk}
+  FROM rec JOIN al ON al.series_id = rec.series_id
+  WHERE rec.k < {k_max})
+SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
+"""
+
+
+# --- inter-arrival gap statistics ------------------------------------------
+def gap_stats(ev: DataFrame) -> DataFrame:
+    """Per event_type inter-arrival diagnostics: mean/std/CV of the gap
+    seconds, exact p95 (interpolated percentile), and the burstiness index
+    B = (CV-1)/(CV+1) (Goh & Barabasi 2008): -1 periodic, 0 Poisson,
+    →1 bursty. One lag window + one aggregation, both keyed on event_type."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("_prev", F.lag(F.unix_micros("ts")).over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            ((F.unix_micros("ts") - F.col("_prev")) / F.lit(1_000_000.0)).alias("gap_s"),
+        )
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.avg("gap_s").alias("mean_gap_s"),
+        F.stddev_pop("gap_s").alias("std_gap_s"),
+        F.expr("percentile(gap_s, 0.95)").alias("p95_gap_s"),
+    )
+    cv = F.col("std_gap_s") / F.col("mean_gap_s")
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "mean_gap_s",
+        "std_gap_s",
+        "p95_gap_s",
+        cv.alias("cv"),
+        ((cv - 1) / (cv + 1)).alias("burstiness"),
+    )
+
+
+def _q_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(
+        gap_stats(_events(spark, sf_dir)),
+        "mean_gap_s", "std_gap_s", "p95_gap_s", "cv", "burstiness",
+    )
+
+
+_GAP_STATS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+           / 1000000.0e0 AS gap_s
+  FROM events),
+agg AS (
+  SELECT event_type, count(*) AS n_gaps, avg(gap_s) AS mean_gap_s,
+         stddev_pop(gap_s) AS std_gap_s,
+         quantile_cont(gap_s, 0.95e0) AS p95_gap_s
+  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_gaps,
+       (round((mean_gap_s) + 1.0e-9,6)+0.0e0) AS mean_gap_s,
+       (round((std_gap_s) + 1.0e-9,6)+0.0e0) AS std_gap_s,
+       (round((p95_gap_s) + 1.0e-9,6)+0.0e0) AS p95_gap_s,
+       (round((std_gap_s / mean_gap_s) + 1.0e-9,6)+0.0e0) AS cv,
+       (round(((std_gap_s / mean_gap_s - 1) / (std_gap_s / mean_gap_s + 1)) + 1.0e-9,6)+0.0e0) AS burstiness
+FROM agg
+"""
+
+
 _REGISTRY.update(
     {
         "ts_lombscargle": Query(
@@ -381,5 +540,9 @@ _REGISTRY.update(
         "ev_technical": Query("ev_technical", _q_technical, _TECHNICAL_SQL, ("tsdb",)),
         "ts_hurst": Query("ts_hurst", _q_hurst, _hurst_sql(), ("tsdb",)),
         "ts_coint": Query("ts_coint", _q_coint, _coint_sql(), ("tsdb",)),
+        "ev_gap_stats": Query(
+            "ev_gap_stats", _q_gap_stats, _GAP_STATS_SQL, ("tsdb",)
+        ),
+        "ts_pacf": Query("ts_pacf", _q_pacf, _pacf_sql(), ("tsdb",)),
     }
 )
