@@ -185,3 +185,21 @@ def test_gap_stats_burstiness_regimes(spark):
     assert out["periodic"].burstiness < -0.95
     assert abs(out["poisson"].burstiness) < 0.15
     assert abs(out["poisson"].mean_gap_s - 60.0) < 10.0
+
+
+def test_rake_keyphrases_scores_multiword_runs(spark):
+    """RAKE favors longer stopword-free runs: in a doc where 'deep neural
+    network' always co-occurs, that phrase must outrank single words, and
+    stopwords must never appear inside any emitted phrase."""
+    from tsgen.text import QUALITY_STOPWORDS, rake_keyphrases
+
+    text = "the deep neural network of the deep neural network and a "\
+           "simple baseline in the deep neural network"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = rake_keyphrases(df, top_n=3).orderBy("rank").collect()
+    assert out[0].phrase == "deep neural network"
+    assert out[0].n_words == 3
+    for r in out:
+        for w in r.phrase.split(" "):
+            assert w not in QUALITY_STOPWORDS
+    assert out[0].score > out[-1].score or len(out) == 1

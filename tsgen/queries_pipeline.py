@@ -560,6 +560,12 @@ _REGISTRY.update(
         "tfidf_top_terms": Query("tfidf_top_terms", _q_tfidf, text.tfidf_sql(3), ("text",)),
         "text_stats": Query("text_stats", _q_text_stats, text.TEXT_STATS_SQL, ("text",)),
         "doc_entropy": Query("doc_entropy", _q_doc_entropy, text.ENTROPY_SQL, ("text",)),
+        "doc_keyphrases": Query(
+            "doc_keyphrases",
+            lambda spark, sf_dir: text.rake_keyphrases(_docs(spark, sf_dir)),
+            text.rake_sql(),
+            ("text",),
+        ),
         "doc_lm_score": Query("doc_lm_score", _q_lm_score, text.LM_SCORE_SQL, ("text",)),
         "doc_bigram_lm": Query(
             "doc_bigram_lm", _q_bigram_lm, text.bigram_lm_sql(), ("text",)

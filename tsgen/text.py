@@ -817,3 +817,102 @@ SELECT doc_id,
             + len(regexp_extract_all({scrub}, '{p}')) AS BIGINT) AS residual_pii
 FROM src
 """
+
+
+# --- RAKE keyphrase extraction (Rose et al. 2010) --------------------------
+def rake_keyphrases(
+    df: DataFrame, top_n: int = 3, max_words: int = 4, text: str = "text"
+) -> DataFrame:
+    """Rapid Automatic Keyword Extraction: candidate phrases are maximal
+    stopword-free token runs (<= max_words); word score = degree/freq where
+    degree sums the lengths of phrases containing the word; phrase score =
+    sum of member word scores; emit the top_n phrases per document.
+
+    Scale shape: one posexplode + a cumulative-sum window and all groupBys
+    keyed on (doc_id, ...) — per-doc work never crosses documents, and the
+    per-doc ranking window is bounded by the phrase count of one doc.
+    Scores are rounded to 6dp BEFORE the duplicate-phrase collapse so both
+    engines merge identical phrases despite sum-order ulps."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id", F.posexplode(F.split(F.col(text), " ")).alias("pos", "tok")
+    )
+    is_stop = F.lower(F.col("tok")).isin(*QUALITY_STOPWORDS) | (F.col("tok") == "")
+    toks = toks.withColumn("_stop", is_stop.cast("int"))
+    wcum = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    words = toks.withColumn("phrase_id", F.sum("_stop").over(wcum)).filter(
+        F.col("_stop") == 0
+    )
+    ph = (
+        words.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("pts"),
+            F.count("*").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+        .withColumn("phrase", F.concat_ws(" ", F.col("pts.tok")))
+        .drop("pts")
+    )
+    pw = words.join(ph.select("doc_id", "phrase_id", "n_words"), ["doc_id", "phrase_id"])
+    ws = (
+        pw.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("freq"), F.sum("n_words").alias("degree"))
+        .withColumn("wscore", F.col("degree") / F.col("freq"))
+    )
+    scored = (
+        pw.join(ws, ["doc_id", "tok"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.round(F.sum("wscore") + F.lit(1.0e-9), 6).alias("score"))
+    )
+    out = (
+        ph.join(scored, ["doc_id", "phrase_id"])
+        .select("doc_id", "phrase", "n_words", "score")
+        .distinct()
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return out.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= top_n
+    )
+
+
+def rake_sql(top_n: int = 3, max_words: int = 4) -> str:
+    """DuckDB oracle twin of rake_keyphrases."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.pos, u.tok,
+         CASE WHEN lower(u.tok) IN ({_in_list(QUALITY_STOPWORDS)}) OR u.tok = ''
+              THEN 1 ELSE 0 END AS stop
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) + 1),
+                                     i -> {{'pos': i - 1, 'tok': ts[i]}})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))),
+words AS (
+  SELECT doc_id, pos, tok,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM toks QUALIFY stop = 0),
+ph AS (
+  SELECT doc_id, phrase_id, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*) AS n_words
+  FROM words GROUP BY doc_id, phrase_id HAVING count(*) <= {max_words}),
+pw AS (
+  SELECT w.doc_id, w.phrase_id, w.tok, p.n_words
+  FROM words w JOIN ph p ON p.doc_id = w.doc_id AND p.phrase_id = w.phrase_id),
+ws AS (
+  SELECT doc_id, tok, count(*) AS freq, sum(n_words) AS degree
+  FROM pw GROUP BY doc_id, tok),
+scored AS (
+  SELECT pw.doc_id, pw.phrase_id,
+         (round((sum(ws.degree / ws.freq)) + 1.0e-9,6)+0.0e0) AS score
+  FROM pw JOIN ws ON ws.doc_id = pw.doc_id AND ws.tok = pw.tok
+  GROUP BY pw.doc_id, pw.phrase_id),
+u AS (
+  SELECT DISTINCT ph.doc_id, ph.phrase, ph.n_words, scored.score
+  FROM ph JOIN scored ON scored.doc_id = ph.doc_id AND scored.phrase_id = ph.phrase_id)
+SELECT doc_id, phrase, n_words, score, rank FROM (
+  SELECT u.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase ASC) AS rank
+  FROM u)
+WHERE rank <= {top_n}
+"""
