@@ -203,3 +203,22 @@ def test_rake_keyphrases_scores_multiword_runs(spark):
         for w in r.phrase.split(" "):
             assert w not in QUALITY_STOPWORDS
     assert out[0].score > out[-1].score or len(out) == 1
+
+
+def test_kmeans_l2_separates_planted_clusters(spark):
+    """Three well-separated Gaussian blobs with k=3 → each blob lands in one
+    cluster and inertia is far below the one-cluster baseline."""
+    from tsgen.similarity import kmeans_l2
+
+    rng = np.random.RandomState(4)
+    rows = []
+    centers = [np.zeros(8), np.full(8, 10.0), np.full(8, -10.0)]
+    for i in range(300):
+        c = i % 3
+        rows.append((i, (centers[c] + 0.5 * rng.randn(8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = kmeans_l2(df, k=3, iters=3).collect()
+    sizes = sorted(r.n for r in out)
+    assert sizes == [100, 100, 100]
+    total_inertia = sum(r.inertia for r in out)
+    assert total_inertia < 300 * 8 * 1.0  # ~n*dim*sigma^2 scale, not blob-distance scale

@@ -526,3 +526,105 @@ def pq_summary(df: DataFrame, vec: str = "embedding") -> DataFrame:
             F.sqrt(F.col("recon_sqerr")).alias("recon_err"),
         )
     )
+
+
+# --- classic L2 k-means (deterministic Lloyd, oracle-replayable) -----------
+KMEANS_K, KMEANS_ITERS, EMB_DIM = 8, 2, 64
+
+
+def kmeans_l2(
+    df: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS, vec: str = "embedding"
+) -> DataFrame:
+    """Classic Lloyd k-means under L2 with DETERMINISTIC init (centroids =
+    the first k vectors by vec_id): `iters` assign+recompute rounds, one
+    final assignment, then per-cluster size and inertia. Every stage is the
+    broadcast-centroids pattern (k rows broadcast; the corpus streams), so
+    the whole fit is `iters`+1 scans with no quadratic work — the 100 TB
+    path. The fixed round count keeps the computation oracle-replayable as
+    unrolled CTEs (same convention as PageRank/k-core); convergence at this
+    data size is asserted in tests, not assumed.
+
+    → (cluster_id, n, inertia) with inertia = sum of squared distances.
+    """
+    v = df.select("vec_id", F.col(vec).cast("array<double>").alias("_vec"))
+    cents = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("_vec").alias("cvec")
+    )
+
+    def dist2() -> F.Column:
+        return F.aggregate(
+            F.zip_with("_vec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cc: DataFrame) -> DataFrame:
+        j = v.crossJoin(F.broadcast(cc)).withColumn("d2", dist2())
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "_vec", "cluster_id", "d2")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        comp = assigned.select("cluster_id", F.posexplode("_vec").alias("i", "x"))
+        means = comp.groupBy("cluster_id", "i").agg(F.avg("x").alias("m"))
+        cents = (
+            means.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_pts"))
+            .select("cluster_id", F.col("_pts.m").alias("cvec"))
+        )
+    final = assign(cents)
+    return final.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("d2") + F.lit(1.0e-9), 4).alias("inertia"),
+    )
+
+
+def kmeans_l2_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM) -> str:
+    """DuckDB oracle twin: the same Lloyd rounds unrolled as chained CTEs.
+    dist2 uses a SEQUENTIAL list_reduce fold so the summation order matches
+    Spark's aggregate() exactly."""
+    d2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {dim} + 1), "
+        "i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i]))), (acc, x) -> acc + x)"
+    ).format(dim=dim)
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster_id, vec AS cvec FROM v WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for it in range(iters):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, vec, cluster_id, d2 FROM (
+    SELECT v.vec_id, v.vec, c.cluster_id, {d2} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+    FROM v CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{it} AS (
+  SELECT cluster_id, i, avg(vec[i]) AS m
+  FROM a{it} CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) g
+  GROUP BY cluster_id, i)"""
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT cluster_id, list(m ORDER BY i) AS cvec FROM m{it} GROUP BY cluster_id)"
+        )
+        prev = f"c{it + 1}"
+    parts.append(
+        f"""fin AS (
+  SELECT vec_id, cluster_id, d2 FROM (
+    SELECT v.vec_id, c.cluster_id, {d2} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+    FROM v CROSS JOIN {prev} c) WHERE rn = 1)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT cluster_id, count(*) AS n,
+       (round((sum(d2)) + 1.0e-9,4)+0.0e0) AS inertia
+FROM fin GROUP BY cluster_id
+"""
