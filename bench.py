@@ -132,6 +132,14 @@ def main() -> None:
         "ts_dtw",
         "ts_changepoint",
         "ts_spectral_entropy",
+        # round-3 continuation: portable-hash dedup twins, irregular-sampling
+        # spectral estimation, keyphrases, k-means, BFS
+        "minhash_lsh_portable",
+        "simhash_portable",
+        "ts_lombscargle",
+        "doc_keyphrases",
+        "embed_kmeans",
+        "graph_bfs",
     ]
     reg = registry()
     for name in suite:
