@@ -222,3 +222,42 @@ def test_kmeans_l2_separates_planted_clusters(spark):
     assert sizes == [100, 100, 100]
     total_inertia = sum(r.inertia for r in out)
     assert total_inertia < 300 * 8 * 1.0  # ~n*dim*sigma^2 scale, not blob-distance scale
+
+
+def test_stream_lombscargle_matches_batch_peak(spark, tmp_path):
+    """The streaming periodogram (uncentered mergeable sums, algebraic
+    centering) must find the same dominant period as the batch operator,
+    with power equal to ~1e-6 despite the different float path."""
+    import os
+
+    from tsgen import streaming
+    from tsgen.queries_tsmining import lombscargle
+
+    rng = np.random.RandomState(13)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    t = 0.0
+    for i in range(1500):
+        t += rng.exponential(180.0)
+        v = math.sin(2 * math.pi * t / (8 * 3600.0)) + 0.2 * rng.randn()
+        rows.append((i, t0 + datetime.timedelta(seconds=t), 1, "a", float(v)))
+    df = _ts_df(spark, rows)
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(sf_dir, "_tmp"))
+    # events_stream expects {sf_dir}/events.parquet as a single file path glob
+    import glob
+    import shutil
+
+    part = glob.glob(os.path.join(sf_dir, "_tmp", "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(sf_dir, "events.parquet"))
+    s = streaming.events_stream(spark, sf_dir)
+    got = streaming.run_to_completion(streaming.lombscargle_stream(s), mode="complete")
+    stream_rows = {r.period_hours: r for r in got.collect()}
+    batch_rows = {r.period_hours: r for r in lombscargle(df).collect()}
+    best_stream = max(stream_rows.values(), key=lambda r: r.power).period_hours
+    best_batch = max(batch_rows.values(), key=lambda r: r.power).period_hours
+    assert best_stream == best_batch == 8
+    for k in batch_rows:
+        assert abs(stream_rows[k].power - batch_rows[k].power) < 1e-5 * max(
+            1.0, batch_rows[k].power
+        )

@@ -381,10 +381,63 @@ SELECT user_id, exact_n, cms_n, cms_n - exact_n AS overcount FROM est
 """
 
 
+def _q_stream_lombscargle(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.lombscargle_stream(s), mode="complete")
+    return round6(out, "power", "power_norm")
+
+
+def _stream_lombscargle_sql(max_hours: int = 24) -> str:
+    from . import expr as E
+    from .queries_tsmining import TWO_PI
+
+    # same UNCENTERED-sums formulation as the stream (algebraic centering,
+    # absolute-micros phase anchor) — deliberately different float path from
+    # the batch ts_lombscargle oracle, matched to its own twin
+    return f"""
+WITH grid AS (SELECT unnest(range(1, {max_hours + 1})) AS period_hours),
+e AS (
+  SELECT ev.event_type, g.period_hours, ev.value AS v,
+         CAST(epoch_us(ev.ts) % (g.period_hours * 3600 * 1000000) AS DOUBLE)
+           * ({E.NUM(TWO_PI)} / CAST(g.period_hours * 3600 * 1000000 AS DOUBLE)) AS theta
+  FROM events ev CROSS JOIN grid g),
+agg AS (
+  SELECT event_type, period_hours, count(*) AS n,
+         sum(v) AS sv, sum(v * v) AS sv2,
+         sum(v * cos(theta)) AS sc, sum(v * sin(theta)) AS sn,
+         sum(cos(theta)) AS c1, sum(sin(theta)) AS s1,
+         sum(cos(theta * 2)) AS c2, sum(sin(theta * 2)) AS s2
+  FROM e GROUP BY event_type, period_hours),
+c AS (
+  SELECT event_type, period_hours, n, c2, s2,
+         sc - (sv / n) * c1 AS svc,
+         sn - (sv / n) * s1 AS svs,
+         sv2 - n * (sv / n) * (sv / n) AS sv2c
+  FROM agg),
+p AS (
+  SELECT event_type, period_hours, n, sv2c,
+         ((cos(atan2(s2, c2) / 2) * svc + sin(atan2(s2, c2) / 2) * svs) ^ 2
+            / ((n + cos(atan2(s2, c2)) * c2 + sin(atan2(s2, c2)) * s2) / 2)
+          + (cos(atan2(s2, c2) / 2) * svs - sin(atan2(s2, c2) / 2) * svc) ^ 2
+            / ((n - cos(atan2(s2, c2)) * c2 - sin(atan2(s2, c2)) * s2) / 2)) / 2 AS power
+  FROM c)
+SELECT event_type, period_hours, n,
+       {E.round6("power")} AS power,
+       {E.round6("power / (sv2c / (n - 1))")} AS power_norm
+FROM p
+"""
+
+
 _REGISTRY.update(
     {
         "stream_cms_topk": Query(
             "stream_cms_topk", _q_stream_cms, _stream_cms_sql(), ("streaming",)
+        ),
+        "stream_lombscargle": Query(
+            "stream_lombscargle",
+            _q_stream_lombscargle,
+            _stream_lombscargle_sql(),
+            ("streaming",),
         ),
     }
 )

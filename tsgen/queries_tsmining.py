@@ -48,6 +48,17 @@ LS_MAX_HOURS = 24
 
 
 # --- Lomb-Scargle periodogram ---------------------------------------------
+def ls_power(n, svc, svs, c2, s2) -> F.Column:
+    """Lomb-Scargle power from the five sufficient statistics (all
+    mergeable sums — the streaming twin aggregates the same state)."""
+    tau2 = F.atan2(s2, c2)
+    cc = (n + F.cos(tau2) * c2 + F.sin(tau2) * s2) / 2
+    ss = (n - F.cos(tau2) * c2 - F.sin(tau2) * s2) / 2
+    sc = F.cos(tau2 / 2) * svc + F.sin(tau2 / 2) * svs
+    ssm = F.cos(tau2 / 2) * svs - F.sin(tau2 / 2) * svc
+    return (sc * sc / cc + ssm * ssm / ss) / 2
+
+
 def lombscargle(ev: DataFrame, max_hours: int = LS_MAX_HOURS) -> DataFrame:
     """Lomb-Scargle power at candidate periods of 1..max_hours hours, per
     event_type, from irregular (ts, value) samples.
@@ -94,12 +105,7 @@ def lombscargle(ev: DataFrame, max_hours: int = LS_MAX_HOURS) -> DataFrame:
         F.sum(F.sin(F.col("theta") * 2)).alias("s2"),
         F.sum(F.col("vc") * F.col("vc")).alias("sv2"),
     )
-    tau2 = F.atan2("s2", "c2")
-    cc = (F.col("n") + F.cos(tau2) * F.col("c2") + F.sin(tau2) * F.col("s2")) / 2
-    ss = (F.col("n") - F.cos(tau2) * F.col("c2") - F.sin(tau2) * F.col("s2")) / 2
-    sc = F.cos(tau2 / 2) * F.col("svc") + F.sin(tau2 / 2) * F.col("svs")
-    ssm = F.cos(tau2 / 2) * F.col("svs") - F.sin(tau2 / 2) * F.col("svc")
-    power = (sc * sc / cc + ssm * ssm / ss) / 2
+    power = ls_power(F.col("n"), F.col("svc"), F.col("svs"), F.col("c2"), F.col("s2"))
     return agg.select(
         "event_type",
         "period_hours",

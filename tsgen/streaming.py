@@ -508,3 +508,57 @@ def cms_counter_stream(stream: DataFrame, key: str = "user_id") -> DataFrame:
         .groupBy("row", "cell")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def lombscargle_stream(stream: DataFrame, max_hours: int = 24) -> DataFrame:
+    """Streaming Lomb-Scargle periodogram: the power at each candidate
+    period reduces to NINE mergeable sums per (event_type, period) —
+    uncentered trig moments — so the whole spectral estimate runs as one
+    standard streaming aggregation whose state is constant-size per group
+    and ADDS across micro-batches exactly as it partial-aggregates across
+    partitions. Mean-centering is applied ALGEBRAICALLY after aggregation
+    (svc' = sc − v̄·c1 etc.), and the phase anchor is absolute epoch
+    microseconds: LS power is time-shift invariant through tau, and the
+    integer modulo keeps cos/sin arguments exact in [0, 2π).
+
+    The final power is a stateless projection of the aggregate row
+    (queries_tsmining.ls_power over the centered statistics)."""
+    from .queries_tsmining import TWO_PI, ls_power
+
+    periods = [(k, k * 3600 * 1_000_000) for k in range(1, max_hours + 1)]
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("period_hours"), F.lit(pus).alias("period_us"))
+                for k, pus in periods
+            ]
+        )
+    ).alias("g")
+    e = stream.select("event_type", F.col("value").alias("v"), F.unix_micros("ts").alias("us"), grid)
+    theta = (F.col("us") % F.col("g.period_us")).cast("double") * (
+        F.lit(TWO_PI) / F.col("g.period_us").cast("double")
+    )
+    e = e.select("event_type", F.col("g.period_hours").alias("period_hours"), "v", theta.alias("theta"))
+    agg = e.groupBy("event_type", "period_hours").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("sv2"),
+        F.sum(F.col("v") * F.cos("theta")).alias("sc"),
+        F.sum(F.col("v") * F.sin("theta")).alias("sn"),
+        F.sum(F.cos("theta")).alias("c1"),
+        F.sum(F.sin("theta")).alias("s1"),
+        F.sum(F.cos(F.col("theta") * 2)).alias("c2"),
+        F.sum(F.sin(F.col("theta") * 2)).alias("s2"),
+    )
+    vbar = F.col("sv") / F.col("n")
+    svc = F.col("sc") - vbar * F.col("c1")
+    svs = F.col("sn") - vbar * F.col("s1")
+    sv2c = F.col("sv2") - F.col("n") * vbar * vbar
+    power = ls_power(F.col("n"), svc, svs, F.col("c2"), F.col("s2"))
+    return agg.select(
+        "event_type",
+        "period_hours",
+        "n",
+        power.alias("power"),
+        (power / (sv2c / (F.col("n") - 1))).alias("power_norm"),
+    )
