@@ -261,3 +261,58 @@ def test_stream_lombscargle_matches_batch_peak(spark, tmp_path):
         assert abs(stream_rows[k].power - batch_rows[k].power) < 1e-5 * max(
             1.0, batch_rows[k].power
         )
+
+
+def test_ljung_box_separates_noise_from_ar(spark):
+    """White noise → Q near dof (chi2 mean); strongly autocorrelated AR(1)
+    → Q orders of magnitude larger."""
+    from tsgen.queries_tsmining import ljung_box
+
+    rng = np.random.RandomState(8)
+    noise = rng.randn(512)
+    ar = np.zeros(512)
+    for t in range(1, 512):
+        ar[t] = 0.8 * ar[t - 1] + rng.randn()
+    rows = []
+    for sid, series in enumerate([noise, ar]):
+        z = (series - series.mean()) / series.std()
+        rows += [(sid, int(t), float(v)) for t, v in enumerate(z)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    q = {r.series_id: r.q_stat for r in ljung_box(df).collect()}
+    assert q[0] < 30  # chi2(10) 99th pctile ~23.2
+    assert q[1] > 500
+
+
+def test_mann_kendall_detects_monotone_trend(spark):
+    """Strictly increasing series → S = n(n-1)/2 and large positive Z;
+    pure alternating series → S near 0."""
+    from tsgen.queries_tsmining import mann_kendall
+
+    n = 100
+    rows = [(0, t, float(t)) for t in range(n)]
+    rows += [(1, t, float(1 if t % 2 else -1) * (1 + 0.001 * t)) for t in range(n)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = {r.series_id: r for r in mann_kendall(df).collect()}
+    assert out[0].s == n * (n - 1) // 2
+    assert out[0].z > 10
+    assert abs(out[1].z) < 2
+
+
+def test_abc_analysis_shares_sum_to_one(spark):
+    """Classes partition the parts; revenue shares sum to 1 and A-class
+    parts are fewer than C-class (Pareto concentration on skewed data)."""
+    from tsgen.queries_warehouse2 import abc_analysis
+
+    rng = np.random.RandomState(6)
+    rows = []
+    rid = 0
+    for pk in range(200):
+        rev = float(np.exp(rng.randn() + (5 if pk < 20 else 0)))  # head-heavy
+        rows.append((pk, rev, 0.0))
+        rid += 1
+    df = spark.createDataFrame(rows, "l_partkey bigint, l_extendedprice double, l_discount double")
+    out = {r.abc_class: r for r in abc_analysis(df).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert abs(sum(r.rev_share for r in out.values()) - 1.0) < 1e-9
+    assert sum(r.n_parts for r in out.values()) == 200
+    assert out["A"].n_parts < out["C"].n_parts

@@ -477,6 +477,123 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- Ljung-Box white-noise test --------------------------------------------
+LB_K = 10
+LB_N, LB_LEN = 12, 256
+
+
+def ljung_box(df: DataFrame, k_max: int = LB_K) -> DataFrame:
+    """Ljung-Box portmanteau statistic per series:
+        Q = n(n+2) * sum_{k=1..K} rho_k^2 / (n-k)
+    over the stationary ACF (same lag-join build as ts_pacf). Q ~ chi2(K)
+    under white noise — large Q rejects 'no autocorrelation'."""
+    n_tbl = df.groupBy("series_id").agg(
+        F.count("*").alias("nn"), F.sum(F.col("value") * F.col("value")).alias("ss")
+    )
+    a = df.select(
+        "series_id", "t", "value",
+        F.explode(F.array(*[F.lit(k) for k in range(1, k_max + 1)])).alias("l"),
+    )
+    b = df.select("series_id", F.col("t").alias("tb"), F.col("value").alias("vb"))
+    acf = (
+        a.join(b, (a.series_id == b.series_id) & (F.col("tb") == F.col("t") - F.col("l")))
+        .drop(b.series_id)
+        .groupBy("series_id", "l")
+        .agg(F.sum(F.col("value") * F.col("vb")).alias("num"))
+        .join(F.broadcast(n_tbl), "series_id")
+        .select(
+            "series_id", "l", "nn",
+            ((F.col("num") / F.col("ss")) * (F.col("num") / F.col("ss"))
+             / (F.col("nn") - F.col("l"))).alias("term"),
+        )
+    )
+    return acf.groupBy("series_id").agg(
+        (F.first("nn") * (F.first("nn") + 2) * F.sum("term")).alias("q_stat"),
+        F.lit(k_max).cast("bigint").alias("dof"),
+    )
+
+
+def _q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, LB_N, LB_LEN, "mixed")
+    return round6(ljung_box(df), "q_stat")
+
+
+def _ljung_box_sql(k_max: int = LB_K) -> str:
+    gen = oracle.generate_sql(LB_N, LB_LEN, "mixed", rounded=False)
+    return f"""
+WITH src AS ({gen}),
+nt AS (SELECT series_id, count(*) AS nn, sum(value * value) AS ss
+       FROM src GROUP BY series_id),
+lags AS (SELECT unnest(range(1, {k_max + 1})) AS l),
+acf AS (
+  SELECT a.series_id, lags.l, any_value(nt.nn) AS nn,
+         (sum(a.value * b.value) / any_value(nt.ss))
+           * (sum(a.value * b.value) / any_value(nt.ss))
+           / (any_value(nt.nn) - lags.l) AS term
+  FROM src a
+  CROSS JOIN lags
+  JOIN src b ON b.series_id = a.series_id AND b.t = a.t - lags.l
+  JOIN nt ON nt.series_id = a.series_id
+  GROUP BY a.series_id, lags.l)
+SELECT series_id,
+       {E.round6("any_value(nn) * (any_value(nn) + 2) * sum(term)")} AS q_stat,
+       CAST({k_max} AS BIGINT) AS dof
+FROM acf GROUP BY series_id
+"""
+
+
+# --- Mann-Kendall trend test ------------------------------------------------
+MK_N, MK_LEN = 12, 128
+
+
+def mann_kendall(df: DataFrame) -> DataFrame:
+    """Nonparametric Mann-Kendall trend test per series:
+        S = sum_{i<j} sign(x_j - x_i),  var(S) = n(n-1)(2n+5)/18 (no-ties
+        form; the z-normalized generator output has no exact ties),
+        Z = (S -/+ 1)/sqrt(var) with the standard continuity correction.
+    The i<j pair join is quadratic in SERIES LENGTH only (bounded, per
+    series) and shuffles on series_id once."""
+    a = df.select("series_id", F.col("t").alias("ti"), F.col("value").alias("xi"))
+    b = df.select("series_id", F.col("t").alias("tj"), F.col("value").alias("xj"))
+    pairs = a.join(b, "series_id").where(F.col("ti") < F.col("tj"))
+    s = pairs.groupBy("series_id").agg(
+        F.sum(F.signum(F.col("xj") - F.col("xi")).cast("bigint")).alias("s")
+    )
+    n_tbl = df.groupBy("series_id").agg(F.count("*").alias("n"))
+    s = s.join(F.broadcast(n_tbl), "series_id")
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+    ).cast("double") / 18
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return s.select("series_id", "s", "n", z.alias("z"))
+
+
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, MK_N, MK_LEN, "mixed")
+    return round6(mann_kendall(df), "z")
+
+
+def _mann_kendall_sql() -> str:
+    gen = oracle.generate_sql(MK_N, MK_LEN, "mixed", rounded=False)
+    return f"""
+WITH src AS ({gen}),
+nt AS (SELECT series_id, count(*) AS n FROM src GROUP BY series_id),
+s AS (
+  SELECT a.series_id, CAST(sum(sign(b.value - a.value)) AS BIGINT) AS s
+  FROM src a JOIN src b ON b.series_id = a.series_id AND a.t < b.t
+  GROUP BY a.series_id)
+SELECT s.series_id, s.s, nt.n,
+       {E.round6("CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(CAST(nt.n * (nt.n - 1) * (2 * nt.n + 5) AS DOUBLE) / 18) "
+                 "WHEN s.s < 0 THEN (s.s + 1) / sqrt(CAST(nt.n * (nt.n - 1) * (2 * nt.n + 5) AS DOUBLE) / 18) "
+                 "ELSE 0.0e0 END")} AS z
+FROM s JOIN nt ON nt.series_id = s.series_id
+"""
+
+
 # --- inter-arrival gap statistics ------------------------------------------
 def gap_stats(ev: DataFrame) -> DataFrame:
     """Per event_type inter-arrival diagnostics: mean/std/CV of the gap
@@ -550,5 +667,9 @@ _REGISTRY.update(
             "ev_gap_stats", _q_gap_stats, _GAP_STATS_SQL, ("tsdb",)
         ),
         "ts_pacf": Query("ts_pacf", _q_pacf, _pacf_sql(), ("tsdb",)),
+        "ts_ljung_box": Query("ts_ljung_box", _q_ljung_box, _ljung_box_sql(), ("tsdb",)),
+        "ts_mann_kendall": Query(
+            "ts_mann_kendall", _q_mann_kendall, _mann_kendall_sql(), ("tsdb",)
+        ),
     }
 )

@@ -197,11 +197,67 @@ WHERE s.gy > s.best
 """
 
 
+# --- ABC (Pareto) inventory classification ---------------------------------
+def abc_analysis(li: DataFrame, a_cut: float = 0.7, b_cut: float = 0.9) -> DataFrame:
+    """ABC classification of parts by revenue contribution: rank parts by
+    revenue, cumulative revenue share, class A (first 70%), B (to 90%),
+    C (tail). The cumulative window runs over the part DIM *after* the
+    fact-side aggregation (same documented cost class as rfm_segments'
+    exact quartiles) — the lineitem scan itself partial-aggregates on
+    l_partkey. → (abc_class, n_parts, revenue, rev_share)."""
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.sum("rev").over(w) / F.col("tot")
+    )
+    cls = (
+        F.when(F.col("cum_share") <= a_cut, F.lit("A"))
+        .when(F.col("cum_share") <= b_cut, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    out = ranked.withColumn("abc_class", cls).groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev").alias("revenue"),
+        (F.sum("rev") / F.first("tot")).alias("rev_share"),
+    )
+    return out
+
+
+def _q_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return roundn(abc_analysis(li), 4, "revenue", "rev_share")
+
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(rev) AS tot FROM rev),
+ranked AS (
+  SELECT l_partkey, rev, tot.tot,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.tot AS cum_share
+  FROM rev CROSS JOIN tot)
+SELECT CASE WHEN cum_share <= 0.7e0 THEN 'A'
+            WHEN cum_share <= 0.9e0 THEN 'B' ELSE 'C' END AS abc_class,
+       count(*) AS n_parts,
+       (round((sum(rev)) + 1.0e-9,4)+0.0e0) AS revenue,
+       (round((sum(rev) / any_value(tot)) + 1.0e-9,4)+0.0e0) AS rev_share
+FROM ranked GROUP BY 1
+"""
+
+
 _REGISTRY.update(
     {
         "ev_merge_upsert": Query(
             "ev_merge_upsert", _q_merge_upsert, _MERGE_SQL, ("warehouse",)
         ),
         "doc_pareto": Query("doc_pareto", _q_doc_pareto, _PARETO_SQL, ("pipeline",)),
+        "orders_abc": Query("orders_abc", _q_abc, _ABC_SQL, ("warehouse",)),
     }
 )
