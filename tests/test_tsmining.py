@@ -316,3 +316,40 @@ def test_abc_analysis_shares_sum_to_one(spark):
     assert abs(sum(r.rev_share for r in out.values()) - 1.0) < 1e-9
     assert sum(r.n_parts for r in out.values()) == 200
     assert out["A"].n_parts < out["C"].n_parts
+
+
+def test_arma11_matches_scalar_recursion(spark):
+    from tsgen.forecast import arma11_filter
+
+    rng = np.random.default_rng(17)
+    ys = rng.normal(size=60)
+    rows = [(1, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    phi, th = 0.6, 0.3
+    out = {r.t: r for r in arma11_filter(df, phi=phi, theta=th).collect()}
+    e = 0.0
+    assert out[0].innovation == 0.0
+    for t in range(1, 60):
+        e = ys[t] - phi * ys[t - 1] - th * e
+        assert abs(out[t].innovation - e) < 1e-12, t
+        assert abs(out[t].fc_next - (phi * ys[t] + th * e)) < 1e-12, t
+
+
+def test_transition_entropy_regimes(spark):
+    """Deterministic a→b→a→b chain → zero conditional entropy; uniform
+    random transitions over 2 states → ~1 bit."""
+    from tsgen.queries_paths import transition_entropy
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 1, "ab"[i % 2], 0.0) for i in range(400)
+    ]
+    rng = np.random.RandomState(3)
+    rows += [
+        (1000 + i, t0 + datetime.timedelta(seconds=i), 2, "cd"[rng.randint(2)], 0.0)
+        for i in range(4000)
+    ]
+    out = {r.prev_type: r for r in transition_entropy(_ts_df(spark, rows)).collect()}
+    assert out["a"].h_cond < 1e-9 and out["b"].h_cond < 1e-9
+    assert abs(out["c"].h_cond - 1.0) < 0.05
+    assert abs(out["d"].h_cond - 1.0) < 0.05

@@ -794,3 +794,80 @@ rec(series_id, t, ret, s2) AS (
 SELECT series_id, t, {E.round6('ret')} AS ret, {E.round6('s2')} AS sigma2
 FROM rec
 """
+
+
+def arma11_filter(
+    df: DataFrame,
+    phi: float = 0.6,
+    theta: float = 0.3,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """ARMA(1,1) innovations filter at fixed parameters (the CSS residual
+    recursion):
+        e_t = y_t − φ·y_{t−1} − θ·e_{t−1},   e_0 = 0
+    plus the one-step-ahead forecast ŷ_{t+1|t} = φ·y_t + θ·e_t. The
+    innovation sequence is the whitened residual an ARMA diagnostic or a
+    fitting loop consumes. Same execution shape as garch/kalman: series are
+    the Arrow-batch axis, the recursion is T vectorized numpy steps."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(v, dtype=float) for v in pdf["vs"]]
+            n = np.array([len(a) for a in arrs])
+            T = int(n.max())
+            Y = np.full((len(arrs), T), np.nan)
+            for i, a in enumerate(arrs):
+                Y[i, : len(a)] = a
+            e = np.zeros(len(arrs))
+            es = [e.copy()]
+            for t in range(1, T):
+                e = Y[:, t] - phi * Y[:, t - 1] - theta * e
+                es.append(e.copy())
+            out = []
+            for i, s in enumerate(pdf[key]):
+                ln = int(n[i])
+                ei = np.array([es[t][i] for t in range(ln)])
+                fc = phi * Y[i, :ln] + theta * ei
+                out.append(
+                    pd.DataFrame(
+                        {
+                            key: s,
+                            "t": np.arange(ln),
+                            "innovation": ei,
+                            "fc_next": fc,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return wide.mapInPandas(
+        fn, f"{key} bigint, t bigint, innovation double, fc_next double"
+    )
+
+
+def arma11_sql(inner: str, phi: float = 0.6, theta: float = 0.3) -> str:
+    """Recursive-CTE oracle replaying e_t = y_t − φ·y_{t−1} − θ·e_{t−1}
+    with the numpy kernel's association order."""
+    from . import expr as E
+
+    P, TH = E.NUM(phi), E.NUM(theta)
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
+rec(series_id, t, y, e) AS (
+  SELECT series_id, t, value, 0.0e0 FROM src WHERE t = 0
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1, s.value,
+         s.value - {P} * rec.y - {TH} * rec.e
+  FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1)
+SELECT series_id, t, {E.round6('e')} AS innovation,
+       {E.round6(f'{P} * y + {TH} * e')} AS fc_next
+FROM rec
+"""

@@ -74,6 +74,57 @@ FROM m
 """
 
 
+# --- Markov-chain entropy rate over the transition matrix ------------------
+def transition_entropy(ev: DataFrame) -> DataFrame:
+    """Entropy-rate diagnostics of the event-type Markov chain: per
+    prev_type the conditional entropy H(next|prev) = −Σ p·log2 p, plus the
+    empirical-weighted chain entropy rate Σ π(prev)·H(next|prev) (π from
+    observed prev counts) on every row. How predictable is the next event?
+    Runs entirely on the already-tiny transition matrix from
+    event_transitions — no extra pass over events."""
+    m = event_transitions(ev)
+    h = m.groupBy("prev_type").agg(
+        F.sum("n").alias("n_prev"),
+        (-F.sum(F.col("p") * F.log2("p"))).alias("h_cond"),
+    )
+    tot = h.agg(F.sum("n_prev").alias("tot"))
+    h = h.crossJoin(F.broadcast(tot)).withColumn("pi", F.col("n_prev") / F.col("tot"))
+    w = Window.partitionBy()
+    return h.select(
+        "prev_type",
+        "n_prev",
+        "h_cond",
+        F.sum(F.col("pi") * F.col("h_cond")).over(w).alias("entropy_rate"),
+    )
+
+
+def _q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(transition_entropy(_events(spark, sf_dir)), "h_cond", "entropy_rate")
+
+
+_TRANSITION_ENTROPY_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+m AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type),
+mp AS (
+  SELECT prev_type, n, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+  FROM m),
+h AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev, -sum(p * log2(p)) AS h_cond
+  FROM mp GROUP BY prev_type),
+t AS (SELECT CAST(sum(n_prev) AS BIGINT) AS tot FROM h)
+SELECT prev_type, n_prev,
+       (round((h_cond) + 1.0e-9,6)+0.0e0) AS h_cond,
+       (round((sum((CAST(n_prev AS DOUBLE) / t.tot) * h_cond) OVER ()) + 1.0e-9,6)+0.0e0) AS entropy_rate
+FROM h CROSS JOIN t
+"""
+
+
 # --- ev_user_paths: first-k event path frequencies -------------------------
 def user_paths(ev: DataFrame, k: int = 3) -> DataFrame:
     """First-k-event path string per user ('a>b>c'), then path frequencies.
@@ -532,6 +583,12 @@ GROUP BY 1, 2, 3
 
 _REGISTRY.update(
     {
+        "ev_transition_entropy": Query(
+            "ev_transition_entropy",
+            _q_transition_entropy,
+            _TRANSITION_ENTROPY_SQL,
+            ("analytics",),
+        ),
         "ev_transitions": Query(
             "ev_transitions", _q_transitions, _TRANSITIONS_SQL, ("analytics",)
         ),
