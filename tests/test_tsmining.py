@@ -353,3 +353,40 @@ def test_transition_entropy_regimes(spark):
     assert out["a"].h_cond < 1e-9 and out["b"].h_cond < 1e-9
     assert abs(out["c"].h_cond - 1.0) < 0.05
     assert abs(out["d"].h_cond - 1.0) < 0.05
+
+
+def test_welch_psd_recovers_planted_tone(spark):
+    """A pure tone at DFT bin k0 of the segment length must dominate the
+    Welch PSD at k=k0, and Parseval-style mass must follow the tone."""
+    from tsgen.queries_tsmining import welch_psd
+
+    k0, m = 8, 64
+    n = 512
+    rows = [
+        (1, t, float(math.sin(2 * math.pi * k0 * t / m)))
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = {r.k: r.psd for r in welch_psd(df).collect()}
+    assert len(out) == m // 2 + 1
+    peak = max(out, key=out.get)
+    assert peak == k0
+    others = max(v for k, v in out.items() if abs(k - k0) > 2)
+    assert out[k0] > 100 * others
+
+
+def test_apdex_and_seasonal_profile_basics(spark):
+    from tsgen.queries_tsmining import apdex, seasonal_profile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(hours=i % 48), 1, "a", float(v))
+        for i, v in enumerate([10.0] * 50 + [100.0] * 30 + [500.0] * 20)
+    ]
+    df = _ts_df(spark, rows)
+    a = apdex(df, t=50.0).collect()[0]
+    assert a.n_satisfied == 50 and a.n_tolerating == 30
+    assert abs(a.apdex - (50 + 15) / 100) < 1e-12
+    prof = seasonal_profile(df).collect()
+    assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in prof)
+    assert sum(r.n_events for r in prof) == 100

@@ -477,6 +477,162 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- Welch power spectral density ------------------------------------------
+WELCH_M, WELCH_STEP = 64, 32  # 50% overlap
+WELCH_N, WELCH_LEN = 12, 512
+
+
+def _hann(j: int, m: int) -> float:
+    return 0.5 - 0.5 * math.cos(2.0 * math.pi * j / (m - 1))
+
+
+def welch_psd(df: DataFrame, m: int = WELCH_M, step: int = WELCH_STEP, seq_len: int = WELCH_LEN) -> DataFrame:
+    """Welch's averaged-periodogram PSD (Welch 1967) per series: Hann-
+    windowed length-m segments at 50% overlap, per-segment DFT power
+    normalized by U = sum(w_j^2), averaged across segments. THE standard
+    PSD estimator — complements the raw DFT (fft_spectrum) and the
+    irregular-sampling Lomb-Scargle.
+
+    Scale shape: each point lands in at most 2 segments (explode factor 2)
+    x (m/2+1) frequencies; the per-(series, segment, freq) trig sums
+    partial-aggregate, the segment average is a second tiny agg — two
+    shuffles, both series-keyed. Window weights and the normalizer are
+    Python-float literals, identical in the oracle."""
+    n_segs = (seq_len - m) // step + 1
+    u_norm = sum(_hann(j, m) ** 2 for j in range(m))
+    s_hi = (F.col("t") / F.lit(step)).cast("int")
+    e = df.withColumn("s", F.explode(F.array(s_hi - 1, s_hi)))
+    e = e.filter(
+        (F.col("s") >= 0)
+        & (F.col("s") < n_segs)
+        & (F.col("t") - F.col("s") * step < m)
+    ).withColumn("j", F.col("t") - F.col("s") * step)
+    hann = F.lit(0.5) - F.lit(0.5) * F.cos(
+        F.col("j").cast("double") * F.lit(2.0 * math.pi / (m - 1))
+    )
+    e = e.withColumn("wv", F.col("value") * hann)
+    ks = F.explode(F.array(*[F.lit(k) for k in range(m // 2 + 1)])).alias("k")
+    e = e.select("series_id", "s", "j", "wv", ks)
+    ang = F.col("j").cast("double") * F.col("k").cast("double") * F.lit(2.0 * math.pi / m)
+    seg = e.groupBy("series_id", "s", "k").agg(
+        F.sum(F.col("wv") * F.cos(ang)).alias("re"),
+        F.sum(F.col("wv") * F.sin(ang)).alias("im"),
+    )
+    p = (F.col("re") * F.col("re") + F.col("im") * F.col("im")) / F.lit(u_norm)
+    return (
+        seg.withColumn("p", p)
+        .groupBy("series_id", "k")
+        .agg(F.avg("p").alias("psd"), F.count("*").alias("n_segs"))
+    )
+
+
+def _q_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, WELCH_N, WELCH_LEN, "mixed")
+    return round6(welch_psd(df), "psd")
+
+
+def _welch_sql(m: int = WELCH_M, step: int = WELCH_STEP, seq_len: int = WELCH_LEN) -> str:
+    gen = oracle.generate_sql(WELCH_N, WELCH_LEN, "mixed", rounded=False)
+    n_segs = (seq_len - m) // step + 1
+    u_norm = sum(_hann(j, m) ** 2 for j in range(m))
+    return f"""
+WITH src AS ({gen}),
+e AS (
+  SELECT series_id, t, value, u.s, t - u.s * {step} AS j
+  FROM (SELECT series_id, t, value,
+               unnest([CAST(floor(t / {step}) AS INT) - 1,
+                       CAST(floor(t / {step}) AS INT)]) AS s
+        FROM src) u
+  WHERE u.s >= 0 AND u.s < {n_segs} AND t - u.s * {step} < {m}),
+w AS (
+  SELECT series_id, s, j,
+         value * (0.5e0 - 0.5e0 * cos(CAST(j AS DOUBLE) * {E.NUM(2.0 * math.pi / (m - 1))})) AS wv
+  FROM e),
+seg AS (
+  SELECT series_id, s, ks.k,
+         sum(wv * cos(CAST(j AS DOUBLE) * CAST(ks.k AS DOUBLE) * {E.NUM(2.0 * math.pi / m)})) AS re,
+         sum(wv * sin(CAST(j AS DOUBLE) * CAST(ks.k AS DOUBLE) * {E.NUM(2.0 * math.pi / m)})) AS im
+  FROM w CROSS JOIN (SELECT unnest(range(0, {m // 2 + 1})) AS k) ks
+  GROUP BY series_id, s, ks.k)
+SELECT series_id, k,
+       {E.round6(f"avg((re * re + im * im) / {E.NUM(u_norm)})")} AS psd,
+       count(*) AS n_segs
+FROM seg GROUP BY series_id, k
+"""
+
+
+# --- calendar seasonality profile ------------------------------------------
+def seasonal_profile(ev: DataFrame) -> DataFrame:
+    """Hour-of-day × day-of-week activity/value heatmap per event_type, with
+    each cell's lift vs the type's overall mean value. One partial-agged
+    groupBy over (type, dow, hour); the per-type normalizer is a tiny agg
+    broadcast back. UTC calendar on both engines (dow: 1=Sunday, Spark
+    dayofweek convention; DuckDB dayofweek is 0=Sunday → +1)."""
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count("*").alias("n_events"), F.avg("value").alias("mean_value"))
+    tot = ev.groupBy("event_type").agg(F.avg("value").alias("type_mean"))
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "dow", "hour", "n_events", "mean_value",
+            (F.col("mean_value") / F.col("type_mean")).alias("lift"),
+        )
+    )
+
+
+def _q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(seasonal_profile(_events(spark, sf_dir)), "mean_value", "lift")
+
+
+_SEASONAL_PROFILE_SQL = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+         count(*) AS n_events, avg(value) AS mean_value
+  FROM events GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, avg(value) AS type_mean FROM events GROUP BY event_type)
+SELECT cells.event_type, dow, hour, n_events,
+       (round((mean_value) + 1.0e-9,6)+0.0e0) AS mean_value,
+       (round((mean_value / type_mean) + 1.0e-9,6)+0.0e0) AS lift
+FROM cells JOIN tot ON tot.event_type = cells.event_type
+"""
+
+
+# --- Apdex (application performance index) ----------------------------------
+APDEX_T = 50.0  # "satisfied" threshold on value; tolerating up to 4T
+
+
+def apdex(ev: DataFrame, t: float = APDEX_T) -> DataFrame:
+    """Apdex score per event_type treating `value` as a latency:
+    (satisfied + tolerating/2) / total with satisfied = value <= T,
+    tolerating = T < value <= 4T. One partial-agged aggregation."""
+    sat = (F.col("value") <= t).cast("long")
+    tol = ((F.col("value") > t) & (F.col("value") <= 4 * t)).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(sat).alias("n_satisfied"),
+        F.sum(tol).alias("n_tolerating"),
+        ((F.sum(sat) + F.sum(tol) / F.lit(2.0)) / F.count("*")).alias("apdex"),
+    )
+
+
+def _q_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(apdex(_events(spark, sf_dir)), "apdex")
+
+
+_APDEX_SQL = f"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN value <= {APDEX_T:.1f}e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       CAST(sum(CASE WHEN value > {APDEX_T:.1f}e0 AND value <= {4 * APDEX_T:.1f}e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+       (round(((sum(CASE WHEN value <= {APDEX_T:.1f}e0 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN value > {APDEX_T:.1f}e0 AND value <= {4 * APDEX_T:.1f}e0 THEN 1 ELSE 0 END) / 2.0e0)
+               / count(*)) + 1.0e-9,6)+0.0e0) AS apdex
+FROM events GROUP BY event_type
+"""
+
+
 # --- Ljung-Box white-noise test --------------------------------------------
 LB_K = 10
 LB_N, LB_LEN = 12, 256
@@ -668,6 +824,11 @@ _REGISTRY.update(
         ),
         "ts_pacf": Query("ts_pacf", _q_pacf, _pacf_sql(), ("tsdb",)),
         "ts_ljung_box": Query("ts_ljung_box", _q_ljung_box, _ljung_box_sql(), ("tsdb",)),
+        "ev_seasonal_profile": Query(
+            "ev_seasonal_profile", _q_seasonal_profile, _SEASONAL_PROFILE_SQL, ("tsdb",)
+        ),
+        "ev_apdex": Query("ev_apdex", _q_apdex, _APDEX_SQL, ("analytics",)),
+        "ts_welch_psd": Query("ts_welch_psd", _q_welch, _welch_sql(), ("tsdb",)),
         "ts_mann_kendall": Query(
             "ts_mann_kendall", _q_mann_kendall, _mann_kendall_sql(), ("tsdb",)
         ),
