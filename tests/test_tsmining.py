@@ -390,3 +390,33 @@ def test_apdex_and_seasonal_profile_basics(spark):
     prof = seasonal_profile(df).collect()
     assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in prof)
     assert sum(r.n_events for r in prof) == 100
+
+
+def test_tsmining_plan_shapes(spark):
+    """Plan assertions for the session's scale claims: small sides
+    broadcast; the big-side aggregations stay partial (no unexpected
+    unpartitioned window over data-sized input)."""
+    from tsgen.queries_analytics import _events
+    from tsgen.queries_tsmining import lombscargle, welch_psd
+    from tsgen.similarity import kmeans_l2
+
+    sf = "/root/testdata/sf0.001"
+    ev = _events(spark, sf)
+    # lombscargle: per-type stats broadcast back; no WindowExec at all
+    plan = lombscargle(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    # kmeans: centroids broadcast against the streaming corpus each round
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    plan = kmeans_l2(emb)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+    # welch: no join at all — explode + two hash aggregations
+    df = spark.createDataFrame(
+        [(1, t, float(t % 7)) for t in range(512)],
+        "series_id bigint, t bigint, value double",
+    )
+    plan = welch_psd(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" not in plan
