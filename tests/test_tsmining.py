@@ -420,3 +420,41 @@ def test_tsmining_plan_shapes(spark):
     plan = welch_psd(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_peak_detect_finds_planted_spikes_only(spark):
+    """Flat-noise series with two large planted spikes → exactly those two
+    events emitted; a plateau (two equal maxima) emits nothing."""
+    from tsgen.queries_tsmining import peak_detect
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rng = np.random.RandomState(14)
+    vals = (0.1 * rng.randn(200)).tolist()
+    vals[50] = 10.0
+    vals[150] = 8.0
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "a", float(v))
+        for i, v in enumerate(vals)
+    ]
+    # user 2: plateau of two equal spikes side by side → strict > fails
+    vals2 = (0.1 * rng.randn(100)).tolist()
+    vals2[40] = vals2[41] = 5.0
+    rows += [
+        (1000 + i, t0 + datetime.timedelta(minutes=i), 2, "a", float(v))
+        for i, v in enumerate(vals2)
+    ]
+    out = peak_detect(_ts_df(spark, rows)).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    got1 = {r.event_id for r in by_user.get(1, [])}
+    assert {50, 150} <= got1  # planted spikes found
+    # planted spikes carry by far the largest z-scores; incidental noise
+    # peaks (z barely > 2) are expected and stay small
+    top2 = sorted(by_user[1], key=lambda r: -r.zscore)[:2]
+    assert {r.event_id for r in top2} == {50, 150}
+    assert all(r.value < 1.0 for r in by_user[1] if r.event_id not in (50, 150))
+    # the plateau rows themselves are suppressed (strict > on both sides);
+    # incidental small noise peaks for user 2 are fine
+    got2 = {r.event_id for r in by_user.get(2, [])}
+    assert 1040 not in got2 and 1041 not in got2

@@ -477,6 +477,68 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- peak detection ---------------------------------------------------------
+PEAK_NEIGHBORS, PEAK_HALF, PEAK_Z = 3, 10, 2.0
+
+
+def peak_detect(
+    ev: DataFrame,
+    neighbors: int = PEAK_NEIGHBORS,
+    half: int = PEAK_HALF,
+    z_min: float = PEAK_Z,
+) -> DataFrame:
+    """Alert-style peak detection per user: a row is a peak when it is a
+    STRICT local maximum over ±neighbors rows AND its z-score against the
+    centered ±half rolling baseline exceeds z_min. Plateaus emit no peak
+    (strict > on both sides) — deterministic across engines. All windows
+    share one (user, ts) sort; boundary frames treat the missing side as
+    −inf."""
+    order = [F.col("ts"), F.col("event_id")]
+    wl = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-neighbors, -1)
+    wr = Window.partitionBy("user_id").orderBy(*order).rowsBetween(1, neighbors)
+    wb = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-half, half)
+    v = F.col("value")
+    lmax = F.coalesce(F.max(v).over(wl), F.lit(-1.0e308))
+    rmax = F.coalesce(F.max(v).over(wr), F.lit(-1.0e308))
+    mean = F.avg(v).over(wb)
+    std = F.stddev_pop(v).over(wb)
+    z = (v - mean) / std
+    out = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value",
+        lmax.alias("_lm"), rmax.alias("_rm"), mean.alias("_mu"), std.alias("_sd"),
+    )
+    return out.filter(
+        (F.col("value") > F.col("_lm"))
+        & (F.col("value") > F.col("_rm"))
+        & (F.col("_sd") > 0)
+        & ((F.col("value") - F.col("_mu")) / F.col("_sd") > z_min)
+    ).select(
+        "event_id", "user_id", "ts_us", "value",
+        ((F.col("value") - F.col("_mu")) / F.col("_sd")).alias("zscore"),
+    )
+
+
+def _q_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(peak_detect(_events(spark, sf_dir)), "value", "zscore")
+
+
+_PEAK_SQL = f"""
+WITH d AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         coalesce(max(value) OVER wl, -1.0e308) AS lm,
+         coalesce(max(value) OVER wr, -1.0e308) AS rm,
+         avg(value) OVER wb AS mu, stddev_pop(value) OVER wb AS sd
+  FROM events
+  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN {PEAK_NEIGHBORS} PRECEDING AND 1 PRECEDING),
+         wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND {PEAK_NEIGHBORS} FOLLOWING),
+         wb AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN {PEAK_HALF} PRECEDING AND {PEAK_HALF} FOLLOWING))
+SELECT event_id, user_id, ts_us, (round((value) + 1.0e-9,6)+0.0e0) AS value,
+       (round(((value - mu) / sd) + 1.0e-9,6)+0.0e0) AS zscore
+FROM d
+WHERE value > lm AND value > rm AND sd > 0 AND (value - mu) / sd > {PEAK_Z:.1f}e0
+"""
+
+
 # --- Welch power spectral density ------------------------------------------
 WELCH_M, WELCH_STEP = 64, 32  # 50% overlap
 WELCH_N, WELCH_LEN = 12, 512
@@ -829,6 +891,9 @@ _REGISTRY.update(
         ),
         "ev_apdex": Query("ev_apdex", _q_apdex, _APDEX_SQL, ("analytics",)),
         "ts_welch_psd": Query("ts_welch_psd", _q_welch, _welch_sql(), ("tsdb",)),
+        "ev_peak_detect": Query(
+            "ev_peak_detect", _q_peak_detect, _PEAK_SQL, ("tsdb",)
+        ),
         "ts_mann_kendall": Query(
             "ts_mann_kendall", _q_mann_kendall, _mann_kendall_sql(), ("tsdb",)
         ),
