@@ -458,3 +458,29 @@ def test_peak_detect_finds_planted_spikes_only(spark):
     # incidental small noise peaks for user 2 are fine
     got2 = {r.event_id for r in by_user.get(2, [])}
     assert 1040 not in got2 and 1041 not in got2
+
+
+def test_m4_and_cdc_semantics(spark):
+    """M4 keeps exactly the bucket envelope (min/max/first/last); CDC apply
+    yields last-write state and drops tombstoned users."""
+    from tsgen.queries_tsmining import cdc_apply, m4_downsample
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=10 * i), 1, "click", float(v))
+        for i, v in enumerate([5.0, 1.0, 9.0, 3.0])  # one 1h bucket (0,10,20,30min)
+    ]
+    m4 = m4_downsample(_ts_df(spark, rows)).collect()
+    cell = [r for r in m4 if r.n == 4][0]
+    assert (cell.v_min, cell.v_max, cell.v_first, cell.v_last) == (1.0, 9.0, 5.0, 3.0)
+
+    rows = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + datetime.timedelta(hours=1), 1, "purchase", 2.0),
+        (3, t0, 2, "click", 7.0),
+        (4, t0 + datetime.timedelta(hours=1), 2, "error", 0.0),  # tombstone last
+    ]
+    out = {r.user_id: r for r in cdc_apply(_ts_df(spark, rows)).collect()}
+    assert out[1].final_value == 2.0 and out[1].final_op == "purchase"
+    assert out[1].n_changes == 2
+    assert 2 not in out  # tombstoned

@@ -477,6 +477,95 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- M4 visualization downsampling ------------------------------------------
+M4_BUCKET_S = 3600
+
+
+def m4_downsample(ev: DataFrame, bucket_s: int = M4_BUCKET_S) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (event_type, time
+    bucket) keep min, max, first, last — the four points that make a
+    line-chart render pixel-identical to the full series. Complements LTTB
+    (ev_lttb): M4 is exact for min/max envelopes, LTTB for shape. ONE
+    partial-aggregated groupBy; first/last via deterministic struct
+    min/max over (ts, event_id, value)."""
+    b = (F.unix_micros("ts") / F.lit(1_000_000 * bucket_s)).cast("bigint")
+    g = ev.withColumn("bucket", b).groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min(F.struct("ts", "event_id", "value"))["value"].alias("v_first"),
+        F.max(F.struct("ts", "event_id", "value"))["value"].alias("v_last"),
+    )
+    return g.withColumn("bucket_s", F.col("bucket") * bucket_s).drop("bucket")
+
+
+def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(
+        m4_downsample(_events(spark, sf_dir)),
+        "v_min", "v_max", "v_first", "v_last",
+    )
+
+
+_M4_SQL = f"""
+WITH d AS (
+  SELECT event_type, CAST(floor(epoch_us(ts) / (CAST({M4_BUCKET_S} AS BIGINT) * 1000000)) AS BIGINT) AS bucket,
+         ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type,
+                            CAST(floor(epoch_us(ts) / (CAST({M4_BUCKET_S} AS BIGINT) * 1000000)) AS BIGINT)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                            CAST(floor(epoch_us(ts) / (CAST({M4_BUCKET_S} AS BIGINT) * 1000000)) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, count(*) AS n,
+       (round((min(value)) + 1.0e-9,6)+0.0e0) AS v_min,
+       (round((max(value)) + 1.0e-9,6)+0.0e0) AS v_max,
+       (round((max(CASE WHEN rn_a = 1 THEN value END)) + 1.0e-9,6)+0.0e0) AS v_first,
+       (round((max(CASE WHEN rn_d = 1 THEN value END)) + 1.0e-9,6)+0.0e0) AS v_last,
+       bucket * {M4_BUCKET_S} AS bucket_s
+FROM d GROUP BY event_type, bucket
+"""
+
+
+# --- CDC changelog apply -----------------------------------------------------
+def cdc_apply(ev: DataFrame, delete_type: str = "error") -> DataFrame:
+    """Apply a CDC changelog to produce final state: events are ordered
+    upserts per user_id, `delete_type` rows are tombstones. Last write wins
+    ((ts, event_id) order); users whose final op is a tombstone are absent
+    from the output. The lakehouse 'APPLY CHANGES INTO' kernel as one
+    ranking window + filter — a single user_id shuffle."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    d = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_changes", F.count("*").over(Window.partitionBy("user_id"))
+    )
+    return (
+        d.filter((F.col("rn") == 1) & (F.col("event_type") != delete_type))
+        .select(
+            "user_id",
+            F.col("value").alias("final_value"),
+            F.col("event_type").alias("final_op"),
+            F.unix_micros("ts").alias("updated_us"),
+            "n_changes",
+        )
+    )
+
+
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(cdc_apply(_events(spark, sf_dir)), "final_value")
+
+
+_CDC_SQL = """
+WITH d AS (
+  SELECT user_id, value, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events)
+SELECT user_id, (round((value) + 1.0e-9,6)+0.0e0) AS final_value,
+       event_type AS final_op, epoch_us(ts) AS updated_us, n_changes
+FROM d WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 # --- peak detection ---------------------------------------------------------
 PEAK_NEIGHBORS, PEAK_HALF, PEAK_Z = 3, 10, 2.0
 
@@ -894,6 +983,8 @@ _REGISTRY.update(
         "ev_peak_detect": Query(
             "ev_peak_detect", _q_peak_detect, _PEAK_SQL, ("tsdb",)
         ),
+        "ev_m4_downsample": Query("ev_m4_downsample", _q_m4, _M4_SQL, ("tsdb",)),
+        "ev_cdc_apply": Query("ev_cdc_apply", _q_cdc_apply, _CDC_SQL, ("warehouse",)),
         "ts_mann_kendall": Query(
             "ts_mann_kendall", _q_mann_kendall, _mann_kendall_sql(), ("tsdb",)
         ),
