@@ -484,3 +484,33 @@ def test_m4_and_cdc_semantics(spark):
     assert out[1].final_value == 2.0 and out[1].final_op == "purchase"
     assert out[1].n_changes == 2
     assert 2 not in out  # tombstoned
+
+
+def test_stream_cdc_apply_state_carries_across_microbatches(spark, tmp_path):
+    """4-chunk replay must end at the same final state as the batch CDC
+    apply: the LAST emission per user (update mode re-emits current state
+    each batch) equals the single-batch result."""
+    from tsgen import streaming
+    from tsgen.queries_tsmining import cdc_apply
+    from tsgen.queries_analytics import _events
+
+    sf = "/root/testdata/sf0.001"
+    chunked_src = streaming.replay_chunked(spark, sf, 4, str(tmp_path / "chunks"))
+    got = streaming.run_to_completion(
+        streaming.cdc_stateful(chunked_src), mode="update"
+    )
+    # memory sink appends one row per (user, batch) — keep the latest
+    last = {}
+    for r in got.collect():
+        cur = last.get(r.user_id)
+        if cur is None or r.n_changes > cur.n_changes:
+            last[r.user_id] = r
+    want = {r.user_id: r for r in cdc_apply(_events(spark, sf)).collect()}
+    # users whose final op is the tombstone may have earlier-batch emissions
+    # (documented update-stream contract) — compare the surviving keys
+    for uid, w in want.items():
+        g = last[uid]
+        assert g.final_value == w.final_value
+        assert g.final_op == w.final_op
+        assert g.updated_us == w.updated_us
+        assert g.n_changes == w.n_changes

@@ -381,6 +381,21 @@ SELECT user_id, exact_n, cms_n, cms_n - exact_n AS overcount FROM est
 """
 
 
+def _q_stream_cdc(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.cdc_stateful(s), mode="update")
+    return round6(out, "final_value")
+
+
+def _stream_cdc_sql() -> str:
+    # single-file replay = one micro-batch, so the streaming output equals
+    # the batch CDC apply exactly (cross-micro-batch state carry is covered
+    # in tests/test_tsmining.py)
+    from .queries_tsmining import _CDC_SQL
+
+    return _CDC_SQL
+
+
 def _q_stream_lombscargle(spark, sf_dir):
     s = streaming.events_stream(spark, sf_dir)
     out = streaming.run_to_completion(streaming.lombscargle_stream(s), mode="complete")
@@ -437,6 +452,12 @@ _REGISTRY.update(
             "stream_lombscargle",
             _q_stream_lombscargle,
             _stream_lombscargle_sql(),
+            ("streaming",),
+        ),
+        "stream_cdc_apply": Query(
+            "stream_cdc_apply",
+            _q_stream_cdc,
+            _stream_cdc_sql(),
             ("streaming",),
         ),
     }

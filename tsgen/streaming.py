@@ -562,3 +562,57 @@ def lombscargle_stream(stream: DataFrame, max_hours: int = 24) -> DataFrame:
         power.alias("power"),
         (power / (sv2c / (F.col("n") - 1))).alias("power_norm"),
     )
+
+
+def cdc_stateful(
+    stream: DataFrame, key: str = "user_id", delete_type: str = "error"
+) -> DataFrame:
+    """Streaming CDC apply (last-write-wins upsert materialization) via
+    applyInPandasWithState: per entity the state is the CURRENT row
+    (value, op, updated time, change count) — O(1) regardless of stream
+    length — updated in (ts, event_id) order within each micro-batch and
+    carried across batches. Each batch emits the entity's current state;
+    entities whose latest op is the tombstone emit nothing (a consumer
+    MERGE deletes on absence — retraction rows are out of scope, same
+    contract as scd2_stateful's arrival-order CDC).
+
+    Single-file replay (the driver oracle) = one batch, so the output is
+    exactly the batch cdc_apply result."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} bigint, final_value double, final_op string, "
+        "updated_us bigint, n_changes bigint"
+    )
+    state_schema = "v double, op string, us bigint, n bigint"
+
+    def fn(k, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        v, op, us, n = state.get if state.exists else (0.0, None, 0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000
+            )
+            for val, o, t in zip(pdf["value"], pdf["event_type"], ts_us):
+                v, op, us, n = float(val), str(o), int(t), n + 1
+        state.update((v, op, us, n))
+        if op is None or op == delete_type:
+            yield pd.DataFrame(
+                columns=[key, "final_value", "final_op", "updated_us", "n_changes"]
+            )
+            return
+        yield pd.DataFrame(
+            {
+                key: [k[0]],
+                "final_value": [v],
+                "final_op": [op],
+                "updated_us": [us],
+                "n_changes": [n],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
