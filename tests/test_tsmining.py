@@ -514,3 +514,26 @@ def test_stream_cdc_apply_state_carries_across_microbatches(spark, tmp_path):
         assert g.final_op == w.final_op
         assert g.updated_us == w.updated_us
         assert g.n_changes == w.n_changes
+
+
+def test_ses_backtest_prefers_predictable_series(spark):
+    """A smooth AR(1) series backtests with MASE < 1 (beats naive drift);
+    the errors match a scalar replay of the recursion."""
+    from tsgen.forecast import ses_backtest
+
+    rng = np.random.RandomState(31)
+    x = np.zeros(300)
+    for t in range(1, 300):
+        x[t] = 0.95 * x[t - 1] + 0.1 * rng.randn()
+    rows = [(1, t, float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    r = ses_backtest(df, alpha=0.3).collect()[0]
+    lvl, errs = x[0], []
+    for t in range(1, 300):
+        errs.append(x[t] - lvl)
+        lvl = lvl + 0.3 * (x[t] - lvl)
+    e = np.array(errs)
+    assert r.n_origins == 299
+    assert abs(r.mae - np.abs(e).mean()) < 1e-12
+    assert abs(r.rmse - np.sqrt((e * e).mean())) < 1e-12
+    assert r.mase < 1.0  # SES beats the naive scale on a smooth series

@@ -871,3 +871,87 @@ SELECT series_id, t, {E.round6('e')} AS innovation,
        {E.round6(f'{P} * y + {TH} * e')} AS fc_next
 FROM rec
 """
+
+
+def ses_backtest(
+    df: DataFrame,
+    alpha: float = 0.3,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Rolling-origin one-step backtest of SES (the proper forecast
+    evaluation protocol): at every origin t the model forecasts v_{t+1}
+    with the SES level l_t (l_0 = v_0; l_t = l_{t-1} + α(v_t − l_{t-1})),
+    so e_{t+1} = v_{t+1} − l_t. Emits per-series MAE, RMSE, and MASE
+    (errors scaled by the in-sample naive |v_t − v_{t-1}| mean — Hyndman &
+    Koehler 2006). Same mapInPandas shape as kalman/garch."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for s, vs in zip(pdf[key], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                n = len(y)
+                lvl = y[0]
+                errs = []
+                for t in range(1, n):
+                    errs.append(y[t] - lvl)
+                    lvl = lvl + alpha * (y[t] - lvl)
+                e = np.asarray(errs)
+                naive = np.abs(np.diff(y)).mean()
+                rows.append(
+                    (
+                        s,
+                        n - 1,
+                        float(np.abs(e).mean()),
+                        float(np.sqrt((e * e).mean())),
+                        float(np.abs(e).mean() / naive),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[key, "n_origins", "mae", "rmse", "mase"]
+            )
+
+    return wide.mapInPandas(
+        fn, f"{key} bigint, n_origins bigint, mae double, rmse double, mase double"
+    )
+
+
+def ses_backtest_sql(inner: str, alpha: float = 0.3) -> str:
+    """Recursive-CTE oracle: replay the level recursion, aggregate the
+    one-step errors. The MASE scale (mean |diff|) and the error aggregates
+    divide two independently-summed means — matches the kernel exactly
+    because both engines average over identical term sets."""
+    from . import expr as E
+
+    A = E.NUM(alpha)
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
+rec(series_id, t, lvl, err) AS (
+  SELECT series_id, CAST(0 AS BIGINT), value, CAST(NULL AS DOUBLE)
+  FROM src WHERE t = 0
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1,
+         rec.lvl + {A} * (s.value - rec.lvl),
+         s.value - rec.lvl
+  FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1),
+agg AS (
+  SELECT series_id, count(err) AS n_origins,
+         avg(abs(err)) AS mae, sqrt(avg(err * err)) AS rmse
+  FROM rec GROUP BY series_id),
+naive AS (
+  SELECT a.series_id, avg(abs(a.value - b.value)) AS scale
+  FROM src a JOIN src b ON b.series_id = a.series_id AND b.t = a.t - 1
+  GROUP BY a.series_id)
+SELECT agg.series_id, agg.n_origins,
+       {E.round6('agg.mae')} AS mae, {E.round6('agg.rmse')} AS rmse,
+       {E.round6('agg.mae / naive.scale')} AS mase
+FROM agg JOIN naive ON naive.series_id = agg.series_id
+"""

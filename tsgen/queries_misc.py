@@ -383,6 +383,20 @@ def _garch_sql() -> str:
     return forecast.garch_sql(inner)
 
 
+def _q_ses_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(forecast.ses_backtest(df), "mae", "rmse", "mase")
+
+
+def _ses_backtest_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.ses_backtest_sql(inner)
+
+
 def _q_arma11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -512,6 +526,9 @@ _REGISTRY.update(
         "kalman_em": Query("kalman_em", _q_kalman_em, _kalman_em_sql(), ("forecast",)),
         "forecast_garch": Query("forecast_garch", _q_garch, _garch_sql(), ("forecast",)),
         "forecast_arma11": Query("forecast_arma11", _q_arma11, _arma11_sql(), ("forecast",)),
+        "forecast_backtest": Query(
+            "forecast_backtest", _q_ses_backtest, _ses_backtest_sql(), ("forecast",)
+        ),
         "forecast_holt_winters": Query(
             "forecast_holt_winters", _q_holt_winters, _holt_winters_sql(), ("forecast",)
         ),
