@@ -517,14 +517,13 @@ def test_stream_cdc_apply_state_carries_across_microbatches(spark, tmp_path):
 
 
 def test_ses_backtest_prefers_predictable_series(spark):
-    """A smooth AR(1) series backtests with MASE < 1 (beats naive drift);
-    the errors match a scalar replay of the recursion."""
+    """Noise around a stable level is SES's sweet spot: smoothing beats the
+    naive last-value scale (MASE < 1); errors match a scalar replay. (On a
+    near-random-walk naive wins — that regime is what MASE>1 flags.)"""
     from tsgen.forecast import ses_backtest
 
     rng = np.random.RandomState(31)
-    x = np.zeros(300)
-    for t in range(1, 300):
-        x[t] = 0.95 * x[t - 1] + 0.1 * rng.randn()
+    x = 5.0 + rng.randn(300)
     rows = [(1, t, float(v)) for t, v in enumerate(x)]
     df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
     r = ses_backtest(df, alpha=0.3).collect()[0]
