@@ -536,3 +536,37 @@ def test_ses_backtest_prefers_predictable_series(spark):
     assert abs(r.mae - np.abs(e).mean()) < 1e-12
     assert abs(r.rmse - np.sqrt((e * e).mean())) < 1e-12
     assert r.mase < 1.0  # SES beats the naive scale on a smooth series
+
+
+def test_drawdown_zipf_rate_anomaly_semantics(spark):
+    from tsgen.queries_tsmining import max_drawdown, rate_anomaly, zipf_fit
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # user curve: +1 x5, -1 x3, +1 x4 → cum peaks at 5, trough at 2 → mdd 3
+    vals = [1.0] * 5 + [-1.0] * 3 + [1.0] * 4
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "click", v)
+        for i, v in enumerate(vals)
+    ]
+    r = max_drawdown(_ts_df(spark, rows)).collect()[0]
+    assert r.max_drawdown == 3.0
+
+    # Zipf: token k appears ~C/k times → exponent ≈ -1
+    words = []
+    for k in range(1, 101):
+        words += [f"w{k:03d}"] * (1000 // k)
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id bigint, text string")
+    z = zipf_fit(df, max_rank=100).collect()[0]
+    assert abs(z.zipf_exponent - (-1.0)) < 0.05
+    assert z.loglog_corr < -0.99
+
+    # rate anomaly: steady 10/hour for 72 hours, one 100-event hour spikes
+    rows2 = []
+    rid = 0
+    for h in range(72):
+        cnt = 100 if h == 36 else 10
+        for j in range(cnt):
+            rows2.append((rid, t0 + datetime.timedelta(hours=h, seconds=j), 1, "view", 0.0))
+            rid += 1
+    out = rate_anomaly(_ts_df(spark, rows2)).collect()
+    assert len(out) == 1 and out[0].n == 100

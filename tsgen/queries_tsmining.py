@@ -477,6 +477,143 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- maximum drawdown --------------------------------------------------------
+def max_drawdown(ev: DataFrame) -> DataFrame:
+    """Max drawdown per user over the cumulative value curve: running peak
+    of the cumsum, drawdown = peak − cum, emit the max and when it
+    happened. Two stacked running windows sharing one (user, ts) sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = (
+        ev.withColumn("cum", F.sum("value").over(w))
+        .withColumn("peak", F.max(F.col("cum")).over(w))
+        .withColumn("dd", F.col("peak") - F.col("cum"))
+    )
+    d = d.withColumn("mdd", F.max("dd").over(Window.partitionBy("user_id")))
+    return d.groupBy("user_id").agg(
+        F.max("mdd").alias("max_drawdown"),
+        F.min(
+            F.when(F.col("dd") == F.col("mdd"), F.unix_micros("ts"))
+        ).alias("trough_us"),
+    )
+
+
+def _q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(max_drawdown(_events(spark, sf_dir)), "max_drawdown")
+
+
+_DRAWDOWN_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         max(cum) OVER w2 - cum AS dd
+  FROM (
+    SELECT user_id, ts, event_id, sum(value) OVER w AS cum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (SELECT user_id, max(dd) AS mdd FROM d GROUP BY user_id)
+SELECT d.user_id, (round((m.mdd) + 1.0e-9,6)+0.0e0) AS max_drawdown,
+       min(CASE WHEN d.dd = m.mdd THEN epoch_us(d.ts) END) AS trough_us
+FROM d JOIN m ON m.user_id = d.user_id
+GROUP BY d.user_id, m.mdd
+"""
+
+
+# --- Zipf exponent fit -------------------------------------------------------
+def zipf_fit(df: DataFrame, text: str = "text", max_rank: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: OLS slope of
+    log(freq) on log(rank) for the top max_rank tokens (expected ≈ −1 for
+    natural language; flatter for synthetic/repetitive corpora). The rank
+    is orderBy+limit (TakeOrderedAndProject — no unpartitioned window over
+    the vocabulary); the OLS runs on max_rank rows."""
+    toks = df.select(F.explode(F.split(F.col(text), " ")).alias("token"))
+    counts = toks.filter(F.col("token") != "").groupBy("token").agg(
+        F.count("*").alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(max_rank)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count("*").alias("n_tokens"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("zipf_exponent"),
+        F.corr("x", "y").alias("loglog_corr"),
+    )
+
+
+def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return round6(zipf_fit(docs), "zipf_exponent", "loglog_corr")
+
+
+_ZIPF_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (
+  SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token),
+top AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 1000),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank FROM top),
+xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM ranked)
+SELECT count(*) AS n_tokens,
+       (round((covar_pop(x, y) / var_pop(x)) + 1.0e-9,6)+0.0e0) AS zipf_exponent,
+       (round((corr(x, y)) + 1.0e-9,6)+0.0e0) AS loglog_corr
+FROM xy
+"""
+
+
+# --- Poisson rate anomaly ----------------------------------------------------
+def rate_anomaly(ev: DataFrame, z_min: float = 3.0) -> DataFrame:
+    """Count-based anomaly detection: per (event_type, hour bucket) compare
+    the event COUNT to the type's mean hourly rate λ with the Poisson
+    normal approximation z = (n − λ)/sqrt(λ); emit buckets with |z| ≥
+    z_min. Complements the value-based detectors (ev_outliers, ts_anomalies,
+    stream_anomalies). Two partial-agged aggregations; λ broadcast back."""
+    b = (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint")
+    hourly = ev.withColumn("bucket", b).groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    lam = hourly.groupBy("event_type").agg(F.avg("n").alias("lam"))
+    z = (F.col("n") - F.col("lam")) / F.sqrt(F.col("lam"))
+    return (
+        hourly.join(F.broadcast(lam), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= z_min)
+        .select(
+            "event_type",
+            (F.col("bucket") * 3600).alias("bucket_s"),
+            "n",
+            "lam",
+            "z",
+        )
+    )
+
+
+def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(rate_anomaly(_events(spark, sf_dir)), "lam", "z")
+
+
+_RATE_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / (CAST(3600 AS BIGINT) * 1000000)) AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+lam AS (SELECT event_type, avg(n) AS lam FROM hourly GROUP BY event_type)
+SELECT hourly.event_type, bucket * 3600 AS bucket_s, n,
+       (round((lam.lam) + 1.0e-9,6)+0.0e0) AS lam,
+       (round(((n - lam.lam) / sqrt(lam.lam)) + 1.0e-9,6)+0.0e0) AS z
+FROM hourly JOIN lam ON lam.event_type = hourly.event_type
+WHERE abs((n - lam.lam) / sqrt(lam.lam)) >= 3.0e0
+"""
+
+
 # --- M4 visualization downsampling ------------------------------------------
 M4_BUCKET_S = 3600
 
@@ -984,6 +1121,11 @@ _REGISTRY.update(
             "ev_peak_detect", _q_peak_detect, _PEAK_SQL, ("tsdb",)
         ),
         "ev_m4_downsample": Query("ev_m4_downsample", _q_m4, _M4_SQL, ("tsdb",)),
+        "ev_drawdown": Query("ev_drawdown", _q_drawdown, _DRAWDOWN_SQL, ("tsdb",)),
+        "doc_zipf": Query("doc_zipf", _q_zipf, _ZIPF_SQL, ("text",)),
+        "ev_rate_anomaly": Query(
+            "ev_rate_anomaly", _q_rate_anomaly, _RATE_ANOMALY_SQL, ("tsdb",)
+        ),
         "ev_cdc_apply": Query("ev_cdc_apply", _q_cdc_apply, _CDC_SQL, ("warehouse",)),
         "ts_mann_kendall": Query(
             "ts_mann_kendall", _q_mann_kendall, _mann_kendall_sql(), ("tsdb",)
