@@ -396,6 +396,19 @@ def _stream_cdc_sql() -> str:
     return _CDC_SQL
 
 
+def _q_stream_m4(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.m4_stream(s), mode="complete")
+    return round6(out, "v_min", "v_max", "v_first", "v_last")
+
+
+def _stream_m4_sql() -> str:
+    # mergeable envelope: single-file replay equals the batch M4 exactly
+    from .queries_tsmining import _M4_SQL
+
+    return _M4_SQL
+
+
 def _q_stream_lombscargle(spark, sf_dir):
     s = streaming.events_stream(spark, sf_dir)
     out = streaming.run_to_completion(streaming.lombscargle_stream(s), mode="complete")
@@ -458,6 +471,12 @@ _REGISTRY.update(
             "stream_cdc_apply",
             _q_stream_cdc,
             _stream_cdc_sql(),
+            ("streaming",),
+        ),
+        "stream_m4": Query(
+            "stream_m4",
+            _q_stream_m4,
+            _stream_m4_sql(),
             ("streaming",),
         ),
     }

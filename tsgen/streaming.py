@@ -616,3 +616,20 @@ def cdc_stateful(
     return stream.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def m4_stream(stream: DataFrame, bucket_s: int = 3600) -> DataFrame:
+    """Streaming M4 downsampling: min/max/first/last per (type, bucket) are
+    ALL mergeable aggregates (first/last ride deterministic struct min/max
+    over (ts, event_id, value)), so the pixel-perfect envelope maintains
+    itself as a plain streaming aggregation with constant state per bucket
+    — the live-dashboard form of ev_m4_downsample."""
+    b = (F.unix_micros("ts") / F.lit(1_000_000 * bucket_s)).cast("bigint")
+    g = stream.withColumn("bucket", b).groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min(F.struct("ts", "event_id", "value"))["value"].alias("v_first"),
+        F.max(F.struct("ts", "event_id", "value"))["value"].alias("v_last"),
+    )
+    return g.withColumn("bucket_s", F.col("bucket") * bucket_s).drop("bucket")
