@@ -570,3 +570,62 @@ def test_drawdown_zipf_rate_anomaly_semantics(spark):
             rid += 1
     out = rate_anomaly(_ts_df(spark, rows2)).collect()
     assert len(out) == 1 and out[0].n == 100
+
+
+def test_ks_test_separates_shifted_distributions(spark):
+    """Identical distributions → D near 0; a location-shifted pair → large D
+    matching the scipy-style direct computation."""
+    from tsgen.queries_tsmining import ks_test
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rng = np.random.RandomState(19)
+    a = rng.randn(2000)
+    b_same = rng.randn(2000)
+    b_shift = rng.randn(2000) + 1.0
+    rows = []
+    rid = 0
+    for arr, ty in ((a, "click"), (b_same, "view")):
+        for v in arr:
+            rows.append((rid, t0, 1, ty, float(v)))
+            rid += 1
+    d_same = ks_test(_ts_df(spark, rows)).collect()[0]
+    assert d_same.ks_d < 0.06  # same distribution
+    assert d_same.n_a == 2000 and d_same.n_b == 2000
+
+    rows = []
+    rid = 0
+    for arr, ty in ((a, "click"), (b_shift, "view")):
+        for v in arr:
+            rows.append((rid, t0, 1, ty, float(v)))
+            rid += 1
+    d_shift = ks_test(_ts_df(spark, rows)).collect()[0]
+    # direct reference: max ECDF gap
+    xs = np.sort(np.concatenate([a, b_shift]))
+    ecdf_a = np.searchsorted(np.sort(a), xs, side="right") / 2000
+    ecdf_b = np.searchsorted(np.sort(b_shift), xs, side="right") / 2000
+    want = np.abs(ecdf_a - ecdf_b).max()
+    assert abs(d_shift.ks_d - want) < 1e-9
+    assert d_shift.ks_scaled > 1.36  # rejects at 5%
+
+
+def test_chi_square_independence_regimes(spark):
+    """Types spread uniformly over days → chi2 ~ dof scale; a type locked to
+    one weekday → huge chi2."""
+    from tsgen.queries_tsmining import chi_square
+
+    t0 = datetime.datetime(2024, 1, 1)  # a Monday
+    rng = np.random.RandomState(23)
+    rows = [
+        (i, t0 + datetime.timedelta(days=int(rng.randint(14))), 1, "ab"[rng.randint(2)], 0.0)
+        for i in range(4000)
+    ]
+    c_indep = chi_square(_ts_df(spark, rows)).collect()[0]
+    assert c_indep.dof == 6
+    assert c_indep.chi2 < 30
+
+    rows += [
+        (10_000 + i, t0 + datetime.timedelta(days=7 * int(rng.randint(2))), 1, "c", 0.0)
+        for i in range(1000)
+    ]  # type c only ever on Mondays
+    c_dep = chi_square(_ts_df(spark, rows)).collect()[0]
+    assert c_dep.chi2 > 1000

@@ -477,6 +477,139 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- two-sample Kolmogorov-Smirnov test -------------------------------------
+KS_TYPE_A, KS_TYPE_B = "click", "view"
+
+
+def ks_test(ev: DataFrame, type_a: str = KS_TYPE_A, type_b: str = KS_TYPE_B) -> DataFrame:
+    """Exact two-sample KS statistic between the `value` distributions of
+    two event types: D = max |ECDF_a − ECDF_b|, plus the scaled statistic
+    D·sqrt(na·nb/(na+nb)) (≥1.36 rejects equality at 5%).
+
+    Scale path: counts collapse to one row per DISTINCT value first (ties
+    resolved exactly, engine-independently), then the global cumulative
+    counts use the range-partition + per-partition-offset pattern of
+    global_row_ids — the only full-width window is over the one-row-per-
+    partition offsets table. No unpartitioned window over data."""
+    s = ev.filter(F.col("event_type").isin(type_a, type_b)).select(
+        "value", (F.col("event_type") == type_a).cast("long").alias("ia")
+    )
+    per_v = s.groupBy("value").agg(
+        F.sum("ia").alias("na_v"), F.sum(1 - F.col("ia")).alias("nb_v")
+    )
+    n = int(per_v.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        per_v.repartitionByRange(n, F.col("value"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    psums = d.groupBy("_pid").agg(
+        F.sum("na_v").alias("_sa"), F.sum("nb_v").alias("_sb")
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.withColumn(
+        "_oa", F.coalesce(F.sum("_sa").over(off_w), F.lit(0))
+    ).withColumn("_ob", F.coalesce(F.sum("_sb").over(off_w), F.lit(0)))
+    tot = per_v.agg(
+        F.sum("na_v").alias("n_a"), F.sum("nb_v").alias("n_b")
+    )
+    wloc = Window.partitionBy("_pid").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    j = (
+        d.join(F.broadcast(offs.select("_pid", "_oa", "_ob")), "_pid")
+        .withColumn("cum_a", F.col("_oa") + F.sum("na_v").over(wloc))
+        .withColumn("cum_b", F.col("_ob") + F.sum("nb_v").over(wloc))
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.abs(
+        F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b")
+    )
+    out = j.agg(
+        F.first(F.lit(type_a)).alias("type_a"),
+        F.first(F.lit(type_b)).alias("type_b"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(diff).alias("ks_d"),
+    )
+    scaled = F.col("ks_d") * F.sqrt(
+        (F.col("n_a") * F.col("n_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    )
+    return out.withColumn("ks_scaled", scaled)
+
+
+def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(ks_test(_events(spark, sf_dir)), "ks_d", "ks_scaled")
+
+
+_KS_SQL = f"""
+WITH s AS (
+  SELECT value, CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')),
+per_v AS (
+  SELECT value, CAST(sum(ia) AS BIGINT) AS na_v, CAST(sum(1 - ia) AS BIGINT) AS nb_v
+  FROM s GROUP BY value),
+c AS (
+  SELECT sum(na_v) OVER w AS cum_a, sum(nb_v) OVER w AS cum_b
+  FROM per_v
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a, CAST(sum(nb_v) AS BIGINT) AS n_b FROM per_v)
+SELECT '{KS_TYPE_A}' AS type_a, '{KS_TYPE_B}' AS type_b, tot.n_a, tot.n_b,
+       (round((max(abs(CAST(cum_a AS DOUBLE) / tot.n_a - CAST(cum_b AS DOUBLE) / tot.n_b))) + 1.0e-9,6)+0.0e0) AS ks_d,
+       (round((max(abs(CAST(cum_a AS DOUBLE) / tot.n_a - CAST(cum_b AS DOUBLE) / tot.n_b))
+               * sqrt(CAST(tot.n_a * tot.n_b AS DOUBLE) / (tot.n_a + tot.n_b))) + 1.0e-9,6)+0.0e0) AS ks_scaled
+FROM c CROSS JOIN tot GROUP BY tot.n_a, tot.n_b
+"""
+
+
+# --- chi-square independence test --------------------------------------------
+def chi_square(ev: DataFrame) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and
+    day-of-week: chi2 = sum (O − E)²/E with E = row·col/N. Three
+    partial-agged aggregations over the tiny contingency table; marginals
+    broadcast back."""
+    obs = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count("*").alias("o")
+    )
+    row = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    col = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    j = (
+        obs.join(F.broadcast(row), "event_type")
+        .join(F.broadcast(col), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return j.agg(
+        F.sum("o").alias("n_obs"),
+        F.sum(term).alias("chi2"),
+        ((F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1))
+        .cast("bigint")
+        .alias("dof"),
+    )
+
+
+def _q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(chi_square(_events(spark, sf_dir)), "chi2")
+
+
+_CHI_SQUARE_SQL = """
+WITH obs AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY event_type),
+c AS (SELECT dow, sum(o) AS c FROM obs GROUP BY dow),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+SELECT CAST(sum(obs.o) AS BIGINT) AS n_obs,
+       (round((sum((obs.o - CAST(r.r * c.c AS DOUBLE) / t.n)
+                   * (obs.o - CAST(r.r * c.c AS DOUBLE) / t.n)
+                   / (CAST(r.r * c.c AS DOUBLE) / t.n))) + 1.0e-9,6)+0.0e0) AS chi2,
+       CAST((count(DISTINCT obs.event_type) - 1) * (count(DISTINCT obs.dow) - 1) AS BIGINT) AS dof
+FROM obs JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+"""
+
+
 # --- maximum drawdown --------------------------------------------------------
 def max_drawdown(ev: DataFrame) -> DataFrame:
     """Max drawdown per user over the cumulative value curve: running peak
@@ -1122,6 +1255,10 @@ _REGISTRY.update(
         ),
         "ev_m4_downsample": Query("ev_m4_downsample", _q_m4, _M4_SQL, ("tsdb",)),
         "ev_drawdown": Query("ev_drawdown", _q_drawdown, _DRAWDOWN_SQL, ("tsdb",)),
+        "ev_ks_test": Query("ev_ks_test", _q_ks, _KS_SQL, ("analytics",)),
+        "ev_chi_square": Query(
+            "ev_chi_square", _q_chi_square, _CHI_SQUARE_SQL, ("analytics",)
+        ),
         "doc_zipf": Query("doc_zipf", _q_zipf, _ZIPF_SQL, ("text",)),
         "ev_rate_anomaly": Query(
             "ev_rate_anomaly", _q_rate_anomaly, _RATE_ANOMALY_SQL, ("tsdb",)
