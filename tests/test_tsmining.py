@@ -629,3 +629,16 @@ def test_chi_square_independence_regimes(spark):
     ]  # type c only ever on Mondays
     c_dep = chi_square(_ts_df(spark, rows)).collect()[0]
     assert c_dep.chi2 > 1000
+
+
+def test_permutation_entropy_regimes(spark):
+    """Monotone ramp → entropy 0 (one pattern); white noise → near 1."""
+    from tsgen.queries_tsmining import permutation_entropy
+
+    rng = np.random.RandomState(27)
+    rows = [(0, t, float(t)) for t in range(500)]
+    rows += [(1, t, float(v)) for t, v in enumerate(rng.randn(500))]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = {r.series_id: r for r in permutation_entropy(df).collect()}
+    assert out[0].perm_entropy == 0.0 and out[0].n_patterns == 1
+    assert out[1].perm_entropy > 0.95 and out[1].n_patterns == 6

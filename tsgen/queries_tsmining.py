@@ -477,6 +477,69 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- permutation entropy (Bandt-Pompe) ---------------------------------------
+PE_N, PE_LEN = 12, 256
+
+
+def permutation_entropy(df: DataFrame, m: int = 3) -> DataFrame:
+    """Bandt-Pompe permutation entropy (order m=3) per series: each window
+    of 3 consecutive values maps to its ordinal pattern (rank order); the
+    normalized Shannon entropy of the pattern distribution measures
+    complexity — 0 for monotone series, →1 for white noise. Two lag columns
+    + one tiny per-(series, pattern) aggregation. Strict inequalities (no
+    ties on continuous data) keep the pattern id engine-exact."""
+    w = Window.partitionBy("series_id").orderBy("t")
+    d = (
+        df.withColumn("v1", F.lag("value", 2).over(w))
+        .withColumn("v2", F.lag("value", 1).over(w))
+        .withColumn("v3", F.col("value"))
+        .where(F.col("v1").isNotNull())
+    )
+    pat = (
+        (F.col("v1") < F.col("v2")).cast("int") * 4
+        + (F.col("v2") < F.col("v3")).cast("int") * 2
+        + (F.col("v1") < F.col("v3")).cast("int")
+    )
+    counts = d.withColumn("pat", pat).groupBy("series_id", "pat").agg(
+        F.count("*").alias("n")
+    )
+    tot = Window.partitionBy("series_id")
+    p = F.col("n") / F.sum("n").over(tot)
+    ent = counts.withColumn("p", p).groupBy("series_id").agg(
+        (-F.sum(F.col("p") * F.log2("p")) / F.lit(math.log2(6.0))).alias("perm_entropy"),
+        F.count("*").alias("n_patterns"),
+    )
+    return ent
+
+
+def _q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, PE_N, PE_LEN, "mixed")
+    return round6(permutation_entropy(df), "perm_entropy")
+
+
+def _perm_entropy_sql() -> str:
+    gen = oracle.generate_sql(PE_N, PE_LEN, "mixed", rounded=False)
+    return f"""
+WITH src AS ({gen}),
+d AS (
+  SELECT series_id,
+         lag(value, 2) OVER w AS v1, lag(value, 1) OVER w AS v2, value AS v3
+  FROM src WINDOW w AS (PARTITION BY series_id ORDER BY t)),
+pats AS (
+  SELECT series_id,
+         CAST(v1 < v2 AS INT) * 4 + CAST(v2 < v3 AS INT) * 2 + CAST(v1 < v3 AS INT) AS pat
+  FROM d WHERE v1 IS NOT NULL),
+counts AS (SELECT series_id, pat, count(*) AS n FROM pats GROUP BY series_id, pat),
+p AS (
+  SELECT series_id, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY series_id) AS p
+  FROM counts)
+SELECT series_id,
+       {E.round6(f"-sum(p * log2(p)) / {E.NUM(math.log2(6.0))}")} AS perm_entropy,
+       count(*) AS n_patterns
+FROM p GROUP BY series_id
+"""
+
+
 # --- two-sample Kolmogorov-Smirnov test -------------------------------------
 KS_TYPE_A, KS_TYPE_B = "click", "view"
 
@@ -1256,6 +1319,9 @@ _REGISTRY.update(
         "ev_m4_downsample": Query("ev_m4_downsample", _q_m4, _M4_SQL, ("tsdb",)),
         "ev_drawdown": Query("ev_drawdown", _q_drawdown, _DRAWDOWN_SQL, ("tsdb",)),
         "ev_ks_test": Query("ev_ks_test", _q_ks, _KS_SQL, ("analytics",)),
+        "ts_perm_entropy": Query(
+            "ts_perm_entropy", _q_perm_entropy, _perm_entropy_sql(), ("tsdb",)
+        ),
         "ev_chi_square": Query(
             "ev_chi_square", _q_chi_square, _CHI_SQUARE_SQL, ("analytics",)
         ),
