@@ -642,3 +642,26 @@ def test_permutation_entropy_regimes(spark):
     out = {r.series_id: r for r in permutation_entropy(df).collect()}
     assert out[0].perm_entropy == 0.0 and out[0].n_patterns == 1
     assert out[1].perm_entropy > 0.95 and out[1].n_patterns == 6
+
+
+def test_multi_touch_attribution_credit_conservation(spark):
+    """Credits sum to the conversion value under both schemes; U-shape puts
+    0.4/0.2/0.4 on a 3-touch path."""
+    from tsgen.queries_experiments import multi_touch_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 9, "click", 0.0),
+        (2, t0 + datetime.timedelta(hours=1), 9, "view", 0.0),
+        (3, t0 + datetime.timedelta(hours=2), 9, "click", 0.0),
+        (4, t0 + datetime.timedelta(hours=3), 9, "purchase", 30.0),
+    ]
+    out = {r.touch_event_id: r for r in multi_touch_attribution(_ts_df(spark, rows)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(abs(r.credit_linear - 10.0) < 1e-9 for r in out.values())
+    assert abs(out[1].credit_u - 12.0) < 1e-9   # 0.4 * 30
+    assert abs(out[2].credit_u - 6.0) < 1e-9    # 0.2 * 30
+    assert abs(out[3].credit_u - 12.0) < 1e-9
+    total_l = sum(r.credit_linear for r in out.values())
+    total_u = sum(r.credit_u for r in out.values())
+    assert abs(total_l - 30.0) < 1e-9 and abs(total_u - 30.0) < 1e-9

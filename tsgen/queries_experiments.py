@@ -94,6 +94,108 @@ FROM e WHERE event_type = 'purchase'
 """
 
 
+# --- multi-touch attribution -------------------------------------------------
+def multi_touch_attribution(
+    ev: DataFrame,
+    conversion: str = "purchase",
+    touches: tuple[str, ...] = ("click", "view"),
+    lookback_s: int = LOOKBACK_S,
+) -> DataFrame:
+    """Multi-touch marketing attribution: every conversion distributes its
+    value over ALL prior touches inside the lookback window under two
+    schemes — linear (1/n each) and U-shaped (40% first, 40% last, 20%
+    split across middles; 100%/50-50 for n=1/2). Emits total credit per
+    touch event.
+
+    One user-keyed window collects the ordered prior-touch list (bounded by
+    a user's lookback history — the same per-entity bound every CDP makes);
+    the credit explosion is array work per conversion row, then one
+    partial-agged groupBy on the touch event id."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*touches)
+    arr = F.collect_list(
+        F.when(is_touch, F.struct(F.unix_micros("ts").alias("tus"), F.col("event_id").alias("eid")))
+    ).over(w)
+    conv = (
+        ev.withColumn("_arr", arr)
+        .filter(F.col("event_type") == conversion)
+        .withColumn("_cus", F.unix_micros("ts"))
+        .withColumn(
+            "_tl",
+            F.filter(
+                F.col("_arr"),
+                lambda x: x["tus"] >= F.col("_cus") - F.lit(lookback_s * 1_000_000),
+            ),
+        )
+        .withColumn("_n", F.size("_tl"))
+        .filter(F.col("_n") > 0)
+    )
+    ex = conv.select(
+        "value", "_n", F.posexplode("_tl").alias("i", "t")
+    )
+    wl = F.lit(1.0) / F.col("_n")
+    wu = (
+        F.when(F.col("_n") == 1, F.lit(1.0))
+        .when(F.col("_n") == 2, F.lit(0.5))
+        .when(F.col("i") == 0, F.lit(0.4))
+        .when(F.col("i") == F.col("_n") - 1, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("_n") - 2))
+    )
+    return (
+        ex.select(
+            F.col("t.eid").alias("touch_event_id"),
+            (F.col("value") * wl).alias("cl"),
+            (F.col("value") * wu).alias("cu"),
+        )
+        .groupBy("touch_event_id")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.sum("cl").alias("credit_linear"),
+            F.sum("cu").alias("credit_u"),
+        )
+    )
+
+
+def _q_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(
+        multi_touch_attribution(_events(spark, sf_dir)), "credit_linear", "credit_u"
+    )
+
+
+_ATTRIBUTION_MULTI_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         list_filter(
+           list(CASE WHEN event_type IN ('click','view')
+                     THEN {{'tus': epoch_us(ts), 'eid': event_id}} END) OVER w,
+           x -> x IS NOT NULL) AS arr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+conv AS (
+  SELECT value, list_filter(arr, x -> x.tus >= epoch_us(ts) - {LOOKBACK_S} * CAST(1000000 AS BIGINT)) AS tl
+  FROM e WHERE event_type = 'purchase'),
+ex AS (
+  SELECT value, len(tl) AS n, u.i - 1 AS i, tl[u.i].eid AS eid
+  FROM (SELECT value, tl, unnest(range(1, len(tl) + 1)) AS i FROM conv WHERE len(tl) > 0) u(value, tl, i)),
+credits AS (
+  SELECT eid,
+         value * (1.0e0 / n) AS cl,
+         value * (CASE WHEN n = 1 THEN 1.0e0 WHEN n = 2 THEN 0.5e0
+                       WHEN i = 0 THEN 0.4e0 WHEN i = n - 1 THEN 0.4e0
+                       ELSE 0.2e0 / (n - 2) END) AS cu
+  FROM ex)
+SELECT eid AS touch_event_id, count(*) AS n_credits,
+       (round((sum(cl)) + 1.0e-9,6)+0.0e0) AS credit_linear,
+       (round((sum(cu)) + 1.0e-9,6)+0.0e0) AS credit_u
+FROM credits GROUP BY eid
+"""
+
+
 # --- A/B experiment readout ------------------------------------------------
 def ab_readout(ev: DataFrame, metric_type: str = "purchase") -> DataFrame:
     """Hash-split users into A/B by deterministic arithmetic, compare mean
@@ -343,6 +445,12 @@ def _pagerank_sql() -> str:
 
 _REGISTRY.update(
     {
+        "ev_attribution_multi": Query(
+            "ev_attribution_multi",
+            _q_attribution_multi,
+            _ATTRIBUTION_MULTI_SQL,
+            ("product",),
+        ),
         "ev_attribution": Query(
             "ev_attribution", _q_attribution, _ATTRIBUTION_SQL, ("product",)
         ),
