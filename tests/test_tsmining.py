@@ -665,3 +665,20 @@ def test_multi_touch_attribution_credit_conservation(spark):
     total_l = sum(r.credit_linear for r in out.values())
     total_u = sum(r.credit_u for r in out.values())
     assert abs(total_l - 30.0) < 1e-9 and abs(total_u - 30.0) < 1e-9
+
+
+def test_adf_rejects_unit_root_for_stationary_only(spark):
+    """Stationary AR(1) → deeply negative t; random walk → t near 0."""
+    from tsgen.queries_tsmining import df_unitroot
+
+    rng = np.random.RandomState(29)
+    ar = np.zeros(500)
+    for t in range(1, 500):
+        ar[t] = 0.5 * ar[t - 1] + rng.randn()
+    walk = np.cumsum(rng.randn(500))
+    rows = [(0, t, float(v)) for t, v in enumerate(ar)]
+    rows += [(1, t, float(v)) for t, v in enumerate(walk)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = {r.series_id: r for r in df_unitroot(df).collect()}
+    assert out[0].adf_t < -5.0
+    assert out[1].adf_t > -1.95

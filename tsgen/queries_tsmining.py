@@ -477,6 +477,65 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- Dickey-Fuller unit-root test --------------------------------------------
+ADF_N, ADF_LEN = 12, 256
+
+
+def df_unitroot(df: DataFrame) -> DataFrame:
+    """Per-series Dickey-Fuller unit-root test (no-constant form, the same
+    machinery the cointegration sweep applies to pair residuals):
+        Δv_t = φ·v_{t−1} + ε;  t = φ̂ / se(φ̂)
+    t below ≈ −1.95 rejects the unit root at 5% (stationary series). One
+    lag window + one per-series aggregation."""
+    w = Window.partitionBy("series_id").orderBy("t")
+    z = df.withColumn("zl", F.lag("value").over(w)).where(F.col("zl").isNotNull())
+    agg = z.groupBy("series_id").agg(
+        (
+            F.sum(F.col("zl") * (F.col("value") - F.col("zl")))
+            / F.sum(F.col("zl") * F.col("zl"))
+        ).alias("phi"),
+        F.sum(F.col("zl") * F.col("zl")).alias("szz"),
+        F.count("*").alias("n"),
+        F.sum(F.col("zl") * (F.col("value") - F.col("zl"))).alias("szd"),
+        F.sum(
+            (F.col("value") - F.col("zl")) * (F.col("value") - F.col("zl"))
+        ).alias("sdd"),
+    )
+    ssr = (
+        F.col("sdd")
+        - 2 * F.col("phi") * F.col("szd")
+        + F.col("phi") * F.col("phi") * F.col("szz")
+    )
+    se = F.sqrt(ssr / (F.col("n") - 1) / F.col("szz"))
+    return agg.select("series_id", "n", "phi", (F.col("phi") / se).alias("adf_t"))
+
+
+def _q_df_unitroot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, ADF_N, ADF_LEN, "mixed")
+    return round6(df_unitroot(df), "phi", "adf_t")
+
+
+def _df_unitroot_sql() -> str:
+    gen = oracle.generate_sql(ADF_N, ADF_LEN, "mixed", rounded=False)
+    return f"""
+WITH src AS ({gen}),
+z AS (
+  SELECT series_id, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY t) AS zl
+  FROM src),
+agg AS (
+  SELECT series_id,
+         sum(zl * (value - zl)) / sum(zl * zl) AS phi,
+         sum(zl * zl) AS szz, count(*) AS n,
+         sum(zl * (value - zl)) AS szd,
+         sum((value - zl) * (value - zl)) AS sdd
+  FROM z WHERE zl IS NOT NULL GROUP BY series_id)
+SELECT series_id, n, {E.round6("phi")} AS phi,
+       {E.round6("phi / sqrt((sdd - 2 * phi * szd + phi * phi * szz) / (n - 1) / szz)")} AS adf_t
+FROM agg
+"""
+
+
 # --- permutation entropy (Bandt-Pompe) ---------------------------------------
 PE_N, PE_LEN = 12, 256
 
@@ -1322,6 +1381,7 @@ _REGISTRY.update(
         "ts_perm_entropy": Query(
             "ts_perm_entropy", _q_perm_entropy, _perm_entropy_sql(), ("tsdb",)
         ),
+        "ts_adf": Query("ts_adf", _q_df_unitroot, _df_unitroot_sql(), ("tsdb",)),
         "ev_chi_square": Query(
             "ev_chi_square", _q_chi_square, _CHI_SQUARE_SQL, ("analytics",)
         ),
