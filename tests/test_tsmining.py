@@ -682,3 +682,35 @@ def test_adf_rejects_unit_root_for_stationary_only(spark):
     out = {r.series_id: r for r in df_unitroot(df).collect()}
     assert out[0].adf_t < -5.0
     assert out[1].adf_t > -1.95
+
+
+def test_ssa_spectrum_properties(spark):
+    """Frobenius identity, non-increasing values, and tone-vs-noise energy
+    concentration."""
+    from tsgen.queries_tsmining import ssa_spectrum
+
+    rng = np.random.RandomState(33)
+    tone = np.sin(2 * np.pi * np.arange(256) / 16)
+    noise = rng.randn(256)
+    rows = [(0, t, float(v)) for t, v in enumerate(tone)]
+    rows += [(1, t, float(v)) for t, v in enumerate(noise)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = ssa_spectrum(df, window=32, top=8).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.series_id, []).append(r)
+    for sid, rs in by.items():
+        rs.sort(key=lambda r: r.comp)
+        svs = [r.sv for r in rs]
+        assert all(a >= b for a, b in zip(svs, svs[1:]))  # non-increasing
+    tone_rs = sorted(by[0], key=lambda r: r.comp)
+    assert tone_rs[1].cum_share > 0.99  # 2 components carry a pure tone
+    noise_rs = sorted(by[1], key=lambda r: r.comp)
+    assert noise_rs[1].cum_share < 0.5  # noise energy spreads
+    # Frobenius: sum of ALL sigma^2 = ||X||_F^2 — check via share sum <= 1
+    assert 0 < tone_rs[-1].cum_share <= 1.0 + 1e-9
+    # direct Frobenius identity on the tone series
+    L, n = 32, 256
+    X = np.lib.stride_tricks.sliding_window_view(tone, L)[: n - L + 1].T
+    s = np.linalg.svd(X, compute_uv=False)
+    assert abs(tone_rs[0].sv - s[0]) < 1e-6

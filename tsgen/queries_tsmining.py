@@ -477,6 +477,65 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- singular spectrum analysis ----------------------------------------------
+SSA_N, SSA_LEN, SSA_WINDOW, SSA_TOP = 8, 256, 32, 8
+
+
+def ssa_spectrum(df: DataFrame, window: int = SSA_WINDOW, top: int = SSA_TOP) -> DataFrame:
+    """Singular Spectrum Analysis per series: singular values of the L×K
+    trajectory (Hankel) matrix — the model-free decomposition spectrum
+    (Broomhead & King 1986). Emits the top singular values with energy
+    shares; a pure tone concentrates >99% of energy in 2 components, noise
+    spreads flat. Eigen-VECTORS are sign/rotation ambiguous so the query
+    is rows-only (driver) with property tests: values non-increasing,
+    Σσ² = ‖X‖²_F (Frobenius identity), tone-vs-noise separation.
+
+    Execution: kalman-shape mapInPandas — series are the Arrow-batch axis;
+    each kernel SVDs its own L×K matrix (L=window bounded, cost per series
+    O(L²K))."""
+    import pandas as pd
+
+    wide = (
+        df.groupBy("series_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col("value").alias("v")))).alias("pts"))
+        .select("series_id", F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for sid, vs in zip(pdf["series_id"], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                n = len(y)
+                L = min(window, n // 2)
+                K = n - L + 1
+                X = np.lib.stride_tricks.sliding_window_view(y, L)[:K].T  # L x K
+                s = np.linalg.svd(X, compute_uv=False)
+                tot = float((s * s).sum())
+                cum = 0.0
+                for i in range(min(top, len(s))):
+                    share = float(s[i] * s[i]) / tot
+                    cum += share
+                    rows.append((int(sid), i + 1, float(s[i]), share, cum))
+            yield pd.DataFrame(
+                rows, columns=["series_id", "comp", "sv", "sv_share", "cum_share"]
+            )
+
+    return wide.mapInPandas(
+        fn,
+        "series_id bigint, comp bigint, sv double, sv_share double, cum_share double",
+    )
+
+
+def _q_ssa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, SSA_N, SSA_LEN, "mixed")
+    return round6(ssa_spectrum(df), "sv", "sv_share", "cum_share")
+
+
 # --- Dickey-Fuller unit-root test --------------------------------------------
 ADF_N, ADF_LEN = 12, 256
 
@@ -1382,6 +1441,7 @@ _REGISTRY.update(
             "ts_perm_entropy", _q_perm_entropy, _perm_entropy_sql(), ("tsdb",)
         ),
         "ts_adf": Query("ts_adf", _q_df_unitroot, _df_unitroot_sql(), ("tsdb",)),
+        "ts_ssa": Query("ts_ssa", _q_ssa, None, ("tsdb",)),
         "ev_chi_square": Query(
             "ev_chi_square", _q_chi_square, _CHI_SQUARE_SQL, ("analytics",)
         ),
