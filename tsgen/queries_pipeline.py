@@ -646,7 +646,9 @@ _REGISTRY.update(
         "embed_neardup": Query(
             "embed_neardup", _q_neardup, similarity.neardup_pairs_sql(0.25), ("similarity",)
         ),
-        "ann_ivf": Query("ann_ivf", _q_ann_ivf, None, ("similarity",)),
+        "ann_ivf": Query(
+            "ann_ivf", _q_ann_ivf, similarity.ivf_topk_sql(N_QUERIES), ("similarity",)
+        ),
         "multimodal_features": Query("multimodal_features", _q_multimodal, None, ("multimodal",)),
         "multimodal_phash": Query("multimodal_phash", _q_multimodal_phash, None, ("multimodal",)),
         "embed_pq": Query("embed_pq", _q_embed_pq, None, ("similarity",)),

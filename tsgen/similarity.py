@@ -628,3 +628,60 @@ SELECT cluster_id, count(*) AS n,
        (round((sum(d2)) + 1.0e-9,4)+0.0e0) AS inertia
 FROM fin GROUP BY cluster_id
 """
+
+
+def ivf_topk_sql(
+    n_queries: int, k: int = 5, n_cells: int = 8, nprobe: int = 3, dim: int = EMB_DIM
+) -> str:
+    """DuckDB oracle twin of ivf_topk (deterministic seeds + 1 Lloyd
+    refinement + nprobe probing), unrolled as chained CTEs like
+    kmeans_l2_sql — upgrading ann_ivf from rows-only to value-checked.
+    list_dot_product's summation may differ from Spark's sequential fold by
+    ulps, but assignment/probe/rank margins on continuous embeddings are
+    astronomically larger (same precedent as cosine_topk/embed_neardup)."""
+    cs = "list_dot_product(v.vec, c.svec) / (v.norm * c.snorm)"
+    qcs = "list_dot_product(q.qvec, c.svec) / (q.qnorm * c.snorm)"
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cell_id, vec AS svec, norm AS snorm FROM v WHERE vec_id < {n_cells}),
+a0 AS (
+  SELECT vec_id, vec, norm, cell_id FROM (
+    SELECT v.vec_id, v.vec, v.norm, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cs} DESC, c.cell_id ASC) AS rn
+    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+m0 AS (
+  SELECT cell_id, i, avg(vec[i]) AS m
+  FROM a0 CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) g
+  GROUP BY cell_id, i),
+c1 AS (
+  SELECT cell_id, list(m ORDER BY i) AS svec,
+         sqrt(list_dot_product(list(m ORDER BY i), list(m ORDER BY i))) AS snorm
+  FROM m0 GROUP BY cell_id),
+a1 AS (
+  SELECT vec_id, vec, norm, cell_id FROM (
+    SELECT v.vec_id, v.vec, v.norm, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cs} DESC, c.cell_id ASC) AS rn
+    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm FROM v WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qvec, qnorm, cell_id FROM (
+    SELECT q.query_id, q.qvec, q.qnorm, c.cell_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {qcs} DESC, c.cell_id ASC) AS rn
+    FROM q CROSS JOIN c1 c) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a1.vec_id,
+         list_dot_product(p.qvec, a1.vec) / (p.qnorm * a1.norm) AS cos_sim
+  FROM probes p JOIN a1 ON a1.cell_id = p.cell_id
+  WHERE a1.vec_id <> p.query_id)
+SELECT query_id, vec_id AS neighbor_id,
+       (round((cos_sim) + 1.0e-9,6)+0.0e0) AS cos_sim, rank
+FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {k}
+"""
