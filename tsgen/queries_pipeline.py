@@ -651,7 +651,9 @@ _REGISTRY.update(
         ),
         "multimodal_features": Query("multimodal_features", _q_multimodal, None, ("multimodal",)),
         "multimodal_phash": Query("multimodal_phash", _q_multimodal_phash, None, ("multimodal",)),
-        "embed_pq": Query("embed_pq", _q_embed_pq, None, ("similarity",)),
+        "embed_pq": Query(
+            "embed_pq", _q_embed_pq, similarity.pq_summary_sql(), ("similarity",)
+        ),
         "embed_kmeans": Query(
             "embed_kmeans",
             lambda spark, sf_dir: similarity.kmeans_l2(_emb(spark, sf_dir)),

@@ -685,3 +685,51 @@ FROM (
   FROM cand)
 WHERE rank <= {k}
 """
+
+
+def pq_summary_sql(
+    n_sub: int = PQ_SUB, n_cent: int = PQ_CENT, refine_iters: int = 2, dim: int = EMB_DIM
+) -> str:
+    """DuckDB oracle twin of pq_summary (deterministic seeds + refine_iters
+    Lloyd rounds per subspace, unrolled as chained CTEs with the subspace
+    as a key column) — upgrading embed_pq from rows-only to value-checked.
+    Sub-vector L2 uses the sequential list_reduce fold (matches Spark's
+    aggregate())."""
+    d_sub = dim // n_sub
+    d2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {ds} + 1), "
+        "i -> (u.subvec[i] - c.cvec[i]) * (u.subvec[i] - c.cvec[i]))), (a, b) -> a + b)"
+    ).format(ds=d_sub)
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings)",
+        f"""sub AS (
+  SELECT vec_id, g.s, vec[g.s * {d_sub} + 1 : g.s * {d_sub} + {d_sub}] AS subvec
+  FROM v CROSS JOIN (SELECT unnest(range(0, {n_sub})) AS s) g)""",
+        f"cb0 AS (SELECT s, CAST(vec_id AS INT) AS code, subvec AS cvec FROM sub WHERE vec_id < {n_cent})",
+    ]
+    prev = "cb0"
+    for it in range(refine_iters + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, s, code, subvec, d2 FROM (
+    SELECT u.vec_id, u.s, c.code, u.subvec, {d2} AS d2,
+           row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY {d2} ASC, c.code ASC) AS rn
+    FROM sub u JOIN {prev} c ON c.s = u.s) WHERE rn = 1)"""
+        )
+        if it < refine_iters:
+            parts.append(
+                f"""m{it} AS (
+  SELECT s, code, i, avg(subvec[i]) AS cx
+  FROM a{it} CROSS JOIN (SELECT unnest(range(1, {d_sub} + 1)) AS i) g
+  GROUP BY s, code, i)"""
+            )
+            parts.append(
+                f"cb{it + 1} AS (SELECT s, code, list(cx ORDER BY i) AS cvec FROM m{it} GROUP BY s, code)"
+            )
+            prev = f"cb{it + 1}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, (round((sqrt(sum(d2))) + 1.0e-9,4)+0.0e0) AS recon_err
+FROM a{refine_iters} GROUP BY vec_id
+"""
