@@ -160,8 +160,35 @@ def _q_ann_ivf(spark, sf_dir):
 
 # --- multimodal (decode stubbed — see tsgen/multimodal.py) ----------------
 def _q_multimodal(spark, sf_dir):
+    from .queries import canon_types
+
     media = multimodal.as_media_table(_docs(spark, sf_dir))
-    return multimodal.extract_features(media)
+    return canon_types(multimodal.extract_features(media))
+
+
+# DuckDB twin of the deterministic decode_stub: utf-8 bytes recovered from
+# hex(encode(text)), checksum = fold (c*31 + byte) % 1000003 — the stub is
+# byte arithmetic, so even the stubbed multimodal path is value-checked.
+_MULTIMODAL_SQL = """
+WITH b AS (
+  SELECT doc_id, 'text/plain' AS kind, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents),
+f AS (
+  SELECT doc_id, kind, byte_len,
+         CASE WHEN byte_len = 0 THEN -1
+              ELSE (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1 END AS first_byte,
+         list_reduce(
+           list_prepend(0, list_transform(range(1, byte_len + 1),
+             i -> (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+                  + strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1)),
+           (a, b) -> (a * 31 + b) % 1000003) AS checksum
+  FROM b)
+SELECT doc_id, kind, byte_len, CAST(first_byte AS BIGINT) AS first_byte,
+       CAST(checksum AS BIGINT) AS checksum
+FROM f
+"""
 
 
 def _q_multimodal_phash(spark, sf_dir):
@@ -649,7 +676,9 @@ _REGISTRY.update(
         "ann_ivf": Query(
             "ann_ivf", _q_ann_ivf, similarity.ivf_topk_sql(N_QUERIES), ("similarity",)
         ),
-        "multimodal_features": Query("multimodal_features", _q_multimodal, None, ("multimodal",)),
+        "multimodal_features": Query(
+            "multimodal_features", _q_multimodal, _MULTIMODAL_SQL, ("multimodal",)
+        ),
         "multimodal_phash": Query("multimodal_phash", _q_multimodal_phash, None, ("multimodal",)),
         "embed_pq": Query(
             "embed_pq", _q_embed_pq, similarity.pq_summary_sql(), ("similarity",)
