@@ -155,14 +155,40 @@ def ahash(media: DataFrame, out_len: int = AHASH_BITS) -> DataFrame:
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if len(arr) == 0:
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(raw)
+                if n == 0:
                     ids.append(doc_id)
                     sigs.append(0)
                     continue
-                splits = np.array_split(arr, out_len)
-                pooled = np.array([s.mean() if len(s) else 0.0 for s in splits])
-                bits = pooled > pooled.mean()
+                # EXACT integer form of "bucket mean > mean of bucket means":
+                # array_split gives `rem` buckets of size l+1 then size l, so
+                # mean-of-means = (l*A + (l+1)*B) / (out_len*l*(l+1)) with
+                # A = sum over big buckets, B = over small — the comparison
+                # clears denominators and stays in int64, making the hash
+                # bit-identical in any engine (the float version could flip
+                # razor-tie bits under a different summation order).
+                l, rem = divmod(n, out_len)
+                sums = np.array(
+                    [int(s.sum()) for s in np.array_split(raw, out_len)], dtype=object
+                )
+                sizes = np.array(
+                    [len(s) for s in np.array_split(raw, out_len)], dtype=object
+                )
+                if l == 0:
+                    total = int(raw.sum())
+                    bits = [
+                        (int(sz) > 0) and (int(sm) * out_len > total)
+                        for sm, sz in zip(sums, sizes)
+                    ]
+                else:
+                    a_big = int(sums[:rem].sum()) if rem else 0
+                    b_small = int(sums[rem:].sum())
+                    m = l * a_big + (l + 1) * b_small
+                    scale = out_len * l * (l + 1)
+                    bits = [
+                        int(sm) * scale > m * int(sz) for sm, sz in zip(sums, sizes)
+                    ]
                 sig = 0
                 for b in bits:
                     sig = (sig << 1) | int(b)
@@ -220,3 +246,62 @@ def phash_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def phash_pairs_sql(max_hamming: int = 8, out_len: int = AHASH_BITS) -> str:
+    """DuckDB oracle twin of ahash → phash_pairs: utf-8 bytes recovered
+    from hex(encode(text)); bucket splits replicate numpy.array_split
+    (`rem` buckets of l+1 then size l); the bit test is the exact integer
+    inequality the kernel now uses, so signatures match bit-for-bit."""
+    hexd = "'0123456789ABCDEF'"
+    byte_i = (
+        f"(strpos({hexd}, substr(hx, 2 * i - 1, 1)) - 1) * 16"
+        f" + strpos({hexd}, substr(hx, 2 * i, 1)) - 1"
+    )
+    big = (
+        "CASE WHEN l = 0 THEN "
+        "CASE WHEN bsizes[i + 1] > 0 AND bsums[i + 1] * {OL} > total THEN 1 ELSE 0 END "
+        "ELSE CASE WHEN bsums[i + 1] * ({OL} * l * (l + 1)) > "
+        "(l * abig + (l + 1) * (total - abig)) * bsizes[i + 1] THEN 1 ELSE 0 END END"
+    ).format(OL=out_len)
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents),
+bl AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1), i -> {byte_i}) AS bytes
+  FROM b),
+par AS (
+  SELECT doc_id, n, bytes, n // {out_len} AS l, n % {out_len} AS rem,
+         coalesce(list_sum(bytes), 0) AS total
+  FROM bl),
+bk AS (
+  SELECT doc_id, n, l, rem, total,
+         list_transform(range(0, {out_len}),
+           i -> coalesce(list_sum(bytes[i * l + least(i, rem) + 1 :
+                                        i * l + least(i, rem) + l + CASE WHEN i < rem THEN 1 ELSE 0 END]), 0)) AS bsums,
+         list_transform(range(0, {out_len}),
+           i -> l + CASE WHEN i < rem THEN 1 ELSE 0 END) AS bsizes
+  FROM par),
+ab AS (SELECT *, coalesce(list_sum(bsums[1 : rem]), 0) AS abig FROM bk),
+bits AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN list_transform(range(0, {out_len}), i -> 0)
+              ELSE list_transform(range(0, {out_len}), i -> {big}) END AS bits
+  FROM ab),
+sig AS (
+  SELECT doc_id,
+         (CASE WHEN bits[1] = 1 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)
+         + coalesce(list_sum(list_transform(range(1, {out_len}),
+             i -> CAST(bits[i + 1] AS BIGINT) * (CAST(1 AS BIGINT) << ({out_len - 1} - i)))), 0) AS sig
+  FROM bits),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, sig, {k} AS band, (sig >> {16 * k}) & 65535 AS bkey FROM sig" for k in range(AHASH_BANDS))}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""

@@ -192,9 +192,9 @@ FROM f
 
 
 def _q_multimodal_phash(spark, sf_dir):
-    # perceptual-hash near-dup pairs over stub-decoded thumbnails; banding
-    # keys ride on pooled byte means -> engine-specific float pooling, so
-    # rows-only (recall proven by the planted-dup test)
+    # perceptual-hash near-dup pairs over stub-decoded thumbnails; the
+    # aHash bit test is an exact integer inequality (no float pooling), so
+    # the whole pipeline is DuckDB-replayable (multimodal.phash_pairs_sql)
     media = multimodal.as_media_table(_docs(spark, sf_dir))
     return multimodal.phash_pairs(media)
 
@@ -679,7 +679,9 @@ _REGISTRY.update(
         "multimodal_features": Query(
             "multimodal_features", _q_multimodal, _MULTIMODAL_SQL, ("multimodal",)
         ),
-        "multimodal_phash": Query("multimodal_phash", _q_multimodal_phash, None, ("multimodal",)),
+        "multimodal_phash": Query(
+            "multimodal_phash", _q_multimodal_phash, multimodal.phash_pairs_sql(), ("multimodal",)
+        ),
         "embed_pq": Query(
             "embed_pq", _q_embed_pq, similarity.pq_summary_sql(), ("similarity",)
         ),
