@@ -714,3 +714,26 @@ def test_ssa_spectrum_properties(spark):
     X = np.lib.stride_tricks.sliding_window_view(tone, L)[: n - L + 1].T
     s = np.linalg.svd(X, compute_uv=False)
     assert abs(tone_rs[0].sv - s[0]) < 1e-6
+
+
+def test_optimal_segmentation_recovers_planted_shifts(spark):
+    """Three flat levels with big jumps → exactly 3 segments at the planted
+    boundaries; a flat series yields a single segment."""
+    from tsgen.queries_tsmining import optimal_segmentation
+
+    rng = np.random.RandomState(41)
+    y = np.concatenate([
+        0.2 * rng.randn(40),
+        6.0 + 0.2 * rng.randn(30),
+        -5.0 + 0.2 * rng.randn(50),
+    ])
+    rows = [(0, t, float(v)) for t, v in enumerate(y)]
+    rows += [(1, t, float(v)) for t, v in enumerate(0.2 * rng.randn(120))]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = optimal_segmentation(df, beta=8.0).collect()
+    segs0 = sorted([r for r in out if r.series_id == 0], key=lambda r: r.seg_start)
+    assert [(r.seg_start, r.seg_end) for r in segs0] == [(0, 39), (40, 69), (70, 119)]
+    assert abs(segs0[1].seg_mean - 6.0) < 0.2
+    assert abs(segs0[2].seg_mean - (-5.0)) < 0.2
+    segs1 = [r for r in out if r.series_id == 1]
+    assert len(segs1) == 1 and segs1[0].n_points == 120

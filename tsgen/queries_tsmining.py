@@ -477,6 +477,137 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- optimal multi-changepoint segmentation ----------------------------------
+SEG_N, SEG_LEN, SEG_BETA = 8, 128, 8.0
+
+
+def optimal_segmentation(df: DataFrame, beta: float = SEG_BETA) -> DataFrame:
+    """Exact optimal mean-shift segmentation per series (optimal
+    partitioning, the unpruned form of PELT — Killick et al. 2012):
+        F(t) = min_tau F(tau) + SSE(tau+1..t) + beta,   F(0) = -beta
+    with SSE from prefix sums. Emits one row per optimal segment
+    (start, end, length, mean). Upgrades the single-changepoint detector
+    (ts_changepoint) to the full multi-changepoint optimum.
+
+    Execution: kalman-shape mapInPandas; the O(n^2) DP vectorizes the tau
+    axis per step (n = series length, bounded — 128 here; the distributed
+    axis is series count). The oracle replays the SAME DP in a recursive
+    CTE with LIST state (F and argmin-pointer lists), then a second
+    recursive CTE walks the backtrace — tie-breaks are first-argmin on
+    both engines, and every float op matches elementwise."""
+    import pandas as pd
+
+    wide = (
+        df.groupBy("series_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col("value").alias("v")))).alias("pts"))
+        .select("series_id", F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for sid, vs in zip(pdf["series_id"], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                n = len(y)
+                s1 = np.concatenate([[0.0], np.cumsum(y)])
+                s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+                fv = np.empty(n + 1)
+                fv[0] = -beta
+                prev = np.zeros(n + 1, dtype=int)
+                for t in range(1, n + 1):
+                    taus = np.arange(t)
+                    d1 = s1[t] - s1[taus]
+                    d2 = s2[t] - s2[taus]
+                    cand = (fv[:t] + (d2 - d1 * d1 / (t - taus))) + beta
+                    j = int(np.argmin(cand))
+                    fv[t] = cand[j]
+                    prev[t] = j
+                t = n
+                segs = []
+                while t > 0:
+                    s = int(prev[t])
+                    segs.append((s, t))
+                    t = s
+                for s, e in reversed(segs):
+                    rows.append(
+                        (
+                            int(sid),
+                            s,
+                            e - 1,
+                            e - s,
+                            (s1[e] - s1[s]) / (e - s),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["series_id", "seg_start", "seg_end", "n_points", "seg_mean"],
+            )
+
+    return wide.mapInPandas(
+        fn,
+        "series_id bigint, seg_start bigint, seg_end bigint, n_points bigint, seg_mean double",
+    )
+
+
+def _q_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, SEG_N, SEG_LEN, "mixed")
+    return round6(optimal_segmentation(df), "seg_mean")
+
+
+def _segmentation_sql(beta: float = SEG_BETA) -> str:
+    gen = oracle.generate_sql(SEG_N, SEG_LEN, "mixed", rounded=False)
+    B = E.NUM(beta)
+    cand = (
+        "list_transform(range(0, rec.t + 1), tau -> "
+        "(rec.f[tau + 1] + ((ps.s2[rec.t + 2] - ps.s2[tau + 1]) "
+        "- (ps.s1[rec.t + 2] - ps.s1[tau + 1]) * (ps.s1[rec.t + 2] - ps.s1[tau + 1]) "
+        f"/ (rec.t + 1 - tau))) + {B})"
+    )
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({gen}),
+ps AS MATERIALIZED (
+  SELECT series_id,
+         list_prepend(0.0e0, list(c1 ORDER BY t)) AS s1,
+         list_prepend(0.0e0, list(c2 ORDER BY t)) AS s2,
+         count(*) AS n
+  FROM (
+    SELECT series_id, t,
+           sum(value) OVER w AS c1, sum(value * value) OVER w AS c2
+    FROM src
+    WINDOW w AS (PARTITION BY series_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  GROUP BY series_id),
+rec(series_id, t, f, prev) AS (
+  SELECT series_id, 0, [-{B}], [CAST(0 AS BIGINT)] FROM ps
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1,
+         list_append(rec.f, list_min({cand})),
+         list_append(rec.prev, CAST(list_position({cand}, list_min({cand})) - 1 AS BIGINT))
+  FROM rec JOIN ps ON ps.series_id = rec.series_id
+  WHERE rec.t < ps.n),
+fin AS (SELECT rec.series_id, rec.prev FROM rec JOIN ps ON ps.series_id = rec.series_id AND rec.t = ps.n),
+walk(series_id, e) AS (
+  SELECT series_id, n FROM ps
+  UNION ALL
+  SELECT w.series_id, fin.prev[w.e + 1]
+  FROM walk w JOIN fin ON fin.series_id = w.series_id
+  WHERE w.e > 0)
+SELECT w.series_id,
+       fin.prev[w.e + 1] AS seg_start,
+       w.e - 1 AS seg_end,
+       w.e - fin.prev[w.e + 1] AS n_points,
+       {E.round6("(ps.s1[w.e + 1] - ps.s1[fin.prev[w.e + 1] + 1]) / (w.e - fin.prev[w.e + 1])")} AS seg_mean
+FROM walk w
+JOIN fin ON fin.series_id = w.series_id
+JOIN ps ON ps.series_id = w.series_id
+WHERE w.e > 0
+"""
+
+
 # --- singular spectrum analysis ----------------------------------------------
 SSA_N, SSA_LEN, SSA_WINDOW, SSA_TOP = 8, 256, 32, 8
 
@@ -1442,6 +1573,9 @@ _REGISTRY.update(
         ),
         "ts_adf": Query("ts_adf", _q_df_unitroot, _df_unitroot_sql(), ("tsdb",)),
         "ts_ssa": Query("ts_ssa", _q_ssa, None, ("tsdb",)),
+        "ts_segmentation": Query(
+            "ts_segmentation", _q_segmentation, _segmentation_sql(), ("tsdb",)
+        ),
         "ev_chi_square": Query(
             "ev_chi_square", _q_chi_square, _CHI_SQUARE_SQL, ("analytics",)
         ),
