@@ -737,3 +737,21 @@ def test_optimal_segmentation_recovers_planted_shifts(spark):
     assert abs(segs0[2].seg_mean - (-5.0)) < 0.2
     segs1 = [r for r in out if r.series_id == 1]
     assert len(segs1) == 1 and segs1[0].n_points == 120
+
+
+def test_counter_rate_reset_semantics(spark):
+    """A counter 10,20,5,15 in one bucket: increases 10(first=0)+10, reset
+    contributes 5, then +10 → increase 25, one reset."""
+    from tsgen.queries_tsmining import counter_rate
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 20.0, 5.0, 15.0]
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "tick", v)
+        for i, v in enumerate(vals)
+    ]
+    r = counter_rate(_ts_df(spark, rows)).collect()[0]
+    assert r.n_samples == 4
+    assert abs(r.increase - (0 + 10 + 5 + 10)) < 1e-9
+    assert r.n_resets == 1
+    assert abs(r.rate_per_s - 25.0 / 3600.0) < 1e-9

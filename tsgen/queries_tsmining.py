@@ -922,6 +922,67 @@ FROM obs JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
 """
 
 
+# --- counter rate with reset handling (PromQL rate()/increase()) -------------
+def counter_rate(ev: DataFrame, bucket_s: int = 3600) -> DataFrame:
+    """Monotone-counter semantics over `value` per user: the per-step
+    increase is the delta when the counter moved forward, or the current
+    value after a RESET (counter restarted from 0 — Prometheus
+    rate()/increase() convention); aggregated per time bucket with
+    resets counted. One lag window + one partial-agged groupBy."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn("_delta", F.col("value") - F.lag("value").over(w))
+    inc = (
+        F.when(F.col("_delta").isNull(), F.lit(0.0))
+        .when(F.col("_delta") >= 0, F.col("_delta"))
+        .otherwise(F.col("value"))
+    )
+    b = (F.unix_micros("ts") / F.lit(1_000_000 * bucket_s)).cast("bigint")
+    g = (
+        d.withColumn("_inc", inc)
+        .withColumn("bucket", b)
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("_inc").alias("increase"),
+            F.sum(
+                F.coalesce((F.col("_delta") < 0).cast("long"), F.lit(0))
+            ).alias("n_resets"),
+        )
+    )
+    return g.select(
+        "user_id",
+        (F.col("bucket") * bucket_s).alias("bucket_s"),
+        "n_samples",
+        "increase",
+        (F.col("increase") / F.lit(float(bucket_s))).alias("rate_per_s"),
+        "n_resets",
+    )
+
+
+def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(counter_rate(_events(spark, sf_dir)), "increase", "rate_per_s")
+
+
+_COUNTER_RATE_SQL = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events),
+i AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / (CAST(3600 AS BIGINT) * 1000000)) AS BIGINT) AS bucket,
+         CASE WHEN delta IS NULL THEN 0.0e0
+              WHEN delta >= 0 THEN delta ELSE value END AS inc,
+         CASE WHEN delta < 0 THEN 1 ELSE 0 END AS is_reset
+  FROM d)
+SELECT user_id, bucket * 3600 AS bucket_s, count(*) AS n_samples,
+       (round((sum(inc)) + 1.0e-9,6)+0.0e0) AS increase,
+       (round((sum(inc) / 3600.0e0) + 1.0e-9,6)+0.0e0) AS rate_per_s,
+       CAST(sum(is_reset) AS BIGINT) AS n_resets
+FROM i GROUP BY user_id, bucket
+"""
+
+
 # --- maximum drawdown --------------------------------------------------------
 def max_drawdown(ev: DataFrame) -> DataFrame:
     """Max drawdown per user over the cumulative value curve: running peak
@@ -1582,6 +1643,9 @@ _REGISTRY.update(
         "doc_zipf": Query("doc_zipf", _q_zipf, _ZIPF_SQL, ("text",)),
         "ev_rate_anomaly": Query(
             "ev_rate_anomaly", _q_rate_anomaly, _RATE_ANOMALY_SQL, ("tsdb",)
+        ),
+        "ev_counter_rate": Query(
+            "ev_counter_rate", _q_counter_rate, _COUNTER_RATE_SQL, ("tsdb",)
         ),
         "ev_cdc_apply": Query("ev_cdc_apply", _q_cdc_apply, _CDC_SQL, ("warehouse",)),
         "ts_mann_kendall": Query(
