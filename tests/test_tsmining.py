@@ -755,3 +755,21 @@ def test_counter_rate_reset_semantics(spark):
     assert abs(r.increase - (0 + 10 + 5 + 10)) < 1e-9
     assert r.n_resets == 1
     assert abs(r.rate_per_s - 25.0 / 3600.0) < 1e-9
+
+
+def test_top_eigen_matches_numpy_eigh(spark):
+    """Power-iteration top eigenvalue matches the exact eigensolve on a
+    cloud with one dominant direction."""
+    from tsgen.similarity import top_eigen
+
+    rng = np.random.RandomState(43)
+    base = rng.randn(300, 8) * 0.3
+    base[:, 2] += 5.0 * rng.randn(300)  # dominant axis
+    rows = [(i, base[i].tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = top_eigen(df).collect()[0]
+    C = np.cov(base.T)
+    lam = float(np.linalg.eigvalsh(C)[-1])
+    assert abs(r.top_eigenvalue - lam) < 1e-6 * max(1.0, lam)
+    assert abs(r.trace - float(np.trace(C))) < 1e-9
+    assert 0.5 < r.explained_share < 1.0

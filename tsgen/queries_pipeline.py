@@ -218,6 +218,13 @@ def _q_ann_lsh(spark, sf_dir):
     return round6(similarity.lsh_pairs(_emb(spark, sf_dir)), "cos_sim")
 
 
+def _q_embed_top_eigen(spark, sf_dir):
+    from .queries import roundn
+
+    out = similarity.top_eigen(_emb(spark, sf_dir))
+    return roundn(out, 4, "top_eigenvalue", "explained_share", "trace")
+
+
 def _q_embed_pq(spark, sf_dir):
     # iterative float k-means -> engine-specific codes -> rows-only; PQ
     # recall + Lloyd-monotonicity asserted in tests
@@ -684,6 +691,12 @@ _REGISTRY.update(
         ),
         "embed_pq": Query(
             "embed_pq", _q_embed_pq, similarity.pq_summary_sql(), ("similarity",)
+        ),
+        "embed_top_eigen": Query(
+            "embed_top_eigen",
+            _q_embed_top_eigen,
+            similarity.top_eigen_sql(),
+            ("similarity",),
         ),
         "embed_kmeans": Query(
             "embed_kmeans",

@@ -733,3 +733,95 @@ WITH {body}
 SELECT vec_id, (round((sqrt(sum(d2))) + 1.0e-9,4)+0.0e0) AS recon_err
 FROM a{refine_iters} GROUP BY vec_id
 """
+
+
+POWER_ITERS = 40
+
+
+def top_eigen(df: DataFrame, vec: str = "embedding", iters: int = POWER_ITERS) -> DataFrame:
+    """Top covariance eigenvalue of the embedding cloud by FIXED-ITERATION
+    power method — the oracle-checkable companion to pca_variance (a full
+    eigensolve is not SQL-expressible, but k deterministic power steps
+    are). The covariance matrix is built distributed (exploded self-join →
+    per-(i,j) partial-agged sums — the shuffle carries dim² rows regardless
+    of corpus size); the 64×64 iteration itself is O(1) driver work, same
+    convention as pca_variance's final eigh. Power iteration is a
+    contractive fixed point, so per-step summation-order ulps (numpy BLAS
+    vs the oracle's sequential list_sum) cannot accumulate — outputs are
+    4dp-stable.
+
+    → one row: (n, top_eigenvalue, explained_share, trace)."""
+    import numpy as np
+
+    e = df.select("vec_id", F.posexplode(F.col(vec).cast("array<double>")).alias("i", "x"))
+    stats = e.groupBy("i").agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+    a = e.select("vec_id", F.col("i").alias("ii"), F.col("x").alias("xi"))
+    b = e.select("vec_id", F.col("i").alias("jj"), F.col("x").alias("xj"))
+    s = (
+        a.join(b, "vec_id")
+        .groupBy("ii", "jj")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sij"))
+    )
+    rows = s.collect()
+    ms = {r.i: r.m for r in stats.collect()}
+    n = int(df.count())
+    dim = len(ms)
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r.ii, r.jj] = (r.sij - n * ms[r.ii] * ms[r.jj]) / (n - 1)
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        w = C @ v
+        v = w / np.sqrt((w * w).sum())
+    lam = float(v @ (C @ v))
+    trace = float(np.trace(C))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(n, lam, lam / trace, trace)],
+        "n bigint, top_eigenvalue double, explained_share double, trace double",
+    )
+    return out
+
+
+def top_eigen_sql(iters: int = POWER_ITERS, dim: int = EMB_DIM) -> str:
+    """DuckDB oracle twin: same covariance build, same fixed power steps as
+    a LIST-state recursive CTE."""
+    cv = (
+        "list_transform(range(1, {d} + 1), i -> "
+        "list_sum(list_transform(range(1, {d} + 1), j -> gm.g[i][j] * rec.v[j])))"
+    ).format(d=dim)
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, u.i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, {dim} + 1)) AS i) u),
+st AS (SELECT i, avg(x) AS m FROM e GROUP BY i),
+nn AS (SELECT count(*) AS n FROM embeddings),
+s AS (
+  SELECT a.i AS ii, b.i AS jj, sum(a.x * b.x) AS sij
+  FROM e a JOIN e b ON b.vec_id = a.vec_id
+  GROUP BY a.i, b.i),
+c AS (
+  SELECT s.ii, s.jj,
+         (s.sij - nn.n * ma.m * mb.m) / (nn.n - 1) AS cij
+  FROM s JOIN st ma ON ma.i = s.ii JOIN st mb ON mb.i = s.jj CROSS JOIN nn),
+gm AS (
+  SELECT list(row ORDER BY ii) AS g FROM (
+    SELECT ii, list(cij ORDER BY jj) AS row FROM c GROUP BY ii)),
+rec(k, v) AS (
+  SELECT 0, list_transform(range(1, {dim} + 1), i -> 1.0e0 / sqrt(CAST({dim} AS DOUBLE))) FROM gm
+  UNION ALL
+  SELECT rec.k + 1,
+         list_transform({cv}, w -> w / sqrt(list_sum(list_transform({cv}, ww -> ww * ww))))
+  FROM rec, gm WHERE rec.k < {iters}),
+fin AS (SELECT v FROM rec WHERE k = {iters}),
+lam AS (
+  SELECT list_sum(list_transform(range(1, {dim} + 1), i ->
+           fin.v[i] * list_sum(list_transform(range(1, {dim} + 1), j -> gm.g[i][j] * fin.v[j])))) AS lam
+  FROM fin, gm),
+tr AS (SELECT sum(cij) AS trace FROM c WHERE ii = jj)
+SELECT nn.n,
+       (round((lam.lam) + 1.0e-9,4)+0.0e0) AS top_eigenvalue,
+       (round((lam.lam / tr.trace) + 1.0e-9,4)+0.0e0) AS explained_share,
+       (round((tr.trace) + 1.0e-9,4)+0.0e0) AS trace
+FROM lam, tr, nn
+"""
