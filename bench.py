@@ -140,6 +140,9 @@ def main() -> None:
         "doc_keyphrases",
         "embed_kmeans",
         "graph_bfs",
+        "ts_welch_psd",
+        "ts_segmentation",
+        "ev_ks_test",
     ]
     reg = registry()
     for name in suite:
