@@ -773,3 +773,55 @@ def test_top_eigen_matches_numpy_eigh(spark):
     assert abs(r.top_eigenvalue - lam) < 1e-6 * max(1.0, lam)
     assert abs(r.trace - float(np.trace(C))) < 1e-9
     assert 0.5 < r.explained_share < 1.0
+
+
+def test_haar_energy_parseval_and_scale_localization(spark):
+    """Parseval: level energies sum to total energy; a slow sine puts its
+    energy in coarse levels, white noise spreads ~half per level."""
+    from tsgen.queries_tsmining import haar_energy
+
+    rng = np.random.RandomState(47)
+    slow = np.sin(2 * np.pi * np.arange(256) / 128.0)
+    noise = rng.randn(256)
+    rows = [(0, t, float(v)) for t, v in enumerate(slow)]
+    rows += [(1, t, float(v)) for t, v in enumerate(noise)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = haar_energy(df).collect()
+    for sid, y in ((0, slow), (1, noise)):
+        tot = sum(r.energy for r in out if r.series_id == sid)
+        assert abs(tot - float((y * y).sum())) < 1e-8
+    # slow sine: fine-detail levels (1-3) carry almost nothing
+    fine = sum(r.energy for r in out if r.series_id == 0 and 1 <= r.level <= 3)
+    tot0 = sum(r.energy for r in out if r.series_id == 0)
+    assert fine / tot0 < 0.05
+    # noise: finest level alone carries roughly half the energy
+    lvl1 = [r.energy for r in out if r.series_id == 1 and r.level == 1][0]
+    tot1 = sum(r.energy for r in out if r.series_id == 1)
+    assert 0.3 < lvl1 / tot1 < 0.7
+
+
+def test_stream_counter_rate_state_across_batches(spark, tmp_path):
+    """4-chunk replay: per-bucket partials MERGE (increase adds) to the
+    batch result, with deltas correct across chunk boundaries."""
+    from tsgen import streaming
+    from tsgen.queries_tsmining import counter_rate
+    from tsgen.queries_analytics import _events
+
+    sf = "/root/testdata/sf0.001"
+    chunked = streaming.replay_chunked(spark, sf, 4, str(tmp_path / "chunks"))
+    got = streaming.run_to_completion(
+        streaming.counter_rate_stateful(chunked), mode="update"
+    ).collect()
+    acc = {}
+    for r in got:
+        k = (r.user_id, r.bucket_s)
+        n, inc, res = acc.get(k, (0, 0.0, 0))
+        acc[k] = (n + r.n_samples, inc + r.increase, res + r.n_resets)
+    want = {
+        (r.user_id, r.bucket_s): (r.n_samples, r.increase, r.n_resets)
+        for r in counter_rate(_events(spark, sf)).collect()
+    }
+    assert set(acc) == set(want)
+    for k, (n, inc, res) in acc.items():
+        wn, winc, wres = want[k]
+        assert n == wn and res == wres and abs(inc - winc) < 1e-9, k

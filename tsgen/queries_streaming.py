@@ -396,6 +396,21 @@ def _stream_cdc_sql() -> str:
     return _CDC_SQL
 
 
+def _q_stream_counter_rate(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(
+        streaming.counter_rate_stateful(s), mode="update"
+    )
+    return round6(out, "increase", "rate_per_s")
+
+
+def _stream_counter_rate_sql() -> str:
+    # single-file replay = one micro-batch = the batch counter semantics
+    from .queries_tsmining import _COUNTER_RATE_SQL
+
+    return _COUNTER_RATE_SQL
+
+
 def _q_stream_m4(spark, sf_dir):
     s = streaming.events_stream(spark, sf_dir)
     out = streaming.run_to_completion(streaming.m4_stream(s), mode="complete")
@@ -477,6 +492,12 @@ _REGISTRY.update(
             "stream_m4",
             _q_stream_m4,
             _stream_m4_sql(),
+            ("streaming",),
+        ),
+        "stream_counter_rate": Query(
+            "stream_counter_rate",
+            _q_stream_counter_rate,
+            _stream_counter_rate_sql(),
             ("streaming",),
         ),
     }

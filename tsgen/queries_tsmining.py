@@ -477,6 +477,79 @@ SELECT series_id, k AS lag, {E.round6('pkk')} AS pacf FROM rec
 """
 
 
+# --- Haar wavelet energy spectrum --------------------------------------------
+HAAR_N, HAAR_LEN = 8, 256
+
+
+def haar_energy(df: DataFrame) -> DataFrame:
+    """Haar DWT energy per decomposition level (the multiresolution scale
+    spectrum): at each level, pairwise (a+b)/sqrt2 approximations carry on,
+    (a-b)/sqrt2 details contribute that level's energy; level 0 is the
+    final approximation coefficient's energy. Parseval: levels sum to the
+    series' total energy (asserted in tests). Series length must be a
+    power of 2 (generated grid). Kalman-shape mapInPandas; the oracle
+    replays the cascade with LIST state in a recursive CTE."""
+    import pandas as pd
+
+    wide = (
+        df.groupBy("series_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col("value").alias("v")))).alias("pts"))
+        .select("series_id", F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        r2 = np.sqrt(2.0)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for sid, vs in zip(pdf["series_id"], pdf["vs"]):
+                a = np.asarray(vs, dtype=float)
+                level = 1
+                while len(a) > 1:
+                    det = (a[0::2] - a[1::2]) / r2
+                    a = (a[0::2] + a[1::2]) / r2
+                    rows.append((int(sid), level, len(det), float((det * det).sum())))
+                    level += 1
+                rows.append((int(sid), 0, 1, float(a[0] * a[0])))
+            yield pd.DataFrame(rows, columns=["series_id", "level", "n_coeffs", "energy"])
+
+    return wide.mapInPandas(
+        fn, "series_id bigint, level bigint, n_coeffs bigint, energy double"
+    )
+
+
+def _q_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, HAAR_N, HAAR_LEN, "mixed")
+    return round6(haar_energy(df), "energy")
+
+
+def _haar_sql() -> str:
+    gen = oracle.generate_sql(HAAR_N, HAAR_LEN, "mixed", rounded=False)
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({gen}),
+base AS (SELECT series_id, list(value ORDER BY t) AS a FROM src GROUP BY series_id),
+rec(series_id, level, a, denergy) AS (
+  SELECT series_id, 0, a, CAST(NULL AS DOUBLE) FROM base
+  UNION ALL
+  SELECT rec.series_id, rec.level + 1,
+         list_transform(range(1, len(rec.a) // 2 + 1),
+                        i -> (rec.a[2 * i - 1] + rec.a[2 * i]) / sqrt(2.0e0)),
+         list_sum(list_transform(range(1, len(rec.a) // 2 + 1),
+                  i -> ((rec.a[2 * i - 1] - rec.a[2 * i]) / sqrt(2.0e0))
+                       * ((rec.a[2 * i - 1] - rec.a[2 * i]) / sqrt(2.0e0))))
+  FROM rec WHERE len(rec.a) > 1)
+SELECT series_id, level, CAST(len(a) AS BIGINT) AS n_coeffs,
+       {E.round6('denergy')} AS energy
+FROM rec WHERE level > 0
+UNION ALL
+SELECT series_id, 0, 1, {E.round6('a[1] * a[1]')} AS energy
+FROM rec WHERE len(a) = 1
+"""
+
+
 # --- optimal multi-changepoint segmentation ----------------------------------
 SEG_N, SEG_LEN, SEG_BETA = 8, 128, 8.0
 
@@ -1637,6 +1710,7 @@ _REGISTRY.update(
         "ts_segmentation": Query(
             "ts_segmentation", _q_segmentation, _segmentation_sql(), ("tsdb",)
         ),
+        "ts_haar_energy": Query("ts_haar_energy", _q_haar, _haar_sql(), ("tsdb",)),
         "ev_chi_square": Query(
             "ev_chi_square", _q_chi_square, _CHI_SQUARE_SQL, ("analytics",)
         ),

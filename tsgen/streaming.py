@@ -633,3 +633,58 @@ def m4_stream(stream: DataFrame, bucket_s: int = 3600) -> DataFrame:
         F.max(F.struct("ts", "event_id", "value"))["value"].alias("v_last"),
     )
     return g.withColumn("bucket_s", F.col("bucket") * bucket_s).drop("bucket")
+
+
+def counter_rate_stateful(stream: DataFrame, bucket_s: int = 3600) -> DataFrame:
+    """Streaming PromQL-style counter increase()/rate() per (user, bucket):
+    applyInPandasWithState carries the LAST counter value per user across
+    micro-batches (O(1) state), so deltas — and reset detection — are
+    correct even when a bucket's samples span batches. Emits per-batch
+    partial bucket rows; a consumer MERGE adds them (increase is additive).
+    Single-file replay = one batch = exactly the batch ev_counter_rate."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, bucket_s bigint, n_samples bigint, increase double, "
+        "rate_per_s double, n_resets bigint"
+    )
+    state_schema = "last double, has double"
+
+    def fn(k, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        last, has = state.get if state.exists else (0.0, 0.0)
+        acc: dict = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000
+            )
+            for v, t in zip(pdf["value"], ts_us):
+                b = int(t // (bucket_s * 1_000_000)) * bucket_s
+                n, inc, res = acc.get(b, (0, 0.0, 0))
+                if has == 0.0:
+                    step, r = 0.0, 0
+                else:
+                    d = float(v) - last
+                    step, r = (d, 0) if d >= 0 else (float(v), 1)
+                acc[b] = (n + 1, inc + step, res + r)
+                last, has = float(v), 1.0
+        state.update((last, has))
+        if not acc:
+            yield pd.DataFrame(
+                columns=["user_id", "bucket_s", "n_samples", "increase", "rate_per_s", "n_resets"]
+            )
+            return
+        rows = [
+            (k[0], b, n, inc, inc / float(bucket_s), res)
+            for b, (n, inc, res) in sorted(acc.items())
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "bucket_s", "n_samples", "increase", "rate_per_s", "n_resets"],
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
