@@ -825,3 +825,37 @@ def test_stream_counter_rate_state_across_batches(spark, tmp_path):
     for k, (n, inc, res) in acc.items():
         wn, winc, wres = want[k]
         assert n == wn and res == wres and abs(inc - winc) < 1e-9, k
+
+
+def test_zone_map_and_funnel_latency_semantics(spark):
+    from tsgen.queries_warehouse2 import funnel_latency, zone_map_skipping
+
+    # zone maps: orderkeys 0..63 -> one bucket each; only buckets whose date
+    # range intersects 1995Q1 survive
+    import datetime as dt
+    rows = []
+    for k in range(64):
+        d = dt.datetime(1994, 1, 1) + dt.timedelta(days=7 * k)
+        rows.append((k, d, d))
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_shipdate timestamp, _x timestamp")
+    out = zone_map_skipping(li.select("l_orderkey", "l_shipdate")).collect()[0]
+    assert out.n_files == 64
+    in_q1 = sum(
+        1 for k in range(64)
+        if dt.datetime(1995, 1, 1) <= dt.datetime(1994, 1, 1) + dt.timedelta(days=7 * k) <= dt.datetime(1995, 3, 31, 23, 59)
+    )
+    assert out.files_skipped == 64 - in_q1
+    assert abs(out.skip_ratio - (64 - in_q1) / 64) < 1e-9
+
+    # funnel latency: 2 users start; one converts after 600s
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (1, t0, 1, "view", 0.0),
+        (2, t0 + dt.timedelta(seconds=600), 1, "purchase", 0.0),
+        (3, t0, 2, "view", 0.0),
+        (4, t0 - dt.timedelta(seconds=60), 3, "purchase", 0.0),  # purchase w/o view
+    ]
+    r = funnel_latency(_ts_df(spark, ev)).collect()[0]
+    assert r.n_started == 2 and r.n_converted == 1
+    assert abs(r.p50_s - 600.0) < 1e-9
+    assert abs(r.conversion_rate - 0.5) < 1e-9

@@ -197,6 +197,135 @@ WHERE s.gy > s.best
 """
 
 
+# --- zone-map data skipping --------------------------------------------------
+ZM_BUCKETS = 64
+ZM_DATE_LO, ZM_DATE_HI = "1995-01-01", "1995-03-31"
+
+
+def zone_map_skipping(li: DataFrame, n_buckets: int = ZM_BUCKETS) -> DataFrame:
+    """Zone-map (file-statistics) data-skipping simulation: bucket the fact
+    table into n_buckets pseudo-files by orderkey range, collect per-file
+    min/max l_shipdate zone maps, and report how many files/rows a date
+    predicate can skip WITHOUT reading them — the Parquet row-group /
+    Delta-Iceberg file-pruning arithmetic. High skip ratios require
+    clustering the write on the filter column (see zorder_cluster); orders
+    are date-correlated with orderkey, so the ratio here is non-trivial.
+    One partial-agged aggregation + a 64-row projection."""
+    b = F.pmod(F.col("l_orderkey"), n_buckets).alias("bucket")
+    zm = li.groupBy(b).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_shipdate").alias("min_sd"),
+        F.max("l_shipdate").alias("max_sd"),
+    )
+    hit = (F.col("min_sd") <= F.lit(ZM_DATE_HI)) & (F.col("max_sd") >= F.lit(ZM_DATE_LO))
+    agg = zm.agg(
+        F.count("*").alias("n_files"),
+        F.sum((~hit).cast("long")).alias("files_skipped"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum(F.when(~hit, F.col("n_rows")).otherwise(0)).alias("rows_skipped"),
+    )
+    return agg.select(
+        "n_files",
+        "files_skipped",
+        "total_rows",
+        "rows_skipped",
+        (F.col("rows_skipped") / F.col("total_rows")).alias("skip_ratio"),
+    )
+
+
+def _q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return round6(zone_map_skipping(li), "skip_ratio")
+
+
+_ZONE_MAP_SQL = f"""
+WITH zm AS (
+  SELECT l_orderkey % {ZM_BUCKETS} AS bucket, count(*) AS n_rows,
+         min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd
+  FROM lineitem GROUP BY 1),
+agg AS (
+  SELECT count(*) AS n_files,
+         CAST(sum(CASE WHEN NOT (min_sd <= TIMESTAMP '{ZM_DATE_HI}'
+                                 AND max_sd >= TIMESTAMP '{ZM_DATE_LO}')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+         CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(sum(CASE WHEN NOT (min_sd <= TIMESTAMP '{ZM_DATE_HI}'
+                                 AND max_sd >= TIMESTAMP '{ZM_DATE_LO}')
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped
+  FROM zm)
+SELECT n_files, files_skipped, total_rows, rows_skipped,
+       (round((CAST(rows_skipped AS DOUBLE) / total_rows) + 1.0e-9,6)+0.0e0) AS skip_ratio
+FROM agg
+"""
+
+
+# --- funnel conversion latency -----------------------------------------------
+def funnel_latency(ev: DataFrame, start: str = "view", end: str = "purchase") -> DataFrame:
+    """Time-to-convert distribution: for each user, latency from FIRST
+    `start` event to the first `end` event after it; exact p50/p90 +
+    conversion rate. Two conditional-min aggregations per user (one
+    shuffle), percentiles over the small converted-users table."""
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == start, F.unix_micros("ts"))).alias("t0")
+    )
+    j = (
+        ev.join(per_user, "user_id")
+        .where(
+            (F.col("event_type") == end)
+            & F.col("t0").isNotNull()
+            & (F.unix_micros("ts") >= F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first(F.col("t0")).alias("t0"),
+            F.min(F.unix_micros("ts")).alias("t1"),
+        )
+        .withColumn("latency_s", (F.col("t1") - F.col("t0")) / F.lit(1_000_000.0))
+    )
+    base = per_user.where(F.col("t0").isNotNull()).agg(
+        F.count("*").alias("n_started")
+    )
+    stats = j.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(latency_s, 0.9)").alias("p90_s"),
+        F.avg("latency_s").alias("mean_s"),
+    )
+    return stats.crossJoin(F.broadcast(base)).withColumn(
+        "conversion_rate", F.col("n_converted") / F.col("n_started")
+    )
+
+
+def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(
+        funnel_latency(_events(spark, sf_dir)),
+        "p50_s", "p90_s", "mean_s", "conversion_rate",
+    )
+
+
+_FUNNEL_LATENCY_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0
+  FROM events GROUP BY user_id),
+conv AS (
+  SELECT e.user_id, any_value(pu.t0) AS t0, min(epoch_us(e.ts)) AS t1
+  FROM events e JOIN pu ON pu.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND pu.t0 IS NOT NULL
+        AND epoch_us(e.ts) >= pu.t0
+  GROUP BY e.user_id),
+lat AS (SELECT (t1 - t0) / 1000000.0e0 AS latency_s FROM conv),
+base AS (SELECT count(*) AS n_started FROM pu WHERE t0 IS NOT NULL)
+SELECT count(*) AS n_converted,
+       (round((quantile_cont(latency_s, 0.5e0)) + 1.0e-9,6)+0.0e0) AS p50_s,
+       (round((quantile_cont(latency_s, 0.9e0)) + 1.0e-9,6)+0.0e0) AS p90_s,
+       (round((avg(latency_s)) + 1.0e-9,6)+0.0e0) AS mean_s,
+       base.n_started,
+       (round((CAST(count(*) AS DOUBLE) / base.n_started) + 1.0e-9,6)+0.0e0) AS conversion_rate
+FROM lat CROSS JOIN base GROUP BY base.n_started
+"""
+
+
 # --- ABC (Pareto) inventory classification ---------------------------------
 def abc_analysis(li: DataFrame, a_cut: float = 0.7, b_cut: float = 0.9) -> DataFrame:
     """ABC classification of parts by revenue contribution: rank parts by
@@ -259,5 +388,9 @@ _REGISTRY.update(
         ),
         "doc_pareto": Query("doc_pareto", _q_doc_pareto, _PARETO_SQL, ("pipeline",)),
         "orders_abc": Query("orders_abc", _q_abc, _ABC_SQL, ("warehouse",)),
+        "li_zone_map": Query("li_zone_map", _q_zone_map, _ZONE_MAP_SQL, ("warehouse",)),
+        "ev_funnel_latency": Query(
+            "ev_funnel_latency", _q_funnel_latency, _FUNNEL_LATENCY_SQL, ("product",)
+        ),
     }
 )
