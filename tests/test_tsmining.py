@@ -859,3 +859,24 @@ def test_zone_map_and_funnel_latency_semantics(spark):
     assert r.n_started == 2 and r.n_converted == 1
     assert abs(r.p50_s - 600.0) < 1e-9
     assert abs(r.conversion_rate - 0.5) < 1e-9
+
+
+def test_did_detects_planted_treatment_effect(spark):
+    """Planted +5 lift on the treated cohort post-cutoff → did ≈ 5 with a
+    large t; no-effect data → did ≈ 0."""
+    from tsgen.queries_causal import did_readout
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rng = np.random.RandomState(51)
+    rows = []
+    rid = 0
+    for u in range(1, 201):
+        treated = ((u * 2654435761) % 2147483647) % 2
+        for k in range(20):
+            post = k >= 10
+            v = rng.randn() + (5.0 if treated and post else 0.0)
+            rows.append((rid, t0 + datetime.timedelta(hours=k), u, "m", float(v)))
+            rid += 1
+    r = did_readout(_ts_df(spark, rows)).collect()[0]
+    assert abs(r.did - 5.0) < 0.3
+    assert r.t_stat > 20

@@ -191,9 +191,90 @@ FROM obs CROSS JOIN tot
 """
 
 
+# --- difference-in-differences -----------------------------------------------
+def did_readout(ev: DataFrame) -> DataFrame:
+    """Difference-in-differences estimator over the event stream: treatment
+    assignment is the deterministic hash split (ab_experiment's LCG),
+    pre/post periods split at the observed time midpoint (INTEGER
+    microsecond midpoint — epoch micros exceed 2^53, so a float midpoint
+    would misclassify boundary rows differently per engine). DiD = (T_post − T_pre) −
+    (C_post − C_pre) on mean value, with the standard 4-cell SE
+    sqrt(Σ var_g/n_g) and t-statistic. Two aggregations: the 2-row span
+    agg broadcast back, then one partial-agged 4-cell groupBy."""
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    e = ev.crossJoin(F.broadcast(span)).select(
+        (((F.col("user_id") * 2654435761) % 2147483647) % 2).alias("treated"),
+        (F.unix_micros("ts") >= F.expr("(lo + hi) DIV 2")).cast("int").alias("post"),
+        "value",
+    )
+    cells = e.groupBy("treated", "post").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+
+    def cell(t, p, col):
+        return F.max(F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col)))
+
+    out = cells.agg(
+        cell(1, 0, "m").alias("t_pre"),
+        cell(1, 1, "m").alias("t_post"),
+        cell(0, 0, "m").alias("c_pre"),
+        cell(0, 1, "m").alias("c_post"),
+        F.sum(F.col("v") / F.col("n")).alias("_var_sum"),
+        F.sum("n").alias("n_obs"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+    return out.select(
+        "n_obs", "t_pre", "t_post", "c_pre", "c_post",
+        did.alias("did"),
+        (did / F.sqrt(F.col("_var_sum"))).alias("t_stat"),
+    )
+
+
+def _q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roundn(
+        did_readout(_events(spark, sf_dir)), 4,
+        "t_pre", "t_post", "c_pre", "c_post", "did", "t_stat",
+    )
+
+
+_DID_SQL = """
+WITH span AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+e AS (
+  SELECT ((user_id * 2654435761) % 2147483647) % 2 AS treated,
+         CAST(epoch_us(ts) >= (span.lo + span.hi) // 2 AS INT) AS post,
+         value
+  FROM events CROSS JOIN span),
+cells AS (
+  SELECT treated, post, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM e GROUP BY treated, post),
+agg AS (
+  SELECT max(CASE WHEN treated = 1 AND post = 0 THEN m END) AS t_pre,
+         max(CASE WHEN treated = 1 AND post = 1 THEN m END) AS t_post,
+         max(CASE WHEN treated = 0 AND post = 0 THEN m END) AS c_pre,
+         max(CASE WHEN treated = 0 AND post = 1 THEN m END) AS c_post,
+         sum(v / n) AS var_sum,
+         CAST(sum(n) AS BIGINT) AS n_obs
+  FROM cells)
+SELECT n_obs,
+       (round((t_pre) + 1.0e-9,4)+0.0e0) AS t_pre,
+       (round((t_post) + 1.0e-9,4)+0.0e0) AS t_post,
+       (round((c_pre) + 1.0e-9,4)+0.0e0) AS c_pre,
+       (round((c_post) + 1.0e-9,4)+0.0e0) AS c_post,
+       (round(((t_post - t_pre) - (c_post - c_pre)) + 1.0e-9,4)+0.0e0) AS did,
+       (round((((t_post - t_pre) - (c_post - c_pre)) / sqrt(var_sum)) + 1.0e-9,4)+0.0e0) AS t_stat
+FROM agg
+"""
+
+
 _REGISTRY.update(
     {
         "ts_granger": Query("ts_granger", _q_granger, _GRANGER_SQL, ("analytics",)),
         "ev_benford": Query("ev_benford", _q_benford, _BENFORD_SQL, ("analytics",)),
+        "ev_did": Query("ev_did", _q_did, _DID_SQL, ("analytics",)),
     }
 )
