@@ -880,3 +880,23 @@ def test_did_detects_planted_treatment_effect(spark):
     r = did_readout(_ts_df(spark, rows)).collect()[0]
     assert abs(r.did - 5.0) < 0.3
     assert r.t_stat > 20
+
+
+def test_model_select_prefers_matching_model(spark):
+    """Trending series → Holt wins; level+noise → SES wins; random walk →
+    naive (MASE >= 1 for both)."""
+    from tsgen.forecast import model_select
+
+    rng = np.random.RandomState(53)
+    trend = 0.5 * np.arange(300) + 0.3 * rng.randn(300)
+    level = 5.0 + rng.randn(300)
+    walk = np.cumsum(rng.randn(300))
+    rows = []
+    for sid, series in enumerate([trend, level, walk]):
+        rows += [(sid, int(t), float(v)) for t, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = {r.series_id: r for r in model_select(df).collect()}
+    assert out[0].best_model == "holt"
+    assert out[0].mase_holt < out[0].mase_ses
+    assert out[1].best_model == "ses"
+    assert out[2].best_model == "naive"

@@ -955,3 +955,96 @@ SELECT agg.series_id, agg.n_origins,
        {E.round6('agg.mae / naive.scale')} AS mase
 FROM agg JOIN naive ON naive.series_id = agg.series_id
 """
+
+
+def model_select(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Rolling-origin model selection: run SES, Holt (error-correction
+    forms), and the naive forecaster through the SAME one-step backtest per
+    series and pick the MASE winner. The ratio of absolute-error sums
+    equals the MASE ratio (common denominator), so selection is exact.
+    Error-correction updates (l + a·(y−l)) are used in BOTH engines —
+    algebraically equal to the textbook blend form but not bit-equal, so
+    one form is canon. Ties (e.g., MASE exactly 1) break ses<holt<naive.
+    Kalman-shape mapInPandas; the oracle replays all three recursions in
+    one recursive CTE."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for s, vs in zip(pdf[key], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                n = len(y)
+                l_s = y[0]
+                l_h, b_h = y[0], 0.0
+                s_ses = s_holt = s_nv = 0.0
+                for t in range(1, n):
+                    e_s = y[t] - l_s
+                    s_ses += abs(e_s)
+                    l_s = l_s + alpha * e_s
+                    p_h = l_h + b_h
+                    e_h = y[t] - p_h
+                    s_holt += abs(e_h)
+                    l_new = p_h + alpha * e_h
+                    b_h = b_h + beta * ((l_new - l_h) - b_h)
+                    l_h = l_new
+                    s_nv += abs(y[t] - y[t - 1])
+                m_ses = s_ses / s_nv
+                m_holt = s_holt / s_nv
+                cand = [(m_ses, 0, "ses"), (m_holt, 1, "holt"), (1.0, 2, "naive")]
+                best = min(cand)[2]
+                rows.append((s, n - 1, m_ses, m_holt, best))
+            yield pd.DataFrame(
+                rows, columns=[key, "n_origins", "mase_ses", "mase_holt", "best_model"]
+            )
+
+    return wide.mapInPandas(
+        fn,
+        f"{key} bigint, n_origins bigint, mase_ses double, mase_holt double, best_model string",
+    )
+
+
+def model_select_sql(inner: str, alpha: float = 0.3, beta: float = 0.2) -> str:
+    """Recursive-CTE oracle replaying SES + Holt + naive error sums in one
+    recursion with identical association order."""
+    from . import expr as E
+
+    A, B = E.NUM(alpha), E.NUM(beta)
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
+rec(series_id, t, y, ls, lh, bh, s_ses, s_holt, s_nv) AS (
+  SELECT series_id, CAST(0 AS BIGINT), value, value, value, 0.0e0,
+         0.0e0, 0.0e0, 0.0e0
+  FROM src WHERE t = 0
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1, s.value,
+         rec.ls + {A} * (s.value - rec.ls),
+         (rec.lh + rec.bh) + {A} * (s.value - (rec.lh + rec.bh)),
+         rec.bh + {B} * ((((rec.lh + rec.bh) + {A} * (s.value - (rec.lh + rec.bh))) - rec.lh) - rec.bh),
+         rec.s_ses + abs(s.value - rec.ls),
+         rec.s_holt + abs(s.value - (rec.lh + rec.bh)),
+         rec.s_nv + abs(s.value - rec.y)
+  FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1),
+fin AS (
+  SELECT series_id, t AS n_origins, s_ses / s_nv AS m_ses, s_holt / s_nv AS m_holt
+  FROM rec r WHERE t = (SELECT max(t) FROM rec r2 WHERE r2.series_id = r.series_id))
+SELECT series_id, n_origins,
+       {E.round6('m_ses')} AS mase_ses,
+       {E.round6('m_holt')} AS mase_holt,
+       CASE WHEN m_ses <= m_holt AND m_ses <= 1.0e0 THEN 'ses'
+            WHEN m_holt < m_ses AND m_holt <= 1.0e0 THEN 'holt'
+            ELSE 'naive' END AS best_model
+FROM fin
+"""

@@ -397,6 +397,20 @@ def _ses_backtest_sql() -> str:
     return forecast.ses_backtest_sql(inner)
 
 
+def _q_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(forecast.model_select(df), "mase_ses", "mase_holt")
+
+
+def _model_select_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.model_select_sql(inner)
+
+
 def _q_arma11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -528,6 +542,9 @@ _REGISTRY.update(
         "forecast_arma11": Query("forecast_arma11", _q_arma11, _arma11_sql(), ("forecast",)),
         "forecast_backtest": Query(
             "forecast_backtest", _q_ses_backtest, _ses_backtest_sql(), ("forecast",)
+        ),
+        "forecast_model_select": Query(
+            "forecast_model_select", _q_model_select, _model_select_sql(), ("forecast",)
         ),
         "forecast_holt_winters": Query(
             "forecast_holt_winters", _q_holt_winters, _holt_winters_sql(), ("forecast",)
