@@ -180,3 +180,28 @@ def test_doc_counts_match_registry():
     m = re.search(r"(\d+) registry queries — (\d+) oracle-checked, (\d+)\s*rows-only", cov)
     assert m, "COVERAGE totals line missing"
     assert tuple(map(int, m.groups())) == (total, oracled, rows_only)
+
+
+def test_driver_window_composition_pinned():
+    """The driver hashes the FIRST 50 registry entries. Round 3 rotated the
+    window to never-checked queries (VERDICT r02 item 1); an accidental
+    import-order or _WINDOW_PRIORITY change would silently undo that.
+    Update this snapshot ONLY as part of a deliberate rotation."""
+    from tsgen.queries import registry
+
+    first50 = list(registry())[:50]
+    assert first50 == [
+        "gen_sine", "gen_cosine", "gen_mixed", "gen_exponential_decay",
+        "gen_linear_sum", "gen_custom_decay", "gen_labeled", "series_stats",
+        "sample_data_mixed", "mask_forecast", "mask_impute", "loss_mse",
+        "poly_basis", "posenc", "label_embedding", "gen_union",
+        "gen_multichannel", "patchify_stats", "patch_roundtrip",
+        "epoch_metrics", "orders_cube", "event_set_ops", "ev_interval_join",
+        "dedup_exact_docs", "ngram_jaccard", "dedup_clusters", "semdedup",
+        "corpus_curation", "tfidf_top_terms", "cosine_topk", "ann_lsh",
+        "text_stats", "doc_fingerprint", "lang_id", "token_freq",
+        "pii_scrub", "doc_chunks", "pack_sequences", "embed_neardup",
+        "kalman_em", "stream_tumbling", "stream_sliding", "stream_session",
+        "stream_dedup", "stream_join", "stream_ohlc", "stream_hll",
+        "stream_scd2", "stream_dd_quantiles", "stream_cms_topk",
+    ]
