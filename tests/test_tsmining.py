@@ -314,6 +314,7 @@ def test_abc_analysis_shares_sum_to_one(spark):
     out = {r.abc_class: r for r in abc_analysis(df).collect()}
     assert set(out) == {"A", "B", "C"}
     assert abs(sum(r.rev_share for r in out.values()) - 1.0) < 1e-9
+    assert all(r.revenue_m > 0 for r in out.values())
     assert sum(r.n_parts for r in out.values()) == 200
     assert out["A"].n_parts < out["C"].n_parts
 

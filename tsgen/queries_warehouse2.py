@@ -351,7 +351,11 @@ def abc_analysis(li: DataFrame, a_cut: float = 0.7, b_cut: float = 0.9) -> DataF
     )
     out = ranked.withColumn("abc_class", cls).groupBy("abc_class").agg(
         F.count("*").alias("n_parts"),
-        F.sum("rev").alias("revenue"),
+        # revenue in MILLIONS: class totals aggregate most of the fact
+        # table, and absolute 4dp rounding on an O(1e10) sum is inside the
+        # engines' summation-order noise at sf>=0.1 — scale the unit, not
+        # the precision
+        (F.sum("rev") / F.lit(1.0e6)).alias("revenue_m"),
         (F.sum("rev") / F.first("tot")).alias("rev_share"),
     )
     return out
@@ -359,7 +363,7 @@ def abc_analysis(li: DataFrame, a_cut: float = 0.7, b_cut: float = 0.9) -> DataF
 
 def _q_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return roundn(abc_analysis(li), 4, "revenue", "rev_share")
+    return roundn(abc_analysis(li), 4, "revenue_m", "rev_share")
 
 
 _ABC_SQL = """
@@ -375,7 +379,7 @@ ranked AS (
 SELECT CASE WHEN cum_share <= 0.7e0 THEN 'A'
             WHEN cum_share <= 0.9e0 THEN 'B' ELSE 'C' END AS abc_class,
        count(*) AS n_parts,
-       (round((sum(rev)) + 1.0e-9,4)+0.0e0) AS revenue,
+       (round((sum(rev) / 1.0e6) + 1.0e-9,4)+0.0e0) AS revenue_m,
        (round((sum(rev) / any_value(tot)) + 1.0e-9,4)+0.0e0) AS rev_share
 FROM ranked GROUP BY 1
 """
