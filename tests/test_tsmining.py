@@ -901,3 +901,17 @@ def test_model_select_prefers_matching_model(spark):
     assert out[0].mase_holt < out[0].mase_ses
     assert out[1].best_model == "ses"
     assert out[2].best_model == "naive"
+
+
+def test_k_anonymity_risk_detection(spark):
+    """A QI class of size 2 (< k=5) drives k_anonymity=2 and puts exactly
+    those rows at risk."""
+    from tsgen.queries_quality import k_anonymity
+
+    t0 = datetime.datetime(2024, 1, 1, 10)
+    rows = [(i, t0, 1, "common", 0.0) for i in range(100)]
+    rows += [(1000 + i, t0 + datetime.timedelta(hours=3), 1, "rare", 0.0) for i in range(2)]
+    r = k_anonymity(_ts_df(spark, rows)).collect()[0]
+    assert r.k_anonymity == 2
+    assert r.n_at_risk == 2
+    assert abs(r.risk_share - 2 / 102) < 1e-9

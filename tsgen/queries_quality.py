@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .queries import _REGISTRY, Query, canon_types, roundn
+from .queries import _REGISTRY, Query, canon_types, round6, roundn
 from .queries_analytics import _events, _t
 
 
@@ -132,9 +132,58 @@ FROM m
 """
 
 
+# --- k-anonymity risk assessment ---------------------------------------------
+KANON_K = 5
+
+
+def k_anonymity(ev: DataFrame, k: int = KANON_K) -> DataFrame:
+    """Privacy risk readout for a quasi-identifier tuple (event_type,
+    day-of-week, hour): the k-anonymity level (smallest equivalence class)
+    and the share of rows re-identifiable at k — the governance check a
+    release pipeline runs before publishing event data. Two partial-agged
+    aggregations over the tiny QI-class table."""
+    cls = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("csize"))
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        F.min("csize").alias("k_anonymity"),
+        F.sum("csize").alias("n_rows"),
+        F.sum(F.when(F.col("csize") < k, F.col("csize")).otherwise(0)).alias(
+            "n_at_risk"
+        ),
+        (
+            F.sum(F.when(F.col("csize") < k, F.col("csize")).otherwise(0))
+            / F.sum("csize")
+        ).alias("risk_share"),
+    )
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(k_anonymity(_events(spark, sf_dir)), "risk_share")
+
+
+_K_ANONYMITY_SQL = f"""
+WITH cls AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+         count(*) AS csize
+  FROM events GROUP BY 1, 2, 3)
+SELECT count(*) AS n_classes,
+       CAST(min(csize) AS BIGINT) AS k_anonymity,
+       CAST(sum(csize) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN csize < {KANON_K} THEN csize ELSE 0 END) AS BIGINT) AS n_at_risk,
+       (round((CAST(sum(CASE WHEN csize < {KANON_K} THEN csize ELSE 0 END) AS DOUBLE)
+               / sum(csize)) + 1.0e-9,6)+0.0e0) AS risk_share
+FROM cls
+"""
+
+
 _REGISTRY.update(
     {
         "dq_checks": Query("dq_checks", _q_dq, _DQ_SQL, ("quality",)),
+        "ev_k_anonymity": Query(
+            "ev_k_anonymity", _q_k_anonymity, _K_ANONYMITY_SQL, ("quality",)
+        ),
         "orders_monthly_growth": Query(
             "orders_monthly_growth", _q_monthly_growth, _MONTHLY_GROWTH_SQL, ("agg",)
         ),
