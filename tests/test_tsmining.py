@@ -740,6 +740,54 @@ def test_optimal_segmentation_recovers_planted_shifts(spark):
     assert len(segs1) == 1 and segs1[0].n_points == 120
 
 
+def test_pelt_matches_unpruned_dp_exactly(spark):
+    """PELT's prune is lossless: on mixed synthetic series with planted
+    shifts it must emit the EXACT same segment table as the unpruned DP
+    (same boundaries, same means — not just the same count)."""
+    from tsgen.queries_tsmining import optimal_segmentation, pelt_segmentation
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for sid in range(6):
+        parts = [rng.randn(30) * 0.3 + lvl for lvl in rng.randn(4) * 4]
+        y = np.concatenate(parts)
+        rows += [(sid, t, float(v)) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    key = lambda r: (r.series_id, r.seg_start)
+    a = sorted(optimal_segmentation(df, beta=8.0).collect(), key=key)
+    b = sorted(pelt_segmentation(df, beta=8.0).collect(), key=key)
+    assert [(r.series_id, r.seg_start, r.seg_end) for r in a] == [
+        (r.series_id, r.seg_start, r.seg_end) for r in b
+    ]
+    assert all(abs(x.seg_mean - y.seg_mean) < 1e-12 for x, y in zip(a, b))
+
+
+def test_pelt_prunes_under_frequent_changepoints():
+    """The candidate set must stay small (O(1)-ish) on a shift-heavy series
+    — the property that makes PELT linear-time on long series."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    y = np.concatenate([rng.randn(25) * 0.2 + lvl for lvl in rng.randn(16) * 5])
+    n = len(y)
+    s1 = np.concatenate([[0.0], np.cumsum(y)])
+    s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+    beta = 8.0
+    fv = np.empty(n + 1)
+    fv[0] = -beta
+    cand_set = np.array([0], dtype=int)
+    sizes = []
+    for t in range(1, n + 1):
+        d1 = s1[t] - s1[cand_set]
+        base = fv[cand_set] + (s2[t] - s2[cand_set]) - d1 * d1 / (t - cand_set)
+        j = int(np.argmin(base + beta))
+        fv[t] = base[j] + beta
+        cand_set = np.append(cand_set[base <= fv[t]], t)
+        sizes.append(len(cand_set))
+    assert np.mean(sizes) < 0.25 * n  # far below the unpruned t candidates
+    assert max(sizes) < 0.5 * n
+
+
 def test_counter_rate_reset_semantics(spark):
     """A counter 10,20,5,15 in one bucket: increases 10(first=0)+10, reset
     contributes 5, then +10 → increase 25, one reset."""

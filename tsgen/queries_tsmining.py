@@ -631,6 +631,85 @@ def _q_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(optimal_segmentation(df), "seg_mean")
 
 
+def pelt_segmentation(df: DataFrame, beta: float = SEG_BETA) -> DataFrame:
+    """PELT (Pruned Exact Linear Time, Killick et al. 2012 JASA): the SAME
+    optimal mean-shift segmentation as optimal_segmentation, but each DP
+    step minimizes only over the pruned candidate set
+        R_t = { tau in R_{t-1} + {t-1} : F(tau) + SSE(tau+1..t) <= F(t) }
+    Any tau failing the test can never re-enter the optimum (the SSE cost
+    is subadditive: C(tau..t') >= C(tau..t) + C(t..t') for t' > t), so the
+    prune is LOSSLESS — output is identical to the unpruned DP, which is
+    why this query shares optimal_segmentation's exact DP-replay oracle.
+    Under frequent changepoints |R_t| stays O(1) and the per-series cost
+    drops O(n^2) -> O(n) expected: the scale path for LONG series, where
+    the distributed axis (series count) no longer compensates for a
+    quadratic time axis. Tie handling matches the unpruned DP: candidates
+    are scanned in ascending tau and the prune keeps ties (<=), so the
+    first-argmin backtrace is preserved.
+
+    Execution: kalman-shape mapInPandas; the candidate axis vectorizes in
+    numpy per step, the recursion is only over t.
+    """
+    import pandas as pd
+
+    wide = (
+        df.groupBy("series_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col("value").alias("v")))).alias("pts"))
+        .select("series_id", F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for sid, vs in zip(pdf["series_id"], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                n = len(y)
+                s1 = np.concatenate([[0.0], np.cumsum(y)])
+                s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+                fv = np.empty(n + 1)
+                fv[0] = -beta
+                prev = np.zeros(n + 1, dtype=int)
+                cand_set = np.array([0], dtype=int)  # R_1 = {0}
+                for t in range(1, n + 1):
+                    d1 = s1[t] - s1[cand_set]
+                    sse = (s2[t] - s2[cand_set]) - d1 * d1 / (t - cand_set)
+                    base = fv[cand_set] + sse
+                    cand = base + beta
+                    j = int(np.argmin(cand))  # first argmin (ascending tau)
+                    fv[t] = cand[j]
+                    prev[t] = cand_set[j]
+                    # prune (keep ties), then admit tau = t for the next step
+                    cand_set = np.append(cand_set[base <= fv[t]], t)
+                t = n
+                segs = []
+                while t > 0:
+                    s = int(prev[t])
+                    segs.append((s, t))
+                    t = s
+                for s, e in reversed(segs):
+                    rows.append(
+                        (int(sid), s, e - 1, e - s, (s1[e] - s1[s]) / (e - s))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["series_id", "seg_start", "seg_end", "n_points", "seg_mean"],
+            )
+
+    return wide.mapInPandas(
+        fn,
+        "series_id bigint, seg_start bigint, seg_end bigint, n_points bigint, seg_mean double",
+    )
+
+
+def _q_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, SEG_N, SEG_LEN, "mixed")
+    return round6(pelt_segmentation(df), "seg_mean")
+
+
 def _segmentation_sql(beta: float = SEG_BETA) -> str:
     gen = oracle.generate_sql(SEG_N, SEG_LEN, "mixed", rounded=False)
     B = E.NUM(beta)
@@ -1707,6 +1786,7 @@ _REGISTRY.update(
         ),
         "ts_adf": Query("ts_adf", _q_df_unitroot, _df_unitroot_sql(), ("tsdb",)),
         "ts_ssa": Query("ts_ssa", _q_ssa, None, ("tsdb",)),
+        "ts_pelt": Query("ts_pelt", _q_pelt, _segmentation_sql(), ("tsdb",)),
         "ts_segmentation": Query(
             "ts_segmentation", _q_segmentation, _segmentation_sql(), ("tsdb",)
         ),
