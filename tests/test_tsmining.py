@@ -668,6 +668,30 @@ def test_multi_touch_attribution_credit_conservation(spark):
     assert abs(total_l - 30.0) < 1e-9 and abs(total_u - 30.0) < 1e-9
 
 
+def test_time_decay_attribution_weights_and_conservation(spark):
+    """A touch 1 day (= half-life) before conversion earns exactly half the
+    weight of one 0h before; credits are normalized so they conserve the
+    conversion value."""
+    from tsgen.queries_experiments import time_decay_attribution
+
+    conv_t = datetime.datetime(2024, 1, 2)
+    rows = [
+        (1, conv_t - datetime.timedelta(days=1), 9, "click", 0.0),
+        (2, conv_t - datetime.timedelta(hours=1), 9, "view", 0.0),
+        (3, conv_t, 9, "purchase", 30.0),
+    ]
+    out = {r.touch_event_id: r for r in time_decay_attribution(_ts_df(spark, rows)).collect()}
+    assert set(out) == {1, 2}
+    w1, w2 = 2.0 ** (-1.0), 2.0 ** (-1.0 / 24.0)
+    assert abs(out[1].credit_decay - 30.0 * w1 / (w1 + w2)) < 1e-9
+    assert abs(out[2].credit_decay - 30.0 * w2 / (w1 + w2)) < 1e-9
+    assert abs(sum(r.credit_decay for r in out.values()) - 30.0) < 1e-9
+    # lookback: a touch 8 days out earns nothing
+    rows2 = rows + [(0, conv_t - datetime.timedelta(days=8), 9, "click", 0.0)]
+    out2 = {r.touch_event_id for r in time_decay_attribution(_ts_df(spark, rows2)).collect()}
+    assert out2 == {1, 2}
+
+
 def test_adf_rejects_unit_root_for_stationary_only(spark):
     """Stationary AR(1) → deeply negative t; random walk → t near 0."""
     from tsgen.queries_tsmining import df_unitroot

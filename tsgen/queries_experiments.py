@@ -196,6 +196,107 @@ FROM credits GROUP BY eid
 """
 
 
+# --- time-decay attribution --------------------------------------------------
+DECAY_HL_S = 24 * 3600  # credit half-life: 1 day
+
+
+def time_decay_attribution(
+    ev: DataFrame,
+    conversion: str = "purchase",
+    touches: tuple[str, ...] = ("click", "view"),
+    lookback_s: int = LOOKBACK_S,
+    half_life_s: int = DECAY_HL_S,
+) -> DataFrame:
+    """Time-decay multi-touch attribution: each conversion splits its value
+    over prior touches in the lookback window with exponentially decaying
+    weight w_i = 2^(-(t_conv - t_i)/half_life), normalized per conversion —
+    the touch a day before conversion earns half the credit of one at the
+    instant of conversion. Same per-user window shape as
+    multi_touch_attribution; the per-conversion normalizer is a sequential
+    array fold (F.aggregate) BEFORE the explode, so it is one pass over the
+    bounded touch list, not a second shuffle. Decay exponents use exact
+    BIGINT microsecond deltas over a double half-life, so both engines
+    evaluate pow(2, .) on bit-identical arguments."""
+    hl_us = float(half_life_s) * 1e6
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*touches)
+    arr = F.collect_list(
+        F.when(is_touch, F.struct(F.unix_micros("ts").alias("tus"), F.col("event_id").alias("eid")))
+    ).over(w)
+    decay = lambda tus: F.pow(
+        F.lit(2.0), -((F.col("_cus") - tus) / F.lit(hl_us))
+    )
+    conv = (
+        ev.withColumn("_arr", arr)
+        .filter(F.col("event_type") == conversion)
+        .withColumn("_cus", F.unix_micros("ts"))
+        .withColumn(
+            "_tl",
+            F.filter(
+                F.col("_arr"),
+                lambda x: x["tus"] >= F.col("_cus") - F.lit(lookback_s * 1_000_000),
+            ),
+        )
+        .filter(F.size("_tl") > 0)
+        .withColumn(
+            "_denom",
+            F.aggregate("_tl", F.lit(0.0), lambda acc, x: acc + decay(x["tus"])),
+        )
+    )
+    ex = conv.select("value", "_cus", "_denom", F.explode("_tl").alias("t"))
+    return (
+        ex.select(
+            F.col("t.eid").alias("touch_event_id"),
+            (F.col("value") * decay(F.col("t.tus")) / F.col("_denom")).alias("c"),
+        )
+        .groupBy("touch_event_id")
+        .agg(F.count("*").alias("n_credits"), F.sum("c").alias("credit_decay"))
+    )
+
+
+def _q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(time_decay_attribution(_events(spark, sf_dir)), "credit_decay")
+
+
+def _attribution_decay_sql() -> str:
+    from . import expr as E
+
+    hl = E.NUM(float(DECAY_HL_S) * 1e6)
+    wexpr = f"pow(2.0e0, -((cus - tl[u.i].tus) / {hl}))"
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         list_filter(
+           list(CASE WHEN event_type IN ('click','view')
+                     THEN {{'tus': epoch_us(ts), 'eid': event_id}} END) OVER w,
+           x -> x IS NOT NULL) AS arr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+conv AS (
+  SELECT value, epoch_us(ts) AS cus,
+         list_filter(arr, x -> x.tus >= epoch_us(ts) - {LOOKBACK_S} * CAST(1000000 AS BIGINT)) AS tl
+  FROM e WHERE event_type = 'purchase'),
+cd AS (
+  SELECT value, cus, tl,
+         list_reduce(
+           list_prepend(0.0e0, list_transform(tl, x -> pow(2.0e0, -((cus - x.tus) / {hl})))),
+           (a, b) -> a + b) AS denom
+  FROM conv WHERE len(tl) > 0),
+credits AS (
+  SELECT tl[u.i].eid AS eid, value * {wexpr} / denom AS c
+  FROM (SELECT value, cus, denom, tl, unnest(range(1, len(tl) + 1)) AS i FROM cd)
+       u(value, cus, denom, tl, i))
+SELECT eid AS touch_event_id, count(*) AS n_credits,
+       {E.round6("sum(c)")} AS credit_decay
+FROM credits GROUP BY eid
+"""
+
+
 # --- A/B experiment readout ------------------------------------------------
 def ab_readout(ev: DataFrame, metric_type: str = "purchase") -> DataFrame:
     """Hash-split users into A/B by deterministic arithmetic, compare mean
@@ -453,6 +554,12 @@ _REGISTRY.update(
         ),
         "ev_attribution": Query(
             "ev_attribution", _q_attribution, _ATTRIBUTION_SQL, ("product",)
+        ),
+        "ev_attribution_decay": Query(
+            "ev_attribution_decay",
+            _q_attribution_decay,
+            _attribution_decay_sql(),
+            ("product",),
         ),
         "ab_experiment": Query("ab_experiment", _q_ab, _AB_SQL, ("product",)),
         "ev_winsorize": Query("ev_winsorize", _q_winsorize, _WINSORIZE_SQL, ("agg",)),
