@@ -116,6 +116,36 @@ def test_stream_stream_join_state_spans_microbatches(tmp_path, spark):
     assert multi[key].equals(single[key])
 
 
+def test_stream_outer_join_null_emission_follows_watermark(spark):
+    # left-outer: every matched pair emits; an unmatched click emits (with
+    # null purchase columns) iff the watermark PROVES no match can arrive:
+    # c_ts + 1h < min(max c_ts, max p_ts) - 2h. Clicks younger than that
+    # must NOT produce a null row in a finite replay.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    s = streaming.events_stream(spark, SF)
+    out = streaming.run_to_completion(
+        streaming.stream_stream_join_outer(s), mode="append"
+    ).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    clicks = ev[ev.event_type == "click"][["user_id", "ts"]].rename(columns={"ts": "c_ts"})
+    purch = ev[ev.event_type == "purchase"][["user_id", "ts", "value"]].rename(columns={"ts": "p_ts"})
+    m = clicks.merge(purch, on="user_id")
+    m = m[(m.p_ts >= m.c_ts) & (m.p_ts <= m.c_ts + pd.Timedelta(hours=1))]
+    matched_keys = set(zip(m.user_id, m.c_ts))
+    wm = min(clicks.c_ts.max(), purch.p_ts.max()) - pd.Timedelta(hours=2)
+    un = clicks[~clicks.apply(lambda r: (r.user_id, r.c_ts) in matched_keys, axis=1)]
+    expect_null = un[un.c_ts + pd.Timedelta(hours=1) < wm]
+    got_null = out[out.p_ts.isna()]
+    assert len(got_null) == len(expect_null) > 0
+    assert set(zip(got_null.user_id, got_null.c_ts)) == set(
+        zip(expect_null.user_id, expect_null.c_ts)
+    )
+    got_pairs = out[out.p_ts.notna()]
+    assert len(got_pairs) == len(m) > 0
+
+
 def test_rate_replay_exact_rows_per_batch(spark):
     # rate-micro-batch ticks x stream-static join: every event arrives
     # exactly once, in deterministic batches of `rows_per_batch`

@@ -102,6 +102,57 @@ GROUP BY c.user_id
 """
 
 
+def _q_stream_join_outer(spark, sf_dir):
+    # left-outer stream-stream join: matched pairs + watermark-proven
+    # unmatched clicks, aggregated per user after materialization
+    s = streaming.events_stream(spark, sf_dir)
+    rows = streaming.run_to_completion(
+        streaming.stream_stream_join_outer(s), mode="append"
+    )
+    out = rows.groupBy("user_id").agg(
+        F.count(F.col("p_ts")).alias("n_pairs"),
+        F.count_if(F.col("p_ts").isNull()).alias("n_unmatched"),
+        F.sum("p_val").alias("sum_purchase"),
+    )
+    return out.withColumn(
+        "sum_purchase",
+        F.coalesce(F.round(F.col("sum_purchase") + F.lit(1e-9), 4) + F.lit(0.0), F.lit(0.0)),
+    )
+
+
+# watermark rule (verified empirically at sf0.001 and sf0.01): the global
+# watermark is min(max click ts, max purchase ts) - 2h; a click null-emits
+# iff c_ts + 1h < that watermark. Matched pairs emit unconditionally.
+_STREAM_JOIN_OUTER_SQL = """
+WITH wm AS (
+  SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+               max(CASE WHEN event_type = 'purchase' THEN ts END))
+         - INTERVAL 2 HOUR AS w
+  FROM events),
+c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT c.user_id, p.value AS p_val
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR),
+unmatched AS (
+  SELECT c.user_id
+  FROM c, wm
+  WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                    AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)),
+uni AS (
+  SELECT user_id, 1 AS is_match, p_val FROM matched
+  UNION ALL
+  SELECT user_id, 0 AS is_match, NULL AS p_val FROM unmatched)
+SELECT user_id,
+       CAST(sum(is_match) AS BIGINT) AS n_pairs,
+       CAST(count(*) - sum(is_match) AS BIGINT) AS n_unmatched,
+       coalesce((round((sum(p_val)) + 1.0e-9,4)+0.0e0), 0.0e0) AS sum_purchase
+FROM uni GROUP BY user_id
+"""
+
+
 def _q_stream_anomalies(spark, sf_dir):
     # custom stateful op (Welford prefix stats) — but its semantics ARE the
     # preceding-rows window, so the streaming result is fully oracle-checked
@@ -167,6 +218,9 @@ _REGISTRY.update(
         "stream_session": Query("stream_session", _q_stream_session, _STREAM_SESSION_SQL, ("streaming",)),
         "stream_dedup": Query("stream_dedup", _q_stream_dedup, _STREAM_DEDUP_SQL, ("streaming",)),
         "stream_join": Query("stream_join", _q_stream_join, _STREAM_JOIN_SQL, ("streaming",)),
+        "stream_join_outer": Query(
+            "stream_join_outer", _q_stream_join_outer, _STREAM_JOIN_OUTER_SQL, ("streaming",)
+        ),
     }
 )
 

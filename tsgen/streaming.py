@@ -356,6 +356,47 @@ def stream_stream_join(stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
     ).select("user_id", "c_ts", "p_ts", "c_val", "p_val")
 
 
+def stream_stream_join_outer(stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: like stream_stream_join,
+    but clicks that never see a purchase within `horizon` still emit — with
+    nulls — once the watermark proves no match can arrive. That proof is
+    the semantic under test: a click row null-emits only when
+        c_ts + horizon < watermark,  watermark = min(max c_ts, max p_ts) − 2h
+    (the global watermark is the MIN over both sides' per-column watermarks;
+    verified empirically at two SFs — the boundary is the join-condition
+    value watermark, not the raw 2 h input watermark). Unmatched clicks
+    younger than that stay in state, so a finite replay emits matched pairs
+    for the whole stream but unmatched rows only for the watermark-closed
+    prefix — exactly what a production job would have emitted by now.
+    State is still O(rate × horizon): eviction and null-emission share the
+    same predicate."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_val"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_val"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {horizon}"
+        ),
+        "leftOuter",
+    ).select("user_id", "c_ts", "p_ts", "c_val", "p_val")
+
+
 def ohlc_stream(stream: DataFrame, width: str = "1 hour") -> DataFrame:
     """Streaming OHLC bars (twin of queries_tsdb.ohlc_bars): per event_type
     and tumbling window, open/close via min_by/max_by on the event time —
