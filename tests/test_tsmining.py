@@ -812,6 +812,30 @@ def test_pelt_prunes_under_frequent_changepoints():
     assert max(sizes) < 0.5 * n
 
 
+def test_bocpd_flags_planted_shift(spark):
+    """A hard mean shift at t=60 → the run-length posterior collapses: both
+    the MAP and expected run length reset right at the shift, then grow
+    again; on the stable stretches they track t (no false alarm)."""
+    from tsgen.queries_tsmining import bocpd
+
+    rng = np.random.RandomState(11)
+    y = np.concatenate([0.3 * rng.randn(60), 5.0 + 0.3 * rng.randn(60)])
+    rows = [(0, t, float(v)) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = {r.t: r for r in bocpd(df).collect()}
+    assert len(out) == 120
+    # MAP run length grows with t before the shift, resets at it
+    assert out[59].map_runlen > 50
+    assert out[60].map_runlen <= 2 and out[61].map_runlen <= 3
+    assert out[119].map_runlen > 50
+    # expected run length drops by an order of magnitude at the shift
+    assert out[59].e_runlen > 40
+    assert out[60].e_runlen < 5
+    assert out[119].e_runlen > 40
+    # no false collapse mid-regime
+    assert min(out[t].map_runlen for t in range(30, 60)) > 20
+
+
 def test_counter_rate_reset_semantics(spark):
     """A counter 10,20,5,15 in one bucket: increases 10(first=0)+10, reset
     contributes 5, then +10 → increase 25, one reset."""

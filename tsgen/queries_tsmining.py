@@ -760,6 +760,151 @@ WHERE w.e > 0
 """
 
 
+# --- Bayesian online changepoint detection -----------------------------------
+BOCPD_N, BOCPD_LEN, BOCPD_H = 6, 96, 0.05
+BOCPD_MU0, BOCPD_V0, BOCPD_S2 = 0.0, 10.0, 1.0
+
+
+def bocpd(
+    df: DataFrame,
+    hazard: float = BOCPD_H,
+    mu0: float = BOCPD_MU0,
+    v0: float = BOCPD_V0,
+    s2: float = BOCPD_S2,
+) -> DataFrame:
+    """Bayesian online changepoint detection (Adams & MacKay 2007): per
+    series, the exact run-length posterior recursion under a constant
+    hazard and a known-variance Gaussian with conjugate Normal prior on
+    the mean. At each step every run length r is scored by its posterior
+    predictive N(mu_r, v_r + s2) — whose sufficient statistic (the sum of
+    the last r points) comes from prefix sums, so the carried state is
+    ONLY the run-length probability vector. Emits per (series, t) the MAP
+    run length and the posterior EXPECTED run length: both collapse right
+    after a changepoint. (P(r_t=0) itself is constant H under a constant
+    hazard — Adams & MacKay eq. 3 scores x_t under the pre-change run in
+    both branches — so it carries no signal and is not emitted.)
+
+    Execution: kalman-shape mapInPandas (series = distributed axis; the
+    recursion is over t). The kernel is deliberately pure Python with
+    SEQUENTIAL folds and fully parenthesized float expressions: the oracle
+    replays the identical recursion in a LIST-state recursive CTE, and
+    because both engines call the same platform libm (exp/sqrt) on
+    identical operands in identical order, the posteriors match
+    bit-for-bit — no per-step rounding needed (cf. ts_pacf, which rounds
+    its recursion input instead)."""
+    import pandas as pd
+
+    wide = (
+        df.groupBy("series_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col("value").alias("v")))).alias("pts"))
+        .select("series_id", F.col("pts.v").alias("vs"))
+    )
+    omh = 1.0 - hazard
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for sid, vs in zip(pdf["series_id"], pdf["vs"]):
+                y = [float(v) for v in vs]
+                s1 = [0.0]
+                for v in y:
+                    s1.append(s1[-1] + v)
+                p = [1.0]
+                for k, x in enumerate(y):
+                    preds = []
+                    for r in range(k + 1):
+                        S = s1[k] - s1[k - r]
+                        vp = 1.0 / (1.0 / v0 + r / s2)
+                        mu = (mu0 / v0 + S / s2) * vp
+                        pv = vp + s2
+                        preds.append(
+                            math.exp(-((x - mu) * (x - mu)) / (2.0 * pv))
+                            / math.sqrt((2.0 * math.pi) * pv)
+                        )
+                    acc = 0.0
+                    for r in range(k + 1):
+                        acc = acc + p[r] * preds[r]
+                    cp = acc * hazard
+                    newp_raw = [cp] + [p[r] * preds[r] * omh for r in range(k + 1)]
+                    tot = 0.0
+                    for v in newp_raw:
+                        tot = tot + v
+                    p = [v / tot for v in newp_raw]
+                    e = 0.0
+                    for r in range(len(p)):
+                        e = e + r * p[r]
+                    rows.append((int(sid), k, p.index(max(p)), e))
+            yield pd.DataFrame(
+                rows, columns=["series_id", "t", "map_runlen", "e_runlen"]
+            )
+
+    return wide.mapInPandas(
+        fn, "series_id bigint, t bigint, map_runlen bigint, e_runlen double"
+    )
+
+
+def _q_bocpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, BOCPD_N, BOCPD_LEN, "mixed")
+    return round6(bocpd(df), "e_runlen")
+
+
+def _bocpd_sql(
+    hazard: float = BOCPD_H,
+    mu0: float = BOCPD_MU0,
+    v0: float = BOCPD_V0,
+    s2: float = BOCPD_S2,
+) -> str:
+    gen = oracle.generate_sql(BOCPD_N, BOCPD_LEN, "mixed", rounded=False)
+    inv_v0, s2n = E.NUM(1.0 / v0), E.NUM(s2)
+    Hn, omh = E.NUM(hazard), E.NUM(1.0 - hazard)
+    two_pi = E.NUM(2.0 * math.pi)
+    x_e = "ps.vs[rec.k + 1]"
+    S_e = "(ps.s1[rec.k + 1] - ps.s1[rec.k + 1 - r])"
+    vp_e = f"(1.0e0/({inv_v0} + r/{s2n}))"
+    mu_e = f"(({E.NUM(mu0 / v0)} + {S_e}/{s2n}) * {vp_e})"
+    pv_e = f"({vp_e} + {s2n})"
+    pred_e = (
+        f"(exp(-(({x_e} - {mu_e})*({x_e} - {mu_e}))/(2.0e0*{pv_e}))"
+        f"/sqrt({two_pi}*{pv_e}))"
+    )
+    cp_e = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(0, rec.k + 1), "
+        f"r -> rec.p[r + 1] * {pred_e})), (a, b) -> a + b) * {Hn}"
+    )
+    raw_e = (
+        f"list_prepend({cp_e}, list_transform(range(0, rec.k + 1), "
+        f"r -> rec.p[r + 1] * {pred_e} * {omh}))"
+    )
+    tot_e = f"list_reduce(list_prepend(0.0e0, {raw_e}), (a, b) -> a + b)"
+    newp_e = f"list_transform({raw_e}, v -> v / {tot_e})"
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({gen}),
+ps AS MATERIALIZED (
+  SELECT series_id,
+         list_prepend(0.0e0, list(c1 ORDER BY t)) AS s1,
+         list(value ORDER BY t) AS vs,
+         count(*) AS n
+  FROM (
+    SELECT series_id, t, value, sum(value) OVER w AS c1
+    FROM src
+    WINDOW w AS (PARTITION BY series_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  GROUP BY series_id),
+rec(series_id, k, p) AS (
+  SELECT series_id, 0, [1.0e0] FROM ps
+  UNION ALL
+  SELECT rec.series_id, rec.k + 1, {newp_e}
+  FROM rec JOIN ps ON ps.series_id = rec.series_id
+  WHERE rec.k < ps.n)
+SELECT series_id, k - 1 AS t,
+       CAST(list_position(p, list_max(p)) - 1 AS BIGINT) AS map_runlen,
+       {E.round6("list_reduce(list_prepend(0.0e0, list_transform(range(0, k + 1), r -> r * p[r + 1])), (a, b) -> a + b)")} AS e_runlen
+FROM rec WHERE k >= 1
+"""
+
+
 # --- singular spectrum analysis ----------------------------------------------
 SSA_N, SSA_LEN, SSA_WINDOW, SSA_TOP = 8, 256, 32, 8
 
@@ -1787,6 +1932,7 @@ _REGISTRY.update(
         "ts_adf": Query("ts_adf", _q_df_unitroot, _df_unitroot_sql(), ("tsdb",)),
         "ts_ssa": Query("ts_ssa", _q_ssa, None, ("tsdb",)),
         "ts_pelt": Query("ts_pelt", _q_pelt, _segmentation_sql(), ("tsdb",)),
+        "ts_bocpd": Query("ts_bocpd", _q_bocpd, _bocpd_sql(), ("tsdb",)),
         "ts_segmentation": Query(
             "ts_segmentation", _q_segmentation, _segmentation_sql(), ("tsdb",)
         ),
