@@ -146,6 +146,26 @@ def test_stream_outer_join_null_emission_follows_watermark(spark):
     assert len(got_pairs) == len(m) > 0
 
 
+def test_chunked_replay_asof_state_carries(tmp_path, spark):
+    # a click whose latest purchase arrived in an EARLIER micro-batch must
+    # still see it (O(1) per-user state carry); chunked == single-batch
+    s3 = streaming.replay_chunked(spark, SF, 3, str(tmp_path / "chunks_asof"))
+    multi = streaming.run_to_completion(
+        streaming.asof_stateful(s3), mode="update"
+    ).toPandas()
+    one = streaming.events_stream(spark, SF)
+    single = streaming.run_to_completion(
+        streaming.asof_stateful(one), mode="update"
+    ).toPandas()
+    key = ["event_id"]
+    multi = multi.sort_values(key).reset_index(drop=True)
+    single = single.sort_values(key).reset_index(drop=True)
+    assert len(multi) == len(single) > 0
+    assert multi.equals(single)
+    # and the join is genuinely as-of: some clicks have a purchase, some not
+    assert single.last_purchase.notna().any() and single.last_purchase.isna().any()
+
+
 def test_rate_replay_exact_rows_per_batch(spark):
     # rate-micro-batch ticks x stream-static join: every event arrives
     # exactly once, in deterministic batches of `rows_per_batch`

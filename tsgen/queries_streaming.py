@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from . import streaming
 from .queries import _REGISTRY, Query, round6
+from .queries_analytics import _ASOF_SQL as _STREAM_ASOF_SQL
 
 
 def _q_stream_tumbling(spark, sf_dir):
@@ -153,6 +154,15 @@ FROM uni GROUP BY user_id
 """
 
 
+def _q_stream_asof(spark, sf_dir):
+    # streaming as-of join (applyInPandasWithState, O(1) state per user) —
+    # checked against the SAME DuckDB ASOF LEFT JOIN oracle as the batch
+    # twin ev_asof
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.asof_stateful(s), mode="update")
+    return round6(out, "last_purchase")
+
+
 def _q_stream_anomalies(spark, sf_dir):
     # custom stateful op (Welford prefix stats) — but its semantics ARE the
     # preceding-rows window, so the streaming result is fully oracle-checked
@@ -220,6 +230,9 @@ _REGISTRY.update(
         "stream_join": Query("stream_join", _q_stream_join, _STREAM_JOIN_SQL, ("streaming",)),
         "stream_join_outer": Query(
             "stream_join_outer", _q_stream_join_outer, _STREAM_JOIN_OUTER_SQL, ("streaming",)
+        ),
+        "stream_asof": Query(
+            "stream_asof", _q_stream_asof, _STREAM_ASOF_SQL, ("streaming",)
         ),
     }
 )

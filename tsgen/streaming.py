@@ -507,6 +507,59 @@ def scd2_stateful(stream: DataFrame, key: str = "user_id", attr: str = "event_ty
     )
 
 
+def asof_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming as-of join via applyInPandasWithState: every click emits
+    the latest purchase value at-or-before its timestamp for the same user
+    (the streaming twin of analytics.asof_join / DuckDB ASOF LEFT JOIN).
+    State per user is O(1): the (ts, value) of the most recent purchase —
+    an as-of join's entire right side compresses to one row per key once
+    events arrive in time order. Equal timestamps follow the batch twin's
+    contract: a purchase at the click's exact ts IS visible (ASOF >=), and
+    concurrent same-ts purchases resolve to the max value (the batch side's
+    latest_by_key desc-value dedup). Same ordering contract as
+    scd2_stateful: rows are applied in (ts, event_id) order per micro-batch,
+    state carries across batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_id bigint, user_id bigint, ts_s bigint, last_purchase double"
+    state_schema = "p_ts_ns bigint, p_val double, has boolean"
+
+    def fn(k, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        p_ts, p_val, has = state.get if state.exists else (0, 0.0, False)
+        out = {c: [] for c in ("event_id", "user_id", "ts_s", "last_purchase")}
+        for pdf in pdf_iter:
+            pdf = pdf[pdf["event_type"].isin(("click", "purchase"))]
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(_c=(pdf["event_type"] == "click").astype(int))
+            pdf = pdf.sort_values(["ts", "_c", "event_id"])
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            for eid, et, v, t in zip(
+                pdf["event_id"].to_numpy(), pdf["event_type"].to_numpy(),
+                pdf["value"].to_numpy(), ts_ns,
+            ):
+                if et == "purchase":
+                    if has and int(t) == p_ts:
+                        p_val = max(p_val, float(v))
+                    else:
+                        p_ts, p_val, has = int(t), float(v), True
+                else:
+                    out["event_id"].append(int(eid))
+                    out["user_id"].append(k[0])
+                    out["ts_s"].append(int(t) // 1_000_000_000)
+                    out["last_purchase"].append(p_val if has else None)
+        state.update((p_ts, p_val, has))
+        yield pd.DataFrame(out) if out["event_id"] else pd.DataFrame(
+            columns=["event_id", "user_id", "ts_s", "last_purchase"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def dd_bucket_stream(stream: DataFrame, value: str = "value") -> DataFrame:
     """Streaming DDSketch bucket build: the (bucket, count) state is a plain
     streaming count aggregation, so sketch state merges across micro-batches
