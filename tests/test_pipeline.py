@@ -176,6 +176,25 @@ def test_repetition_stats_flags_planted_boilerplate(spark):
     assert out[1].n_tokens == 11 and abs(out[1].top_token_frac - 1 / 11) < 1e-12
 
 
+def test_feature_hash_signed_counts(spark):
+    from pyspark.sql import Row
+    from tsgen import text as T
+
+    rows = [
+        Row(doc_id=0, text="alpha alpha alpha"),          # one token 3x
+        Row(doc_id=1, text="alpha beta gamma delta"),
+        Row(doc_id=2, text="alpha beta gamma delta"),     # identical doc
+    ]
+    out = T.feature_hash(spark.createDataFrame(rows)).collect()
+    assert all(0 <= r.bucket < T.FEATURE_HASH_BUCKETS for r in out)
+    d0 = [r for r in out if r.doc_id == 0]
+    assert len(d0) == 1 and abs(d0[0].w) == 3  # same token → same signed bucket
+    # hashing is deterministic: identical docs produce identical vectors
+    v1 = sorted((r.bucket, r.w) for r in out if r.doc_id == 1)
+    v2 = sorted((r.bucket, r.w) for r in out if r.doc_id == 2)
+    assert v1 == v2 and len(v1) >= 3  # 4 tokens, ≥3 surviving buckets
+
+
 def test_doc_chunks_cover_all_tokens(spark):
     from pyspark.sql import Row
     from tsgen import text as T

@@ -73,6 +73,10 @@ def _q_token_freq(spark, sf_dir):
     return text.token_freq(_docs(spark, sf_dir), top_n=20)
 
 
+def _q_feature_hash(spark, sf_dir):
+    return text.feature_hash(_docs(spark, sf_dir))
+
+
 def _q_token_bpe(spark, sf_dir):
     return round6(text.token_count_bpe(_docs(spark, sf_dir)), "bpe_per_word")
 
@@ -611,6 +615,9 @@ _REGISTRY.update(
         "lang_id": Query("lang_id", _q_lang_id, text.LANG_ID_SQL, ("text",)),
         "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),
         "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),
+        "doc_feature_hash": Query(
+            "doc_feature_hash", _q_feature_hash, text.feature_hash_sql(), ("text",)
+        ),
         "repetition_stats": Query(
             "repetition_stats", _q_repetition, text.REPETITION_SQL, ("text",)
         ),

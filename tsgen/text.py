@@ -164,6 +164,56 @@ def token_freq(df: DataFrame, text: str = "text", top_n: int = 20) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+FEATURE_HASH_BUCKETS = 32
+
+
+def feature_hash(
+    df: DataFrame, text: str = "text", n_buckets: int = FEATURE_HASH_BUCKETS
+) -> DataFrame:
+    """Signed hashing-trick bag-of-words (Weinberger et al. 2009, ICML):
+    each token lands in bucket h(token) mod n_buckets with sign
+    (-1)^(h mod 2); per-document bucket weights are the signed occurrence
+    sums. The fixed-width sparse vector a linear classifier consumes,
+    without any global vocabulary build — the property that makes the
+    hashing trick THE featurizer at 100 TB: one explode + one partial-agged
+    groupBy, no vocab broadcast, no second pass. Emits (doc_id, bucket, w)
+    for w != 0; the hash is the engine-portable polynomial codepoint fold
+    so DuckDB replays it exactly."""
+    from .dedup import _FOLD_SPARK
+
+    h = F.expr(_FOLD_SPARK.format(c="token"))
+    toks = with_tokens(df, text).select(
+        "doc_id", F.explode("tokens").alias("token")
+    )
+    return (
+        toks.withColumn("_h", h)
+        .select(
+            "doc_id",
+            (F.col("_h") % n_buckets).alias("bucket"),
+            F.when(F.col("_h") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("_s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("_s").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def feature_hash_sql(n_buckets: int = FEATURE_HASH_BUCKETS) -> str:
+    from .dedup import _FOLD_DUCK
+
+    h = _FOLD_DUCK.format(c="token")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+hashed AS (
+  SELECT doc_id, {h} AS h FROM toks)
+SELECT doc_id, h % {n_buckets} AS bucket,
+       CAST(sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+FROM hashed GROUP BY doc_id, h % {n_buckets}
+HAVING sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) <> 0
+"""
+
+
 def token_freq_sql(top_n: int = 20) -> str:
     return f"""
 SELECT token, n, rank FROM (
