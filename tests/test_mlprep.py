@@ -62,6 +62,20 @@ def test_doc_woe_scalar_reference(spark):
         assert abs(out[bin_].iv_term - (pr - nr) * woe) < 1e-12
 
 
+def test_split_leakage_flags_cross_split_neardups(spark):
+    # the sf0.001 corpus has planted near-dups; at least one pair must
+    # straddle a split boundary and the report must aggregate only
+    # cross-split pairs with ordered split names
+    import tsgen.queries_mlprep as M
+
+    out = M._q_split_leakage(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.split_a < r.split_b  # least/greatest canonical order
+        assert r.n_leaky_pairs > 0
+        assert 0.0 <= r.avg_jaccard <= r.max_jaccard <= 1.0
+
+
 def test_split_assign_fractions(spark, tmp_path):
     # deterministic: same ids -> same splits on rerun; fractions near 80/10/10
     import tsgen.queries_mlprep as M

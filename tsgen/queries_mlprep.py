@@ -46,8 +46,8 @@ WOE_BIN_W, WOE_BIN_MAX = 100, 5
 
 
 # --- deterministic split ---------------------------------------------------
-def _split_expr() -> str:
-    u = E.u01("doc_id", SPLIT_SALT)
+def _split_expr(col: str = "doc_id") -> str:
+    u = E.u01(col, SPLIT_SALT)
     return (
         f"CASE WHEN {u} < 8.0e-1 THEN 'train' "
         f"WHEN {u} < 9.0e-1 THEN 'val' ELSE 'test' END"
@@ -371,9 +371,70 @@ WHERE rank <= {RRF_TOPK}
 """
 
 
+# --- cross-split near-dup leakage ------------------------------------------
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-duplicate pairs (n-gram jaccard,
+    same generator as dedup_clusters) that STRADDLE split boundaries — the
+    leak exact dedup can't see because the texts differ slightly. A doc in
+    `test` whose near-twin sits in `train` inflates eval scores; this is the
+    per-split-pair leak report (n pairs, worst and mean similarity). The
+    split is a pure projection of doc_id, so tagging both pair ends costs
+    zero joins on top of the pair generator."""
+    from . import dedup
+    from .queries_pipeline import CLUSTER_THR
+
+    pairs = round6(
+        dedup.jaccard_pairs(
+            _t(spark, sf_dir, "documents"), ["lang"], threshold=CLUSTER_THR
+        ),
+        "jaccard",
+    )
+    tagged = pairs.select(
+        F.expr(_split_expr("doc_a")).alias("sa"),
+        F.expr(_split_expr("doc_b")).alias("sb"),
+        "jaccard",
+    ).filter(F.col("sa") != F.col("sb"))
+    out = (
+        tagged.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_leaky_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.avg("jaccard").alias("avg_jaccard"),
+        )
+    )
+    return round6(out, "max_jaccard", "avg_jaccard")
+
+
+def _split_leakage_sql() -> str:
+    from . import dedup
+    from .queries_pipeline import CLUSTER_THR
+
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    return f"""
+WITH jp AS ({jp}),
+tagged AS (
+  SELECT {_split_expr('doc_a')} AS sa, {_split_expr('doc_b')} AS sb, jaccard
+  FROM jp)
+SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       count(*) AS n_leaky_pairs,
+       {E.round6('max(jaccard)')} AS max_jaccard,
+       {E.round6('avg(jaccard)')} AS avg_jaccard
+FROM tagged WHERE sa <> sb
+GROUP BY least(sa, sb), greatest(sa, sb)
+"""
+
+
 _REGISTRY.update(
     {
         "split_assign": Query("split_assign", _q_split_assign, _SPLIT_SQL, ("pipeline",)),
+        "split_leakage": Query(
+            "split_leakage", _q_split_leakage, _split_leakage_sql(), ("pipeline",)
+        ),
         "name_match_jw": Query("name_match_jw", _q_name_match, _JW_SQL, ("pipeline",)),
         "doc_woe": Query("doc_woe", _q_doc_woe, _WOE_SQL, ("pipeline",)),
         "dedup_incremental": Query(
