@@ -100,3 +100,26 @@ def test_sweep_handles_ties():
     # docs 1,2 tie at the (10-token, vocab 5) frontier point -> both stay;
     # doc 3 dominated within-group; docs 4,5 add vocab 6 at 12 tokens
     assert out == {1, 2, 4, 5}
+
+
+def test_ewma_corr_sign_and_recency(spark):
+    # y = 2x → corr +1; z = -x → corr -1; and the estimator is RECENCY
+    # weighted: a pair that anti-moved early but co-moves late scores
+    # strongly positive under lambda^(T-t)
+    from tsgen.queries_warehouse2 import ewma_corr
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    rng = np.random.RandomState(3)
+    xs = rng.randn(200)
+    for i, x in enumerate(xs):
+        ts = t0 + datetime.timedelta(hours=i)
+        flip = -1.0 if i < 100 else 1.0  # "w" anti-moves early, co-moves late
+        for et, v in (("a", x), ("b", 2.0 * x), ("c", -x), ("w", flip * x)):
+            eid += 1
+            rows.append((eid, ts, 1, et, float(v), "{}"))
+    out = {(r.type_a, r.type_b): r for r in ewma_corr(_ev(spark, rows)).collect()}
+    assert abs(out[("a", "b")].ew_corr - 1.0) < 1e-9
+    assert abs(out[("a", "c")].ew_corr - (-1.0)) < 1e-9
+    assert out[("a", "w")].ew_corr > 0.9  # recent regime dominates
+    assert all(r.n_buckets == 200 for r in out.values())

@@ -385,12 +385,99 @@ FROM ranked GROUP BY 1
 """
 
 
+# --- EWMA covariance / correlation (RiskMetrics) ---------------------------
+EWMA_LAM = 0.94  # RiskMetrics 1996 daily decay
+EWMA_BUCKET_S = 3600
+
+
+def ewma_corr(
+    ev: DataFrame, lam: float = EWMA_LAM, bucket_s: int = EWMA_BUCKET_S
+) -> DataFrame:
+    """Exponentially weighted covariance/correlation between event-type
+    value series (RiskMetrics/J.P. Morgan 1996): series resampled to a
+    common hourly grid, then EW moments with weight lambda^(T - t) — recent
+    co-movement dominates, the classic volatility/correlation tracker.
+    Closed form, NO recursion: every EW moment is one weighted sum, so the
+    whole estimator is two partial-agged groupBys and a self-join on the
+    bucket grid (pairs of types, not rows — the join blowup is
+    n_types² × grid, independent of raw event count)."""
+    b = (
+        ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / bucket_s)).alias("bk"),
+            "event_type",
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    tmax = b.agg(F.max("bk").alias("tmax"))
+    w = F.pow(F.lit(lam), F.col("tmax") - F.col("bk"))
+    a = b.select(F.col("bk"), F.col("event_type").alias("type_a"), F.col("v").alias("x"))
+    c = b.select(F.col("bk").alias("bk2"), F.col("event_type").alias("type_b"), F.col("v").alias("y"))
+    pairs = (
+        a.join(c, (F.col("bk") == F.col("bk2")) & (F.col("type_a") < F.col("type_b")))
+        .crossJoin(F.broadcast(tmax))
+        .withColumn("w", w)
+    )
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).alias("swyy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        F.count("*").alias("n_buckets"),
+    )
+    mx, my = F.col("swx") / F.col("sw"), F.col("swy") / F.col("sw")
+    cov = F.col("swxy") / F.col("sw") - mx * my
+    vx = F.col("swxx") / F.col("sw") - mx * mx
+    vy = F.col("swyy") / F.col("sw") - my * my
+    return m.select(
+        "type_a", "type_b", "n_buckets",
+        cov.alias("ew_cov"),
+        (cov / F.sqrt(vx * vy)).alias("ew_corr"),
+    )
+
+
+def _q_ewma_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(ewma_corr(_events(spark, sf_dir)), "ew_cov", "ew_corr")
+
+
+def _ewma_corr_sql(lam: float = EWMA_LAM, bucket_s: int = EWMA_BUCKET_S) -> str:
+    from . import expr as E
+
+    lm = E.NUM(lam)
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(floor(epoch(ts)) / {bucket_s}) AS BIGINT) AS bk,
+         event_type, avg(value) AS v
+  FROM events GROUP BY 1, 2),
+tm AS (SELECT max(bk) AS tmax FROM b),
+pairs AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b,
+         pow({lm}, tm.tmax - a.bk) AS w, a.v AS x, c.v AS y
+  FROM b a JOIN b c ON a.bk = c.bk AND a.event_type < c.event_type
+  CROSS JOIN tm),
+m AS (
+  SELECT type_a, type_b, count(*) AS n_buckets,
+         sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+         sum(w * x * x) AS swxx, sum(w * y * y) AS swyy,
+         sum(w * x * y) AS swxy
+  FROM pairs GROUP BY type_a, type_b)
+SELECT type_a, type_b, n_buckets,
+       {E.round6('(swxy / sw - (swx / sw) * (swy / sw))')} AS ew_cov,
+       {E.round6('((swxy / sw - (swx / sw) * (swy / sw)) / sqrt((swxx / sw - (swx / sw) * (swx / sw)) * (swyy / sw - (swy / sw) * (swy / sw))))')} AS ew_corr
+FROM m
+"""
+
+
 _REGISTRY.update(
     {
         "ev_merge_upsert": Query(
             "ev_merge_upsert", _q_merge_upsert, _MERGE_SQL, ("warehouse",)
         ),
         "doc_pareto": Query("doc_pareto", _q_doc_pareto, _PARETO_SQL, ("pipeline",)),
+        "ev_ewma_corr": Query(
+            "ev_ewma_corr", _q_ewma_corr, _ewma_corr_sql(), ("tsdb",)
+        ),
         "orders_abc": Query("orders_abc", _q_abc, _ABC_SQL, ("warehouse",)),
         "li_zone_map": Query("li_zone_map", _q_zone_map, _ZONE_MAP_SQL, ("warehouse",)),
         "ev_funnel_latency": Query(
