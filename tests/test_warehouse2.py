@@ -123,3 +123,23 @@ def test_ewma_corr_sign_and_recency(spark):
     assert abs(out[("a", "c")].ew_corr - (-1.0)) < 1e-9
     assert out[("a", "w")].ew_corr > 0.9  # recent regime dominates
     assert all(r.n_buckets == 200 for r in out.values())
+
+
+def test_time_travel_reconstructs_point_in_time_state(spark):
+    # user 1: a@t0h, b@t10h, c@t20h — probing between changes returns the
+    # then-current attribute; probing before the first change returns nothing
+    from tsgen.queries_warehouse2 import time_travel
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(hours=10), 1, "b", 1.0, "{}"),
+        (3, t0 + datetime.timedelta(hours=20), 1, "c", 1.0, "{}"),
+    ]
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    probes = (base - 3600, base + 5 * 3600, base + 15 * 3600, base + 100 * 3600)
+    out = {r.asof_s: r for r in time_travel(_ev(spark, rows), probes).collect()}
+    assert probes[0] not in out                      # before any state
+    assert out[probes[1]].event_type == "a" and out[probes[1]].version == 1
+    assert out[probes[2]].event_type == "b" and out[probes[2]].version == 2
+    assert out[probes[3]].event_type == "c" and out[probes[3]].version == 3

@@ -385,6 +385,64 @@ FROM ranked GROUP BY 1
 """
 
 
+# --- temporal AS-OF reconstruction over the SCD2 dimension -----------------
+TT_PROBES_S = (1704672000, 1705276800, 1705881600, 1706486400)  # Jan 8/15/22/29 UTC
+
+
+def time_travel(ev: DataFrame, probes_s: tuple[int, ...] = TT_PROBES_S) -> DataFrame:
+    """Time travel over the type-2 dimension: reconstruct every entity's
+    attribute AS OF each probe timestamp — the `FOR SYSTEM_TIME AS OF`
+    (SQL:2011) / Delta `VERSION AS OF` read, expressed against the SCD2
+    interval table this engine already maintains (ev_scd2 / stream_scd2).
+    An entity is in-state at T iff valid_from <= T < valid_to (open row:
+    valid_to IS NULL). The probe list is tiny and broadcast, so the
+    non-equi join costs one pass over the interval table — which is itself
+    one-row-per-change, far smaller than the event log."""
+    from .queries_warehouse import scd2_intervals
+
+    scd = scd2_intervals(ev)
+    probes = ev.sparkSession.createDataFrame(
+        [(int(p),) for p in probes_s], "asof_s bigint"
+    )
+    return (
+        scd.join(
+            F.broadcast(probes),
+            (F.col("valid_from_s") <= F.col("asof_s"))
+            & (F.col("valid_to_s").isNull() | (F.col("asof_s") < F.col("valid_to_s"))),
+        )
+        .select("asof_s", "user_id", "event_type", "version")
+    )
+
+
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_travel(_events(spark, sf_dir))
+
+
+def _time_travel_sql(probes_s: tuple[int, ...] = TT_PROBES_S) -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS asof_s" for p in probes_s
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+ch AS (SELECT user_id, event_type, ts, event_id FROM e
+       WHERE prev IS NULL OR event_type <> prev),
+scd AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+         CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+         CAST(row_number() OVER w AS BIGINT) AS version
+  FROM ch
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+probes AS ({probes})
+SELECT asof_s, user_id, event_type, version
+FROM scd JOIN probes
+  ON valid_from_s <= asof_s AND (valid_to_s IS NULL OR asof_s < valid_to_s)
+"""
+
+
 # --- EWMA covariance / correlation (RiskMetrics) ---------------------------
 EWMA_LAM = 0.94  # RiskMetrics 1996 daily decay
 EWMA_BUCKET_S = 3600
@@ -477,6 +535,9 @@ _REGISTRY.update(
         "doc_pareto": Query("doc_pareto", _q_doc_pareto, _PARETO_SQL, ("pipeline",)),
         "ev_ewma_corr": Query(
             "ev_ewma_corr", _q_ewma_corr, _ewma_corr_sql(), ("tsdb",)
+        ),
+        "ev_time_travel": Query(
+            "ev_time_travel", _q_time_travel, _time_travel_sql(), ("warehouse",)
         ),
         "orders_abc": Query("orders_abc", _q_abc, _ABC_SQL, ("warehouse",)),
         "li_zone_map": Query("li_zone_map", _q_zone_map, _ZONE_MAP_SQL, ("warehouse",)),
