@@ -195,6 +195,27 @@ def test_feature_hash_signed_counts(spark):
     assert v1 == v2 and len(v1) >= 3  # 4 tokens, ≥3 surviving buckets
 
 
+def test_mmr_trades_relevance_for_diversity(spark):
+    # candidates: b is a near-copy of a (both maximally relevant), c is
+    # moderately relevant but diverse. Pure top-k ranks (a, b, c); MMR must
+    # demote the redundant near-copy: (a, c, b).
+    from pyspark.sql import Row
+    from tsgen.similarity import mmr_rerank
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0], label=0),        # query
+        Row(vec_id=1, embedding=[0.7, 0.714, 0.0, 0.0], label=0),      # a
+        Row(vec_id=2, embedding=[0.7, 0.7141, 0.0, 0.0], label=0),     # b ≈ a
+        Row(vec_id=3, embedding=[0.7, 0.0, 0.714, 0.0], label=0),      # c diverse
+    ]
+    emb = spark.createDataFrame(rows)
+    out = mmr_rerank(
+        emb, emb.filter(F.col("vec_id") == 0), lam=0.7, n_cand=3, k=3
+    ).collect()
+    picks = [r.neighbor_id for r in sorted(out, key=lambda r: r.pick_order)]
+    assert picks == [1, 3, 2]        # diversity demotes the near-copy of a
+
+
 def test_doc_chunks_cover_all_tokens(spark):
     from pyspark.sql import Row
     from tsgen import text as T

@@ -151,6 +151,11 @@ def _q_cosine_topk(spark, sf_dir):
     return round6(out, "cos_sim")
 
 
+def _q_mmr(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.mmr_rerank(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+
+
 def _q_neardup(spark, sf_dir):
     out = similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.25)
     return round6(out, "cos_sim")
@@ -683,6 +688,9 @@ _REGISTRY.update(
         "simhash_pairs": Query("simhash_pairs", _q_simhash_pairs, None, ("dedup",)),
         "cosine_topk": Query(
             "cosine_topk", _q_cosine_topk, similarity.brute_force_topk_sql(N_QUERIES), ("similarity",)
+        ),
+        "embed_mmr": Query(
+            "embed_mmr", _q_mmr, similarity.mmr_rerank_sql(N_QUERIES), ("similarity",)
         ),
         "embed_neardup": Query(
             "embed_neardup", _q_neardup, similarity.neardup_pairs_sql(0.25), ("similarity",)

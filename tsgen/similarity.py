@@ -16,6 +16,8 @@ Scale notes:
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -190,6 +192,179 @@ def ivf_topk(
 
 
 # --- int8 quantization (storage/bandwidth path for ANN at scale) ----------
+EMB_DIM = 64
+MMR_LAMBDA, MMR_C, MMR_K = 0.7, 16, 8
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    lam: float = MMR_LAMBDA,
+    n_cand: int = MMR_C,
+    k: int = MMR_K,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    per query, greedily select k of the top-n_cand cosine candidates
+    maximizing  lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s)  — relevance
+    traded against redundancy, the standard diversity pass between
+    retrieval and a RAG context window. Emits (query_id, pick_order,
+    neighbor_id): integers only, so the driver compare is float-free.
+
+    Execution: candidate generation is the brute-force top-n_cand (swap in
+    ann_ivf/ann_lsh at scale — MMR only ever sees n_cand rows per query);
+    the greedy runs in applyInPandas per query over an n_cand×n_cand sim
+    matrix — constant work per query, queries are the distributed axis.
+    Every similarity is recomputed in-kernel with a SEQUENTIAL
+    multiply-add fold over the 64 dims (pure IEEE ops, no libm), so the
+    DuckDB oracle's identically-ordered list folds see bit-identical
+    scores and the greedy argmax (ties → smallest id) picks the same
+    documents on both engines."""
+    import pandas as pd
+
+    cand = brute_force_topk(corpus, queries, k=n_cand, vec=vec).select(
+        "query_id", "neighbor_id"
+    )
+    v = corpus.select("vec_id", _to_double(vec).alias("v"))
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), _to_double(vec).alias("qv")
+    )
+    t = (
+        cand.join(v, cand.neighbor_id == v.vec_id)
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", "v", "qv")
+    )
+    oml = 1.0 - lam
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id")
+        qid = int(pdf["query_id"].iloc[0])
+        ids = [int(i) for i in pdf["neighbor_id"]]
+        vecs = [list(x) for x in pdf["v"]]
+        q = list(pdf["qv"].iloc[0])
+        qn = math.sqrt(fold_dot(q, q))
+        norms = [math.sqrt(fold_dot(x, x)) for x in vecs]
+        qsim = [fold_dot(q, x) / (qn * n) for x, n in zip(vecs, norms)]
+        m = len(ids)
+        psim = [[0.0] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(m):
+                if i != j:
+                    psim[i][j] = fold_dot(vecs[i], vecs[j]) / (norms[i] * norms[j])
+        sel: list[int] = []
+        rows = []
+        for step in range(1, min(k, m) + 1):
+            best_i, best_s = -1, None
+            for i in range(m):
+                if i in sel:
+                    continue
+                if step == 1:
+                    s = qsim[i]
+                else:
+                    mx = max(psim[i][j] for j in sel)
+                    s = lam * qsim[i] - oml * mx
+                if best_s is None or s > best_s:  # ties keep smallest id
+                    best_i, best_s = i, s
+            sel.append(best_i)
+            rows.append((qid, step, ids[best_i]))
+        return pd.DataFrame(rows, columns=["query_id", "pick_order", "neighbor_id"])
+
+    return t.groupBy("query_id").applyInPandas(
+        greedy, "query_id bigint, pick_order bigint, neighbor_id bigint"
+    )
+
+
+def mmr_rerank_sql(
+    n_queries: int,
+    lam: float = MMR_LAMBDA,
+    n_cand: int = MMR_C,
+    k: int = MMR_K,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB oracle: candidates via the same brute top-n_cand, then the
+    greedy unrolled as k chained CTEs (the unrolled-Lloyd technique);
+    every dot product is the same sequential fold the Spark kernel runs."""
+    from . import expr as E
+
+    L, OML = E.NUM(lam), E.NUM(1.0 - lam)
+
+    def fold(a, b):
+        return (
+            f"list_reduce(list_prepend(0.0e0, list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {b}[i])), (acc, e) -> acc + e)"
+        )
+
+    steps = []
+    for s in range(1, k):
+        steps.append(f"""
+pick{s} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, q.neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY ({L} * q.qsim - {OML} * m.msim) DESC, q.neighbor_id) AS rn
+    FROM qs q
+    JOIN (SELECT p.query_id, p.id_a AS neighbor_id, max(p.sim) AS msim
+          FROM ps p JOIN sel{s} s ON p.query_id = s.query_id
+                                  AND list_contains(s.sel, p.id_b)
+          GROUP BY p.query_id, p.id_a) m
+      ON m.query_id = q.query_id AND m.neighbor_id = q.neighbor_id
+    JOIN sel{s} s2 ON s2.query_id = q.query_id
+                   AND NOT list_contains(s2.sel, q.neighbor_id))
+  WHERE rn = 1),
+sel{s + 1} AS (
+  SELECT s.query_id, list_append(s.sel, p.neighbor_id) AS sel
+  FROM sel{s} s JOIN pick{s} p ON p.query_id = s.query_id),""")
+    emits = "\nUNION ALL\n".join(
+        f"SELECT query_id, {s + 1} AS pick_order, sel[{s + 1}] AS neighbor_id FROM sel{s + 1}"
+        for s in range(0, k)
+        if s > 0
+    )
+    return f"""
+WITH vv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+nn AS MATERIALIZED (SELECT vec_id, v, sqrt({fold('v', 'v')}) AS nrm FROM vv),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {fold('q.v', 'c.v')} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+    FROM nn q JOIN nn c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)
+  WHERE rank <= {n_cand}),
+qs AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id,
+         {fold('q.v', 'd.v')} / (q.nrm * d.nrm) AS qsim
+  FROM cand c
+  JOIN nn q ON q.vec_id = c.query_id
+  JOIN nn d ON d.vec_id = c.neighbor_id),
+ps AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+         {fold('va.v', 'vb.v')} / (va.nrm * vb.nrm) AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN nn va ON va.vec_id = a.neighbor_id
+  JOIN nn vb ON vb.vec_id = b.neighbor_id),
+sel1 AS (
+  SELECT query_id, [neighbor_id] AS sel FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY qsim DESC, neighbor_id) AS rn
+    FROM qs) WHERE rn = 1),
+{"".join(steps)}
+fin AS (
+  SELECT query_id, 1 AS pick_order, sel[1] AS neighbor_id FROM sel1
+  UNION ALL
+  {emits})
+SELECT query_id, pick_order, neighbor_id FROM fin
+"""
+
+
 def quantize_int8(df: DataFrame, vec: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|v|/127,
     q_i = floor(v_i/scale + 0.5). The write-side of a quantized ANN index —
@@ -529,7 +704,7 @@ def pq_summary(df: DataFrame, vec: str = "embedding") -> DataFrame:
 
 
 # --- classic L2 k-means (deterministic Lloyd, oracle-replayable) -----------
-KMEANS_K, KMEANS_ITERS, EMB_DIM = 8, 2, 64
+KMEANS_K, KMEANS_ITERS = 8, 2
 
 
 def kmeans_l2(
