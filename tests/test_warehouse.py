@@ -152,6 +152,30 @@ def test_holt_matches_scalar_reference(spark):
         assert abs(out[sid].fc - (l + 3 * b)) < 1e-12, sid
 
 
+def test_holt_damped_matches_scalar_reference_and_flattens(spark):
+    from tsgen.forecast import holt_damped_forecast, holt_forecast
+
+    rng = np.random.default_rng(13)
+    ys = (0.5 * np.arange(40) + rng.normal(size=40)).tolist()  # steady uptrend
+    df = spark.createDataFrame(
+        [(1, t, float(y)) for t, y in enumerate(ys)], "series_id long, t long, value double"
+    )
+    a, b_, phi, h = 0.4, 0.1, 0.8, 10
+    out = holt_damped_forecast(df, alpha=a, beta=b_, phi=phi, horizon=h).collect()[0]
+    l, b = ys[0], ys[1] - ys[0]
+    for t in range(1, len(ys)):
+        ln = a * ys[t] + (1 - a) * (l + phi * b)
+        b = b_ * (ln - l) + (1 - b_) * phi * b
+        l = ln
+    ps = sum(phi ** i for i in range(1, h + 1))
+    assert abs(out.level - l) < 1e-12
+    assert abs(out.trend - b) < 1e-12
+    assert abs(out.fc - (l + ps * b)) < 1e-10
+    # damping: the long-horizon forecast sits BELOW the undamped Holt line
+    und = holt_forecast(df, alpha=a, beta=b_, horizon=h).collect()[0]
+    assert out.fc < und.fc
+
+
 def test_attribution_last_touch(spark):
     rows = [
         (1, 1, "view", 100), (2, 1, "click", 200), (3, 1, "purchase", 300),

@@ -158,6 +158,107 @@ def holt_forecast(
     return wide.mapInPandas(fn, f"{key} bigint, level double, trend double, fc double")
 
 
+def holt_damped_forecast(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    phi: float = 0.9,
+    horizon: int = 4,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Damped-trend Holt (Gardner & McKenzie 1985) — the M-competitions'
+    perennial default: the trend is discounted by phi each step, so long-
+    horizon forecasts flatten instead of extrapolating a straight line off
+    the data:
+        l_t = α·y_t + (1−α)·(l_{t−1} + φ·b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
+        ŷ_{T+h} = l_T + (φ + φ² + … + φ^h)·b_T
+    Same execution shape as holt_forecast: T numpy steps, each vectorized
+    across every series of the Arrow batch."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+    oma, ombphi = 1.0 - alpha, (1.0 - beta) * phi
+    phi_sum = 0.0
+    p = 1.0
+    for _ in range(horizon):
+        p = p * phi
+        phi_sum = phi_sum + p
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(v, dtype=float) for v in pdf["vs"]]
+            n = np.array([len(a) for a in arrs])
+            T = int(n.max())
+            Y = np.full((len(arrs), T), np.nan)
+            for i, a in enumerate(arrs):
+                Y[i, : len(a)] = a
+            level = Y[:, 0].copy()
+            trend = Y[:, 1] - Y[:, 0]
+            for t in range(1, T):
+                active = t < n
+                y = Y[:, t]
+                l_new = alpha * y + oma * (level + phi * trend)
+                b_new = beta * (l_new - level) + ombphi * trend
+                level = np.where(active, l_new, level)
+                trend = np.where(active, b_new, trend)
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    "level": level,
+                    "trend": trend,
+                    "fc": level + phi_sum * trend,
+                }
+            )
+
+    return wide.mapInPandas(fn, f"{key} bigint, level double, trend double, fc double")
+
+
+def holt_damped_sql(
+    inner: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    phi: float = 0.9,
+    horizon: int = 4,
+) -> str:
+    """DuckDB oracle twin of holt_damped_forecast — same literals, same
+    association order, phi-sum precomputed to the identical double."""
+    from . import expr as E
+
+    A, OMA = E.NUM(alpha), E.NUM(1.0 - alpha)
+    B, OMBPHI = E.NUM(beta), E.NUM((1.0 - beta) * phi)
+    PHI = E.NUM(phi)
+    phi_sum = 0.0
+    p = 1.0
+    for _ in range(horizon):
+        p = p * phi
+        phi_sum = phi_sum + p
+    PS = E.NUM(phi_sum)
+    lnew = f"({A}*s.value + {OMA}*(r.l + {PHI}*r.b))"
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
+n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+y0 AS (SELECT series_id, value AS v0 FROM src WHERE t = 0),
+y1 AS (SELECT series_id, value AS v1 FROM src WHERE t = 1),
+rec(series_id, t, l, b) AS (
+  SELECT y0.series_id, CAST(0 AS BIGINT), y0.v0, y1.v1 - y0.v0
+  FROM y0 JOIN y1 USING (series_id)
+  UNION ALL
+  SELECT r.series_id, r.t + 1,
+         {lnew},
+         {B}*({lnew} - r.l) + {OMBPHI}*r.b
+  FROM rec r JOIN src s ON s.series_id = r.series_id AND s.t = r.t + 1)
+SELECT r.series_id, {E.round6('r.l')} AS level, {E.round6('r.b')} AS trend,
+       {E.round6(f'r.l + {PS}*r.b')} AS fc
+FROM rec r JOIN n ON r.series_id = n.series_id AND r.t = n.tmax
+"""
+
+
 def holt_sql(inner: str, alpha: float = 0.3, beta: float = 0.2, horizon: int = 4) -> str:
     """DuckDB oracle twin: the recursion replayed exactly (same literals,
     same association order) by a recursive CTE — one iteration per time

@@ -355,6 +355,20 @@ def _holt_sql() -> str:
     return forecast.holt_sql(inner)
 
 
+def _q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(forecast.holt_damped_forecast(df), "level", "trend", "fc")
+
+
+def _holt_damped_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.holt_damped_sql(inner)
+
+
 def _q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -533,6 +547,9 @@ _REGISTRY.update(
         ),
         "forecast_ses": Query("forecast_ses", _q_ses, _ses_sql(), ("forecast",)),
         "forecast_holt": Query("forecast_holt", _q_holt, _holt_sql(), ("forecast",)),
+        "forecast_holt_damped": Query(
+            "forecast_holt_damped", _q_holt_damped, _holt_damped_sql(), ("forecast",)
+        ),
         "kalman_filter": Query("kalman_filter", _q_kalman, _kalman_sql(), ("forecast",)),
         "kalman_smoother": Query(
             "kalman_smoother", _q_kalman_smoother, _kalman_smoother_sql(), ("forecast",)
