@@ -503,6 +503,25 @@ def test_hll_set_ops_inclusion_exclusion(spark):
     assert abs(r.est_intersection - 50) < 0.3 * 150  # I-E compounds error
 
 
+def test_kmv_set_ops_accuracy_and_exact_small_side(spark):
+    from tsgen.sketches import kmv_set_ops
+
+    # A = 0..999, B = 500..1499 → |A|=|B|=1000, ∪=1500, ∩=500; k=64
+    rows = [(u, "a") for u in range(1000)] + [(u, "b") for u in range(500, 1500)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = kmv_set_ops(df, "user_id", "event_type", "a", "b").collect()[0]
+    assert abs(r.est_a - 1000) / 1000 < 0.3
+    assert abs(r.est_b - 1000) / 1000 < 0.3
+    assert abs(r.est_union - 1500) / 1500 < 0.3
+    # theta intersection is DIRECT (no inclusion-exclusion compounding)
+    assert abs(r.est_intersection - 500) / 500 < 0.5
+    # a side smaller than k is reported exactly
+    rows2 = [(u, "a") for u in range(40)] + [(u, "b") for u in range(20, 60)]
+    df2 = spark.createDataFrame(rows2, "user_id long, event_type string")
+    r2 = kmv_set_ops(df2, "user_id", "event_type", "a", "b").collect()[0]
+    assert r2.est_a == 40.0 and r2.est_b == 40.0 and r2.est_union == 60.0
+
+
 def test_dd_quantiles_relative_error_bound(spark):
     from tsgen.sketches import DD_ALPHA, dd_quantiles_with_exact
 

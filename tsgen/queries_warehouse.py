@@ -531,6 +531,27 @@ _REGISTRY.update(
 )
 
 
+def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sketches
+
+    ev = _events(spark, sf_dir)
+    out = sketches.kmv_set_ops(ev, "user_id", "event_type", "purchase", "error")
+    return roundn(out, 6, "est_a", "est_b", "est_union", "est_intersection")
+
+
+def _kmv_set_ops_sql() -> str:
+    from . import sketches
+
+    inner = sketches.kmv_set_ops_sql("user_id", "events", "event_type", "purchase", "error")
+    return f"""
+SELECT (round((est_a) + 1.0e-9,6)+0.0e0) AS est_a,
+       (round((est_b) + 1.0e-9,6)+0.0e0) AS est_b,
+       (round((est_union) + 1.0e-9,6)+0.0e0) AS est_union,
+       (round((est_intersection) + 1.0e-9,6)+0.0e0) AS est_intersection
+FROM ({inner})
+"""
+
+
 def _q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sketches
 
@@ -556,6 +577,9 @@ _REGISTRY.update(
     {
         "hll_set_ops": Query(
             "hll_set_ops", _q_hll_set_ops, _hll_set_ops_sql(), ("sketch",)
+        ),
+        "kmv_set_ops": Query(
+            "kmv_set_ops", _q_kmv_set_ops, _kmv_set_ops_sql(), ("sketch",)
         ),
     }
 )

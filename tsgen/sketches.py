@@ -17,7 +17,7 @@ Scale shapes:
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import expr as E
 
@@ -572,4 +572,124 @@ probe AS (
     ON cum >= CAST(ceiling(q * total) AS BIGINT) GROUP BY grp, q)
 SELECT grp, q, 2.0e0 * pow({g}, b) / ({g} + 1.0e0) AS est
 FROM probe ORDER BY grp, q
+"""
+
+
+# --- KMV / theta sketch ------------------------------------------------------
+KMV_K = 64
+KMV_MULT, KMV_MOD = 2654435761, 2147483647
+
+
+def _kmv_u(key: str) -> str:
+    """Engine-portable uniform hash of an integer key into [0, 1): Knuth
+    multiplicative hash mod 2^31−1 (exact in BIGINT on both engines), then
+    a double division. Injective enough for sketching; distinct keys that
+    collide count once — identically on both engines."""
+    return f"(CAST(({key} * {KMV_MULT}) % {KMV_MOD} AS DOUBLE) / {KMV_MOD}.0e0)"
+
+
+def kmv_minset(df: DataFrame, key: str, group: str, k: int = KMV_K) -> DataFrame:
+    """The per-group KMV state: the k smallest distinct hash values of
+    `key` (Bar-Yossef et al. 2002 / the Theta sketch's KMV core). This IS
+    the mergeable sketch — union of groups = k smallest of the concatenated
+    min-sets. One distinct-agg shuffle + one bounded per-group rank."""
+    u = (
+        df.select(F.col(group).alias("grp"), F.expr(_kmv_u(key)).alias("u"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("u")
+    return (
+        u.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("grp", "u", "rnk")
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame, key: str, group: str, g_a: str, g_b: str, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch set operations between two groups' KMV states:
+    distinct estimate (k−1)/u_(k) per side (exact when a side holds fewer
+    than k values), union via the combined min-k, and — the operation HLL
+    cannot do without inclusion-exclusion error — a DIRECT intersection
+    estimate: |{shared hashes < theta}| / theta with theta = the union's
+    k-th minimum. Everything after the two min-sets is arithmetic over
+    ≤ 2k rows, and every op is deterministic integer/double arithmetic, so
+    the DuckDB oracle matches exactly."""
+    ms = kmv_minset(df, key, group, k).filter(F.col("grp").isin(g_a, g_b))
+    sides = ms.groupBy("grp").agg(
+        F.count("*").alias("n"), F.max("u").alias("uk")
+    )
+    est = sides.select(
+        "grp",
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.col("uk"))
+        .alias("est"),
+    )
+    a = ms.filter(F.col("grp") == g_a).select(F.col("u").alias("ua"))
+    b = ms.filter(F.col("grp") == g_b).select(F.col("u").alias("ub"))
+    uni = (
+        a.select(F.col("ua").alias("u"))
+        .unionByName(b.select(F.col("ub").alias("u")))
+        .distinct()
+        .orderBy("u")
+        .limit(k)
+    )
+    theta_n = uni.agg(
+        F.max("u").alias("theta"), F.count("*").alias("n_uni")
+    )
+    shared = (
+        a.join(b, F.col("ua") == F.col("ub"))
+        .crossJoin(F.broadcast(theta_n))
+        .filter(F.col("ua") < F.col("theta"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ea = est.filter(F.col("grp") == g_a).select(F.col("est").alias("est_a"))
+    eb = est.filter(F.col("grp") == g_b).select(F.col("est").alias("est_b"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(F.broadcast(theta_n))
+        .crossJoin(F.broadcast(shared))
+        .select(
+            "est_a",
+            "est_b",
+            F.when(F.col("n_uni") < k, F.col("n_uni").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("theta"))
+            .alias("est_union"),
+            (F.col("n_shared") / F.col("theta")).alias("est_intersection"),
+        )
+    )
+
+
+def kmv_set_ops_sql(
+    key: str, table: str, group: str, g_a: str, g_b: str, k: int = KMV_K
+) -> str:
+    u = _kmv_u(key)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT DISTINCT {group} AS grp, {u} AS u FROM {table}
+  WHERE {group} IN ('{g_a}', '{g_b}')),
+ms AS MATERIALIZED (
+  SELECT grp, u FROM (
+    SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rnk
+    FROM d) WHERE rnk <= {k}),
+sides AS (SELECT grp, count(*) AS n, max(u) AS uk FROM ms GROUP BY grp),
+est AS (
+  SELECT grp, CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                   ELSE {float(k - 1)!r}e0 / uk END AS est
+  FROM sides),
+uni AS (SELECT DISTINCT u FROM ms ORDER BY u LIMIT {k}),
+tn AS (SELECT max(u) AS theta, count(*) AS n_uni FROM uni),
+shared AS (
+  SELECT count(*) AS n_shared
+  FROM (SELECT u FROM ms WHERE grp = '{g_a}') a
+  JOIN (SELECT u FROM ms WHERE grp = '{g_b}') b ON a.u = b.u
+  CROSS JOIN tn WHERE a.u < tn.theta)
+SELECT
+  (SELECT est FROM est WHERE grp = '{g_a}') AS est_a,
+  (SELECT est FROM est WHERE grp = '{g_b}') AS est_b,
+  CASE WHEN tn.n_uni < {k} THEN CAST(tn.n_uni AS DOUBLE)
+       ELSE {float(k - 1)!r}e0 / tn.theta END AS est_union,
+  CAST(shared.n_shared AS DOUBLE) / tn.theta AS est_intersection
+FROM tn CROSS JOIN shared
 """
