@@ -32,6 +32,37 @@ def test_classical_decompose_additive_and_recovers_linear_trend(spark):
     assert (mid.trend - 0.5 * mid.t).abs().max() < 0.15
 
 
+def test_robust_decompose_downweights_planted_outlier(spark):
+    from tsgen.queries_seasonal import robust_decompose
+
+    rows = [
+        Row(
+            series_id=0,
+            t=t,
+            value=0.5 * t
+            + math.sin(2 * math.pi * (t % 12) / 12)
+            + (25.0 if t == 24 else 0.0),  # planted spike
+        )
+        for t in range(48)
+    ]
+    df = spark.createDataFrame(rows)
+    rob = robust_decompose(df, period=12, half=6).toPandas().set_index("t")
+    cla = classical_decompose(df, period=12, half=6).toPandas().set_index("t")
+    # the spike row itself gets ~zero robustness weight
+    assert rob.loc[24, "rweight"] < 0.05
+    assert rob.rweight.median() > 0.8  # clean rows keep their weight
+    # robust trend near the spike is much less polluted than classical:
+    # classical's 13-pt MA absorbs 25/13 ≈ 1.9 at neighboring points
+    near = [t for t in range(19, 30) if t != 24]
+    rob_err = max(abs(rob.loc[t, "trend"] - 0.5 * t) for t in near)
+    cla_err = max(abs(cla.loc[t, "trend"] - 0.5 * t) for t in near)
+    assert cla_err > 1.0 and rob_err < 0.5 * cla_err
+    # additivity still exact where components are defined
+    inner = rob[rob.trend.notna()]
+    err = (inner.value - (inner.trend + inner.seasonal + inner.residual)).abs().max()
+    assert err < 1e-9
+
+
 def test_interpolate_exact_on_linear_series(spark):
     # linear series with interior gaps: interpolation must be exact
     rows = [

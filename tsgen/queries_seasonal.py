@@ -108,6 +108,143 @@ FROM d JOIN ph2 ON d.series_id = ph2.series_id AND d.phase = ph2.phase
 """
 
 
+# --- robust (outlier-downweighted) decomposition ---------------------------
+def robust_decompose(
+    df: DataFrame,
+    period: int = 12,
+    half: int = 6,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Robustness-iterated decomposition (the STL idea, Cleveland et al.
+    1990, with moving-average smoothers in place of loess): run the
+    classical pass, derive bisquare robustness weights from its residuals
+        u = |r| / (6·mean|r|),   w = (1 − u²)² for u < 1 else 0
+    (scale: mean absolute residual instead of STL's median — avoids
+    cross-engine median-interpolation semantics; documented deviation),
+    then RE-estimate trend and seasonal as weight-weighted means, so an
+    outlier spike no longer drags the trend window or its phase mean.
+    Edge rows whose pass-0 residual is undefined keep weight 1. Emits the
+    final components plus the weight (≈0 flags the outliers themselves).
+    Same shuffle budget as classical_decompose run twice: every window
+    shares the one (key, t) sort; phase means are partial-agged groupBys."""
+    w = Window.partitionBy(key).orderBy("t").rowsBetween(-half, half)
+    wk = Window.partitionBy(key)
+    full = 2 * half + 1
+    dec = df.withColumn(
+        "trend0",
+        F.when(F.count("*").over(w) == full, F.avg(value).over(w)),
+    ).withColumn("phase", F.col("t") % period)
+    ph = dec.filter(F.col("trend0").isNotNull()).groupBy(key, "phase").agg(
+        F.avg(F.col(value) - F.col("trend0")).alias("s_raw")
+    )
+    ph = ph.withColumn("seasonal0", F.col("s_raw") - F.avg("s_raw").over(wk)).drop("s_raw")
+    d0 = dec.join(ph, [key, "phase"]).withColumn(
+        "r0", F.col(value) - F.col("trend0") - F.col("seasonal0")
+    )
+    sc = d0.filter(F.col("r0").isNotNull()).groupBy(key).agg(
+        (F.lit(6.0) * F.avg(F.abs("r0"))).alias("scale")
+    )
+    u = F.abs(F.col("r0")) / F.col("scale")
+    d1 = (
+        d0.join(F.broadcast(sc), key)
+        .withColumn(
+            "rweight",
+            F.coalesce(
+                F.when(u < 1.0, (1.0 - u * u) * (1.0 - u * u)).otherwise(F.lit(0.0)),
+                F.lit(1.0),
+            ),
+        )
+    )
+    swin = F.sum(F.col("rweight") * F.col(value)).over(w)
+    swei = F.sum("rweight").over(w)
+    d1 = d1.withColumn(
+        "trend",
+        F.when((F.count("*").over(w) == full) & (swei > 0), swin / swei),
+    )
+    ph1 = (
+        d1.filter(F.col("trend").isNotNull())
+        .groupBy(key, "phase")
+        .agg(
+            F.sum(F.col("rweight") * (F.col(value) - F.col("trend"))).alias("_n"),
+            F.sum("rweight").alias("_d"),
+        )
+        .withColumn("sw_raw", F.when(F.col("_d") > 0, F.col("_n") / F.col("_d")))
+        .drop("_n", "_d")
+    )
+    ph1 = ph1.withColumn("seasonal", F.col("sw_raw") - F.avg("sw_raw").over(wk)).drop("sw_raw")
+    return (
+        d1.join(ph1, [key, "phase"])
+        .withColumn("residual", F.col(value) - F.col("trend") - F.col("seasonal"))
+        .select(key, "t", value, "trend", "seasonal", "residual", "rweight")
+    )
+
+
+def _q_robust_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, 12, 96, "mixed")
+    return round6(
+        robust_decompose(df), "value", "trend", "seasonal", "residual", "rweight"
+    )
+
+
+def _robust_sql(period: int = 12, half: int = 6) -> str:
+    gen = oracle.generate_sql(12, 96, "mixed", rounded=False)
+    full = 2 * half + 1
+    return f"""
+WITH src AS MATERIALIZED ({gen}),
+d AS (
+  SELECT series_id, t, value,
+         CASE WHEN count(*) OVER w = {full} THEN avg(value) OVER w END AS trend0,
+         t % {period} AS phase
+  FROM src
+  WINDOW w AS (PARTITION BY series_id ORDER BY t
+               ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)),
+ph AS (
+  SELECT series_id, phase, avg(value - trend0) AS s_raw
+  FROM d WHERE trend0 IS NOT NULL GROUP BY series_id, phase),
+ph0 AS (
+  SELECT series_id, phase,
+         s_raw - avg(s_raw) OVER (PARTITION BY series_id) AS seasonal0
+  FROM ph),
+d0 AS (
+  SELECT d.series_id, d.t, d.value, d.phase,
+         d.value - d.trend0 - ph0.seasonal0 AS r0
+  FROM d JOIN ph0 ON d.series_id = ph0.series_id AND d.phase = ph0.phase),
+sc AS (
+  SELECT series_id, 6.0e0 * avg(abs(r0)) AS scale
+  FROM d0 WHERE r0 IS NOT NULL GROUP BY series_id),
+d1 AS (
+  SELECT d0.series_id, d0.t, d0.value, d0.phase,
+         coalesce(CASE WHEN abs(d0.r0) / sc.scale < 1.0e0
+                       THEN (1.0e0 - (abs(d0.r0) / sc.scale) * (abs(d0.r0) / sc.scale))
+                          * (1.0e0 - (abs(d0.r0) / sc.scale) * (abs(d0.r0) / sc.scale))
+                       ELSE 0.0e0 END, 1.0e0) AS rweight
+  FROM d0 JOIN sc ON sc.series_id = d0.series_id),
+d2 AS (
+  SELECT series_id, t, value, phase, rweight,
+         CASE WHEN count(*) OVER w = {full} AND sum(rweight) OVER w > 0
+              THEN sum(rweight * value) OVER w / sum(rweight) OVER w END AS trend
+  FROM d1
+  WINDOW w AS (PARTITION BY series_id ORDER BY t
+               ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)),
+ph1 AS (
+  SELECT series_id, phase,
+         CASE WHEN sum(rweight) > 0
+              THEN sum(rweight * (value - trend)) / sum(rweight) END AS sw_raw
+  FROM d2 WHERE trend IS NOT NULL GROUP BY series_id, phase),
+ph2 AS (
+  SELECT series_id, phase,
+         sw_raw - avg(sw_raw) OVER (PARTITION BY series_id) AS seasonal
+  FROM ph1)
+SELECT d2.series_id, d2.t, {E.round6('d2.value')} AS value,
+       {E.round6('d2.trend')} AS trend,
+       {E.round6('ph2.seasonal')} AS seasonal,
+       {E.round6('d2.value - d2.trend - ph2.seasonal')} AS residual,
+       {E.round6('d2.rweight')} AS rweight
+FROM d2 JOIN ph2 ON d2.series_id = ph2.series_id AND d2.phase = ph2.phase
+"""
+
+
 # --- linear-interpolation gap fill -----------------------------------------
 def interpolate_linear(
     df: DataFrame, key: str, order: str, value: str
@@ -277,6 +414,9 @@ FROM ranked WHERE r = 1
 
 _REGISTRY.update(
     {
+        "ts_robust_decompose": Query(
+            "ts_robust_decompose", _q_robust_decompose, _robust_sql(), ("decompose",)
+        ),
         "classical_decompose": Query(
             "classical_decompose", _q_classical, _classical_sql(), ("decompose",)
         ),
