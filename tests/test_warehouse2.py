@@ -143,3 +143,25 @@ def test_time_travel_reconstructs_point_in_time_state(spark):
     assert out[probes[1]].event_type == "a" and out[probes[1]].version == 1
     assert out[probes[2]].event_type == "b" and out[probes[2]].version == 2
     assert out[probes[3]].event_type == "c" and out[probes[3]].version == 3
+
+
+def test_psi_flags_planted_shift_only(spark):
+    # type "stable": same N(0,1)-ish values both halves → PSI ~ 0
+    # type "shifted": mean jumps by 3 after the cutoff → PSI >> 0.2
+    from tsgen.queries_warehouse2 import psi_drift
+
+    rng = np.random.RandomState(5)
+    t0 = datetime.datetime(2024, 1, 10)
+    t1 = datetime.datetime(2024, 1, 20)
+    rows, eid = [], 0
+    for base_t, shift in ((t0, 0.0), (t1, 3.0)):
+        for i in range(800):
+            eid += 1
+            ts = base_t + datetime.timedelta(minutes=i)
+            rows.append((eid, ts, 1, "stable", float(rng.randn()), "{}"))
+            eid += 1
+            rows.append((eid, ts, 1, "shifted", float(rng.randn() + shift), "{}"))
+    out = {r.event_type: r for r in psi_drift(_ev(spark, rows), cutoff="2024-01-16 00:00:00").collect()}
+    assert out["stable"].psi < 0.1 and not out["stable"].drifted
+    assert out["shifted"].psi > 0.5 and out["shifted"].drifted
+    assert out["stable"].n_ref == 800 and out["stable"].n_cur == 800

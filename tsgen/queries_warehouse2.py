@@ -385,6 +385,122 @@ FROM ranked GROUP BY 1
 """
 
 
+# --- population stability index (distribution drift monitor) ----------------
+PSI_CUTOFF = "2024-01-16 00:00:00"
+PSI_BINS = 20
+
+
+def psi_drift(
+    ev: DataFrame, cutoff: str = PSI_CUTOFF, n_bins: int = PSI_BINS
+) -> DataFrame:
+    """Population Stability Index per event_type between the pre-cutoff
+    (reference) and post-cutoff (current) value distributions — the
+    standard "did my feature drift" monitor in model-risk practice:
+        PSI = Σ_b (p_cur − p_ref) · ln(p_cur / p_ref)
+    PSI < 0.1 stable, 0.1–0.2 moderate, > 0.2 drifted. Bin edges are
+    n_bins equal-width bins over the REFERENCE min/max per type (values
+    outside clamp to the edge bins); the textbook method uses reference
+    deciles — equal-width is the documented deviation that keeps the edges
+    a closed form of two broadcast scalars instead of a quantile sort.
+    Probabilities are add-half smoothed so empty bins stay finite. Two
+    partial-agged groupBys + one broadcast of per-type (min, max)."""
+    cut = F.lit(cutoff).cast("timestamp")
+    ref_rng = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    counts = (
+        ev.join(F.broadcast(ref_rng), "event_type")
+        .select(
+            "event_type",
+            (F.col("ts") < cut).alias("is_ref"),
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / n_bins)
+                    ).cast("int"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("nc"),
+        )
+    )
+    # dense bin spine: absent bins must still carry their smoothed (0+0.5)
+    # probability — a raw 0 would put ln(0) into the PSI sum
+    spine = ref_rng.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    dense = spine.join(counts, ["event_type", "bin"], "left").select(
+        "event_type", "bin",
+        F.coalesce("nr", F.lit(0)).alias("nr"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")
+    )
+    p = dense.join(F.broadcast(tot), "event_type").select(
+        "event_type", "n_ref", "n_cur",
+        ((F.col("nr") + 0.5) / (F.col("n_ref") + 0.5 * n_bins)).alias("p_ref"),
+        ((F.col("nc") + 0.5) / (F.col("n_cur") + 0.5 * n_bins)).alias("p_cur"),
+    )
+    out = p.groupBy("event_type", "n_ref", "n_cur").agg(
+        F.sum(
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+        ).alias("psi")
+    )
+    return out.select(
+        "event_type", "n_ref", "n_cur", "psi", (F.col("psi") > 0.2).alias("drifted")
+    )
+
+
+def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(psi_drift(_events(spark, sf_dir)), "psi")
+
+
+def _psi_sql(cutoff: str = PSI_CUTOFF, n_bins: int = PSI_BINS) -> str:
+    from . import expr as E
+
+    return f"""
+WITH rng AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events WHERE ts < TIMESTAMP '{cutoff}' GROUP BY event_type),
+counts AS (
+  SELECT e.event_type,
+         least({n_bins - 1}, greatest(0,
+           CAST(floor((e.value - rng.lo) / ((rng.hi - rng.lo) / {n_bins})) AS INT))) AS bin,
+         sum(CASE WHEN e.ts < TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN e.ts < TIMESTAMP '{cutoff}' THEN 0 ELSE 1 END) AS nc
+  FROM events e JOIN rng ON rng.event_type = e.event_type
+  GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, unnest(range(0, {n_bins})) AS bin FROM rng),
+dense AS (
+  SELECT s.event_type, s.bin,
+         coalesce(c.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c.bin = s.bin),
+tot AS (
+  SELECT event_type, sum(nr) AS n_ref, sum(nc) AS n_cur
+  FROM dense GROUP BY event_type),
+p AS (
+  SELECT d.event_type, t.n_ref, t.n_cur,
+         (d.nr + 0.5e0) / (t.n_ref + {E.NUM(0.5 * n_bins)}) AS p_ref,
+         (d.nc + 0.5e0) / (t.n_cur + {E.NUM(0.5 * n_bins)}) AS p_cur
+  FROM dense d JOIN tot t ON t.event_type = d.event_type)
+SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       {E.round6('sum((p_cur - p_ref) * ln(p_cur / p_ref))')} AS psi,
+       sum((p_cur - p_ref) * ln(p_cur / p_ref)) > 0.2e0 AS drifted
+FROM p GROUP BY event_type, n_ref, n_cur
+"""
+
+
 # --- temporal AS-OF reconstruction over the SCD2 dimension -----------------
 TT_PROBES_S = (1704672000, 1705276800, 1705881600, 1706486400)  # Jan 8/15/22/29 UTC
 
@@ -539,6 +655,7 @@ _REGISTRY.update(
         "ev_time_travel": Query(
             "ev_time_travel", _q_time_travel, _time_travel_sql(), ("warehouse",)
         ),
+        "ev_psi_drift": Query("ev_psi_drift", _q_psi, _psi_sql(), ("quality",)),
         "orders_abc": Query("orders_abc", _q_abc, _ABC_SQL, ("warehouse",)),
         "li_zone_map": Query("li_zone_map", _q_zone_map, _ZONE_MAP_SQL, ("warehouse",)),
         "ev_funnel_latency": Query(
