@@ -152,6 +152,28 @@ def test_holt_matches_scalar_reference(spark):
         assert abs(out[sid].fc - (l + 3 * b)) < 1e-12, sid
 
 
+def test_conformal_ses_coverage_guarantee(spark):
+    # finite-sample guarantee: calibration coverage >= 1 - miscoverage;
+    # the half-width equals the k-th smallest |one-step error| exactly
+    from tsgen.forecast import conformal_ses
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for sid in range(4):
+        ys = (10.0 + rng.normal(size=60)).tolist()
+        rows += [(sid, t, float(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = conformal_ses(df, miscoverage=0.1).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_cal == 52                       # 60 - burn(8)
+        assert r.coverage >= 0.9
+        assert abs((r.hi - r.lo) - 2 * r.qhat) < 1e-9
+        assert r.lo < r.fc < r.hi
+        # noise sd 1 → the 90% band half-width is near the |N(0,~1)| q90
+        assert 1.0 < r.qhat < 3.0
+
+
 def test_holt_damped_matches_scalar_reference_and_flattens(spark):
     from tsgen.forecast import holt_damped_forecast, holt_forecast
 

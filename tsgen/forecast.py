@@ -1149,3 +1149,129 @@ SELECT series_id, n_origins,
             ELSE 'naive' END AS best_model
 FROM fin
 """
+
+
+# --- split-conformal prediction interval over SES -----------------------------
+CONF_ALPHA, CONF_MISCOV, CONF_BURN = 0.3, 0.1, 8
+
+
+def conformal_ses(
+    df: DataFrame,
+    alpha: float = CONF_ALPHA,
+    miscoverage: float = CONF_MISCOV,
+    burn: int = CONF_BURN,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Split-conformal prediction interval around the SES one-step forecast
+    (Vovk et al. 2005; the distribution-free interval recipe): calibration
+    scores are the absolute one-step-ahead SES errors r_t = |y_t − l_{t−1}|
+    for t ≥ burn; the interval half-width is the k-th smallest score with
+    k = min(m, ⌈(m+1)(1−miscoverage)⌉) — an exact order statistic, NO
+    distributional assumption. Emits per series the point forecast, the
+    [lo, hi] band, and the finite-sample calibration coverage (≥ 1−miscov
+    by construction). Same kalman-shape execution as holt_forecast: the
+    level recursion runs T numpy steps vectorized across the Arrow batch;
+    the oracle replays it in a recursive CTE and takes the identical order
+    statistic."""
+    import math as _math
+
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+    oma = 1.0 - alpha
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(v, dtype=float) for v in pdf["vs"]]
+            n = np.array([len(a) for a in arrs])
+            T = int(n.max())
+            Y = np.full((len(arrs), T), np.nan)
+            for i, a in enumerate(arrs):
+                Y[i, : len(a)] = a
+            L = np.empty((len(arrs), T))
+            L[:, 0] = Y[:, 0]
+            for t in range(1, T):
+                active = t < n
+                l_new = alpha * Y[:, t] + oma * L[:, t - 1]
+                L[:, t] = np.where(active, l_new, L[:, t - 1])
+            rows = []
+            for i, k_ in enumerate(pdf[key]):
+                ni = int(n[i])
+                scores = [
+                    (abs(float(Y[i, t]) - float(L[i, t - 1])), t)
+                    for t in range(burn, ni)
+                ]
+                m = len(scores)
+                kk = min(m, _math.ceil((m + 1) * (1.0 - miscoverage)))
+                qhat = sorted(scores)[kk - 1][0]
+                cov = sum(1 for r, _ in scores if r <= qhat) / m
+                fc = float(L[i, ni - 1])
+                rows.append((int(k_), m, fc, qhat, fc - qhat, fc + qhat, cov))
+            yield pd.DataFrame(
+                rows,
+                columns=[key, "n_cal", "fc", "qhat", "lo", "hi", "coverage"],
+            )
+
+    return wide.mapInPandas(
+        fn,
+        f"{key} bigint, n_cal bigint, fc double, qhat double, "
+        "lo double, hi double, coverage double",
+    )
+
+
+def conformal_ses_sql(
+    inner: str,
+    alpha: float = CONF_ALPHA,
+    miscoverage: float = CONF_MISCOV,
+    burn: int = CONF_BURN,
+) -> str:
+    from . import expr as E
+
+    A, OMA = E.NUM(alpha), E.NUM(1.0 - alpha)
+    COV = E.NUM(1.0 - miscoverage)
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
+nn AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+rec(series_id, t, l) AS (
+  SELECT series_id, CAST(0 AS BIGINT), value FROM src WHERE t = 0
+  UNION ALL
+  SELECT r.series_id, r.t + 1, {A}*s.value + {OMA}*r.l
+  FROM rec r JOIN src s ON s.series_id = r.series_id AND s.t = r.t + 1),
+res AS (
+  SELECT s.series_id, s.t, abs(s.value - r.l) AS r
+  FROM src s JOIN rec r ON r.series_id = s.series_id AND r.t = s.t - 1
+  WHERE s.t >= {burn}),
+m AS (SELECT series_id, count(*) AS m FROM res GROUP BY series_id),
+kk AS (
+  SELECT series_id, m,
+         least(m, CAST(ceil((m + 1) * {COV}) AS BIGINT)) AS k
+  FROM m),
+qh AS (
+  SELECT j.series_id, j.r AS qhat FROM (
+    SELECT series_id, r,
+           row_number() OVER (PARTITION BY series_id ORDER BY r, t) AS rn
+    FROM res) j JOIN kk ON kk.series_id = j.series_id AND j.rn = kk.k),
+fc AS (
+  SELECT rec.series_id, rec.l AS fc
+  FROM rec JOIN nn ON nn.series_id = rec.series_id AND rec.t = nn.tmax),
+cov AS (
+  SELECT res.series_id,
+         CAST(sum(CASE WHEN res.r <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+           / any_value(kk.m) AS coverage
+  FROM res JOIN qh ON qh.series_id = res.series_id
+  JOIN kk ON kk.series_id = res.series_id
+  GROUP BY res.series_id)
+SELECT m.series_id, m.m AS n_cal, {E.round6('fc.fc')} AS fc,
+       {E.round6('qh.qhat')} AS qhat,
+       {E.round6('fc.fc - qh.qhat')} AS lo,
+       {E.round6('fc.fc + qh.qhat')} AS hi,
+       {E.round6('cov.coverage')} AS coverage
+FROM m JOIN qh ON qh.series_id = m.series_id
+JOIN fc ON fc.series_id = m.series_id
+JOIN cov ON cov.series_id = m.series_id
+"""

@@ -355,6 +355,22 @@ def _holt_sql() -> str:
     return forecast.holt_sql(inner)
 
 
+def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 96, "mixed")
+    return round6(
+        forecast.conformal_ses(df), "fc", "qhat", "lo", "hi", "coverage"
+    )
+
+
+def _conformal_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 96, "mixed", rounded=False)
+    return forecast.conformal_ses_sql(inner)
+
+
 def _q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -549,6 +565,9 @@ _REGISTRY.update(
         "forecast_holt": Query("forecast_holt", _q_holt, _holt_sql(), ("forecast",)),
         "forecast_holt_damped": Query(
             "forecast_holt_damped", _q_holt_damped, _holt_damped_sql(), ("forecast",)
+        ),
+        "forecast_conformal": Query(
+            "forecast_conformal", _q_conformal, _conformal_sql(), ("forecast",)
         ),
         "kalman_filter": Query("kalman_filter", _q_kalman, _kalman_sql(), ("forecast",)),
         "kalman_smoother": Query(
