@@ -80,3 +80,33 @@ def test_croston_matches_recursion(spark):
     assert abs(out.z_hat - z) < 1e-12
     assert abs(out.p_hat - p) < 1e-12
     assert abs(out.rate - z / p) < 1e-12
+
+
+def test_reconcile_coherence_properties(spark):
+    from pyspark.sql import functions as F
+    from tsgen.forecast import ses_forecast  # noqa: F401 (sanity import)
+    from tsgen.queries_forecast2 import forecast_reconcile
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(72):
+        for et, base in (("a", 10.0), ("b", 20.0), ("c", 5.0)):
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(hours=h), 1, et, base + 0.1 * h, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r.node: r for r in forecast_reconcile(ev).collect()}
+    assert set(out) == {"a", "b", "c", "total"}
+    tot = out["total"]
+    # bottom-up total is EXACTLY the sum of leaf base forecasts (coherent)
+    assert abs(tot.bu_fc - sum(out[n].base_fc for n in "abc")) < 1e-6
+    # top-down leaves sum EXACTLY to the total base forecast (coherent)
+    assert abs(sum(out[n].td_fc for n in "abc") - tot.base_fc) < 1e-6
+    # shares reflect the planted 10/20/5 mix and sum to 1
+    assert abs(sum(out[n].share for n in "abc") - 1.0) < 1e-9
+    assert out["b"].share > out["a"].share > out["c"].share
+    # base forecasts of leaves track their level ordering
+    assert out["b"].base_fc > out["a"].base_fc > out["c"].base_fc

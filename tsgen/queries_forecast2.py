@@ -334,6 +334,129 @@ FROM agg
 """
 
 
+# --- hierarchical forecast reconciliation ----------------------------------
+RECON_ALPHA = 0.3
+
+
+def forecast_reconcile(ev: DataFrame, alpha: float = RECON_ALPHA) -> DataFrame:
+    """Hierarchical forecast reconciliation (Hyndman et al. 2011's problem,
+    with the two classical solvers): hourly value-sum series per event_type
+    roll up to a coherent total; independent SES base forecasts of the
+    leaves and the total do NOT add up, so reconcile both ways —
+    bottom-up (total := Σ leaf forecasts) and top-down (leaf := historical
+    share × total forecast). Emits per node the base, bottom-up and
+    top-down forecasts plus the share; the 'total' row shows exactly the
+    coherence gap bottom-up closes.
+
+    Execution: the node series table (leaves ∪ total) is one groupBy plus
+    one rollup-style re-aggregation; SES runs once over ALL nodes in a
+    kalman-shape mapInPandas (nodes are the Arrow-batch axis); shares and
+    the reconciliation arithmetic live on an n_nodes-row table."""
+    import pandas as pd
+
+    b = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).alias("bk"), "event_type"
+    ).agg(F.sum("value").alias("v"))
+    leaves = b.select(F.col("event_type").alias("node"), "bk", "v")
+    total = b.groupBy("bk").agg(F.sum("v").alias("v")).select(
+        F.lit("total").alias("node"), "bk", "v"
+    )
+    nodes = leaves.unionByName(total)
+    wide = (
+        nodes.groupBy("node")
+        .agg(F.array_sort(F.collect_list(F.struct("bk", F.col("v").alias("x")))).alias("pts"))
+        .select("node", F.col("pts.x").alias("vs"))
+    )
+    oma = 1.0 - alpha
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for node, vs in zip(pdf["node"], pdf["vs"]):
+                l = float(vs[0])
+                tot = 0.0
+                for x in vs:
+                    tot = tot + float(x)
+                for x in vs[1:]:
+                    l = alpha * float(x) + oma * l
+                rows.append((str(node), l, tot))
+            yield pd.DataFrame(rows, columns=["node", "base_fc", "hist_sum"])
+
+    fc = wide.mapInPandas(fn, "node string, base_fc double, hist_sum double")
+    tot_row = fc.filter(F.col("node") == "total").select(
+        F.col("base_fc").alias("tot_fc"), F.col("hist_sum").alias("tot_hist")
+    )
+    leaf = fc.filter(F.col("node") != "total")
+    bu_total = leaf.agg(F.sum("base_fc").alias("bu"))
+    out_leaf = leaf.crossJoin(F.broadcast(tot_row)).select(
+        "node",
+        "base_fc",
+        F.col("base_fc").alias("bu_fc"),
+        ((F.col("hist_sum") / F.col("tot_hist")) * F.col("tot_fc")).alias("td_fc"),
+        (F.col("hist_sum") / F.col("tot_hist")).alias("share"),
+    )
+    out_tot = (
+        tot_row.crossJoin(F.broadcast(bu_total))
+        .select(
+            F.lit("total").alias("node"),
+            F.col("tot_fc").alias("base_fc"),
+            F.col("bu").alias("bu_fc"),
+            F.col("tot_fc").alias("td_fc"),
+            F.lit(1.0).alias("share"),
+        )
+    )
+    return out_leaf.unionByName(out_tot)
+
+
+def _q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import round6
+    from .queries_analytics import _events
+
+    return round6(
+        forecast_reconcile(_events(spark, sf_dir)),
+        "base_fc", "bu_fc", "td_fc", "share",
+    )
+
+
+def _reconcile_sql(alpha: float = RECON_ALPHA) -> str:
+    A, OMA = E.NUM(alpha), E.NUM(1.0 - alpha)
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS bk,
+         event_type, sum(value) AS v
+  FROM events GROUP BY 1, 2),
+nodes AS MATERIALIZED (
+  SELECT event_type AS node, bk, v FROM b
+  UNION ALL
+  SELECT 'total' AS node, bk, sum(v) AS v FROM b GROUP BY bk),
+rk AS MATERIALIZED (
+  SELECT node, v, row_number() OVER (PARTITION BY node ORDER BY bk) AS rn
+  FROM nodes),
+nn AS (SELECT node, count(*) AS n, sum(v) AS hist_sum FROM rk GROUP BY node),
+rec(node, rn, l) AS (
+  SELECT node, 1, v FROM rk WHERE rn = 1
+  UNION ALL
+  SELECT r.node, r.rn + 1, {A}*s.v + {OMA}*r.l
+  FROM rec r JOIN rk s ON s.node = r.node AND s.rn = r.rn + 1),
+fc AS (
+  SELECT rec.node, rec.l AS base_fc, nn.hist_sum
+  FROM rec JOIN nn ON nn.node = rec.node AND rec.rn = nn.n),
+tot AS (SELECT base_fc AS tot_fc, hist_sum AS tot_hist FROM fc WHERE node = 'total'),
+bu AS (SELECT sum(base_fc) AS bu FROM fc WHERE node <> 'total')
+SELECT node, {E.round6('base_fc')} AS base_fc,
+       {E.round6('base_fc')} AS bu_fc,
+       {E.round6('(hist_sum / tot.tot_hist) * tot.tot_fc')} AS td_fc,
+       {E.round6('hist_sum / tot.tot_hist')} AS share
+FROM fc CROSS JOIN tot WHERE node <> 'total'
+UNION ALL
+SELECT 'total', {E.round6('tot.tot_fc')}, {E.round6('bu.bu')},
+       {E.round6('tot.tot_fc')}, 1.0e0
+FROM tot CROSS JOIN bu
+"""
+
+
 _REGISTRY.update(
     {
         "forecast_ar2": Query("forecast_ar2", _q_ar2, _ar2_sql(), ("forecast",)),
@@ -342,6 +465,9 @@ _REGISTRY.update(
         ),
         "forecast_croston": Query(
             "forecast_croston", _q_croston, _croston_sql(), ("forecast",)
+        ),
+        "forecast_reconcile": Query(
+            "forecast_reconcile", _q_reconcile, _reconcile_sql(), ("forecast",)
         ),
     }
 )
