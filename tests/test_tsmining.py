@@ -836,6 +836,30 @@ def test_bocpd_flags_planted_shift(spark):
     assert min(out[t].map_runlen for t in range(30, 60)) > 20
 
 
+def test_ewma_chart_flags_sustained_small_shift(spark):
+    """A 1.5σ sustained shift after hour 100 — too small for a 3σ Shewhart
+    point test — must push the EWMA statistic out of control within the
+    shifted stretch, while the stable prefix stays in control."""
+    from tsgen.queries_tsmining import ewma_chart
+
+    rng = np.random.RandomState(23)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(200):
+        shift = 1.5 if h >= 100 else 0.0
+        rows.append((h, t0 + datetime.timedelta(hours=h), 1, "m", float(rng.randn() + shift)))
+    out = sorted(
+        ewma_chart(_ts_df(spark, rows)).collect(), key=lambda r: r.bucket_s
+    )
+    assert len(out) == 200
+    pre, post = out[10:100], out[100:160]
+    assert not any(r.out_of_control for r in pre)
+    assert any(r.out_of_control for r in post)
+    # limits widen with t toward the asymptote, never beyond it
+    asym = max(r.ucl for r in out)
+    assert out[1].ucl < out[50].ucl <= asym
+
+
 def test_counter_rate_reset_semantics(spark):
     """A counter 10,20,5,15 in one bucket: increases 10(first=0)+10, reset
     contributes 5, then +10 → increase 25, one reset."""

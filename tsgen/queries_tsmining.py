@@ -760,6 +760,127 @@ WHERE w.e > 0
 """
 
 
+# --- EWMA control chart ------------------------------------------------------
+EWCH_LAM, EWCH_L, EWCH_BUCKET_S = 0.2, 3.0, 3600
+
+
+def ewma_chart(
+    ev: DataFrame, lam: float = EWCH_LAM, L: float = EWCH_L, bucket_s: int = EWCH_BUCKET_S
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959 / Lucas & Saccucci 1990) per
+    event_type over hourly means: the monitored statistic
+        z_t = λ·x_t + (1−λ)·z_{t−1},   z_1 = x_1
+    against the EXACT time-varying control limits
+        μ ± L·σ·sqrt(λ/(2−λ)·(1 − (1−λ)^{2t}))
+    (the small-shift detector a Shewhart chart misses; CUSUM's cousin,
+    already shipped as ev_cusum). μ, σ come from the FIRST HALF of each
+    series — the phase-I/phase-II convention: estimating them over the
+    monitored stretch too would let a sustained shift contaminate its own
+    control limits and silence the chart. The out-of-control flag compares the
+    6dp-ROUNDED margin on both engines, so a point sitting ulps from the
+    limit cannot flip the boolean between Spark and the oracle. Execution:
+    one partial-agged groupBy to buckets, a kalman-shape mapInPandas for
+    the recursion (types are the batch axis), limits as a stateless
+    projection."""
+    import pandas as pd
+
+    b = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / bucket_s).alias("bk"), "event_type"
+    ).agg(F.avg("value").alias("x"))
+    wide = (
+        b.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("bk", F.col("x").alias("v")))).alias("pts"))
+        .select("event_type", F.col("pts.bk").alias("bks"), F.col("pts.v").alias("vs"))
+    )
+    oml = 1.0 - lam
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for et, bks, vs in zip(pdf["event_type"], pdf["bks"], pdf["vs"]):
+                z = float(vs[0])
+                for rn, (bk, x) in enumerate(zip(bks, vs), start=1):
+                    if rn > 1:
+                        z = lam * float(x) + oml * z
+                    rows.append((str(et), rn, int(bk), float(x), z))
+            yield pd.DataFrame(rows, columns=["event_type", "rn", "bk", "x", "z"])
+
+    zs = wide.mapInPandas(
+        fn, "event_type string, rn bigint, bk bigint, x double, z double"
+    )
+    nn = b.groupBy("event_type").agg(F.count("*").alias("nb"))
+    rk = b.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("bk"))
+    )
+    st = (
+        rk.join(F.broadcast(nn), "event_type")
+        .filter(F.col("rn") * 2 <= F.col("nb"))
+        .groupBy("event_type")
+        .agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd"))
+    )
+    fac = F.sqrt(
+        F.lit(lam / (2.0 - lam))
+        * (1.0 - F.pow(F.lit(oml), 2.0 * F.col("rn").cast("double")))
+    )
+    out = zs.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        (F.col("bk") * bucket_s).alias("bucket_s"),
+        "z",
+        (F.col("mu") + F.lit(L) * F.col("sd") * fac).alias("ucl"),
+        (F.col("mu") - F.lit(L) * F.col("sd") * fac).alias("lcl"),
+    )
+    margin = F.greatest(F.col("z") - F.col("ucl"), F.col("lcl") - F.col("z"))
+    out = out.withColumn(
+        "margin", F.round(margin + F.lit(1e-9), 6) + F.lit(0.0)
+    ).withColumn("out_of_control", F.col("margin") > 0)
+    return out
+
+
+def _q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round6(ewma_chart(_events(spark, sf_dir)), "z", "ucl", "lcl")
+
+
+def _ewma_chart_sql(
+    lam: float = EWCH_LAM, L: float = EWCH_L, bucket_s: int = EWCH_BUCKET_S
+) -> str:
+    A, OML = E.NUM(lam), E.NUM(1.0 - lam)
+    LF = E.NUM(L)
+    RATIO = E.NUM(lam / (2.0 - lam))
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT CAST(floor(floor(epoch(ts)) / {bucket_s}) AS BIGINT) AS bk,
+         event_type, avg(value) AS x
+  FROM events GROUP BY 1, 2),
+rk AS MATERIALIZED (
+  SELECT event_type, bk, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY bk) AS rn
+  FROM b),
+nn AS (SELECT event_type, count(*) AS nb FROM b GROUP BY event_type),
+st AS (
+  SELECT rk.event_type, avg(rk.x) AS mu, stddev_samp(rk.x) AS sd
+  FROM rk JOIN nn ON nn.event_type = rk.event_type
+  WHERE rk.rn * 2 <= nn.nb
+  GROUP BY rk.event_type),
+rec(event_type, rn, bk, x, z) AS (
+  SELECT event_type, CAST(1 AS BIGINT), bk, x, x FROM rk WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn + 1, s.bk, s.x, {A}*s.x + {OML}*r.z
+  FROM rec r JOIN rk s ON s.event_type = r.event_type AND s.rn = r.rn + 1),
+lim AS (
+  SELECT rec.event_type, rec.bk * {bucket_s} AS bucket_s, rec.z,
+         st.mu + {LF} * st.sd * sqrt({RATIO} * (1.0e0 - pow({OML}, 2.0e0 * rec.rn))) AS ucl,
+         st.mu - {LF} * st.sd * sqrt({RATIO} * (1.0e0 - pow({OML}, 2.0e0 * rec.rn))) AS lcl
+  FROM rec JOIN st ON st.event_type = rec.event_type)
+SELECT event_type, bucket_s, {E.round6('z')} AS z,
+       {E.round6('ucl')} AS ucl, {E.round6('lcl')} AS lcl,
+       {E.round6('greatest(z - ucl, lcl - z)')} AS margin,
+       {E.round6('greatest(z - ucl, lcl - z)')} > 0 AS out_of_control
+FROM lim
+"""
+
+
 # --- Bayesian online changepoint detection -----------------------------------
 BOCPD_N, BOCPD_LEN, BOCPD_H = 6, 96, 0.05
 BOCPD_MU0, BOCPD_V0, BOCPD_S2 = 0.0, 10.0, 1.0
@@ -1933,6 +2054,9 @@ _REGISTRY.update(
         "ts_ssa": Query("ts_ssa", _q_ssa, None, ("tsdb",)),
         "ts_pelt": Query("ts_pelt", _q_pelt, _segmentation_sql(), ("tsdb",)),
         "ts_bocpd": Query("ts_bocpd", _q_bocpd, _bocpd_sql(), ("tsdb",)),
+        "ev_ewma_chart": Query(
+            "ev_ewma_chart", _q_ewma_chart, _ewma_chart_sql(), ("tsdb",)
+        ),
         "ts_segmentation": Query(
             "ts_segmentation", _q_segmentation, _segmentation_sql(), ("tsdb",)
         ),
