@@ -195,6 +195,23 @@ def test_feature_hash_signed_counts(spark):
     assert v1 == v2 and len(v1) >= 3  # 4 tokens, ≥3 surviving buckets
 
 
+def test_readability_orders_simple_before_dense_text(spark):
+    from pyspark.sql import Row
+    from tsgen import text as T
+
+    rows = [
+        Row(doc_id=0, text="The cat sat. The dog ran. We play now. It is fun."),
+        Row(doc_id=1, text="Epistemological considerations notwithstanding "
+                           "institutional heterogeneity complicates interdisciplinary "
+                           "collaboration across organizational administrations."),
+    ]
+    out = {r.doc_id: r for r in T.readability(spark.createDataFrame(rows)).collect()}
+    assert out[0].n_sentences == 4
+    assert out[0].flesch_ease > 80          # simple short sentences read easy
+    assert out[1].flesch_ease < 0           # polysyllabic wall reads hard
+    assert out[1].fk_grade > 12 > out[0].fk_grade
+
+
 def test_mmr_trades_relevance_for_diversity(spark):
     # candidates: b is a near-copy of a (both maximally relevant), c is
     # moderately relevant but diverse. Pure top-k ranks (a, b, c); MMR must

@@ -77,6 +77,12 @@ def _q_feature_hash(spark, sf_dir):
     return text.feature_hash(_docs(spark, sf_dir))
 
 
+def _q_readability(spark, sf_dir):
+    return round6(
+        text.readability(_docs(spark, sf_dir)), "flesch_ease", "fk_grade"
+    )
+
+
 def _q_token_bpe(spark, sf_dir):
     return round6(text.token_count_bpe(_docs(spark, sf_dir)), "bpe_per_word")
 
@@ -622,6 +628,9 @@ _REGISTRY.update(
         "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),
         "doc_feature_hash": Query(
             "doc_feature_hash", _q_feature_hash, text.feature_hash_sql(), ("text",)
+        ),
+        "doc_readability": Query(
+            "doc_readability", _q_readability, text.READABILITY_SQL, ("text",)
         ),
         "repetition_stats": Query(
             "repetition_stats", _q_repetition, text.REPETITION_SQL, ("text",)

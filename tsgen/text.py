@@ -164,6 +164,54 @@ def token_freq(df: DataFrame, text: str = "text", top_n: int = 20) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def readability(df: DataFrame, text: str = "text") -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document (Flesch
+    1948; Kincaid et al. 1975) — the classic text-difficulty screens a
+    corpus-quality pipeline bins documents by:
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+        grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    Sentences = terminal-punctuation runs (min 1); syllables = vowel-group
+    runs per document — the standard dictionary-free approximation. Pure
+    Catalyst regexp counting, no UDF; both engines run the same RE2/Java-
+    compatible patterns."""
+    words = F.size(F.split(F.col(text), " "))
+    sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col(text), F.lit("[.!?]+"), 0))
+    )
+    syll = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.lower(F.col(text)), F.lit("[aeiouy]+"), 0)),
+    )
+    wps = words.cast("double") / sents
+    spw = syll.cast("double") / words
+    return df.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        (F.lit(206.835) - 1.015 * wps - 84.6 * spw).alias("flesch_ease"),
+        (F.lit(0.39) * wps + 11.8 * spw - 15.59).alias("fk_grade"),
+    )
+
+
+READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syllables
+  FROM documents)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_sentences AS INT) AS n_sentences,
+       CAST(n_syllables AS INT) AS n_syllables,
+       (round((206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sentences)
+           - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words)) + 1.0e-9,6)+0.0e0) AS flesch_ease,
+       (round((0.39e0 * (CAST(n_words AS DOUBLE) / n_sentences)
+           + 11.8e0 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59e0) + 1.0e-9,6)+0.0e0) AS fk_grade
+FROM c
+"""
+
+
 FEATURE_HASH_BUCKETS = 32
 
 
