@@ -143,6 +143,21 @@ def main() -> None:
         "ts_welch_psd",
         "ts_segmentation",
         "ev_ks_test",
+        # round-3 continuation batch 3/4: pruned changepoints, BOCPD,
+        # diversity rerank, leakage audit, EWMA family, theta sketch,
+        # robust decomposition, conformal bands
+        "ts_pelt",
+        "ts_bocpd",
+        "embed_mmr",
+        "split_leakage",
+        "ev_ewma_corr",
+        "ev_ewma_chart",
+        "kmv_set_ops",
+        "ts_robust_decompose",
+        "forecast_conformal",
+        "ev_psi_drift",
+        "doc_feature_hash",
+        "ev_time_travel",
     ]
     reg = registry()
     for name in suite:
