@@ -836,6 +836,25 @@ def test_bocpd_flags_planted_shift(spark):
     assert min(out[t].map_runlen for t in range(30, 60)) > 20
 
 
+def test_isotonic_matches_sklearn_style_pava(spark):
+    """Minimax fit == PAVA: monotone, idempotent on sorted input, and the
+    known pooled solution on a textbook violator sequence."""
+    from tsgen.queries_tsmining import isotonic_fit
+
+    rows = [(0, t, v) for t, v in enumerate([1.0, 3.0, 2.0, 4.0, 3.0, 5.0])]
+    rows += [(1, t, float(t)) for t in range(6)]  # already monotone
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = {(r.series_id, r.t): r.iso for r in isotonic_fit(df).collect()}
+    s0 = [out[(0, t)] for t in range(6)]
+    # PAVA pools (3,2)->2.5 and (4,3)->3.5
+    assert s0 == [1.0, 2.5, 2.5, 3.5, 3.5, 5.0]
+    assert all(a <= b + 1e-12 for a, b in zip(s0, s0[1:]))
+    s1 = [out[(1, t)] for t in range(6)]
+    assert s1 == [float(t) for t in range(6)]  # identity on monotone input
+    # L2-projection property: pooling preserves the sum
+    assert abs(sum(s0) - sum([1.0, 3.0, 2.0, 4.0, 3.0, 5.0])) < 1e-9
+
+
 def test_ewma_chart_flags_sustained_small_shift(spark):
     """A 1.5σ sustained shift after hour 100 — too small for a 3σ Shewhart
     point test — must push the EWMA statistic out of control within the

@@ -760,6 +760,90 @@ WHERE w.e > 0
 """
 
 
+# --- isotonic regression -----------------------------------------------------
+ISO_N, ISO_LEN = 8, 64
+
+
+def isotonic_fit(df: DataFrame) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression per series — the L2
+    projection onto the monotone cone (Barlow et al. 1972; the calibration
+    step behind Zadrozny-Elkan probability calibration). Computed via the
+    exact minimax identity rather than the PAVA stack:
+        iso_i = max_{j≤i} min_{k≥i} mean(y_j..y_k)
+    PAVA's pool-merge decisions compare float means, so a 1-ulp engine
+    difference could flip a pooling and change the output; the minimax
+    form has NO data-dependent branches — min/max are exact, and the only
+    float arithmetic is the range mean (s[k+1]−s[j])/(k−j+1) computed from
+    the same sequential prefix sums on both engines → bit-identical
+    output. O(n²) per series, vectorized in numpy; series are the
+    distributed axis (kalman-shape mapInPandas)."""
+    import pandas as pd
+
+    wide = (
+        df.groupBy("series_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col("value").alias("v")))).alias("pts"))
+        .select("series_id", F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for sid, vs in zip(pdf["series_id"], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                n = len(y)
+                s = np.concatenate([[0.0], np.cumsum(y)])
+                j = np.arange(n)[:, None]
+                k = np.arange(n)[None, :]
+                with np.errstate(invalid="ignore"):
+                    M = (s[k + 1] - s[j]) / (k - j + 1)  # mean(y_j..y_k), j<=k
+                M[j > k] = np.inf  # invalid ranges never win a min
+                smin = np.minimum.accumulate(M[:, ::-1], axis=1)[:, ::-1]
+                # iso_i = max_{j<=i} smin[j, i]; rows j>i masked out of the max
+                sm = np.where(j <= k, smin, -np.inf)
+                iso = np.maximum.accumulate(sm, axis=0).diagonal()
+                for t in range(n):
+                    rows.append((int(sid), t, float(y[t]), float(iso[t])))
+            yield pd.DataFrame(rows, columns=["series_id", "t", "value", "iso"])
+
+    return wide.mapInPandas(
+        fn, "series_id bigint, t bigint, value double, iso double"
+    )
+
+
+def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, ISO_N, ISO_LEN, "mixed")
+    return round6(isotonic_fit(df), "value", "iso")
+
+
+def _isotonic_sql() -> str:
+    gen = oracle.generate_sql(ISO_N, ISO_LEN, "mixed", rounded=False)
+    mean_jk = "(ps.s1[k + 2] - ps.s1[j + 1]) / (k - j + 1)"
+    iso = (
+        f"list_max(list_transform(range(0, src.t + 1), j -> "
+        f"list_min(list_transform(range(src.t, ps.n), k -> {mean_jk}))))"
+    )
+    return f"""
+WITH src AS MATERIALIZED ({gen}),
+ps AS MATERIALIZED (
+  SELECT series_id,
+         list_prepend(0.0e0, list(c1 ORDER BY t)) AS s1,
+         count(*) AS n
+  FROM (
+    SELECT series_id, t, sum(value) OVER w AS c1
+    FROM src
+    WINDOW w AS (PARTITION BY series_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  GROUP BY series_id)
+SELECT src.series_id, src.t, {E.round6('src.value')} AS value,
+       {E.round6(iso)} AS iso
+FROM src JOIN ps ON ps.series_id = src.series_id
+"""
+
+
 # --- EWMA control chart ------------------------------------------------------
 EWCH_LAM, EWCH_L, EWCH_BUCKET_S = 0.2, 3.0, 3600
 
@@ -2057,6 +2141,7 @@ _REGISTRY.update(
         "ev_ewma_chart": Query(
             "ev_ewma_chart", _q_ewma_chart, _ewma_chart_sql(), ("tsdb",)
         ),
+        "ts_isotonic": Query("ts_isotonic", _q_isotonic, _isotonic_sql(), ("tsdb",)),
         "ts_segmentation": Query(
             "ts_segmentation", _q_segmentation, _segmentation_sql(), ("tsdb",)
         ),
