@@ -163,6 +163,90 @@ def _q_stream_asof(spark, sf_dir):
     return round6(out, "last_purchase")
 
 
+def _q_stream_psi(spark, sf_dir):
+    # streaming drift monitor: the REFERENCE (pre-cutoff bins over a static
+    # batch read) is fixed; the CURRENT side's bin counts accumulate as a
+    # plain streaming aggregation (counts add across micro-batches, the
+    # same mergeability as every sketch twin). PSI combines the
+    # materialized counts — same formula, same oracle as ev_psi_drift.
+    from pyspark.sql import functions as F
+
+    from .queries_warehouse2 import PSI_BINS, PSI_CUTOFF
+
+    cut = F.lit(PSI_CUTOFF).cast("timestamp")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .io import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = normalize_event_ts(static)
+    rng = (
+        static.filter(F.col("ts") < cut)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bin_of = F.least(
+        F.lit(PSI_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / PSI_BINS)
+            ).cast("int"),
+        ),
+    )
+    s = streaming.events_stream(spark, sf_dir)
+    cur_counts = streaming.run_to_completion(
+        s.filter(F.col("ts") >= cut)
+        .join(F.broadcast(rng), "event_type")
+        .select("event_type", bin_of.alias("bin"))
+        .groupBy("event_type", "bin")
+        .count()
+    )
+    # combine the static reference counts with the streamed current counts
+    # (identical dense-spine + smoothing arithmetic as the batch twin)
+    ref_counts = (
+        static.filter(F.col("ts") < cut)
+        .join(F.broadcast(rng), "event_type")
+        .select("event_type", bin_of.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("nr"))
+    )
+    spine = rng.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin")
+    )
+    dense = (
+        spine.join(ref_counts, ["event_type", "bin"], "left")
+        .join(cur_counts.withColumnRenamed("count", "nc"), ["event_type", "bin"], "left")
+        .select(
+            "event_type", "bin",
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")
+    )
+    p = dense.join(F.broadcast(tot), "event_type").select(
+        "event_type", "n_ref", "n_cur",
+        ((F.col("nr") + 0.5) / (F.col("n_ref") + 0.5 * PSI_BINS)).alias("p_ref"),
+        ((F.col("nc") + 0.5) / (F.col("n_cur") + 0.5 * PSI_BINS)).alias("p_cur"),
+    )
+    out = p.groupBy("event_type", "n_ref", "n_cur").agg(
+        F.sum(
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+        ).alias("psi")
+    )
+    out = out.select(
+        "event_type", "n_ref", "n_cur", "psi", (F.col("psi") > 0.2).alias("drifted")
+    )
+    return round6(out, "psi")
+
+
+def _stream_psi_sql():
+    from .queries_warehouse2 import _psi_sql
+
+    return _psi_sql()
+
+
 def _q_stream_anomalies(spark, sf_dir):
     # custom stateful op (Welford prefix stats) — but its semantics ARE the
     # preceding-rows window, so the streaming result is fully oracle-checked
@@ -233,6 +317,9 @@ _REGISTRY.update(
         ),
         "stream_asof": Query(
             "stream_asof", _q_stream_asof, _STREAM_ASOF_SQL, ("streaming",)
+        ),
+        "stream_psi": Query(
+            "stream_psi", _q_stream_psi, _stream_psi_sql(), ("streaming",)
         ),
     }
 )
