@@ -96,3 +96,35 @@ def test_split_assign_fractions(spark, tmp_path):
     again = {r.doc_id: r.split for r in assigned.collect()}
     twice = {r.doc_id: r.split for r in assigned.collect()}
     assert again == twice
+
+
+def test_gbm_stumps_finds_planted_split_and_reduces_rmse(spark):
+    # y = 5 for hours >= 12, else 0 (tiny noise): round 1 must split f_hod
+    # at threshold 11 with leaves near 0/5, and RMSE must fall each round
+    import datetime
+
+    import numpy as np
+
+    from tsgen.queries_mlprep import gbm_stumps
+
+    rng = np.random.RandomState(31)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(2000):
+        ts = t0 + datetime.timedelta(hours=i % 24, minutes=(i * 7) % 60, days=i // 24)
+        hod = int(ts.timestamp() // 3600) % 24
+        y = (5.0 if hod >= 12 else 0.0) + 0.01 * rng.randn()
+        rows.append((i, ts, i % 50, "e", float(y), "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    model = sorted(gbm_stumps(ev).collect(), key=lambda r: r.round)
+    assert len(model) == 3
+    r1 = model[0]
+    assert r1.feature == "f_hod" and r1.threshold == 11
+    assert abs(r1.left_val - (-2.5)) < 0.1 and abs(r1.right_val - 2.5) < 0.1
+    rmses = [r.rmse_after for r in model]
+    assert rmses[0] > rmses[1] > rmses[2]
+    # lr=0.5 twice on the same split ≈ full correction → tiny final RMSE
+    assert rmses[2] < 0.7

@@ -34,7 +34,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import expr as E
 from .queries import _REGISTRY, Query, round6
@@ -371,6 +371,188 @@ WHERE rank <= {RRF_TOPK}
 """
 
 
+# --- gradient-boosted stumps (histogram GBM) --------------------------------
+GBM_LR, GBM_ROUNDS = 0.5, 3
+GBM_FEATS = ("f_hod", "f_dow", "f_user")
+
+
+def gbm_stumps(ev: DataFrame, lr: float = GBM_LR, rounds: int = GBM_ROUNDS) -> DataFrame:
+    """Gradient-boosted depth-1 trees on integer-binned features — the
+    histogram-GBM core (Friedman 2001; the per-bin-sums trick is exactly
+    LightGBM/XGBoost-hist): features are hour-of-day, day-of-week and a
+    user bucket; each round aggregates residuals to (feature, bin)
+    histograms — 47 rows TOTAL regardless of data size — scans the
+    cumulative sums for the SSE-optimal split
+        gain(c) = S_l²/n_l + S_r²/n_r   (parent term constant),
+    and adds lr·(leaf mean) to the prediction. Emits the 3-row model table
+    (split, leaf values, gain, training RMSE after the round).
+
+    Scale shape: per round ONE partial-agged groupBy to the 47-row
+    histogram (the stack() explode tripling rows is map-side, pre-shuffle);
+    split selection is a window over those 47 rows; the chosen stump
+    broadcasts back into a stateless projection. The gain argmax compares
+    6dp-ROUNDED gains (tie-break: feature, bin) so engine-ulp sum drift
+    cannot flip the split choice; lr = 0.5 is exact binary. Lineage is cut
+    per round with a lazy localCheckpoint, so round m's scan cost does not
+    compound."""
+    base = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("int").alias("f_hod"),
+        ((F.floor(F.unix_timestamp("ts") / 86400) + 4) % 7).cast("int").alias("f_dow"),
+        (F.col("user_id") % 16).cast("int").alias("f_user"),
+        F.col("value").alias("y"),
+    )
+    p0 = base.agg(F.avg("y").alias("p0"))
+    cur = base.crossJoin(F.broadcast(p0)).withColumn("pred", F.col("p0")).drop("p0")
+    wcum = Window.partitionBy("feat").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    model = None
+    for rnd in range(1, rounds + 1):
+        cur = cur.localCheckpoint(eager=False)
+        stacked = cur.withColumn("r", F.col("y") - F.col("pred")).select(
+            F.expr(
+                "stack(3, 'f_dow', f_dow, 'f_hod', f_hod, 'f_user', f_user)"
+                " AS (feat, bin)"
+            ),
+            "r",
+        )
+        bins = stacked.groupBy("feat", "bin").agg(
+            F.count("*").alias("n"), F.sum("r").alias("s")
+        )
+        tot = bins.groupBy("feat").agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
+        cand = (
+            bins.withColumn("nl", F.sum("n").over(wcum))
+            .withColumn("sl", F.sum("s").over(wcum))
+            .join(F.broadcast(tot), "feat")
+            .withColumn("nr", F.col("nt") - F.col("nl"))
+            .withColumn("sr", F.col("st") - F.col("sl"))
+            .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+            .withColumn(
+                "gain",
+                F.col("sl") * F.col("sl") / F.col("nl")
+                + F.col("sr") * F.col("sr") / F.col("nr"),
+            )
+            .withColumn("g6", F.round(F.col("gain") + F.lit(1e-9), 6) + F.lit(0.0))
+        )
+        pick = (
+            cand.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.orderBy(F.desc("g6"), F.asc("feat"), F.asc("bin"))
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("feat").alias("c_feat"),
+                F.col("bin").alias("c_thr"),
+                (F.col("sl") / F.col("nl")).alias("lv"),
+                (F.col("sr") / F.col("nr")).alias("rv"),
+                F.col("g6").alias("c_gain"),
+                F.col("nl").alias("c_nl"),
+                F.col("nr").alias("c_nr"),
+            )
+        )
+        fv = (
+            F.when(F.col("c_feat") == "f_hod", F.col("f_hod"))
+            .when(F.col("c_feat") == "f_dow", F.col("f_dow"))
+            .otherwise(F.col("f_user"))
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(pick))
+            .withColumn(
+                "pred",
+                F.col("pred")
+                + lr * F.when(fv <= F.col("c_thr"), F.col("lv")).otherwise(F.col("rv")),
+            )
+            .drop("c_feat", "c_thr", "lv", "rv", "c_gain", "c_nl", "c_nr")
+        )
+        rmse = cur.agg(
+            F.sqrt(F.avg((F.col("y") - F.col("pred")) * (F.col("y") - F.col("pred")))).alias(
+                "rmse_after"
+            )
+        )
+        row = pick.crossJoin(F.broadcast(rmse)).select(
+            F.lit(rnd).alias("round"),
+            F.col("c_feat").alias("feature"),
+            F.col("c_thr").cast("bigint").alias("threshold"),
+            F.col("c_gain").alias("gain"),
+            F.col("lv").alias("left_val"),
+            F.col("rv").alias("right_val"),
+            F.col("c_nl").alias("n_left"),
+            F.col("c_nr").alias("n_right"),
+            "rmse_after",
+        )
+        model = row if model is None else model.unionByName(row)
+    return model
+
+
+def _q_gbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import _events
+
+    return round6(
+        gbm_stumps(_events(spark, sf_dir)),
+        "gain", "left_val", "right_val", "rmse_after",
+    )
+
+
+def _gbm_sql(lr: float = GBM_LR, rounds: int = GBM_ROUNDS) -> str:
+    LR = E.NUM(lr)
+    parts = ["""
+WITH base AS MATERIALIZED (
+  SELECT CAST(CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 24 AS INT) AS f_hod,
+         CAST((CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 4) % 7 AS INT) AS f_dow,
+         CAST(user_id % 16 AS INT) AS f_user,
+         value AS y
+  FROM events),
+p0 AS (SELECT avg(y) AS p0 FROM base),
+pred1 AS MATERIALIZED (SELECT base.*, p0.p0 AS pred FROM base CROSS JOIN p0)"""]
+    for m in range(1, rounds + 1):
+        parts.append(f""",
+st{m} AS (
+  SELECT feat, bin, y - pred AS r FROM (
+    SELECT 'f_dow' AS feat, f_dow AS bin, y, pred FROM pred{m}
+    UNION ALL SELECT 'f_hod', f_hod, y, pred FROM pred{m}
+    UNION ALL SELECT 'f_user', f_user, y, pred FROM pred{m})),
+bins{m} AS (
+  SELECT feat, bin, count(*) AS n, sum(r) AS s FROM st{m} GROUP BY feat, bin),
+cand{m} AS (
+  SELECT feat, bin, nl, sl, nt - nl AS nr, st - sl AS sr,
+         (round((sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)) + 1.0e-9,6)+0.0e0) AS g6
+  FROM (
+    SELECT feat, bin,
+           sum(n) OVER w AS nl, sum(s) OVER w AS sl,
+           sum(n) OVER (PARTITION BY feat) AS nt,
+           sum(s) OVER (PARTITION BY feat) AS st
+    FROM bins{m}
+    WINDOW w AS (PARTITION BY feat ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  WHERE nl > 0 AND nt - nl > 0),
+pick{m} AS MATERIALIZED (
+  SELECT feat AS c_feat, bin AS c_thr, sl / nl AS lv, sr / nr AS rv,
+         g6 AS c_gain, nl AS c_nl, nr AS c_nr
+  FROM (SELECT *, row_number() OVER (ORDER BY g6 DESC, feat, bin) AS rk
+        FROM cand{m}) WHERE rk = 1),
+pred{m + 1} AS MATERIALIZED (
+  SELECT p.f_hod, p.f_dow, p.f_user, p.y,
+         p.pred + {LR} * CASE WHEN (CASE WHEN k.c_feat = 'f_hod' THEN p.f_hod
+                                         WHEN k.c_feat = 'f_dow' THEN p.f_dow
+                                         ELSE p.f_user END) <= k.c_thr
+                               THEN k.lv ELSE k.rv END AS pred
+  FROM pred{m} p CROSS JOIN pick{m} k),
+rmse{m} AS (SELECT sqrt(avg((y - pred) * (y - pred))) AS rmse_after FROM pred{m + 1})""")
+    emits = "\nUNION ALL\n".join(
+        f"""SELECT {m} AS round, c_feat AS feature, CAST(c_thr AS BIGINT) AS threshold,
+       (round((c_gain) + 1.0e-9,6)+0.0e0) AS gain,
+       (round((lv) + 1.0e-9,6)+0.0e0) AS left_val,
+       (round((rv) + 1.0e-9,6)+0.0e0) AS right_val,
+       CAST(c_nl AS BIGINT) AS n_left, CAST(c_nr AS BIGINT) AS n_right,
+       (round((rmse_after) + 1.0e-9,6)+0.0e0) AS rmse_after
+FROM pick{m} CROSS JOIN rmse{m}"""
+        for m in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + emits
+
+
 # --- cross-split near-dup leakage ------------------------------------------
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination audit: near-duplicate pairs (n-gram jaccard,
@@ -434,6 +616,9 @@ _REGISTRY.update(
         "split_assign": Query("split_assign", _q_split_assign, _SPLIT_SQL, ("pipeline",)),
         "split_leakage": Query(
             "split_leakage", _q_split_leakage, _split_leakage_sql(), ("pipeline",)
+        ),
+        "ev_gbm_stumps": Query(
+            "ev_gbm_stumps", _q_gbm, _gbm_sql(), ("pipeline",)
         ),
         "name_match_jw": Query("name_match_jw", _q_name_match, _JW_SQL, ("pipeline",)),
         "doc_woe": Query("doc_woe", _q_doc_woe, _WOE_SQL, ("pipeline",)),
