@@ -1,0 +1,81 @@
+"""Tests for queries_ml2: IRLS against a numpy reference, MI scalar
+reference, calibration invariants."""
+import math
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from tsgen.queries_ml2 import calibration, logreg_irls, mutual_info
+
+
+def _xy_df(spark, xs, ys):
+    return spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+    )
+
+
+def test_logreg_matches_numpy_irls(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=400)
+    true_b0, true_b1 = -0.5, 1.2
+    p = 1.0 / (1.0 + np.exp(-(true_b0 + true_b1 * x)))
+    y = (rng.uniform(size=400) < p).astype(float)
+
+    got = {
+        r.iter: r for r in logreg_irls(_xy_df(spark, x, y), iters=4).collect()
+    }
+
+    # numpy replica with the same rounding schedule
+    def r4(v):
+        return math.floor(abs(v) * 1e4 + 0.5) / 1e4 * (1 if v >= 0 else -1)
+
+    b0 = b1 = 0.0
+    for it in range(1, 5):
+        pz = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+        w = pz * (1 - pz)
+        s00, s01, s11 = w.sum(), (w * x).sum(), (w * x * x).sum()
+        g0, g1 = (y - pz).sum(), ((y - pz) * x).sum()
+        s00, s01, s11, g0, g1 = (r4(v + 1e-9) for v in (s00, s01, s11, g0, g1))
+        det = s00 * s11 - s01 * s01
+        b0 = round(b0 + (s11 * g0 - s01 * g1) / det + 1e-15, 12)
+        b1 = round(b1 + (s00 * g1 - s01 * g0) / det + 1e-15, 12)
+        assert abs(got[it].beta0 - b0) < 1e-5, (it, got[it].beta0, b0)
+        assert abs(got[it].beta1 - b1) < 1e-5, (it, got[it].beta1, b1)
+    # converged near the truth (coarse: n=400)
+    assert abs(b1 - true_b1) < 0.5
+    # log-likelihood is monotone nondecreasing across Newton iterations here
+    lls = [got[i].avg_loglik for i in range(1, 5)]
+    assert all(lls[i + 1] >= lls[i] - 1e-9 for i in range(3))
+
+
+def test_mutual_info_scalar_reference(spark):
+    # independent feature -> MI 0; deterministic feature -> MI = H(Y)
+    rows = []
+    for i in range(200):
+        et = "purchase" if i % 2 == 0 else "view"
+        # value in [0,50) iff purchase -> f_vbin fully determines y
+        rows.append((i, "2024-01-01 00:00:00", i, et, 10.0 if et == "purchase" else 60.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.feature: r.mi_nats for r in mutual_info(df).collect()}
+    h_y = math.log(2)  # balanced binary label
+    assert abs(out["f_vbin"] - h_y) < 1e-6
+    # all events at the same hour: feature is constant -> MI 0
+    assert abs(out["f_hod"]) < 1e-9
+
+
+def test_calibration_bins_and_brier(spark):
+    xs = np.linspace(-4, 4, 500)
+    ys = (xs > 0).astype(float)
+    out = calibration(_xy_df(spark, xs, ys)).collect()
+    assert sum(r.n for r in out) == 500
+    assert all(0 <= r.bin <= 9 for r in out)
+    for r in out:
+        # mean_pred sits inside its bin's score range
+        assert r.bin / 10 - 1e-6 <= r.mean_pred <= (r.bin + 1) / 10 + 1e-6
+        assert 0.0 <= r.brier <= 1.0
+    # monotone score => frac_pos nondecreasing with bin
+    fr = [r.frac_pos for r in sorted(out, key=lambda r: r.bin)]
+    assert all(fr[i + 1] >= fr[i] - 1e-9 for i in range(len(fr) - 1))

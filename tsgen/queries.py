@@ -190,6 +190,7 @@ def _ensure_populated() -> None:
         queries_experiments,
         queries_forecast2,
         queries_misc,
+        queries_ml2,
         queries_mlprep,
         queries_paths,
         queries_pipeline,

@@ -1,0 +1,306 @@
+"""Distributed model-fitting and model-diagnostic operators (LLM-pipeline
+mandate, part 4 — "train a simple model ON the cluster, not beside it"):
+
+- ev_logreg: logistic regression fit by IRLS / Newton-Raphson. Each
+  iteration is ONE partial-aggregated pass over the data computing the
+  five sufficient statistics of the 2-parameter Newton step
+  (sum w, sum w*x, sum w*x^2, sum (y-p), sum (y-p)*x); the 2x2 normal
+  system is solved in closed form. This is exactly how spark.ml fits
+  GLMs at scale: constant-size driver state, O(iterations) data passes,
+  nothing but a map-side-combined agg per pass. Emits one row per
+  iteration with the updated coefficients and average log-likelihood.
+- ev_mutual_info: mutual information I(X;Y) between binned features
+  (hour-of-day, day-of-week, fixed-width value bucket) and the binary
+  purchase label — the standard filter-style feature-relevance screen
+  run before training. Joint/marginal counts are exact integers, so the
+  MI sum is reproducible bit-for-bit across engines.
+- ev_calibration: reliability-diagram bins + per-bin Brier score for a
+  fixed scoring rule (a frozen logistic score over the standardized
+  value) — the calibration audit you run on any quality-classifier
+  score before thresholding it into a data filter.
+
+Exact cross-engine replay (the sharp-edge ledger, NEXT.md):
+- The IRLS recursion rounds its INPUTS: the five sufficient statistics
+  are rounded to 4dp (engine fp-association drift on a 1e5-row sum is
+  ~1e-8, four orders below the boundary), and the updated betas to 12dp
+  with the +1e-15 nudge (ts_pacf idiom). From identical rounded inputs
+  both engines run the identical closed-form arithmetic, so the betas
+  are bit-equal and drift cannot compound across iterations.
+- x is standardized with mean/std rounded to 6dp FIRST, so every row's
+  x is the same double on both engines ((v-m)/s is exact IEEE given
+  identical m, s); only exp/ln ulps differ, absorbed by the 4dp/6dp
+  aggregate rounding.
+
+Scale notes (100 TB):
+- ev_logreg: per iteration one agg to a 1-row state (partial agg =>
+  5 doubles per partition cross the wire) + one agg for the ll
+  diagnostic; the 1-row beta is broadcast back. No shuffle of data
+  rows at any point, no driver collect of anything data-sized. The
+  eager 1-row localCheckpoint pins each iteration's state so lineage
+  (and scan count) stays linear in iterations.
+- ev_mutual_info: ONE data-sized groupBy to <=96 (feat,bin,y) cells
+  (stack() triples rows map-side, pre-shuffle); everything after runs
+  on broadcast-sized tables.
+- ev_calibration: one groupBy over 10 bins; the scoring rule is a pure
+  projection (pushdown-safe).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import _REGISTRY, Query, round6, roundn
+from .queries_analytics import _t
+
+LOGREG_ITERS = 4
+CAL_A, CAL_B = -1.5, 1.0
+
+
+# --- shared: standardized value + purchase label ---------------------------
+def _xy_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x, y): x = (value - mean)/std with mean/std rounded to 6dp (both
+    engines see the identical double), y = 1.0 for purchase events."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.agg(
+        (F.round(F.avg("value") + F.lit(1e-9), 6) + F.lit(0.0)).alias("m"),
+        (
+            F.round(
+                F.sqrt(F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value"))
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("s"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            ((F.col("value") - F.col("m")) / F.col("s")).alias("x"),
+            F.when(F.col("event_type") == "purchase", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        )
+    )
+
+
+_XY_SQL = """
+stats AS (
+  SELECT (round(avg(value) + 1.0e-9, 6) + 0.0e0) AS m,
+         (round(sqrt(avg(value * value) - avg(value) * avg(value)) + 1.0e-9, 6) + 0.0e0) AS s
+  FROM events),
+base AS MATERIALIZED (
+  SELECT (value - m) / s AS x,
+         CASE WHEN event_type = 'purchase' THEN 1.0e0 ELSE 0.0e0 END AS y
+  FROM events CROSS JOIN stats)"""
+
+
+# --- ev_logreg -------------------------------------------------------------
+def logreg_irls(base: DataFrame, iters: int = LOGREG_ITERS) -> DataFrame:
+    """IRLS over (x, y) starting from beta = (0, 0). Returns one row per
+    iteration: iter, beta0, beta1 (6dp display of the 12dp state),
+    avg_loglik after the update, n."""
+    spark = base.sparkSession
+    beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
+    out = None
+    for it in range(1, iters + 1):
+        z = F.col("b0") + F.col("b1") * F.col("x")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (F.lit(1.0) - p)
+        aggs = (
+            base.crossJoin(F.broadcast(beta))
+            .agg(
+                F.sum(w).alias("s00"),
+                F.sum(w * F.col("x")).alias("s01"),
+                F.sum(w * F.col("x") * F.col("x")).alias("s11"),
+                F.sum(F.col("y") - p).alias("g0"),
+                F.sum((F.col("y") - p) * F.col("x")).alias("g1"),
+                F.first("b0").alias("b0"),
+                F.first("b1").alias("b1"),
+            )
+        )
+        aggs = roundn(aggs, 4, "s00", "s01", "s11", "g0", "g1")
+        solved = aggs.withColumn(
+            "det", F.col("s00") * F.col("s11") - F.col("s01") * F.col("s01")
+        )
+        beta = solved.select(
+            F.round(
+                F.col("b0")
+                + (F.col("s11") * F.col("g0") - F.col("s01") * F.col("g1")) / F.col("det")
+                + F.lit(1.0e-15),
+                12,
+            ).alias("b0"),
+            F.round(
+                F.col("b1")
+                + (F.col("s00") * F.col("g1") - F.col("s01") * F.col("g0")) / F.col("det")
+                + F.lit(1.0e-15),
+                12,
+            ).alias("b1"),
+        ).localCheckpoint(eager=True)
+        zn = F.col("b0") + F.col("b1") * F.col("x")
+        pn = F.lit(1.0) / (F.lit(1.0) + F.exp(-zn))
+        row = (
+            base.crossJoin(F.broadcast(beta))
+            .agg(
+                F.first("b0").alias("beta0"),
+                F.first("b1").alias("beta1"),
+                F.avg(
+                    F.col("y") * F.log(pn) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pn)
+                ).alias("avg_loglik"),
+                F.count("*").alias("n"),
+            )
+            .select(F.lit(it).cast("bigint").alias("iter"), "beta0", "beta1", "avg_loglik", "n")
+        )
+        out = row if out is None else out.unionByName(row)
+    return round6(out, "beta0", "beta1", "avg_loglik")
+
+
+def _q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return logreg_irls(_xy_base(spark, sf_dir))
+
+
+def _logreg_sql(iters: int = LOGREG_ITERS) -> str:
+    parts = [
+        "WITH " + _XY_SQL.strip() + ",\nbeta0_ AS (SELECT 0.0e0 AS b0, 0.0e0 AS b1)"
+    ]
+    for k in range(1, iters + 1):
+        prev = f"beta{k - 1}_"
+        parts.append(f""",
+agg{k} AS (
+  SELECT (round(sum(p * (1.0e0 - p)) + 1.0e-9, 4) + 0.0e0) AS s00,
+         (round(sum(p * (1.0e0 - p) * x) + 1.0e-9, 4) + 0.0e0) AS s01,
+         (round(sum(p * (1.0e0 - p) * x * x) + 1.0e-9, 4) + 0.0e0) AS s11,
+         (round(sum(y - p) + 1.0e-9, 4) + 0.0e0) AS g0,
+         (round(sum((y - p) * x) + 1.0e-9, 4) + 0.0e0) AS g1,
+         any_value(b0) AS b0, any_value(b1) AS b1
+  FROM (SELECT x, y, b0, b1,
+               1.0e0 / (1.0e0 + exp(-(b0 + b1 * x))) AS p
+        FROM base CROSS JOIN {prev})),
+beta{k}_ AS MATERIALIZED (
+  SELECT round(b0 + (s11 * g0 - s01 * g1) / det + 1.0e-15, 12) AS b0,
+         round(b1 + (s00 * g1 - s01 * g0) / det + 1.0e-15, 12) AS b1
+  FROM (SELECT *, s00 * s11 - s01 * s01 AS det FROM agg{k})),
+ll{k} AS (
+  SELECT CAST({k} AS BIGINT) AS iter,
+         (round(any_value(b0) + 1.0e-9, 6) + 0.0e0) AS beta0,
+         (round(any_value(b1) + 1.0e-9, 6) + 0.0e0) AS beta1,
+         (round(avg(y * ln(p) + (1.0e0 - y) * ln(1.0e0 - p)) + 1.0e-9, 6) + 0.0e0)
+           AS avg_loglik,
+         count(*) AS n
+  FROM (SELECT x, y, b0, b1,
+               1.0e0 / (1.0e0 + exp(-(b0 + b1 * x))) AS p
+        FROM base CROSS JOIN beta{k}_))""")
+    emits = "\nUNION ALL\n".join(f"SELECT * FROM ll{k}" for k in range(1, iters + 1))
+    return "".join(parts) + "\n" + emits
+
+
+# --- ev_mutual_info --------------------------------------------------------
+def mutual_info(ev: DataFrame) -> DataFrame:
+    """I(X;Y) in nats per binned feature vs the purchase label, from exact
+    joint counts. One data-sized groupBy; the rest is broadcast-sized."""
+    stacked = ev.select(
+        F.expr(
+            "stack(3, 'f_hod', CAST(floor(unix_timestamp(ts) / 3600) % 24 AS BIGINT),"
+            " 'f_dow', CAST((floor(unix_timestamp(ts) / 86400) + 4) % 7 AS BIGINT),"
+            " 'f_vbin', least(CAST(floor(value / 50.0) AS BIGINT), CAST(7 AS BIGINT)))"
+            " AS (feat, bin)"
+        ),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("y"),
+    )
+    joint = stacked.groupBy("feat", "bin", "y").agg(F.count("*").alias("c"))
+    marg_x = joint.groupBy("feat", "bin").agg(F.sum("c").alias("cx"))
+    marg_y = joint.groupBy("feat", "y").agg(F.sum("c").alias("cy"))
+    tot = joint.groupBy("feat").agg(F.sum("c").alias("n"))
+    cells = (
+        joint.join(F.broadcast(marg_x), ["feat", "bin"])
+        .join(F.broadcast(marg_y), ["feat", "y"])
+        .join(F.broadcast(tot), "feat")
+        .withColumn(
+            "term",
+            (F.col("c").cast("double") / F.col("n"))
+            * F.log(
+                F.col("c").cast("double") * F.col("n")
+                / (F.col("cx").cast("double") * F.col("cy"))
+            ),
+        )
+    )
+    out = cells.groupBy("feat").agg(
+        F.sum("term").alias("mi_nats"), F.count("*").alias("n_cells")
+    )
+    return round6(out.select(F.col("feat").alias("feature"), "mi_nats", "n_cells"), "mi_nats")
+
+
+def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mutual_info(_t(spark, sf_dir, "events"))
+
+
+_MI_SQL = """
+WITH stacked AS (
+  SELECT feat, bin,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM events, (VALUES ('f_hod'), ('f_dow'), ('f_vbin')) AS feats(feat),
+  LATERAL (SELECT CASE feat
+      WHEN 'f_hod' THEN CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 24
+      WHEN 'f_dow' THEN (CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 4) % 7
+      ELSE least(CAST(floor(value / 50.0e0) AS BIGINT), CAST(7 AS BIGINT)) END AS bin)),
+joint AS (SELECT feat, bin, y, count(*) AS c FROM stacked GROUP BY feat, bin, y),
+marg_x AS (SELECT feat, bin, sum(c) AS cx FROM joint GROUP BY feat, bin),
+marg_y AS (SELECT feat, y, sum(c) AS cy FROM joint GROUP BY feat, y),
+tot AS (SELECT feat, sum(c) AS n FROM joint GROUP BY feat)
+SELECT j.feat AS feature,
+       (round(sum((CAST(j.c AS DOUBLE) / t.n)
+                  * ln(CAST(j.c AS DOUBLE) * t.n
+                       / (CAST(mx.cx AS DOUBLE) * my.cy))) + 1.0e-9, 6) + 0.0e0)
+         AS mi_nats,
+       count(*) AS n_cells
+FROM joint j
+JOIN marg_x mx ON j.feat = mx.feat AND j.bin = mx.bin
+JOIN marg_y my ON j.feat = my.feat AND j.y = my.y
+JOIN tot t ON j.feat = t.feat
+GROUP BY j.feat
+"""
+
+
+# --- ev_calibration --------------------------------------------------------
+def calibration(base: DataFrame, a: float = CAL_A, b: float = CAL_B) -> DataFrame:
+    """Reliability bins for the frozen score sigmoid(a + b*x): per decile
+    bin of the score, (n, mean_pred, frac_pos, brier). The score is
+    rounded to 6dp BEFORE binning so engine exp() ulps cannot flip a
+    bin edge."""
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(a) + F.lit(b) * F.col("x"))))
+    scored = base.withColumn("p", F.round(p + F.lit(1e-9), 6) + F.lit(0.0)).withColumn(
+        "bin", F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("bigint")
+    )
+    out = scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("p").alias("mean_pred"),
+        F.avg("y").alias("frac_pos"),
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("brier"),
+    )
+    return round6(out, "mean_pred", "frac_pos", "brier")
+
+
+def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calibration(_xy_base(spark, sf_dir))
+
+
+def _cal_sql(a: float = CAL_A, b: float = CAL_B) -> str:
+    return f"""
+WITH {_XY_SQL.strip()},
+scored AS (
+  SELECT y,
+         (round(1.0e0 / (1.0e0 + exp(-({a:.1f}e0 + {b:.1f}e0 * x))) + 1.0e-9, 6) + 0.0e0) AS p
+  FROM base)
+SELECT least(CAST(floor(p * 10) AS BIGINT), CAST(9 AS BIGINT)) AS bin,
+       count(*) AS n,
+       (round(avg(p) + 1.0e-9, 6) + 0.0e0) AS mean_pred,
+       (round(avg(y) + 1.0e-9, 6) + 0.0e0) AS frac_pos,
+       (round(avg((p - y) * (p - y)) + 1.0e-9, 6) + 0.0e0) AS brier
+FROM scored
+GROUP BY 1
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_logreg": Query("ev_logreg", _q_logreg, _logreg_sql(), ("ml", "iterative")),
+        "ev_mutual_info": Query("ev_mutual_info", _q_mutual_info, _MI_SQL, ("ml",)),
+        "ev_calibration": Query("ev_calibration", _q_calibration, _cal_sql(), ("ml",)),
+    }
+)
