@@ -1,0 +1,91 @@
+"""Tests: prefix-filtered similarity join exactness vs brute force;
+incremental materialized-view merge == full recompute."""
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from tsgen.dedup import prefix_jaccard
+from tsgen.queries_warehouse2 import mview_merge
+
+
+def _shingle_set(text, k=3):
+    toks = text.split(" ")
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30)))))
+    # planted near-dups: copy with a small edit
+    for j, (i, t) in enumerate(docs[:6]):
+        toks = t.split(" ")
+        toks[len(toks) // 2] = "edited"
+        docs.append((100 + j, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jac)
+        for r in prefix_jaccard(df, threshold=0.5).collect()
+    }
+
+    sets = {i: _shingle_set(t) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= 0.5:
+            want[(a, b)] = inter
+    # EXACTNESS: prefix filtering loses nothing and adds nothing
+    assert set(got) == set(want)
+    for k, n in want.items():
+        assert got[k][0] == n
+    # the planted near-dups are found
+    assert all((i, 100 + j) in got for j, (i, _) in enumerate(docs[:6]) if i != 100 + j)
+
+
+def test_mview_merge_equals_full_recompute(spark):
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            f"2024-01-{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:00:00",
+            i % 7,
+            rng.choice(["view", "purchase"]),
+            round(rng.uniform(0, 100), 2),
+            "{}",
+        )
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    merged = {
+        (r.event_type, r.day): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in mview_merge(ev, cutoff="2024-01-15 00:00:00").collect()
+    }
+    direct = {
+        (r.event_type, r.day): (r.n, round(r.s, 4), r.mn, r.mx)
+        for r in ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for k, (n, s, mn, mx) in direct.items():
+        gn, gs, gmn, gmx = merged[k]
+        assert gn == n and gmn == mn and gmx == mx
+        assert abs(gs - s) < 1e-3

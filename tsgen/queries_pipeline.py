@@ -116,6 +116,10 @@ def _q_jaccard(spark, sf_dir):
     return round6(out, "jaccard")
 
 
+def _q_prefix_jaccard(spark, sf_dir):
+    return round6(dedup.prefix_jaccard(_docs(spark, sf_dir)), "jac")
+
+
 def _q_containment(spark, sf_dir):
     out = dedup.jaccard_pairs(
         _docs(spark, sf_dir), ["lang", "source"], threshold=0.01, containment=True
@@ -673,6 +677,9 @@ _REGISTRY.update(
         ),
         "ngram_jaccard": Query(
             "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)
+        ),
+        "doc_prefix_jaccard": Query(
+            "doc_prefix_jaccard", _q_prefix_jaccard, dedup.prefix_jaccard_sql(), ("dedup",)
         ),
         "jaccard_containment": Query(
             "jaccard_containment",

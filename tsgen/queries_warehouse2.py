@@ -643,8 +643,73 @@ FROM m
 """
 
 
+# --- incremental materialized-view maintenance ------------------------------
+MV_CUTOFF = "2024-01-20 00:00:00"
+
+
+def mview_merge(ev: DataFrame, cutoff: str = MV_CUTOFF) -> DataFrame:
+    """Incremental materialized-view refresh for a daily-by-type rollup:
+    the stored view state (partial aggregates over history before `cutoff`)
+    is merged with the same aggregates over only the new delta batch.
+    count/sum/min/max are distributive, so merge = re-aggregate over STATE
+    ROWS, never over base raw rows; avg is derived from (sum, count) at
+    read time. This is the algebra every incremental-refresh engine
+    (Delta/Iceberg MV, Materialize) relies on — at 100 TB the refresh cost
+    is O(|delta| + |view|) instead of a full recompute, and the oracle
+    (full recompute) proves the merge is exact.
+
+    Scale shape: base state is pinned with a lazy localCheckpoint (stands
+    in for the stored MV table); the delta agg shuffles only delta rows;
+    the merge groupBy runs over ~|groups| rows on both sides."""
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    cut = F.lit(cutoff).cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day).agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = state(ev.filter(F.col("ts") < cut)).localCheckpoint(eager=False)
+    delta = state(ev.filter(F.col("ts") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
+    )
+    return round6(roundn(merged, 4, "sum_value"), "avg_value")
+
+
+def _q_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mview_merge(_events(spark, sf_dir))
+
+
+# Oracle: the DIRECT full recompute — passing proves merged state == truth.
+_MVIEW_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       (round(sum(value) + 1.0e-9, 4) + 0.0e0) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       (round(sum(value) / count(*) + 1.0e-9, 6) + 0.0e0) AS avg_value
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
 _REGISTRY.update(
     {
+        "ev_mview_merge": Query(
+            "ev_mview_merge", _q_mview, _MVIEW_SQL, ("warehouse",)
+        ),
         "ev_merge_upsert": Query(
             "ev_merge_upsert", _q_merge_upsert, _MERGE_SQL, ("warehouse",)
         ),
