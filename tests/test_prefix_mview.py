@@ -89,3 +89,29 @@ def test_mview_merge_equals_full_recompute(spark):
         gn, gs, gmn, gmx = merged[k]
         assert gn == n and gmn == mn and gmx == mx
         assert abs(gs - s) < 1e-3
+
+
+def test_adamic_adar_scalar_reference(spark):
+    import math
+
+    from tsgen.queries_experiments import adamic_adar
+
+    # users 0,5,10,15 in the sample (mod 5); 3 shared "days" via event_type
+    rows = []
+    eid = 0
+    for day in ["01", "02", "03"]:
+        for u in [0, 5, 10]:  # item (view, day) has degree 3
+            rows.append((eid, f"2024-01-{day} 10:00:00", u, "view", 1.0, "{}"))
+            eid += 1
+    rows.append((eid, "2024-01-01 11:00:00", 15, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.u, r.v): (r.n_shared, r.aa_score) for r in adamic_adar(ev).collect()}
+    want = round(3.0 / math.log(3.0) + 1e-9, 6)  # 3 shared items, each deg 3
+    assert out[(0, 5)] == (3, want)
+    assert out[(0, 10)] == (3, want)
+    assert out[(5, 10)] == (3, want)
+    # user 15's lone click item has degree 1 -> no pairs involving 15
+    assert all(15 not in k for k in out)

@@ -951,3 +951,92 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- Adamic-Adar link prediction -------------------------------------------
+AA_USER_MOD = 5        # deterministic 20% user sample (user_id % 5 == 0)
+AA_DEG_CAP = 1000      # scale guard: items hotter than this are dropped
+AA_TOPK = 50
+
+
+def adamic_adar(ev: DataFrame, topk: int = AA_TOPK) -> DataFrame:
+    """Adamic-Adar link prediction over the user / (event_type, day)
+    co-occurrence bipartite graph: AA(u,v) = sum over shared items z of
+    1/ln(deg z) (Adamic & Adar 2003) — the classic "who should be
+    connected" score where rare shared contexts count more.
+
+    Scale shape: the pair generator is an equi-join on the item key, so
+    cost is sum(deg^2) over items — the same hot-key hazard as the shingle
+    join, handled the same two ways: (a) a deterministic user sample
+    (user_id % 5 == 0, pure projection, mirrored in the oracle) bounds
+    deg; (b) items hotter than AA_DEG_CAP are dropped entirely — their
+    per-pair weight 1/ln(deg) is the smallest anyway, the bipartite
+    version of the df-cap. Output is top-k by 6dp-rounded score
+    (TakeOrderedAndProject — no global sort), ties broken on (u, v)."""
+    links = (
+        ev.filter(F.col("user_id") % AA_USER_MOD == 0)
+        .select(
+            "user_id",
+            F.concat_ws(
+                "|", "event_type", F.date_format("ts", "yyyy-MM-dd")
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    deg = (
+        links.groupBy("item")
+        .agg(F.count("*").alias("dz"))
+        .filter((F.col("dz") >= 2) & (F.col("dz") <= AA_DEG_CAP))
+    )
+    l = links.join(deg, "item")
+    a = l.select(F.col("user_id").alias("u"), "item", "dz")
+    b = l.select(F.col("user_id").alias("v"), "item")
+    pairs = a.join(b, "item").filter(F.col("u") < F.col("v"))
+    aa = pairs.groupBy("u", "v").agg(
+        F.sum(F.lit(1.0) / F.log(F.col("dz").cast("double"))).alias("aa_raw"),
+        F.count("*").alias("n_shared"),
+    )
+    scored = aa.withColumn(
+        "aa_score", F.round(F.col("aa_raw") + F.lit(1e-9), 6) + F.lit(0.0)
+    )
+    return (
+        scored.orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
+        .limit(topk)
+        .select("u", "v", "n_shared", "aa_score")
+    )
+
+
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return adamic_adar(_events(spark, sf_dir))
+
+
+def _aa_sql(topk: int = AA_TOPK) -> str:
+    return f"""
+WITH links AS (
+  SELECT DISTINCT user_id,
+         concat_ws('|', event_type, strftime(ts, '%Y-%m-%d')) AS item
+  FROM events WHERE user_id % {AA_USER_MOD} = 0),
+deg AS (
+  SELECT item, count(*) AS dz FROM links GROUP BY item
+  HAVING count(*) >= 2 AND count(*) <= {AA_DEG_CAP}),
+pairs AS (
+  SELECT a.user_id AS u, b.user_id AS v, d.dz
+  FROM links a JOIN deg d ON a.item = d.item
+  JOIN links b ON b.item = a.item AND a.user_id < b.user_id),
+aa AS (
+  SELECT u, v, count(*) AS n_shared,
+         (round(sum(1.0e0 / ln(CAST(dz AS DOUBLE))) + 1.0e-9, 6) + 0.0e0)
+           AS aa_score
+  FROM pairs GROUP BY u, v)
+SELECT u, v, n_shared, aa_score
+FROM aa ORDER BY aa_score DESC, u, v LIMIT {topk}
+"""
+
+
+_REGISTRY.update(
+    {
+        "graph_adamic_adar": Query(
+            "graph_adamic_adar", _q_adamic_adar, _aa_sql(), ("graph",)
+        ),
+    }
+)

@@ -656,3 +656,53 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- streaming incremental materialized view --------------------------------
+def _q_stream_mview(spark, sf_dir):
+    """Streaming twin of ev_mview_merge: the delta side of the incremental
+    rollup is computed by Structured Streaming (watermarked 1-day tumbling
+    window over the replayed event stream, counts/sums/min/max — all
+    mergeable), then merged with the stored batch state via the identical
+    distributive-aggregate algebra. The oracle is the full batch recompute,
+    proving stream-delta + stored-state == truth — the Lambda-architecture
+    equivalence check."""
+    from .queries_warehouse2 import MV_CUTOFF, mv_combine, mv_state
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = F.lit(MV_CUTOFF).cast("timestamp")
+    base = mv_state(ev.filter(F.col("ts") < cut)).localCheckpoint(eager=False)
+
+    s = streaming.events_stream(spark, sf_dir)
+    delta_stream = (
+        s.filter(F.col("ts") >= cut)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+    delta = streaming.run_to_completion(delta_stream)
+    return mv_combine(base, delta)
+
+
+from .queries_warehouse2 import _MVIEW_SQL as _STREAM_MVIEW_SQL  # noqa: E402
+
+_REGISTRY.update(
+    {
+        "stream_mview": Query(
+            "stream_mview", _q_stream_mview, _STREAM_MVIEW_SQL, ("streaming",)
+        ),
+    }
+)

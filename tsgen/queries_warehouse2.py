@@ -661,19 +661,27 @@ def mview_merge(ev: DataFrame, cutoff: str = MV_CUTOFF) -> DataFrame:
     Scale shape: base state is pinned with a lazy localCheckpoint (stands
     in for the stored MV table); the delta agg shuffles only delta rows;
     the merge groupBy runs over ~|groups| rows on both sides."""
-    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
     cut = F.lit(cutoff).cast("timestamp")
+    base = mv_state(ev.filter(F.col("ts") < cut)).localCheckpoint(eager=False)
+    delta = mv_state(ev.filter(F.col("ts") >= cut))
+    return mv_combine(base, delta)
 
-    def state(df: DataFrame) -> DataFrame:
-        return df.groupBy("event_type", day).agg(
-            F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
 
-    base = state(ev.filter(F.col("ts") < cut)).localCheckpoint(eager=False)
-    delta = state(ev.filter(F.col("ts") >= cut))
+def mv_state(df: DataFrame) -> DataFrame:
+    """Partial-aggregate state of the daily-by-type rollup (distributive
+    aggregates only — mergeable by construction)."""
+    return df.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def mv_combine(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two state tables; derive avg at read time."""
     merged = (
         base.unionByName(delta)
         .groupBy("event_type", "day")
