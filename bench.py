@@ -158,6 +158,15 @@ def main() -> None:
         "ev_psi_drift",
         "doc_feature_hash",
         "ev_time_travel",
+        # round-3 continuation batch 5: distributed model fitting +
+        # diagnostics, prefix-filtered exact similarity join, incremental
+        # view maintenance, bipartite link prediction
+        "ev_logreg",
+        "ev_mutual_info",
+        "ev_calibration",
+        "doc_prefix_jaccard",
+        "ev_mview_merge",
+        "graph_adamic_adar",
     ]
     reg = registry()
     for name in suite:
