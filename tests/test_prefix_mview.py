@@ -115,3 +115,68 @@ def test_adamic_adar_scalar_reference(spark):
     assert out[(5, 10)] == (3, want)
     # user 15's lone click item has degree 1 -> no pairs involving 15
     assert all(15 not in k for k in out)
+
+
+def test_markov_attribution_scalar_reference(spark):
+    from tsgen.queries_experiments import markov_attribution
+
+    # A: view->purchase, B: view->(null), C: click->purchase
+    # chain: start->{view 2/3, click 1/3}; view->{conv .5, null .5}; click->conv 1
+    # p0 = 2/3; removing view or click each leaves p = 1/3 -> effects .5/.5
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (1, "2024-01-01 11:00:00", 1, "purchase", 1.0, "{}"),
+        (2, "2024-01-02 10:00:00", 2, "view", 1.0, "{}"),
+        (3, "2024-01-03 10:00:00", 3, "click", 1.0, "{}"),
+        (4, "2024-01-03 11:00:00", 3, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.channel: r for r in markov_attribution(ev).collect()}
+    assert abs(out["view"].p_conv - 2 / 3) < 1e-6
+    assert abs(out["view"].removal_effect - 0.5) < 1e-6
+    assert abs(out["click"].removal_effect - 0.5) < 1e-6
+    assert abs(out["view"].credit - 0.5) < 1e-6
+    assert out["error"].removal_effect == 0.0 and out["signup"].removal_effect == 0.0
+    assert abs(out["click"].p_conv_removed - 1 / 3) < 1e-6
+
+
+def test_salted_join_and_agg_match_plain(spark):
+    from tsgen.analytics import salted_agg, salted_join
+
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("x")
+    )
+    right = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(7)], "k long, grp string"
+    )
+    plain = {
+        (r.grp,): (r.n, r.s)
+        for r in left.join(right, "k")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.grp,): (r.n, r.s)
+        for r in salted_join(left, right, "k")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+    agg = {
+        r.k: (r.s, r.n)
+        for r in salted_agg(left, ["k"], {"x": "sum", "n": "count"})
+        .withColumnRenamed("x", "s")
+        .collect()
+    }
+    plain_agg = {
+        r.k: (r.s, r.n)
+        for r in left.groupBy("k")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert agg == plain_agg

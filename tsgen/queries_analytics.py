@@ -772,3 +772,71 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- explicit skew-mitigation twins (salted join / two-phase agg) -----------
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue via the EXPLICIT salted join (analytics.salted_join):
+    lineitem salted by partition id, part replicated per salt — the
+    escape hatch when a hot join key would pin one reducer and AQE has no
+    stats to see it. The oracle is the plain join: salting must be
+    result-invariant, which is exactly what this row certifies."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = analytics.salted_join(li, pt, "p_partkey")
+    out = j.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"), F.sum("rev").alias("revenue")
+    )
+    from .queries import roundn
+
+    return roundn(out, 4, "revenue")
+
+
+_SALTED_JOIN_SQL = """
+SELECT p.p_brand, count(*) AS n_items,
+       (round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1.0e-9, 4) + 0.0e0)
+         AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation over the 5-hot-key event_type column
+    — phase 1 spreads each hot key over n_salts reducers, phase 2 merges
+    the algebraic partials. Oracle = plain groupBy: the decomposition must
+    be exact for sum/count/min/max."""
+    ev = _events(spark, sf_dir)
+    out = analytics.salted_agg(
+        ev.select("event_type", "value"), ["event_type"], {"value": "sum"}
+    )
+    n = analytics.salted_agg(
+        ev.select("event_type"), ["event_type"], {"n_events": "count"}
+    )
+    from .queries import roundn
+
+    return roundn(out.join(n, "event_type"), 4, "value").withColumnRenamed(
+        "value", "sum_value"
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT event_type,
+       (round(sum(value) + 1.0e-9, 4) + 0.0e0) AS sum_value,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+_REGISTRY.update(
+    {
+        "li_salted_join": Query(
+            "li_salted_join", _q_salted_join, _SALTED_JOIN_SQL, ("join", "skew")
+        ),
+        "ev_salted_agg": Query(
+            "ev_salted_agg", _q_salted_agg, _SALTED_AGG_SQL, ("agg", "skew")
+        ),
+    }
+)

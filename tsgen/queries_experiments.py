@@ -1040,3 +1040,206 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- Markov-chain attribution (removal effects) -----------------------------
+MK_STATES = ("start", "click", "error", "signup", "view", "conv", "null")
+MK_CHANNELS = ("click", "error", "signup", "view")
+MK_ITERS = 64
+
+
+def markov_attribution(ev: DataFrame) -> DataFrame:
+    """First-order Markov-chain attribution with removal effects (Anderl et
+    al. 2016): user journeys (events up to the FIRST purchase, mapped
+    purchase->conv, non-converters terminated ->null) define a transition
+    matrix; a channel's credit is its REMOVAL EFFECT — how much the
+    absorption probability into conv drops when transitions into that
+    channel are redirected to null — normalized across channels. Unlike
+    the positional rules (last-touch / linear / U / time-decay, all
+    implemented alongside), this credits channels by counterfactual
+    contribution.
+
+    Scale shape: ONE data-sized window (per-user order) + one groupBy to
+    the <=42-cell transition-count table; the absorbing-chain solve runs
+    on the collected 7x7 matrix — constant-size driver state, the logreg
+    pattern. Absorption is computed by {MK_ITERS} fixed power iterations
+    with a strict sequential-fold summation, replayed bit-for-bit by the
+    oracle's LIST-state recursive CTE (list_reduce left fold = the Python
+    accumulation loop)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("st"),
+    ).withColumn("rn", F.row_number().over(w))
+    pn = (
+        src.filter(F.col("st") == "conv")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("pn"))
+    )
+    kept = src.join(pn, "user_id", "left").filter(
+        F.col("pn").isNull() | (F.col("rn") <= F.col("pn"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    hops = kept.select(
+        F.coalesce(F.lag("st").over(w2), F.lit("start")).alias("f"),
+        F.col("st").alias("t"),
+    )
+    w2d = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    tails = (
+        kept.filter(F.col("pn").isNull())
+        .withColumn("rx", F.row_number().over(w2d))
+        .filter(F.col("rx") == 1)
+        .select(F.col("st").alias("f"), F.lit("null").alias("t"))
+    )
+    cnt = hops.unionByName(tails).groupBy("f", "t").agg(F.count("*").alias("c"))
+
+    rows = cnt.collect()  # <=42 cells — constant-size driver state
+    idx = {s: i for i, s in enumerate(MK_STATES)}
+    ct: dict[str, int] = {}
+    for r in rows:
+        ct[r.f] = ct.get(r.f, 0) + r.c
+    M = [[0.0] * 7 for _ in range(7)]
+    M[5][5] = 1.0
+    M[6][6] = 1.0
+    for r in rows:
+        M[idx[r.f]][idx[r.t]] = r.c / ct[r.f]
+
+    def removed(mat, c0):
+        out = [[0.0] * 7 for _ in range(7)]
+        for j in range(7):
+            for i in range(7):
+                if i == c0:
+                    out[j][i] = 0.0
+                elif i == 6:
+                    out[j][i] = mat[j][6] + mat[j][c0]
+                else:
+                    out[j][i] = mat[j][i]
+        return out
+
+    def absorb(mat):
+        v = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        for _ in range(MK_ITERS):
+            nv = []
+            for i in range(7):
+                s = 0.0
+                for j in range(7):
+                    s = s + v[j] * mat[j][i]
+                nv.append(s)
+            v = nv
+        return v[5]
+
+    p0 = absorb(M)
+    eff = [1.0 - absorb(removed(M, idx[c])) / p0 for c in MK_CHANNELS]
+    d = eff[0] + eff[1] + eff[2] + eff[3]
+    out_rows = [
+        (c, p0, p0 * (1.0 - eff[i]), eff[i], eff[i] / d)
+        for i, c in enumerate(MK_CHANNELS)
+    ]
+    spark = ev.sparkSession
+    df = spark.createDataFrame(
+        out_rows,
+        "channel string, p_conv double, p_conv_removed double,"
+        " removal_effect double, credit double",
+    )
+    from .queries import round6
+
+    return round6(df, "p_conv", "p_conv_removed", "removal_effect", "credit")
+
+
+def _q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_attribution(_events(spark, sf_dir))
+
+
+def _markov_sql(iters: int = MK_ITERS) -> str:
+    st_case = (
+        "CASE {col} WHEN 'start' THEN 0 WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+        "WHEN 'signup' THEN 3 WHEN 'view' THEN 4 WHEN 'conv' THEN 5 ELSE 6 END"
+    )
+    seqsum = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(0, 7), "
+        "j -> {v}[j + 1] * {m}[j * 7 + i + 1])), (a, b) -> a + b)"
+    )
+    stepv = (
+        "list_transform(range(0, 7), i -> " + seqsum + ")"
+    )
+    # removal transform of the full matrix for channel index c0
+    def rem(c0: int) -> str:
+        return (
+            f"list_transform(range(0, 49), k -> CASE WHEN k % 7 = {c0} THEN 0.0e0 "
+            f"WHEN k % 7 = 6 THEN m0[k + 1] + m0[k - 6 + {c0} + 1] "
+            "ELSE m0[k + 1] END)"
+        )
+
+    vstep = ", ".join(
+        stepv.format(v=f"rec.v{c}", m=f"mm.m{c}") for c in range(5)
+    )
+    effs = " , ".join(
+        f"(1.0e0 - v{c}[6] / v0[6]) AS r{c}" for c in range(1, 5)
+    )
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS st,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+pn AS (SELECT user_id, min(rn) AS pn FROM src WHERE st = 'conv' GROUP BY user_id),
+kept AS MATERIALIZED (
+  SELECT s.user_id, s.st, s.rn, p.pn
+  FROM src s LEFT JOIN pn p USING (user_id)
+  WHERE p.pn IS NULL OR s.rn <= p.pn),
+trans AS (
+  SELECT coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn), 'start') AS f,
+         st AS t
+  FROM kept
+  UNION ALL
+  SELECT st, 'null' FROM (
+    SELECT st, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rx
+    FROM kept WHERE pn IS NULL) WHERE rx = 1),
+cnt AS (SELECT f, t, count(*) AS c FROM trans GROUP BY f, t),
+probs AS (
+  SELECT {st_case.format(col='f')} AS fi, {st_case.format(col='t')} AS ti,
+         CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY f) AS pr
+  FROM cnt),
+dense AS (
+  SELECT r.k,
+         CASE WHEN r.k = 40 THEN 1.0e0 WHEN r.k = 48 THEN 1.0e0
+              ELSE coalesce(max(p.pr), 0.0e0) END AS pr
+  FROM range(0, 49) r(k)
+  LEFT JOIN probs p ON p.fi * 7 + p.ti = r.k
+  GROUP BY r.k),
+mbase AS MATERIALIZED (SELECT list(pr ORDER BY k) AS m0 FROM dense),
+mm AS MATERIALIZED (
+  SELECT m0, {rem(1)} AS m1, {rem(2)} AS m2, {rem(3)} AS m3, {rem(4)} AS m4
+  FROM mbase),
+rec(it, v0, v1, v2, v3, v4) AS (
+  SELECT 0, [1.0e0, 0, 0, 0, 0, 0, 0], [1.0e0, 0, 0, 0, 0, 0, 0],
+         [1.0e0, 0, 0, 0, 0, 0, 0], [1.0e0, 0, 0, 0, 0, 0, 0],
+         [1.0e0, 0, 0, 0, 0, 0, 0]
+  UNION ALL
+  SELECT rec.it + 1, {vstep}
+  FROM rec, mm WHERE rec.it < {iters}),
+fin AS (SELECT v0[6] AS p0, {effs} FROM rec WHERE it = {iters}),
+chans AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 3), ('view', 4))
+    AS t(channel, ci))
+SELECT channel,
+       (round(p0 + 1.0e-9, 6) + 0.0e0) AS p_conv,
+       (round(p0 * (1.0e0 - r) + 1.0e-9, 6) + 0.0e0) AS p_conv_removed,
+       (round(r + 1.0e-9, 6) + 0.0e0) AS removal_effect,
+       (round(r / (r1 + r2 + r3 + r4) + 1.0e-9, 6) + 0.0e0) AS credit
+FROM (
+  SELECT channel, p0, r1, r2, r3, r4,
+         CASE ci WHEN 1 THEN r1 WHEN 2 THEN r2 WHEN 3 THEN r3 ELSE r4 END AS r
+  FROM chans CROSS JOIN fin)
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_attribution_markov": Query(
+            "ev_attribution_markov", _q_markov, _markov_sql(), ("product", "graph")
+        ),
+    }
+)
