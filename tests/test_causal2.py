@@ -1,0 +1,63 @@
+"""Tests: CUPED adjustment properties; Poisson-bootstrap CI invariants."""
+import random
+
+from pyspark.sql import functions as F
+
+from tsgen.queries_causal import cuped_readout
+from tsgen.queries_scale import bootstrap_mean
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_cuped_mean_invariance_and_variance_reduction(spark):
+    # per-user level that persists pre -> post: CUPED should strip it
+    rng = random.Random(3)
+    rows = []
+    eid = 0
+    for u in range(80):
+        level = rng.uniform(0, 100)  # user effect, correlated across periods
+        for d in range(1, 11):  # pre period
+            rows.append((eid, f"2024-01-{d:02d} 12:00:00", u, "view",
+                         level + rng.uniform(-5, 5), "{}"))
+            eid += 1
+        for d in range(16, 26):  # post period
+            rows.append((eid, f"2024-01-{d:02d} 12:00:00", u, "view",
+                         level + rng.uniform(-5, 5), "{}"))
+            eid += 1
+    out = cuped_readout(_events_df(spark, rows)).collect()
+    assert len(out) == 2
+    # POOLED mean is invariant (E[X - mean(X)] = 0 over all users); per-arm
+    # means legitimately shift by -theta*(arm pre-mean - global pre-mean)
+    n = sum(r.n_users for r in out)
+    pooled_y = sum(r.mean_y * r.n_users for r in out) / n
+    pooled_adj = sum(r.mean_y_adj * r.n_users for r in out) / n
+    assert abs(pooled_y - pooled_adj) < 0.5
+    for r in out:
+        # strong pre/post correlation -> big variance reduction
+        assert r.var_reduction > 0.8
+        assert r.var_y_adj < r.var_y
+        assert 0.5 < r.theta < 1.5  # slope of a persistent level is ~1
+
+
+def test_bootstrap_ci_invariants(spark):
+    rng = random.Random(9)
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 10, "view", rng.uniform(0, 100), "{}")
+        for i in range(2000)
+    ]
+    ev = _events_df(spark, rows)
+    r = bootstrap_mean(ev).collect()[0]
+    assert r.n_reps == 100
+    assert r.ci_lo <= r.boot_mean <= r.ci_hi
+    assert r.ci_lo <= r.mean_value <= r.ci_hi  # CI covers the point estimate
+    assert r.boot_se > 0
+    # width is a few SEs, not degenerate and not huge
+    assert 2 * r.boot_se < (r.ci_hi - r.ci_lo) < 8 * r.boot_se
+    # deterministic replay: identical on a second run
+    r2 = bootstrap_mean(ev).collect()[0]
+    assert (r.boot_mean, r.ci_lo, r.ci_hi) == (r2.boot_mean, r2.ci_lo, r2.ci_hi)

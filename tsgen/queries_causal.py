@@ -278,3 +278,111 @@ _REGISTRY.update(
         "ev_did": Query("ev_did", _q_did, _DID_SQL, ("analytics",)),
     }
 )
+
+
+# --- CUPED variance reduction ----------------------------------------------
+CUPED_CUT = "2024-01-15 00:00:00"
+
+
+def cuped_readout(ev: DataFrame, cutoff: str = CUPED_CUT) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    each user's post-period metric Y is adjusted by their PRE-period
+    metric X — Y' = Y - theta*(X - mean(X)) with theta = cov(X,Y)/var(X)
+    — which strips the between-user variance the experiment can never
+    randomize away. Emits per-arm means/variances before and after
+    adjustment plus the realized variance-reduction fraction; the means
+    are unchanged by construction (E[X] cancels), which the oracle
+    certifies along with the numbers.
+
+    Scale shape: one groupBy(user) to per-user (X, Y); theta is ONE
+    4-number aggregate over that table, rounded to 6dp and broadcast back
+    (the rounded-recursion-input rule — both engines adjust with the
+    identical theta double); per-arm stats are one more partial-agged
+    groupBy. Nothing data-sized crosses the wire."""
+    cut = F.lit(cutoff).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+    )
+    mom = per_user.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+    ).select(
+        (
+            F.round(
+                (F.col("mxy") - F.col("mx") * F.col("my"))
+                / (F.col("mxx") - F.col("mx") * F.col("mx"))
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("theta"),
+        (F.round(F.col("mx") + F.lit(1e-9), 6) + F.lit(0.0)).alias("m_pre"),
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).withColumn(
+        "y_adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("m_pre"))
+    )
+    out = (
+        adj.withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.avg("y").alias("mean_y"),
+            F.avg("y_adj").alias("mean_y_adj"),
+            (F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias("var_y"),
+            (
+                F.avg(F.col("y_adj") * F.col("y_adj"))
+                - F.avg("y_adj") * F.avg("y_adj")
+            ).alias("var_y_adj"),
+            F.first("theta").alias("theta"),
+        )
+        .withColumn(
+            "var_reduction", F.lit(1.0) - F.col("var_y_adj") / F.col("var_y")
+        )
+    )
+    out = roundn(out, 4, "mean_y", "mean_y_adj")
+    out = roundn(out, 2, "var_y", "var_y_adj")
+    return roundn(out, 6, "var_reduction")
+
+
+def _q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cuped_readout(_events(spark, sf_dir))
+
+
+def _cuped_sql(cutoff: str = CUPED_CUT) -> str:
+    return f"""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '{cutoff}' THEN value ELSE 0.0e0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '{cutoff}' THEN value ELSE 0.0e0 END) AS y
+  FROM events GROUP BY user_id),
+mom AS (
+  SELECT (round((avg(x * y) - avg(x) * avg(y))
+                / (avg(x * x) - avg(x) * avg(x)) + 1.0e-9, 6) + 0.0e0) AS theta,
+         (round(avg(x) + 1.0e-9, 6) + 0.0e0) AS m_pre
+  FROM per_user),
+adj AS (
+  SELECT user_id % 2 AS arm, y,
+         y - theta * (x - m_pre) AS y_adj, theta
+  FROM per_user CROSS JOIN mom)
+SELECT arm, count(*) AS n_users,
+       (round(avg(y) + 1.0e-9, 4) + 0.0e0) AS mean_y,
+       (round(avg(y_adj) + 1.0e-9, 4) + 0.0e0) AS mean_y_adj,
+       (round(avg(y * y) - avg(y) * avg(y) + 1.0e-9, 2) + 0.0e0) AS var_y,
+       (round(avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj) + 1.0e-9, 2) + 0.0e0)
+         AS var_y_adj,
+       any_value(theta) AS theta,
+       (round(1.0e0 - (avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj))
+                    / (avg(y * y) - avg(y) * avg(y)) + 1.0e-9, 6) + 0.0e0)
+         AS var_reduction
+FROM adj GROUP BY arm
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_cuped": Query("ev_cuped", _q_cuped, _cuped_sql(), ("causal",)),
+    }
+)

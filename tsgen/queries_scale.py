@@ -160,3 +160,122 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- Poisson bootstrap ------------------------------------------------------
+BOOT_B = 100
+BOOT_SALT = 90121
+# Poisson(1) inverse-CDF thresholds: P(X <= k) for k = 0..5; draws beyond
+# 5 are clamped to 6 (P ~ 6e-4 — negligible, identical on both engines).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _pois_w(u: str) -> str:
+    """SQL CASE ladder mapping a uniform draw to a Poisson(1) weight."""
+    branches = "".join(
+        f"WHEN {u} < {E.NUM(c)} THEN {k} " for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches}ELSE 6 END)"
+
+
+def bootstrap_mean(ev: DataFrame, b: int = BOOT_B) -> DataFrame:
+    """Poisson bootstrap CI for the mean event value (Chamandy et al. 2012,
+    the only bootstrap that runs in one pass over distributed data): each
+    row gets an independent Poisson(1) weight per replica — no resampling
+    shuffle, no per-replica pass — and replica b's statistic is the
+    weighted mean. The 95% interval is the nearest-rank band over the B
+    replica means; SE is their population stddev.
+
+    Scale shape: the replica axis is a broadcast range crossJoin (rows
+    expand B-fold MAP-SIDE, pre-shuffle, the documented bootstrap cost);
+    ONE partial-agged groupBy reduces to B rows; ranking happens on the
+    B-row table. Replica means are rounded to 6dp BEFORE ranking so
+    engine fp-association drift cannot reorder the band edges. Weights
+    come from the engine-portable LCG, so the oracle replays the exact
+    resample."""
+    spark = ev.sparkSession
+    reps = F.broadcast(spark.range(b).select(F.col("id").alias("rep")))
+    key = f"((event_id * 131 + rep) % {E.M31})"
+    u = E.u01(key, BOOT_SALT)
+    w = _pois_w(u)
+    per_rep = (
+        ev.select("event_id", "value")
+        .crossJoin(reps)
+        .withColumn("w", F.expr(w).cast("double"))
+        .groupBy("rep")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m_raw")
+        )
+        .withColumn("m", F.round(F.col("m_raw") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    ranked = per_rep.withColumn(
+        "rk", F.row_number().over(Window.orderBy("m", "rep"))
+    )
+    lo_k, hi_k = 3, 98  # nearest-rank 2.5% / 97.5% for B = 100
+    point = ev.agg(
+        (F.round(F.avg("value") + F.lit(1e-9), 6) + F.lit(0.0)).alias("mean_value")
+    )
+    out = (
+        ranked.agg(
+            F.count("*").alias("n_reps"),
+            (F.round(F.avg("m") + F.lit(1e-9), 6) + F.lit(0.0)).alias("boot_mean"),
+            (
+                F.round(
+                    F.sqrt(F.avg(F.col("m") * F.col("m")) - F.avg("m") * F.avg("m"))
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("boot_se"),
+            F.max(F.when(F.col("rk") == lo_k, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == hi_k, F.col("m"))).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(point))
+    )
+    return out
+
+
+def _q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bootstrap_mean(_events(spark, sf_dir))
+
+
+def _bootstrap_sql(b: int = BOOT_B) -> str:
+    key = f"((event_id * 131 + rep) % {E.M31})"
+    u = E.u01(key, BOOT_SALT)
+    w = _pois_w(u)
+    return f"""
+WITH per_rep AS (
+  SELECT rep,
+         (round(sum(w * value) / sum(w) + 1.0e-9, 6) + 0.0e0) AS m
+  FROM (
+    SELECT r.rep, e.value, CAST({w} AS DOUBLE) AS w
+    FROM events e, range(0, {b}) r(rep))
+  GROUP BY rep),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM per_rep),
+point AS (
+  SELECT (round(avg(value) + 1.0e-9, 6) + 0.0e0) AS mean_value FROM events)
+SELECT count(*) AS n_reps,
+       (round(avg(m) + 1.0e-9, 6) + 0.0e0) AS boot_mean,
+       (round(sqrt(avg(m * m) - avg(m) * avg(m)) + 1.0e-9, 6) + 0.0e0) AS boot_se,
+       max(CASE WHEN rk = 3 THEN m END) AS ci_lo,
+       max(CASE WHEN rk = 98 THEN m END) AS ci_hi,
+       any_value(mean_value) AS mean_value
+FROM ranked CROSS JOIN point
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_bootstrap_ci": Query(
+            "ev_bootstrap_ci", _q_bootstrap, _bootstrap_sql(), ("stats", "scale")
+        ),
+    }
+)
