@@ -1054,3 +1054,44 @@ def test_k_anonymity_risk_detection(spark):
     assert r.k_anonymity == 2
     assert r.n_at_risk == 2
     assert abs(r.risk_share - 2 / 102) < 1e-9
+
+
+def test_sesd_finds_planted_spikes_in_order(spark):
+    from pyspark.sql import functions as F
+
+    from tsgen.queries_tsmining import sesd_anomalies
+
+    # 14 days x 24h of mildly varying counts, two planted spikes: the ESD
+    # removal step must find BOTH (one-shot z-tests mask the smaller one),
+    # largest first.
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        for hour in range(24):
+            n = 4 + (day + hour) % 3
+            if day == 5 and hour == 12:
+                n += 40
+            if day == 9 and hour == 3:
+                n += 25
+            for _ in range(n):
+                rows.append(
+                    (eid, f"2024-01-{day:02d} {hour:02d}:30:00", eid % 7,
+                     "view", 1.0, "{}")
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(sesd_anomalies(ev).collect(), key=lambda r: r.k)
+    assert len(out) >= 2
+    import calendar
+    import datetime as dt
+
+    def bucket(day, hour):
+        t = dt.datetime(2024, 1, day, hour, tzinfo=dt.timezone.utc)
+        return int(calendar.timegm(t.timetuple()))
+
+    assert out[0].bucket_s == bucket(5, 12)  # biggest spike first
+    assert out[1].bucket_s == bucket(9, 3)
+    assert out[0].z > out[1].z > 3.0

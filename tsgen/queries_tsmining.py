@@ -2162,3 +2162,142 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- Seasonal-Hybrid ESD anomalies -----------------------------------------
+SESD_KMAX = 10
+SESD_Z = 3.0
+
+
+def sesd_anomalies(ev: DataFrame, kmax: int = SESD_KMAX, z_thresh: float = SESD_Z) -> DataFrame:
+    """Seasonal-Hybrid ESD anomaly detection (Hochenbaum, Vallis &
+    Kejariwal 2017, Twitter's AnomalyDetection): hourly event counts per
+    type are deseasonalized by the robust hour-of-day MEDIAN profile
+    (for this profile the x - seasonal_centered - median(x) residual
+    collapses algebraically to x - hod_median), then generalized ESD runs
+    on the residuals with median/MAD in place of mean/std: repeatedly
+    locate the max |r - med|/MAD point, emit it if it exceeds the
+    threshold, REMOVE it, and recompute — removal is what lets ESD find
+    k anomalies where a one-shot z-test masks all but the largest.
+    Fixed-threshold variant (z = 3.0, the normal approximation of the
+    ESD lambda_k, documented deviation from the t-quantile form).
+
+    Exactness: counts are integers, hod-medians and MADs stay on a dyadic
+    grid, so every residual, median and z-score is bit-identical across
+    engines with NO rounding anywhere in the recursion; ties in the
+    argmax resolve to the first (earliest-hour) position on both sides.
+
+    Scale shape: raw events reduce FIRST to the (type x hour) count grid
+    (one partial-agged groupBy); the ESD loop runs per type on ~720-point
+    arrays inside applyInPandas (constant-size groups); the oracle replays
+    the identical loop in a LIST-state recursive CTE."""
+    import numpy as np
+    import pandas as pd
+
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+    schema = (
+        "event_type string, k long, bucket_s long, n_events long,"
+        " resid double, z double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        et = pdf["event_type"].iloc[0]
+        h = pdf["h"].to_numpy()
+        n = pdf["n"].to_numpy().astype(np.float64)
+        hod = h % 24
+        r = np.empty_like(n)
+        for hd in np.unique(hod):
+            m = hod == hd
+            r[m] = n[m] - np.median(n[m])
+        out = []
+        hs, ns, rs = list(h), list(n), list(r)
+        for k in range(1, kmax + 1):
+            arr = np.array(rs)
+            med = np.median(arr)
+            mad = np.median(np.abs(arr - med))
+            if mad <= 0:
+                break
+            z = np.abs(arr - med) / mad
+            i = int(np.argmax(z))
+            if not z[i] > z_thresh:
+                break
+            out.append((et, k, int(hs[i]) * 3600, int(ns[i]), float(rs[i]), float(z[i])))
+            del hs[i], ns[i], rs[i]
+        return pd.DataFrame(
+            out, columns=["event_type", "k", "bucket_s", "n_events", "resid", "z"]
+        )
+
+    res = hourly.groupBy("event_type").applyInPandas(kernel, schema)
+    return round6(res, "resid", "z")
+
+
+def _q_sesd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sesd_anomalies(_events(spark, sf_dir))
+
+
+def _sesd_sql(kmax: int = SESD_KMAX, z_thresh: float = SESD_Z) -> str:
+    Z = E.NUM(z_thresh)
+
+    def med(l: str) -> str:
+        s = f"list_sort({l})"
+        c = f"len({l})"
+        return (
+            f"(CASE WHEN {c} % 2 = 1 THEN {s}[({c} + 1) // 2] "
+            f"ELSE ({s}[{c} // 2] + {s}[{c} // 2 + 1]) / 2.0e0 END)"
+        )
+
+    rm = "list_concat(list_slice({l}, 1, pos - 1), list_slice({l}, pos + 1, len({l})))"
+    return f"""
+WITH RECURSIVE hourly AS MATERIALIZED (
+  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+prof AS (
+  SELECT event_type, h % 24 AS hod, {med('list(CAST(n AS DOUBLE))')} AS hodmed
+  FROM hourly GROUP BY event_type, h % 24),
+resid AS (
+  SELECT hh.event_type, hh.h, hh.n, CAST(hh.n AS DOUBLE) - p.hodmed AS r
+  FROM hourly hh JOIN prof p
+    ON p.event_type = hh.event_type AND p.hod = hh.h % 24),
+base AS MATERIALIZED (
+  SELECT event_type, list(h ORDER BY h) AS hs, list(n ORDER BY h) AS ns,
+         list(r ORDER BY h) AS rs
+  FROM resid GROUP BY event_type),
+rec(event_type, k, hs, ns, rs, a_h, a_n, a_r, a_z) AS (
+  SELECT event_type, 0, hs, ns, rs,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM base
+  UNION ALL
+  SELECT event_type, k + 1,
+         {rm.format(l='hs')}, {rm.format(l='ns')}, {rm.format(l='rs')},
+         hs[pos], ns[pos], rs[pos], zmax
+  FROM (
+    SELECT *, list_position(zl, zmax) AS pos FROM (
+      SELECT *, list_aggregate(zl, 'max') AS zmax FROM (
+        SELECT *, list_transform(rs, x -> abs(x - med) / mad) AS zl FROM (
+          SELECT *, {med(f"list_transform(rs, x -> abs(x - med))")} AS mad FROM (
+            SELECT *, {med('rs')} AS med
+            FROM rec WHERE k < {kmax})))
+      WHERE mad > 0.0e0))
+  WHERE zmax > {Z})
+SELECT event_type, k, a_h * 3600 AS bucket_s, a_n AS n_events,
+       (round(a_r + 1.0e-9, 6) + 0.0e0) AS resid,
+       (round(a_z + 1.0e-9, 6) + 0.0e0) AS z
+FROM rec WHERE k >= 1
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_sesd": Query("ts_sesd", _q_sesd, _sesd_sql(), ("tsdb", "anomaly")),
+    }
+)
