@@ -491,3 +491,21 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     assert en and non
     # target = en slice: en docs must score higher on average than non-en
     assert float(np.mean(en)) > float(np.mean(non))
+
+
+def test_token_ppmi_scalar_reference(spark):
+    import math
+
+    from tsgen.text import token_ppmi
+
+    # "a b a b": +/-2 windows give (a,b) x3 and self-pairs (a,a), (b,b);
+    # marginals a=5, b=5, N=2*5 -> ppmi(a,b)=ln(1.2), self-pairs clamp to 0
+    df = spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r.w1, r.w2): (r.n_cooc, r.ppmi) for r in token_ppmi(df).collect()}
+    assert out[("a", "b")][0] == 3
+    assert abs(out[("a", "b")][1] - round(math.log(1.2) + 1e-9, 6)) < 1e-9
+    assert out[("a", "a")] == (1, 0.0)
+    assert out[("b", "b")] == (1, 0.0)

@@ -630,6 +630,12 @@ _REGISTRY.update(
         "lang_id": Query("lang_id", _q_lang_id, text.LANG_ID_SQL, ("text",)),
         "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),
         "token_freq": Query("token_freq", _q_token_freq, text.token_freq_sql(20), ("text",)),
+        "token_ppmi": Query(
+            "token_ppmi",
+            lambda spark, sf_dir: text.token_ppmi(_docs(spark, sf_dir)),
+            text.token_ppmi_sql(),
+            ("text",),
+        ),
         "doc_feature_hash": Query(
             "doc_feature_hash", _q_feature_hash, text.feature_hash_sql(), ("text",)
         ),

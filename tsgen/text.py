@@ -1014,3 +1014,110 @@ SELECT doc_id, phrase, n_words, score, rank FROM (
   FROM u)
 WHERE rank <= {top_n}
 """
+
+
+# --- PPMI co-occurrence ------------------------------------------------------
+PMI_WINDOW = 2
+PMI_TOPK = 50
+
+
+def token_ppmi(docs: DataFrame, text: str = "text", topk: int = PMI_TOPK) -> DataFrame:
+    """Positive pointwise mutual information over token co-occurrence
+    (Church & Hanks 1990) — the distributional-semantics primitive behind
+    count-based embeddings (PPMI-SVD, Levy & Goldberg 2014): which token
+    pairs co-occur within a +/-2 window MORE than their frequencies
+    predict. PPMI(i,j) = max(0, ln(c_ij * N / (c_i * c_j))) over the
+    pair-event space (marginals = pair participation counts, so the
+    distribution normalizes). Top-k pairs by 6dp-rounded score.
+
+    Scale shape: windows are generated by lead(1)/lead(2) over (doc, pos)
+    — exactly <=2 pairs per token, ONE window shuffle, no quadratic
+    position self-join; counts/marginals are vocabulary-sized groupBys;
+    N is a broadcast scalar; top-k is an ordered limit
+    (TakeOrderedAndProject). Integer products stay < 2^53 (exact doubles)
+    through petabyte-scale counts."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text), " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    with_leads = toks.select(
+        "w",
+        F.lead("w", 1).over(win).alias("n1"),
+        F.lead("w", 2).over(win).alias("n2"),
+    )
+    pairs = (
+        with_leads.select(F.col("w").alias("a"), F.col("n1").alias("b"))
+        .unionAll(with_leads.select(F.col("w").alias("a"), F.col("n2").alias("b")))
+        .filter(F.col("b").isNotNull())
+        .select(
+            F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+        )
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    marg = (
+        pairs.select(F.col("w1").alias("w"))
+        .unionAll(pairs.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("cm"))
+    )
+    n_tot = pairs.agg((F.count("*") * 2).alias("n2x"))
+    scored = (
+        cnt.join(marg.select(F.col("w").alias("w1"), F.col("cm").alias("c1")), "w1")
+        .join(marg.select(F.col("w").alias("w2"), F.col("cm").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "ppmi",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.col("c").cast("double") * F.col("n2x")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+            ),
+        )
+        .withColumn("ppmi6", F.round(F.col("ppmi") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    return (
+        scored.orderBy(F.desc("ppmi6"), F.asc("w1"), F.asc("w2"))
+        .limit(topk)
+        .select("w1", "w2", F.col("c").alias("n_cooc"), F.col("ppmi6").alias("ppmi"))
+    )
+
+
+def token_ppmi_sql(topk: int = PMI_TOPK) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents)
+  WHERE w <> ''),
+leads AS (
+  SELECT w,
+         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+  FROM toks),
+pairs AS MATERIALIZED (
+  SELECT least(a, b) AS w1, greatest(a, b) AS w2 FROM (
+    SELECT w AS a, n1 AS b FROM leads
+    UNION ALL SELECT w, n2 FROM leads)
+  WHERE b IS NOT NULL),
+cnt AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+marg AS (
+  SELECT w, count(*) AS cm FROM (
+    SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs)
+  GROUP BY w),
+ntot AS (SELECT count(*) * 2 AS n2x FROM pairs)
+SELECT w1, w2, c AS n_cooc,
+       (round(greatest(0.0e0,
+              ln(CAST(c AS DOUBLE) * n2x
+                 / (CAST(m1.cm AS DOUBLE) * m2.cm))) + 1.0e-9, 6) + 0.0e0)
+         AS ppmi
+FROM cnt
+JOIN marg m1 ON m1.w = cnt.w1
+JOIN marg m2 ON m2.w = cnt.w2
+CROSS JOIN ntot
+ORDER BY ppmi DESC, w1, w2 LIMIT {topk}
+"""
