@@ -167,6 +167,13 @@ def main() -> None:
         "doc_prefix_jaccard",
         "ev_mview_merge",
         "graph_adamic_adar",
+        # round-3 continuation batch 6: Markov attribution, variance-reduced
+        # experiment readout, one-pass bootstrap, seasonal-hybrid ESD, PPMI
+        "ev_attribution_markov",
+        "ev_cuped",
+        "ev_bootstrap_ci",
+        "ts_sesd",
+        "token_ppmi",
     ]
     reg = registry()
     for name in suite:
