@@ -3,7 +3,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from tsgen.queries_causal import cuped_readout
+from tsgen.queries_causal import ab_holm, cuped_readout, its_readout
 from tsgen.queries_scale import bootstrap_mean
 
 
@@ -61,3 +61,49 @@ def test_bootstrap_ci_invariants(spark):
     # deterministic replay: identical on a second run
     r2 = bootstrap_mean(ev).collect()[0]
     assert (r.boot_mean, r.ci_lo, r.ci_hi) == (r2.boot_mean, r2.ci_lo, r2.ci_hi)
+
+
+def test_its_recovers_planted_level_and_slope_change(spark):
+    # pre: y = 100 + 2t (t=0..18); post: y = 160 + 5(t-19) at t=19..29
+    # -> slope change 3, level at t0: pre predicts 100+2*19=138, post 160
+    rows = []
+    eid = 0
+    for t in range(30):
+        n = 100 + 2 * t if t < 19 else 160 + 5 * (t - 19)
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{t + 1:02d} 06:00:00", eid % 5, "view", 1.0, "{}"))
+            eid += 1
+    ev = _events_df(spark, rows)
+    r = its_readout(ev).collect()[0]
+    assert r.n_pre == 19 and r.n_post == 11
+    assert abs(r.slope_pre - 2.0) < 1e-6
+    assert abs(r.slope_post - 5.0) < 1e-6
+    assert abs(r.slope_change - 3.0) < 1e-6
+    assert abs(r.level_change - (160 - 138)) < 1e-6
+
+
+def test_ab_holm_null_and_planted_effect(spark):
+    import random
+
+    rng = random.Random(21)
+    rows = []
+    eid = 0
+    for et in ["view", "click", "signup"]:
+        for _ in range(3000):
+            u = rng.randrange(1000)
+            v = rng.uniform(0, 100)
+            # plant a big arm effect on 'click' only
+            if et == "click" and u % 2 == 1:
+                v += 40
+            rows.append((eid, "2024-01-05 10:00:00", u, et, v, "{}"))
+            eid += 1
+    out = {r.event_type: r for r in ab_holm(_events_df(spark, rows)).collect()}
+    assert out["click"].significant == 1
+    assert out["click"].p_holm < 0.001
+    # null metrics: adjusted p respects the step-down ordering and is >= raw
+    for et in ["view", "signup"]:
+        assert out[et].p_holm >= out[et].p_value - 1e-9
+    # monotone: adjusted p nondecreasing in raw-p order
+    ps = sorted(out.values(), key=lambda r: r.p_value)
+    for a, b in zip(ps, ps[1:]):
+        assert b.p_holm >= a.p_holm - 1e-9

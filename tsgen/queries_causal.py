@@ -386,3 +386,230 @@ _REGISTRY.update(
         "ev_cuped": Query("ev_cuped", _q_cuped, _cuped_sql(), ("causal",)),
     }
 )
+
+
+# --- interrupted time series (segmented regression) ------------------------
+ITS_T0_DAY = 19  # 2024-01-20, days since 2024-01-01
+ITS_EPOCH_DAY0 = 19723  # floor(epoch('2024-01-01') / 86400)
+
+
+def its_readout(ev: DataFrame, t0: int = ITS_T0_DAY) -> DataFrame:
+    """Interrupted time-series analysis by segmented regression (Wagner et
+    al. 2002): fit separate OLS lines to the daily event-count series
+    before and after the intervention day, and report the slope change
+    and the level change AT the intervention point — the two causal
+    quantities of an ITS design. Fitting each segment separately is
+    algebraically identical to the interacted 4-parameter model but needs
+    only per-segment (t, y) moments: one groupBy(day) over raw data, one
+    4-number aggregate per segment, zero matrix solves.
+
+    Exactness: daily counts and day indices are integers, so every moment
+    and both closed-form slopes are bit-identical across engines."""
+    daily = ev.groupBy(
+        (
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+            - F.lit(ITS_EPOCH_DAY0)
+        ).alias("t")
+    ).agg(F.count("*").cast("double").alias("y"))
+    seg = daily.withColumn("post", (F.col("t") >= t0).cast("int"))
+    mom = seg.groupBy("post").agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("t").cast("double")).alias("mt"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("t") * F.col("y")).alias("mty"),
+        F.avg(F.col("t") * F.col("t")).alias("mtt"),
+    ).withColumn(
+        "slope",
+        (F.col("mty") - F.col("mt") * F.col("my"))
+        / (F.col("mtt") - F.col("mt") * F.col("mt")),
+    ).withColumn("icept", F.col("my") - F.col("slope") * F.col("mt"))
+    pre = mom.filter(F.col("post") == 0).select(
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("slope_pre"),
+        F.col("icept").alias("icept_pre"),
+    )
+    post = mom.filter(F.col("post") == 1).select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("slope_post"),
+        F.col("icept").alias("icept_post"),
+    )
+    out = (
+        pre.crossJoin(post)
+        .withColumn("slope_change", F.col("slope_post") - F.col("slope_pre"))
+        .withColumn(
+            "level_change",
+            (F.col("icept_post") + F.col("slope_post") * t0)
+            - (F.col("icept_pre") + F.col("slope_pre") * t0),
+        )
+        .select(
+            "n_pre", "n_post", "slope_pre", "slope_post",
+            "slope_change", "level_change",
+        )
+    )
+    return roundn(out, 6, "slope_pre", "slope_post", "slope_change", "level_change")
+
+
+def _q_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return its_readout(_events(spark, sf_dir))
+
+
+_ITS_SQL = f"""
+WITH daily AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) - {ITS_EPOCH_DAY0} AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+mom AS (
+  SELECT CASE WHEN t >= {ITS_T0_DAY} THEN 1 ELSE 0 END AS post,
+         count(*) AS n, avg(CAST(t AS DOUBLE)) AS mt, avg(y) AS my,
+         avg(t * y) AS mty, avg(t * t) AS mtt
+  FROM daily GROUP BY 1),
+fit AS (
+  SELECT post, n, slope, my - slope * mt AS icept FROM (
+    SELECT *, (mty - mt * my) / (mtt - mt * mt) AS slope FROM mom))
+SELECT p.n AS n_pre, q.n AS n_post,
+       (round(p.slope + 1.0e-9, 6) + 0.0e0) AS slope_pre,
+       (round(q.slope + 1.0e-9, 6) + 0.0e0) AS slope_post,
+       (round(q.slope - p.slope + 1.0e-9, 6) + 0.0e0) AS slope_change,
+       (round((q.icept + q.slope * {ITS_T0_DAY})
+              - (p.icept + p.slope * {ITS_T0_DAY}) + 1.0e-9, 6) + 0.0e0)
+         AS level_change
+FROM (SELECT * FROM fit WHERE post = 0) p
+CROSS JOIN (SELECT * FROM fit WHERE post = 1) q
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_its": Query("ts_its", _q_its, _ITS_SQL, ("causal",)),
+    }
+)
+
+
+# --- Holm-corrected multi-metric A/B readout --------------------------------
+# Abramowitz & Stegun 26.2.17 normal-CDF tail polynomial
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_K = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _p_two_sided(z: str) -> str:
+    """SQL expr: two-sided normal p-value for |z|, A&S 26.2.17 (|err| <
+    7.5e-8 — far below the 6dp display rounding). Identical text runs on
+    both engines; exp() ulp drift is absorbed by rounding p to 6dp before
+    any ranking."""
+    from . import expr as E
+
+    az = f"abs({z})"
+    t = f"(1.0e0 / (1.0e0 + {E.NUM(_AS_K)} * {az}))"
+    # b_k * t^k expanded as repeated products (DuckDB ^ is pow(); explicit
+    # multiplication is bit-identical on both engines)
+    poly = " + ".join(
+        " * ".join([E.NUM(b)] + [t] * (i + 1)) for i, b in enumerate(_AS_B)
+    )
+    phi = f"({E.NUM(_INV_SQRT_2PI)} * exp(-0.5e0 * {az} * {az}))"
+    return f"(2.0e0 * {phi} * ({poly}))"
+
+
+def ab_holm(ev: DataFrame) -> DataFrame:
+    """Per-metric Welch z-tests (one metric per event_type, deterministic
+    user_id%2 arms) with HOLM step-down multiple-testing correction —
+    the guardrail-metric readout: m simultaneous tests keep familywise
+    error <= alpha by comparing the r-th smallest p against alpha/(m-r+1),
+    i.e. adjusted p = cummax((m-r+1) * p) clamped to 1. p-values use the
+    A&S normal-tail polynomial (identical expression both engines) and
+    are rounded to 6dp BEFORE ranking so the step-down order is engine-
+    stable.
+
+    Scale shape: ONE partial-agged groupBy(event_type) with conditional
+    per-arm moments; everything after (z, p, rank, cummax) runs on the
+    m-row table."""
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value"))).alias("m0"),
+        F.avg(F.when(F.col("user_id") % 2 == 1, F.col("value"))).alias("m1"),
+        F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value") * F.col("value"))).alias("s0"),
+        F.avg(F.when(F.col("user_id") % 2 == 1, F.col("value") * F.col("value"))).alias("s1"),
+    )
+    g = (
+        g.withColumn("v0", F.col("s0") - F.col("m0") * F.col("m0"))
+        .withColumn("v1", F.col("s1") - F.col("m1") * F.col("m1"))
+        .withColumn(
+            "z",
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")),
+        )
+        .withColumn("p", F.expr(_p_two_sided("z")))
+        .withColumn("p6", F.round(F.col("p") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    from pyspark.sql import Window
+
+    m = F.count("*").over(Window.partitionBy())
+    wr = Window.orderBy("p6", "event_type")
+    wc = Window.orderBy("p6", "event_type").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        g.withColumn("m_tests", m)
+        .withColumn("rnk", F.row_number().over(wr))
+        .withColumn("step", (F.col("m_tests") - F.col("rnk") + 1) * F.col("p6"))
+        .withColumn("p_holm", F.least(F.lit(1.0), F.max("step").over(wc)))
+        .select(
+            "event_type",
+            F.col("n0").cast("bigint").alias("n_a"),
+            F.col("n1").cast("bigint").alias("n_b"),
+            (F.col("m1") - F.col("m0")).alias("mean_diff"),
+            "z",
+            F.col("p6").alias("p_value"),
+            "p_holm",
+            (F.col("p_holm") < 0.05).cast("int").cast("bigint").alias("significant"),
+        )
+    )
+    out = roundn(out, 4, "mean_diff")
+    return roundn(out, 6, "z", "p_holm")
+
+
+def _q_ab_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_holm(_events(spark, sf_dir))
+
+
+def _ab_holm_sql() -> str:
+    p_expr = _p_two_sided("z")
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         avg(CASE WHEN user_id % 2 = 0 THEN value END) AS m0,
+         avg(CASE WHEN user_id % 2 = 1 THEN value END) AS m1,
+         avg(CASE WHEN user_id % 2 = 0 THEN value * value END) AS s0,
+         avg(CASE WHEN user_id % 2 = 1 THEN value * value END) AS s1
+  FROM events GROUP BY event_type),
+zt AS (
+  SELECT *, (round({p_expr} + 1.0e-9, 6) + 0.0e0) AS p6 FROM (
+    SELECT *, (m1 - m0) / sqrt(v1 / n1 + v0 / n0) AS z FROM (
+      SELECT *, s0 - m0 * m0 AS v0, s1 - m1 * m1 AS v1 FROM g))),
+holm AS (
+  SELECT *,
+         least(1.0e0,
+               max((m_tests - rnk + 1) * p6)
+                 OVER (ORDER BY p6, event_type
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS p_holm
+  FROM (
+    SELECT *, count(*) OVER () AS m_tests,
+           row_number() OVER (ORDER BY p6, event_type) AS rnk
+    FROM zt))
+SELECT event_type, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+       (round(m1 - m0 + 1.0e-9, 4) + 0.0e0) AS mean_diff,
+       (round(z + 1.0e-9, 6) + 0.0e0) AS z,
+       p6 AS p_value,
+       (round(p_holm + 1.0e-9, 6) + 0.0e0) AS p_holm,
+       CAST(CASE WHEN p_holm < 5.0e-2 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM holm
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_ab_holm": Query("ev_ab_holm", _q_ab_holm, _ab_holm_sql(), ("causal",)),
+    }
+)
