@@ -107,3 +107,36 @@ def test_ab_holm_null_and_planted_effect(spark):
     ps = sorted(out.values(), key=lambda r: r.p_value)
     for a, b in zip(ps, ps[1:]):
         assert b.p_holm >= a.p_holm - 1e-9
+
+
+def test_msprt_always_valid_p_properties(spark):
+    import random
+
+    from tsgen.queries_causal import msprt_monitor
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        for _ in range(400):
+            u = rng.randrange(500)
+            v = rng.uniform(0, 10)
+            if u % 2 == 1:
+                v += 3.0  # planted persistent arm effect
+            rows.append((eid, f"2024-01-{day:02d} 09:00:00", u, "view", v, "{}"))
+            eid += 1
+    out = sorted(msprt_monitor(_events_df(spark, rows)).collect(), key=lambda r: r.day)
+    # always-valid p is nonincreasing by construction
+    for a, b in zip(out, out[1:]):
+        assert b.p_always_valid <= a.p_always_valid + 1e-9
+    # a real persistent effect eventually drives the monitor to rejection
+    assert out[-1].p_always_valid < 0.05
+    assert out[-1].theta > 2.0
+    # under the null the monitor stays calm
+    null_rows = [
+        (i, f"2024-01-{1 + i % 20:02d} 09:00:00", i % 500, "view",
+         rng.uniform(0, 10), "{}")
+        for i in range(8000)
+    ]
+    null_out = msprt_monitor(_events_df(spark, null_rows)).collect()
+    assert min(r.p_always_valid for r in null_out) > 0.05

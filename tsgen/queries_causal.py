@@ -613,3 +613,166 @@ _REGISTRY.update(
         "ev_ab_holm": Query("ev_ab_holm", _q_ab_holm, _ab_holm_sql(), ("causal",)),
     }
 )
+
+
+# --- mSPRT always-valid sequential test -------------------------------------
+MSPRT_TAU2 = 1.0  # mixture variance of the effect prior
+
+
+def msprt_monitor(ev: DataFrame, tau2: float = MSPRT_TAU2) -> DataFrame:
+    """Always-valid sequential A/B monitoring via the mixture sequential
+    probability ratio test (Johari, Koomen, Pekelis & Walsh 2017 — the
+    "peeking" paper): after each day, the cumulative arm difference
+    theta_hat over effective sample size n_eff = 1/(1/n0 + 1/n1) yields
+    the mixture likelihood ratio
+
+        Lambda_n = sqrt(2s2 / (2s2 + n*tau2))
+                   * exp(n^2 * tau2 * theta^2 / (4*s2*(2s2 + n*tau2)))
+
+    and the always-valid p-value is the running min of 1/Lambda — valid
+    at EVERY peek, unlike the fixed-horizon z-test. s2 is the pooled
+    variance over the full window (one broadcast scalar, documented
+    simplification).
+
+    Scale shape: one groupBy(day) with conditional per-arm partials; the
+    cumulative windows, Lambda and the running min all run on the
+    ~30-row daily table. Per-day p is rounded to 6dp before the running
+    min so the monitor path is engine-stable."""
+    day = (
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") - F.lit(ITS_EPOCH_DAY0)
+    ).alias("day")
+    arm0 = F.col("user_id") % 2 == 0
+    daily = ev.groupBy(day).agg(
+        F.sum(F.when(arm0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(~arm0, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(arm0, F.col("value")).otherwise(0.0)).alias("s0"),
+        F.sum(F.when(~arm0, F.col("value")).otherwise(0.0)).alias("s1"),
+    )
+    s2 = ev.agg(
+        (
+            F.round(
+                F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("s2")
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.crossJoin(F.broadcast(s2))
+        .withColumn("cn0", F.sum("n0").over(wc))
+        .withColumn("cn1", F.sum("n1").over(wc))
+        .withColumn("cs0", F.sum("s0").over(wc))
+        .withColumn("cs1", F.sum("s1").over(wc))
+        .withColumn("both", (F.col("cn0") > 0) & (F.col("cn1") > 0))
+        .withColumn(
+            "theta",
+            F.when(
+                F.col("both"),
+                F.col("cs1") / F.col("cn1") - F.col("cs0") / F.col("cn0"),
+            ),
+        )
+        .withColumn(
+            "n_eff",
+            F.when(
+                F.col("both"),
+                F.lit(1.0)
+                / (F.lit(1.0) / F.col("cn0") + F.lit(1.0) / F.col("cn1")),
+            ),
+        )
+    )
+    t2 = F.lit(tau2)
+    denom = F.lit(2.0) * F.col("s2") + F.col("n_eff") * t2
+    lam = F.sqrt(F.lit(2.0) * F.col("s2") / denom) * F.exp(
+        F.col("n_eff") * F.col("n_eff") * t2 * F.col("theta") * F.col("theta")
+        / (F.lit(4.0) * F.col("s2") * denom)
+    )
+    out = (
+        cum.withColumn("lam", F.when(F.col("both"), lam))
+        .withColumn(
+            "p_day",
+            F.round(
+                F.coalesce(
+                    F.least(F.lit(1.0), F.lit(1.0) / F.col("lam")), F.lit(1.0)
+                )
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .withColumn("p_always_valid", F.min("p_day").over(wc))
+        .select(
+            "day",
+            (F.col("cn0") + F.col("cn1")).cast("bigint").alias("n_cum"),
+            "theta",
+            "lam",
+            "p_day",
+            "p_always_valid",
+        )
+    )
+    out = roundn(out, 6, "theta", "p_always_valid")
+    return roundn(out, 4, "lam")
+
+
+def _q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return msprt_monitor(_events(spark, sf_dir))
+
+
+def _msprt_sql(tau2: float = MSPRT_TAU2) -> str:
+    from . import expr as E
+
+    T2 = E.NUM(tau2)
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) - {ITS_EPOCH_DAY0} AS day,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0e0 END) AS s0,
+         sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0.0e0 END) AS s1
+  FROM events GROUP BY 1),
+s2t AS (
+  SELECT (round(avg(value * value) - avg(value) * avg(value) + 1.0e-9, 4) + 0.0e0)
+           AS s2
+  FROM events),
+cum AS (
+  SELECT *,
+         CASE WHEN cn0 > 0 AND cn1 > 0
+              THEN cs1 / cn1 - cs0 / cn0 END AS theta,
+         CASE WHEN cn0 > 0 AND cn1 > 0
+              THEN 1.0e0 / (1.0e0 / cn0 + 1.0e0 / cn1) END AS n_eff
+  FROM (
+    SELECT day, s2,
+           sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
+           sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1
+    FROM daily CROSS JOIN s2t
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))),
+lamt AS (
+  SELECT *,
+         (round(coalesce(least(1.0e0, 1.0e0 / lam), 1.0e0) + 1.0e-9, 6) + 0.0e0)
+           AS p_day
+  FROM (
+    SELECT *,
+           CASE WHEN n_eff IS NOT NULL THEN
+             sqrt(2.0e0 * s2 / (2.0e0 * s2 + n_eff * {T2}))
+               * exp(n_eff * n_eff * {T2} * theta * theta
+                     / (4.0e0 * s2 * (2.0e0 * s2 + n_eff * {T2}))) END AS lam
+    FROM cum))
+SELECT day, CAST(cn0 + cn1 AS BIGINT) AS n_cum,
+       (round(theta + 1.0e-9, 6) + 0.0e0) AS theta,
+       (round(lam + 1.0e-9, 4) + 0.0e0) AS lam,
+       p_day,
+       (round(min(p_day) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1.0e-9, 6)
+        + 0.0e0) AS p_always_valid
+FROM lamt
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_msprt": Query("ev_msprt", _q_msprt, _msprt_sql(), ("causal", "sequential")),
+    }
+)
