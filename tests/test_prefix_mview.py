@@ -180,3 +180,48 @@ def test_salted_join_and_agg_match_plain(spark):
         .collect()
     }
     assert agg == plain_agg
+
+
+def test_retract_merge_equals_filtered_recompute(spark):
+    import random
+
+    from tsgen.queries_warehouse2 import retract_merge
+
+    rng = random.Random(31)
+    rows = [
+        (
+            i,
+            f"2024-01-{rng.randint(1, 10):02d} 08:00:00",
+            rng.randrange(300),
+            rng.choice(["view", "purchase"]),
+            round(rng.uniform(0, 100), 2),
+            "{}",
+        )
+        for i in range(3000)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    merged = {
+        (r.event_type, r.day): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in retract_merge(ev, erase_mod=7).collect()
+    }
+    direct = {
+        (r.event_type, r.day): (r.n, round(r.s + 1e-9, 4), r.mn, r.mx)
+        for r in ev.filter(F.col("user_id") % 7 != 0)
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for k, (n, s, mn, mx) in direct.items():
+        gn, gs, gmn, gmx = merged[k]
+        assert gn == n and gmn == mn and gmx == mx  # min/max repaired exactly
+        assert abs(gs - s) < 1e-3

@@ -736,3 +736,100 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- retraction merge (right-to-be-forgotten propagation) -------------------
+ERASE_MOD = 97  # deterministic "deletion request" set: user_id % 97 == 0
+
+
+def retract_merge(ev: DataFrame, erase_mod: int = ERASE_MOD) -> DataFrame:
+    """GDPR-style deletion propagation into a stored rollup WITHOUT full
+    recompute: subtractable aggregates (count/sum) retract algebraically
+    — state minus the erased users' partials — while non-subtractable
+    ones (min/max) are recomputed ONLY for the groups the erased rows
+    touched, from the kept raw rows of those groups; untouched groups
+    keep their stored values byte-for-byte. Groups whose count retracts
+    to zero disappear. The oracle recomputes from scratch over the kept
+    rows, certifying the retraction algebra end-to-end.
+
+    Scale shape: the erased partials aggregate only ~1% of rows; the
+    min/max repair shuffles only rows of AFFECTED groups (semi-join on
+    the tiny affected-group list, broadcast); everything else is
+    state-row arithmetic — O(|erased| + |affected groups|), not O(base).
+    """
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    erased = F.col("user_id") % erase_mod == 0
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day).agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    stored = state(ev).localCheckpoint(eager=False)  # the pre-deletion MV
+    retract = (
+        ev.filter(erased)
+        .groupBy("event_type", day)
+        .agg(F.count("*").alias("nr"), F.sum("value").alias("sr"))
+        .localCheckpoint(eager=False)
+    )
+    affected = retract.select(
+        F.col("event_type").alias("a_et"), F.col("day").alias("a_day")
+    )
+    kept = ev.filter(~erased).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    repaired = (
+        kept.join(
+            F.broadcast(affected),
+            [F.col("event_type") == F.col("a_et"), F.col("day") == F.col("a_day")],
+            "left_semi",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.min("value").alias("min_r"), F.max("value").alias("max_r"))
+    )
+    merged = (
+        stored.join(retract, ["event_type", "day"], "left")
+        .withColumn("n_new", F.col("n_events") - F.coalesce(F.col("nr"), F.lit(0)))
+        .withColumn(
+            "s_new", F.col("sum_value") - F.coalesce(F.col("sr"), F.lit(0.0))
+        )
+        .filter(F.col("n_new") > 0)
+        .join(repaired, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("n_new").alias("n_events"),
+            F.col("s_new").alias("sum_value"),
+            F.coalesce(F.col("min_r"), F.col("min_value")).alias("min_value"),
+            F.coalesce(F.col("max_r"), F.col("max_value")).alias("max_value"),
+            (F.col("s_new") / F.col("n_new")).alias("avg_value"),
+        )
+    )
+    return round6(roundn(merged, 4, "sum_value"), "avg_value")
+
+
+def _q_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retract_merge(_events(spark, sf_dir))
+
+
+_RETRACT_SQL = f"""
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       (round(sum(value) + 1.0e-9, 4) + 0.0e0) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       (round(sum(value) / count(*) + 1.0e-9, 6) + 0.0e0) AS avg_value
+FROM events
+WHERE user_id % {ERASE_MOD} <> 0
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_retract_merge": Query(
+            "ev_retract_merge", _q_retract, _RETRACT_SQL, ("warehouse", "privacy")
+        ),
+    }
+)
