@@ -140,3 +140,24 @@ def test_msprt_always_valid_p_properties(spark):
     ]
     null_out = msprt_monitor(_events_df(spark, null_rows)).collect()
     assert min(r.p_always_valid for r in null_out) > 0.05
+
+
+def test_srm_detects_planted_imbalance(spark):
+    from tsgen.queries_causal import srm_check
+
+    rows = []
+    eid = 0
+    # balanced stratum
+    for i in range(2000):
+        rows.append((eid, "2024-01-02 10:00:00", i, "view", 1.0, "{}"))
+        eid += 1
+    # imbalanced stratum: 70/30 via biased user ids
+    for i in range(2000):
+        u = 2 * i if i < 1400 else 2 * i + 1  # 1400 even, 600 odd
+        rows.append((eid, "2024-01-02 11:00:00", u, "click", 1.0, "{}"))
+        eid += 1
+    out = {r.event_type: r for r in srm_check(_events_df(spark, rows)).collect()}
+    assert out["view"].srm_alert == 0
+    assert out["click"].srm_alert == 1
+    assert out["click"].chi2 > 100  # (1400-1000)^2/1000 * 2 = 320
+    assert out["__all__"].n_a + out["__all__"].n_b == 4000

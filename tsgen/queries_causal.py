@@ -638,17 +638,28 @@ def msprt_monitor(ev: DataFrame, tau2: float = MSPRT_TAU2) -> DataFrame:
     cumulative windows, Lambda and the running min all run on the
     ~30-row daily table. Per-day p is rounded to 6dp before the running
     min so the monitor path is engine-stable."""
+    daily = msprt_daily(ev)
+    s2 = msprt_s2(ev)
+    return msprt_from_daily(daily, s2, tau2)
+
+
+def msprt_daily(ev: DataFrame) -> DataFrame:
+    """Per-day mergeable partials of the monitor (conditional per-arm
+    count/sum) — the piece a streaming twin can compute incrementally."""
     day = (
         F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") - F.lit(ITS_EPOCH_DAY0)
     ).alias("day")
     arm0 = F.col("user_id") % 2 == 0
-    daily = ev.groupBy(day).agg(
+    return ev.groupBy(day).agg(
         F.sum(F.when(arm0, 1).otherwise(0)).cast("double").alias("n0"),
         F.sum(F.when(~arm0, 1).otherwise(0)).cast("double").alias("n1"),
         F.sum(F.when(arm0, F.col("value")).otherwise(0.0)).alias("s0"),
         F.sum(F.when(~arm0, F.col("value")).otherwise(0.0)).alias("s1"),
     )
-    s2 = ev.agg(
+
+
+def msprt_s2(ev: DataFrame) -> DataFrame:
+    return ev.agg(
         (
             F.round(
                 F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")
@@ -658,6 +669,11 @@ def msprt_monitor(ev: DataFrame, tau2: float = MSPRT_TAU2) -> DataFrame:
             + F.lit(0.0)
         ).alias("s2")
     )
+
+
+def msprt_from_daily(
+    daily: DataFrame, s2: DataFrame, tau2: float = MSPRT_TAU2
+) -> DataFrame:
     from pyspark.sql import Window
 
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
@@ -774,5 +790,84 @@ FROM lamt
 _REGISTRY.update(
     {
         "ev_msprt": Query("ev_msprt", _q_msprt, _msprt_sql(), ("causal", "sequential")),
+    }
+)
+
+
+# --- sample-ratio-mismatch guardrail ----------------------------------------
+def srm_check(ev: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al. 2019) — the first
+    guardrail of any experiment readout: a chi-square test of the
+    observed arm counts against the designed 50/50 split, per metric
+    stratum (event_type) and pooled. A 1-df chi-square tail equals the
+    two-sided normal tail at z = sqrt(chi2), so the p-value reuses the
+    A&S polynomial. Counts are integers: chi2 is bit-identical across
+    engines. Alert threshold p < 0.001 (the accepted SRM convention;
+    compared on the 6dp-rounded p so the flag is engine-stable)."""
+    by_type = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    pooled = ev.agg(
+        F.lit("__all__").alias("event_type"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")).cast("double") / 2.0
+    chi2 = (
+        (F.col("n_a") - e) * (F.col("n_a") - e) / e
+        + (F.col("n_b") - e) * (F.col("n_b") - e) / e
+    )
+    out = (
+        by_type.unionByName(pooled)
+        .withColumn("chi2", chi2)
+        .withColumn("p", F.expr(_p_two_sided("sqrt(chi2)")))
+        .withColumn("p6", F.round(F.col("p") + F.lit(1e-9), 6) + F.lit(0.0))
+        .select(
+            "event_type",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "chi2",
+            F.col("p6").alias("p_value"),
+            (F.col("p6") < 0.001).cast("int").cast("bigint").alias("srm_alert"),
+        )
+    )
+    return roundn(out, 6, "chi2")
+
+
+def _q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srm_check(_events(spark, sf_dir))
+
+
+def _srm_sql() -> str:
+    p_expr = _p_two_sided("sqrt(chi2)")
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__',
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END),
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+  FROM events),
+chi AS (
+  SELECT *,
+         (n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e AS chi2
+  FROM (SELECT *, CAST(n_a + n_b AS DOUBLE) / 2.0e0 AS e FROM counts)),
+pt AS (
+  SELECT *, (round({p_expr} + 1.0e-9, 6) + 0.0e0) AS p6 FROM chi)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       (round(chi2 + 1.0e-9, 6) + 0.0e0) AS chi2,
+       p6 AS p_value,
+       CAST(CASE WHEN p6 < 1.0e-3 THEN 1 ELSE 0 END AS BIGINT) AS srm_alert
+FROM pt
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_srm": Query("ev_srm", _q_srm, _srm_sql(), ("causal",)),
     }
 )

@@ -706,3 +706,48 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- streaming sequential A/B monitor ---------------------------------------
+def _q_stream_msprt(spark, sf_dir):
+    """Streaming twin of ev_msprt: the per-day mergeable partials
+    (conditional per-arm count/sum) are computed by a watermarked 1-day
+    streaming window over the replayed event stream; the mixture LR and
+    running-min always-valid p finish on the materialized ~30-row daily
+    table, exactly as the batch monitor does. Same oracle — the
+    stream-computed partials must land on the identical monitor path."""
+    from .queries_causal import ITS_EPOCH_DAY0, msprt_from_daily, msprt_s2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = streaming.events_stream(spark, sf_dir)
+    arm0 = F.col("user_id") % 2 == 0
+    daily_stream = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.sum(F.when(arm0, 1).otherwise(0)).cast("double").alias("n0"),
+            F.sum(F.when(~arm0, 1).otherwise(0)).cast("double").alias("n1"),
+            F.sum(F.when(arm0, F.col("value")).otherwise(0.0)).alias("s0"),
+            F.sum(F.when(~arm0, F.col("value")).otherwise(0.0)).alias("s1"),
+        )
+        .select(
+            (
+                F.floor(F.unix_timestamp("w.start") / 86400).cast("bigint")
+                - F.lit(ITS_EPOCH_DAY0)
+            ).alias("day"),
+            "n0", "n1", "s0", "s1",
+        )
+    )
+    daily = streaming.run_to_completion(daily_stream)
+    return msprt_from_daily(daily, msprt_s2(ev))
+
+
+from .queries_causal import _msprt_sql as _stream_msprt_sql_gen  # noqa: E402
+
+_REGISTRY.update(
+    {
+        "stream_msprt": Query(
+            "stream_msprt", _q_stream_msprt, _stream_msprt_sql_gen(), ("streaming",)
+        ),
+    }
+)
