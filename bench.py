@@ -174,6 +174,13 @@ def main() -> None:
         "ev_bootstrap_ci",
         "ts_sesd",
         "token_ppmi",
+        # round-3 continuation batch 7/8: causal/sequential readouts,
+        # retraction merge
+        "ts_its",
+        "ev_ab_holm",
+        "ev_msprt",
+        "ev_srm",
+        "ev_retract_merge",
     ]
     reg = registry()
     for name in suite:
