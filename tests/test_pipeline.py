@@ -509,3 +509,29 @@ def test_token_ppmi_scalar_reference(spark):
     assert abs(out[("a", "b")][1] - round(math.log(1.2) + 1e-9, 6)) < 1e-9
     assert out[("a", "a")] == (1, 0.0)
     assert out[("b", "b")] == (1, 0.0)
+
+
+def test_pca_power_matches_numpy_eigh(spark):
+    import numpy as np
+
+    from tsgen.similarity import pca_power
+
+    rng = np.random.default_rng(4)
+    # anisotropic cloud with clear spectrum gaps
+    basis = rng.normal(size=(8, 8))
+    scales = np.array([5.0, 3.0, 2.0, 0.5, 0.3, 0.2, 0.1, 0.05])
+    pts = rng.normal(size=(300, 8)) * scales @ basis
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row], 0) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.component: (r.eigenvalue, r.cum_explained)
+           for r in pca_power(df).collect()}
+    C = np.cov(np.array([[float(np.float32(x)) for x in row] for row in pts]).T)
+    w = np.sort(np.linalg.eigvalsh(C))[::-1]
+    tr = C.trace()
+    for k in range(1, 4):
+        assert abs(got[k][0] - w[k - 1]) < 1e-3 * max(1.0, w[0])
+        assert abs(got[k][1] - w[:k].sum() / tr) < 1e-3
+    # eigenvalues nonincreasing
+    assert got[1][0] >= got[2][0] >= got[3][0]

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import dedup, mixing, multimodal, similarity, text
-from .queries import _REGISTRY, Query, round6
+from .queries import _REGISTRY, Query, round6, roundn
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,6 +728,14 @@ _REGISTRY.update(
         ),
         "embed_pq": Query(
             "embed_pq", _q_embed_pq, similarity.pq_summary_sql(), ("similarity",)
+        ),
+        "embed_pca_power": Query(
+            "embed_pca_power",
+            lambda spark, sf_dir: roundn(
+                similarity.pca_power(_emb(spark, sf_dir)), 4, "eigenvalue", "cum_explained"
+            ),
+            similarity.pca_power_sql(),
+            ("similarity",),
         ),
         "embed_top_eigen": Query(
             "embed_top_eigen",

@@ -1000,3 +1000,126 @@ SELECT nn.n,
        (round((tr.trace) + 1.0e-9,4)+0.0e0) AS trace
 FROM lam, tr, nn
 """
+
+
+# --- top-3 PCA via power iteration + deflation ------------------------------
+PCA_POWER_K = 3
+
+
+def pca_power(
+    df: DataFrame, vec: str = "embedding", k: int = PCA_POWER_K,
+    iters: int = POWER_ITERS,
+) -> DataFrame:
+    """Top-k principal components by power iteration WITH DEFLATION — the
+    oracle-checkable PCA: after extracting (lambda_m, v_m), the covariance
+    deflates to C - lambda v v^T and the next component repeats the same
+    fixed-iteration chain. Extends top_eigen (single component) to the
+    leading-k spectrum a curation pipeline actually inspects ("how many
+    directions carry the embedding cloud"). Same stability argument:
+    each chain is a contractive fixed point, so BLAS-vs-sequential
+    summation ulps do not accumulate; outputs are 4dp-stable.
+
+    Scale shape: identical to top_eigen — ONE exploded self-join shuffle
+    carrying dim^2 partial products builds C; the k power chains are
+    O(k * iters * dim^2) driver arithmetic on the collected matrix."""
+    import numpy as np
+
+    e = df.select("vec_id", F.posexplode(F.col(vec).cast("array<double>")).alias("i", "x"))
+    stats = e.groupBy("i").agg(F.avg("x").alias("m"))
+    a = e.select("vec_id", F.col("i").alias("ii"), F.col("x").alias("xi"))
+    b = e.select("vec_id", F.col("i").alias("jj"), F.col("x").alias("xj"))
+    s = (
+        a.join(b, "vec_id")
+        .groupBy("ii", "jj")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sij"))
+    )
+    rows = s.collect()
+    ms = {r.i: r.m for r in stats.collect()}
+    n = int(df.count())
+    dim = len(ms)
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r.ii, r.jj] = (r.sij - n * ms[r.ii] * ms[r.jj]) / (n - 1)
+    trace = float(np.trace(C))
+    out_rows = []
+    cum = 0.0
+    Ck = C
+    for comp in range(1, k + 1):
+        v = np.full(dim, 1.0 / np.sqrt(dim))
+        for _ in range(iters):
+            w = Ck @ v
+            v = w / np.sqrt((w * w).sum())
+        lam = float(v @ (Ck @ v))
+        cum = cum + lam
+        out_rows.append((comp, lam, cum / trace))
+        Ck = Ck - lam * np.outer(v, v)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "component bigint, eigenvalue double, cum_explained double"
+    )
+
+
+def pca_power_sql(
+    k: int = PCA_POWER_K, iters: int = POWER_ITERS, dim: int = EMB_DIM
+) -> str:
+    """DuckDB oracle: the same k deflated power chains, unrolled, each a
+    LIST-state recursive CTE over the (deflated) matrix list-of-lists."""
+    def cv(g: str, v: str) -> str:
+        return (
+            f"list_transform(range(1, {dim} + 1), i -> "
+            f"list_sum(list_transform(range(1, {dim} + 1), j -> {g}[i][j] * {v}[j])))"
+        )
+
+    parts = [f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, u.i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, {dim} + 1)) AS i) u),
+st AS (SELECT i, avg(x) AS m FROM e GROUP BY i),
+nn AS (SELECT count(*) AS n FROM embeddings),
+s AS (
+  SELECT a.i AS ii, b.i AS jj, sum(a.x * b.x) AS sij
+  FROM e a JOIN e b ON b.vec_id = a.vec_id
+  GROUP BY a.i, b.i),
+c AS (
+  SELECT s.ii, s.jj,
+         (s.sij - nn.n * ma.m * mb.m) / (nn.n - 1) AS cij
+  FROM s JOIN st ma ON ma.i = s.ii JOIN st mb ON mb.i = s.jj CROSS JOIN nn),
+gm1 AS MATERIALIZED (
+  SELECT list(row ORDER BY ii) AS g FROM (
+    SELECT ii, list(cij ORDER BY jj) AS row FROM c GROUP BY ii)),
+tr AS (SELECT sum(cij) AS trace FROM c WHERE ii = jj)"""]
+    for m in range(1, k + 1):
+        g = f"gm{m}"
+        step = cv(f"{g}.g", "rec.v")
+        parts.append(f""",
+rec{m}(k, v) AS (
+  SELECT 0, list_transform(range(1, {dim} + 1),
+                           i -> 1.0e0 / sqrt(CAST({dim} AS DOUBLE)))
+  FROM {g}
+  UNION ALL
+  SELECT rec.k + 1,
+         list_transform({step}, w ->
+           w / sqrt(list_sum(list_transform({step}, ww -> ww * ww))))
+  FROM rec{m} rec, {g} WHERE rec.k < {iters}),
+fin{m} AS MATERIALIZED (SELECT v FROM rec{m} WHERE k = {iters}),
+lam{m} AS MATERIALIZED (
+  SELECT list_sum(list_transform(range(1, {dim} + 1), i ->
+           fin.v[i] * list_sum(list_transform(range(1, {dim} + 1),
+             j -> {g}.g[i][j] * fin.v[j])))) AS lam
+  FROM fin{m} fin, {g})""")
+        if m < k:
+            parts.append(f""",
+gm{m + 1} AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim} + 1), i ->
+           list_transform(range(1, {dim} + 1), j ->
+             {g}.g[i][j] - lam.lam * fin.v[i] * fin.v[j])) AS g
+  FROM {g}, fin{m} fin, lam{m} lam)""")
+    emits = "\nUNION ALL\n".join(
+        f"""SELECT {m} AS component,
+       (round(lam{m}.lam + 1.0e-9, 4) + 0.0e0) AS eigenvalue,
+       (round(({' + '.join(f'lam{j}.lam' for j in range(1, m + 1))}) / tr.trace
+              + 1.0e-9, 4) + 0.0e0) AS cum_explained
+FROM tr{''.join(f', lam{j}' for j in range(1, m + 1))}"""
+        for m in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + emits
