@@ -181,6 +181,7 @@ def main() -> None:
         "ev_msprt",
         "ev_srm",
         "ev_retract_merge",
+        "embed_pca_power",
     ]
     reg = registry()
     for name in suite:

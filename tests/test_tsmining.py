@@ -1095,3 +1095,25 @@ def test_sesd_finds_planted_spikes_in_order(spark):
     assert out[0].bucket_s == bucket(5, 12)  # biggest spike first
     assert out[1].bucket_s == bucket(9, 3)
     assert out[0].z > out[1].z > 3.0
+
+
+def test_ssa_power_matches_numpy_svd(spark):
+    import numpy as np
+
+    from tsgen.queries_tsmining import SSAP_WINDOW, ssa_power
+
+    # pure tone: top-2 SSA components carry ~all energy, and the power
+    # eigenvalues match the exact SVD of the trajectory matrix
+    t = np.arange(256)
+    v = np.sin(2 * np.pi * 5 * t / 256)
+    rows = [(0, int(i), float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    got = {r.component: r for r in ssa_power(df).collect()}
+    L = SSAP_WINDOW
+    K = len(v) - L + 1
+    X = np.stack([v[i : i + K] for i in range(L)])
+    w = np.sort(np.linalg.eigvalsh(X @ X.T))[::-1]
+    tr = np.trace(X @ X.T)
+    assert abs(got[1].sigma2 - w[0]) < 1e-2 * w[0]
+    assert abs(got[2].sigma2 - w[1]) < 1e-2 * w[0]
+    assert got[1].energy_share + got[2].energy_share > 0.99

@@ -2301,3 +2301,145 @@ _REGISTRY.update(
         "ts_sesd": Query("ts_sesd", _q_sesd, _sesd_sql(), ("tsdb", "anomaly")),
     }
 )
+
+
+# --- SSA top components via per-series power iteration -----------------------
+SSAP_N, SSAP_LEN, SSAP_WINDOW, SSAP_ITERS, SSAP_K = 8, 256, 32, 40, 2
+
+
+def ssa_power(df: DataFrame, window: int = SSAP_WINDOW, k: int = SSAP_K,
+              iters: int = SSAP_ITERS) -> DataFrame:
+    """Top-k SSA eigen-energies by per-series power iteration with
+    deflation over the L x L lag-covariance matrix C[i][j] =
+    sum_t v[i+t] v[j+t] — the oracle-checkable companion to the rows-only
+    full-SVD ssa_spectrum (same argument as embed_pca_power: a fixed
+    number of contractive power steps IS SQL-replayable, a full
+    eigensolve is not). Emits eigenvalue (sigma^2) and energy share of
+    the total trace per component.
+
+    Execution: kalman-shape applyInPandas, series as the group axis; the
+    oracle replays each chain in a per-series LIST-state recursive CTE."""
+    import numpy as np
+    import pandas as pd
+
+    wide = (
+        df.groupBy("series_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("t", F.col("value").alias("v")))
+            ).alias("pts")
+        )
+        .select("series_id", F.col("pts.v").alias("vs"))
+    )
+
+    schema = "series_id long, component long, sigma2 double, energy_share double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            v = np.asarray(row["vs"], dtype=np.float64)
+            L = window
+            K = len(v) - L + 1
+            X = np.stack([v[i : i + K] for i in range(L)])
+            C = X @ X.T
+            tr = float(np.trace(C))
+            Ck = C
+            for comp in range(1, k + 1):
+                u = np.full(L, 1.0 / np.sqrt(L))
+                for _ in range(iters):
+                    w = Ck @ u
+                    u = w / np.sqrt((w * w).sum())
+                lam = float(u @ (Ck @ u))
+                out.append((int(row["series_id"]), comp, lam, lam / tr))
+                Ck = Ck - lam * np.outer(u, u)
+        return pd.DataFrame(
+            out, columns=["series_id", "component", "sigma2", "energy_share"]
+        )
+
+    res = wide.groupBy("series_id").applyInPandas(kernel, schema)
+    from .queries import roundn
+
+    return roundn(res, 4, "sigma2", "energy_share")
+
+
+def _q_ssa_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generators.generate(spark, SSAP_N, SSAP_LEN, "mixed")
+    return ssa_power(df)
+
+
+def _ssa_power_sql(window: int = SSAP_WINDOW, k: int = SSAP_K,
+                   iters: int = SSAP_ITERS) -> str:
+    gen = oracle.generate_sql(SSAP_N, SSAP_LEN, "mixed", rounded=False)
+    L = window
+    K = SSAP_LEN - L + 1
+
+    def cv(g: str, v: str) -> str:
+        return (
+            f"list_transform(range(1, {L} + 1), i -> "
+            f"list_sum(list_transform(range(1, {L} + 1), j -> {g}.g[i][j] * {v}[j])))"
+        )
+
+    parts = [f"""
+WITH RECURSIVE src AS MATERIALIZED ({gen}),
+al AS MATERIALIZED (
+  SELECT series_id, list(value ORDER BY t) AS vs FROM src GROUP BY series_id),
+gm1 AS MATERIALIZED (
+  SELECT series_id,
+         list_transform(range(1, {L} + 1), i ->
+           list_transform(range(1, {L} + 1), j ->
+             list_sum(list_transform(range(0, {K}),
+               t -> vs[i + t] * vs[j + t])))) AS g
+  FROM al),
+tr AS (
+  SELECT series_id,
+         list_sum(list_transform(range(1, {L} + 1), i -> g[i][i])) AS trace
+  FROM gm1)"""]
+    for m in range(1, k + 1):
+        g = f"gm{m}"
+        step = cv(g, "rec.v")
+        parts.append(f""",
+rec{m}(series_id, k, v) AS (
+  SELECT series_id, 0,
+         list_transform(range(1, {L} + 1), i -> 1.0e0 / sqrt(CAST({L} AS DOUBLE)))
+  FROM {g}
+  UNION ALL
+  SELECT rec.series_id, rec.k + 1,
+         list_transform({step}, w ->
+           w / sqrt(list_sum(list_transform({step}, ww -> ww * ww))))
+  FROM rec{m} rec JOIN {g} ON {g}.series_id = rec.series_id
+  WHERE rec.k < {iters}),
+fin{m} AS MATERIALIZED (
+  SELECT series_id, v FROM rec{m} WHERE k = {iters}),
+lam{m} AS MATERIALIZED (
+  SELECT fin.series_id,
+         list_sum(list_transform(range(1, {L} + 1), i ->
+           fin.v[i] * list_sum(list_transform(range(1, {L} + 1),
+             j -> {g}.g[i][j] * fin.v[j])))) AS lam
+  FROM fin{m} fin JOIN {g} ON {g}.series_id = fin.series_id)""")
+        if m < k:
+            parts.append(f""",
+gm{m + 1} AS MATERIALIZED (
+  SELECT {g}.series_id,
+         list_transform(range(1, {L} + 1), i ->
+           list_transform(range(1, {L} + 1), j ->
+             {g}.g[i][j] - lam.lam * fin.v[i] * fin.v[j])) AS g
+  FROM {g}
+  JOIN fin{m} fin ON fin.series_id = {g}.series_id
+  JOIN lam{m} lam ON lam.series_id = {g}.series_id)""")
+    emits = "\nUNION ALL\n".join(
+        f"""SELECT lam{m}.series_id, {m} AS component,
+       (round(lam{m}.lam + 1.0e-9, 4) + 0.0e0) AS sigma2,
+       (round(lam{m}.lam / tr.trace + 1.0e-9, 4) + 0.0e0) AS energy_share
+FROM lam{m} JOIN tr ON tr.series_id = lam{m}.series_id"""
+        for m in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + emits
+
+
+_REGISTRY.update(
+    {
+        "ts_ssa_power": Query(
+            "ts_ssa_power", _q_ssa_power, _ssa_power_sql(), ("tsdb",)
+        ),
+    }
+)
