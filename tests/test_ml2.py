@@ -79,3 +79,41 @@ def test_calibration_bins_and_brier(spark):
     # monotone score => frac_pos nondecreasing with bin
     fr = [r.frac_pos for r in sorted(out, key=lambda r: r.bin)]
     assert all(fr[i + 1] >= fr[i] - 1e-9 for i in range(len(fr) - 1))
+
+
+def test_nb_classify_separable_vocab(spark):
+    import random
+
+    from tsgen.queries_ml2 import nb_classify
+
+    # two classes with disjoint vocabularies -> held-out accuracy ~100%
+    rng = random.Random(2)
+    rows = []
+    for i in range(200):
+        lang = "en" if i % 2 == 0 else "de"
+        vocab = ["cat", "dog", "bird"] if lang == "en" else ["katze", "hund", "vogel"]
+        text = " ".join(rng.choice(vocab) for _ in range(20))
+        rows.append((i, text, lang, "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cm = {(r.actual, r.predicted): r.n_docs for r in nb_classify(df).collect()}
+    correct = sum(n for (a, p), n in cm.items() if a == p)
+    total = sum(cm.values())
+    assert total > 20  # held-out set is non-trivial
+    assert correct == total  # disjoint vocab: perfect separation
+
+
+def test_modularity_two_cliques(spark):
+    from tsgen.queries_experiments import label_propagation, modularity
+
+    # two disjoint triangles: LPA labels them separately; exact Q known:
+    # m=6, each community m_c=3, d_c=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    r = modularity(edges, label_propagation(edges)).collect()[0]
+    assert r.n_edges == 6
+    assert r.n_communities == 2
+    assert abs(r.modularity - 0.5) < 1e-9

@@ -1243,3 +1243,96 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- modularity of the detected partition ------------------------------------
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q = sum_c (m_c/m - (d_c/2m)^2) of a node
+    partition over an undirected graph — the standard "is this community
+    structure real" score (Q ~ 0: no better than random; Q > 0.3:
+    strong). One edge-label join per endpoint + two tiny groupBys; exact
+    integer edge/degree counts make Q bit-identical across engines."""
+    e = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).distinct()
+    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    tagged = e.join(lu, "u").join(lv, "v")
+    m = tagged.agg(F.count("*").alias("m"))
+    intra = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("m_c"))
+    )
+    deg = (
+        tagged.select(F.col("cu").alias("community"))
+        .unionAll(tagged.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").alias("d_c"))
+    )
+    per = (
+        deg.join(intra, "community", "left")
+        .withColumn("m_c", F.coalesce(F.col("m_c"), F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "q_c",
+            F.col("m_c").cast("double") / F.col("m")
+            - (F.col("d_c").cast("double") / (F.lit(2.0) * F.col("m")))
+            * (F.col("d_c").cast("double") / (F.lit(2.0) * F.col("m"))),
+        )
+    )
+    from .queries import round6
+
+    out = per.agg(
+        F.first("m").alias("n_edges"),
+        F.count("*").alias("n_communities"),
+        F.sum("q_c").alias("modularity"),
+        F.max("d_c").alias("max_degree_sum"),
+    )
+    return round6(out, "modularity")
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    pairs = pairs.localCheckpoint(eager=False)
+    return modularity(pairs, label_propagation(pairs))
+
+
+def _modularity_sql() -> str:
+    from . import dedup
+
+    comm = _communities_sql()
+    return f"""
+WITH lab AS MATERIALIZED ({comm}),
+jp2 AS MATERIALIZED ({dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)}),
+e2 AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM jp2),
+tagged AS MATERIALIZED (
+  SELECT e2.u, e2.v, a.community AS cu, b.community AS cv
+  FROM e2 JOIN lab a ON a.node = e2.u JOIN lab b ON b.node = e2.v),
+mt AS (SELECT count(*) AS m FROM tagged),
+intra AS (
+  SELECT cu AS community, count(*) AS m_c FROM tagged WHERE cu = cv GROUP BY cu),
+deg AS (
+  SELECT community, count(*) AS d_c FROM (
+    SELECT cu AS community FROM tagged UNION ALL SELECT cv FROM tagged)
+  GROUP BY community),
+per AS (
+  SELECT deg.community, coalesce(intra.m_c, 0) AS m_c, deg.d_c, mt.m
+  FROM deg LEFT JOIN intra ON intra.community = deg.community CROSS JOIN mt)
+SELECT any_value(m) AS n_edges, count(*) AS n_communities,
+       (round(sum(CAST(m_c AS DOUBLE) / m
+                  - (CAST(d_c AS DOUBLE) / (2.0e0 * m))
+                    * (CAST(d_c AS DOUBLE) / (2.0e0 * m))) + 1.0e-9, 6) + 0.0e0)
+         AS modularity,
+       max(d_c) AS max_degree_sum
+FROM per
+"""
+
+
+_REGISTRY.update(
+    {
+        "graph_modularity": Query(
+            "graph_modularity", _q_modularity, _modularity_sql(), ("graph",)
+        ),
+    }
+)

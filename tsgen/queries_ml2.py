@@ -304,3 +304,142 @@ _REGISTRY.update(
         "ev_calibration": Query("ev_calibration", _q_calibration, _cal_sql(), ("ml",)),
     }
 )
+
+
+# --- multinomial naive Bayes: train + held-out eval --------------------------
+NB_SALT = 77231
+NB_TRAIN_FRAC = 0.8
+
+
+def nb_classify(docs: DataFrame) -> DataFrame:
+    """Multinomial naive Bayes trained ON the cluster and evaluated on a
+    deterministic held-out split — the end-to-end "can we model this
+    column from the text" baseline every labeling pipeline starts with.
+    Train: token counts per (class, word) with add-1 smoothing over the
+    train vocabulary; score: sum of n_w * ln p(w|c) + ln prior, unseen
+    words fall back to the smoothed floor ln(1/(tot_c + V)). Emits the
+    held-out confusion matrix (actual, predicted, n_docs).
+
+    Scale shape: the split is a pure projection (portable LCG); training
+    is one groupBy((class, word)) partial agg; scoring joins test tokens
+    against the vocabulary-sized model table (no broadcast hint — the
+    model is vocab x classes), with per-class floors and priors joined
+    from class-count tables; argmax is a per-doc window over n_classes
+    rows, on the 6dp-rounded score so engine ln() ulps cannot flip it."""
+    from pyspark.sql import Window
+
+    from . import expr as E
+
+    split_u = F.expr(E.u01("doc_id", NB_SALT))
+    d = docs.select("doc_id", "lang", "text").withColumn(
+        "is_train", split_u < F.lit(NB_TRAIN_FRAC)
+    )
+    toks = d.select(
+        "doc_id", "lang", "is_train",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tr = toks.filter(F.col("is_train"))
+    te = toks.filter(~F.col("is_train"))
+
+    wc = tr.groupBy("lang", "w").agg(F.count("*").alias("cws"))
+    tot = wc.groupBy("lang").agg(F.sum("cws").alias("tot_c"))
+    vocab = tr.agg(F.countDistinct("w").alias("v"))
+    prior = (
+        d.filter(F.col("is_train"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("nd"))
+    )
+    n_train = prior.agg(F.sum("nd").alias("ndt"))
+    cls = (
+        prior.crossJoin(F.broadcast(n_train))
+        .join(tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cls"),
+            F.log(F.col("nd").cast("double") / F.col("ndt")).alias("lprior"),
+            (F.col("tot_c") + F.col("v")).cast("double").alias("denom"),
+        )
+    )
+    logp = (
+        wc.join(cls, wc.lang == cls.cls)
+        .select(
+            F.col("cls"), F.col("w"),
+            F.log((F.col("cws") + 1).cast("double") / F.col("denom")).alias("lp"),
+        )
+    )
+    test_counts = te.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("nw"))
+    scored = (
+        test_counts.crossJoin(F.broadcast(cls.select("cls", "lprior", "denom")))
+        .join(logp, ["cls", "w"], "left")
+        .withColumn(
+            "lp_eff",
+            F.coalesce(F.col("lp"), F.log(F.lit(1.0) / F.col("denom"))),
+        )
+        .groupBy("doc_id", "lang", "cls")
+        .agg(
+            (F.sum(F.col("nw") * F.col("lp_eff")) + F.first("lprior")).alias("score")
+        )
+        .withColumn("s6", F.round(F.col("score") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("s6"), F.asc("cls"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("actual"), F.col("cls").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(F.count("*").alias("n_docs"))
+
+
+def _q_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_classify(_t(spark, sf_dir, "documents"))
+
+
+def _nb_sql() -> str:
+    from . import expr as E
+
+    u = E.u01("doc_id", NB_SALT)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, lang, text, {u} < {E.NUM(NB_TRAIN_FRAC)} AS is_train
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, lang, is_train, w FROM (
+    SELECT doc_id, lang, is_train, unnest(string_split(text, ' ')) AS w FROM d)
+  WHERE w <> ''),
+wc AS (SELECT lang, w, count(*) AS cws FROM toks WHERE is_train GROUP BY lang, w),
+tot AS (SELECT lang, sum(cws) AS tot_c FROM wc GROUP BY lang),
+vocab AS (SELECT count(DISTINCT w) AS v FROM toks WHERE is_train),
+prior AS (SELECT lang, count(*) AS nd FROM d WHERE is_train GROUP BY lang),
+ntr AS (SELECT sum(nd) AS ndt FROM prior),
+cls AS MATERIALIZED (
+  SELECT prior.lang AS cls,
+         ln(CAST(nd AS DOUBLE) / ndt) AS lprior,
+         CAST(tot_c + v AS DOUBLE) AS denom
+  FROM prior CROSS JOIN ntr JOIN tot ON tot.lang = prior.lang CROSS JOIN vocab),
+logp AS (
+  SELECT cls.cls, wc.w, ln(CAST(cws + 1 AS DOUBLE) / denom) AS lp
+  FROM wc JOIN cls ON cls.cls = wc.lang),
+tc AS (
+  SELECT doc_id, lang, w, count(*) AS nw FROM toks WHERE NOT is_train
+  GROUP BY doc_id, lang, w),
+scored AS (
+  SELECT doc_id, lang, c.cls,
+         (round(sum(nw * coalesce(lp, ln(1.0e0 / c.denom))) + any_value(c.lprior)
+                + 1.0e-9, 6) + 0.0e0) AS s6
+  FROM tc CROSS JOIN cls c
+  LEFT JOIN logp ON logp.cls = c.cls AND logp.w = tc.w
+  GROUP BY doc_id, lang, c.cls),
+pred AS (
+  SELECT doc_id, lang AS actual, cls AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s6 DESC, cls) AS rk
+    FROM scored) WHERE rk = 1)
+SELECT actual, predicted, count(*) AS n_docs
+FROM pred GROUP BY actual, predicted
+"""
+
+
+_REGISTRY.update(
+    {
+        "doc_nb_classify": Query("doc_nb_classify", _q_nb, _nb_sql(), ("ml", "text")),
+    }
+)
