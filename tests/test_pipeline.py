@@ -535,3 +535,24 @@ def test_pca_power_matches_numpy_eigh(spark):
         assert abs(got[k][1] - w[:k].sum() / tr) < 1e-3
     # eigenvalues nonincreasing
     assert got[1][0] >= got[2][0] >= got[3][0]
+
+
+def test_map_at_k_clustered_labels(spark):
+    import numpy as np
+
+    from tsgen.similarity import map_at_k
+
+    # two tight label clusters far apart -> AP ~ 1; shuffled labels -> low
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(60):
+        lab = i % 2
+        center = np.array([10.0, 0.0] * 4) if lab == 0 else np.array([0.0, 10.0] * 4)
+        v = center + rng.normal(scale=0.1, size=8)
+        rows.append((i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = map_at_k(df, n_queries=6, k=10).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.ap > 0.99  # same-label neighbors dominate the top-10
+        assert r.n_rel_at_k == 10

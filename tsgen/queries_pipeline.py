@@ -729,6 +729,12 @@ _REGISTRY.update(
         "embed_pq": Query(
             "embed_pq", _q_embed_pq, similarity.pq_summary_sql(), ("similarity",)
         ),
+        "embed_map_at_k": Query(
+            "embed_map_at_k",
+            lambda spark, sf_dir: similarity.map_at_k(_emb(spark, sf_dir)),
+            similarity.map_at_k_sql(),
+            ("similarity", "eval"),
+        ),
         "embed_pca_power": Query(
             "embed_pca_power",
             lambda spark, sf_dir: roundn(

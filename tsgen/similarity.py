@@ -1123,3 +1123,96 @@ FROM tr{''.join(f', lam{j}' for j in range(1, m + 1))}"""
         for m in range(1, k + 1)
     )
     return "".join(parts) + "\n" + emits
+
+
+# --- retrieval quality: mAP@k against labels ---------------------------------
+MAP_K = 10
+
+
+def map_at_k(emb: DataFrame, n_queries: int = 10, k: int = MAP_K) -> DataFrame:
+    """Label-based retrieval quality: for each query vector, rank the
+    corpus by exact cosine and score average precision at k against the
+    `label` column (rel_i = neighbor shares the query's label) — the
+    eval that tells you whether an embedding space clusters by the thing
+    you care about, run before trusting it for semantic dedup or ANN
+    routing. AP@k = sum_i(prec@i * rel_i) / min(k, R) with R = corpus
+    relevant count (same-label vectors minus self).
+
+    Scale shape: reuses the broadcast-query brute-force scorer (corpus
+    streams, queries broadcast); label joins are corpus-keyed; the
+    precision windows run per query over k rows."""
+    from pyspark.sql import Window
+
+    nb = brute_force_topk(emb, emb.filter(F.col("vec_id") < n_queries), k=k)
+    lab = emb.select("vec_id", "label")
+    j = (
+        nb.join(
+            lab.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                lab.filter(F.col("vec_id") < n_queries).select(
+                    F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+                )
+            ),
+            "query_id",
+        )
+        .withColumn("rel", (F.col("nl") == F.col("ql")).cast("int"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("rank")
+    terms = j.withColumn("cum", F.sum("rel").over(wq)).withColumn(
+        "term", F.col("rel") * F.col("cum").cast("double") / F.col("rank")
+    )
+    rcount = emb.groupBy("label").agg(F.count("*").alias("n_lab"))
+    out = (
+        terms.groupBy("query_id", "ql")
+        .agg(F.sum("rel").alias("n_rel_at_k"), F.sum("term").alias("ap_num"))
+        .join(F.broadcast(rcount.withColumnRenamed("label", "ql")), "ql")
+        .withColumn(
+            "ap",
+            F.col("ap_num")
+            / F.least(F.lit(float(k)), (F.col("n_lab") - 1).cast("double")),
+        )
+        .select(
+            "query_id",
+            F.col("ql").alias("q_label"),
+            F.col("n_rel_at_k").cast("bigint").alias("n_rel_at_k"),
+            (F.round(F.col("ap") + F.lit(1e-9), 6) + F.lit(0.0)).alias("ap"),
+        )
+    )
+    return out
+
+
+def map_at_k_sql(n_queries: int = 10, k: int = MAP_K) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+n AS (SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS ql, c.vec_id AS neighbor_id,
+         c.label AS nl,
+         list_dot_product(q.vec, c.vec) / (q.norm * c.norm) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs),
+terms AS (
+  SELECT query_id, ql,
+         CASE WHEN nl = ql THEN 1 ELSE 0 END AS rel, rank,
+         CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)
+              OVER (PARTITION BY query_id ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / rank AS prec
+  FROM ranked WHERE rank <= {k}),
+rc AS (SELECT label, count(*) AS n_lab FROM embeddings GROUP BY label)
+SELECT query_id, ql AS q_label,
+       CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+       (round(sum(rel * prec)
+              / least(CAST({k} AS DOUBLE), CAST(rc.n_lab - 1 AS DOUBLE))
+              + 1.0e-9, 6) + 0.0e0) AS ap
+FROM terms JOIN rc ON rc.label = terms.ql
+GROUP BY query_id, ql, rc.n_lab
+"""
