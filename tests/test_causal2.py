@@ -161,3 +161,22 @@ def test_srm_detects_planted_imbalance(spark):
     assert out["click"].srm_alert == 1
     assert out["click"].chi2 > 100  # (1400-1000)^2/1000 * 2 = 320
     assert out["__all__"].n_a + out["__all__"].n_b == 4000
+
+
+def test_next_event_eval_learns_planted_transitions(spark):
+    from tsgen.queries_causal import next_event_eval
+
+    # deterministic chains: view -> click -> purchase, repeated across
+    # the cutoff; the learned model should predict perfectly on test
+    rows = []
+    eid = 0
+    for u in range(40):
+        for d in range(1, 29):  # spans the 2024-01-20 cutoff
+            for h, et in [(10, "view"), (11, "click"), (12, "purchase")]:
+                rows.append((eid, f"2024-01-{d:02d} {h}:00:00", u, et, 1.0, "{}"))
+                eid += 1
+    out = {r.cur: r for r in next_event_eval(_events_df(spark, rows)).collect()}
+    assert out["view"].predicted == "click" and out["view"].acc_model == 1.0
+    assert out["click"].predicted == "purchase" and out["click"].acc_model == 1.0
+    # conditioning beats the global baseline on at least one type
+    assert any(r.acc_model > r.acc_base for r in out.values())

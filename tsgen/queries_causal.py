@@ -871,3 +871,110 @@ _REGISTRY.update(
         "ev_srm": Query("ev_srm", _q_srm, _srm_sql(), ("causal",)),
     }
 )
+
+
+# --- next-event prediction eval ----------------------------------------------
+NEXT_CUTOFF = "2024-01-20 00:00:00"
+
+
+def next_event_eval(ev: DataFrame, cutoff: str = NEXT_CUTOFF) -> DataFrame:
+    """First-order next-event prediction with a TIME-BASED train/test
+    split — the honest sequence-model baseline eval: the transition
+    table learned before the cutoff predicts argmax next event type; a
+    global most-frequent-next baseline calibrates how much the
+    conditioning actually buys. A pair belongs to train/test by its
+    SUCCESSOR's timestamp (no leakage across the boundary). All counts
+    are integers; ties break on event-type order — bit-identical across
+    engines.
+
+    Scale shape: one per-user lead() window; train model and baseline
+    are ~n_types^2 aggregates; scoring is a broadcast join of the tiny
+    model onto the test pairs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("cur"))
+        .withColumn("nxt", F.lead("cur").over(w))
+        .withColumn("nxt_ts", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("is_test", F.col("nxt_ts") >= F.lit(cutoff).cast("timestamp"))
+    )
+    counts = (
+        pairs.filter(~F.col("is_test")).groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    )
+    wm = Window.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    model = (
+        counts.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    base = (
+        counts.groupBy("nxt").agg(F.sum("c").alias("c"))
+        .orderBy(F.desc("c"), F.asc("nxt"))
+        .limit(1)
+        .select(F.col("nxt").alias("base_pred"))
+    )
+    test = (
+        pairs.filter(F.col("is_test"))
+        .join(F.broadcast(model), "cur", "left")
+        .crossJoin(F.broadcast(base))
+    )
+    out = (
+        test.groupBy("cur")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.first("pred").alias("predicted"),
+            F.sum((F.col("nxt") == F.col("pred")).cast("int")).alias("n_correct"),
+            F.sum((F.col("nxt") == F.col("base_pred")).cast("int")).alias("n_base"),
+        )
+        .withColumn("acc_model", F.col("n_correct").cast("double") / F.col("n_test"))
+        .withColumn("acc_base", F.col("n_base").cast("double") / F.col("n_test"))
+    )
+    return roundn(out, 6, "acc_model", "acc_base")
+
+
+def _q_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return next_event_eval(_events(spark, sf_dir))
+
+
+def _next_event_sql(cutoff: str = NEXT_CUTOFF) -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT cur, nxt, nxt_ts >= TIMESTAMP '{cutoff}' AS is_test FROM (
+    SELECT event_type AS cur,
+           lead(event_type) OVER w AS nxt,
+           lead(ts) OVER w AS nxt_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  WHERE nxt IS NOT NULL),
+counts AS (
+  SELECT cur, nxt, count(*) AS c FROM pairs WHERE NOT is_test GROUP BY cur, nxt),
+model AS (
+  SELECT cur, nxt AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rk
+    FROM counts) WHERE rk = 1),
+base AS (
+  SELECT nxt AS base_pred FROM (
+    SELECT nxt, sum(c) AS c FROM counts GROUP BY nxt)
+  ORDER BY c DESC, nxt LIMIT 1)
+SELECT p.cur, count(*) AS n_test, any_value(m.pred) AS predicted,
+       CAST(sum(CASE WHEN p.nxt = m.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN p.nxt = b.base_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       (round(CAST(sum(CASE WHEN p.nxt = m.pred THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) + 1.0e-9, 6) + 0.0e0) AS acc_model,
+       (round(CAST(sum(CASE WHEN p.nxt = b.base_pred THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) + 1.0e-9, 6) + 0.0e0) AS acc_base
+FROM pairs p LEFT JOIN model m ON m.cur = p.cur CROSS JOIN base b
+WHERE p.is_test
+GROUP BY p.cur
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_next_event_acc": Query(
+            "ev_next_event_acc", _q_next_event, _next_event_sql(), ("paths", "ml")
+        ),
+    }
+)
