@@ -182,6 +182,13 @@ def main() -> None:
         "ev_srm",
         "ev_retract_merge",
         "embed_pca_power",
+        # round-3 continuation batch 9-12: partition quality, NB baseline,
+        # retrieval eval, sequence baseline, SSA power
+        "graph_modularity",
+        "doc_nb_classify",
+        "embed_map_at_k",
+        "ev_next_event_acc",
+        "ts_ssa_power",
     ]
     reg = registry()
     for name in suite:

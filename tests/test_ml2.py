@@ -117,3 +117,35 @@ def test_modularity_two_cliques(spark):
     assert r.n_edges == 6
     assert r.n_communities == 2
     assert abs(r.modularity - 0.5) < 1e-9
+
+
+def test_session_new_ops_plan_shapes(spark):
+    """Plan assertions for the batch 5-12 scale claims."""
+    sf = "/root/testdata/sf0.001"
+    from tsgen.queries import registry
+
+    reg = registry()
+
+    def plan(name):
+        return (
+            reg[name]
+            .spark_fn(spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # prefix join: candidate generation is an equi-join on the shingle —
+    # never a cartesian product
+    p = plan("doc_prefix_jaccard")
+    assert "CartesianProduct" not in p
+    # Adamic-Adar / PPMI: top-k is an ordered limit, not a global sort
+    assert "TakeOrderedAndProject" in plan("graph_adamic_adar")
+    assert "TakeOrderedAndProject" in plan("token_ppmi")
+    # bootstrap: the replica axis is broadcast (range crossJoin), the
+    # data side is never shuffled before the per-replica partial agg
+    assert "Broadcast" in plan("ev_bootstrap_ci")
+    # CUPED: theta is broadcast back onto the per-user table
+    assert "Broadcast" in plan("ev_cuped")
+    # retraction: the affected-group list joins broadcast
+    assert "BroadcastHashJoin" in plan("ev_retract_merge")
