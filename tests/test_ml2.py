@@ -149,3 +149,37 @@ def test_session_new_ops_plan_shapes(spark):
     assert "Broadcast" in plan("ev_cuped")
     # retraction: the affected-group list joins broadcast
     assert "BroadcastHashJoin" in plan("ev_retract_merge")
+
+
+def test_poisson_glm_recovers_planted_rate_ratio(spark):
+    import math
+    import random
+
+    from tsgen.queries_ml2 import poisson_glm
+
+    rng = random.Random(8)
+    rows = []
+    eid = 0
+    # weekday rate 2/day, weekend rate 6/day -> weekend_ratio ~ 3
+    import datetime as dt
+
+    for u in range(60):
+        for d in range(1, 29):
+            wd = dt.date(2024, 1, d).weekday()  # Mon=0 .. Sun=6
+            lam = 6 if wd >= 5 else 2
+            n = max(1, int(lam + rng.uniform(-1, 1)))
+            for _ in range(n):
+                rows.append((eid, f"2024-01-{d:02d} 10:00:00", u, "view", 1.0, "{}"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.iter: r for r in poisson_glm(ev).collect()}
+    last = out[max(out)]
+    # planted means: weekday E[int(U(1,3))] = 1.5, weekend E[int(U(5,7))] = 5.5
+    assert abs(last.weekend_ratio - 5.5 / 1.5) < 0.25
+    assert abs(math.exp(last.beta0) - 1.5) < 0.2  # weekday base rate
+    # log-likelihood core nondecreasing over Newton iterations
+    lls = [out[i].avg_ll_core for i in sorted(out)]
+    assert all(b >= a - 1e-9 for a, b in zip(lls, lls[1:]))

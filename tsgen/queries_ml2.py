@@ -443,3 +443,137 @@ _REGISTRY.update(
         "doc_nb_classify": Query("doc_nb_classify", _q_nb, _nb_sql(), ("ml", "text")),
     }
 )
+
+
+# --- Poisson GLM (counts regression) -----------------------------------------
+POIS_ITERS = 7
+
+
+def poisson_glm(ev: DataFrame, iters: int = POIS_ITERS) -> DataFrame:
+    """Poisson regression fit by IRLS — the canonical counts model
+    (events per user-day ~ exp(b0 + b1*is_weekend)), sharing the exact
+    machinery of ev_logreg with GLM weights w = mu and score residual
+    y - mu: per iteration ONE 5-number sufficient-statistics aggregate,
+    closed-form 2x2 solve, 4dp-stat / 12dp-beta rounded recursion so the
+    unrolled-CTE oracle replays bit-for-bit. exp(b1) is the weekend rate
+    ratio — the interpretable output.
+
+    Scale shape: one groupBy((user, day)) builds the counts table; each
+    IRLS pass is a partial-agged global aggregate over it; the 1-row
+    beta is eagerly checkpointed and broadcast back."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    base = (
+        ev.groupBy(F.col("user_id"), day.alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+        # epoch day 0 = Thursday -> (d+3)%7 maps Sat=5, Sun=6
+        .withColumn("x", (((F.col("d") + 3) % 7) >= 5).cast("double"))
+    )
+    spark = ev.sparkSession
+    beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
+    out = None
+    for it in range(1, iters + 1):
+        mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+        aggs = (
+            base.crossJoin(F.broadcast(beta))
+            .agg(
+                F.sum(mu).alias("s00"),
+                F.sum(mu * F.col("x")).alias("s01"),
+                F.sum(mu * F.col("x") * F.col("x")).alias("s11"),
+                F.sum(F.col("y") - mu).alias("g0"),
+                F.sum((F.col("y") - mu) * F.col("x")).alias("g1"),
+                F.first("b0").alias("b0"),
+                F.first("b1").alias("b1"),
+            )
+        )
+        aggs = roundn(aggs, 4, "s00", "s01", "s11", "g0", "g1")
+        solved = aggs.withColumn(
+            "det", F.col("s00") * F.col("s11") - F.col("s01") * F.col("s01")
+        )
+        beta = solved.select(
+            F.round(
+                F.col("b0")
+                + (F.col("s11") * F.col("g0") - F.col("s01") * F.col("g1")) / F.col("det")
+                + F.lit(1.0e-15),
+                12,
+            ).alias("b0"),
+            F.round(
+                F.col("b1")
+                + (F.col("s00") * F.col("g1") - F.col("s01") * F.col("g0")) / F.col("det")
+                + F.lit(1.0e-15),
+                12,
+            ).alias("b1"),
+        ).localCheckpoint(eager=True)
+        mun = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+        row = (
+            base.crossJoin(F.broadcast(beta))
+            .agg(
+                F.first("b0").alias("beta0"),
+                F.first("b1").alias("beta1"),
+                F.avg(
+                    F.col("y") * (F.col("b0") + F.col("b1") * F.col("x")) - mun
+                ).alias("avg_ll_core"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                F.lit(it).cast("bigint").alias("iter"),
+                "beta0",
+                "beta1",
+                F.exp(F.col("beta1")).alias("weekend_ratio"),
+                "avg_ll_core",
+                "n",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return round6(out, "beta0", "beta1", "weekend_ratio", "avg_ll_core")
+
+
+def _q_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return poisson_glm(_t(spark, sf_dir, "events"))
+
+
+def _poisson_sql(iters: int = POIS_ITERS) -> str:
+    parts = ["""
+WITH base AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS y,
+         CAST(CASE WHEN (d + 3) % 7 >= 5 THEN 1 ELSE 0 END AS DOUBLE) AS x
+  FROM (
+    SELECT user_id, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+    FROM events)
+  GROUP BY user_id, d),
+pbeta0_ AS (SELECT 0.0e0 AS b0, 0.0e0 AS b1)"""]
+    for k in range(1, iters + 1):
+        prev = f"pbeta{k - 1}_"
+        parts.append(f""",
+pagg{k} AS (
+  SELECT (round(sum(mu) + 1.0e-9, 4) + 0.0e0) AS s00,
+         (round(sum(mu * x) + 1.0e-9, 4) + 0.0e0) AS s01,
+         (round(sum(mu * x * x) + 1.0e-9, 4) + 0.0e0) AS s11,
+         (round(sum(y - mu) + 1.0e-9, 4) + 0.0e0) AS g0,
+         (round(sum((y - mu) * x) + 1.0e-9, 4) + 0.0e0) AS g1,
+         any_value(b0) AS b0, any_value(b1) AS b1
+  FROM (SELECT x, y, b0, b1, exp(b0 + b1 * x) AS mu
+        FROM base CROSS JOIN {prev})),
+pbeta{k}_ AS MATERIALIZED (
+  SELECT round(b0 + (s11 * g0 - s01 * g1) / det + 1.0e-15, 12) AS b0,
+         round(b1 + (s00 * g1 - s01 * g0) / det + 1.0e-15, 12) AS b1
+  FROM (SELECT *, s00 * s11 - s01 * s01 AS det FROM pagg{k})),
+pll{k} AS (
+  SELECT CAST({k} AS BIGINT) AS iter,
+         (round(any_value(b0) + 1.0e-9, 6) + 0.0e0) AS beta0,
+         (round(any_value(b1) + 1.0e-9, 6) + 0.0e0) AS beta1,
+         (round(exp(any_value(b1)) + 1.0e-9, 6) + 0.0e0) AS weekend_ratio,
+         (round(avg(y * (b0 + b1 * x) - exp(b0 + b1 * x)) + 1.0e-9, 6) + 0.0e0)
+           AS avg_ll_core,
+         count(*) AS n
+  FROM base CROSS JOIN pbeta{k}_)""")
+    emits = "\nUNION ALL\n".join(f"SELECT * FROM pll{k}" for k in range(1, iters + 1))
+    return "".join(parts) + "\n" + emits
+
+
+_REGISTRY.update(
+    {
+        "ev_poisson_glm": Query(
+            "ev_poisson_glm", _q_poisson, _poisson_sql(), ("ml", "iterative")
+        ),
+    }
+)
