@@ -556,3 +556,24 @@ def test_map_at_k_clustered_labels(spark):
     for r in out:
         assert r.ap > 0.99  # same-label neighbors dominate the top-10
         assert r.n_rel_at_k == 10
+
+
+def test_lsh_recall_eval_exact_dups_always_hit(spark):
+    import random
+
+    from tsgen.dedup import lsh_recall_eval
+
+    rng = random.Random(14)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(80):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    # 5 EXACT duplicates: identical signatures collide in every band
+    for j in range(5):
+        rows.append((200 + j, rows[j][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_recall_eval(df).collect()[0]
+    assert r.n_truth >= 5
+    assert r.n_hits >= 5           # the exact dups can never be missed
+    assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
+    assert r.n_hits <= r.n_cand and r.n_hits <= r.n_truth

@@ -684,6 +684,12 @@ _REGISTRY.update(
         "ngram_jaccard": Query(
             "ngram_jaccard", _q_jaccard, dedup.jaccard_pairs_sql(["lang", "source"], threshold=0.01), ("dedup",)
         ),
+        "doc_lsh_recall": Query(
+            "doc_lsh_recall",
+            lambda spark, sf_dir: dedup.lsh_recall_eval(_docs(spark, sf_dir)),
+            dedup.lsh_recall_eval_sql(),
+            ("dedup", "eval"),
+        ),
         "doc_prefix_jaccard": Query(
             "doc_prefix_jaccard", _q_prefix_jaccard, dedup.prefix_jaccard_sql(), ("dedup",)
         ),
