@@ -128,3 +128,15 @@ def test_gbm_stumps_finds_planted_split_and_reduces_rmse(spark):
     assert rmses[0] > rmses[1] > rmses[2]
     # lr=0.5 twice on the same split ≈ full correction → tiny final RMSE
     assert rmses[2] < 0.7
+
+
+def test_entity_clusters_transitive_closure(spark):
+    from tsgen.dedup import connected_components
+
+    # a~b and b~c (transitive, a!~c directly): one entity of size 3
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    lab = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert lab[1] == lab[2] == lab[3] == 1  # min key is the golden record
+    assert lab[10] == lab[11] == 10

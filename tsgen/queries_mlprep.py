@@ -628,3 +628,63 @@ _REGISTRY.update(
         "ann_rrf": Query("ann_rrf", _q_ann_rrf, _RRF_SQL, ("pipeline",)),
     }
 )
+
+
+# --- entity resolution: fuzzy pairs -> clusters -> golden record --------------
+def _q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over parts: Jaro-Winkler match pairs
+    (first-token blocking) -> transitive closure via connected components
+    -> one golden record per entity (canonical = min key, the survivorship
+    rule) with the cluster size. The step real MDM pipelines run AFTER
+    pairwise matching: pairs alone double-count entities that match
+    transitively (a~b, b~c but a!~c).
+
+    Scale shape: reuses the blocked JW pair generator (bounded candidates)
+    and the hybrid min-label-propagation components (per-round
+    localCheckpoint); the golden-record pick is one window per cluster."""
+    from pyspark.sql import Window
+
+    from . import dedup
+
+    pairs = name_match_jw(_t(spark, sf_dir, "part")).select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    lab = dedup.connected_components(pairs)
+    w = Window.partitionBy("entity_id")
+    return (
+        lab.select(
+            F.col("node").alias("p_partkey"), F.col("label").alias("entity_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_golden", F.col("p_partkey") == F.col("entity_id"))
+    )
+
+
+def _entity_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE jw AS ({_JW_SQL.strip().rstrip()}),
+edges AS (SELECT key_a AS u, key_b AS v FROM jw
+          UNION ALL SELECT key_b, key_a FROM jw),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+lab AS (SELECT node AS p_partkey, min(r) AS entity_id FROM reach GROUP BY node)
+SELECT p_partkey, entity_id,
+       count(*) OVER (PARTITION BY entity_id) AS cluster_size,
+       p_partkey = entity_id AS is_golden
+FROM lab
+"""
+
+
+_REGISTRY.update(
+    {
+        "part_entity_clusters": Query(
+            "part_entity_clusters",
+            _q_entity_clusters,
+            _entity_clusters_sql(),
+            ("pipeline", "entity"),
+        ),
+    }
+)
