@@ -189,6 +189,8 @@ def main() -> None:
         "embed_map_at_k",
         "ev_next_event_acc",
         "ts_ssa_power",
+        "ev_poisson_glm",
+        "part_entity_clusters",
     ]
     reg = registry()
     for name in suite:
