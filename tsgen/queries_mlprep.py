@@ -164,6 +164,93 @@ def name_match_jw(
     return pairs.mapInPandas(kernel, "key_a long, key_b long, jw double")
 
 
+SNM_WINDOW = 10
+
+
+def name_match_snm(
+    df: DataFrame,
+    key: str = "p_partkey",
+    name: str = "p_name",
+    threshold: float = JW_THRESHOLD,
+    window: int = SNM_WINDOW,
+) -> DataFrame:
+    """Sorted-neighborhood fuzzy matching (Hernandez & Stolfo 1995): within
+    each first-token block, records sort by name and each record pairs
+    ONLY with its next `window` neighbors — candidate volume is
+    O(n * window) instead of the block^2 blowup of plain blocking (at
+    sf0.1 the hottest first-token block holds ~2.6k parts -> 3.3M pairs
+    for blocking vs ~26k here). Near-variants sort adjacently (shared
+    prefixes dominate the order, exactly what Winkler similarity
+    rewards), so the recall loss is the documented SNM tradeoff. The
+    window runs PARTITIONED by block — no global sort."""
+    w = Window.partitionBy("blk").orderBy("nm", key)
+    blocked = df.select(
+        F.col(key),
+        F.col(name).alias("nm"),
+        F.split(F.col(name), " ").getItem(0).alias("blk"),
+    )
+    with_leads = blocked.select(
+        F.col(key),
+        "nm",
+        *[F.lead(key, k).over(w).alias(f"k{k}") for k in range(1, window + 1)],
+        *[F.lead("nm", k).over(w).alias(f"n{k}") for k in range(1, window + 1)],
+    )
+    leads = with_leads.select(
+        F.col(key),
+        "nm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"k{k}").alias("key_b"), F.col(f"n{k}").alias("nm_b")
+                    )
+                    for k in range(1, window + 1)
+                ]
+            )
+        ).alias("p"),
+    ).filter(F.col("p.key_b").isNotNull())
+    pairs = leads.select(
+        F.least(F.col(key), F.col("p.key_b")).alias("key_a"),
+        F.greatest(F.col(key), F.col("p.key_b")).alias("key_b"),
+        F.col("nm").alias("nm_a"),
+        F.col("p.nm_b").alias("nm_b"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf["jw"] = [
+                round(jaro_winkler(x, y) + 1e-9, 6)
+                for x, y in zip(pdf["nm_a"], pdf["nm_b"])
+            ]
+            yield pdf[pdf["jw"] > threshold][["key_a", "key_b", "jw"]]
+
+    return pairs.mapInPandas(kernel, "key_a long, key_b long, jw double").distinct()
+
+
+def name_match_snm_sql(threshold: float = JW_THRESHOLD, window: int = SNM_WINDOW) -> str:
+    leads = ",\n         ".join(
+        f"lead(p_partkey, {k}) OVER w AS k{k}, lead(p_name, {k}) OVER w AS n{k}"
+        for k in range(1, window + 1)
+    )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT p_partkey AS ka, p_name AS na, k{k} AS kb, n{k} AS nb FROM leads WHERE k{k} IS NOT NULL"
+        for k in range(1, window + 1)
+    )
+    return f"""
+WITH leads AS (
+  SELECT p_partkey, p_name,
+         {leads}
+  FROM (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part)
+  WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+cand AS ({arms}),
+scored AS (
+  SELECT DISTINCT least(ka, kb) AS key_a, greatest(ka, kb) AS key_b,
+         {E.round6('jaro_winkler_similarity(na, nb)')} AS jw
+  FROM cand)
+SELECT key_a, key_b, jw FROM scored WHERE jw > {E.NUM(threshold)}
+"""
+
+
 def _q_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return name_match_jw(_t(spark, sf_dir, "part"))
 
@@ -621,6 +708,12 @@ _REGISTRY.update(
             "ev_gbm_stumps", _q_gbm, _gbm_sql(), ("pipeline",)
         ),
         "name_match_jw": Query("name_match_jw", _q_name_match, _JW_SQL, ("pipeline",)),
+        "name_match_snm": Query(
+            "name_match_snm",
+            lambda spark, sf_dir: name_match_snm(_t(spark, sf_dir, "part")),
+            name_match_snm_sql(),
+            ("pipeline", "entity"),
+        ),
         "doc_woe": Query("doc_woe", _q_doc_woe, _WOE_SQL, ("pipeline",)),
         "dedup_incremental": Query(
             "dedup_incremental", _q_dedup_incremental, _DEDUP_INC_SQL, ("pipeline",)
@@ -646,7 +739,7 @@ def _q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import dedup
 
-    pairs = name_match_jw(_t(spark, sf_dir, "part")).select(
+    pairs = name_match_snm(_t(spark, sf_dir, "part")).select(
         F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
     )
     lab = dedup.connected_components(pairs)
@@ -662,7 +755,7 @@ def _q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _entity_clusters_sql() -> str:
     return f"""
-WITH RECURSIVE jw AS ({_JW_SQL.strip().rstrip()}),
+WITH RECURSIVE jw AS ({name_match_snm_sql().strip()}),
 edges AS (SELECT key_a AS u, key_b AS v FROM jw
           UNION ALL SELECT key_b, key_a FROM jw),
 nodes AS (SELECT DISTINCT u AS node FROM edges),
