@@ -191,6 +191,7 @@ def main() -> None:
         "ts_ssa_power",
         "ev_poisson_glm",
         "part_entity_clusters",
+        "ts_prophet_lite",
     ]
     reg = registry()
     for name in suite:

@@ -110,3 +110,34 @@ def test_reconcile_coherence_properties(spark):
     assert out["b"].share > out["a"].share > out["c"].share
     # base forecasts of leaves track their level ordering
     assert out["b"].base_fc > out["a"].base_fc > out["c"].base_fc
+
+
+def test_prophet_lite_recovers_planted_trend_break_and_seasonality(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tsgen.queries_forecast2 import prophet_lite
+
+    # planted: level 100, slope +60/30 per t-unit until t=19, then +150/30,
+    # plus weekly wave 20*sin(2*pi*t/7)
+    rows = []
+    eid = 0
+    for t in range(30):
+        base = 100 + 2 * t + (5 - 2) * max(0, t - 19)
+        n = int(round(base + 20 * math.sin(2 * math.pi * t / 7)))
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{t + 1:02d} 06:00:00", eid % 5, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.feature: r.beta for r in prophet_lite(ev).collect()}
+    # lambda = 1e-4 is numerical-only, so the OLS slopes identify
+    assert abs(out["trend"] - 60.0) < 6.0               # segment-1 slope
+    assert abs(out["trend"] + out["hinge_10"] - 60.0) < 6.0   # segment-2 slope
+    assert abs(out["hinge_19"] - 90.0) < 10.0           # slope change at 19
+    assert abs(out["sin_weekly"] - 20.0) < 2.0
+    assert abs(out["cos_weekly"]) < 3.0
+    assert out["rmse"] < 2.0                            # near-exact fit

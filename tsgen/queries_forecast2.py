@@ -471,3 +471,195 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- Prophet-lite: trend knots + weekly Fourier, exact ridge solve -----------
+PL_KNOTS = (10, 19)
+PL_LAMBDA = 1e-4
+PL_DIM = 6  # [1, t, hinge(t-k1), hinge(t-k2), sin(2pi t/7), cos(2pi t/7)]
+
+
+def prophet_lite(ev: DataFrame) -> DataFrame:
+    """Decomposable daily-series model in the style of Prophet (Taylor &
+    Letham 2018): piecewise-linear trend (hinge features at fixed
+    changepoint knots) + weekly Fourier seasonality, fit by RIDGE least
+    squares solved EXACTLY — the normal equations accumulate distributed
+    (one groupBy(day) for the series, one 36-cell aggregate for X'X and
+    X'y), then a 6x6 Gaussian elimination runs as constant-size driver
+    arithmetic whose every pivot/eliminate/back-substitute step the
+    oracle replays in LIST-state CTEs. A'=X'X+lambda*I and b=X'y are
+    rounded to 6dp first, so both engines eliminate the identical
+    matrix bit-for-bit (no iterative-convergence concerns at all).
+
+    Emits one row per coefficient plus the training RMSE row."""
+    import math
+
+    day = (
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+        - F.lit(19723)  # epoch day of 2024-01-01
+    ).alias("t")
+    daily = ev.groupBy(day).agg(F.count("*").cast("double").alias("y"))
+    t = F.col("t").cast("double")
+    feats = [
+        F.lit(1.0),
+        t / 30.0,
+        F.greatest(F.lit(0.0), (t - PL_KNOTS[0]) / 30.0),
+        F.greatest(F.lit(0.0), (t - PL_KNOTS[1]) / 30.0),
+        F.sin(t * (2.0 * math.pi / 7.0)),
+        F.cos(t * (2.0 * math.pi / 7.0)),
+    ]
+    d = PL_DIM
+    xrow = daily.select("t", "y", F.array(*feats).alias("x"))
+    cells = xrow.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.lit(j).alias("j"),
+                        (F.element_at("x", i + 1) * F.element_at("x", j + 1)).alias("xx"),
+                        (F.element_at("x", i + 1) * F.col("y")).alias("xy"),
+                    )
+                    for i in range(d)
+                    for j in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("c.i", "c.j", "c.xx", "c.xy")
+    gram = cells.groupBy("i", "j").agg(
+        (F.round(F.sum("xx") + F.lit(1e-9), 6) + F.lit(0.0)).alias("a"),
+        (F.round(F.sum(F.when(F.col("j") == 0, F.col("xy"))) + F.lit(1e-9), 6) + F.lit(0.0)).alias("b"),
+    )
+    rows = gram.collect()  # 36 cells — constant-size driver state
+    A = [[0.0] * d for _ in range(d)]
+    bv = [0.0] * d
+    for r in rows:
+        A[r.i][r.j] = r.a
+        if r.j == 0:
+            bv[r.i] = r.b
+    for i in range(d):
+        A[i][i] = A[i][i] + PL_LAMBDA
+    # forward elimination then back-substitution — mirrored step-for-step
+    # by the oracle's CTE chain (identical IEEE op order)
+    for k in range(d):
+        for i in range(k + 1, d):
+            f = A[i][k] / A[k][k]
+            for j in range(d):
+                A[i][j] = A[i][j] - f * A[k][j]
+            bv[i] = bv[i] - f * bv[k]
+    beta = [0.0] * d
+    for i in range(d - 1, -1, -1):
+        # accumulate the dot product FIRST, subtract once — matches the
+        # oracle's b - fold(+) association exactly
+        acc = 0.0
+        for j in range(i + 1, d):
+            acc = acc + A[i][j] * beta[j]
+        beta[i] = (bv[i] - acc) / A[i][i]
+
+    spark = ev.sparkSession
+    names = ["intercept", "trend", f"hinge_{PL_KNOTS[0]}", f"hinge_{PL_KNOTS[1]}",
+             "sin_weekly", "cos_weekly"]
+    bdf = spark.createDataFrame(
+        [(n, float(v)) for n, v in zip(names, beta)], "feature string, beta double"
+    )
+    pred = sum(feats[i] * F.lit(beta[i]) for i in range(d))
+    rmse = daily.agg(
+        F.sqrt(F.avg((F.col("y") - pred) * (F.col("y") - pred))).alias("beta")
+    ).select(F.lit("rmse").alias("feature"), "beta")
+    from .queries import round6
+
+    return round6(bdf.unionByName(rmse), "beta")
+
+
+def _q_prophet_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import _events
+
+    return prophet_lite(_events(spark, sf_dir))
+
+
+def _prophet_lite_sql() -> str:
+    from . import expr as E
+
+    d = PL_DIM
+    lam = E.NUM(PL_LAMBDA)
+    w = E.NUM(2.0 * 3.141592653589793 / 7.0)
+    feats = (
+        f"[1.0e0, CAST(t AS DOUBLE) / 3.0e1, "
+        f"greatest(0.0e0, (CAST(t AS DOUBLE) - {PL_KNOTS[0]}) / 3.0e1), "
+        f"greatest(0.0e0, (CAST(t AS DOUBLE) - {PL_KNOTS[1]}) / 3.0e1), "
+        f"sin(CAST(t AS DOUBLE) * {w}), cos(CAST(t AS DOUBLE) * {w})]"
+    )
+    # A flattened row-major (with ridge), b appended as column d
+    parts = [f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) - 19723 AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+xr AS (SELECT t, y, {feats} AS x FROM daily),
+cells AS (
+  SELECT i, j,
+         (round(sum(x[i + 1] * x[j + 1]) + 1.0e-9, 6) + 0.0e0)
+           + CASE WHEN i = j THEN {lam} ELSE 0.0e0 END AS a,
+         (round(sum(x[i + 1] * y) + 1.0e-9, 6) + 0.0e0) AS b
+  FROM xr, range(0, {d}) r1(i), range(0, {d}) r2(j)
+  GROUP BY i, j),
+m0 AS MATERIALIZED (
+  SELECT list(row ORDER BY i) AS m FROM (
+    SELECT i, list_append(list(a ORDER BY j),
+                          max(CASE WHEN j = 0 THEN b END)) AS row
+    FROM cells GROUP BY i))"""]
+    step = 0
+    cur = "m0"
+    for k in range(d):
+        step += 1
+        nxt = f"m{step}"
+        parts.append(f""",
+{nxt} AS MATERIALIZED (
+  SELECT list_transform(range(0, {d}), i ->
+           CASE WHEN i <= {k} THEN m[i + 1]
+                ELSE list_transform(range(0, {d + 1}), j ->
+                       m[i + 1][j + 1]
+                       - (m[i + 1][{k} + 1] / m[{k} + 1][{k} + 1])
+                         * m[{k} + 1][j + 1]) END) AS m
+  FROM {cur})""")
+        cur = nxt
+    # back substitution: beta accumulated as a growing list (beta[d-1] first)
+    parts.append(f""",
+bs0 AS (SELECT m, CAST([] AS DOUBLE[]) AS rev FROM {cur})""")
+    for idx, i in enumerate(range(d - 1, -1, -1)):
+        parts.append(f""",
+bs{idx + 1} AS (
+  SELECT m,
+         list_append(rev,
+           (m[{i} + 1][{d + 1}]
+            - list_reduce(list_prepend(0.0e0,
+                list_transform(range({i} + 1, {d}), j ->
+                  m[{i} + 1][j + 1] * rev[{d} - j])), (a, b) -> a + b))
+           / m[{i} + 1][{i} + 1]) AS rev
+  FROM bs{idx})""")
+    names = ["intercept", "trend", f"hinge_{PL_KNOTS[0]}", f"hinge_{PL_KNOTS[1]}",
+             "sin_weekly", "cos_weekly"]
+    sel = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS feature, (round(rev[{d} - {i}] + 1.0e-9, 6) + 0.0e0) AS beta FROM bs{d}"
+        for i, n in enumerate(names)
+    )
+    pred = " + ".join(f"bb.rev[{d} - {i}] * x[{i} + 1]" for i in range(d))
+    return "".join(parts) + f""",
+rmse AS (
+  SELECT 'rmse' AS feature,
+         (round(sqrt(avg((y - ({pred})) * (y - ({pred})))) + 1.0e-9, 6) + 0.0e0)
+           AS beta
+  FROM xr CROSS JOIN bs{d} bb)
+{sel}
+UNION ALL SELECT * FROM rmse
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_prophet_lite": Query(
+            "ts_prophet_lite", _q_prophet_lite, _prophet_lite_sql(), ("forecast",)
+        ),
+    }
+)
