@@ -577,3 +577,24 @@ def test_lsh_recall_eval_exact_dups_always_hit(spark):
     assert r.n_hits >= 5           # the exact dups can never be missed
     assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
     assert r.n_hits <= r.n_cand and r.n_hits <= r.n_truth
+
+
+def test_cluster_purity_separable_clusters(spark):
+    import numpy as np
+
+    from tsgen.similarity import cluster_purity
+
+    # k=2 tight clusters aligned with labels -> purity ~1, NMI ~1
+    rng = np.random.default_rng(12)
+    rows = []
+    for i in range(80):
+        lab = i % 2
+        center = np.full(8, 0.0 if lab == 0 else 20.0)
+        v = center + rng.normal(scale=0.2, size=8)
+        rows.append((i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = cluster_purity(df, k=2, iters=2).collect()[0]
+    assert r.n == 80
+    assert r.purity > 0.99
+    assert r.nmi > 0.99
+    assert abs(r.h_label - np.log(2)) < 1e-6  # balanced labels

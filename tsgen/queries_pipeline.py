@@ -755,6 +755,12 @@ _REGISTRY.update(
             similarity.top_eigen_sql(),
             ("similarity",),
         ),
+        "embed_cluster_purity": Query(
+            "embed_cluster_purity",
+            lambda spark, sf_dir: similarity.cluster_purity(_emb(spark, sf_dir)),
+            similarity.cluster_purity_sql(),
+            ("similarity", "eval"),
+        ),
         "embed_kmeans": Query(
             "embed_kmeans",
             lambda spark, sf_dir: similarity.kmeans_l2(_emb(spark, sf_dir)),

@@ -758,10 +758,123 @@ def kmeans_l2(
     )
 
 
-def kmeans_l2_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM) -> str:
-    """DuckDB oracle twin: the same Lloyd rounds unrolled as chained CTEs.
-    dist2 uses a SEQUENTIAL list_reduce fold so the summation order matches
-    Spark's aggregate() exactly."""
+def kmeans_assignments(
+    df: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS, vec: str = "embedding"
+) -> DataFrame:
+    """Final (vec_id, cluster_id) assignment of the deterministic Lloyd fit
+    — same rounds as kmeans_l2, exposing the per-vector labels for
+    downstream evals (cluster purity / NMI)."""
+    v = df.select("vec_id", F.col(vec).cast("array<double>").alias("_vec"))
+    cents = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("_vec").alias("cvec")
+    )
+
+    def dist2() -> F.Column:
+        return F.aggregate(
+            F.zip_with("_vec", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cc: DataFrame) -> DataFrame:
+        j = v.crossJoin(F.broadcast(cc)).withColumn("d2", dist2())
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "_vec", "cluster_id")
+        )
+
+    for _ in range(iters):
+        assigned = v.crossJoin(F.broadcast(cents)).withColumn("d2", dist2())
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+        assigned = (
+            assigned.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "_vec", "cluster_id")
+        )
+        comp = assigned.select("cluster_id", F.posexplode("_vec").alias("i", "x"))
+        means = comp.groupBy("cluster_id", "i").agg(F.avg("x").alias("m"))
+        cents = (
+            means.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_pts"))
+            .select("cluster_id", F.col("_pts.m").alias("cvec"))
+        )
+    return assign(cents).select("vec_id", "cluster_id")
+
+
+def cluster_purity(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """External cluster validation of the Lloyd fit against the label
+    column: PURITY (majority-label mass) and NMI (normalized mutual
+    information, sqrt normalization) from the exact (cluster, label)
+    contingency — the eval that says whether unsupervised structure
+    recovers the supervised classes. Contingency counts are integers,
+    so everything downstream is a sum over <=k*n_labels cells."""
+    asg = kmeans_assignments(emb, k, iters)
+    cont = (
+        asg.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    n = cont.agg(F.sum("c").alias("n"))
+    nc = cont.groupBy("cluster_id").agg(F.sum("c").alias("ncl"))
+    nl = cont.groupBy("label").agg(F.sum("c").alias("nla"))
+    maxper = cont.groupBy("cluster_id").agg(F.max("c").alias("mx"))
+    cells = (
+        cont.join(F.broadcast(nc), "cluster_id")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "mi_term",
+            (F.col("c").cast("double") / F.col("n"))
+            * F.log(
+                F.col("c").cast("double") * F.col("n")
+                / (F.col("ncl").cast("double") * F.col("nla"))
+            ),
+        )
+    )
+    mi = cells.agg(F.sum("mi_term").alias("mi")).crossJoin(F.broadcast(n))
+    hc = (
+        nc.crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                -(F.col("ncl").cast("double") / F.col("n"))
+                * F.log(F.col("ncl").cast("double") / F.col("n"))
+            ).alias("h_cluster")
+        )
+    )
+    hl = (
+        nl.crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                -(F.col("nla").cast("double") / F.col("n"))
+                * F.log(F.col("nla").cast("double") / F.col("n"))
+            ).alias("h_label")
+        )
+    )
+    pur = maxper.agg(F.sum("mx").alias("mxs")).crossJoin(F.broadcast(n)).select(
+        (F.col("mxs").cast("double") / F.col("n")).alias("purity")
+    )
+    out = (
+        mi.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(pur))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            "purity",
+            (F.col("mi") / F.sqrt(F.col("h_cluster") * F.col("h_label"))).alias("nmi"),
+            "h_cluster",
+            "h_label",
+        )
+    )
+    from .queries import round6
+
+    return round6(out, "purity", "nmi", "h_cluster", "h_label")
+
+
+def _kmeans_body_parts(k: int, iters: int, dim: int) -> list:
+    """Shared CTE chain of the unrolled Lloyd fit, ending at fin(vec_id,
+    cluster_id, d2) — reused by kmeans_l2_sql and cluster_purity_sql."""
     d2 = (
         "list_reduce(list_prepend(0.0e0, list_transform(range(1, {dim} + 1), "
         "i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i]))), (acc, x) -> acc + x)"
@@ -796,12 +909,56 @@ def kmeans_l2_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_D
            row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
     FROM v CROSS JOIN {prev} c) WHERE rn = 1)"""
     )
-    body = ",\n".join(parts)
+    return parts
+
+
+def kmeans_l2_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM) -> str:
+    """DuckDB oracle twin: the same Lloyd rounds unrolled as chained CTEs.
+    dist2 uses a SEQUENTIAL list_reduce fold so the summation order matches
+    Spark's aggregate() exactly."""
+    body = ",\n".join(_kmeans_body_parts(k, iters, dim))
     return f"""
 WITH {body}
 SELECT cluster_id, count(*) AS n,
        (round((sum(d2)) + 1.0e-9,4)+0.0e0) AS inertia
 FROM fin GROUP BY cluster_id
+"""
+
+
+def cluster_purity_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM) -> str:
+    body = ",\n".join(_kmeans_body_parts(k, iters, dim))
+    return f"""
+WITH {body},
+cont AS (
+  SELECT fin.cluster_id, e.label, count(*) AS c
+  FROM fin JOIN embeddings e ON e.vec_id = fin.vec_id
+  GROUP BY fin.cluster_id, e.label),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cont),
+nc AS (SELECT cluster_id, sum(c) AS ncl FROM cont GROUP BY cluster_id),
+nl AS (SELECT label, sum(c) AS nla FROM cont GROUP BY label),
+mi AS (
+  SELECT sum((CAST(c AS DOUBLE) / nt.n)
+             * ln(CAST(c AS DOUBLE) * nt.n
+                  / (CAST(nc.ncl AS DOUBLE) * nl.nla))) AS mi
+  FROM cont JOIN nc USING (cluster_id) JOIN nl USING (label) CROSS JOIN nt),
+hc AS (
+  SELECT sum(-(CAST(ncl AS DOUBLE) / nt.n) * ln(CAST(ncl AS DOUBLE) / nt.n))
+           AS h_cluster
+  FROM nc CROSS JOIN nt),
+hl AS (
+  SELECT sum(-(CAST(nla AS DOUBLE) / nt.n) * ln(CAST(nla AS DOUBLE) / nt.n))
+           AS h_label
+  FROM nl CROSS JOIN nt),
+pur AS (
+  SELECT CAST(sum(mx) AS DOUBLE) / nt.n AS purity
+  FROM (SELECT cluster_id, max(c) AS mx FROM cont GROUP BY cluster_id)
+  CROSS JOIN nt GROUP BY nt.n)
+SELECT nt.n,
+       (round(pur.purity + 1.0e-9, 6) + 0.0e0) AS purity,
+       (round(mi.mi / sqrt(hc.h_cluster * hl.h_label) + 1.0e-9, 6) + 0.0e0) AS nmi,
+       (round(hc.h_cluster + 1.0e-9, 6) + 0.0e0) AS h_cluster,
+       (round(hl.h_label + 1.0e-9, 6) + 0.0e0) AS h_label
+FROM nt, mi, hc, hl, pur
 """
 
 
