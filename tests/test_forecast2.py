@@ -141,3 +141,30 @@ def test_prophet_lite_recovers_planted_trend_break_and_seasonality(spark):
     assert abs(out["sin_weekly"] - 20.0) < 2.0
     assert abs(out["cos_weekly"]) < 3.0
     assert out["rmse"] < 2.0                            # near-exact fit
+
+
+def test_prophet_forecast_continues_pattern(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tsgen.queries_forecast2 import prophet_forecast
+
+    rows = []
+    eid = 0
+    for t in range(30):
+        n = int(round(100 + 2 * t + 20 * math.sin(2 * math.pi * t / 7)))
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{t + 1:02d} 06:00:00", eid % 5, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(prophet_forecast(ev).collect(), key=lambda r: r.t)
+    assert [r.t for r in out] == list(range(30, 37))
+    for r in out:
+        truth = 100 + 2 * r.t + 20 * math.sin(2 * math.pi * r.t / 7)
+        assert abs(r.yhat - truth) < 6.0        # extrapolates the pattern
+        assert r.lo < r.yhat < r.hi
+        assert (r.hi - r.lo) < 20.0             # tight band on a clean fit

@@ -494,11 +494,8 @@ def prophet_lite(ev: DataFrame) -> DataFrame:
     Emits one row per coefficient plus the training RMSE row."""
     import math
 
-    day = (
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
-        - F.lit(19723)  # epoch day of 2024-01-01
-    ).alias("t")
-    daily = ev.groupBy(day).agg(F.count("*").cast("double").alias("y"))
+    beta, daily = _prophet_fit(ev)
+    d = PL_DIM
     t = F.col("t").cast("double")
     feats = [
         F.lit(1.0),
@@ -508,55 +505,6 @@ def prophet_lite(ev: DataFrame) -> DataFrame:
         F.sin(t * (2.0 * math.pi / 7.0)),
         F.cos(t * (2.0 * math.pi / 7.0)),
     ]
-    d = PL_DIM
-    xrow = daily.select("t", "y", F.array(*feats).alias("x"))
-    cells = xrow.select(
-        "y",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.lit(j).alias("j"),
-                        (F.element_at("x", i + 1) * F.element_at("x", j + 1)).alias("xx"),
-                        (F.element_at("x", i + 1) * F.col("y")).alias("xy"),
-                    )
-                    for i in range(d)
-                    for j in range(d)
-                ]
-            )
-        ).alias("c"),
-    ).select("c.i", "c.j", "c.xx", "c.xy")
-    gram = cells.groupBy("i", "j").agg(
-        (F.round(F.sum("xx") + F.lit(1e-9), 6) + F.lit(0.0)).alias("a"),
-        (F.round(F.sum(F.when(F.col("j") == 0, F.col("xy"))) + F.lit(1e-9), 6) + F.lit(0.0)).alias("b"),
-    )
-    rows = gram.collect()  # 36 cells — constant-size driver state
-    A = [[0.0] * d for _ in range(d)]
-    bv = [0.0] * d
-    for r in rows:
-        A[r.i][r.j] = r.a
-        if r.j == 0:
-            bv[r.i] = r.b
-    for i in range(d):
-        A[i][i] = A[i][i] + PL_LAMBDA
-    # forward elimination then back-substitution — mirrored step-for-step
-    # by the oracle's CTE chain (identical IEEE op order)
-    for k in range(d):
-        for i in range(k + 1, d):
-            f = A[i][k] / A[k][k]
-            for j in range(d):
-                A[i][j] = A[i][j] - f * A[k][j]
-            bv[i] = bv[i] - f * bv[k]
-    beta = [0.0] * d
-    for i in range(d - 1, -1, -1):
-        # accumulate the dot product FIRST, subtract once — matches the
-        # oracle's b - fold(+) association exactly
-        acc = 0.0
-        for j in range(i + 1, d):
-            acc = acc + A[i][j] * beta[j]
-        beta[i] = (bv[i] - acc) / A[i][i]
-
     spark = ev.sparkSession
     names = ["intercept", "trend", f"hinge_{PL_KNOTS[0]}", f"hinge_{PL_KNOTS[1]}",
              "sin_weekly", "cos_weekly"]
@@ -578,7 +526,7 @@ def _q_prophet_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prophet_lite(_events(spark, sf_dir))
 
 
-def _prophet_lite_sql() -> str:
+def _prophet_core_sql() -> tuple:
     from . import expr as E
 
     d = PL_DIM
@@ -645,7 +593,13 @@ bs{idx + 1} AS (
         for i, n in enumerate(names)
     )
     pred = " + ".join(f"bb.rev[{d} - {i}] * x[{i} + 1]" for i in range(d))
-    return "".join(parts) + f""",
+    return "".join(parts), pred, sel, feats
+
+
+def _prophet_lite_sql() -> str:
+    d = PL_DIM
+    prefix, pred, sel, _ = _prophet_core_sql()
+    return prefix + f""",
 rmse AS (
   SELECT 'rmse' AS feature,
          (round(sqrt(avg((y - ({pred})) * (y - ({pred})))) + 1.0e-9, 6) + 0.0e0)
@@ -660,6 +614,160 @@ _REGISTRY.update(
     {
         "ts_prophet_lite": Query(
             "ts_prophet_lite", _q_prophet_lite, _prophet_lite_sql(), ("forecast",)
+        ),
+    }
+)
+
+
+# --- Prophet-lite forecast with empirical band -------------------------------
+PL_HORIZON = 7
+PL_BAND_Q = 0.9
+
+
+def prophet_forecast(ev: DataFrame, horizon: int = PL_HORIZON) -> DataFrame:
+    """h-day-ahead forecast from the prophet_lite fit: the fitted
+    trend+seasonality curve extrapolates (hinges stay active, the weekly
+    wave continues), banded by the q90 of in-sample |residual| — the
+    simple empirical interval that needs no distributional assumption
+    (the conformal machinery provides the calibrated alternative).
+    Betas come bit-identical from the shared exact solve; the band is an
+    exact order statistic over the daily residuals, so every emitted
+    number replays in SQL."""
+    import math
+
+    beta, daily = _prophet_fit(ev)
+
+    def x_of(t: float) -> list:
+        return [
+            1.0,
+            t / 30.0,
+            max(0.0, (t - PL_KNOTS[0]) / 30.0),
+            max(0.0, (t - PL_KNOTS[1]) / 30.0),
+            math.sin(t * (2.0 * math.pi / 7.0)),
+            math.cos(t * (2.0 * math.pi / 7.0)),
+        ]
+
+    def pred(t: float) -> float:
+        acc = 0.0
+        for i in range(PL_DIM):
+            acc = acc + beta[i] * x_of(t)[i]
+        return acc
+
+    rows = daily.collect()  # ~30 daily points — bounded driver state
+    resid = sorted(abs(r.y - pred(float(r.t))) for r in rows)
+    band = resid[math.ceil(PL_BAND_Q * len(resid)) - 1]
+    out = [
+        (30 + h, pred(float(30 + h)), pred(float(30 + h)) - band,
+         pred(float(30 + h)) + band)
+        for h in range(horizon)
+    ]
+    spark = ev.sparkSession
+    df = spark.createDataFrame(out, "t bigint, yhat double, lo double, hi double")
+    from .queries import round6
+
+    return round6(df, "yhat", "lo", "hi")
+
+
+def _prophet_fit(ev: DataFrame):
+    """Shared fit: returns (beta list, daily DataFrame). Same arithmetic
+    as prophet_lite (which re-derives its outputs from these betas)."""
+    import math
+
+    day = (
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") - F.lit(19723)
+    ).alias("t")
+    daily = ev.groupBy(day).agg(F.count("*").cast("double").alias("y"))
+    t = F.col("t").cast("double")
+    feats = [
+        F.lit(1.0),
+        t / 30.0,
+        F.greatest(F.lit(0.0), (t - PL_KNOTS[0]) / 30.0),
+        F.greatest(F.lit(0.0), (t - PL_KNOTS[1]) / 30.0),
+        F.sin(t * (2.0 * math.pi / 7.0)),
+        F.cos(t * (2.0 * math.pi / 7.0)),
+    ]
+    d = PL_DIM
+    xrow = daily.select("t", "y", F.array(*feats).alias("x"))
+    cells = xrow.select(
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.lit(j).alias("j"),
+                        (F.element_at("x", i + 1) * F.element_at("x", j + 1)).alias("xx"),
+                        (F.element_at("x", i + 1) * F.col("y")).alias("xy"),
+                    )
+                    for i in range(d)
+                    for j in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("c.i", "c.j", "c.xx", "c.xy")
+    gram = cells.groupBy("i", "j").agg(
+        (F.round(F.sum("xx") + F.lit(1e-9), 6) + F.lit(0.0)).alias("a"),
+        (F.round(F.sum(F.when(F.col("j") == 0, F.col("xy"))) + F.lit(1e-9), 6) + F.lit(0.0)).alias("b"),
+    )
+    rows = gram.collect()
+    A = [[0.0] * d for _ in range(d)]
+    bv = [0.0] * d
+    for r in rows:
+        A[r.i][r.j] = r.a
+        if r.j == 0:
+            bv[r.i] = r.b
+    for i in range(d):
+        A[i][i] = A[i][i] + PL_LAMBDA
+    for k in range(d):
+        for i in range(k + 1, d):
+            f = A[i][k] / A[k][k]
+            for j in range(d):
+                A[i][j] = A[i][j] - f * A[k][j]
+            bv[i] = bv[i] - f * bv[k]
+    beta = [0.0] * d
+    for i in range(d - 1, -1, -1):
+        acc = 0.0
+        for j in range(i + 1, d):
+            acc = acc + A[i][j] * beta[j]
+        beta[i] = (bv[i] - acc) / A[i][i]
+    return beta, daily
+
+
+def _q_prophet_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import _events
+
+    return prophet_forecast(_events(spark, sf_dir))
+
+
+def _prophet_forecast_sql(horizon: int = PL_HORIZON) -> str:
+    from . import expr as E
+
+    d = PL_DIM
+    prefix, pred, _, feats = _prophet_core_sql()
+    q = E.NUM(PL_BAND_Q)
+    return prefix + f""",
+resid AS (
+  SELECT list_sort(list(abs(y - ({pred})))) AS l
+  FROM xr CROSS JOIN bs{d} bb),
+band AS (
+  SELECT l[CAST(ceil({q} * len(l)) AS BIGINT)] AS b FROM resid),
+fx AS (
+  SELECT t, {feats} AS x FROM (SELECT unnest(range(30, {30 + horizon})) AS t))
+SELECT t,
+       (round(({pred}) + 1.0e-9, 6) + 0.0e0) AS yhat,
+       (round(({pred}) - band.b + 1.0e-9, 6) + 0.0e0) AS lo,
+       (round(({pred}) + band.b + 1.0e-9, 6) + 0.0e0) AS hi
+FROM fx CROSS JOIN bs{d} bb CROSS JOIN band
+"""
+
+
+_REGISTRY.update(
+    {
+        "ts_prophet_forecast": Query(
+            "ts_prophet_forecast",
+            _q_prophet_forecast,
+            _prophet_forecast_sql(),
+            ("forecast",),
         ),
     }
 )
