@@ -180,3 +180,25 @@ def test_next_event_eval_learns_planted_transitions(spark):
     assert out["click"].predicted == "purchase" and out["click"].acc_model == 1.0
     # conditioning beats the global baseline on at least one type
     assert any(r.acc_model > r.acc_base for r in out.values())
+
+
+def test_bootstrap_weights_follow_poisson1(spark):
+    """The portable-LCG CASE ladder must actually produce Poisson(1)
+    frequencies — pins the inverse-CDF thresholds against regression."""
+    import math
+
+    from tsgen import expr as E
+    from tsgen.queries_scale import BOOT_SALT, _pois_w
+
+    n = 20000
+    df = spark.range(n).selectExpr(
+        f"CAST({_pois_w(E.u01(f'(id % {E.M31})', BOOT_SALT))} AS INT) AS w"
+    )
+    freq = {r.w: r.c for r in df.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    for k in range(4):
+        expected = math.exp(-1) / math.factorial(k)
+        got = freq.get(k, 0) / n
+        assert abs(got - expected) < 0.01, (k, got, expected)
+    # mean of Poisson(1) is 1
+    mean_w = sum(k * c for k, c in freq.items()) / n
+    assert abs(mean_w - 1.0) < 0.02

@@ -140,3 +140,19 @@ def test_entity_clusters_transitive_closure(spark):
     lab = {r.node: r.label for r in connected_components(pairs).collect()}
     assert lab[1] == lab[2] == lab[3] == 1  # min key is the golden record
     assert lab[10] == lab[11] == 10
+
+
+def test_snm_finds_adjacent_near_dups(spark):
+    from tsgen.queries_mlprep import name_match_snm
+
+    rows = [
+        (1, "azure steel plate"),
+        (2, "azure steel plates"),   # sorts adjacent to 1 -> matched
+        (3, "azure aaaa zzz"),       # same block, dissimilar -> scored, rejected
+        (4, "bronze widget"),        # different block -> never paired with 1
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    out = {(r.key_a, r.key_b): r.jw for r in name_match_snm(df).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.88
+    assert (1, 3) not in out and (2, 3) not in out
+    assert all(4 not in k for k in out)
