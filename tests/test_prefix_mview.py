@@ -225,3 +225,27 @@ def test_retract_merge_equals_filtered_recompute(spark):
         gn, gs, gmn, gmx = merged[k]
         assert gn == n and gmn == mn and gmx == mx  # min/max repaired exactly
         assert abs(gs - s) < 1e-3
+
+
+def test_cohort_ltv_triangle_scalar(spark):
+    from tsgen.queries_warehouse2 import cohort_ltv
+
+    # cohort A (user 1, first week): buys 10 in week 0, 20 in week 1
+    # cohort B (user 2, second week): buys 5 in its week 0
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),      # first-seen wk W
+        (1, "2024-01-02 10:00:00", 1, "purchase", 10.0, "{}"),
+        (2, "2024-01-09 10:00:00", 1, "purchase", 20.0, "{}"),  # age 1
+        (3, "2024-01-10 10:00:00", 2, "purchase", 5.0, "{}"),   # cohort W+1
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.cohort_w, r.age_w): r for r in cohort_ltv(ev).collect()}
+    weeks = sorted({c for c, _ in out})
+    w0 = weeks[0]
+    assert out[(w0, 0)].cum_rev == 10.0
+    assert out[(w0, 1)].cum_rev == 30.0            # cumulative along age
+    assert out[(w0, 1)].ltv_per_user == 30.0       # one user in the cohort
+    assert out[(weeks[1], 0)].cum_rev == 5.0

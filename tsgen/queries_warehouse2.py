@@ -833,3 +833,85 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- cohort LTV triangle -----------------------------------------------------
+def cohort_ltv(ev: DataFrame) -> DataFrame:
+    """Cumulative purchase revenue per (signup-week cohort, weeks-since)
+    cell — the LTV triangle next to the retention matrix: cohort = the
+    user's first-seen week, age = weeks between the purchase and that
+    week, value accumulates along age. Emits cumulative revenue AND
+    cumulative revenue per cohort user (the comparable LTV number).
+
+    Scale shape: first-seen is one groupBy(user); the triangle is one
+    groupBy((cohort, age)) over purchase rows joined to the (small,
+    user-count-sized) cohort map; the cumulative walk runs per cohort
+    over <=5 age cells."""
+    from pyspark.sql import Window
+
+    week = (F.floor(F.unix_timestamp("ts") / (7 * 86400))).cast("bigint")
+    first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
+    sizes = first_seen.groupBy("cohort_w").agg(F.count("*").alias("n_users"))
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", week.alias("w"), "value")
+        .join(first_seen, "user_id")
+        .withColumn("age_w", F.col("w") - F.col("cohort_w"))
+    )
+    cells = pur.groupBy("cohort_w", "age_w").agg(
+        F.count("*").alias("n_purchases"), F.sum("value").alias("rev")
+    )
+    wc = Window.partitionBy("cohort_w").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        cells.withColumn("cum_rev", F.sum("rev").over(wc))
+        .join(F.broadcast(sizes), "cohort_w")
+        .withColumn("ltv_per_user", F.col("cum_rev") / F.col("n_users"))
+        .select(
+            "cohort_w", "age_w", "n_purchases", "n_users",
+            "rev", "cum_rev", "ltv_per_user",
+        )
+    )
+    from .queries import round6, roundn
+
+    return round6(roundn(out, 4, "rev", "cum_rev"), "ltv_per_user")
+
+
+def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_ltv(_events(spark, sf_dir))
+
+
+_COHORT_LTV_SQL = """
+WITH wk AS (
+  SELECT user_id, event_type, value,
+         CAST(floor(floor(epoch(ts)) / (7 * 86400)) AS BIGINT) AS w
+  FROM events),
+first_seen AS (SELECT user_id, min(w) AS cohort_w FROM wk GROUP BY user_id),
+sizes AS (SELECT cohort_w, count(*) AS n_users FROM first_seen GROUP BY cohort_w),
+cells AS (
+  SELECT f.cohort_w, wk.w - f.cohort_w AS age_w,
+         count(*) AS n_purchases, sum(value) AS rev
+  FROM wk JOIN first_seen f USING (user_id)
+  WHERE event_type = 'purchase'
+  GROUP BY f.cohort_w, wk.w - f.cohort_w),
+cum AS (
+  SELECT *, sum(rev) OVER (PARTITION BY cohort_w ORDER BY age_w
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM cells)
+SELECT c.cohort_w, c.age_w, c.n_purchases, s.n_users,
+       (round(c.rev + 1.0e-9, 4) + 0.0e0) AS rev,
+       (round(c.cum_rev + 1.0e-9, 4) + 0.0e0) AS cum_rev,
+       (round(c.cum_rev / s.n_users + 1.0e-9, 6) + 0.0e0) AS ltv_per_user
+FROM cum c JOIN sizes s USING (cohort_w)
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_cohort_ltv": Query(
+            "ev_cohort_ltv", _q_cohort_ltv, _COHORT_LTV_SQL, ("product",)
+        ),
+    }
+)
