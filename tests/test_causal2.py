@@ -202,3 +202,26 @@ def test_bootstrap_weights_follow_poisson1(spark):
     # mean of Poisson(1) is 1
     mean_w = sum(k * c for k, c in freq.items()) / n
     assert abs(mean_w - 1.0) < 0.02
+
+
+def test_msprt_by_type_isolates_the_affected_stratum(spark):
+    import random
+
+    from tsgen.queries_causal import msprt_by_type
+
+    rng = random.Random(17)
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        for et in ["view", "click"]:
+            for _ in range(300):
+                u = rng.randrange(400)
+                v = rng.uniform(0, 10)
+                if et == "click" and u % 2 == 1:
+                    v += 3.0  # effect planted in ONE stratum only
+                rows.append((eid, f"2024-01-{day:02d} 09:00:00", u, et, v, "{}"))
+                eid += 1
+    out = msprt_by_type(_events_df(spark, rows)).collect()
+    last = {r.event_type: r for r in out if r.day == max(x.day for x in out)}
+    assert last["click"].p_always_valid < 0.05   # detected
+    assert last["view"].p_always_valid > 0.05    # untouched stratum stays calm

@@ -978,3 +978,155 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- per-stratum mSPRT monitor -----------------------------------------------
+def msprt_by_type(ev: DataFrame, tau2: float = MSPRT_TAU2) -> DataFrame:
+    """The always-valid monitor per metric stratum (event_type): each
+    stratum runs its own cumulative mixture-LR path against its own
+    pooled variance — the per-guardrail view the pooled ev_msprt
+    aggregates away. Same windows, PARTITIONED by stratum; the pooled
+    variance is a 5-row broadcast."""
+    day = (
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") - F.lit(ITS_EPOCH_DAY0)
+    ).alias("day")
+    arm0 = F.col("user_id") % 2 == 0
+    daily = ev.groupBy("event_type", day).agg(
+        F.sum(F.when(arm0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(~arm0, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(arm0, F.col("value")).otherwise(0.0)).alias("s0"),
+        F.sum(F.when(~arm0, F.col("value")).otherwise(0.0)).alias("s1"),
+    )
+    s2 = ev.groupBy("event_type").agg(
+        (
+            F.round(
+                F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("s2")
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        daily.join(F.broadcast(s2), "event_type")
+        .withColumn("cn0", F.sum("n0").over(wc))
+        .withColumn("cn1", F.sum("n1").over(wc))
+        .withColumn("cs0", F.sum("s0").over(wc))
+        .withColumn("cs1", F.sum("s1").over(wc))
+        .withColumn("both", (F.col("cn0") > 0) & (F.col("cn1") > 0))
+        .withColumn(
+            "theta",
+            F.when(
+                F.col("both"),
+                F.col("cs1") / F.col("cn1") - F.col("cs0") / F.col("cn0"),
+            ),
+        )
+        .withColumn(
+            "n_eff",
+            F.when(
+                F.col("both"),
+                F.lit(1.0) / (F.lit(1.0) / F.col("cn0") + F.lit(1.0) / F.col("cn1")),
+            ),
+        )
+    )
+    t2 = F.lit(tau2)
+    denom = F.lit(2.0) * F.col("s2") + F.col("n_eff") * t2
+    lam = F.sqrt(F.lit(2.0) * F.col("s2") / denom) * F.exp(
+        F.col("n_eff") * F.col("n_eff") * t2 * F.col("theta") * F.col("theta")
+        / (F.lit(4.0) * F.col("s2") * denom)
+    )
+    out = (
+        cum.withColumn("lam", F.when(F.col("both"), lam))
+        .withColumn(
+            "p_day",
+            F.round(
+                F.coalesce(
+                    F.least(F.lit(1.0), F.lit(1.0) / F.col("lam")), F.lit(1.0)
+                )
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .withColumn("p_always_valid", F.min("p_day").over(wc))
+        .select(
+            "event_type",
+            "day",
+            (F.col("cn0") + F.col("cn1")).cast("bigint").alias("n_cum"),
+            "theta",
+            "p_day",
+            "p_always_valid",
+        )
+    )
+    return roundn(out, 6, "theta", "p_always_valid")
+
+
+def _q_msprt_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return msprt_by_type(_events(spark, sf_dir))
+
+
+def _msprt_by_type_sql(tau2: float = MSPRT_TAU2) -> str:
+    from . import expr as E
+
+    T2 = E.NUM(tau2)
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) - {ITS_EPOCH_DAY0} AS day,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0e0 END) AS s0,
+         sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0.0e0 END) AS s1
+  FROM events GROUP BY 1, 2),
+s2t AS (
+  SELECT event_type,
+         (round(avg(value * value) - avg(value) * avg(value) + 1.0e-9, 4) + 0.0e0)
+           AS s2
+  FROM events GROUP BY event_type),
+cum AS (
+  SELECT *,
+         CASE WHEN cn0 > 0 AND cn1 > 0
+              THEN cs1 / cn1 - cs0 / cn0 END AS theta,
+         CASE WHEN cn0 > 0 AND cn1 > 0
+              THEN 1.0e0 / (1.0e0 / cn0 + 1.0e0 / cn1) END AS n_eff
+  FROM (
+    SELECT d.event_type, day, s2,
+           sum(n0) OVER w AS cn0, sum(n1) OVER w AS cn1,
+           sum(s0) OVER w AS cs0, sum(s1) OVER w AS cs1
+    FROM daily d JOIN s2t USING (event_type)
+    WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))),
+lamt AS (
+  SELECT *,
+         (round(coalesce(least(1.0e0, 1.0e0 / lam), 1.0e0) + 1.0e-9, 6) + 0.0e0)
+           AS p_day
+  FROM (
+    SELECT *,
+           CASE WHEN n_eff IS NOT NULL THEN
+             sqrt(2.0e0 * s2 / (2.0e0 * s2 + n_eff * {T2}))
+               * exp(n_eff * n_eff * {T2} * theta * theta
+                     / (4.0e0 * s2 * (2.0e0 * s2 + n_eff * {T2}))) END AS lam
+    FROM cum))
+SELECT event_type, day, CAST(cn0 + cn1 AS BIGINT) AS n_cum,
+       (round(theta + 1.0e-9, 6) + 0.0e0) AS theta,
+       p_day,
+       (round(min(p_day) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1.0e-9, 6)
+        + 0.0e0) AS p_always_valid
+FROM lamt
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_msprt_by_type": Query(
+            "ev_msprt_by_type", _q_msprt_by_type, _msprt_by_type_sql(),
+            ("causal", "sequential"),
+        ),
+    }
+)
