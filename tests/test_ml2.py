@@ -183,3 +183,21 @@ def test_poisson_glm_recovers_planted_rate_ratio(spark):
     # log-likelihood core nondecreasing over Newton iterations
     lls = [out[i].avg_ll_core for i in sorted(out)]
     assert all(b >= a - 1e-9 for a, b in zip(lls, lls[1:]))
+
+
+def test_assortativity_star_vs_clique(spark):
+    from tsgen.queries_experiments import assortativity
+
+    # star graph: hub degree 4, leaves degree 1 -> strongly disassortative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "doc_a long, doc_b long"
+    )
+    r = assortativity(star).collect()[0]
+    assert r.n_edges == 4
+    assert r.assortativity < -0.99  # all edges hub-leaf: r = -1
+    # path of 4 nodes: known r = -0.5
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    r2 = assortativity(path).collect()[0]
+    assert abs(r2.assortativity - (-0.5)) < 1e-6

@@ -1336,3 +1336,79 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- degree assortativity ----------------------------------------------------
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree-assortativity coefficient r of an undirected graph:
+    the Pearson correlation of endpoint degrees over edges — do
+    high-degree nodes attach to high-degree nodes (r > 0, social-style)
+    or to leaves (r < 0, hub-and-spoke)? Computed from exact integer
+    degrees with the standard edge-moment formula; one degree groupBy +
+    one edge join, all remaining arithmetic on a 1-row aggregate."""
+    e = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).distinct()
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    j = (
+        e.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    agg = j.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("du").cast("double") * F.col("dv")).alias("sxy"),
+        F.sum((F.col("du") + F.col("dv")).cast("double") / 2.0).alias("sx"),
+        F.sum(
+            (F.col("du").cast("double") * F.col("du")
+             + F.col("dv").cast("double") * F.col("dv")) / 2.0
+        ).alias("sxx"),
+    )
+    out = agg.select(
+        F.col("m").cast("bigint").alias("n_edges"),
+        (
+            (F.col("sxy") / F.col("m") - (F.col("sx") / F.col("m")) * (F.col("sx") / F.col("m")))
+            / (F.col("sxx") / F.col("m") - (F.col("sx") / F.col("m")) * (F.col("sx") / F.col("m")))
+        ).alias("assortativity"),
+    )
+    return roundn(out, 6, "assortativity")
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    return assortativity(pairs)
+
+
+def _assortativity_sql() -> str:
+    from . import dedup
+
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    return f"""
+WITH jp AS MATERIALIZED ({jp}),
+e AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM jp),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+j AS (
+  SELECT e.u, e.v, a.d AS du, b.d AS dv
+  FROM e JOIN deg a ON a.u = e.u JOIN deg b ON b.u = e.v),
+agg AS (
+  SELECT count(*) AS m,
+         sum(CAST(du AS DOUBLE) * dv) AS sxy,
+         sum(CAST(du + dv AS DOUBLE) / 2.0e0) AS sx,
+         sum((CAST(du AS DOUBLE) * du + CAST(dv AS DOUBLE) * dv) / 2.0e0) AS sxx
+  FROM j)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       (round((sxy / m - (sx / m) * (sx / m))
+              / (sxx / m - (sx / m) * (sx / m)) + 1.0e-9, 6) + 0.0e0)
+         AS assortativity
+FROM agg
+"""
+
+
+_REGISTRY.update(
+    {
+        "graph_assortativity": Query(
+            "graph_assortativity", _q_assortativity, _assortativity_sql(), ("graph",)
+        ),
+    }
+)
