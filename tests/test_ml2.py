@@ -201,3 +201,30 @@ def test_assortativity_star_vs_clique(spark):
     )
     r2 = assortativity(path).collect()[0]
     assert abs(r2.assortativity - (-0.5)) < 1e-6
+
+
+def test_bigram_perplexity_predictable_vs_random(spark):
+    import random
+
+    from tsgen.queries_ml2 import bigram_perplexity
+
+    rng = random.Random(23)
+    rows = []
+    # lang "en": fully deterministic cycle -> tiny held-out perplexity;
+    # lang "de": i.i.d. random tokens -> perplexity near uniform (~vocab)
+    cyc = ["a", "b", "c", "d"]
+    vocab = [f"w{i}" for i in range(30)]
+    for i in range(120):
+        if i % 2 == 0:
+            text = " ".join(cyc[(i + j) % 4] for j in range(40))
+            rows.append((i, text, "en", "s", len(text)))
+        else:
+            text = " ".join(rng.choice(vocab) for _ in range(40))
+            rows.append((i, text, "de", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.lang: r for r in bigram_perplexity(df).collect()}
+    assert out["en"].perplexity < 3.0      # near-deterministic transitions
+    assert out["de"].perplexity > 15.0     # near-uniform over the vocab
+    assert out["en"].n_docs > 5 and out["de"].n_docs > 5

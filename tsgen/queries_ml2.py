@@ -577,3 +577,119 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- held-out bigram perplexity ----------------------------------------------
+PPL_SALT = 40993
+PPL_TRAIN_FRAC = 0.8
+
+
+def bigram_perplexity(docs: DataFrame) -> DataFrame:
+    """Held-out bigram language-model perplexity per language: train
+    add-1-smoothed bigram counts on a deterministic 80% split, score the
+    held-out docs with ln((c2+1)/(c1+V)) (unseen contexts fall back to
+    the uniform floor), report exp(-avg log-prob) — the honest LM-quality
+    number (the in-corpus bigram scorer overfits by construction; this
+    one cannot). Counts are integers, V is a broadcast scalar, scoring
+    joins test bigrams against the vocab-sized count tables.
+
+    Scale shape: bigrams come from ONE lead() window per doc; training
+    is two vocabulary-sized groupBys; no data-sized shuffle after the
+    bigram build."""
+    from pyspark.sql import Window
+
+    from . import expr as E
+
+    d = docs.select("doc_id", "lang", "text").withColumn(
+        "is_train", F.expr(E.u01("doc_id", PPL_SALT)) < F.lit(PPL_TRAIN_FRAC)
+    )
+    toks = d.select(
+        "doc_id", "lang", "is_train",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("prev", F.lag("w").over(win))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "lang", "is_train", "prev", F.col("w").alias("cur"))
+    )
+    c2 = big.filter("is_train").groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = big.filter("is_train").groupBy("prev").agg(F.count("*").alias("c1"))
+    vocab = toks.filter("is_train").agg(
+        F.countDistinct("w").cast("double").alias("v")
+    )
+    test = (
+        big.filter(~F.col("is_train"))
+        .join(c2, ["prev", "cur"], "left")
+        .join(c1, "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.col("v"))
+            ),
+        )
+    )
+    out = (
+        test.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_bigrams"),
+            F.avg("logp").alias("avg_logp"),
+        )
+        .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+    )
+    return round6(out, "avg_logp", "perplexity")
+
+
+def _q_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def _ppl_sql() -> str:
+    from . import expr as E
+
+    u = E.u01("doc_id", PPL_SALT)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, lang, text, {u} < {E.NUM(PPL_TRAIN_FRAC)} AS is_train
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, lang, is_train, w, pos FROM (
+    SELECT doc_id, lang, is_train,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM d)
+  WHERE w <> ''),
+big AS MATERIALIZED (
+  SELECT doc_id, lang, is_train, prev, w AS cur FROM (
+    SELECT *, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM toks)
+  WHERE prev IS NOT NULL),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM big WHERE is_train GROUP BY prev, cur),
+c1 AS (SELECT prev, count(*) AS c1 FROM big WHERE is_train GROUP BY prev),
+vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks WHERE is_train),
+test AS (
+  SELECT b.lang, b.doc_id,
+         ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+            / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + vv.v)) AS logp
+  FROM big b
+  LEFT JOIN c2 ON c2.prev = b.prev AND c2.cur = b.cur
+  LEFT JOIN c1 ON c1.prev = b.prev
+  CROSS JOIN vv
+  WHERE NOT b.is_train)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
+       (round(avg(logp) + 1.0e-9, 6) + 0.0e0) AS avg_logp,
+       (round(exp(-avg(logp)) + 1.0e-9, 6) + 0.0e0) AS perplexity
+FROM test GROUP BY lang
+"""
+
+
+_REGISTRY.update(
+    {
+        "doc_ppl_holdout": Query(
+            "doc_ppl_holdout", _q_ppl, _ppl_sql(), ("text", "eval")
+        ),
+    }
+)
