@@ -225,3 +225,26 @@ def test_msprt_by_type_isolates_the_affected_stratum(spark):
     last = {r.event_type: r for r in out if r.day == max(x.day for x in out)}
     assert last["click"].p_always_valid < 0.05   # detected
     assert last["view"].p_always_valid > 0.05    # untouched stratum stays calm
+
+
+def test_power_analysis_closed_form(spark):
+    import math
+
+    from tsgen.queries_causal import Z_ALPHA_2, Z_BETA, power_analysis
+
+    rng = random.Random(29)
+    rows = [
+        (i, "2024-01-01 00:00:00" if i == 0 else "2024-01-11 00:00:00",
+         i % 7, "view", rng.gauss(50, 10), "{}")
+        for i in range(5000)
+    ]
+    ev = _events_df(spark, rows)
+    out = {r.mde: r for r in power_analysis(ev).collect()}
+    s2 = out[1.0].s2
+    assert abs(s2 - 100.0) < 10.0  # planted variance
+    for mde, r in out.items():
+        want = math.ceil(2 * s2 * (Z_ALPHA_2 + Z_BETA) ** 2 / mde**2)
+        assert r.n_per_arm == want
+    # quadratic scaling: halving the MDE quadruples the sample size
+    assert out[0.5].n_per_arm > 3.9 * out[1.0].n_per_arm
+    assert all(r.days_needed > 0 for r in out.values())

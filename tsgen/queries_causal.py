@@ -1130,3 +1130,98 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- pre-experiment power analysis -------------------------------------------
+PWR_MDES = (0.5, 1.0, 2.0, 5.0)
+Z_ALPHA_2 = 1.959963984540054   # two-sided alpha = 0.05
+Z_BETA = 0.8416212335729143     # power = 0.80
+
+
+def power_analysis(ev: DataFrame, mdes: tuple = PWR_MDES) -> DataFrame:
+    """Pre-experiment sample-size table: n per arm = 2*s2*(z_a/2+z_b)^2 /
+    mde^2 for a grid of minimum detectable effects (absolute units of the
+    value metric), using the pooled variance measured from THIS data —
+    the planning step before ab_experiment/ev_msprt ever run. Also
+    converts each n into runtime-days at the observed event rate. One
+    variance aggregate + one count; everything else is a 4-row
+    projection."""
+    s2 = ev.agg(
+        (
+            F.round(
+                F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("s2"),
+        F.count("*").alias("n_events"),
+        (
+            F.round(
+                (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
+                / F.lit(86400.0)
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("span_days"),
+    )
+    spark = ev.sparkSession
+    grid = spark.createDataFrame([(m,) for m in mdes], "mde double")
+    kappa = F.lit((Z_ALPHA_2 + Z_BETA) ** 2)
+    out = (
+        grid.crossJoin(F.broadcast(s2))
+        .withColumn(
+            "n_per_arm",
+            F.ceil(F.lit(2.0) * F.col("s2") * kappa / (F.col("mde") * F.col("mde")))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "days_needed",
+            F.round(
+                F.lit(2.0) * F.col("n_per_arm")
+                / (F.col("n_events") / F.col("span_days"))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0),
+        )
+        .select("mde", "s2", "n_per_arm", "days_needed")
+    )
+    return out
+
+
+def _q_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return power_analysis(_events(spark, sf_dir))
+
+
+def _power_sql(mdes: tuple = PWR_MDES) -> str:
+    from . import expr as E
+
+    kappa = E.NUM((Z_ALPHA_2 + Z_BETA) ** 2)
+    grid = ", ".join(f"({E.NUM(m)})" for m in mdes)
+    return f"""
+WITH s2t AS (
+  SELECT (round(avg(value * value) - avg(value) * avg(value) + 1.0e-9, 4) + 0.0e0)
+           AS s2,
+         count(*) AS n_events,
+         (round((CAST(floor(epoch(max(ts))) AS BIGINT)
+                 - CAST(floor(epoch(min(ts))) AS BIGINT)) / 8.64e4
+                + 1.0e-9, 4) + 0.0e0) AS span_days
+  FROM events),
+grid AS (SELECT * FROM (VALUES {grid}) AS t(mde))
+SELECT mde, s2,
+       CAST(ceil(2.0e0 * s2 * {kappa} / (mde * mde)) AS BIGINT) AS n_per_arm,
+       (round(2.0e0 * CAST(ceil(2.0e0 * s2 * {kappa} / (mde * mde)) AS BIGINT)
+              / (n_events / span_days) + 1.0e-9, 4) + 0.0e0) AS days_needed
+FROM grid CROSS JOIN s2t
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_power_analysis": Query(
+            "ev_power_analysis", _q_power, _power_sql(), ("causal",)
+        ),
+    }
+)
