@@ -192,6 +192,14 @@ def main() -> None:
         "ev_poisson_glm",
         "part_entity_clusters",
         "ts_prophet_lite",
+        # round-3 continuation final batches
+        "ev_cohort_ltv",
+        "ev_msprt_by_type",
+        "graph_assortativity",
+        "doc_ppl_holdout",
+        "ev_power_analysis",
+        "ts_prophet_forecast",
+        "embed_cluster_purity",
     ]
     reg = registry()
     for name in suite:
