@@ -598,3 +598,26 @@ def test_cluster_purity_separable_clusters(spark):
     assert r.purity > 0.99
     assert r.nmi > 0.99
     assert abs(r.h_label - np.log(2)) < 1e-6  # balanced labels
+
+
+def test_lang_rebalance_uniformizes_mixture(spark):
+    from tsgen.mixing import lang_rebalance
+
+    rows = []
+    i = 0
+    for lang, n in [("en", 800), ("de", 200), ("fr", 100)]:
+        for _ in range(n):
+            rows.append((i, f"text {i}", lang, "s", 10))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.lang: r for r in lang_rebalance(df).collect()}
+    assert out["fr"].keep_prob == 1.0          # smallest language keeps all
+    assert abs(out["en"].keep_prob - 100 / 800) < 1e-9
+    # realized shares approach uniform (binomial noise at n_min = 100)
+    for r in out.values():
+        assert abs(r.share_after - 1 / 3) < 0.12
+    # deterministic: second run identical
+    out2 = {r.lang: r.n_kept for r in lang_rebalance(df).collect()}
+    assert out2 == {k: v.n_kept for k, v in out.items()}

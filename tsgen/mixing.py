@@ -97,3 +97,84 @@ SELECT {key_col}, n_docs, n_kept,
        (round((CAST(kept_chars AS DOUBLE) / sum(kept_chars) OVER ()) + 1.0e-9,6)+0.0e0) AS char_share
 FROM g
 """
+
+
+# --- language rebalancing (downsample to uniform) ----------------------------
+REBAL_SALT = 61357
+
+
+def lang_rebalance(docs: DataFrame) -> DataFrame:
+    """Downsample the corpus to a uniform language mixture: every language
+    keeps (expected) n_min docs — keep_prob_l = n_min / n_l, membership
+    decided by the portable per-doc LCG so the realized sample is
+    reproducible across runs, engines, and cluster sizes (the property
+    rand() sampling lacks). Emits per language: before/after counts and
+    shares plus the keep probability — the rebalancing audit row.
+
+    Scale shape: one count groupBy; the keep-prob table (n_langs rows)
+    broadcasts back onto a pure projection filter; one more count
+    groupBy for the realized side."""
+    from . import expr as E
+    from .queries import round6
+
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    tot = counts.agg(F.sum("n_docs").alias("n_tot"))
+    probs = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "keep_prob", F.col("n_min").cast("double") / F.col("n_docs")
+        )
+        .select("lang", "n_docs", "keep_prob")
+    )
+    kept = (
+        docs.join(F.broadcast(probs.select("lang", "keep_prob")), "lang")
+        .filter(F.expr(E.u01("doc_id", REBAL_SALT)) < F.col("keep_prob"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    kt = kept.agg(F.sum("n_kept").alias("k_tot"))
+    out = (
+        probs.join(kept, "lang", "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(kt))
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_tot")).alias("share_before"),
+            "keep_prob",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("k_tot")).alias("share_after"),
+        )
+    )
+    return round6(out, "share_before", "keep_prob", "share_after")
+
+
+def lang_rebalance_sql() -> str:
+    from . import expr as E
+
+    u = E.u01("doc_id", REBAL_SALT)
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+nmin AS (SELECT min(n_docs) AS n_min FROM counts),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot FROM counts),
+probs AS (
+  SELECT lang, n_docs, CAST(n_min AS DOUBLE) / n_docs AS keep_prob
+  FROM counts CROSS JOIN nmin),
+kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN probs p ON p.lang = d.lang
+  WHERE {u} < p.keep_prob
+  GROUP BY d.lang),
+kt AS (SELECT CAST(sum(n_kept) AS BIGINT) AS k_tot FROM kept)
+SELECT p.lang, p.n_docs,
+       (round(CAST(p.n_docs AS DOUBLE) / tot.n_tot + 1.0e-9, 6) + 0.0e0)
+         AS share_before,
+       (round(p.keep_prob + 1.0e-9, 6) + 0.0e0) AS keep_prob,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       (round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / kt.k_tot + 1.0e-9, 6) + 0.0e0)
+         AS share_after
+FROM probs p LEFT JOIN kept k ON k.lang = p.lang
+CROSS JOIN tot CROSS JOIN kt
+"""

@@ -755,6 +755,12 @@ _REGISTRY.update(
             similarity.top_eigen_sql(),
             ("similarity",),
         ),
+        "doc_lang_rebalance": Query(
+            "doc_lang_rebalance",
+            lambda spark, sf_dir: mixing.lang_rebalance(_docs(spark, sf_dir)),
+            mixing.lang_rebalance_sql(),
+            ("pipeline", "mixing"),
+        ),
         "embed_cluster_purity": Query(
             "embed_cluster_purity",
             lambda spark, sf_dir: similarity.cluster_purity(_emb(spark, sf_dir)),
