@@ -228,3 +228,34 @@ def test_bigram_perplexity_predictable_vs_random(spark):
     assert out["en"].perplexity < 3.0      # near-deterministic transitions
     assert out["de"].perplexity > 15.0     # near-uniform over the vocab
     assert out["en"].n_docs > 5 and out["de"].n_docs > 5
+
+
+def test_hazard_glm_detects_rising_hazard(spark):
+    import math
+    import random
+
+    from tsgen.queries_ml2 import _hazard_base, logreg_irls
+
+    # synthetic survival: hazard rises with time -> beta1 > 0 recovered.
+    # Build the at-risk table directly: users convert at day d with
+    # p(d) = sigmoid(-3 + 4*(d/30)).
+    rng = random.Random(41)
+    rows = []
+    for u in range(400):
+        fp = None
+        for d in range(30):
+            if rng.random() < 1 / (1 + math.exp(-(-3 + 4 * d / 30))):
+                fp = d
+                break
+        last = fp if fp is not None else 29
+        for d in range(last + 1):
+            rows.append((d / 30.0, 1.0 if fp == d else 0.0))
+    base = spark.createDataFrame(rows, "x double, y double")
+    out = {r.iter: r for r in logreg_irls(base).collect()}
+    last_it = out[max(out)]
+    assert abs(last_it.beta0 - (-3.0)) < 0.6
+    assert abs(last_it.beta1 - 4.0) < 1.2
+    # and the sf-table base builder produces a well-formed at-risk table
+    hb = _hazard_base(spark, "/root/testdata/sf0.001")
+    agg = hb.agg(F.sum("y").alias("s"), F.count("*").alias("n")).collect()[0]
+    assert 0 < agg.s < agg.n  # some conversions, some censoring

@@ -155,9 +155,11 @@ def _q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_irls(_xy_base(spark, sf_dir))
 
 
-def _logreg_sql(iters: int = LOGREG_ITERS) -> str:
+def _logreg_sql(iters: int = LOGREG_ITERS, base_sql: str | None = None) -> str:
     parts = [
-        "WITH " + _XY_SQL.strip() + ",\nbeta0_ AS (SELECT 0.0e0 AS b0, 0.0e0 AS b1)"
+        "WITH "
+        + (base_sql if base_sql is not None else _XY_SQL).strip()
+        + ",\nbeta0_ AS (SELECT 0.0e0 AS b0, 0.0e0 AS b1)"
     ]
     for k in range(1, iters + 1):
         prev = f"beta{k - 1}_"
@@ -690,6 +692,70 @@ _REGISTRY.update(
     {
         "doc_ppl_holdout": Query(
             "doc_ppl_holdout", _q_ppl, _ppl_sql(), ("text", "eval")
+        ),
+    }
+)
+
+
+
+# --- discrete-time hazard GLM (survival regression) --------------------------
+HAZ_HORIZON = 29  # day index range of the event window (Jan 2024)
+
+
+def _hazard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x, y) at-risk table for the discrete-time hazard model: one row
+    per user-day while the user has not yet converted (first purchase);
+    y = 1 on the conversion day, x = day/30. Users who never convert are
+    censored at the horizon — included as all-zero rows, exactly the
+    likelihood discrete-time survival analysis needs (Allison 1982);
+    fitting a logistic model on this table IS survival regression."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") - F.lit(19723))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("fp"))
+    )
+    users = ev.select("user_id").distinct()
+    risk = (
+        users.join(fp, "user_id", "left")
+        .withColumn("last_d", F.coalesce(F.col("fp"), F.lit(HAZ_HORIZON)))
+        .select(
+            "user_id", "fp",
+            F.explode(F.sequence(F.lit(0), F.col("last_d"))).alias("d"),
+        )
+    )
+    return risk.select(
+        (F.col("d").cast("double") / 30.0).alias("x"),
+        F.when(F.col("fp") == F.col("d"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+_HAZARD_BASE_SQL = f"""
+fp AS (
+  SELECT user_id,
+         min(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) - 19723) AS fp
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+users AS (SELECT DISTINCT user_id FROM events),
+base AS MATERIALIZED (
+  SELECT CAST(d AS DOUBLE) / 3.0e1 AS x,
+         CASE WHEN fp.fp = d THEN 1.0e0 ELSE 0.0e0 END AS y
+  FROM users
+  LEFT JOIN fp USING (user_id),
+  LATERAL (SELECT unnest(range(0, coalesce(fp.fp, {HAZ_HORIZON}) + 1)) AS d))"""
+
+
+def _q_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return logreg_irls(_hazard_base(spark, sf_dir))
+
+
+_REGISTRY.update(
+    {
+        "ev_hazard_glm": Query(
+            "ev_hazard_glm",
+            _q_hazard,
+            _logreg_sql(base_sql=_HAZARD_BASE_SQL),
+            ("ml", "survival"),
         ),
     }
 )
