@@ -57,3 +57,27 @@ def test_basket_rules_counts_and_lift(spark):
     assert abs(ac.lift - (4 * 1) / (3 * 1)) < 1e-12
     # duplicate lineitem rows in o4 must not double-count B
     assert ("B", "C") not in out or out[("B", "C")].n_ab == 0
+
+
+def test_supplier_hhi_monopoly_vs_uniform(spark):
+    from pyspark.sql import functions as F
+
+    from tsgen.queries_retail import supplier_hhi
+
+    li = spark.createDataFrame(
+        # nation 0: one supplier takes all -> HHI 10000
+        # nation 1: two equal suppliers -> HHI 5000
+        [(1, 100.0, 0.0), (1, 50.0, 0.0),
+         (2, 70.0, 0.0), (3, 70.0, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    sup = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1)], "s_suppkey long, s_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(0, "MONO"), (1, "DUO")], "n_nationkey long, n_name string"
+    )
+    out = {r.nation: r for r in supplier_hhi(li, sup, nat).collect()}
+    assert out["MONO"].hhi == 10000.0 and out["MONO"].band == "concentrated"
+    assert out["DUO"].hhi == 5000.0 and out["DUO"].band == "concentrated"
+    assert out["MONO"].n_suppliers == 1 and out["DUO"].n_suppliers == 2

@@ -192,3 +192,99 @@ _REGISTRY.update(
         "basket_rules": Query("basket_rules", _q_basket, _BASKET_SQL, ("retail",)),
     }
 )
+
+
+# --- market concentration (HHI) ----------------------------------------------
+def supplier_hhi(li: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation — the antitrust-style market-structure readout next to the
+    share table: HHI = sum of squared supplier shares (x10000, the
+    convention), with the usual bands (<1500 competitive, >2500 highly
+    concentrated). Two partial-agged groupBys + a broadcast nation dim;
+    shares are ratios of 4dp-rounded revenue sums so the squared terms
+    are engine-stable."""
+    rev = (
+        li.join(supplier.select("s_suppkey", "s_nationkey"),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("rev")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("rev").alias("tot"),
+                                         F.count("*").alias("n_suppliers"))
+    hhi = (
+        rev.join(tot, "s_nationkey")
+        .withColumn("share", F.col("rev") / F.col("tot"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.first("n_suppliers").alias("n_suppliers"),
+            (F.sum(F.col("share") * F.col("share")) * 10000.0).alias("hhi"),
+        )
+    )
+    out = (
+        hhi.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            hhi.s_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "hhi",
+            F.when(F.col("hhi") < 1500, "competitive")
+            .when(F.col("hhi") < 2500, "moderate")
+            .otherwise("concentrated")
+            .alias("band"),
+        )
+    )
+    from .queries import roundn
+
+    return roundn(out, 4, "hhi")
+
+
+def _q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_hhi(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         (round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1.0e-9, 4) + 0.0e0)
+           AS rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey),
+tot AS (
+  SELECT s_nationkey, sum(rev) AS tot, count(*) AS n_suppliers
+  FROM rev GROUP BY s_nationkey),
+hhi AS (
+  SELECT r.s_nationkey, any_value(t.n_suppliers) AS n_suppliers,
+         sum((r.rev / t.tot) * (r.rev / t.tot)) * 1.0e4 AS hhi
+  FROM rev r JOIN tot t USING (s_nationkey)
+  GROUP BY r.s_nationkey)
+SELECT n.n_name AS nation, h.n_suppliers,
+       (round(h.hhi + 1.0e-9, 4) + 0.0e0) AS hhi,
+       CASE WHEN h.hhi < 1.5e3 THEN 'competitive'
+            WHEN h.hhi < 2.5e3 THEN 'moderate'
+            ELSE 'concentrated' END AS band
+FROM hhi h JOIN nation n ON n.n_nationkey = h.s_nationkey
+"""
+
+
+_REGISTRY.update(
+    {
+        "li_supplier_hhi": Query(
+            "li_supplier_hhi", _q_hhi, _HHI_SQL, ("retail",)
+        ),
+    }
+)
