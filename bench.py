@@ -200,6 +200,8 @@ def main() -> None:
         "ev_power_analysis",
         "ts_prophet_forecast",
         "embed_cluster_purity",
+        "ev_hazard_glm",
+        "li_supplier_hhi",
     ]
     reg = registry()
     for name in suite:
