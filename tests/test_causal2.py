@@ -248,3 +248,27 @@ def test_power_analysis_closed_form(spark):
     # quadratic scaling: halving the MDE quadruples the sample size
     assert out[0.5].n_per_arm > 3.9 * out[1.0].n_per_arm
     assert all(r.days_needed > 0 for r in out.values())
+
+
+def test_qte_sees_tail_only_effect(spark):
+    import random
+
+    from tsgen.queries_causal import qte_readout
+
+    rng = random.Random(43)
+    rows = []
+    eid = 0
+    for _ in range(8000):
+        u = rng.randrange(1000)
+        v = rng.uniform(1, 100)
+        # treatment boosts ONLY the top decile of draws
+        if u % 2 == 1 and v > 90:
+            v *= 2.0
+        rows.append((eid, "2024-01-03 09:00:00", u, "view", v, "{}"))
+        eid += 1
+    out = {round(r.q, 2): r for r in qte_readout(_events_df(spark, rows)).collect()}
+    # median barely moves; the q90 effect is large
+    assert abs(out[0.5].qte) < out[0.9].qte / 3
+    assert out[0.9].qte > 30.0
+    # sketch relative-error sanity on the control side
+    assert abs(out[0.5].q_control - 50.0) < 5.0

@@ -1225,3 +1225,60 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- quantile treatment effects (sketch-based) -------------------------------
+QTE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def qte_readout(ev: DataFrame, qs: tuple = QTE_QS) -> DataFrame:
+    """Quantile treatment effects: per-arm value quantiles from the
+    MERGEABLE DDSketch (never a per-arm global sort — two arms would mean
+    two dead executors at 100 TB) and their differences across the
+    distribution — the readout that sees effects a mean difference hides
+    (e.g. treatment moves only the tail). Sketch arithmetic is the
+    proven dd machinery, identical on both engines."""
+    from . import sketches
+    from .queries import roundn
+
+    armed = ev.withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    est = sketches.dd_quantiles_by(armed, "arm", "value", qs)
+    wide = (
+        est.groupBy("q")
+        .agg(
+            F.max(F.when(F.col("grp") == 0, F.col("est"))).alias("q_control"),
+            F.max(F.when(F.col("grp") == 1, F.col("est"))).alias("q_treatment"),
+        )
+        .withColumn("qte", F.col("q_treatment") - F.col("q_control"))
+    )
+    return roundn(wide, 6, "q_control", "q_treatment", "qte")
+
+
+def _q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qte_readout(_events(spark, sf_dir))
+
+
+def _qte_sql(qs: tuple = QTE_QS) -> str:
+    from . import sketches
+
+    inner = sketches.dd_quantiles_by_sql(
+        "arm", "value", "(SELECT user_id % 2 AS arm, value FROM events) ev", qs
+    )
+    return f"""
+WITH est AS ({inner})
+SELECT q,
+       (round(max(CASE WHEN grp = 0 THEN est END) + 1.0e-9, 6) + 0.0e0)
+         AS q_control,
+       (round(max(CASE WHEN grp = 1 THEN est END) + 1.0e-9, 6) + 0.0e0)
+         AS q_treatment,
+       (round(max(CASE WHEN grp = 1 THEN est END)
+              - max(CASE WHEN grp = 0 THEN est END) + 1.0e-9, 6) + 0.0e0) AS qte
+FROM est GROUP BY q
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_qte": Query("ev_qte", _q_qte, _qte_sql(), ("causal", "sketch")),
+    }
+)
