@@ -272,3 +272,34 @@ def test_qte_sees_tail_only_effect(spark):
     assert out[0.9].qte > 30.0
     # sketch relative-error sanity on the control side
     assert abs(out[0.5].q_control - 50.0) < 5.0
+
+
+def test_novelty_effect_decay_detected(spark):
+    import random
+
+    from tsgen.queries_causal import novelty_effect
+
+    import datetime as dt
+
+    rng = random.Random(47)
+    rows = []
+    eid = 0
+    epoch = dt.date(1970, 1, 1)
+
+    def op_week(day):  # the operator's epoch-aligned calendar week
+        return (dt.date(2024, 1, day) - epoch).days // 7
+
+    w0 = op_week(1)
+    for u in range(300):
+        for d in range(1, 29):
+            v = rng.uniform(40, 60)
+            age_w = op_week(d) - w0
+            if u % 2 == 1:
+                v += max(0.0, 10.0 - 5.0 * age_w)  # effect decays with age
+            rows.append((eid, f"2024-01-{d:02d} 09:00:00", u, "view", v, "{}"))
+            eid += 1
+    out = {r.age_w: r for r in novelty_effect(_events_df(spark, rows)).collect()}
+    assert out[0].effect > 8.0      # fresh users: big lift
+    assert out[1].effect > 3.0
+    assert abs(out[2].effect) < 2.0 # effect gone by week 2 -> novelty
+    assert out[0].effect > out[1].effect > out[2].effect - 1e-9

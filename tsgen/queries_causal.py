@@ -1282,3 +1282,64 @@ _REGISTRY.update(
         "ev_qte": Query("ev_qte", _q_qte, _qte_sql(), ("causal", "sketch")),
     }
 )
+
+
+# --- novelty effect (treatment effect by exposure age) ----------------------
+def novelty_effect(ev: DataFrame) -> DataFrame:
+    """Treatment effect by EXPOSURE AGE: the arm difference re-estimated
+    within each weeks-since-first-seen bucket — the standard check for
+    novelty/primacy effects (an effect that decays with age is novelty,
+    not product value; one that grows is learning). One first-seen
+    aggregate joined back (user-count-sized), one conditional-moment
+    groupBy per age bucket."""
+    wk = F.floor(F.unix_timestamp("ts") / (7 * 86400)).cast("bigint")
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("fw"))
+    aged = (
+        ev.join(first_seen, "user_id")
+        .withColumn("age_w", (wk - F.col("fw")).cast("bigint"))
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    g = aged.groupBy("age_w").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.avg(F.when(F.col("arm") == 0, F.col("value"))).alias("mean_a"),
+        F.avg(F.when(F.col("arm") == 1, F.col("value"))).alias("mean_b"),
+    )
+    out = g.withColumn("effect", F.col("mean_b") - F.col("mean_a"))
+    return roundn(out, 4, "mean_a", "mean_b", "effect")
+
+
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return novelty_effect(_events(spark, sf_dir))
+
+
+_NOVELTY_SQL = """
+WITH wk AS (
+  SELECT user_id, value,
+         CAST(floor(floor(epoch(ts)) / (7 * 86400)) AS BIGINT) AS w
+  FROM events),
+fs AS (SELECT user_id, min(w) AS fw FROM wk GROUP BY user_id),
+aged AS (
+  SELECT wk.w - fs.fw AS age_w, wk.user_id % 2 AS arm, value
+  FROM wk JOIN fs USING (user_id))
+SELECT age_w,
+       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       (round(avg(CASE WHEN arm = 0 THEN value END) + 1.0e-9, 4) + 0.0e0)
+         AS mean_a,
+       (round(avg(CASE WHEN arm = 1 THEN value END) + 1.0e-9, 4) + 0.0e0)
+         AS mean_b,
+       (round(avg(CASE WHEN arm = 1 THEN value END)
+              - avg(CASE WHEN arm = 0 THEN value END) + 1.0e-9, 4) + 0.0e0)
+         AS effect
+FROM aged GROUP BY age_w
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_novelty_effect": Query(
+            "ev_novelty_effect", _q_novelty, _NOVELTY_SQL, ("causal",)
+        ),
+    }
+)
