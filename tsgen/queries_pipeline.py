@@ -817,3 +817,51 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+def _q_dup_by_source(spark, sf_dir):
+    """Where the duplicate mass lives: per source, exact-dup counts and
+    the bytes a dedup pass would reclaim — the targeting table for
+    corpus curation (dedup effort goes where the duplication is). One
+    fingerprint window + one groupBy."""
+    out = dedup.exact_dedup(_docs(spark, sf_dir))
+    g = out.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dups"),
+        F.sum(F.when(F.col("is_dup"), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_reclaimable"),
+    )
+    from .queries import round6
+
+    return round6(
+        g.withColumn(
+            "dup_rate", F.col("n_dups").cast("double") / F.col("n_docs")
+        ),
+        "dup_rate",
+    )
+
+
+_DUP_BY_SOURCE_SQL = """
+WITH fp AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+           ORDER BY doc_id) > 1 AS is_dup
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(sum(CASE WHEN is_dup THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_reclaimable,
+       (round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) + 1.0e-9, 6) + 0.0e0) AS dup_rate
+FROM fp GROUP BY source
+"""
+
+_REGISTRY.update(
+    {
+        "doc_dup_by_source": Query(
+            "doc_dup_by_source", _q_dup_by_source, _DUP_BY_SOURCE_SQL, ("dedup",)
+        ),
+    }
+)
