@@ -621,3 +621,28 @@ def test_lang_rebalance_uniformizes_mixture(spark):
     # deterministic: second run identical
     out2 = {r.lang: r.n_kept for r in lang_rebalance(df).collect()}
     assert out2 == {k: v.n_kept for k, v in out.items()}
+
+
+def test_source_kl_flags_divergent_source(spark):
+    import random
+
+    from tsgen.text import source_kl
+
+    rng = random.Random(51)
+    common = [f"w{i}" for i in range(20)]
+    rows = []
+    i = 0
+    for src, vocab in [("a", common), ("b", common), ("weird", ["zzz", "qqq", "xxx"])]:
+        for _ in range(100):
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(30)), "en", src, 10))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r.kl_nats for r in source_kl(df).collect()}
+    # the divergent source scores clearly above the two aligned ones
+    # (aligned sources still carry baseline KL: the corpus blend includes
+    # the weird mass their distributions lack)
+    assert out["weird"] > 2 * max(out["a"], out["b"])
+    assert abs(out["a"] - out["b"]) < 0.05  # identical sources score alike
+    assert out["a"] >= 0 and out["b"] >= 0  # KL nonnegative

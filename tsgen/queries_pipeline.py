@@ -860,6 +860,12 @@ FROM fp GROUP BY source
 
 _REGISTRY.update(
     {
+        "doc_source_kl": Query(
+            "doc_source_kl",
+            lambda spark, sf_dir: text.source_kl(_docs(spark, sf_dir)),
+            text.source_kl_sql(),
+            ("text", "mixing"),
+        ),
         "doc_dup_by_source": Query(
             "doc_dup_by_source", _q_dup_by_source, _DUP_BY_SOURCE_SQL, ("dedup",)
         ),

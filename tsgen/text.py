@@ -1121,3 +1121,84 @@ JOIN marg m2 ON m2.w = cnt.w2
 CROSS JOIN ntot
 ORDER BY ppmi DESC, w1, w2 LIMIT {topk}
 """
+
+
+# --- per-source token KL divergence ------------------------------------------
+KL_SMOOTH = 0.5
+
+
+def source_kl(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Which sources are linguistically unusual: KL(source || corpus) over
+    smoothed token unigram distributions — the mixture-profiling number
+    that flags a source whose text distribution diverges from the blend
+    it feeds (candidate for reweighting or a closer look). Laplace
+    +0.5 smoothing over the corpus vocabulary keeps every cell finite,
+    mirrored on both sides.
+
+    Scale shape: one (source, token) groupBy + one token groupBy —
+    both vocabulary-sized; the KL sum is a per-source reduce over its
+    vocab rows. Exact integer counts throughout."""
+    toks = docs.select(
+        "source", F.explode(F.split(F.col(text), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    cw = toks.groupBy("w").agg(F.count("*").alias("cc"))
+    vocab = cw.agg(F.count("*").alias("v"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("st"))
+    ctot = cw.agg(F.sum("cc").alias("ct"))
+    # dense per-(source, vocab-token) grid via cross of sources x vocab,
+    # left-joined counts -> smoothing handles the zeros
+    grid = (
+        stot.crossJoin(cw)
+        .join(sw, ["source", "w"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ctot))
+        .withColumn(
+            "p",
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(KL_SMOOTH))
+            / (F.col("st") + F.lit(KL_SMOOTH) * F.col("v")),
+        )
+        .withColumn(
+            "q",
+            (F.col("cc") + F.lit(KL_SMOOTH))
+            / (F.col("ct") + F.lit(KL_SMOOTH) * F.col("v")),
+        )
+    )
+    out = (
+        grid.groupBy("source")
+        .agg(
+            F.first("st").alias("n_tokens"),
+            F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl_nats"),
+        )
+        .select("source", F.col("n_tokens").cast("bigint").alias("n_tokens"), "kl_nats")
+    )
+    from .queries import round6
+
+    return round6(out, "kl_nats")
+
+
+def source_kl_sql() -> str:
+    from . import expr as E
+
+    sm = E.NUM(KL_SMOOTH)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+cw AS (SELECT w, count(*) AS cc FROM toks GROUP BY w),
+vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM cw),
+stot AS (SELECT source, sum(c) AS st FROM sw GROUP BY source),
+ctot AS (SELECT CAST(sum(cc) AS DOUBLE) AS ct FROM cw),
+grid AS (
+  SELECT stot.source, stot.st, cw.cc,
+         (CAST(coalesce(sw.c, 0) AS DOUBLE) + {sm}) / (stot.st + {sm} * vv.v) AS p,
+         (CAST(cw.cc AS DOUBLE) + {sm}) / (ctot.ct + {sm} * vv.v) AS q
+  FROM stot CROSS JOIN cw
+  LEFT JOIN sw ON sw.source = stot.source AND sw.w = cw.w
+  CROSS JOIN vv CROSS JOIN ctot)
+SELECT source, CAST(any_value(st) AS BIGINT) AS n_tokens,
+       (round(sum(p * ln(p / q)) + 1.0e-9, 6) + 0.0e0) AS kl_nats
+FROM grid GROUP BY source
+"""
