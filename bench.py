@@ -219,17 +219,25 @@ def main() -> None:
         "ngram_jaccard", "minhash_lsh", "simhash_pairs", "cosine_topk",
         "embed_neardup", "ann_ivf", "multimodal_features",
     }
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    r01_total = round(sum(v for k, v in timings.items() if k in r01), 3)
+    # The driver's tail capture truncates long lines from the HEAD, which in
+    # r03 cut off the "metric"/"value" keys of the single ~107-query JSON line
+    # (BENCH_r03.json parsed: null). Emit the full per-query map on its own
+    # line for audit, then a SHORT final summary line (bounded size: top-5
+    # slowest only) that truncation can never eat (VERDICT r03 item 1).
+    print(json.dumps({"detail": "per_query", "queries": timings, "sf": sf}))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "r01_subset_total": round(
-                    sum(v for k, v in timings.items() if k in r01), 3
-                ),
-                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "queries": slowest,
+                "r01_subset_total": r01_total,
+                "n_queries": len(timings),
+                "sf": sf,
             }
         )
     )

@@ -42,31 +42,36 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 # else follows in registration order. Keep the 9 generator queries first as
 # cheap cross-round canaries.
 #
-# Round-3 window: 9 canaries + 41 never-driver-checked oracle queries
-# (B19 masks / C3 loss, misc B-ops, LLM-pipeline core, 10 streaming twins).
-# Ever-checked through r02: see CORRECTNESS_r01.json + CORRECTNESS_r02.json.
+# Round-4 window: 9 canaries + 41 never-driver-checked oracle queries
+# (VERDICT r03 items 2+5: front-load the round-3 session additions, the
+# train family — the only §2 rows with no driver exposure — the de-weaked
+# rfm_segments/orders_abc, and r2 tsmining/streaming batches).
+# Ever-checked through r03: CORRECTNESS_r01..r03.json (94 unique).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # canaries (green r01+r02)
+    # canaries (green r01+r02+r03)
     "gen_sine", "gen_cosine", "gen_mixed", "gen_exponential_decay",
     "gen_linear_sum", "gen_custom_decay", "gen_labeled", "series_stats",
     "sample_data_mixed",
-    # B14-B19 family losses/masks that lost their green row in r02 rotation
-    "mask_forecast", "mask_impute", "loss_mse",
-    # misc never-checked B/E/F/G ops
-    "poly_basis", "posenc", "label_embedding", "gen_union", "gen_multichannel",
-    "patchify_stats", "patch_roundtrip", "epoch_metrics", "orders_cube",
-    "event_set_ops", "ev_interval_join",
-    # LLM-data-pipeline core (first driver rows for the family)
-    "dedup_exact_docs", "ngram_jaccard", "dedup_clusters", "semdedup",
-    "corpus_curation", "tfidf_top_terms", "cosine_topk", "ann_lsh",
-    "text_stats", "doc_fingerprint", "lang_id", "token_freq", "pii_scrub",
-    "doc_chunks", "pack_sequences", "embed_neardup",
-    # forecast op touched this round
-    "kalman_em",
-    # streaming twins (VERDICT item 5: >=8 green streaming rows)
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
-    "stream_join", "stream_ohlc", "stream_hll", "stream_scd2",
-    "stream_dd_quantiles", "stream_cms_topk",
+    # round-3 session additions (judge spot-verified 10 of these locally;
+    # driver certification still pending)
+    "ev_logreg", "ts_prophet_lite", "doc_prefix_jaccard",
+    "minhash_lsh_portable", "simhash_portable", "part_entity_clusters",
+    "ev_attribution_markov", "ts_sesd", "ev_cuped", "graph_modularity",
+    # train family — never in any window (VERDICT item 5)
+    "train_denoiser", "train_epochs", "sample_forecast",
+    "sample_conditional_label",
+    # de-weaked this round (VERDICT items 3+4) — certify the new plans
+    "rfm_segments", "orders_abc",
+    # more round-3 additions
+    "ev_hazard_glm", "ts_bocpd", "forecast_garch", "ts_pelt", "embed_kmeans",
+    "doc_lsh_recall", "ev_poisson_glm", "doc_nb_classify", "embed_map_at_k",
+    "ev_next_event_acc", "ts_ssa_power", "embed_pca_power", "ev_mutual_info",
+    "ev_calibration", "ev_msprt", "ev_srm", "ev_ab_holm", "ts_its",
+    "ev_bootstrap_ci",
+    # r2 tsmining batch
+    "ts_sax", "ts_matrix_profile", "ts_dtw", "ts_changepoint",
+    # r2 streaming twins not yet certified
+    "stream_ewma", "stream_asof",
 )
 
 

@@ -53,6 +53,66 @@ def global_row_ids(df: DataFrame, key: str, partitions: int | None = None) -> Da
     )
 
 
+def _ranged(df: DataFrame, order_cols, weight: str | None = None):
+    """Shared two-phase total-order scaffold: range-partition on the sort
+    expressions, pin the sampled boundaries, and return (pinned_df_with_pid,
+    offsets) where `_off` is the count (or sum of `weight`) in all strictly
+    earlier partitions. The offsets table has one row per partition, so its
+    prefix-sum window is bounded work at any table size."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=False)  # see global_row_ids: pin the sampled split
+    agg = F.count("*") if weight is None else F.sum(weight)
+    counts = d.groupBy("_pid").agg(agg.alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+    return d, offsets
+
+
+def ntile_exact(df: DataFrame, k: int, order_cols, out: str) -> DataFrame:
+    """`ntile(k) OVER (ORDER BY order_cols)` without the single-reducer
+    global sort: global rank = partition offset + local row_number (the
+    global_row_ids two-phase shape), then the SQL ntile bucket is pure
+    arithmetic on (rank, n, k) — first n%k tiles get ceil(n/k) rows.
+    Exactly matches ntile output for a total (tie-broken) ordering, so the
+    DuckDB oracle can keep using plain ntile. VERDICT r03 items 3+4."""
+    d, offsets = _ranged(df, order_cols)
+    tot = offsets.agg(F.sum("_n").alias("_tot"))
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    d = (
+        d.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_rk", (F.col("_off") + local).cast("bigint"))
+    )
+    q = F.floor(F.col("_tot") / k)
+    rem = F.col("_tot") % k
+    big = q + 1
+    cutoff = rem * big
+    tile = F.when(
+        F.col("_rk") <= cutoff, F.floor((F.col("_rk") - 1) / big) + 1
+    ).otherwise(rem + F.floor((F.col("_rk") - cutoff - 1) / q) + 1)
+    return d.withColumn(out, tile.cast("int")).drop("_pid", "_off", "_tot", "_rk")
+
+
+def cumsum_exact(df: DataFrame, val: str, order_cols, out: str) -> DataFrame:
+    """`sum(val) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)` as
+    two-phase: per-partition running sum + broadcast prefix offsets over the
+    partition-count table. Same shape as ntile_exact with a sum weight."""
+    d, offsets = _ranged(df, order_cols, weight=val)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(out, F.col("_off") + F.sum(val).over(w))
+        .drop("_pid", "_off")
+    )
+
+
 def _q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_id", "user_id")
     return canon_types(global_row_ids(ev, "event_id").select("event_id", "user_id", "rid"))
