@@ -204,6 +204,7 @@ def _ensure_populated() -> None:
         queries_quality,
         queries_retail,
         queries_streaming,
+        queries_topics,
         queries_tpch,
         queries_training,
         queries_tsdb,

@@ -617,12 +617,158 @@ ORDER BY series_id, i
 """
 
 
+MOTIF_K = 3
+
+
+def motif_topk(
+    df: DataFrame, m: int = MP_M, k: int = MOTIF_K,
+    key: str = "series_id", value: str = "value",
+) -> DataFrame:
+    """Top-k motif pairs per series (matrix-profile motif discovery, Yeh et
+    al. ICDM 2016 §IV): the k closest pairs of length-`m` windows (i < j,
+    outside the trivial-match exclusion zone) under z-normalized Euclidean
+    distance. Same wide-form mapInPandas shape as matrix_profile — series
+    are the parallel axis, the kernel is one Gram product; ranking is by
+    (6dp-rounded distance, i, j) so argsort ties are engine-portable."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+    excl = m // 2
+
+    def fn(batches: "pd.Iterator") -> "pd.Iterator":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for sid, vs in zip(pdf[key], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                nw = len(y) - m + 1
+                X = np.lib.stride_tricks.sliding_window_view(y, m)
+                mu = X.mean(axis=1)
+                sd = np.sqrt(np.maximum((X * X).mean(axis=1) - mu * mu, 1e-24))
+                G = X @ X.T
+                d2 = 2.0 * m * (1.0 - (G - m * np.outer(mu, mu)) / (m * np.outer(sd, sd)))
+                d = np.sqrt(np.maximum(d2, 0.0))
+                ii, jj = np.triu_indices(nw, k=excl)  # i < j, |i-j| >= excl
+                dr = np.round(d[ii, jj] + 1e-9, 6)
+                order = np.lexsort((jj, ii, dr))[:k]
+                out.append(pd.DataFrame({
+                    key: sid, "rank": np.arange(1, len(order) + 1),
+                    "i": ii[order], "j": jj[order], "dist": d[ii, jj][order],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    return wide.mapInPandas(
+        fn, f"{key} bigint, rank bigint, i bigint, j bigint, dist double"
+    )
+
+
+def _q_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import roundn
+
+    df = generators.generate(spark, MP_SERIES, MP_LEN, "mixed")
+    return roundn(motif_topk(df).orderBy("series_id", "rank"), 4, "dist")
+
+
+def _pair_dist_cte() -> str:
+    """Shared CTE body: all z-normalized window-pair distances i < j outside
+    the exclusion zone (the matrix-profile SQL with a one-sided join)."""
+    gen = oracle.generate_sql(MP_SERIES, MP_LEN, "mixed", rounded=False)
+    m, excl = MP_M, MP_M // 2
+    return f"""
+WITH src AS MATERIALIZED ({gen}),
+n AS (SELECT series_id, max(t) AS tmax FROM src GROUP BY series_id),
+win AS MATERIALIZED (
+  SELECT s.series_id, w.i, s.t - w.i AS k, s.value AS v
+  FROM src s
+  JOIN (SELECT src.series_id, t AS i FROM src JOIN n USING (series_id)
+        WHERE t <= tmax - {m - 1}) w
+    ON w.series_id = s.series_id AND s.t >= w.i AND s.t < w.i + {m}),
+stats AS MATERIALIZED (
+  SELECT series_id, i, avg(v) AS mu,
+         sqrt(greatest(avg(v*v) - avg(v)*avg(v), 1.0e-24)) AS sd
+  FROM win GROUP BY series_id, i),
+dots AS (
+  SELECT a.series_id, a.i, b.i AS j, sum(a.v * b.v) AS dot
+  FROM win a JOIN win b
+    ON b.series_id = a.series_id AND b.k = a.k AND b.i - a.i >= {excl}
+  GROUP BY a.series_id, a.i, b.i),
+dist AS (
+  SELECT d.series_id, d.i, d.j,
+         sqrt(greatest(2.0e0 * {m} * (1.0e0 -
+           (d.dot - {m} * sa.mu * sb.mu) / ({m} * sa.sd * sb.sd)), 0.0e0)) AS dist
+  FROM dots d
+  JOIN stats sa ON sa.series_id = d.series_id AND sa.i = d.i
+  JOIN stats sb ON sb.series_id = d.series_id AND sb.i = d.j)"""
+
+
+def _motifs_sql() -> str:
+    return f"""{_pair_dist_cte()},
+ranked AS (
+  SELECT series_id, i, j, dist,
+         row_number() OVER (PARTITION BY series_id
+                            ORDER BY (round((dist) + 1.0e-9,6)+0.0e0) ASC,
+                                     i ASC, j ASC) AS rank
+  FROM dist)
+SELECT series_id, rank, i, j, {E.roundn('dist', 4)} AS dist
+FROM ranked WHERE rank <= {MOTIF_K}
+ORDER BY series_id, rank
+"""
+
+
+def _q_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k discords per series: the windows whose nearest-neighbor
+    distance (the matrix profile itself) is LARGEST — the standard
+    matrix-profile anomaly read-out. Pure DataFrame ranking on top of the
+    profile; per-series window, never global."""
+    from .queries import roundn
+
+    df = generators.generate(spark, MP_SERIES, MP_LEN, "mixed")
+    mp = matrix_profile(df)
+    w = Window.partitionBy("series_id").orderBy(
+        F.round(F.col("mp") + F.lit(1e-9), 6).desc(), F.col("i").asc()
+    )
+    out = (
+        mp.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MOTIF_K)
+        .select("series_id", "rank", "i", "mp")
+        .orderBy("series_id", "rank")
+    )
+    return roundn(out, 4, "mp")
+
+
+def _discords_sql() -> str:
+    m, excl = MP_M, MP_M // 2
+    # profile = min over BOTH directions -> reuse pair CTE with abs() join
+    return f"""{_pair_dist_cte().replace(f"b.i - a.i >= {excl}", f"abs(b.i - a.i) >= {excl}")},
+prof AS (
+  SELECT series_id, i, min((round((dist) + 1.0e-9,6)+0.0e0)) AS mpr,
+         first(dist ORDER BY (round((dist) + 1.0e-9,6)+0.0e0) ASC, j ASC) AS mp
+  FROM dist GROUP BY series_id, i),
+ranked AS (
+  SELECT series_id, i, mp,
+         row_number() OVER (PARTITION BY series_id
+                            ORDER BY mpr DESC, i ASC) AS rank
+  FROM prof)
+SELECT series_id, rank, i, {E.roundn('mp', 4)} AS mp
+FROM ranked WHERE rank <= {MOTIF_K}
+ORDER BY series_id, rank
+"""
+
+
 _REGISTRY.update(
     {
         "ts_sax": Query("ts_sax", _q_sax, _sax_sql(), ("tsdb",)),
         "ts_matrix_profile": Query(
             "ts_matrix_profile", _q_matrix_profile, _matrix_profile_sql(), ("tsdb",)
         ),
+        "ts_motifs": Query("ts_motifs", _q_motifs, _motifs_sql(), ("tsdb",)),
+        "ts_discords": Query("ts_discords", _q_discords, _discords_sql(), ("tsdb",)),
     }
 )
 

@@ -2304,7 +2304,7 @@ _REGISTRY.update(
 
 
 # --- SSA top components via per-series power iteration -----------------------
-SSAP_N, SSAP_LEN, SSAP_WINDOW, SSAP_ITERS, SSAP_K = 8, 256, 32, 40, 2
+SSAP_N, SSAP_LEN, SSAP_WINDOW, SSAP_ITERS, SSAP_K = 8, 256, 32, 40, 3
 
 
 def ssa_power(df: DataFrame, window: int = SSAP_WINDOW, k: int = SSAP_K,
