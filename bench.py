@@ -202,6 +202,15 @@ def main() -> None:
         "embed_cluster_purity",
         "ev_hazard_glm",
         "li_supplier_hhi",
+        # round-4: matrix-profile motifs/discords, PLSA topics, BPE trainer,
+        # BM25 retrieval, HMM decode, Yule-Walker AR(2)
+        "ts_motifs",
+        "ts_discords",
+        "doc_topics",
+        "bpe_train",
+        "doc_bm25",
+        "ts_hmm_viterbi",
+        "forecast_ar2",
     ]
     reg = registry()
     for name in suite:

@@ -203,7 +203,9 @@ def _ensure_populated() -> None:
         queries_seasonal,
         queries_quality,
         queries_retail,
+        queries_statemodels,
         queries_streaming,
+        queries_tokenizer,
         queries_topics,
         queries_tpch,
         queries_training,

@@ -1,0 +1,287 @@
+"""Tokenizer training and lexical retrieval over the documents table.
+
+bpe_train: iterative byte-pair-encoding vocabulary learning (Sennrich,
+Haddow & Birch, ACL 2016 §3.2) — the tokenizer-training step of an LLM
+data pipeline. Uses the word-frequency-table optimization every real BPE
+trainer uses: the corpus is reduced ONCE to (word, freq) — the only
+corpus-sized shuffle — and all merge iterations run over that
+vocabulary-sized table. Each iteration counts adjacent symbol pairs
+weighted by word frequency, picks the argmax pair (ties by pair text so
+both engines agree), and applies the merge with a single string replace
+over a self-delimited symbol encoding: every symbol is wrapped as
+\\x01sym\\x02, so the pattern \\x01a\\x02\\x01b\\x02 shares no characters
+with an adjacent occurrence and plain leftmost non-overlapping replace()
+(identical semantics in Spark and DuckDB) IS token-space greedy BPE merge
+application — no regex lookarounds (RE2 lacks them), no per-row UDF.
+
+doc_bm25: Okapi BM25 top-k retrieval (Robertson & Zaragoza, FnTIR 2009,
+eq. 3.15) for a fixed query set — the lexical-retrieval baseline every
+RAG / hard-negative-mining pipeline needs next to the embedding ANN ops
+in tsgen.similarity. Scale shape: tf is one doc-keyed aggregation, df is
+computed only for query terms (semi-join pushdown before the agg),
+queries/stats/df are broadcast, and the per-query top-k is TWO-PHASE —
+a window partitioned by (qid, input partition) takes local top-k in
+parallel, then the global window per qid ranks only k·P survivors, so no
+query ever funnels the full corpus through one reducer.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .queries import _REGISTRY, Query
+
+BPE_ITERS = 8
+_SA = "\x01"  # symbol open marker
+_SB = "\x02"  # symbol close marker
+_EOW = "</w>"
+
+BM25_K = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "spark join"),
+    (2, "window merge sort"),
+    (3, "customer data stream"),
+    (4, "hash group agg"),
+)
+
+
+def bpe_train(docs: DataFrame, iters: int = BPE_ITERS, text: str = "text") -> DataFrame:
+    """Learn `iters` BPE merges; → (iteration, pair, merged, n).
+
+    Driver state is bounded: one (pair, count) row collected per
+    iteration (the argmax — same shape as the diffusion schedule
+    lookups), and the merge table itself (≤ iters rows). Per-iteration
+    lineage is pinned with localCheckpoint so the plan stays flat.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # initial symbols: characters + an end-of-word marker, self-delimited
+    seqs = words.select(
+        F.concat(
+            F.lit(_SA),
+            F.array_join(
+                F.concat(
+                    F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+                    F.array(F.lit(_EOW)),
+                ),
+                _SB + _SA,
+            ),
+            F.lit(_SB),
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    pair_expr = (
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1])) "
+        "ELSE array() END"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, iters + 1):
+        cnt = (
+            seqs.withColumn(
+                "tk", F.split(F.expr("substring(s, 2, length(s) - 2)"), _SB + _SA)
+            )
+            .select("freq", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = cnt.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1).collect()
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        a, b = pair.split(" ")
+        merges.append((it, pair, a + b, n))
+        seqs = seqs.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(_SA + a + _SB + _SA + b + _SB),
+                F.lit(_SA + a + b + _SB),
+            ),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "iteration bigint, pair string, merged string, n bigint"
+    ).orderBy("iteration")
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _bpe_sql(iters: int = BPE_ITERS) -> str:
+    sa, sb = "chr(1)", "chr(2)"
+    sep = f"{sb} || {sa}"
+    parts = [
+        f"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+s0 AS MATERIALIZED (
+  SELECT {sa} || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1))
+             || ['{_EOW}'],
+           {sep}) || {sb} AS s, freq
+  FROM w0)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""",
+tk{t} AS (SELECT string_split(substr(s, 2, length(s) - 2), {sep}) AS tk, freq
+          FROM s{p}),
+c{t} AS MATERIALIZED (
+  SELECT pair, sum(freq) AS n
+  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair,
+               freq
+        FROM tk{t})
+  GROUP BY pair),
+b{t} AS MATERIALIZED (
+  SELECT pair, replace(pair, ' ', '') AS merged, n,
+         split_part(pair, ' ', 1) AS pa, split_part(pair, ' ', 2) AS pb
+  FROM c{t} ORDER BY n DESC, pair LIMIT 1),
+s{t} AS MATERIALIZED (
+  SELECT replace(s.s, {sa} || b.pa || {sb} || {sa} || b.pb || {sb},
+                 {sa} || b.merged || {sb}) AS s, s.freq
+  FROM s{p} s CROSS JOIN b{t} b)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS iteration, pair, merged, CAST(n AS BIGINT) AS n FROM b{t}"
+        for t in range(1, iters + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY iteration")
+    return "".join(parts)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = BM25_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text: str = "text",
+) -> DataFrame:
+    """Top-`k` docs per query by BM25; → (qid, rank, doc_id, score)."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, q in queries for t in q.split()],
+        "qid bigint, term string",
+    )
+    dfreq = (
+        tf.join(F.broadcast(qdf.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    cand = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("w").alias("score"))
+        # 6dp before ranking: term-sum association differs across engines
+        .withColumn("score", F.round(F.col("score") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    # phase 1: top-k within each (query, input-partition) — parallel
+    local = (
+        cand.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "r", F.row_number().over(Window.partitionBy("qid", "pid").orderBy(*order))
+        )
+        .filter(F.col("r") <= k)
+        .drop("pid", "r")
+    )
+    # phase 2: global rank per query over ≤ k·P survivors — bounded
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+        )
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
+def _q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _bm25_sql(
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = BM25_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in queries for t in q.split()
+    )
+    return f"""
+WITH q(qid, term) AS (VALUES {qvals}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+sc AS (
+  SELECT q.qid, tf.doc_id,
+         (round((sum(
+            ln(1.0e0 + (st.n_docs - dfq.df + 5.0e-1) / (dfq.df + 5.0e-1))
+            * tf.tf * {k1 + 1.0:.1f}e0
+            / (tf.tf + {k1}e0 * ({1.0 - b}e0 + {b}e0 * dl.dl / st.avgdl))
+         )) + 1.0e-9, 6) + 0.0e0) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfq USING (term)
+  CROSS JOIN st
+  GROUP BY q.qid, tf.doc_id, st.n_docs, st.avgdl),
+rk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc)
+SELECT qid, rank, doc_id, score FROM rk WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+_REGISTRY.update(
+    {
+        "bpe_train": Query("bpe_train", _q_bpe_train, _bpe_sql(), ("text", "llm")),
+        "doc_bm25": Query("doc_bm25", _q_doc_bm25, _bm25_sql(), ("text", "llm")),
+    }
+)
