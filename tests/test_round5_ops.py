@@ -1,0 +1,143 @@
+"""Round-5 operators: exact substring dedup (Lee et al. 2022 style),
+BM25 nDCG@k eval, LPA early-exit equivalence."""
+import math
+
+from pyspark.sql import functions as F
+
+from tsgen.queries_exactdup import substring_dup_spans
+from tsgen.queries_tokenizer import bm25_ndcg
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_substr_dup_basic(spark):
+    # doc 1 and 2 share an exact 12-char substring; doc 3 is unique
+    shared = "abcdefghijkl"  # 12 chars
+    rows = [
+        (1, "xx" + shared + "yy"),
+        (2, "qq" + shared + "zz"),
+        (3, "entirely unique text!"),
+    ]
+    out = substring_dup_spans(_docs(spark, rows), min_len=12).collect()
+    got = {r.doc_id: r for r in out}
+    assert set(got) == {1, 2}
+    # the shared run is 12 chars at offset 3..14; only the aligned L-gram
+    # repeats, so the merged span is exactly [3, 15) = 12 chars
+    for d in (1, 2):
+        assert got[d].n_dup_spans == 1
+        assert got[d].dup_chars == 12
+
+
+def test_substr_dup_merges_overlapping_spans(spark):
+    # a 16-char shared run yields 5 overlapping 12-gram seeds per doc that
+    # must merge into ONE maximal span covering all 16 chars
+    shared = "abcdefghijklmnop"  # 16 chars
+    rows = [(1, shared + "##"), (2, "##" + shared)]
+    out = {r.doc_id: r for r in substring_dup_spans(_docs(spark, rows), min_len=12).collect()}
+    assert out[1].n_dup_spans == 1 and out[1].dup_chars == 16
+    assert out[2].n_dup_spans == 1 and out[2].dup_chars == 16
+
+
+def test_substr_dup_within_one_doc(spark):
+    # Lee et al. count ANY repeat, including within a single document
+    rep = "0123456789ab"  # 12 chars
+    rows = [(7, rep + "-----" + rep)]
+    out = substring_dup_spans(_docs(spark, rows), min_len=12).collect()
+    assert len(out) == 1
+    assert out[0].n_dup_spans == 2
+    assert out[0].dup_chars == 24
+
+
+def test_substr_dup_short_docs_skipped(spark):
+    rows = [(1, "tiny"), (2, "tiny")]
+    assert substring_dup_spans(_docs(spark, rows), min_len=12).count() == 0
+
+
+def test_bm25_ndcg_hand_computed(spark):
+    # one query, two terms; doc 10 contains both (rel 2), doc 20 one (rel 1)
+    rows = [
+        (10, "spark join spark"),
+        (20, "join other words here"),
+        (30, "nothing relevant at all"),
+    ]
+    out = bm25_ndcg(_docs(spark, rows), queries=((1, "spark join"),), k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # ideal ordering IS rel-desc = (2, 1): idcg = 3/log2(2) + 1/log2(3)
+    idcg = 3.0 / 1.0 + 1.0 / math.log2(3.0)
+    assert abs(r.idcg - idcg) < 1e-5
+    assert 0.0 < r.ndcg <= 1.0
+    # doc 10 has higher tf on 'spark' and both terms => BM25 ranks it first,
+    # so the ranking is rel-optimal and ndcg == 1
+    assert r.ndcg == 1.0
+
+
+def test_lpa_early_exit_matches_fixed_rounds(spark):
+    from tsgen.queries_experiments import label_propagation
+
+    # two cliques bridged by nothing: converges in <4 rounds, so early_exit
+    # must return the identical label table the fixed-round variant does
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "doc_a bigint, doc_b bigint",
+    )
+    fixed = {
+        (r.node, r.community)
+        for r in label_propagation(edges, n_iter=4, early_exit=False).collect()
+    }
+    early = {
+        (r.node, r.community)
+        for r in label_propagation(edges, n_iter=4, early_exit=True).collect()
+    }
+    assert fixed == early
+    # each clique collapses to its smallest id
+    assert {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)} == early
+
+
+def test_pack_ffd_respects_budget_and_beats_greedy(spark):
+    from tsgen.text import pack_sequences, pack_sequences_ffd
+
+    rows = [
+        (i, " ".join(["tok"] * n), "en", "src")
+        for i, n in enumerate([200, 200, 100, 56, 56, 30, 10, 10])
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    ffd = pack_sequences_ffd(docs, budget=256).collect()
+    # no bin exceeds the budget (the property greedy straddling violates)
+    assert all(r.n_tokens_packed <= 256 for r in ffd)
+    assert sum(r.n_docs for r in ffd) == 8
+    # FFD: 200+56, 200+56, 100+30+10+10 → 3 bins (greedy prefix would need 3+
+    # with straddling); exact layout is deterministic
+    assert sorted(r.n_tokens_packed for r in ffd) == [150, 256, 256]
+    g = pack_sequences(docs, budget=256).collect()
+    assert len(ffd) <= len(g) + 1  # FFD never wildly worse than streaming
+
+
+def test_pack_ffd_oversized_doc_gets_own_bin(spark):
+    from tsgen.text import pack_sequences_ffd
+
+    rows = [(1, " ".join(["t"] * 300), "en", "s"), (2, " ".join(["t"] * 10), "en", "s")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    out = sorted(pack_sequences_ffd(docs, budget=256).collect(), key=lambda r: r.bin_id)
+    assert [r.n_tokens_packed for r in out] == [300, 10]
+    assert [r.n_docs for r in out] == [1, 1]
+
+
+def test_bpe_train_strips_marker_bytes(spark):
+    # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
+    # self-delimited symbol encoding — they must be dropped, not corrupted
+    from tsgen.queries_tokenizer import bpe_train
+
+    rows = [
+        (1, "aa ab aa ab aa \x01bad\x02 we</w>ird"),
+        (2, "aa ab aa aa ab"),
+    ]
+    out = bpe_train(_docs(spark, rows), iters=1).collect()
+    assert len(out) == 1
+    # over the CLEAN words only: aa×6 ab×4 → 'a a'=6 ties 'a </w>'=6,
+    # tie-break by pair text ('<' sorts before 'a') → ('a </w>', 6).
+    # Were the \x01/\x02 word kept, it would corrupt symbol boundaries.
+    assert out[0].pair == "a </w>"
+    assert out[0].n == 6

@@ -42,36 +42,39 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 # else follows in registration order. Keep the 9 generator queries first as
 # cheap cross-round canaries.
 #
-# Round-4 window: 9 canaries + 41 never-driver-checked oracle queries
-# (VERDICT r03 items 2+5: front-load the round-3 session additions, the
-# train family — the only §2 rows with no driver exposure — the de-weaked
-# rfm_segments/orders_abc, and r2 tsmining/streaming batches).
-# Ever-checked through r03: CORRECTNESS_r01..r03.json (94 unique).
+# Round-5 window: 3 canaries + 47 never-driver-checked oracle queries
+# (VERDICT r04 items 2+4: canary set shrunk 9→3 to certify 47/round;
+# front-load the round-4 additions, the graph family, the attribution/causal
+# batch, multimodal/mixing, and the dedup + embedding ops with full oracles
+# and no driver row). Ever-checked through r04: CORRECTNESS_r01..r04.json
+# (134 unique); every name below is from the 206 oracle-bearing
+# never-certified set.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # canaries (green r01+r02+r03)
-    "gen_sine", "gen_cosine", "gen_mixed", "gen_exponential_decay",
-    "gen_linear_sum", "gen_custom_decay", "gen_labeled", "series_stats",
-    "sample_data_mixed",
-    # round-3 session additions (judge spot-verified 10 of these locally;
-    # driver certification still pending)
-    "ev_logreg", "ts_prophet_lite", "doc_prefix_jaccard",
-    "minhash_lsh_portable", "simhash_portable", "part_entity_clusters",
-    "ev_attribution_markov", "ts_sesd", "ev_cuped", "graph_modularity",
-    # train family — never in any window (VERDICT item 5)
-    "train_denoiser", "train_epochs", "sample_forecast",
-    "sample_conditional_label",
-    # de-weaked this round (VERDICT items 3+4) — certify the new plans
-    "rfm_segments", "orders_abc",
-    # more round-3 additions
-    "ev_hazard_glm", "ts_bocpd", "forecast_garch", "ts_pelt", "embed_kmeans",
-    "doc_lsh_recall", "ev_poisson_glm", "doc_nb_classify", "embed_map_at_k",
-    "ev_next_event_acc", "ts_ssa_power", "embed_pca_power", "ev_mutual_info",
-    "ev_calibration", "ev_msprt", "ev_srm", "ev_ab_holm", "ts_its",
-    "ev_bootstrap_ci",
-    # r2 tsmining batch
-    "ts_sax", "ts_matrix_profile", "ts_dtw", "ts_changepoint",
-    # r2 streaming twins not yet certified
-    "stream_ewma", "stream_asof",
+    # canaries (green r01–r04)
+    "gen_sine", "series_stats", "sample_data_mixed",
+    # round-4 session additions (judge spot-verified locally; driver pending)
+    "bpe_train", "doc_bm25", "ts_hmm_viterbi", "forecast_ar2",
+    "ts_motifs", "ts_discords", "doc_topics",
+    # graph family
+    "graph_pagerank", "graph_bfs", "graph_communities", "graph_triangles",
+    "graph_kcore", "graph_adamic_adar", "graph_assortativity",
+    # attribution / causal readouts
+    "ev_attribution", "ev_attribution_multi", "ev_attribution_decay",
+    "ev_did", "ev_qte", "ev_novelty_effect",
+    # multimodal plumbing + corpus mixing
+    "multimodal_phash", "multimodal_features", "multimodal_frames",
+    "dsir_scores", "doc_lang_rebalance", "source_mixture", "doc_source_kl",
+    # dedup ops with full oracles and no driver row (VERDICT item 4)
+    "dedup_keep_best", "dedup_incremental", "doc_winnow", "winnow_overlap",
+    "jaccard_containment", "dup_ngram_coverage", "doc_dup_by_source",
+    # embedding ops
+    "embed_mmr", "ann_ivf", "embed_pq", "embed_top_eigen",
+    "embed_cluster_purity", "embed_quantize",
+    # remainder: token stats, ML-prep, forecast/state-space
+    "token_ppmi", "split_leakage", "forecast_ses", "forecast_holt_winters",
+    "kalman_filter",
+    # round-5 depth additions (VERDICT r04 item 7) — certify them same-round
+    "dedup_substr", "doc_bm25_ndcg",
 )
 
 
@@ -192,6 +195,7 @@ def _ensure_populated() -> None:
         queries_causal,
         queries_decompose,
         queries_diffusion,
+        queries_exactdup,
         queries_experiments,
         queries_forecast2,
         queries_misc,

@@ -1,0 +1,136 @@
+"""Exact substring deduplication (suffix-array-style, Lee et al. 2022).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee, Ippolito
+et al., ACL 2022) removes every substring of length >= L that occurs more
+than once in the corpus, using a suffix array over the concatenation. The
+shuffle-friendly equivalent of the suffix-array scan is stride-1 L-gram
+seeding: a substring duplicated at length >= L contains (at every
+alignment) an L-gram that occurs >= 2 times corpus-wide, so
+
+    1. explode each doc into its stride-1 character L-grams (doc_id, off,
+       lgram) — O(total chars) rows, the same asymptotic cost as building
+       the suffix array, but embarrassingly parallel;
+    2. keep offsets whose L-gram repeats (count >= 2 over a window keyed
+       on the L-gram — ONE shuffle of the gram table; a groupBy + semi-join
+       back would shuffle it twice);
+    3. merge surviving offsets into maximal duplicated spans per doc with
+       a gaps-and-islands pass (keyed window on doc_id, never global);
+    4. report per-doc span count / duplicated chars / duplicated fraction.
+
+Scale note (100 TB): step 2 shuffles the L-gram *strings* (L bytes per
+row) so the DuckDB oracle can replay it bit-for-bit. On a real cluster
+swap the window key for xxhash64(lgram) — 8-byte shuffle keys, collision
+odds ~2^-64 per pair — exactly the hash-seeding variant of Lee et al. §4.
+Reference behavior anchor: reference/models has no dedup (it is a
+generator training script); this family extends SURVEY §2 K1/K2 with the
+one classic dedup mode the repo lacked (VERDICT r04 item 7).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .queries import _REGISTRY, Query
+
+SUBSTR_L = 40  # minimum duplicated-substring length, chars (Lee et al. use 50 BPE tokens)
+
+
+def substring_dup_spans(docs: DataFrame, min_len: int = SUBSTR_L, text: str = "text") -> DataFrame:
+    """Maximal duplicated substrings of length >= min_len, summarized per
+    doc; → (doc_id, n_dup_spans, dup_chars, dup_frac)."""
+    L = min_len
+    g = (
+        docs.filter(F.length(text) >= L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({text}) - {L} + 1),"
+                    f" o -> substring({text}, o, {L}))"
+                )
+            ).alias("pos", "lgram"),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("off"), "lgram")
+    )
+    dup = (
+        g.withColumn("c", F.count("*").over(Window.partitionBy("lgram")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "off")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("off")
+    # gaps-and-islands: a new span starts when this L-gram's window does not
+    # touch the furthest end seen so far ([off, off+L) vs running max end)
+    dup = (
+        dup.withColumn(
+            "pe", F.max(F.col("off") + F.lit(L)).over(wd.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        .withColumn(
+            "nf", F.when(F.col("pe").isNull() | (F.col("off") > F.col("pe")), 1).otherwise(0)
+        )
+        .withColumn("isl", F.sum("nf").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    spans = dup.groupBy("doc_id", "isl").agg(
+        F.min("off").alias("s"), (F.max("off") + F.lit(L)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_chars"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", F.length(text).alias("n")), "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            F.col("dup_chars").cast("bigint").alias("dup_chars"),
+            (F.round(F.col("dup_chars") / F.col("n") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def substring_dup_sql(min_len: int = SUBSTR_L) -> str:
+    L = min_len
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT doc_id, o AS off, substr(text, o, {L}) AS lgram
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - {L} + 2)) AS o
+        FROM documents WHERE length(text) >= {L})),
+dup AS (
+  SELECT doc_id, off FROM (
+    SELECT doc_id, off, count(*) OVER (PARTITION BY lgram) AS c FROM g)
+  WHERE c >= 2),
+isl AS (
+  SELECT doc_id, off,
+         sum(CASE WHEN pe IS NULL OR off > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM (SELECT doc_id, off,
+               max(off + {L}) OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM dup)),
+spans AS (
+  SELECT doc_id, isl, min(off) AS s, max(off) + {L} AS e
+  FROM isl GROUP BY doc_id, isl),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_chars
+  FROM spans GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n_dup_spans AS BIGINT) AS n_dup_spans,
+       CAST(p.dup_chars AS BIGINT) AS dup_chars,
+       (round(CAST(p.dup_chars AS DOUBLE) / length(d.text) + 1.0e-9, 6) + 0.0e0) AS dup_frac
+FROM per_doc p JOIN documents d USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+_REGISTRY.update(
+    {
+        "dedup_substr": Query(
+            "dedup_substr", _q_dedup_substr, substring_dup_sql(), ("dedup",)
+        ),
+    }
+)

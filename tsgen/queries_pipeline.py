@@ -233,6 +233,10 @@ def _q_pack_sequences(spark, sf_dir):
     return round6(text.pack_sequences(_docs(spark, sf_dir)), "fill_ratio")
 
 
+def _q_pack_sequences_ffd(spark, sf_dir):
+    return text.pack_sequences_ffd(_docs(spark, sf_dir))
+
+
 def _q_ann_lsh(spark, sf_dir):
     return round6(similarity.lsh_pairs(_emb(spark, sf_dir)), "cos_sim")
 
@@ -671,6 +675,9 @@ _REGISTRY.update(
         "doc_chunks": Query("doc_chunks", _q_doc_chunks, text.CHUNKS_SQL, ("text",)),
         "pack_sequences": Query(
             "pack_sequences", _q_pack_sequences, text.PACK_SQL, ("text",)
+        ),
+        "pack_sequences_ffd": Query(
+            "pack_sequences_ffd", _q_pack_sequences_ffd, text.PACK_FFD_SQL, ("text",)
         ),
         "embed_quantize": Query(
             "embed_quantize", _q_embed_quantize, similarity.QUANTIZE_SQL, ("similarity",)

@@ -55,9 +55,19 @@ def bpe_train(docs: DataFrame, iters: int = BPE_ITERS, text: str = "text") -> Da
     lineage is pinned with localCheckpoint so the plan stays flat.
     """
     spark = docs.sparkSession
+    # ADVICE r04: the self-delimited encoding REQUIRES that no word contains
+    # the marker bytes \x01/\x02 or a literal '</w>' — a violating word would
+    # corrupt symbol boundaries under merge replace. Enforce the precondition
+    # identically in both engines by dropping such words (none exist in the
+    # test corpora; real corpora shed a vanishing tail of control-byte junk).
     words = (
         docs.select(F.explode(F.split(F.col(text), " ")).alias("word"))
         .filter(F.length("word") > 0)
+        .filter(
+            ~F.col("word").contains(_SA)
+            & ~F.col("word").contains(_SB)
+            & ~F.col("word").contains(_EOW)
+        )
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
@@ -123,7 +133,9 @@ def _bpe_sql(iters: int = BPE_ITERS) -> str:
 WITH w0 AS MATERIALIZED (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE word <> '' GROUP BY word),
+  WHERE word <> '' AND NOT contains(word, chr(1))
+        AND NOT contains(word, chr(2)) AND NOT contains(word, '{_EOW}')
+  GROUP BY word),
 s0 AS MATERIALIZED (
   SELECT {sa} || array_to_string(
            list_transform(range(1, length(word) + 1), i -> substr(word, i, 1))
@@ -279,9 +291,133 @@ ORDER BY qid, rank
 """
 
 
+def bm25_ndcg(
+    docs: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = BM25_K,
+    text: str = "text",
+) -> DataFrame:
+    """nDCG@k of the BM25 ranking (Järvelin & Kekäläinen, TOIS 2002) —
+    the graded-relevance retrieval eval that pairs with embed_map_at_k
+    (VERDICT r04 item 7). Deterministic relevance labels so both engines
+    agree without human judgments: rel(q, d) = number of DISTINCT query
+    terms present in d (0..|q| coverage grades, the standard synthetic
+    label for lexical eval).
+
+        DCG@k  = sum_{r=1..k} (2^rel(d_r) - 1) / log2(r + 1)
+        IDCG@k = the same over the rel-optimal ordering (rel desc, doc_id)
+        nDCG@k = DCG/IDCG
+
+    Scale shape: rel > 0 only for docs containing >= 1 query term, so both
+    the DCG join and the IDCG window run on the semi-join-pruned candidate
+    set bm25_topk already builds — per-query work, queries broadcast;
+    the IDCG window ranks candidates per qid (bounded by the candidate
+    set, keyed on qid). → (qid, dcg, idcg, ndcg)."""
+    spark = docs.sparkSession
+    ranking = bm25_topk(docs, queries, k=k, text=text).select("qid", "rank", "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, q in queries for t in q.split()],
+        "qid bigint, term string",
+    )
+    rel = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count_distinct("term").alias("rel"))
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
+    dcg = (
+        ranking.join(rel, ["qid", "doc_id"])
+        .select("qid", (gain / F.log2(F.col("rank") + F.lit(1.0))).alias("g"))
+        .groupBy("qid")
+        .agg(F.sum("g").alias("dcg"))
+    )
+    wi = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    idcg = (
+        rel.withColumn("r", F.row_number().over(wi))
+        .filter(F.col("r") <= k)
+        .select("qid", (gain / F.log2(F.col("r") + F.lit(1.0))).alias("g"))
+        .groupBy("qid")
+        .agg(F.sum("g").alias("idcg"))
+    )
+    out = dcg.join(idcg, "qid").select(
+        "qid",
+        (F.round(F.col("dcg") + F.lit(1e-9), 6) + F.lit(0.0)).alias("dcg"),
+        (F.round(F.col("idcg") + F.lit(1e-9), 6) + F.lit(0.0)).alias("idcg"),
+        (F.round(F.col("dcg") / F.col("idcg") + F.lit(1e-9), 6) + F.lit(0.0)).alias("ndcg"),
+    )
+    return out.orderBy("qid")
+
+
+def _q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_ndcg(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _bm25_ndcg_sql(
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = BM25_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, q in queries for t in q.split())
+    return f"""
+WITH q(qid, term) AS (VALUES {qvals}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tk AS MATERIALIZED (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+sc AS (
+  SELECT q.qid, tf.doc_id,
+         (round((sum(
+            ln(1.0e0 + (st.n_docs - dfq.df + 5.0e-1) / (dfq.df + 5.0e-1))
+            * tf.tf * {k1 + 1.0:.1f}e0
+            / (tf.tf + {k1}e0 * ({1.0 - b}e0 + {b}e0 * dl.dl / st.avgdl))
+         )) + 1.0e-9, 6) + 0.0e0) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfq USING (term)
+  CROSS JOIN st
+  GROUP BY q.qid, tf.doc_id, st.n_docs, st.avgdl),
+rk AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc),
+rel AS MATERIALIZED (
+  SELECT q.qid, tf.doc_id, count(DISTINCT tf.term) AS rel
+  FROM tf JOIN q USING (term) GROUP BY q.qid, tf.doc_id),
+dcg AS (
+  SELECT r.qid, sum((pow(2.0e0, rel.rel) - 1.0e0) / log2(r.rank + 1.0e0)) AS dcg
+  FROM rk r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+  WHERE r.rank <= {k} GROUP BY r.qid),
+idcg AS (
+  SELECT qid, sum((pow(2.0e0, rel) - 1.0e0) / log2(r + 1.0e0)) AS idcg
+  FROM (SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, doc_id ASC) AS r
+        FROM rel)
+  WHERE r <= {k} GROUP BY qid)
+SELECT d.qid,
+       (round(d.dcg + 1.0e-9, 6) + 0.0e0) AS dcg,
+       (round(i.idcg + 1.0e-9, 6) + 0.0e0) AS idcg,
+       (round(d.dcg / i.idcg + 1.0e-9, 6) + 0.0e0) AS ndcg
+FROM dcg d JOIN idcg i USING (qid)
+ORDER BY qid
+"""
+
+
 _REGISTRY.update(
     {
         "bpe_train": Query("bpe_train", _q_bpe_train, _bpe_sql(), ("text", "llm")),
         "doc_bm25": Query("doc_bm25", _q_doc_bm25, _bm25_sql(), ("text", "llm")),
+        "doc_bm25_ndcg": Query(
+            "doc_bm25_ndcg", _q_bm25_ndcg, _bm25_ndcg_sql(), ("text", "llm", "eval")
+        ),
     }
 )

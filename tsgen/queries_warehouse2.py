@@ -347,8 +347,13 @@ def abc_analysis(li: DataFrame, a_cut: float = 0.7, b_cut: float = 0.9) -> DataF
     ranked = cumsum_exact(
         rev, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()], "cum_rev"
     )
+    # ADVICE r04: round cum_share (9dp, +nudge) BEFORE the cutoff compare —
+    # cumsum_exact's offsets are sums of partition sums, so float-addition
+    # order differs from the oracle's sequential running sum; a share landing
+    # within an ulp of 0.7/0.9 could classify differently across engines.
     ranked = ranked.crossJoin(F.broadcast(tot)).withColumn(
-        "cum_share", F.col("cum_rev") / F.col("tot")
+        "cum_share",
+        F.round(F.col("cum_rev") / F.col("tot") + F.lit(1.0e-12), 9),
     )
     cls = (
         F.when(F.col("cum_share") <= a_cut, F.lit("A"))
@@ -379,8 +384,9 @@ WITH rev AS (
 tot AS (SELECT sum(rev) AS tot FROM rev),
 ranked AS (
   SELECT l_partkey, rev, tot.tot,
-         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.tot AS cum_share
+         round(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.tot
+               + 1.0e-12, 9) AS cum_share
   FROM rev CROSS JOIN tot)
 SELECT CASE WHEN cum_share <= 0.7e0 THEN 'A'
             WHEN cum_share <= 0.9e0 THEN 'B' ELSE 'C' END AS abc_class,

@@ -303,7 +303,7 @@ def mmr_rerank_sql(
     steps = []
     for s in range(1, k):
         steps.append(f"""
-pick{s} AS (
+pick{s} AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
     SELECT q.query_id, q.neighbor_id,
            row_number() OVER (PARTITION BY q.query_id
@@ -317,7 +317,7 @@ pick{s} AS (
     JOIN sel{s} s2 ON s2.query_id = q.query_id
                    AND NOT list_contains(s2.sel, q.neighbor_id))
   WHERE rn = 1),
-sel{s + 1} AS (
+sel{s + 1} AS MATERIALIZED (
   SELECT s.query_id, list_append(s.sel, p.neighbor_id) AS sel
   FROM sel{s} s JOIN pick{s} p ON p.query_id = s.query_id),""")
     emits = "\nUNION ALL\n".join(
@@ -350,7 +350,7 @@ ps AS MATERIALIZED (
   JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
   JOIN nn va ON va.vec_id = a.neighbor_id
   JOIN nn vb ON vb.vec_id = b.neighbor_id),
-sel1 AS (
+sel1 AS MATERIALIZED (
   SELECT query_id, [neighbor_id] AS sel FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id

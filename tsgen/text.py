@@ -523,6 +523,100 @@ FROM binned GROUP BY lang, source, bin_id
 """
 
 
+def pack_sequences_ffd(df: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """First-fit-decreasing bin packing per (lang, source) shard (Johnson
+    1973; FFD uses <= 11/9·OPT + 6/9 bins): docs sorted by token count desc
+    (doc_id tiebreak), each placed in the FIRST open bin with room, else a
+    new bin. Unlike pack_sequences' streaming prefix-sum approximation, no
+    doc straddles a bin boundary — every bin holds whole docs within the
+    budget (a doc longer than the budget gets a singleton overflow bin).
+    VERDICT r04 item 7's "document or upgrade": this is the upgrade; the
+    greedy variant stays registered as the zero-state streaming shape.
+
+    Shard is the parallel axis (applyInPandas keyed on (lang, source));
+    the sequential FFD state never leaves one shard — the 100 TB shape,
+    since real pipelines pack per output shard anyway. Arrow-batched,
+    O(docs·bins) per shard, and only (doc_id, n) enter the kernel, never
+    the text. → (lang, source, bin_id, n_docs, n_tokens_packed, fill_ratio)
+    """
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["n", "doc_id"], ascending=[False, True])
+        loads: list[int] = []
+        cnts: list[int] = []
+        for nn in (int(x) for x in pdf["n"]):
+            for i, ld in enumerate(loads):
+                if ld + nn <= budget:
+                    loads[i] += nn
+                    cnts[i] += 1
+                    break
+            else:
+                loads.append(nn)
+                cnts.append(1)
+        return pd.DataFrame(
+            {
+                "lang": pdf["lang"].iloc[0],
+                "source": pdf["source"].iloc[0],
+                "bin_id": range(len(loads)),
+                "n_docs": cnts,
+                "n_tokens_packed": loads,
+            }
+        )
+
+    base = df.select(
+        "lang", "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    out = base.groupBy("lang", "source").applyInPandas(
+        pack,
+        "lang string, source string, bin_id bigint, n_docs bigint, n_tokens_packed bigint",
+    )
+    return out.withColumn(
+        "fill_ratio",
+        F.round(F.col("n_tokens_packed") / F.lit(float(budget)) + F.lit(1e-9), 6)
+        + F.lit(0.0),
+    )
+
+
+PACK_FFD_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT lang, source, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY len(string_split(text,' ')) DESC, doc_id) AS rn
+  FROM documents),
+sz AS (SELECT lang, source, max(rn) AS mx FROM d GROUP BY lang, source),
+ffd AS (
+  SELECT lang, source, CAST(0 AS BIGINT) AS rn,
+         CAST([] AS BIGINT[]) AS loads, CAST([] AS BIGINT[]) AS cnts
+  FROM sz
+  UNION ALL
+  SELECT f.lang, f.source, f.rn + 1,
+    CASE WHEN list_position(list_transform(f.loads, x -> x + d.n <= {PACK_BUDGET}), true) = 0
+         THEN list_append(f.loads, d.n)
+         ELSE list_transform(range(1, len(f.loads)+1),
+              i -> CASE WHEN i = list_position(list_transform(f.loads, x -> x + d.n <= {PACK_BUDGET}), true)
+                        THEN f.loads[i] + d.n ELSE f.loads[i] END)
+    END,
+    CASE WHEN list_position(list_transform(f.loads, x -> x + d.n <= {PACK_BUDGET}), true) = 0
+         THEN list_append(f.cnts, CAST(1 AS BIGINT))
+         ELSE list_transform(range(1, len(f.cnts)+1),
+              i -> CASE WHEN i = list_position(list_transform(f.loads, x -> x + d.n <= {PACK_BUDGET}), true)
+                        THEN f.cnts[i] + 1 ELSE f.cnts[i] END)
+    END
+  FROM ffd f JOIN d ON d.lang = f.lang AND d.source = f.source AND d.rn = f.rn + 1
+),
+fin AS (
+  SELECT f.lang, f.source, f.loads, f.cnts
+  FROM ffd f JOIN sz ON sz.lang = f.lang AND sz.source = f.source AND f.rn = sz.mx)
+SELECT lang, source,
+       CAST(unnest(range(1, len(loads)+1)) - 1 AS BIGINT) AS bin_id,
+       unnest(cnts) AS n_docs,
+       unnest(loads) AS n_tokens_packed,
+       (round(CAST(unnest(loads) AS DOUBLE) / {PACK_BUDGET}.0e0 + 1.0e-9, 6) + 0.0e0) AS fill_ratio
+FROM fin ORDER BY lang, source, bin_id
+"""
+
+
 # --- BPE-ish subword token counting ---------------------------------------
 # A GPT-2-style pre-tokenizer approximation: runs of letters, runs of
 # digits, or single punctuation marks. Whitespace tokenization undercounts
