@@ -225,6 +225,7 @@ def main() -> None:
         "dedup_substr",
         "doc_bm25_ndcg",
         "pack_sequences_ffd",
+        "embed_trunc_recall",
     ]
     reg = registry()
     for name in suite:

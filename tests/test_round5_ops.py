@@ -125,6 +125,37 @@ def test_pack_ffd_oversized_doc_gets_own_bin(spark):
     assert [r.n_docs for r in out] == [1, 1]
 
 
+def test_trunc_recall_perfect_when_tail_is_zero(spark):
+    from tsgen.similarity import trunc_recall
+
+    # tail dims all zero => truncated ranking == full ranking => recall 1
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.5, 0.5, 0.0, 0.0]),
+        (3, [0.1, 0.9, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = trunc_recall(emb, n_queries=1, k=2, dims=2).collect()
+    assert len(out) == 1 and out[0].recall_at_k == 1.0
+
+
+def test_trunc_recall_detects_tail_dependence(spark):
+    from tsgen.similarity import trunc_recall
+
+    # neighbor 1 is trunc-closest but full-farthest (big orthogonal tail);
+    # neighbor 3 is full-closest. top-1 sets are disjoint => recall 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, -5.0, 5.0]),
+        (2, [0.8, 0.6, 0.0, 0.0]),
+        (3, [0.9, 0.436, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = trunc_recall(emb, n_queries=1, k=1, dims=2).collect()
+    assert len(out) == 1 and out[0].overlap == 0 and out[0].recall_at_k == 0.0
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -241,6 +241,10 @@ def _q_ann_lsh(spark, sf_dir):
     return round6(similarity.lsh_pairs(_emb(spark, sf_dir)), "cos_sim")
 
 
+def _q_trunc_recall(spark, sf_dir):
+    return similarity.trunc_recall(_emb(spark, sf_dir), n_queries=N_QUERIES)
+
+
 def _q_embed_top_eigen(spark, sf_dir):
     from .queries import roundn
 
@@ -721,6 +725,12 @@ _REGISTRY.update(
             ("dedup",),
         ),
         "simhash_pairs": Query("simhash_pairs", _q_simhash_pairs, None, ("dedup",)),
+        "embed_trunc_recall": Query(
+            "embed_trunc_recall",
+            _q_trunc_recall,
+            similarity.trunc_recall_sql(N_QUERIES),
+            ("similarity", "eval"),
+        ),
         "cosine_topk": Query(
             "cosine_topk", _q_cosine_topk, similarity.brute_force_topk_sql(N_QUERIES), ("similarity",)
         ),

@@ -365,6 +365,102 @@ SELECT query_id, pick_order, neighbor_id FROM fin
 """
 
 
+TRUNC_DIMS, TRUNC_K = 16, 10
+
+
+def trunc_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = TRUNC_K,
+    dims: int = TRUNC_DIMS,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall: per query, the overlap
+    between cosine top-k under the FULL vector and under only its first
+    `dims` coordinates (Kusupati et al., NeurIPS 2022). The go/no-go check
+    before using truncated prefixes as a cheap ANN prefilter — at 100 TB
+    you retrieve with 16 dims (4× less shuffle/scan) and re-rank the
+    survivors with all 64, but only if recall@k holds.
+
+    One pass: both similarities are computed on the same broadcast-join
+    pair table, rounded to 6dp BEFORE ranking (cross-engine rank ties),
+    then two keyed windows (same partition key → one shuffle) rank each
+    metric. → (query_id, overlap, recall_at_k)."""
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    def cos6(a, b):
+        return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))) + F.lit(1e-9), 6)
+
+    v = emb.select("vec_id", _to_double(vec).alias("v"))
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos6(F.col("qv"), F.col("v")).alias("sf"),
+        cos6(F.slice(F.col("qv"), 1, dims), F.slice(F.col("v"), 1, dims)).alias("st"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("sf"), F.asc("neighbor_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("st"), F.asc("neighbor_id"))
+    ranked = sim.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    hit = F.when((F.col("rf") <= k) & (F.col("rt") <= k), 1).otherwise(0)
+    return (
+        ranked.groupBy("query_id")
+        .agg(F.sum(hit).cast("bigint").alias("overlap"))
+        .withColumn(
+            "recall_at_k",
+            F.round(F.col("overlap") / F.lit(float(k)) + F.lit(1e-9), 6) + F.lit(0.0),
+        )
+        .orderBy("query_id")
+    )
+
+
+def trunc_recall_sql(
+    n_queries: int = 10, k: int = TRUNC_K, dims: int = TRUNC_DIMS, dim: int = EMB_DIM
+) -> str:
+    """DuckDB oracle: identical sequential multiply-add folds (same IEEE
+    order as the Spark aggregate), 6dp rounding before both rankings."""
+
+    def fold(a, b, n):
+        return (
+            f"list_reduce(list_prepend(0.0e0, list_transform(range(1, {n + 1}), "
+            f"i -> {a}[i] * {b}[i])), (acc, e) -> acc + e)"
+        )
+
+    def cos6(a, b, n):
+        return (
+            f"round({fold(a, b, n)} / (sqrt({fold(a, a, n)}) * sqrt({fold(b, b, n)}))"
+            f" + 1.0e-9, 6)"
+        )
+
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+p AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos6('q.v', 'c.v', dim)} AS sf,
+         {cos6('q.v', 'c.v', dims)} AS st
+  FROM v q JOIN v c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id),
+r AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sf DESC, neighbor_id) AS rf,
+         row_number() OVER (PARTITION BY query_id ORDER BY st DESC, neighbor_id) AS rt
+  FROM p)
+SELECT query_id,
+       CAST(sum(CASE WHEN rf <= {k} AND rt <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+       (round(sum(CASE WHEN rf <= {k} AND rt <= {k} THEN 1 ELSE 0 END) / {float(k)}e0
+              + 1.0e-9, 6) + 0.0e0) AS recall_at_k
+FROM r GROUP BY query_id ORDER BY query_id
+"""
+
+
 def quantize_int8(df: DataFrame, vec: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|v|/127,
     q_i = floor(v_i/scale + 0.5). The write-side of a quantized ANN index —
