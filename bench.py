@@ -226,6 +226,7 @@ def main() -> None:
         "doc_bm25_ndcg",
         "pack_sequences_ffd",
         "embed_trunc_recall",
+        "doc_lang_temperature",
     ]
     reg = registry()
     for name in suite:

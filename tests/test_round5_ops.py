@@ -156,6 +156,23 @@ def test_trunc_recall_detects_tail_dependence(spark):
     assert len(out) == 1 and out[0].overlap == 0 and out[0].recall_at_k == 0.0
 
 
+def test_lang_temperature_mix_flattens_and_keeps_rare_lang(spark):
+    from tsgen.mixing import lang_temperature_mix
+
+    rows = [(i, f"text {i}", "aa" if i < 100 else "bb", "s") for i in range(110)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    out = {r.lang: r for r in lang_temperature_mix(docs, alpha=0.5).collect()}
+    # the rarest language is the anchor: keeps everything
+    assert out["bb"].keep_prob == 1.0
+    assert out["bb"].n_kept == 10
+    # temperature pulls the target between the raw share and uniform
+    assert 0.5 < out["aa"].target_share < out["aa"].share_before
+    # downsample-only: nobody keeps more than they had
+    assert all(r.n_kept <= r.n_docs for r in out.values())
+    # realized mixture moved toward the target: majority share shrank
+    assert out["aa"].share_after < out["aa"].share_before
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -178,3 +178,112 @@ SELECT p.lang, p.n_docs,
 FROM probs p LEFT JOIN kept k ON k.lang = p.lang
 CROSS JOIN tot CROSS JOIN kt
 """
+
+
+# --- temperature-based language mixing (downsample-only realization) ---------
+TEMP_ALPHA = 0.3
+TEMP_SALT = 90749
+
+
+def lang_temperature_mix(docs: DataFrame, alpha: float = TEMP_ALPHA) -> DataFrame:
+    """Temperature sampling over languages (Conneau & Lample, NeurIPS 2019
+    §3.1; the mixture rule behind XLM/mT5 multilingual pretraining):
+    target share q_l ∝ p_l^alpha with alpha<1, upweighting low-resource
+    languages relative to their corpus share p_l. Realized by DOWNSAMPLING
+    only (no replication): keep_prob_l = c·q_l/p_l with c = min_l p_l/q_l,
+    so the most-upweighted language keeps everything and every other
+    language keeps the exact ratio that lands the corpus on the
+    temperature mixture. Membership is decided by the portable per-doc
+    LCG (as lang_rebalance), so the realized sample is reproducible
+    across runs, engines, and cluster sizes.
+
+    keep_prob is rounded to 9dp (+1e-12 nudge) BEFORE the u01 comparison
+    in both engines — pow() may differ by 1 ulp between libm and
+    java.lang.Math, and the filter boundary must be the same number on
+    both sides. Scale shape: two count groupBys and a broadcast of the
+    n_langs-row prob table onto a projection filter — no corpus shuffle.
+    → (lang, n_docs, share_before, target_share, keep_prob, n_kept,
+    share_after)."""
+    from . import expr as E
+    from .queries import round6
+
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_tot"))
+    t = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n_docs").cast("double") / F.col("n_tot"))
+        .withColumn("w", F.pow(F.col("p"), F.lit(float(alpha))))
+    )
+    z = t.agg(F.sum("w").alias("z"))
+    t = (
+        t.crossJoin(F.broadcast(z))
+        .withColumn("q", F.col("w") / F.col("z"))
+        .withColumn("ratio", F.col("q") / F.col("p"))
+    )
+    c = t.agg(F.min(F.lit(1.0) / F.col("ratio")).alias("c"))
+    probs = t.crossJoin(F.broadcast(c)).withColumn(
+        "keep_prob", F.round(F.col("c") * F.col("ratio") + F.lit(1e-12), 9)
+    )
+    kept = (
+        docs.join(F.broadcast(probs.select("lang", "keep_prob")), "lang")
+        .filter(F.expr(E.u01("doc_id", TEMP_SALT)) < F.col("keep_prob"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    kt = kept.agg(F.sum("n_kept").alias("k_tot"))
+    out = (
+        probs.join(kept, "lang", "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(kt))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("p").alias("share_before"),
+            F.col("q").alias("target_share"),
+            "keep_prob",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("k_tot")).alias("share_after"),
+        )
+    )
+    return round6(
+        out, "share_before", "target_share", "keep_prob", "share_after"
+    ).orderBy("lang")
+
+
+def lang_temperature_sql(alpha: float = TEMP_ALPHA) -> str:
+    from . import expr as E
+
+    u = E.u01("doc_id", TEMP_SALT)
+    a = E.NUM(alpha)
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot FROM counts),
+t AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / tot.n_tot AS p,
+         pow(CAST(n_docs AS DOUBLE) / tot.n_tot, {a}) AS w
+  FROM counts CROSS JOIN tot),
+z AS (SELECT sum(w) AS z FROM t),
+t2 AS (SELECT lang, n_docs, p, (w / z.z) AS q, (w / z.z) / p AS ratio
+       FROM t CROSS JOIN z),
+c AS (SELECT min(1.0e0 / ratio) AS c FROM t2),
+probs AS (
+  SELECT lang, n_docs, p, q,
+         round(c.c * ratio + 1.0e-12, 9) AS keep_prob
+  FROM t2 CROSS JOIN c),
+kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN probs pr ON pr.lang = d.lang
+  WHERE {u} < pr.keep_prob
+  GROUP BY d.lang),
+kt AS (SELECT CAST(sum(n_kept) AS BIGINT) AS k_tot FROM kept)
+SELECT pr.lang, pr.n_docs,
+       (round(pr.p + 1.0e-9, 6) + 0.0e0) AS share_before,
+       (round(pr.q + 1.0e-9, 6) + 0.0e0) AS target_share,
+       (round(pr.keep_prob + 1.0e-9, 6) + 0.0e0) AS keep_prob,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       (round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / kt.k_tot + 1.0e-9, 6) + 0.0e0)
+         AS share_after
+FROM probs pr LEFT JOIN kept k ON k.lang = pr.lang
+CROSS JOIN kt ORDER BY pr.lang
+"""

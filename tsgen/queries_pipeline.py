@@ -778,6 +778,12 @@ _REGISTRY.update(
             mixing.lang_rebalance_sql(),
             ("pipeline", "mixing"),
         ),
+        "doc_lang_temperature": Query(
+            "doc_lang_temperature",
+            lambda spark, sf_dir: mixing.lang_temperature_mix(_docs(spark, sf_dir)),
+            mixing.lang_temperature_sql(),
+            ("pipeline", "mixing"),
+        ),
         "embed_cluster_purity": Query(
             "embed_cluster_purity",
             lambda spark, sf_dir: similarity.cluster_purity(_emb(spark, sf_dir)),
