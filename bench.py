@@ -227,6 +227,7 @@ def main() -> None:
         "pack_sequences_ffd",
         "embed_trunc_recall",
         "doc_lang_temperature",
+        "ts_features",
     ]
     reg = registry()
     for name in suite:

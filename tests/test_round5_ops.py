@@ -173,6 +173,31 @@ def test_lang_temperature_mix_flattens_and_keeps_rare_lang(spark):
     assert out["aa"].share_after < out["aa"].share_before
 
 
+def test_ts_features_separates_trend_from_seasonal(spark):
+    import math
+
+    from tsgen.queries_seasonal import ts_features
+
+    # deterministic small noise so no variance is exactly zero
+    def noise(t):
+        return ((t * 37) % 11 - 5) / 50.0
+
+    rows = [(1, t, 0.5 * t + noise(t)) for t in range(96)] + [
+        (2, t, 5.0 * math.sin(2 * math.pi * t / 12) + noise(t)) for t in range(96)
+    ]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = {r.series_id: r for r in ts_features(df).collect()}
+    assert out[1].trend_strength > 0.95
+    assert out[2].seasonal_strength > 0.95
+    # the trending series is more linear than the seasonal one
+    assert abs(out[1].linearity) > abs(out[2].linearity)
+    # strengths live in [0, 1]
+    for r in out.values():
+        assert 0.0 <= r.trend_strength <= 1.0
+        assert 0.0 <= r.seasonal_strength <= 1.0
+        assert r.spikiness >= 0.0
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -108,6 +108,182 @@ FROM d JOIN ph2 ON d.series_id = ph2.series_id AND d.phase = ph2.phase
 """
 
 
+# --- Hyndman time-series feature vector -------------------------------------
+TSF_TILE = 10
+
+
+def ts_features(
+    df: DataFrame,
+    period: int = 12,
+    half: int = 6,
+    tile: int = TSF_TILE,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """The classical time-series feature vector (Wang, Smyth & Hyndman 2006;
+    the `tsfeatures` R package) — per-series scalars used to route series to
+    forecasting models and to cluster/classify series catalogs at scale:
+
+      trend_strength    = max(0, 1 − Var(R)/Var(T+R))        (deseasonalized)
+      seasonal_strength = max(0, 1 − Var(R)/Var(S+R))        (detrended)
+      spikiness         = Var over i of the leave-one-out variances of R
+                          (closed form from ΣR, ΣR², n — no n² loop)
+      linearity/curvature = projections of the trend component on the
+                          orthogonal linear/quadratic polynomials of the
+                          contiguous complete-case grid (Σx³ = 0 by symmetry,
+                          so the quadratic is exactly orthogonal)
+      stability/lumpiness = variance of tile means / tile variances over
+                          non-overlapping `tile`-point windows of the
+                          z-normalized series
+
+    All components over the classical_decompose complete cases; every
+    feature is a keyed aggregate or keyed window — series is the parallel
+    axis throughout, no global shuffle. spikiness is rounded at 10dp
+    (+1e-12) rather than the house 6dp: LOO variances are O(Var(R)/n), so
+    their variance is ~1e-8 and 6dp would zero the feature.
+    → (series_id, trend_strength, seasonal_strength, spikiness, linearity,
+    curvature, stability, lumpiness)."""
+    dec = classical_decompose(df, period, half, key, value)
+    cc = dec.filter(F.col("trend").isNotNull())
+    ag = cc.groupBy(key).agg(
+        F.var_samp("residual").alias("vr"),
+        F.var_samp(F.col(value) - F.col("seasonal")).alias("vdeseas"),
+        F.var_samp(F.col(value) - F.col("trend")).alias("vdetrend"),
+        F.sum("residual").alias("s1"),
+        F.sum(F.col("residual") * F.col("residual")).alias("s2"),
+        F.count("*").alias("n"),
+        F.min("t").alias("t0"),
+    )
+    strengths = ag.select(
+        key,
+        F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vdeseas")).alias(
+            "trend_strength"
+        ),
+        F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vdetrend")).alias(
+            "seasonal_strength"
+        ),
+    )
+    loo = cc.select(key, "residual").join(ag.select(key, "s1", "s2", "n"), key)
+    mi = (F.col("s1") - F.col("residual")) / (F.col("n") - 1)
+    vi = (
+        F.col("s2") - F.col("residual") * F.col("residual") - (F.col("n") - 1) * mi * mi
+    ) / (F.col("n") - 2)
+    spk = (
+        loo.select(key, vi.alias("vi"))
+        .groupBy(key)
+        .agg(F.var_samp("vi").alias("spikiness"))
+    )
+    lb = cc.select(key, "t", "trend").join(ag.select(key, "n", "t0"), key)
+    x = F.col("t") - (F.col("t0") + (F.col("n") - F.lit(1.0)) / F.lit(2.0))
+    p2 = x * x - (F.col("n") * F.col("n") - F.lit(1.0)) / F.lit(12.0)
+    lb = lb.select(key, F.col("trend").alias("tr"), x.alias("x"), p2.alias("p2"))
+    lc = lb.groupBy(key).agg(
+        (F.sum(F.col("tr") * F.col("x")) / F.sqrt(F.sum(F.col("x") * F.col("x")))).alias(
+            "linearity"
+        ),
+        (
+            F.sum(F.col("tr") * F.col("p2")) / F.sqrt(F.sum(F.col("p2") * F.col("p2")))
+        ).alias("curvature"),
+    )
+    wk = Window.partitionBy(key)
+    z = (F.col(value) - F.avg(value).over(wk)) / F.stddev_samp(value).over(wk)
+    tiles = (
+        df.select(key, F.floor(F.col("t") / tile).alias("tile_id"), z.alias("z"))
+        .groupBy(key, "tile_id")
+        .agg(F.avg("z").alias("tm"), F.var_samp("z").alias("tv"))
+    )
+    st = tiles.groupBy(key).agg(
+        F.var_samp("tm").alias("stability"), F.var_samp("tv").alias("lumpiness")
+    )
+    out = strengths.join(spk, key).join(lc, key).join(st, key)
+    for c in (
+        "trend_strength", "seasonal_strength", "linearity", "curvature",
+        "stability", "lumpiness",
+    ):
+        out = out.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 6) + F.lit(0.0))
+    out = out.withColumn(
+        "spikiness", F.round(F.col("spikiness") + F.lit(1e-12), 10) + F.lit(0.0)
+    )
+    return out.orderBy(key)
+
+
+def _q_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_features(generators.generate(spark, 12, 96, "mixed"))
+
+
+def _ts_features_sql(period: int = 12, half: int = 6, tile: int = TSF_TILE) -> str:
+    gen = oracle.generate_sql(12, 96, "mixed", rounded=False)
+    full = 2 * half + 1
+    return f"""
+WITH src AS MATERIALIZED ({gen}),
+d AS (
+  SELECT series_id, t, value,
+         CASE WHEN count(*) OVER w = {full} THEN avg(value) OVER w END AS trend,
+         t % {period} AS phase
+  FROM src
+  WINDOW w AS (PARTITION BY series_id ORDER BY t
+               ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)),
+ph AS (
+  SELECT series_id, phase, avg(value - trend) AS s_raw
+  FROM d WHERE trend IS NOT NULL GROUP BY series_id, phase),
+ph2 AS (
+  SELECT series_id, phase,
+         s_raw - avg(s_raw) OVER (PARTITION BY series_id) AS seasonal
+  FROM ph),
+cc AS MATERIALIZED (
+  SELECT d.series_id, d.t, d.value, d.trend, ph2.seasonal,
+         d.value - d.trend - ph2.seasonal AS residual
+  FROM d JOIN ph2 ON d.series_id = ph2.series_id AND d.phase = ph2.phase
+  WHERE d.trend IS NOT NULL),
+ag AS MATERIALIZED (
+  SELECT series_id,
+         var_samp(residual) AS vr,
+         var_samp(value - seasonal) AS vdeseas,
+         var_samp(value - trend) AS vdetrend,
+         sum(residual) AS s1, sum(residual * residual) AS s2,
+         count(*) AS n, min(t) AS t0
+  FROM cc GROUP BY series_id),
+spk AS (
+  SELECT cc.series_id, var_samp(
+           (ag.s2 - cc.residual * cc.residual
+            - (ag.n - 1) * ((ag.s1 - cc.residual) / (ag.n - 1))
+                         * ((ag.s1 - cc.residual) / (ag.n - 1)))
+           / (ag.n - 2)) AS spikiness
+  FROM cc JOIN ag USING (series_id) GROUP BY cc.series_id),
+lc AS (
+  SELECT series_id,
+         sum(tr * x) / sqrt(sum(x * x)) AS linearity,
+         sum(tr * p2) / sqrt(sum(p2 * p2)) AS curvature
+  FROM (SELECT cc.series_id, cc.trend AS tr,
+               cc.t - (ag.t0 + (ag.n - 1.0e0) / 2.0e0) AS x,
+               (cc.t - (ag.t0 + (ag.n - 1.0e0) / 2.0e0))
+                 * (cc.t - (ag.t0 + (ag.n - 1.0e0) / 2.0e0))
+                 - (ag.n * ag.n - 1.0e0) / 12.0e0 AS p2
+        FROM cc JOIN ag USING (series_id))
+  GROUP BY series_id),
+st AS (
+  SELECT series_id, var_samp(tm) AS stability, var_samp(tv) AS lumpiness
+  FROM (SELECT series_id, tile_id, avg(z) AS tm, var_samp(z) AS tv
+        FROM (SELECT series_id, t // {tile} AS tile_id,
+                     (value - avg(value) OVER (PARTITION BY series_id))
+                       / stddev_samp(value) OVER (PARTITION BY series_id) AS z
+              FROM src)
+        GROUP BY series_id, tile_id)
+  GROUP BY series_id)
+SELECT ag.series_id,
+       {E.round6('greatest(0.0e0, 1.0e0 - ag.vr / ag.vdeseas)')} AS trend_strength,
+       {E.round6('greatest(0.0e0, 1.0e0 - ag.vr / ag.vdetrend)')} AS seasonal_strength,
+       (round(spk.spikiness + 1.0e-12, 10) + 0.0e0) AS spikiness,
+       {E.round6('lc.linearity')} AS linearity,
+       {E.round6('lc.curvature')} AS curvature,
+       {E.round6('st.stability')} AS stability,
+       {E.round6('st.lumpiness')} AS lumpiness
+FROM ag JOIN spk USING (series_id) JOIN lc USING (series_id)
+JOIN st USING (series_id)
+ORDER BY ag.series_id
+"""
+
+
 # --- robust (outlier-downweighted) decomposition ---------------------------
 def robust_decompose(
     df: DataFrame,
@@ -416,6 +592,9 @@ _REGISTRY.update(
     {
         "ts_robust_decompose": Query(
             "ts_robust_decompose", _q_robust_decompose, _robust_sql(), ("decompose",)
+        ),
+        "ts_features": Query(
+            "ts_features", _q_ts_features, _ts_features_sql(), ("tsmining",)
         ),
         "classical_decompose": Query(
             "classical_decompose", _q_classical, _classical_sql(), ("decompose",)
