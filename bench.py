@@ -228,6 +228,7 @@ def main() -> None:
         "embed_trunc_recall",
         "doc_lang_temperature",
         "ts_features",
+        "graph_closeness",
     ]
     reg = registry()
     for name in suite:

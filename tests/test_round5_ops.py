@@ -198,6 +198,32 @@ def test_ts_features_separates_trend_from_seasonal(spark):
         assert r.spikiness >= 0.0
 
 
+def test_harmonic_centrality_path_graph(spark):
+    from tsgen.queries_experiments import harmonic_centrality
+
+    # path 0-1-2-3; only node 0 is a seed (0 % 1000 == 0)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "doc_a bigint, doc_b bigint"
+    )
+    out = harmonic_centrality(edges, seed_mod=1000, max_depth=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.src == 0 and r.n_reached == 3
+    assert abs(r.harmonic - (1.0 + 0.5 + 1.0 / 3.0)) < 1e-5
+
+
+def test_harmonic_centrality_depth_cap(spark):
+    from tsgen.queries_experiments import harmonic_centrality
+
+    # path of length 4 but depth capped at 2: node 3+ unreachable
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "doc_a bigint, doc_b bigint"
+    )
+    out = harmonic_centrality(edges, seed_mod=1000, max_depth=2).collect()
+    assert out[0].n_reached == 2
+    assert abs(out[0].harmonic - 1.5) < 1e-6
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -728,9 +728,97 @@ SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM rec GROUP BY node
 """
 
 
+def harmonic_centrality(
+    edges: DataFrame,
+    seed_mod: int = BFS_SEED_MOD,
+    max_depth: int = BFS_MAX_DEPTH,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014, "Axioms for centrality"):
+    H(s) = Σ_{v≠s} 1/d(s,v), summed over nodes reached within max_depth —
+    the closeness variant that handles disconnected graphs. Computed for
+    the seed set (node % seed_mod == 0) by a SOURCE-TAGGED multi-source
+    BFS: the Pregel loop of bfs_distances with (src, node) state, so all
+    seeds expand in the same keyed joins per round instead of one BFS per
+    seed. State is |seeds|·|reached| rows — the honest cost of exact
+    multi-source distances; at cluster scale you bound it by sampling
+    seeds (seed_mod) and capping depth, exactly as parameterized here.
+    → (src, n_reached, harmonic)."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    und = und.localCheckpoint(eager=False)
+    dist = (
+        und.select("u").distinct()
+        .filter(F.col("u") % seed_mod == 0)
+        .select(
+            F.col("u").alias("src"),
+            F.col("u").alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("src", "node")
+    for d in range(1, max_depth + 1):
+        cand = (
+            frontier.join(und, frontier.node == und.u)
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+        )
+        new = cand.join(dist.select("src", "node"), ["src", "node"], "left_anti").select(
+            "src", "node", F.lit(d).cast("bigint").alias("dist")
+        )
+        new = new.localCheckpoint()  # eager: reused by emptiness probe AND union
+        if not new.take(1):
+            break
+        dist = dist.union(new).localCheckpoint(eager=False)
+        frontier = new.select("src", "node")
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_reached"),
+            (F.round(F.sum(F.lit(1.0) / F.col("dist")) + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "harmonic"
+            ),
+        )
+        .orderBy("src")
+    )
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), ["lang"], threshold=CLUSTER_THR)
+    return canon_types(harmonic_centrality(pairs))
+
+
+def _closeness_sql() -> str:
+    from . import dedup
+
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    return f"""
+WITH RECURSIVE jp AS MATERIALIZED ({jp}),
+e AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM jp UNION SELECT doc_b, doc_a FROM jp),
+rec(src, node, dist) AS (
+  SELECT DISTINCT u AS src, u AS node, 0 FROM e WHERE u % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT rec.src, e.v, rec.dist + 1 FROM rec JOIN e ON e.u = rec.node
+  WHERE rec.dist < {BFS_MAX_DEPTH}),
+d AS (SELECT src, node, min(dist) AS dist FROM rec GROUP BY src, node)
+SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+       (round(sum(1.0e0 / dist) + 1.0e-9, 6) + 0.0e0) AS harmonic
+FROM d WHERE dist > 0 GROUP BY src ORDER BY src
+"""
+
+
 _REGISTRY.update(
     {
         "graph_bfs": Query("graph_bfs", _q_bfs, _bfs_sql(), ("graph",)),
+        "graph_closeness": Query(
+            "graph_closeness", _q_closeness, _closeness_sql(), ("graph",)
+        ),
     }
 )
 
