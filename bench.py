@@ -229,6 +229,7 @@ def main() -> None:
         "doc_lang_temperature",
         "ts_features",
         "graph_closeness",
+        "dedup_substr_hash",
     ]
     reg = registry()
     for name in suite:

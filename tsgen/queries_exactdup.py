@@ -34,9 +34,17 @@ from .queries import _REGISTRY, Query
 SUBSTR_L = 40  # minimum duplicated-substring length, chars (Lee et al. use 50 BPE tokens)
 
 
-def substring_dup_spans(docs: DataFrame, min_len: int = SUBSTR_L, text: str = "text") -> DataFrame:
+def substring_dup_spans(
+    docs: DataFrame, min_len: int = SUBSTR_L, text: str = "text", hash_key: bool = False
+) -> DataFrame:
     """Maximal duplicated substrings of length >= min_len, summarized per
-    doc; → (doc_id, n_dup_spans, dup_chars, dup_frac)."""
+    doc; → (doc_id, n_dup_spans, dup_chars, dup_frac).
+
+    hash_key=True keys the repeat-count window on xxhash64(lgram) instead
+    of the L-char string — 8-byte shuffle keys, the cluster-scale plan
+    (Lee et al. §4 hash seeding). Results are identical absent a 64-bit
+    collision (~2^-64 per pair), so the string-keyed DuckDB oracle checks
+    this variant too — the collision-freeness IS the assertion."""
     L = min_len
     g = (
         docs.filter(F.length(text) >= L)
@@ -51,8 +59,9 @@ def substring_dup_spans(docs: DataFrame, min_len: int = SUBSTR_L, text: str = "t
         )
         .select("doc_id", (F.col("pos") + 1).alias("off"), "lgram")
     )
+    count_key = F.xxhash64("lgram") if hash_key else F.col("lgram")
     dup = (
-        g.withColumn("c", F.count("*").over(Window.partitionBy("lgram")))
+        g.withColumn("c", F.count("*").over(Window.partitionBy(count_key)))
         .filter(F.col("c") >= 2)
         .select("doc_id", "off")
     )
@@ -93,6 +102,12 @@ def _q_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_dedup_substr_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), hash_key=True
+    )
+
+
 def substring_dup_sql(min_len: int = SUBSTR_L) -> str:
     L = min_len
     return f"""
@@ -131,6 +146,11 @@ _REGISTRY.update(
     {
         "dedup_substr": Query(
             "dedup_substr", _q_dedup_substr, substring_dup_sql(), ("dedup",)
+        ),
+        # same oracle on purpose: the hash-keyed plan must reproduce the
+        # string-keyed result exactly (collision-freeness is the assertion)
+        "dedup_substr_hash": Query(
+            "dedup_substr_hash", _q_dedup_substr_hash, substring_dup_sql(), ("dedup",)
         ),
     }
 )
