@@ -230,6 +230,7 @@ def main() -> None:
         "ts_features",
         "graph_closeness",
         "dedup_substr_hash",
+        "forecast_combo",
     ]
     reg = registry()
     for name in suite:

@@ -224,6 +224,29 @@ def test_harmonic_centrality_depth_cap(spark):
     assert abs(out[0].harmonic - 1.5) < 1e-6
 
 
+def test_forecast_combo_properties(spark):
+    from tsgen.forecast import forecast_combo
+
+    # noisy upward trend; both combos must land inside the component range,
+    # and the Holt forecast must grow linearly in h
+    rows = [
+        (1, t, 1.0 * t + ((t * 7) % 5 - 2) / 10.0) for t in range(32)
+    ]
+    df = spark.createDataFrame(rows, "series_id bigint, t bigint, value double")
+    out = sorted(forecast_combo(df).collect(), key=lambda r: r.h)
+    assert [r.h for r in out] == [1, 2, 3, 4]
+    for r in out:
+        lo, hi = min(r.f_ses, r.f_holt, r.f_naive), max(r.f_ses, r.f_holt, r.f_naive)
+        assert lo <= r.combo_eq <= hi
+        assert lo <= r.combo_imae <= hi
+    # linear growth of Holt: second differences vanish
+    fh = [r.f_holt for r in out]
+    assert abs((fh[1] - fh[0]) - (fh[3] - fh[2])) < 1e-9
+    # trending series: Holt has the smallest backtest error, so the
+    # inverse-MAE combo should sit closer to Holt than the equal-weight one
+    assert abs(out[3].combo_imae - out[3].f_holt) <= abs(out[3].combo_eq - out[3].f_holt)
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -1151,6 +1151,114 @@ FROM fin
 """
 
 
+def forecast_combo(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    horizon: int = 4,
+    key: str = "series_id",
+    value: str = "value",
+) -> DataFrame:
+    """Forecast combination (Bates & Granger 1969; the M4 'Comb' benchmark
+    that beat most individual models, Makridakis et al. 2020): h-step
+    forecasts from SES, Holt (error-correction form) and naive, combined
+    two ways — equal weights and inverse-MAE weights from the SAME
+    one-step rolling-origin backtest model_select runs (error sums double
+    as the weights' denominators, so no second pass over the data).
+
+        combo_imae = (f_s/S_s + f_h/S_h + f_n/S_n) / (1/S_s + 1/S_h + 1/S_n)
+
+    written in exactly that association order in BOTH engines. Same
+    Kalman-shape mapInPandas as model_select — series is the parallel
+    axis; the oracle replays the recursion once and cross-joins the
+    horizon grid. → (series_id, h, f_ses, f_holt, f_naive, combo_eq,
+    combo_imae)."""
+    wide = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("t", F.col(value).alias("v")))).alias("pts"))
+        .select(key, F.col("pts.v").alias("vs"))
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for s, vs in zip(pdf[key], pdf["vs"]):
+                y = np.asarray(vs, dtype=float)
+                n = len(y)
+                l_s = y[0]
+                l_h, b_h = y[0], 0.0
+                s_ses = s_holt = s_nv = 0.0
+                for t in range(1, n):
+                    e_s = y[t] - l_s
+                    s_ses += abs(e_s)
+                    l_s = l_s + alpha * e_s
+                    p_h = l_h + b_h
+                    e_h = y[t] - p_h
+                    s_holt += abs(e_h)
+                    l_new = p_h + alpha * e_h
+                    b_h = b_h + beta * ((l_new - l_h) - b_h)
+                    l_h = l_new
+                    s_nv += abs(y[t] - y[t - 1])
+                last = y[n - 1]
+                for h in range(1, horizon + 1):
+                    f_s, f_h, f_n = l_s, l_h + h * b_h, last
+                    eq = (f_s + f_h + f_n) / 3.0
+                    imae = (f_s / s_ses + f_h / s_holt + f_n / s_nv) / (
+                        1.0 / s_ses + 1.0 / s_holt + 1.0 / s_nv
+                    )
+                    rows.append((s, h, f_s, f_h, f_n, eq, imae))
+            yield pd.DataFrame(
+                rows,
+                columns=[key, "h", "f_ses", "f_holt", "f_naive", "combo_eq", "combo_imae"],
+            )
+
+    return wide.mapInPandas(
+        fn,
+        f"{key} bigint, h bigint, f_ses double, f_holt double, f_naive double,"
+        " combo_eq double, combo_imae double",
+    )
+
+
+def forecast_combo_sql(
+    inner: str, alpha: float = 0.3, beta: float = 0.2, horizon: int = 4
+) -> str:
+    """Recursive-CTE oracle: the model_select recursion run once, final
+    states cross-joined with the horizon grid, same association order."""
+    from . import expr as E
+
+    A, B = E.NUM(alpha), E.NUM(beta)
+    return f"""
+WITH RECURSIVE src AS MATERIALIZED ({inner}),
+rec(series_id, t, y, ls, lh, bh, s_ses, s_holt, s_nv) AS (
+  SELECT series_id, CAST(0 AS BIGINT), value, value, value, 0.0e0,
+         0.0e0, 0.0e0, 0.0e0
+  FROM src WHERE t = 0
+  UNION ALL
+  SELECT rec.series_id, rec.t + 1, s.value,
+         rec.ls + {A} * (s.value - rec.ls),
+         (rec.lh + rec.bh) + {A} * (s.value - (rec.lh + rec.bh)),
+         rec.bh + {B} * ((((rec.lh + rec.bh) + {A} * (s.value - (rec.lh + rec.bh))) - rec.lh) - rec.bh),
+         rec.s_ses + abs(s.value - rec.ls),
+         rec.s_holt + abs(s.value - (rec.lh + rec.bh)),
+         rec.s_nv + abs(s.value - rec.y)
+  FROM rec JOIN src s ON s.series_id = rec.series_id AND s.t = rec.t + 1),
+fin AS MATERIALIZED (
+  SELECT series_id, y, ls, lh, bh, s_ses, s_holt, s_nv
+  FROM rec r WHERE t = (SELECT max(t) FROM rec r2 WHERE r2.series_id = r.series_id)),
+hs AS (SELECT unnest(range(1, {horizon + 1})) AS h)
+SELECT f.series_id, CAST(hs.h AS BIGINT) AS h,
+       {E.round6('f.ls')} AS f_ses,
+       {E.round6('f.lh + hs.h * f.bh')} AS f_holt,
+       {E.round6('f.y')} AS f_naive,
+       {E.round6('(f.ls + (f.lh + hs.h * f.bh) + f.y) / 3.0e0')} AS combo_eq,
+       {E.round6('(f.ls / f.s_ses + (f.lh + hs.h * f.bh) / f.s_holt + f.y / f.s_nv)'
+                 ' / (1.0e0 / f.s_ses + 1.0e0 / f.s_holt + 1.0e0 / f.s_nv)')} AS combo_imae
+FROM fin f CROSS JOIN hs ORDER BY f.series_id, hs.h
+"""
+
+
 # --- split-conformal prediction interval over SES -----------------------------
 CONF_ALPHA, CONF_MISCOV, CONF_BURN = 0.3, 0.1, 8
 

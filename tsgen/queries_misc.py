@@ -441,6 +441,23 @@ def _model_select_sql() -> str:
     return forecast.model_select_sql(inner)
 
 
+def _q_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import forecast
+
+    df = generators.generate(spark, 8, 64, "mixed")
+    return round6(
+        forecast.forecast_combo(df),
+        "f_ses", "f_holt", "f_naive", "combo_eq", "combo_imae",
+    ).orderBy("series_id", "h")
+
+
+def _forecast_combo_sql() -> str:
+    from . import forecast
+
+    inner = oracle.generate_sql(8, 64, "mixed", rounded=False)
+    return forecast.forecast_combo_sql(inner)
+
+
 def _q_arma11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import forecast
 
@@ -578,6 +595,9 @@ _REGISTRY.update(
         "forecast_arma11": Query("forecast_arma11", _q_arma11, _arma11_sql(), ("forecast",)),
         "forecast_backtest": Query(
             "forecast_backtest", _q_ses_backtest, _ses_backtest_sql(), ("forecast",)
+        ),
+        "forecast_combo": Query(
+            "forecast_combo", _q_forecast_combo, _forecast_combo_sql(), ("forecast",)
         ),
         "forecast_model_select": Query(
             "forecast_model_select", _q_model_select, _model_select_sql(), ("forecast",)
