@@ -231,6 +231,7 @@ def main() -> None:
         "graph_closeness",
         "dedup_substr_hash",
         "forecast_combo",
+        "bpe_encode",
     ]
     reg = registry()
     for name in suite:

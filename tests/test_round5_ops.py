@@ -247,6 +247,23 @@ def test_forecast_combo_properties(spark):
     assert abs(out[3].combo_imae - out[3].f_holt) <= abs(out[3].combo_eq - out[3].f_holt)
 
 
+def test_bpe_encode_compresses_repetitive_corpus(spark):
+    from tsgen.queries_tokenizer import bpe_encode
+
+    rows = [(1, "hello hello hello world"), (2, "hello world world")]
+    docs = _docs(spark, rows)
+    # zero merges: every word costs len(word)+1 symbols (chars + </w>)
+    base = {r.doc_id: r for r in bpe_encode(docs, iters=0).collect()}
+    assert base[1].n_words == 4 and base[1].n_tokens == 3 * 6 + 6
+    assert base[2].n_tokens == 6 + 2 * 6
+    # with merges learned on this corpus, the repeated words compress
+    enc = {r.doc_id: r for r in bpe_encode(docs, iters=8).collect()}
+    for d in (1, 2):
+        assert enc[d].n_tokens < base[d].n_tokens
+        assert enc[d].n_words == base[d].n_words
+        assert enc[d].chars_per_token > 0
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -171,6 +171,126 @@ s{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+def bpe_encode(docs: DataFrame, iters: int = BPE_ITERS, text: str = "text") -> DataFrame:
+    """Tokenize the corpus with the merges bpe_train learns on it and report
+    per-doc token statistics — the encode half of the tokenizer lifecycle
+    (train → encode → tokens/doc), and the number an LLM data pipeline
+    actually bills by. → (doc_id, n_words, n_tokens, chars_per_token).
+
+    Scale shape: merges are learned once (bounded driver state, ≤ iters
+    rows) and applied to the DISTINCT-word table — vocabulary-sized work —
+    then token counts flow back to docs through one word-keyed join; the
+    corpus-sized stages are only the word explode and the per-doc sum.
+    Words carrying the marker bytes are dropped exactly as in training."""
+    spark = docs.sparkSession
+    merges = bpe_train(docs, iters=iters, text=text).collect()
+    wc = (
+        docs.select("doc_id", F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .filter(
+            ~F.col("word").contains(_SA)
+            & ~F.col("word").contains(_SB)
+            & ~F.col("word").contains(_EOW)
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = wc.select("word").distinct().withColumn(
+        "s",
+        F.concat(
+            F.lit(_SA),
+            F.array_join(
+                F.concat(
+                    F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+                    F.array(F.lit(_EOW)),
+                ),
+                _SB + _SA,
+            ),
+            F.lit(_SB),
+        ),
+    )
+    for m in merges:
+        a, b = m["pair"].split(" ")
+        sym = sym.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(_SA + a + _SB + _SA + b + _SB),
+                F.lit(_SA + a + b + _SB),
+            ),
+        )
+    sym = sym.withColumn(
+        "n_sym", F.size(F.split(F.expr("substring(s, 2, length(s) - 2)"), _SB + _SA))
+    ).select("word", "n_sym")
+    per_doc = (
+        wc.join(sym, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    out = per_doc.join(
+        docs.select("doc_id", F.length(text).alias("chars")), "doc_id"
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        (
+            F.round(F.col("chars") / F.col("n_tokens") + F.lit(1e-9), 6) + F.lit(0.0)
+        ).alias("chars_per_token"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _bpe_encode_sql(iters: int = BPE_ITERS) -> str:
+    """Train chain (w0/s0..s{n}/b1..b{n} from _bpe_sql) + a word-keyed
+    encode chain e0..e{n} applying each learned merge, then doc join."""
+    sa, sb = "chr(1)", "chr(2)"
+    sep = f"{sb} || {sa}"
+    train = _bpe_sql(iters)
+    # reuse everything up to the last train CTE; strip the final SELECT
+    train_ctes = train[: train.rindex("\nSELECT CAST(1 AS BIGINT)")]
+    parts = [train_ctes]
+    parts.append(f""",
+wc AS MATERIALIZED (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, chr(1))
+        AND NOT contains(word, chr(2)) AND NOT contains(word, '{_EOW}')
+  GROUP BY doc_id, word),
+e0 AS MATERIALIZED (
+  SELECT word, {sa} || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1))
+             || ['{_EOW}'],
+           {sep}) || {sb} AS s
+  FROM (SELECT DISTINCT word FROM wc))""")
+    for t in range(1, iters + 1):
+        parts.append(f""",
+e{t} AS MATERIALIZED (
+  SELECT e.word, replace(e.s, {sa} || b.pa || {sb} || {sa} || b.pb || {sb},
+                 {sa} || b.merged || {sb}) AS s
+  FROM e{t - 1} e CROSS JOIN b{t} b)""")
+    parts.append(f""",
+toks AS (
+  SELECT word, len(string_split(substr(s, 2, length(s) - 2), {sep})) AS n_sym
+  FROM e{iters}),
+per_doc AS (
+  SELECT wc.doc_id, CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+         CAST(sum(wc.cnt * toks.n_sym) AS BIGINT) AS n_tokens
+  FROM wc JOIN toks USING (word) GROUP BY wc.doc_id)
+SELECT p.doc_id, p.n_words, p.n_tokens,
+       (round(CAST(length(d.text) AS DOUBLE) / p.n_tokens + 1.0e-9, 6) + 0.0e0)
+         AS chars_per_token
+FROM per_doc p JOIN documents d USING (doc_id)
+ORDER BY p.doc_id""")
+    return "".join(parts)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
@@ -415,6 +535,9 @@ ORDER BY qid
 _REGISTRY.update(
     {
         "bpe_train": Query("bpe_train", _q_bpe_train, _bpe_sql(), ("text", "llm")),
+        "bpe_encode": Query(
+            "bpe_encode", _q_bpe_encode, _bpe_encode_sql(), ("text", "llm")
+        ),
         "doc_bm25": Query("doc_bm25", _q_doc_bm25, _bm25_sql(), ("text", "llm")),
         "doc_bm25_ndcg": Query(
             "doc_bm25_ndcg", _q_bm25_ndcg, _bm25_ndcg_sql(), ("text", "llm", "eval")
