@@ -232,6 +232,7 @@ def main() -> None:
         "dedup_substr_hash",
         "forecast_combo",
         "bpe_encode",
+        "li_demand_classes",
     ]
     reg = registry()
     for name in suite:

@@ -264,6 +264,30 @@ def test_bpe_encode_compresses_repetitive_corpus(spark):
         assert enc[d].chars_per_token > 0
 
 
+def test_demand_classes_all_four_quadrants(spark):
+    import datetime
+
+    from tsgen.queries_retail import demand_classes
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # part 1 smooth: daily, constant size; part 2 intermittent: every 3 days
+    # part 3 erratic: daily, wild sizes; part 4 lumpy: sparse + wild
+    for i in range(12):
+        rows.append((1, base + datetime.timedelta(days=i), 10.0))
+        rows.append((2, base + datetime.timedelta(days=3 * i), 10.0))
+        rows.append((3, base + datetime.timedelta(days=i), 1.0 if i % 2 else 100.0))
+        rows.append((4, base + datetime.timedelta(days=3 * i), 1.0 if i % 2 else 100.0))
+    li = spark.createDataFrame(
+        rows, "l_partkey bigint, l_shipdate timestamp, l_quantity double"
+    )
+    out = {r.demand_class: r for r in demand_classes(li).collect()}
+    assert set(out) == {"smooth", "intermittent", "erratic", "lumpy"}
+    assert all(r.n_parts == 1 for r in out.values())
+    assert out["smooth"].avg_adi == 1.0 and out["intermittent"].avg_adi == 3.0
+    assert out["erratic"].avg_cv2 > 0.49 and out["lumpy"].avg_cv2 > 0.49
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

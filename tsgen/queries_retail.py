@@ -292,3 +292,103 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- Syntetos-Boylan intermittent-demand classification ---------------------
+SB_ADI_CUT, SB_CV2_CUT = 1.32, 0.49
+
+
+def demand_classes(li: DataFrame) -> DataFrame:
+    """Syntetos-Boylan-Croston demand classification (Syntetos & Boylan,
+    IJF 2005): per part, ADI (average inter-demand interval in days) and
+    CV² (squared coefficient of variation of nonzero daily demand sizes),
+    then the standard quadrant —
+
+        smooth        ADI < 1.32, CV² < 0.49
+        intermittent  ADI ≥ 1.32, CV² < 0.49   (→ Croston territory)
+        erratic       ADI < 1.32, CV² ≥ 0.49
+        lumpy         ADI ≥ 1.32, CV² ≥ 0.49
+
+    — the router that decides which forecaster (SES vs forecast_croston)
+    each SKU gets. Both ratios are rounded (9dp, +nudge) BEFORE the cutoff
+    comparisons so the class can't flip across engines on an ulp (the
+    abc_analysis lesson). Scale shape: one (part, day) partial-aggregated
+    groupBy on the fact table, one part-keyed agg, one 4-row summary.
+    → (demand_class, n_parts, avg_adi, avg_cv2)."""
+    daily = (
+        li.select("l_partkey", F.to_date("l_shipdate").alias("d"), "l_quantity")
+        .groupBy("l_partkey", "d")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    per_part = (
+        daily.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_dates"),
+            F.min("d").alias("d0"),
+            F.max("d").alias("d1"),
+            F.avg("q").alias("mq"),
+            F.var_samp("q").alias("vq"),
+        )
+        .filter(F.col("n_dates") >= 2)
+    )
+    adi = F.round(
+        F.datediff(F.col("d1"), F.col("d0")) / (F.col("n_dates") - 1) + F.lit(1e-12), 9
+    )
+    cv2 = F.round(F.col("vq") / (F.col("mq") * F.col("mq")) + F.lit(1e-12), 9)
+    per_part = per_part.withColumn("adi", adi).withColumn("cv2", cv2)
+    cls = (
+        F.when((F.col("adi") < SB_ADI_CUT) & (F.col("cv2") < SB_CV2_CUT), "smooth")
+        .when((F.col("adi") >= SB_ADI_CUT) & (F.col("cv2") < SB_CV2_CUT), "intermittent")
+        .when(F.col("adi") < SB_ADI_CUT, "erratic")
+        .otherwise("lumpy")
+    )
+    out = (
+        per_part.withColumn("demand_class", cls)
+        .groupBy("demand_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            (F.round(F.avg("adi") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_adi"),
+            (F.round(F.avg("cv2") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_cv2"),
+        )
+    )
+    return out.orderBy("demand_class")
+
+
+def _q_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return demand_classes(_t(spark, sf_dir, "lineitem"))
+
+
+_DEMAND_CLASSES_SQL = f"""
+WITH daily AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d, sum(l_quantity) AS q
+  FROM lineitem GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+per_part AS (
+  SELECT l_partkey, count(*) AS n_dates, min(d) AS d0, max(d) AS d1,
+         avg(q) AS mq, var_samp(q) AS vq
+  FROM daily GROUP BY l_partkey HAVING count(*) >= 2),
+feat AS (
+  SELECT l_partkey,
+         round(date_diff('day', d0, d1) / (n_dates - 1) + 1.0e-12, 9) AS adi,
+         round(vq / (mq * mq) + 1.0e-12, 9) AS cv2
+  FROM per_part),
+cls AS (
+  SELECT CASE WHEN adi < {SB_ADI_CUT} AND cv2 < {SB_CV2_CUT} THEN 'smooth'
+              WHEN adi >= {SB_ADI_CUT} AND cv2 < {SB_CV2_CUT} THEN 'intermittent'
+              WHEN adi < {SB_ADI_CUT} THEN 'erratic'
+              ELSE 'lumpy' END AS demand_class,
+         adi, cv2
+  FROM feat)
+SELECT demand_class, CAST(count(*) AS BIGINT) AS n_parts,
+       (round(avg(adi) + 1.0e-9, 4) + 0.0e0) AS avg_adi,
+       (round(avg(cv2) + 1.0e-9, 4) + 0.0e0) AS avg_cv2
+FROM cls GROUP BY demand_class ORDER BY demand_class
+"""
+
+
+_REGISTRY.update(
+    {
+        "li_demand_classes": Query(
+            "li_demand_classes", _q_demand_classes, _DEMAND_CLASSES_SQL, ("retail", "forecast")
+        ),
+    }
+)
