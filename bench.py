@@ -233,6 +233,8 @@ def main() -> None:
         "forecast_combo",
         "bpe_encode",
         "li_demand_classes",
+        "doc_ccnet_buckets",
+        "forecast_sba",
     ]
     reg = registry()
     for name in suite:

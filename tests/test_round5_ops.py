@@ -288,6 +288,37 @@ def test_demand_classes_all_four_quadrants(spark):
     assert out["erratic"].avg_cv2 > 0.49 and out["lumpy"].avg_cv2 > 0.49
 
 
+def test_ccnet_buckets_tercile_structure(spark):
+    from tsgen.text import ccnet_buckets
+
+    # 9 docs in one lang: rank-based terciles are exactly 3/3/3, and the
+    # docs full of the corpus-common token land in head (lowest score)
+    rows = []
+    for i in range(6):
+        rows.append((i, "common common common common", "en", "s"))
+    rows.append((6, "rare1 rare2 rare3 rare4", "en", "s"))
+    rows.append((7, "rare5 rare6 rare7 rare8", "en", "s"))
+    rows.append((8, "rare9 rareA rareB rareC", "en", "s"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    out = {r.bucket: r for r in ccnet_buckets(docs).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert all(r.n_docs == 3 for r in out.values())
+    # head = most stereotypical = lowest mean NLL
+    assert out["head"].avg_score < out["tail"].avg_score
+
+
+def test_sba_corrects_croston_bias(spark):
+    from tsgen.queries import registry
+
+    reg = registry()
+    rows = reg["forecast_sba"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # SBA = (1 - alpha/2) * rate with alpha = 0.3 -> 0.85x, within 6dp
+        assert abs(r.sba_rate - 0.85 * r.rate) < 1e-4
+        assert r.sba_rate < r.rate
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -334,6 +334,54 @@ FROM agg
 """
 
 
+def _q_sba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan Approximation (IJF 2005): Croston's rate estimator
+    is biased high; SBA multiplies by (1 − α/2). The recommended default
+    for the 'intermittent'/'lumpy' quadrants li_demand_classes routes to.
+    Reuses croston_forecast wholesale — one extra projected column."""
+    df = generators.generate(spark, 8, 96, "mixed")
+    d = df.withColumn("demand", F.expr(_demand_expr()))
+    out = croston_forecast(d).withColumn(
+        "sba_rate",
+        F.round(
+            F.lit(1.0 - CROSTON_ALPHA / 2.0) * (F.col("z_hat") / F.col("p_hat"))
+            + F.lit(1e-9),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return roundn(out, 6, "z_hat", "p_hat", "rate")
+
+
+def _sba_sql(alpha: float = CROSTON_ALPHA) -> str:
+    gen = oracle.generate_sql(8, 96, "mixed", rounded=False)
+    a, na, mult = E.NUM(alpha), E.NUM(1.0 - alpha), E.NUM(1.0 - alpha / 2.0)
+    return f"""
+WITH src AS ({gen}),
+dem AS (SELECT series_id, t, {_demand_expr()} AS demand FROM src),
+arr AS (
+  SELECT series_id, t, demand,
+         row_number() OVER wa AS i,
+         CAST(coalesce(t - lag(t) OVER wa, t + 1) AS DOUBLE) AS gap,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM dem WHERE demand > 0
+  WINDOW wa AS (PARTITION BY series_id ORDER BY t)),
+wts AS (
+  SELECT series_id, demand, gap,
+         CASE WHEN i = 1 THEN pow({na}, n - 1)
+              ELSE {a} * pow({na}, n - i) END AS w_i
+  FROM arr),
+agg AS (
+  SELECT series_id, count(*) AS n_arrivals,
+         sum(w_i * demand) AS z_hat, sum(w_i * gap) AS p_hat
+  FROM wts GROUP BY series_id)
+SELECT series_id, n_arrivals, {E.round6('z_hat')} AS z_hat,
+       {E.round6('p_hat')} AS p_hat, {E.round6('z_hat / p_hat')} AS rate,
+       {E.round6(f'{mult} * (z_hat / p_hat)')} AS sba_rate
+FROM agg
+"""
+
+
 # --- hierarchical forecast reconciliation ----------------------------------
 RECON_ALPHA = 0.3
 
@@ -462,6 +510,9 @@ _REGISTRY.update(
         "forecast_ar2": Query("forecast_ar2", _q_ar2, _ar2_sql(), ("forecast",)),
         "forecast_accuracy": Query(
             "forecast_accuracy", _q_accuracy, _accuracy_sql(), ("forecast",)
+        ),
+        "forecast_sba": Query(
+            "forecast_sba", _q_sba, _sba_sql(), ("forecast",)
         ),
         "forecast_croston": Query(
             "forecast_croston", _q_croston, _croston_sql(), ("forecast",)

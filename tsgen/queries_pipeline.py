@@ -628,6 +628,12 @@ _REGISTRY.update(
             ("text",),
         ),
         "doc_lm_score": Query("doc_lm_score", _q_lm_score, text.LM_SCORE_SQL, ("text",)),
+        "doc_ccnet_buckets": Query(
+            "doc_ccnet_buckets",
+            lambda spark, sf_dir: text.ccnet_buckets(_docs(spark, sf_dir)),
+            text.CCNET_BUCKETS_SQL,
+            ("text", "llm"),
+        ),
         "doc_bigram_lm": Query(
             "doc_bigram_lm", _q_bigram_lm, text.bigram_lm_sql(), ("text",)
         ),

@@ -431,6 +431,67 @@ GROUP BY doc_id
 """
 
 
+def ccnet_buckets(df: DataFrame, text: str = "text") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3):
+    per language, rank docs by the unigram-LM score and split into
+    head/middle/tail terciles — head (lowest perplexity, most
+    stereotypical) feeds pretraining first, tail is usually dropped.
+    Rank-based terciles instead of percentile cutoffs: bucket =
+    ((rank−1)·3) div n — integer arithmetic, so no cross-engine
+    percentile-interpolation semantics; the score is rounded to 6dp
+    BEFORE ranking (doc_id tiebreak) so near-equal scores rank
+    identically in both engines. The per-language window is keyed —
+    language is the parallel axis. → (lang, bucket, n_docs, avg_score)."""
+    from pyspark.sql import Window
+
+    sc = lm_score(df, text=text).join(df.select("doc_id", "lang"), "doc_id")
+    sc = sc.withColumn("s", F.round(F.col("lm_score") + F.lit(1e-9), 6))
+    wo = Window.partitionBy("lang").orderBy("s", "doc_id")
+    wn = Window.partitionBy("lang")
+    sc = (
+        sc.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn("b", F.expr("((rn - 1) * 3) div n"))
+    )
+    bucket = (
+        F.when(F.col("b") == 0, "head").when(F.col("b") == 1, "middle").otherwise("tail")
+    )
+    return (
+        sc.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.round(F.avg("s") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CCNET_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+lm AS (
+  SELECT token, CAST(tf AS DOUBLE) / (SELECT sum(tf) FROM vocab) AS p FROM vocab),
+sc AS (
+  SELECT t.doc_id, (round(avg(-ln(lm.p)) + 1.0e-9, 6) + 0.0e0) AS s
+  FROM toks t JOIN lm USING (token) GROUP BY t.doc_id),
+rk AS (
+  SELECT d.lang, sc.s,
+         row_number() OVER (PARTITION BY d.lang ORDER BY sc.s, sc.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM sc JOIN documents d USING (doc_id)),
+bk AS (
+  SELECT lang, s,
+         CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
+                                  WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM rk)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       (round(avg(s) + 1.0e-9, 4) + 0.0e0) AS avg_score
+FROM bk GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 # --- training-window chunking + sequence packing (LLM pretraining preproc) --
 CHUNK_LEN, CHUNK_STRIDE, PACK_BUDGET = 16, 12, 256
 
