@@ -235,6 +235,7 @@ def main() -> None:
         "li_demand_classes",
         "doc_ccnet_buckets",
         "forecast_sba",
+        "dedup_substr_cross",
     ]
     reg = registry()
     for name in suite:

@@ -46,7 +46,31 @@ def substring_dup_spans(
     collision (~2^-64 per pair), so the string-keyed DuckDB oracle checks
     this variant too — the collision-freeness IS the assertion."""
     L = min_len
-    g = (
+    g = _lgrams(docs, L, text)
+    count_key = F.xxhash64("lgram") if hash_key else F.col("lgram")
+    dup = (
+        g.withColumn("c", F.count("*").over(Window.partitionBy(count_key)))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "off")
+    )
+    per_doc = _merge_spans(dup, L)
+    return (
+        per_doc.join(docs.select("doc_id", F.length(text).alias("n")), "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            F.col("dup_chars").cast("bigint").alias("dup_chars"),
+            (F.round(F.col("dup_chars") / F.col("n") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lgrams(docs: DataFrame, L: int, text: str = "text") -> DataFrame:
+    """Stride-1 character L-grams; → (doc_id, off, lgram), off 1-based."""
+    return (
         docs.filter(F.length(text) >= L)
         .select(
             "doc_id",
@@ -59,42 +83,29 @@ def substring_dup_spans(
         )
         .select("doc_id", (F.col("pos") + 1).alias("off"), "lgram")
     )
-    count_key = F.xxhash64("lgram") if hash_key else F.col("lgram")
-    dup = (
-        g.withColumn("c", F.count("*").over(Window.partitionBy(count_key)))
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "off")
-    )
+
+
+def _merge_spans(hits: DataFrame, L: int) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, off) L-gram hits into maximal
+    spans; → (doc_id, n_dup_spans, dup_chars). A new span starts when this
+    L-gram's window [off, off+L) does not touch the furthest end seen."""
     wd = Window.partitionBy("doc_id").orderBy("off")
-    # gaps-and-islands: a new span starts when this L-gram's window does not
-    # touch the furthest end seen so far ([off, off+L) vs running max end)
-    dup = (
-        dup.withColumn(
-            "pe", F.max(F.col("off") + F.lit(L)).over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    hits = (
+        hits.withColumn(
+            "pe",
+            F.max(F.col("off") + F.lit(L)).over(wd.rowsBetween(Window.unboundedPreceding, -1)),
         )
         .withColumn(
             "nf", F.when(F.col("pe").isNull() | (F.col("off") > F.col("pe")), 1).otherwise(0)
         )
         .withColumn("isl", F.sum("nf").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
     )
-    spans = dup.groupBy("doc_id", "isl").agg(
+    spans = hits.groupBy("doc_id", "isl").agg(
         F.min("off").alias("s"), (F.max("off") + F.lit(L)).alias("e")
     )
-    per_doc = spans.groupBy("doc_id").agg(
+    return spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_chars"),
-    )
-    return (
-        per_doc.join(docs.select("doc_id", F.length(text).alias("n")), "doc_id")
-        .select(
-            "doc_id",
-            "n_dup_spans",
-            F.col("dup_chars").cast("bigint").alias("dup_chars"),
-            (F.round(F.col("dup_chars") / F.col("n") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
-                "dup_frac"
-            ),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -142,10 +153,105 @@ ORDER BY doc_id
 """
 
 
+CROSS_SALT, CROSS_TRAIN_P = 70913, 0.8
+
+
+def substring_contamination(
+    docs: DataFrame,
+    min_len: int = SUBSTR_L,
+    text: str = "text",
+    train_p: float = CROSS_TRAIN_P,
+) -> DataFrame:
+    """Cross-split substring decontamination audit (the Lee et al. 2022 /
+    GPT-3 appendix-C use case): after a deterministic train/eval hash
+    split, find eval docs whose text contains a >= min_len character
+    substring that ALSO appears in some train doc — exactly the leakage
+    that inflates benchmark numbers. Same stride-1 L-gram seeding as
+    dedup_substr, but the repeat test is a semi-join of eval grams against
+    the DISTINCT train gram set instead of a corpus-wide window; spans
+    merge per eval doc with the shared gaps-and-islands pass.
+    → (doc_id, n_contam_spans, contam_chars, contam_frac) for
+    contaminated eval docs."""
+    from . import expr as E
+
+    L = min_len
+    is_train = F.expr(E.u01("doc_id", CROSS_SALT)) < F.lit(train_p)
+    train = docs.filter(is_train)
+    ev = docs.filter(~is_train)
+    tg = _lgrams(train, L, text).select("lgram").distinct()
+    hits = _lgrams(ev, L, text).join(tg, "lgram").select("doc_id", "off")
+    per_doc = _merge_spans(hits, L)
+    return (
+        per_doc.join(ev.select("doc_id", F.length(text).alias("n")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_dup_spans").alias("n_contam_spans"),
+            F.col("dup_chars").cast("bigint").alias("contam_chars"),
+            (F.round(F.col("dup_chars") / F.col("n") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "contam_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_substr_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_contamination(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def substring_contamination_sql(
+    min_len: int = SUBSTR_L, train_p: float = CROSS_TRAIN_P
+) -> str:
+    from . import expr as E
+
+    L = min_len
+    u = E.u01("doc_id", CROSS_SALT)
+    return f"""
+WITH split AS MATERIALIZED (
+  SELECT doc_id, text, ({u} < {E.NUM(train_p)}) AS is_train FROM documents),
+tg AS MATERIALIZED (
+  SELECT DISTINCT substr(text, o, {L}) AS lgram
+  FROM (SELECT text, unnest(range(1, length(text) - {L} + 2)) AS o
+        FROM split WHERE is_train AND length(text) >= {L})),
+eg AS (
+  SELECT doc_id, o AS off, substr(text, o, {L}) AS lgram
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - {L} + 2)) AS o
+        FROM split WHERE NOT is_train AND length(text) >= {L})),
+hits AS (SELECT eg.doc_id, eg.off FROM eg JOIN tg USING (lgram)),
+isl AS (
+  SELECT doc_id, off,
+         sum(CASE WHEN pe IS NULL OR off > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM (SELECT doc_id, off,
+               max(off + {L}) OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM hits)),
+spans AS (
+  SELECT doc_id, isl, min(off) AS s, max(off) + {L} AS e
+  FROM isl GROUP BY doc_id, isl),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS contam_chars
+  FROM spans GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n_spans AS BIGINT) AS n_contam_spans,
+       CAST(p.contam_chars AS BIGINT) AS contam_chars,
+       (round(CAST(p.contam_chars AS DOUBLE) / length(s.text) + 1.0e-9, 6) + 0.0e0)
+         AS contam_frac
+FROM per_doc p JOIN split s USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
 _REGISTRY.update(
     {
         "dedup_substr": Query(
             "dedup_substr", _q_dedup_substr, substring_dup_sql(), ("dedup",)
+        ),
+        "dedup_substr_cross": Query(
+            "dedup_substr_cross",
+            _q_dedup_substr_cross,
+            substring_contamination_sql(),
+            ("dedup", "mlprep"),
         ),
         # same oracle on purpose: the hash-keyed plan must reproduce the
         # string-keyed result exactly (collision-freeness is the assertion)
