@@ -236,6 +236,7 @@ def main() -> None:
         "doc_ccnet_buckets",
         "forecast_sba",
         "dedup_substr_cross",
+        "ann_ivf_recall",
     ]
     reg = registry()
     for name in suite:

@@ -340,6 +340,16 @@ def test_substring_contamination_respects_split(spark):
         assert r.contam_chars >= 16
 
 
+def test_ivf_recall_perfect_when_probing_all_cells(spark):
+    from tsgen.similarity import ivf_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # probing EVERY cell makes IVF exhaustive => recall == 1 for all queries
+    out = ivf_recall(emb, n_queries=4, k=3, n_cells=4, nprobe=4).collect()
+    assert len(out) == 4
+    assert all(r.recall_at_k == 1.0 and r.hits == 3 for r in out)
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -177,6 +177,10 @@ def _q_ann_ivf(spark, sf_dir):
     return round6(out, "cos_sim")
 
 
+def _q_ann_ivf_recall(spark, sf_dir):
+    return similarity.ivf_recall(_emb(spark, sf_dir), N_QUERIES, k=5)
+
+
 # --- multimodal (decode stubbed — see tsgen/multimodal.py) ----------------
 def _q_multimodal(spark, sf_dir):
     from .queries import canon_types
@@ -745,6 +749,12 @@ _REGISTRY.update(
         ),
         "embed_neardup": Query(
             "embed_neardup", _q_neardup, similarity.neardup_pairs_sql(0.25), ("similarity",)
+        ),
+        "ann_ivf_recall": Query(
+            "ann_ivf_recall",
+            _q_ann_ivf_recall,
+            similarity.ivf_recall_sql(N_QUERIES),
+            ("similarity", "eval"),
         ),
         "ann_ivf": Query(
             "ann_ivf", _q_ann_ivf, similarity.ivf_topk_sql(N_QUERIES), ("similarity",)

@@ -191,6 +191,55 @@ def ivf_topk(
     )
 
 
+def ivf_recall(
+    df: DataFrame, n_queries: int, k: int = 5, n_cells: int = 8, nprobe: int = 3,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF ANN path against exact brute-force truth — the
+    number that justifies (or vetoes) probing nprobe of n_cells instead of
+    scanning everything. At 100 TB you tune (n_cells, nprobe) until this
+    eval says the recall is acceptable, then ship the IVF plan; pairs with
+    embed_trunc_recall (dimension axis) and doc_lsh_recall (LSH axis).
+    → (query_id, hits, recall_at_k)."""
+    truth = brute_force_topk(
+        df, df.filter(F.col("vec_id") < n_queries), k=k, vec=vec
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(df, n_queries, k=k, n_cells=n_cells, nprobe=nprobe, vec=vec).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    hits = F.count(F.col("i_nid")).cast("bigint")
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("i_qid"))
+            & (F.col("neighbor_id") == F.col("i_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            hits.alias("hits"),
+            (F.round(hits / F.lit(float(k)) + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ivf_recall_sql(
+    n_queries: int, k: int = 5, n_cells: int = 8, nprobe: int = 3
+) -> str:
+    return f"""
+WITH bf AS MATERIALIZED ({brute_force_topk_sql(n_queries, k)}),
+ivf AS MATERIALIZED ({ivf_topk_sql(n_queries, k, n_cells, nprobe)})
+SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+       (round(count(i.neighbor_id) / {float(k)}e0 + 1.0e-9, 6) + 0.0e0) AS recall_at_k
+FROM bf b LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+
 # --- int8 quantization (storage/bandwidth path for ANN at scale) ----------
 EMB_DIM = 64
 MMR_LAMBDA, MMR_C, MMR_K = 0.7, 16, 8
