@@ -237,6 +237,7 @@ def main() -> None:
         "forecast_sba",
         "dedup_substr_cross",
         "ann_ivf_recall",
+        "ev_qini",
     ]
     reg = registry()
     for name in suite:

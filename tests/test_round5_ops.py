@@ -350,6 +350,39 @@ def test_ivf_recall_perfect_when_probing_all_cells(spark):
     assert all(r.recall_at_k == 1.0 and r.hits == 3 for r in out)
 
 
+def test_qini_detects_planted_uplift(spark):
+    import datetime
+
+    from tsgen.queries_causal import qini_curve
+
+    # 200 users; high-score users (many views) convert ONLY when treated
+    # (odd user_id) => top deciles show positive uplift, Qini grows there
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(200):
+        views = 10 if u < 100 else 1
+        for v in range(views):
+            rows.append((eid, base, u, "view", 1.0, "{}")); eid += 1
+        treated, high_score = u % 2 == 1, u < 100
+        if (high_score and treated) or (not high_score and u % 7 == 0):
+            rows.append((eid, base, u, "purchase", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = sorted(qini_curve(ev).collect(), key=lambda r: r.decile)
+    assert len(out) == 10
+    # top-half deciles hold the responsive users: positive uplift there
+    assert all(r.uplift > 0.9 for r in out[:5])
+    # final Qini approximates total incremental conversions (≈50 treated
+    # high-score converters minus the small background rate, scaled)
+    assert out[-1].qini > 30
+    # Qini is (weakly) increasing while the responsive deciles accumulate
+    assert out[4].qini >= out[0].qini
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

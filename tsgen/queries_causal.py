@@ -1343,3 +1343,103 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- uplift / Qini curve ----------------------------------------------------
+QINI_K = 10
+
+
+def qini_curve(ev: DataFrame, k: int = QINI_K) -> DataFrame:
+    """Uplift decile / Qini curve (Radcliffe 2007, "Using control groups to
+    target on predicted lift"): rank users by a targeting score, split into
+    k deciles, and per decile compare treated vs control conversion; the
+    cumulative Qini coefficient
+
+        Qini(d) = cum_conv_T(d) − cum_conv_C(d) · cum_n_T(d)/cum_n_C(d)
+
+    is the incremental conversions captured by targeting the top d deciles
+    — the standard readout for "who should get the treatment". Arms follow
+    the repo convention (user_id % 2); score = pre-experiment view count
+    (a deterministic stand-in for the uplift model); outcome = any
+    purchase. Deciles come from ntile_exact (two-phase range partition —
+    no single-reducer sort); the one k-row cumulative window is bounded.
+    → (decile, n_treat, n_ctrl, uplift, qini)."""
+    from pyspark.sql import Window
+
+    from .queries_scale import ntile_exact
+
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    users = ntile_exact(
+        users, k, [F.col("score").desc(), F.col("user_id").asc()], "decile"
+    )
+    per = users.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_ctrl"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c_treat"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c_ctrl"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    per = (
+        per.withColumn("cum_nt", F.sum("n_treat").over(wc))
+        .withColumn("cum_nc", F.sum("n_ctrl").over(wc))
+        .withColumn("cum_ct", F.sum("c_treat").over(wc))
+        .withColumn("cum_cc", F.sum("c_ctrl").over(wc))
+    )
+    uplift = F.col("c_treat") / F.col("n_treat") - F.col("c_ctrl") / F.col("n_ctrl")
+    qini = F.col("cum_ct") - F.col("cum_cc") * F.col("cum_nt") / F.col("cum_nc")
+    return (
+        per.select(
+            "decile",
+            "n_treat",
+            "n_ctrl",
+            (F.round(uplift + F.lit(1e-9), 6) + F.lit(0.0)).alias("uplift"),
+            (F.round(qini + F.lit(1e-9), 6) + F.lit(0.0)).alias("qini"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _q_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qini_curve(_events(spark, sf_dir))
+
+
+_QINI_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         user_id % 2 AS arm
+  FROM events GROUP BY user_id),
+dec AS (
+  SELECT *, ntile({QINI_K}) OVER (ORDER BY score DESC, user_id ASC) AS decile
+  FROM users),
+per AS (
+  SELECT decile,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c_treat,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c_ctrl
+  FROM dec GROUP BY decile),
+cum AS (
+  SELECT decile, n_treat, n_ctrl, c_treat, c_ctrl,
+         sum(n_treat) OVER w AS cum_nt, sum(n_ctrl) OVER w AS cum_nc,
+         sum(c_treat) OVER w AS cum_ct, sum(c_ctrl) OVER w AS cum_cc
+  FROM per
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT decile, n_treat, n_ctrl,
+       (round(CAST(c_treat AS DOUBLE) / n_treat - CAST(c_ctrl AS DOUBLE) / n_ctrl
+              + 1.0e-9, 6) + 0.0e0) AS uplift,
+       (round(cum_ct - cum_cc * CAST(cum_nt AS DOUBLE) / cum_nc + 1.0e-9, 6) + 0.0e0)
+         AS qini
+FROM cum ORDER BY decile
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_qini": Query("ev_qini", _q_qini, _QINI_SQL, ("causal", "experiment")),
+    }
+)
