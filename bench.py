@@ -238,6 +238,7 @@ def main() -> None:
         "dedup_substr_cross",
         "ann_ivf_recall",
         "ev_qini",
+        "li_abc_xyz",
     ]
     reg = registry()
     for name in suite:

@@ -392,3 +392,111 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- ABC × XYZ inventory matrix ---------------------------------------------
+XYZ_X_CUT, XYZ_Y_CUT = 0.5, 1.0
+
+
+def abc_xyz(li: DataFrame) -> DataFrame:
+    """ABC × XYZ matrix (the standard inventory-policy grid): ABC classes
+    parts by cumulative revenue share (A first 70%, B to 90%, C tail —
+    same cutoffs/rounding as abc_analysis, via the two-phase cumsum_exact),
+    XYZ by demand variability — the coefficient of variation of daily
+    demand: X < 0.5 (steady), Y < 1.0 (variable), Z ≥ 1.0 (sporadic).
+    AX cells get tight automatic replenishment, CZ cells get
+    make-to-order; the 9-cell census is the policy input. Both the
+    cum-share and the CV are rounded (9dp, +nudge) before their cutoff
+    compares. → (abc_class, xyz_class, n_parts, revenue_m)."""
+    from .queries_scale import cumsum_exact
+
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    ranked = cumsum_exact(
+        rev, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()], "cum_rev"
+    )
+    ranked = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.round(F.col("cum_rev") / F.col("tot") + F.lit(1.0e-12), 9)
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.7, F.lit("A"))
+        .when(F.col("cum_share") <= 0.9, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    daily = (
+        li.select("l_partkey", F.to_date("l_shipdate").alias("d"), "l_quantity")
+        .groupBy("l_partkey", "d")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    cv = (
+        daily.groupBy("l_partkey")
+        .agg(F.avg("q").alias("mq"), F.stddev_samp("q").alias("sq"), F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .withColumn("cv", F.round(F.col("sq") / F.col("mq") + F.lit(1.0e-12), 9))
+    )
+    xyz = (
+        F.when(F.col("cv") < XYZ_X_CUT, F.lit("X"))
+        .when(F.col("cv") < XYZ_Y_CUT, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    out = (
+        ranked.withColumn("abc_class", abc)
+        .join(cv.withColumn("xyz_class", xyz).select("l_partkey", "xyz_class"), "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            (F.round(F.sum("rev") / F.lit(1.0e6) + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "revenue_m"
+            ),
+        )
+    )
+    return out.orderBy("abc_class", "xyz_class")
+
+
+def _q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return abc_xyz(_t(spark, sf_dir, "lineitem"))
+
+
+_ABC_XYZ_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(rev) AS tot FROM rev),
+ranked AS (
+  SELECT l_partkey, rev,
+         round(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.tot
+               + 1.0e-12, 9) AS cum_share
+  FROM rev CROSS JOIN tot),
+abc AS (
+  SELECT l_partkey, rev,
+         CASE WHEN cum_share <= 0.7e0 THEN 'A'
+              WHEN cum_share <= 0.9e0 THEN 'B' ELSE 'C' END AS abc_class
+  FROM ranked),
+daily AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d, sum(l_quantity) AS q
+  FROM lineitem GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+cv AS (
+  SELECT l_partkey,
+         round(stddev_samp(q) / avg(q) + 1.0e-12, 9) AS cv
+  FROM daily GROUP BY l_partkey HAVING count(*) >= 2),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN cv < {XYZ_X_CUT} THEN 'X'
+              WHEN cv < {XYZ_Y_CUT} THEN 'Y' ELSE 'Z' END AS xyz_class
+  FROM cv)
+SELECT a.abc_class, x.xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+       (round(sum(a.rev) / 1.0e6 + 1.0e-9, 4) + 0.0e0) AS revenue_m
+FROM abc a JOIN xyz x USING (l_partkey)
+GROUP BY a.abc_class, x.xyz_class
+ORDER BY a.abc_class, x.xyz_class
+"""
+
+
+_REGISTRY.update(
+    {
+        "li_abc_xyz": Query("li_abc_xyz", _q_abc_xyz, _ABC_XYZ_SQL, ("retail",)),
+    }
+)
