@@ -239,6 +239,8 @@ def main() -> None:
         "ann_ivf_recall",
         "ev_qini",
         "li_abc_xyz",
+        "ev_path_ngrams",
+        "ev_markov_stationary",
     ]
     reg = registry()
     for name in suite:

@@ -383,6 +383,49 @@ def test_qini_detects_planted_uplift(spark):
     assert out[4].qini >= out[0].qini
 
 
+def test_markov_stationary_two_state_chain(spark):
+    import datetime
+
+    from tsgen.queries_paths import markov_stationary
+
+    # deterministic alternating chain a->b->a->... : pi = (0.5, 0.5)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(4):
+        for i in range(20):
+            rows.append(
+                (u * 100 + i, base + datetime.timedelta(minutes=i), u,
+                 "a" if i % 2 == 0 else "b", 1.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {r.state: r.pi for r in markov_stationary(ev).collect()}
+    assert abs(out["a"] - 0.5) < 1e-6 and abs(out["b"] - 0.5) < 1e-6
+
+
+def test_path_ngrams_counts_sliding_trigrams(spark):
+    import datetime
+
+    from tsgen.queries_paths import path_ngrams
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, t, 1.0, "{}")
+        for i, t in enumerate(["a", "b", "c", "a", "b", "c"])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {r.ngram: r.n for r in path_ngrams(ev).collect()}
+    # sequence abcabc has sliding trigrams: abc, bca, cab, abc
+    assert out == {"a>b>c": 2, "b>c>a": 1, "c>a>b": 1}
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -611,3 +611,153 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- sliding event-sequence n-grams -----------------------------------------
+PATH_NGRAM_N, PATH_NGRAM_TOPK = 3, 20
+
+
+def path_ngrams(ev: DataFrame, topk: int = PATH_NGRAM_TOPK) -> DataFrame:
+    """Corpus-wide sliding event-type trigrams over each user's full
+    ordered event sequence — the clickstream-pattern-mining complement to
+    ev_user_paths (which keeps only the first-3 prefix). lead() windows
+    keyed on user_id generate the grams (one shuffle); the count table is
+    bounded by |event_type|^3 (125 here), so the final ranking window runs
+    on a provably tiny input. → (rank, ngram, n)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+    )
+    counts = (
+        s.select(F.concat_ws(">", "event_type", "e2", "e3").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("ngram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= topk)
+        .select("rank", "ngram", "n")
+        .orderBy("rank")
+    )
+
+
+def _q_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return path_ngrams(_events(spark, sf_dir))
+
+
+_PATH_NGRAMS_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+counts AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS ngram, count(*) AS n
+  FROM s WHERE e3 IS NOT NULL GROUP BY 1)
+SELECT rank, ngram, CAST(n AS BIGINT) AS n FROM (
+  SELECT ngram, n, row_number() OVER (ORDER BY n DESC, ngram ASC) AS rank
+  FROM counts)
+WHERE rank <= {PATH_NGRAM_TOPK} ORDER BY rank
+"""
+
+
+_REGISTRY.update(
+    {
+        "ev_path_ngrams": Query(
+            "ev_path_ngrams", _q_path_ngrams, _PATH_NGRAMS_SQL, ("analytics", "paths")
+        ),
+    }
+)
+
+
+# --- stationary distribution of the event-type Markov chain ------------------
+STAT_ITERS = 20
+
+
+def markov_stationary(ev: DataFrame, iters: int = STAT_ITERS) -> DataFrame:
+    """Stationary distribution pi of the first-order event-type transition
+    chain (pi P = pi), by power iteration from uniform — the steady-state
+    behavior profile that says where user sessions spend their time in the
+    long run. The transition matrix is |event_type|^2 rows (25 here), so
+    every iteration is a broadcast-sized keyed join; state is rounded to
+    12dp per iteration (the ev_logreg rounded-state-recursion discipline)
+    so both engines walk identical trajectories. → (state, pi)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    cnt = pairs.groupBy("event_type", "nxt").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    P = (
+        cnt.join(tot, "event_type")
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.round(F.col("n") / F.col("tn") + F.lit(1e-15), 12).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ns = P.select("src").distinct().count()
+    pi = P.select("src").distinct().select(
+        F.col("src").alias("state"),
+        F.round(F.lit(1.0) / F.lit(float(ns)) + F.lit(1e-15), 12).alias("pi"),
+    )
+    for _ in range(iters):
+        pi = (
+            P.join(pi.withColumnRenamed("state", "src"), "src")
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("pi") * F.col("p")) + F.lit(1e-15), 12).alias("pi"))
+            .withColumnRenamed("dst", "state")
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(
+        "state", (F.round(F.col("pi") + F.lit(1e-9), 6) + F.lit(0.0)).alias("pi")
+    ).orderBy("state")
+
+
+def _q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_stationary(_events(spark, sf_dir))
+
+
+def _markov_stationary_sql(iters: int = STAT_ITERS) -> str:
+    ctes = ["""pairs AS (
+  SELECT event_type, lead(event_type) OVER w AS nxt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+cnt AS (SELECT event_type, nxt, count(*) AS n FROM pairs
+        WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+P AS MATERIALIZED (
+  SELECT c.event_type AS src, c.nxt AS dst,
+         round(CAST(c.n AS DOUBLE) / t.tn + 1.0e-15, 12) AS p
+  FROM cnt c JOIN (SELECT event_type, sum(n) AS tn FROM cnt GROUP BY event_type) t
+    USING (event_type)),
+pi0 AS MATERIALIZED (
+  SELECT DISTINCT src AS state,
+         round(1.0e0 / (SELECT count(DISTINCT src) FROM P) + 1.0e-15, 12) AS pi
+  FROM P)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""pi{k} AS MATERIALIZED (
+  SELECT P.dst AS state, round(sum(pi.pi * P.p) + 1.0e-15, 12) AS pi
+  FROM P JOIN pi{k - 1} pi ON pi.state = P.src GROUP BY P.dst)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT state, (round(pi + 1.0e-9, 6) + 0.0e0) AS pi FROM pi{iters} ORDER BY state"
+    )
+
+
+_REGISTRY.update(
+    {
+        "ev_markov_stationary": Query(
+            "ev_markov_stationary",
+            _q_markov_stationary,
+            _markov_stationary_sql(),
+            ("analytics", "paths"),
+        ),
+    }
+)
