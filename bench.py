@@ -241,6 +241,7 @@ def main() -> None:
         "li_abc_xyz",
         "ev_path_ngrams",
         "ev_markov_stationary",
+        "ev_retention_fit",
     ]
     reg = registry()
     for name in suite:

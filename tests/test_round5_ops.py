@@ -426,6 +426,40 @@ def test_path_ngrams_counts_sliding_trigrams(spark):
     assert out == {"a>b>c": 2, "b>c>a": 1, "c>a>b": 1}
 
 
+def test_retention_fit_recovers_planted_decay(spark):
+    import datetime
+    import math
+
+    from tsgen.queries_training import retention_fit
+
+    # one big cohort on day 0; user u stays active for ceil(-ln(U_u)/lam)
+    # days with a deterministic per-user lifetime: retention(k) = exp(-lam k)
+    base = datetime.datetime(2024, 1, 1)
+    lam = 0.3
+    rows = []
+    eid = 0
+    for u in range(400):
+        # deterministic "uniform" in (0,1): golden-ratio low-discrepancy seq
+        uu = ((u + 1) * 0.6180339887498949) % 1.0
+        life = max(1, int(-math.log(1.0 - uu) / lam))
+        for k in range(min(life + 1, 20)):
+            rows.append((eid, base + datetime.timedelta(days=k), u, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = retention_fit(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the fitted decay slope should be near -lam and retention must decay
+    assert r.slope < -0.1
+    assert abs(r.slope - (-lam)) < 0.15
+    assert 0.0 < r.r30 < 0.2
+    assert r.half_life_days > 0
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

@@ -445,3 +445,125 @@ ORDER BY stage
 _REGISTRY["ev_funnel_stages"] = Query(
     "ev_funnel_stages", _q_funnel_stages, _FUNNEL_STAGES_SQL, ("join",)
 )
+
+
+# --- exponential retention-curve fit -----------------------------------------
+RETFIT_MAX_AGE = 14
+
+
+def retention_fit(ev: DataFrame, max_age: int = RETFIT_MAX_AGE) -> DataFrame:
+    """Exponential retention-curve fit (the standard growth-analytics
+    model: r(k) = exp(a + b·k), b < 0): pool the cohort retention matrix
+    into r(k) = active users at age k / cohort size (ONLY cohorts old
+    enough to be observed at age k — the triangle correction, else recent
+    cohorts bias r(k) down), then fit ln r(k) ~ a + b·k for k = 1..max_age
+    by closed-form least squares and project half-life and day-30
+    retention. Everything is keyed aggregation plus an O(max_age)-row
+    regression — no window wider than a cohort.
+    → one row (n_ages, slope, intercept, half_life_days, r30)."""
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    j = act.join(first, "user_id").withColumn(
+        "age", F.datediff("day", "cohort_day")
+    )
+    horizon = ev.agg(F.date_trunc("day", F.max("ts")).alias("h"))
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("n0"))
+    active = j.filter((F.col("age") >= 1) & (F.col("age") <= max_age)).groupBy(
+        "cohort_day", "age"
+    ).agg(F.count_distinct("user_id").alias("n_act"))
+    # triangle correction: cohort contributes to age k only if observable
+    obs = (
+        sizes.crossJoin(F.broadcast(horizon))
+        .withColumn("max_obs", F.datediff("h", "cohort_day"))
+        .select("cohort_day", "n0", "max_obs")
+    )
+    grid = obs.select(
+        "cohort_day", "n0", F.explode(F.sequence(F.lit(1), F.least(F.col("max_obs"), F.lit(max_age)))).alias("age")
+    )
+    r = (
+        grid.join(active, ["cohort_day", "age"], "left")
+        .groupBy("age")
+        .agg(
+            F.sum(F.coalesce(F.col("n_act"), F.lit(0))).alias("act"),
+            F.sum("n0").alias("base"),
+        )
+        .withColumn("r", F.col("act") / F.col("base"))
+        .filter(F.col("r") > 0)
+        .withColumn("y", F.log("r"))
+    )
+    fit = r.agg(
+        F.count("*").alias("n"),
+        F.sum("age").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("age") * F.col("y")).alias("sxy"),
+        F.sum(F.col("age") * F.col("age")).alias("sxx"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = fit.withColumn("slope", b).withColumn(
+        "intercept", (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")
+    )
+    ln2 = 0.6931471805599453
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_ages"),
+        (F.round(F.col("slope") + F.lit(1e-9), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.col("intercept") + F.lit(1e-9), 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(-F.lit(ln2) / F.col("slope") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "half_life_days"
+        ),
+        (
+            F.round(F.exp(F.col("intercept") + F.col("slope") * F.lit(30.0)) + F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("r30"),
+    )
+
+
+def _q_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_fit(_events(spark, sf_dir))
+
+
+_RETENTION_FIT_SQL = f"""
+WITH first AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+horizon AS (SELECT date_trunc('day', max(ts)) AS h FROM events),
+sizes AS (SELECT cohort_day, count(*) AS n0 FROM first GROUP BY cohort_day),
+active AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS age,
+         count(DISTINCT a.user_id) AS n_act
+  FROM act a JOIN first f USING (user_id)
+  WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 1 AND {RETFIT_MAX_AGE}
+  GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day)),
+grid AS (
+  SELECT s.cohort_day, s.n0, unnest(range(1, CAST(least(date_diff('day', s.cohort_day, h.h),
+                        {RETFIT_MAX_AGE}) AS BIGINT) + 1)) AS age
+  FROM sizes s CROSS JOIN horizon h),
+r AS (
+  SELECT g.age, ln(CAST(sum(coalesce(a.n_act, 0)) AS DOUBLE) / sum(g.n0)) AS y,
+         CAST(g.age AS DOUBLE) AS x
+  FROM grid g LEFT JOIN active a ON a.cohort_day = g.cohort_day AND a.age = g.age
+  GROUP BY g.age
+  HAVING sum(coalesce(a.n_act, 0)) > 0),
+fit AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM r),
+co AS (
+  SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+  FROM fit)
+SELECT CAST(n AS BIGINT) AS n_ages,
+       (round(slope + 1.0e-9, 6) + 0.0e0) AS slope,
+       (round(intercept + 1.0e-9, 6) + 0.0e0) AS intercept,
+       (round(-0.6931471805599453e0 / slope + 1.0e-9, 4) + 0.0e0) AS half_life_days,
+       (round(exp(intercept + slope * 30.0e0) + 1.0e-9, 6) + 0.0e0) AS r30
+FROM co
+"""
+
+
+_REGISTRY["ev_retention_fit"] = Query(
+    "ev_retention_fit", _q_retention_fit, _RETENTION_FIT_SQL, ("analytics", "growth")
+)
