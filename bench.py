@@ -242,6 +242,7 @@ def main() -> None:
         "ev_path_ngrams",
         "ev_markov_stationary",
         "ev_retention_fit",
+        "li_safety_stock",
     ]
     reg = registry()
     for name in suite:

@@ -500,3 +500,86 @@ _REGISTRY.update(
         "li_abc_xyz": Query("li_abc_xyz", _q_abc_xyz, _ABC_XYZ_SQL, ("retail",)),
     }
 )
+
+
+# --- safety stock / reorder point -------------------------------------------
+SS_Z, SS_LEAD_DAYS = 1.6448536269514722, 7.0  # z(95%), review lead time
+
+
+def safety_stock(li: DataFrame, z: float = SS_Z, lead: float = SS_LEAD_DAYS) -> DataFrame:
+    """Classic safety-stock sizing (the textbook normal-demand model):
+    per part, daily demand mean μ_d and std σ_d over its active days, then
+
+        safety_stock  = z · σ_d · sqrt(LT)
+        reorder_point = μ_d · LT + safety_stock
+
+    at a fixed 95% service level (z = 1.645) and LT = 7-day lead time —
+    the policy output that the ABC/XYZ and ADI/CV² classifications feed.
+    Summarized per XYZ variability class to keep rows bounded: sporadic
+    (Z) parts need disproportionate buffer — the number that justifies
+    routing them to make-to-order instead.
+    → (xyz_class, n_parts, avg_safety_stock, avg_reorder_point)."""
+    daily = (
+        li.select("l_partkey", F.to_date("l_shipdate").alias("d"), "l_quantity")
+        .groupBy("l_partkey", "d")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    per = (
+        daily.groupBy("l_partkey")
+        .agg(F.avg("q").alias("mq"), F.stddev_samp("q").alias("sq"), F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .withColumn("cv", F.round(F.col("sq") / F.col("mq") + F.lit(1.0e-12), 9))
+    )
+    xyz = (
+        F.when(F.col("cv") < XYZ_X_CUT, F.lit("X"))
+        .when(F.col("cv") < XYZ_Y_CUT, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    ss = F.lit(z) * F.col("sq") * F.lit(lead) ** F.lit(0.5)
+    rop = F.col("mq") * F.lit(lead) + ss
+    out = (
+        per.withColumn("xyz_class", xyz)
+        .withColumn("ss", ss)
+        .withColumn("rop", rop)
+        .groupBy("xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            (F.round(F.avg("ss") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_safety_stock"),
+            (F.round(F.avg("rop") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_reorder_point"),
+        )
+    )
+    return out.orderBy("xyz_class")
+
+
+def _q_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return safety_stock(_t(spark, sf_dir, "lineitem"))
+
+
+_SAFETY_STOCK_SQL = f"""
+WITH daily AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d, sum(l_quantity) AS q
+  FROM lineitem GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+per AS (
+  SELECT l_partkey, avg(q) AS mq, stddev_samp(q) AS sq,
+         round(stddev_samp(q) / avg(q) + 1.0e-12, 9) AS cv
+  FROM daily GROUP BY l_partkey HAVING count(*) >= 2),
+cls AS (
+  SELECT CASE WHEN cv < {XYZ_X_CUT} THEN 'X'
+              WHEN cv < {XYZ_Y_CUT} THEN 'Y' ELSE 'Z' END AS xyz_class,
+         {SS_Z} * sq * pow({SS_LEAD_DAYS}, 0.5e0) AS ss,
+         mq * {SS_LEAD_DAYS} + {SS_Z} * sq * pow({SS_LEAD_DAYS}, 0.5e0) AS rop
+  FROM per)
+SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+       (round(avg(ss) + 1.0e-9, 4) + 0.0e0) AS avg_safety_stock,
+       (round(avg(rop) + 1.0e-9, 4) + 0.0e0) AS avg_reorder_point
+FROM cls GROUP BY xyz_class ORDER BY xyz_class
+"""
+
+
+_REGISTRY.update(
+    {
+        "li_safety_stock": Query(
+            "li_safety_stock", _q_safety_stock, _SAFETY_STOCK_SQL, ("retail",)
+        ),
+    }
+)
