@@ -243,6 +243,7 @@ def main() -> None:
         "ev_markov_stationary",
         "ev_retention_fit",
         "li_safety_stock",
+        "doc_heaps_law",
     ]
     reg = registry()
     for name in suite:

@@ -460,6 +460,21 @@ def test_retention_fit_recovers_planted_decay(spark):
     assert r.half_life_days > 0
 
 
+def test_heaps_law_bounds(spark):
+    from tsgen.queries_exactdup import heaps_law
+
+    # closed vocabulary (every doc reuses 3 words) => beta near 0;
+    # all-unique tokens => beta = 1 exactly (V(n) = n)
+    closed = _docs(spark, [(i, "a b c a b c a b c") for i in range(30)])
+    out_c = heaps_law(closed).collect()[0]
+    assert out_c.vocab == 3
+    assert out_c.beta < 0.2
+    uniq = _docs(spark, [(i, f"w{i}a w{i}b w{i}c") for i in range(30)])
+    out_u = heaps_law(uniq).collect()[0]
+    assert out_u.vocab == 90
+    assert abs(out_u.beta - 1.0) < 1e-6
+
+
 def test_bpe_train_strips_marker_bytes(spark):
     # ADVICE r04: words containing \x01/\x02/'</w>' would corrupt the
     # self-delimited symbol encoding — they must be dropped, not corrupted

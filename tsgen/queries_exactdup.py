@@ -260,3 +260,138 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- Heaps' law vocabulary-growth fit ----------------------------------------
+HEAPS_GRID = 10
+
+
+def heaps_law(docs: DataFrame, text: str = "text", n_grid: int = HEAPS_GRID) -> DataFrame:
+    """Heaps'/Herdan's law fit: vocabulary size grows as V(n) ≈ K·n^beta
+    (beta ≈ 0.4-0.6 for natural language) over the first n tokens of the
+    corpus in doc_id order. The classic corpus-health diagnostic — a beta
+    near 1 means unbounded vocabulary churn (garbled text), near 0 means a
+    closed vocabulary (template spam); pairs with doc_zipf.
+
+    Distributed shape: global token positions come from cumsum_exact over
+    per-doc token counts (two-phase, no single-reducer sort) + the
+    in-doc offset; each distinct token keeps its FIRST global position
+    (one keyed agg); V(n) at the n_grid sample points is a broadcast-grid
+    join (V(n) = #tokens with first_pos <= n); the log-log fit is
+    closed-form least squares over n_grid rows.
+    → one row (n_tokens, vocab, beta, log10_k)."""
+    from .queries_scale import cumsum_exact
+
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text), " ")).alias("pos", "token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    cum = cumsum_exact(per_doc, "ntok", [F.col("doc_id").asc()], "cum_ntok")
+    offs = cum.select("doc_id", (F.col("cum_ntok") - F.col("ntok")).alias("off"))
+    pos = toks.join(offs, "doc_id").select(
+        "token", (F.col("off") + F.col("pos") + 1).alias("gpos")
+    )
+    firsts = pos.groupBy("token").agg(F.min("gpos").alias("first_pos"))
+    tot = per_doc.agg(F.sum("ntok").alias("n_total"))
+    spark = docs.sparkSession
+    n_total = tot.collect()[0]["n_total"]
+    grid = spark.createDataFrame(
+        [(int(round(n_total * (i + 1) / n_grid)),) for i in range(n_grid)], "n bigint"
+    )
+    v = (
+        firsts.crossJoin(F.broadcast(grid))
+        .filter(F.col("first_pos") <= F.col("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("v"))
+        .select(
+            F.log10(F.col("n").cast("double")).alias("x"),
+            F.log10(F.col("v").cast("double")).alias("y"),
+        )
+    )
+    fit = v.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = fit.withColumn("beta", beta).withColumn(
+        "log10_k", (F.col("sy") - F.col("beta") * F.col("sx")) / F.col("k")
+    )
+    vocab = firsts.agg(F.count("*").alias("vocab"))
+    return (
+        fit.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("n_total").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            (F.round(F.col("beta") + F.lit(1e-9), 6) + F.lit(0.0)).alias("beta"),
+            (F.round(F.col("log10_k") + F.lit(1e-9), 6) + F.lit(0.0)).alias("log10_k"),
+        )
+    )
+
+
+def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heaps_law(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def heaps_law_sql(n_grid: int = HEAPS_GRID) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, o AS pos, t.tok[o] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents) t,
+       unnest(range(1, len(t.tok) + 1)) r(o)
+  ),
+tk AS MATERIALIZED (SELECT doc_id, pos, token FROM toks WHERE token <> ''),
+per_doc AS (
+  SELECT doc_id, count(*) AS ntok,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM tk GROUP BY doc_id),
+offs AS (
+  SELECT doc_id,
+         sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - ntok AS off
+  FROM per_doc),
+pos AS (
+  SELECT tk.token,
+         o.off + row_number() OVER (PARTITION BY tk.doc_id ORDER BY tk.pos) AS gpos
+  FROM tk JOIN offs o USING (doc_id)),
+firsts AS MATERIALIZED (SELECT token, min(gpos) AS first_pos FROM pos GROUP BY token),
+tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS n_total FROM per_doc),
+grid AS (
+  SELECT CAST(round(t.n_total * g.i / {n_grid}.0e0) AS BIGINT) AS n
+  FROM tot t, (SELECT unnest(range(1, {n_grid} + 1)) AS i) g),
+v AS (
+  SELECT log10(CAST(g.n AS DOUBLE)) AS x, log10(CAST(count(*) AS DOUBLE)) AS y
+  FROM firsts f JOIN grid g ON f.first_pos <= g.n
+  GROUP BY g.n),
+fit AS (
+  SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM v),
+co AS (
+  SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta,
+         (sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k AS log10_k
+  FROM fit)
+SELECT t.n_total AS n_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM firsts) AS vocab,
+       (round(co.beta + 1.0e-9, 6) + 0.0e0) AS beta,
+       (round(co.log10_k + 1.0e-9, 6) + 0.0e0) AS log10_k
+FROM co CROSS JOIN tot t
+"""
+
+
+_REGISTRY.update(
+    {
+        "doc_heaps_law": Query(
+            "doc_heaps_law", _q_heaps_law, heaps_law_sql(), ("text", "quality")
+        ),
+    }
+)
