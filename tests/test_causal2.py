@@ -303,3 +303,26 @@ def test_novelty_effect_decay_detected(spark):
     assert out[1].effect > 3.0
     assert abs(out[2].effect) < 2.0 # effect gone by week 2 -> novelty
     assert out[0].effect > out[1].effect > out[2].effect - 1e-9
+
+
+def test_qini_empty_arm_deciles_yield_null(spark):
+    # ADVICE r05: a decile with zero treated (or zero control) users must
+    # yield NULL uplift/qini, not an ANSI DIVIDE_BY_ZERO crash. All-odd
+    # user_ids -> every user is treated -> n_ctrl = cum_nc = 0 everywhere,
+    # so uplift AND qini (which divides by cum_nc) are both NULL.
+    from tsgen.queries_causal import qini_curve
+
+    rows = []
+    eid = 0
+    for u in range(1, 161, 2):  # odd ids only: arm = u % 2 = 1 for all
+        for k in range((u - 1) // 2 % 20 + 1):
+            rows.append((eid, "2024-01-05 10:00:00", u, "view", 1.0, "{}"))
+            eid += 1
+        if u % 6 == 0:
+            rows.append((eid, "2024-01-06 10:00:00", u, "purchase", 5.0, "{}"))
+            eid += 1
+    out = qini_curve(_events_df(spark, rows)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_ctrl == 0
+        assert r.uplift is None and r.qini is None

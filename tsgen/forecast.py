@@ -1205,9 +1205,15 @@ def forecast_combo(
                 for h in range(1, horizon + 1):
                     f_s, f_h, f_n = l_s, l_h + h * b_h, last
                     eq = (f_s + f_h + f_n) / 3.0
-                    imae = (f_s / s_ses + f_h / s_holt + f_n / s_nv) / (
-                        1.0 / s_ses + 1.0 / s_holt + 1.0 / s_nv
-                    )
+                    # constant / length-1 series: some error sum is 0, so
+                    # inverse-MAE weights are undefined (numpy inf/nan vs
+                    # DuckDB NULL) — fall back to equal weights, both engines
+                    if s_ses == 0.0 or s_holt == 0.0 or s_nv == 0.0:
+                        imae = eq
+                    else:
+                        imae = (f_s / s_ses + f_h / s_holt + f_n / s_nv) / (
+                            1.0 / s_ses + 1.0 / s_holt + 1.0 / s_nv
+                        )
                     rows.append((s, h, f_s, f_h, f_n, eq, imae))
             yield pd.DataFrame(
                 rows,
@@ -1253,8 +1259,10 @@ SELECT f.series_id, CAST(hs.h AS BIGINT) AS h,
        {E.round6('f.lh + hs.h * f.bh')} AS f_holt,
        {E.round6('f.y')} AS f_naive,
        {E.round6('(f.ls + (f.lh + hs.h * f.bh) + f.y) / 3.0e0')} AS combo_eq,
-       {E.round6('(f.ls / f.s_ses + (f.lh + hs.h * f.bh) / f.s_holt + f.y / f.s_nv)'
-                 ' / (1.0e0 / f.s_ses + 1.0e0 / f.s_holt + 1.0e0 / f.s_nv)')} AS combo_imae
+       {E.round6('CASE WHEN f.s_ses = 0.0e0 OR f.s_holt = 0.0e0 OR f.s_nv = 0.0e0'
+                 ' THEN (f.ls + (f.lh + hs.h * f.bh) + f.y) / 3.0e0'
+                 ' ELSE (f.ls / f.s_ses + (f.lh + hs.h * f.bh) / f.s_holt + f.y / f.s_nv)'
+                 ' / (1.0e0 / f.s_ses + 1.0e0 / f.s_holt + 1.0e0 / f.s_nv) END')} AS combo_imae
 FROM fin f CROSS JOIN hs ORDER BY f.series_id, hs.h
 """
 

@@ -42,39 +42,35 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 # else follows in registration order. Keep the 9 generator queries first as
 # cheap cross-round canaries.
 #
-# Round-5 window: 3 canaries + 47 never-driver-checked oracle queries
-# (VERDICT r04 items 2+4: canary set shrunk 9→3 to certify 47/round;
-# front-load the round-4 additions, the graph family, the attribution/causal
-# batch, multimodal/mixing, and the dedup + embedding ops with full oracles
-# and no driver row). Ever-checked through r04: CORRECTNESS_r01..r04.json
-# (134 unique); every name below is from the 206 oracle-bearing
-# never-certified set.
+# Round-6 window: 3 canaries + 47 never-driver-checked oracle queries.
+# Cumulative certified through r05: 181 unique (CORRECTNESS_r01..r05.json);
+# every non-canary name below is from the 181 oracle-bearing never-certified
+# set. Front-loaded: the four ADVICE-r05-fixed queries (ev_qini,
+# ev_retention_fit, doc_heaps_law, forecast_combo — certify the fixes
+# same-round), the round-5 ops registered after the r5 window froze, then
+# the forecast family, ts diagnostics, and sketches.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # canaries (green r01–r04)
+    # canaries (green r01–r05)
     "gen_sine", "series_stats", "sample_data_mixed",
-    # round-4 session additions (judge spot-verified locally; driver pending)
-    "bpe_train", "doc_bm25", "ts_hmm_viterbi", "forecast_ar2",
-    "ts_motifs", "ts_discords", "doc_topics",
-    # graph family
-    "graph_pagerank", "graph_bfs", "graph_communities", "graph_triangles",
-    "graph_kcore", "graph_adamic_adar", "graph_assortativity",
-    # attribution / causal readouts
-    "ev_attribution", "ev_attribution_multi", "ev_attribution_decay",
-    "ev_did", "ev_qte", "ev_novelty_effect",
-    # multimodal plumbing + corpus mixing
-    "multimodal_phash", "multimodal_features", "multimodal_frames",
-    "dsir_scores", "doc_lang_rebalance", "source_mixture", "doc_source_kl",
-    # dedup ops with full oracles and no driver row (VERDICT item 4)
-    "dedup_keep_best", "dedup_incremental", "doc_winnow", "winnow_overlap",
-    "jaccard_containment", "dup_ngram_coverage", "doc_dup_by_source",
-    # embedding ops
-    "embed_mmr", "ann_ivf", "embed_pq", "embed_top_eigen",
-    "embed_cluster_purity", "embed_quantize",
-    # remainder: token stats, ML-prep, forecast/state-space
-    "token_ppmi", "split_leakage", "forecast_ses", "forecast_holt_winters",
-    "kalman_filter",
-    # round-5 depth additions (VERDICT r04 item 7) — certify them same-round
-    "dedup_substr", "doc_bm25_ndcg",
+    # ADVICE-r05 fixes — certify this round
+    "ev_qini", "ev_retention_fit", "doc_heaps_law", "forecast_combo",
+    # round-5 additions registered after the r5 window froze
+    "pack_sequences_ffd", "doc_lang_temperature", "embed_trunc_recall",
+    "ts_features", "graph_closeness", "dedup_substr_hash", "bpe_encode",
+    "li_demand_classes", "doc_ccnet_buckets", "forecast_sba",
+    "dedup_substr_cross", "ann_ivf_recall", "li_abc_xyz", "ev_path_ngrams",
+    "ev_markov_stationary", "li_safety_stock",
+    # forecast family (rolling-origin + smoothers + reconciliation)
+    "forecast_arma11", "forecast_backtest", "forecast_conformal",
+    "forecast_croston", "forecast_holt", "forecast_holt_damped",
+    "forecast_model_select", "forecast_reconcile", "forecast_seasonal_naive",
+    "forecast_theta", "forecast_accuracy", "kalman_smoother",
+    # ts diagnostics
+    "ts_autocorr", "ts_pacf", "ts_ljung_box", "ts_adf", "ts_hurst",
+    "ts_coint", "ts_mann_kendall", "ts_perm_entropy",
+    # sketches
+    "hll_cardinality", "hll_daily_users", "hll_set_ops", "cms_token_freq",
+    "dd_quantiles", "kmv_set_ops", "bloom_prune",
 )
 
 

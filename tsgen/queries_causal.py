@@ -1388,8 +1388,15 @@ def qini_curve(ev: DataFrame, k: int = QINI_K) -> DataFrame:
         .withColumn("cum_ct", F.sum("c_treat").over(wc))
         .withColumn("cum_cc", F.sum("c_ctrl").over(wc))
     )
-    uplift = F.col("c_treat") / F.col("n_treat") - F.col("c_ctrl") / F.col("n_ctrl")
-    qini = F.col("cum_ct") - F.col("cum_cc") * F.col("cum_nt") / F.col("cum_nc")
+    # A decile can hold zero treated or zero control users (small SFs, skewed
+    # arms): divide through NULLIF so both engines emit NULL instead of Spark
+    # raising ANSI DIVIDE_BY_ZERO while DuckDB silently returns NULL.
+    uplift = F.col("c_treat") / F.nullif(F.col("n_treat"), F.lit(0)) - F.col(
+        "c_ctrl"
+    ) / F.nullif(F.col("n_ctrl"), F.lit(0))
+    qini = F.col("cum_ct") - F.col("cum_cc") * F.col("cum_nt") / F.nullif(
+        F.col("cum_nc"), F.lit(0)
+    )
     return (
         per.select(
             "decile",
@@ -1430,10 +1437,11 @@ cum AS (
   FROM per
   WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT decile, n_treat, n_ctrl,
-       (round(CAST(c_treat AS DOUBLE) / n_treat - CAST(c_ctrl AS DOUBLE) / n_ctrl
+       (round(CAST(c_treat AS DOUBLE) / NULLIF(n_treat, 0)
+              - CAST(c_ctrl AS DOUBLE) / NULLIF(n_ctrl, 0)
               + 1.0e-9, 6) + 0.0e0) AS uplift,
-       (round(cum_ct - cum_cc * CAST(cum_nt AS DOUBLE) / cum_nc + 1.0e-9, 6) + 0.0e0)
-         AS qini
+       (round(cum_ct - cum_cc * CAST(cum_nt AS DOUBLE) / NULLIF(cum_nc, 0)
+              + 1.0e-9, 6) + 0.0e0) AS qini
 FROM cum ORDER BY decile
 """
 

@@ -27,6 +27,8 @@ one classic dedup mode the repo lacked (VERDICT r04 item 7).
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .queries import _REGISTRY, Query
@@ -282,25 +284,40 @@ def heaps_law(docs: DataFrame, text: str = "text", n_grid: int = HEAPS_GRID) -> 
     → one row (n_tokens, vocab, beta, log10_k)."""
     from .queries_scale import cumsum_exact
 
+    # Renumber tokens AFTER the empty filter (keyed per-doc window) so gpos
+    # is dense: raw posexplode indices leave gaps at empty split slots
+    # (consecutive/leading spaces) that would overflow into the next doc's
+    # offset range, while the oracle row_number()s the non-empty tokens.
     toks = (
         docs.select(
             "doc_id",
-            F.posexplode(F.split(F.col(text), " ")).alias("pos", "token"),
+            F.posexplode(F.split(F.col(text), " ")).alias("pos0", "token"),
         )
         .filter(F.length("token") > 0)
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("pos0")),
+        )
+        .select("doc_id", "pos", "token")
     )
     per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("ntok"))
     cum = cumsum_exact(per_doc, "ntok", [F.col("doc_id").asc()], "cum_ntok")
     offs = cum.select("doc_id", (F.col("cum_ntok") - F.col("ntok")).alias("off"))
     pos = toks.join(offs, "doc_id").select(
-        "token", (F.col("off") + F.col("pos") + 1).alias("gpos")
+        "token", (F.col("off") + F.col("pos")).alias("gpos")
     )
     firsts = pos.groupBy("token").agg(F.min("gpos").alias("first_pos"))
     tot = per_doc.agg(F.sum("ntok").alias("n_total"))
     spark = docs.sparkSession
     n_total = tot.collect()[0]["n_total"]
+    # half-away-from-zero rounding to match DuckDB round(); Python round()
+    # is banker's and diverges when n_total*(i+1)/n_grid lands on .5
     grid = spark.createDataFrame(
-        [(int(round(n_total * (i + 1) / n_grid)),) for i in range(n_grid)], "n bigint"
+        [
+            (int(math.floor(n_total * (i + 1) / n_grid + 0.5)),)
+            for i in range(n_grid)
+        ],
+        "n bigint",
     )
     v = (
         firsts.crossJoin(F.broadcast(grid))

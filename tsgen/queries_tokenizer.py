@@ -125,7 +125,10 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _bpe_sql(iters: int = BPE_ITERS) -> str:
+def _bpe_ctes(iters: int = BPE_ITERS) -> str:
+    """CTE prefix shared by _bpe_sql and _bpe_encode_sql: w0/s0 plus one
+    tk/c/b/s quadruple per merge iteration, WITHOUT a final SELECT — the
+    callers append their own, so there is no textual splicing."""
     sa, sb = "chr(1)", "chr(2)"
     sep = f"{sb} || {sa}"
     parts = [
@@ -163,12 +166,15 @@ s{t} AS MATERIALIZED (
   SELECT replace(s.s, {sa} || b.pa || {sb} || {sa} || b.pb || {sb},
                  {sa} || b.merged || {sb}) AS s, s.freq
   FROM s{p} s CROSS JOIN b{t} b)""")
+    return "".join(parts)
+
+
+def _bpe_sql(iters: int = BPE_ITERS) -> str:
     union = "\nUNION ALL ".join(
         f"SELECT CAST({t} AS BIGINT) AS iteration, pair, merged, CAST(n AS BIGINT) AS n FROM b{t}"
         for t in range(1, iters + 1)
     )
-    parts.append(f"\n{union}\nORDER BY iteration")
-    return "".join(parts)
+    return f"{_bpe_ctes(iters)}\n{union}\nORDER BY iteration"
 
 
 def bpe_encode(docs: DataFrame, iters: int = BPE_ITERS, text: str = "text") -> DataFrame:
@@ -252,10 +258,7 @@ def _bpe_encode_sql(iters: int = BPE_ITERS) -> str:
     encode chain e0..e{n} applying each learned merge, then doc join."""
     sa, sb = "chr(1)", "chr(2)"
     sep = f"{sb} || {sa}"
-    train = _bpe_sql(iters)
-    # reuse everything up to the last train CTE; strip the final SELECT
-    train_ctes = train[: train.rindex("\nSELECT CAST(1 AS BIGINT)")]
-    parts = [train_ctes]
+    parts = [_bpe_ctes(iters)]
     parts.append(f""",
 wc AS MATERIALIZED (
   SELECT doc_id, word, count(*) AS cnt

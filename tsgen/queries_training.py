@@ -479,7 +479,10 @@ def retention_fit(ev: DataFrame, max_age: int = RETFIT_MAX_AGE) -> DataFrame:
         .withColumn("max_obs", F.datediff("h", "cohort_day"))
         .select("cohort_day", "n0", "max_obs")
     )
-    grid = obs.select(
+    # Spark's sequence(1, n) auto-negates the step when n < 1 (yields [1, 0]
+    # for a horizon-day cohort) while the oracle's range(1, n+1) is empty —
+    # drop unobservable cohorts BEFORE the explode so both engines agree.
+    grid = obs.filter(F.col("max_obs") >= 1).select(
         "cohort_day", "n0", F.explode(F.sequence(F.lit(1), F.least(F.col("max_obs"), F.lit(max_age)))).alias("age")
     )
     r = (
