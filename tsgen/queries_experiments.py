@@ -544,6 +544,115 @@ def _pagerank_sql() -> str:
     )
 
 
+# --- personalized PageRank (seeded teleport) --------------------------------
+PPR_SEED_SOURCE = "src0"
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, a: str = "doc_a", b: str = "doc_b",
+    damping: float = PR_DAMP, n_iter: int = PR_ITER,
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; Jeh & Widom 2002 WWW
+    "Scaled Personalized PageRank"): the power method with teleport mass
+    restricted to a seed set S — pr = (1-d)·1[node∈S]/|S| + d·Σ pr(u)/deg(u)
+    — the standard "related items" / seed-expansion primitive (e.g.
+    Twitter WTF, Gupta et al. 2013). Same distributed shape as pagerank
+    (one edge⋈rank equi-join + one keyed sum per round, localCheckpoint
+    lineage cuts); the seed indicator is a broadcast-joined column, and
+    seed mass |S| is a 1-row broadcast. Unlike uniform PageRank the
+    stationary mass concentrates around S, so the readout doubles as a
+    graph-proximity score to the seed source.
+    → (node, deg, is_seed, ppr)."""
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")).select(
+        F.col("u").alias("node"), "deg"
+    )
+    seed = deg.join(
+        F.broadcast(seeds.select(F.col("node").cast("bigint"))), "node", "left_semi"
+    ).select("node", F.lit(1).alias("is_seed"))
+    base = deg.join(F.broadcast(seed), "node", "left").withColumn(
+        "is_seed", F.coalesce("is_seed", F.lit(0))
+    )
+    ns = base.agg(F.sum("is_seed").cast("double").alias("ns"))
+    # teleport vector: 1/|S| on seeds, 0 elsewhere; start pr = teleport
+    pr = base.crossJoin(F.broadcast(ns)).select(
+        "node", "deg", "is_seed",
+        (F.col("is_seed") / F.col("ns")).alias("tele"),
+    ).withColumn("pr", F.col("tele"))
+    for _ in range(n_iter):
+        acc = (
+            sym.join(pr.select(F.col("node").alias("u"), "deg", "pr"), "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("acc"))
+            .select(F.col("v").alias("node"), "acc")
+        )
+        pr = (
+            pr.drop("pr")
+            .join(acc, "node", "left")
+            .select(
+                "node", "deg", "is_seed", "tele",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        "node", "deg", F.col("is_seed").cast("bigint").alias("is_seed"),
+        F.col("pr").alias("ppr"),
+    )
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, ["lang"], threshold=CLUSTER_THR)
+    seeds = docs.filter(F.col("source") == PPR_SEED_SOURCE).select(
+        F.col("doc_id").alias("node")
+    )
+    return round6(personalized_pagerank(pairs, seeds), "ppr")
+
+
+def _ppr_sql() -> str:
+    from . import expr as E
+
+    jp = dedup.jaccard_pairs_sql(["lang"], threshold=CLUSTER_THR)
+    D, OMD = E.NUM(PR_DAMP), E.NUM(1.0 - PR_DAMP)
+    ctes = [
+        f"jp AS ({jp})",
+        "e AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM jp)",
+        "sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)",
+        "deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u)",
+        f"""base AS MATERIALIZED (
+  SELECT d.node, d.deg,
+         CASE WHEN EXISTS (SELECT 1 FROM documents x
+                           WHERE x.doc_id = d.node
+                             AND x.source = '{PPR_SEED_SOURCE}')
+              THEN 1 ELSE 0 END AS is_seed
+  FROM deg d)""",
+        "ns AS (SELECT CAST(sum(is_seed) AS DOUBLE) AS ns FROM base)",
+        "pr0 AS (SELECT node, deg, is_seed, is_seed / ns.ns AS tele,"
+        " is_seed / ns.ns AS pr FROM base CROSS JOIN ns)",
+    ]
+    for i in range(PR_ITER):
+        ctes.append(
+            f"""pr{i + 1} AS MATERIALIZED (
+  SELECT b.node, b.deg, b.is_seed, b.tele,
+         {OMD} * b.tele + {D} * coalesce(s.acc, 0.0e0) AS pr
+  FROM pr{i} b
+  LEFT JOIN (SELECT sym.v AS node, sum(p.pr / p.deg) AS acc
+             FROM sym JOIN pr{i} p ON p.node = sym.u GROUP BY sym.v) s
+    ON s.node = b.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, deg, CAST(is_seed AS BIGINT) AS is_seed,"
+        f" {E.round6('pr')} AS ppr FROM pr{PR_ITER}"
+    )
+
+
 _REGISTRY.update(
     {
         "ev_attribution_multi": Query(
@@ -569,6 +678,7 @@ _REGISTRY.update(
         "graph_pagerank": Query(
             "graph_pagerank", _q_pagerank, _pagerank_sql(), ("graph",)
         ),
+        "graph_ppr": Query("graph_ppr", _q_ppr, _ppr_sql(), ("graph",)),
     }
 )
 

@@ -663,6 +663,12 @@ _REGISTRY.update(
         "repetition_stats": Query(
             "repetition_stats", _q_repetition, text.REPETITION_SQL, ("text",)
         ),
+        "doc_gopher_quality": Query(
+            "doc_gopher_quality",
+            lambda spark, sf_dir: text.gopher_quality(_docs(spark, sf_dir)),
+            text.GOPHER_SQL,
+            ("text", "llm"),
+        ),
         "token_count_bpe": Query(
             "token_count_bpe", _q_token_bpe, text.TOKEN_BPE_SQL, ("text",)
         ),

@@ -257,6 +257,152 @@ ORDER BY series_id, hs.h
 """
 
 
+# --- Kleinberg burst detection ------------------------------------------------
+BURST_S, BURST_GAMMA = 2.0, 1.0
+
+
+def _burst_exprs(spark_dialect: bool):
+    """Shared 2-state Viterbi fold for the Kleinberg automaton. Fold state =
+    [c0, c1, b0, b1, d0, d1]: per-state best path cost, burst count (0->1
+    entries), and burst-state dwell seconds. Only array syntax and indexing
+    base differ between engines; the arithmetic text is identical so both
+    engines execute the same float ops in the same order."""
+    if spark_dialect:
+        arr = lambda xs: "array(" + ", ".join(xs) + ")"  # noqa: E731
+        ix = lambda v, k: f"{v}[{k}]"  # noqa: E731  (0-based)
+        x = "x"
+    else:
+        arr = lambda xs: "[" + ", ".join(xs) + "]"  # noqa: E731
+        ix = lambda v, k: f"{v}[{k + 1}]"  # noqa: E731  (1-based)
+        # DuckDB list_reduce needs acc and element types to match, so the
+        # gap list is DOUBLE[][] (1-element inner lists) and x arrives as
+        # a list; the arithmetic text is otherwise identical
+        x = "x[1]"
+    c0, c1 = ix("acc", 0), ix("acc", 1)
+    b0, b1 = ix("acc", 2), ix("acc", 3)
+    d0, d1 = ix("acc", 4), ix("acc", 5)
+    # tau(1,0) = 0; tau(0,1) = gamma * ln(n)
+    from0_to0 = f"({c0} <= {c1})"
+    from0_to1 = f"({c0} + gcost <= {c1})"
+    nc0 = _r9(f"least({c0}, {c1}) + (lam0 * {x} - llam0)")
+    nc1 = _r9(f"least({c0} + gcost, {c1}) + (lam1 * {x} - llam1)")
+    nb0 = f"CASE WHEN {from0_to0} THEN {b0} ELSE {b1} END"
+    nb1 = f"CASE WHEN {from0_to1} THEN {b0} + 1.0e0 ELSE {b1} END"
+    nd0 = f"CASE WHEN {from0_to0} THEN {d0} ELSE {d1} END"
+    nd1 = f"CASE WHEN {from0_to1} THEN {d0} + {x} ELSE {d1} + {x} END"
+    merge = arr([nc0, nc1, nb0, nb1, nd0, nd1])
+    init = arr(["0.0e0", "gcost", "0.0e0", "0.0e0", "0.0e0", "0.0e0"])
+    return init, merge
+
+
+def burst_detect(ev: DataFrame) -> DataFrame:
+    """Kleinberg burst detection (Kleinberg, KDD 2002, "Bursty and
+    Hierarchical Structure in Streams" — the 2-state automaton his §2
+    builds the full hierarchy from): per event type, model inter-arrival
+    gaps as exponential with base rate lam0 = n/T (state q0) and burst
+    rate lam1 = s*lam0 (state q1, s=2); entering the burst state costs
+    gamma*ln(n). The min-cost state sequence is a Viterbi left fold over
+    the gap list — expressed as a pure Catalyst `aggregate` (no UDF, no
+    Python), O(T) per event type, the exact mechanism of ts_hmm_viterbi
+    (see module docstring) with costs instead of log-probs. Each fold step
+    rounds to 9dp in both engines so exp/ln ulp noise cannot compound.
+    Starting state is q0 (cost 0) with q1 admitted at entry cost, matching
+    Kleinberg's convention. Gaps are integer epoch-second diffs (the
+    repo's cross-engine timestamp idiom). A gap of 0 s (same-second
+    events) is fine: the cost contribution is just -ln(lam).
+    -> (event_type, n_gaps, lambda0, n_bursts, burst_seconds, total_cost).
+    """
+    init, merge = _burst_exprs(spark_dialect=True)
+    s, g = E.NUM(BURST_S), E.NUM(BURST_GAMMA)
+    wide = (
+        ev.select("event_type", F.unix_timestamp("ts").alias("es"))
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("es")).alias("tss"))
+        .withColumn(
+            "gaps",
+            F.expr(
+                "transform(sequence(1, size(tss) - 1),"
+                " i -> CAST(tss[i] - tss[i - 1] AS DOUBLE))"
+            ),
+        )
+        .filter(F.size("gaps") >= 2)
+        .select(
+            "event_type",
+            "gaps",
+            F.size("gaps").cast("bigint").alias("n_gaps"),
+            (
+                F.size("gaps").cast("double")
+                / (F.element_at("tss", -1) - F.element_at("tss", 1)).cast("double")
+            ).alias("lam0"),
+        )
+        .withColumn("lam1", F.expr(f"lam0 * {s}"))
+        .withColumn("llam0", F.expr("ln(lam0)"))
+        .withColumn("llam1", F.expr("ln(lam1)"))
+        .withColumn("gcost", F.expr(f"{g} * ln(CAST(n_gaps AS DOUBLE))"))
+    )
+    folded = wide.select(
+        "event_type",
+        "n_gaps",
+        "lam0",
+        F.expr(f"aggregate(gaps, {init}, (acc, x) -> {merge})").alias("st"),
+    )
+    fin = folded.select(
+        "event_type",
+        "n_gaps",
+        F.col("lam0").alias("lambda0"),
+        F.when(F.expr("st[0] <= st[1]"), F.expr("st[2]"))
+        .otherwise(F.expr("st[3]"))
+        .cast("bigint")
+        .alias("n_bursts"),
+        F.when(F.expr("st[0] <= st[1]"), F.expr("st[4]"))
+        .otherwise(F.expr("st[5]"))
+        .alias("burst_seconds"),
+        F.expr("least(st[0], st[1])").alias("total_cost"),
+    ).orderBy("event_type")
+    return round6(fin, "lambda0", "burst_seconds", "total_cost")
+
+
+def _q_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return burst_detect(ev)
+
+
+def _burst_sql() -> str:
+    init, merge = _burst_exprs(spark_dialect=False)
+    s, g = E.NUM(BURST_S), E.NUM(BURST_GAMMA)
+    return f"""
+WITH es AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+w AS (SELECT event_type, list(es ORDER BY es) AS tss FROM es GROUP BY event_type),
+gp AS (
+  SELECT event_type,
+         list_transform(range(2, len(tss) + 1),
+                        i -> [CAST(tss[i] - tss[i - 1] AS DOUBLE)]) AS gaps,
+         tss
+  FROM w),
+pars AS (
+  SELECT event_type, gaps,
+         CAST(len(gaps) AS BIGINT) AS n_gaps,
+         CAST(len(gaps) AS DOUBLE) / (tss[-1] - tss[1]) AS lam0
+  FROM gp WHERE len(gaps) >= 2),
+pp AS (
+  SELECT event_type, gaps, n_gaps, lam0,
+         lam0 * {s} AS lam1, ln(lam0) AS llam0, ln(lam0 * {s}) AS llam1,
+         {g} * ln(CAST(n_gaps AS DOUBLE)) AS gcost
+  FROM pars),
+f AS (
+  SELECT event_type, n_gaps, lam0,
+         list_reduce(list_prepend({init}, gaps), (acc, x) -> {merge}) AS st
+  FROM pp)
+SELECT event_type, n_gaps,
+       {E.round6('lam0')} AS lambda0,
+       CAST(CASE WHEN st[1] <= st[2] THEN st[3] ELSE st[4] END AS BIGINT) AS n_bursts,
+       {E.round6('CASE WHEN st[1] <= st[2] THEN st[5] ELSE st[6] END')} AS burst_seconds,
+       {E.round6('least(st[1], st[2])')} AS total_cost
+FROM f ORDER BY event_type
+"""
+
+
 _REGISTRY.update(
     {
         "ts_hmm_viterbi": Query(
@@ -264,6 +410,9 @@ _REGISTRY.update(
         ),
         "forecast_ar2": Query(
             "forecast_ar2", _q_forecast_ar2, _ar2_sql(), ("forecast",)
+        ),
+        "ev_burst_kleinberg": Query(
+            "ev_burst_kleinberg", _q_burst, _burst_sql(), ("tsdb", "anomaly")
         ),
     }
 )

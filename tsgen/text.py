@@ -1357,3 +1357,138 @@ SELECT source, CAST(any_value(st) AS BIGINT) AS n_tokens,
        (round(sum(p * ln(p / q)) + 1.0e-9, 6) + 0.0e0) AS kl_nats
 FROM grid GROUP BY source
 """
+
+
+# --- Gopher quality-filter rule battery --------------------------------------
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_NGRAM_CAPS = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def gopher_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A1.1) — the word-level subset
+    that is meaningful on a space-tokenized corpus: word count in
+    [50, 100k], mean word length in [3, 10], top 2/3/4-gram fraction caps
+    (0.20/0.18/0.16), and the "contains >= 2 common English stop words"
+    rule. (The paper's symbol/bullet/ellipsis line rules need punctuation
+    the synthetic corpus lacks; on it they are vacuously true and omitted
+    rather than padded.)
+
+    Distributed shape: ONE explode of tagged n-grams (n prefixed into the
+    gram string) -> groupBy (doc_id, gram) partial count -> groupBy
+    (doc_id, n) for totals/max — two shuffles on uniform doc-keyed keys,
+    no skew, no Python. Per-doc scalars (word count, mean word length,
+    distinct-stopword hits) ride on the base table and join back on
+    doc_id. Reference anchor: complements text_stats/repetition_stats
+    (SURVEY §2 K4) with the canonical published rule battery.
+    → (doc_id, n_words, mean_word_len, top2_frac, top3_frac, top4_frac,
+       stop_hits, pass_gopher)."""
+    base = df.withColumn("_toks", F.split(F.col(text), " "))
+    nw = F.size("_toks")
+    scalars = base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        ((F.length(text) - (nw - F.lit(1))) / nw).alias("mean_word_len"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("_toks"),
+                F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+            )
+        ).alias("stop_hits"),
+    )
+    # the n-tag is baked into the gram string inside the lambda ('2<TAB>w w')
+    # so ONE explode covers all three gram sizes
+    gram_arrays = [
+        F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN transform("
+            f"sequence(0, size(_toks) - {n}), "
+            f"i -> concat('{n}', char(9), concat_ws(' ', slice(_toks, i + 1, {n})))) "
+            "ELSE array() END"
+        )
+        for n in (2, 3, 4)
+    ]
+    tagged = F.concat(*gram_arrays)
+    grams = (
+        base.select("doc_id", F.explode(tagged).alias("tg"))
+        .groupBy("doc_id", "tg")
+        .agg(F.count("*").alias("c"))
+        .withColumn("n", F.substring("tg", 1, 1).cast("int"))
+        .groupBy("doc_id", "n")
+        .agg(F.sum("c").alias("total"), F.max("c").alias("top"))
+    )
+    fr = grams.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col("top") / F.col("total"))
+            ).alias(f"f{n}")
+            for n in (2, 3, 4)
+        ]
+    )
+    out = scalars.join(fr, "doc_id", "left")
+    caps = GOPHER_NGRAM_CAPS
+    rules = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.coalesce(F.col("f2"), F.lit(0.0)) <= caps[2])
+        & (F.coalesce(F.col("f3"), F.lit(0.0)) <= caps[3])
+        & (F.coalesce(F.col("f4"), F.lit(0.0)) <= caps[4])
+        & (F.col("stop_hits") >= 2)
+    )
+    r6 = lambda c: F.round(c + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        r6(F.col("mean_word_len")).alias("mean_word_len"),
+        r6(F.coalesce(F.col("f2"), F.lit(0.0))).alias("top2_frac"),
+        r6(F.coalesce(F.col("f3"), F.lit(0.0))).alias("top3_frac"),
+        r6(F.coalesce(F.col("f4"), F.lit(0.0))).alias("top4_frac"),
+        F.col("stop_hits").cast("bigint").alias("stop_hits"),
+        rules.alias("pass_gopher"),
+    )
+
+
+GOPHER_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+scalars AS (
+  SELECT doc_id, len(toks) AS n_words,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mwl,
+         len(list_intersect(list_distinct(toks),
+                            [{_in_list(GOPHER_STOPS)}])) AS stop_hits
+  FROM base),
+tg AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        i -> '2' || chr(9) || array_to_string(toks[i:i+1], ' ')) ELSE [] END
+      || CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        i -> '3' || chr(9) || array_to_string(toks[i:i+2], ' ')) ELSE [] END
+      || CASE WHEN len(toks) >= 4 THEN list_transform(range(1, len(toks) - 2),
+        i -> '4' || chr(9) || array_to_string(toks[i:i+3], ' ')) ELSE [] END) AS g
+    FROM base)),
+gc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+gn AS (
+  SELECT doc_id, CAST(substr(g, 1, 1) AS INT) AS n,
+         sum(c) AS total, max(c) AS top
+  FROM gc GROUP BY doc_id, substr(g, 1, 1)),
+fr AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / total END) AS f2,
+         max(CASE WHEN n = 3 THEN CAST(top AS DOUBLE) / total END) AS f3,
+         max(CASE WHEN n = 4 THEN CAST(top AS DOUBLE) / total END) AS f4
+  FROM gn GROUP BY doc_id)
+SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+       (round(s.mwl + 1.0e-9, 6) + 0.0e0) AS mean_word_len,
+       (round(coalesce(f.f2, 0.0e0) + 1.0e-9, 6) + 0.0e0) AS top2_frac,
+       (round(coalesce(f.f3, 0.0e0) + 1.0e-9, 6) + 0.0e0) AS top3_frac,
+       (round(coalesce(f.f4, 0.0e0) + 1.0e-9, 6) + 0.0e0) AS top4_frac,
+       CAST(s.stop_hits AS BIGINT) AS stop_hits,
+       (s.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND s.mwl BETWEEN 3.0e0 AND 1.0e1
+        AND coalesce(f.f2, 0.0e0) <= 2.0e-1
+        AND coalesce(f.f3, 0.0e0) <= 1.8e-1
+        AND coalesce(f.f4, 0.0e0) <= 1.6e-1
+        AND s.stop_hits >= 2) AS pass_gopher
+FROM scalars s LEFT JOIN fr f ON s.doc_id = f.doc_id
+"""
