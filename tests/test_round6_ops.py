@@ -96,3 +96,104 @@ def test_burst_detect_uniform_has_no_bursts(spark):
     r = burst_detect(_events_df(spark, [t.isoformat(sep=" ") for t in ts])).collect()[0]
     assert r.n_bursts == 0
     assert r.burst_seconds == 0.0
+
+
+def test_hits_mutual_reinforcement(spark):
+    from tsgen.queries_experiments import hits_scores
+
+    # supplier 100 is bought by every customer; 200 by one fringe customer
+    edges = spark.createDataFrame(
+        [(c, 100) for c in range(1, 6)] + [(5, 200)],
+        "c long, s long",
+    )
+    out = {(r.side, r.node_id): r.score for r in hits_scores(edges).collect()}
+    assert out[("auth", 100)] > out[("auth", 200)]
+    # hubs: customers 1-4 are symmetric; customer 5 also touches the fringe
+    assert abs(out[("hub", 1)] - out[("hub", 4)]) < 1e-9
+    assert out[("hub", 5)] >= out[("hub", 1)]
+    # L2 normalization: each side's scores have unit norm (6dp rounding)
+    for side in ("hub", "auth"):
+        ss = sum(v * v for (s, _), v in out.items() if s == side)
+        assert abs(ss - 1.0) < 1e-4
+
+
+def test_shapley_efficiency_and_dummy(spark):
+    from tsgen.queries_causal import shapley_attribution
+
+    # conversion iff clicked, with ALL coalitions observed: {view}=no conv,
+    # {click}=conv, {view,click}=conv -> view is a true dummy (adding it
+    # never changes v), click carries all the credit
+    rows = []
+    eid = 0
+    for u in range(40):
+        if u % 4 == 3:  # click-only converters: pins v({click}) = 1
+            rows.append((eid, "2024-01-02 11:00:00", u, "click", 1.0, "{}")); eid += 1
+            rows.append((eid, "2024-01-02 12:00:00", u, "purchase", 1.0, "{}")); eid += 1
+        elif u % 2 == 0:  # view + click converters
+            rows.append((eid, "2024-01-02 10:00:00", u, "view", 1.0, "{}")); eid += 1
+            rows.append((eid, "2024-01-02 11:00:00", u, "click", 1.0, "{}")); eid += 1
+            rows.append((eid, "2024-01-02 12:00:00", u, "purchase", 1.0, "{}")); eid += 1
+        else:  # view-only, no conversion
+            rows.append((eid, "2024-01-02 10:00:00", u, "view", 1.0, "{}")); eid += 1
+    out = {r.channel: r for r in shapley_attribution(_events_df2(spark, rows)).collect()}
+    assert abs(out["click"].shapley - 1.0) < 1e-6  # all credit
+    assert abs(out["view"].shapley) < 1e-6         # exact dummy
+    # efficiency: credits sum to v(grand) - v(empty) = 1 - 0
+    total = sum(r.shapley for r in out.values())
+    assert abs(total - 1.0) < 1e-6
+
+
+def _events_df2(spark, rows):
+    return (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_bh_vs_holm_monotonicity(spark):
+    import random
+
+    from tsgen.queries_causal import ab_bh_fdr, ab_holm
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for et in ["view", "click", "signup"]:
+        for _ in range(2000):
+            u = rng.randrange(800)
+            v = rng.uniform(0, 100)
+            if et == "click" and u % 2 == 1:
+                v += 30
+            rows.append((eid, "2024-01-05 10:00:00", u, et, v, "{}"))
+            eid += 1
+    ev = _events_df2(spark, rows)
+    bh = {r.event_type: r for r in ab_bh_fdr(ev).collect()}
+    hm = {r.event_type: r for r in ab_holm(ev).collect()}
+    assert bh["click"].discovery == 1 and bh["click"].p_bh < 0.001
+    for et in bh:
+        # BH (FDR) is never more conservative than Holm (FWER)
+        assert bh[et].p_bh <= hm[et].p_holm + 1e-9
+        assert bh[et].p_bh >= bh[et].p_value - 1e-9
+
+
+def test_hawkes_selfexcitation_beats_poisson_on_bursty_stream(spark):
+    import datetime as dt
+
+    from tsgen.queries_statemodels import hawkes_loglik
+
+    base = dt.datetime(2024, 1, 1)
+    # bursty stream: clusters of 5 events 10 s apart, clusters 3000 s apart
+    ts = []
+    for c in range(40):
+        start = base + dt.timedelta(seconds=3000 * c)
+        ts += [start + dt.timedelta(seconds=10 * i) for i in range(5)]
+    bursty = hawkes_loglik(_events_df(spark, [t.isoformat(sep=" ") for t in ts])).collect()[0]
+    assert bursty.loglik > bursty.ll_poisson  # self-excitation explains clusters
+    # uniform stream: Hawkes with forced branching ratio can't beat Poisson
+    ts_u = [base + dt.timedelta(seconds=600 * i) for i in range(200)]
+    unif = hawkes_loglik(_events_df(spark, [t.isoformat(sep=" ") for t in ts_u])).collect()[0]
+    assert unif.loglik < unif.ll_poisson

@@ -1345,6 +1345,259 @@ _REGISTRY.update(
 )
 
 
+def ab_bh_fdr(ev: DataFrame) -> DataFrame:
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg, JRSS-B 1995)
+    over the same per-event-type Welch z-tests as ab_holm — the step-UP
+    procedure that controls the expected false-discovery rate instead of
+    familywise error, standard for metric dashboards with many non-
+    guardrail metrics: adjusted p_(r) = min_{j >= r} (m/j) p_(j), i.e. a
+    reverse running min over the p-ordered table, clamped to 1. Same
+    scale shape as ab_holm: one corpus-sized keyed agg, then m-row window
+    arithmetic. -> (event_type, n_a, n_b, mean_diff, z, p_value, p_bh,
+    discovery)."""
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value"))).alias("m0"),
+        F.avg(F.when(F.col("user_id") % 2 == 1, F.col("value"))).alias("m1"),
+        F.avg(F.when(F.col("user_id") % 2 == 0, F.col("value") * F.col("value"))).alias("s0"),
+        F.avg(F.when(F.col("user_id") % 2 == 1, F.col("value") * F.col("value"))).alias("s1"),
+    )
+    g = (
+        g.withColumn("v0", F.col("s0") - F.col("m0") * F.col("m0"))
+        .withColumn("v1", F.col("s1") - F.col("m1") * F.col("m1"))
+        .withColumn(
+            "z",
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")),
+        )
+        .withColumn("p", F.expr(_p_two_sided("z")))
+        .withColumn("p6", F.round(F.col("p") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    from pyspark.sql import Window
+
+    m = F.count("*").over(Window.partitionBy())
+    wr = Window.orderBy("p6", "event_type")
+    wrev = Window.orderBy(F.col("p6").desc(), F.col("event_type").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        g.withColumn("m_tests", m)
+        .withColumn("rnk", F.row_number().over(wr))
+        .withColumn("step", F.col("m_tests") / F.col("rnk") * F.col("p6"))
+        .withColumn("p_bh", F.least(F.lit(1.0), F.min("step").over(wrev)))
+        .select(
+            "event_type",
+            F.col("n0").cast("bigint").alias("n_a"),
+            F.col("n1").cast("bigint").alias("n_b"),
+            (F.col("m1") - F.col("m0")).alias("mean_diff"),
+            "z",
+            F.col("p6").alias("p_value"),
+            "p_bh",
+            (F.col("p_bh") < 0.05).cast("int").cast("bigint").alias("discovery"),
+        )
+    )
+    out = roundn(out, 4, "mean_diff")
+    return roundn(out, 6, "z", "p_bh")
+
+
+def _q_ab_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_bh_fdr(_events(spark, sf_dir))
+
+
+def _ab_bh_sql() -> str:
+    p_expr = _p_two_sided("z")
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         avg(CASE WHEN user_id % 2 = 0 THEN value END) AS m0,
+         avg(CASE WHEN user_id % 2 = 1 THEN value END) AS m1,
+         avg(CASE WHEN user_id % 2 = 0 THEN value * value END) AS s0,
+         avg(CASE WHEN user_id % 2 = 1 THEN value * value END) AS s1
+  FROM events GROUP BY event_type),
+zt AS (
+  SELECT *, (round({p_expr} + 1.0e-9, 6) + 0.0e0) AS p6 FROM (
+    SELECT *, (m1 - m0) / sqrt(v1 / n1 + v0 / n0) AS z FROM (
+      SELECT *, s0 - m0 * m0 AS v0, s1 - m1 * m1 AS v1 FROM g))),
+bh AS (
+  SELECT *,
+         least(1.0e0,
+               min(CAST(m_tests AS DOUBLE) / rnk * p6)
+                 OVER (ORDER BY p6 DESC, event_type DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS p_bh
+  FROM (
+    SELECT *, count(*) OVER () AS m_tests,
+           row_number() OVER (ORDER BY p6, event_type) AS rnk
+    FROM zt))
+SELECT event_type, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+       (round(m1 - m0 + 1.0e-9, 4) + 0.0e0) AS mean_diff,
+       (round(z + 1.0e-9, 6) + 0.0e0) AS z,
+       p6 AS p_value,
+       (round(p_bh + 1.0e-9, 6) + 0.0e0) AS p_bh,
+       CAST(CASE WHEN p_bh < 5.0e-2 THEN 1 ELSE 0 END AS BIGINT) AS discovery
+FROM bh
+"""
+
+
+# --- exact Shapley-value channel attribution ---------------------------------
+def shapley_attribution(ev: DataFrame) -> DataFrame:
+    """Exact Shapley-value marketing attribution (Shapley 1953; applied to
+    conversion credit by Dalessandro et al., ADKDD 2012, "Causally
+    motivated attribution for online advertising"): channels are the
+    non-purchase event types, a user's coalition is the SET of channels
+    they touched, v(S) is the empirical conversion rate of users whose
+    touched set is exactly S (unobserved coalitions get v = 0), and each
+    channel's credit is the exact Shapley sum
+
+        phi(i) = sum_{S not containing i} |S|!(k-|S|-1)!/k! (v(S u i) - v(S))
+
+    — the unique attribution satisfying efficiency/symmetry/dummy, the
+    principled alternative to last-touch (ev_attribution) and the Markov
+    removal-effect model (ev_attribution_markov).
+
+    Scale shape: corpus-sized work is ONE user-keyed agg (bitmask of
+    touched channels + converted flag) and ONE mask-keyed agg (<= 2^k
+    rows); the Shapley enumeration runs on a 2^k x k grid (k = distinct
+    channels, 4 here; the subset table is generated, never shuffled) with
+    every small table broadcast. Bitmasks/factorials evaluate identically
+    in both engines (integer ops).
+    -> (channel, n_users, v_single, shapley)."""
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    ch = ch.withColumn(
+        "idx", F.row_number().over(Window.orderBy("channel")) - 1
+    )
+    kdf = ch.agg(F.count("*").cast("int").alias("k"))
+    # per-user coalition mask: OR of touched-channel bits = sum of DISTINCT
+    # per-channel bit values (each idx contributes its bit at most once)
+    um = (
+        ev.join(F.broadcast(ch), ev.event_type == ch.channel, "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.expr("sum(DISTINCT CASE WHEN idx IS NOT NULL THEN shiftleft(1, idx) END)"),
+                F.lit(0),
+            ).cast("bigint").alias("mask"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .select("user_id", "mask", "conv")
+    )
+    vm = um.groupBy("mask").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("nc")
+    ).select("mask", (F.col("nc") / F.col("n")).alias("v"))
+    subsets = kdf.select(
+        "k", F.explode(F.expr("sequence(0, shiftleft(1, k) - 1)")).alias("smask")
+    )
+    pairs = (
+        subsets.crossJoin(F.broadcast(ch))
+        .filter(F.expr("(shiftright(smask, idx) & 1) = 0"))
+        .withColumn("smask_i", F.expr("smask | shiftleft(1, idx)"))
+        .withColumn(
+            "w",
+            F.expr(
+                "CAST(factorial(bit_count(smask)) AS DOUBLE)"
+                " * factorial(k - bit_count(smask) - 1) / factorial(k)"
+            ),
+        )
+    )
+    pairs = (
+        pairs.join(F.broadcast(vm.select(F.col("mask").alias("smask"), F.col("v").alias("v0"))), "smask", "left")
+        .join(F.broadcast(vm.select(F.col("mask").alias("smask_i"), F.col("v").alias("v1"))), "smask_i", "left")
+        .withColumn("v0", F.coalesce("v0", F.lit(0.0)))
+        .withColumn("v1", F.coalesce("v1", F.lit(0.0)))
+    )
+    shap = pairs.groupBy("channel", "idx").agg(
+        F.sum(F.col("w") * (F.col("v1") - F.col("v0"))).alias("shapley")
+    )
+    touched = (
+        um.crossJoin(F.broadcast(ch))
+        .filter(F.expr("(shiftright(mask, idx) & 1) = 1"))
+        .groupBy("channel")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    single = ch.join(
+        F.broadcast(vm), F.expr("mask = shiftleft(1, idx)"), "left"
+    ).select("channel", F.coalesce("v", F.lit(0.0)).alias("v_single"))
+    out = (
+        shap.join(touched, "channel", "left")
+        .join(single, "channel")
+        .select(
+            "channel",
+            F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+            (F.round(F.col("v_single") + F.lit(1e-9), 6) + F.lit(0.0)).alias("v_single"),
+            (F.round(F.col("shapley") + F.lit(1e-9), 6) + F.lit(0.0)).alias("shapley"),
+        )
+        .orderBy("channel")
+    )
+    return out
+
+
+def _q_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shapley_attribution(_events(spark, sf_dir))
+
+
+_SHAPLEY_SQL = """
+WITH ch AS (
+  SELECT channel, row_number() OVER (ORDER BY channel) - 1 AS idx
+  FROM (SELECT DISTINCT event_type AS channel FROM events
+        WHERE event_type <> 'purchase')),
+kk AS (SELECT CAST(count(*) AS INT) AS k FROM ch),
+um AS (
+  SELECT e.user_id,
+         coalesce(sum(DISTINCT CASE WHEN c.idx IS NOT NULL
+                                    THEN (1 << c.idx) END), 0) AS mask,
+         max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events e LEFT JOIN ch c ON e.event_type = c.channel
+  GROUP BY e.user_id),
+vm AS (
+  SELECT mask, CAST(sum(conv) AS DOUBLE) / count(*) AS v
+  FROM um GROUP BY mask),
+subsets AS (
+  SELECT kk.k, CAST(s.s AS BIGINT) AS smask
+  FROM kk, unnest(range(0, 1 << kk.k)) s(s)),
+pairs AS (
+  SELECT c.channel, c.idx, sb.smask, sb.smask | (1 << c.idx) AS smask_i,
+         CAST(factorial(CAST(bit_count(sb.smask) AS INTEGER)) AS DOUBLE)
+           * factorial(CAST(sb.k - bit_count(sb.smask) - 1 AS INTEGER))
+           / factorial(sb.k) AS w
+  FROM subsets sb CROSS JOIN ch c
+  WHERE ((sb.smask >> c.idx) & 1) = 0),
+pv AS (
+  SELECT p.channel, p.idx, p.w,
+         coalesce(v0.v, 0.0e0) AS v0, coalesce(v1.v, 0.0e0) AS v1
+  FROM pairs p
+  LEFT JOIN vm v0 ON v0.mask = p.smask
+  LEFT JOIN vm v1 ON v1.mask = p.smask_i),
+shap AS (
+  SELECT channel, idx, sum(w * (v1 - v0)) AS shapley FROM pv
+  GROUP BY channel, idx),
+touched AS (
+  SELECT c.channel, CAST(count(*) AS BIGINT) AS n_users
+  FROM um u CROSS JOIN ch c
+  WHERE ((u.mask >> c.idx) & 1) = 1
+  GROUP BY c.channel),
+single AS (
+  SELECT c.channel, coalesce(vm.v, 0.0e0) AS v_single
+  FROM ch c LEFT JOIN vm ON vm.mask = (1 << c.idx))
+SELECT s.channel, coalesce(t.n_users, 0) AS n_users,
+       (round(g.v_single + 1.0e-9, 6) + 0.0e0) AS v_single,
+       (round(s.shapley + 1.0e-9, 6) + 0.0e0) AS shapley
+FROM shap s LEFT JOIN touched t ON s.channel = t.channel
+JOIN single g ON s.channel = g.channel
+ORDER BY s.channel
+"""
+
+
 # --- uplift / Qini curve ----------------------------------------------------
 QINI_K = 10
 
@@ -1449,5 +1702,11 @@ FROM cum ORDER BY decile
 _REGISTRY.update(
     {
         "ev_qini": Query("ev_qini", _q_qini, _QINI_SQL, ("causal", "experiment")),
+        "ev_shapley_attr": Query(
+            "ev_shapley_attr", _q_shapley, _SHAPLEY_SQL, ("causal", "product")
+        ),
+        "ev_bh_fdr": Query(
+            "ev_bh_fdr", _q_ab_bh, _ab_bh_sql(), ("causal", "experiment")
+        ),
     }
 )

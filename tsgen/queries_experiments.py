@@ -653,6 +653,114 @@ def _ppr_sql() -> str:
     )
 
 
+# --- HITS hubs & authorities -------------------------------------------------
+HITS_ITER = 8
+
+
+def _r9h(x: str) -> str:
+    return f"(round(({x}) + 1.0e-12, 9) + 0.0e0)"
+
+
+def hits_scores(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
+    """HITS (Kleinberg, JACM 1999 "Authoritative sources in a hyperlinked
+    environment"): mutual reinforcement on a DIRECTED graph — here the
+    customer->supplier purchase bipartite graph, where hub customers are
+    broad consistent buyers and authority suppliers are the ones hub
+    customers concentrate on. Power iteration with L2 normalization:
+    a <- A^T h / ||.||, h <- A a / ||.||, `n_iter` rounds. Per round: two
+    keyed equi-join+sum passes over the edge list (the same shape as one
+    pagerank round) and two 1-row broadcast norms; scores are rounded to
+    9dp after every normalize in BOTH engines so sqrt/division ulp noise
+    cannot compound (the repo's iterative-float discipline). The edge
+    list is distinct (cust, supp) pairs — bounded by |C|x|S|, uniform
+    keys, no skew.
+    -> (side, node_id, score) for side in ('hub' = customer,
+       'auth' = supplier)."""
+    e = edges.select("c", "s").distinct().localCheckpoint(eager=False)
+    hubs = e.select("c").distinct()
+    nc = hubs.agg(F.count("*").alias("n"))
+    h = hubs.crossJoin(F.broadcast(nc)).select(
+        "c", F.expr(_r9h("1.0e0 / sqrt(CAST(n AS DOUBLE))")).alias("h")
+    )
+    a = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(h, "c").groupBy("s").agg(F.sum("h").alias("ar"))
+        )
+        an = a_raw.agg(F.expr("sqrt(sum(ar * ar))").alias("nrm"))
+        a = a_raw.crossJoin(F.broadcast(an)).select(
+            "s", F.expr(_r9h("ar / nrm")).alias("a")
+        ).localCheckpoint(eager=False)
+        h_raw = e.join(a, "s").groupBy("c").agg(F.sum("a").alias("hr"))
+        hn = h_raw.agg(F.expr("sqrt(sum(hr * hr))").alias("nrm"))
+        h = h_raw.crossJoin(F.broadcast(hn)).select(
+            "c", F.expr(_r9h("hr / nrm")).alias("h")
+        ).localCheckpoint(eager=False)
+    out = h.select(
+        F.lit("hub").alias("side"), F.col("c").cast("bigint").alias("node_id"),
+        F.col("h").alias("score"),
+    ).unionAll(
+        a.select(
+            F.lit("auth").alias("side"), F.col("s").cast("bigint").alias("node_id"),
+            F.col("a").alias("score"),
+        )
+    ).orderBy("side", "node_id")
+    return round6(out, "score")
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+    return hits_scores(edges)
+
+
+def _hits_sql(n_iter: int = HITS_ITER) -> str:
+    from . import expr as E
+
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""",
+        "nc AS (SELECT CAST(count(DISTINCT c) AS DOUBLE) AS n FROM e)",
+        f"h0 AS (SELECT DISTINCT c, {_r9h('1.0e0 / sqrt(nc.n)')} AS h"
+        " FROM e CROSS JOIN nc)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""ar{i + 1} AS MATERIALIZED (
+  SELECT e.s, sum(h.h) AS ar FROM e JOIN h{i} h USING (c) GROUP BY e.s)"""
+        )
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT s, {_r9h('ar / nrm')} AS a"
+            f" FROM ar{i + 1} CROSS JOIN (SELECT sqrt(sum(ar * ar)) AS nrm"
+            f" FROM ar{i + 1}))"
+        )
+        ctes.append(
+            f"""hr{i + 1} AS MATERIALIZED (
+  SELECT e.c, sum(a.a) AS hr FROM e JOIN a{i + 1} a USING (s) GROUP BY e.c)"""
+        )
+        ctes.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT c, {_r9h('hr / nrm')} AS h"
+            f" FROM hr{i + 1} CROSS JOIN (SELECT sqrt(sum(hr * hr)) AS nrm"
+            f" FROM hr{i + 1}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT side, node_id, score FROM (
+  SELECT 'hub' AS side, CAST(c AS BIGINT) AS node_id,
+         {E.round6('h')} AS score FROM h{n_iter}
+  UNION ALL
+  SELECT 'auth' AS side, CAST(s AS BIGINT) AS node_id,
+         {E.round6('a')} AS score FROM a{n_iter})
+ORDER BY side, node_id"""
+    )
+
+
 _REGISTRY.update(
     {
         "ev_attribution_multi": Query(
@@ -679,6 +787,7 @@ _REGISTRY.update(
             "graph_pagerank", _q_pagerank, _pagerank_sql(), ("graph",)
         ),
         "graph_ppr": Query("graph_ppr", _q_ppr, _ppr_sql(), ("graph",)),
+        "graph_hits": Query("graph_hits", _q_hits, _hits_sql(), ("graph",)),
     }
 )
 

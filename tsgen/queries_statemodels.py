@@ -403,6 +403,135 @@ FROM f ORDER BY event_type
 """
 
 
+# --- Hawkes self-excitation log-likelihood ------------------------------------
+HAWKES_BETA = 1.0 / 300.0   # 5-minute exponential kernel decay
+HAWKES_BR = 0.5             # branching ratio alpha/beta
+HAWKES_BG = 0.5             # background fraction: mu = BG * n / T
+
+
+def _hawkes_exprs(spark_dialect: bool):
+    """Shared Ozaki-recursion fold: state = [R, sum_log_intensity]."""
+    if spark_dialect:
+        arr = lambda xs: "array(" + ", ".join(xs) + ")"  # noqa: E731
+        ix = lambda v, k: f"{v}[{k}]"  # noqa: E731
+        x = "x"
+    else:
+        arr = lambda xs: "[" + ", ".join(xs) + "]"  # noqa: E731
+        ix = lambda v, k: f"{v}[{k + 1}]"  # noqa: E731
+        x = "x[1]"  # gaps are 1-element lists so list_reduce type-checks
+    r, sl = ix("acc", 0), ix("acc", 1)
+    nr = _r9(f"exp(-bet * {x}) * (1.0e0 + {r})")
+    # intensity just before event i+1: mu + alpha * R'(i+1)
+    nsl = _r9(f"{sl} + ln(mu + alph * {nr})")
+    merge = arr([nr, nsl])
+    init = arr(["0.0e0", _r9("ln(mu)")])
+    return init, merge
+
+
+def hawkes_loglik(ev: DataFrame) -> DataFrame:
+    """Hawkes self-exciting point-process fit readout (Hawkes 1971;
+    log-likelihood and O(n) recursion from Ozaki, Ann. Inst. Statist.
+    Math. 1979): per event type, with exponential kernel
+    g(t) = alpha*exp(-beta*t), the conditional intensity recursion
+    R(i) = exp(-beta*(t_i - t_{i-1})) * (1 + R(i-1)) gives
+
+        ll = sum_i ln(mu + alpha*R(i)) - mu*T - (alpha/beta) *
+             sum_i (1 - exp(-beta*(T - t_i)))
+
+    Background rate mu = BG*n/T (half the events ascribed to background),
+    alpha = BR*beta. The recursion is a pure Catalyst `aggregate` left
+    fold over integer-second gaps (the ts_hmm_viterbi mechanism — no UDF,
+    no Python, O(n) per type); the compensator sum is a second fold whose
+    per-term exp is rounded at 9dp in both engines. The excess of ll over
+    the Poisson log-likelihood at the same mu-hat reads out how much
+    self-excitation (burstiness) the stream carries — the generative
+    counterpart of ev_burst_kleinberg's decoder.
+    -> (event_type, n_events, r_end, loglik, ll_poisson)."""
+    init, merge = _hawkes_exprs(spark_dialect=True)
+    wide = (
+        ev.select("event_type", F.unix_timestamp("ts").alias("es"))
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("es")).alias("tss"))
+        .filter(F.size("tss") >= 3)
+        .withColumn(
+            "gaps",
+            F.expr(
+                "transform(sequence(1, size(tss) - 1),"
+                " i -> CAST(tss[i] - tss[i - 1] AS DOUBLE))"
+            ),
+        )
+        .withColumn("n", F.size("tss").cast("bigint"))
+        .withColumn(
+            "tspan",
+            (F.element_at("tss", -1) - F.element_at("tss", 1)).cast("double"),
+        )
+        .withColumn("mu", F.expr(f"{E.NUM(HAWKES_BG)} * CAST(n AS DOUBLE) / tspan"))
+        .withColumn("bet", F.lit(HAWKES_BETA))
+        .withColumn("alph", F.expr(f"{E.NUM(HAWKES_BR)} * bet"))
+    )
+    folded = wide.withColumn(
+        "st", F.expr(f"aggregate(gaps, {init}, (acc, x) -> {merge})")
+    ).withColumn(
+        "comp_sum",
+        F.expr(
+            "aggregate(transform(tss, t -> "
+            + _r9("1.0e0 - exp(-bet * CAST(tss[size(tss) - 1] - t AS DOUBLE))")
+            + "), 0.0e0, (a, v) -> a + v)"
+        ),
+    )
+    out = folded.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr("st[0]").alias("r_end"),
+        F.expr(
+            "st[1] - mu * tspan - (alph / bet) * comp_sum"
+        ).alias("loglik"),
+        # Poisson LL at the same empirical rate n/T: n*ln(n/T) - n
+        F.expr(
+            "CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE) / tspan) - CAST(n AS DOUBLE)"
+        ).alias("ll_poisson"),
+    ).orderBy("event_type")
+    return round6(out, "r_end", "loglik", "ll_poisson")
+
+
+def _q_hawkes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hawkes_loglik(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _hawkes_sql() -> str:
+    init, merge = _hawkes_exprs(spark_dialect=False)
+    term = _r9("1.0e0 - exp(-bet * CAST(tss[-1] - t AS DOUBLE))")
+    return f"""
+WITH es AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+w AS (SELECT event_type, list(es ORDER BY es) AS tss FROM es GROUP BY event_type),
+pars AS (
+  SELECT event_type, tss,
+         list_transform(range(2, len(tss) + 1),
+                        i -> [CAST(tss[i] - tss[i - 1] AS DOUBLE)]) AS gaps,
+         CAST(len(tss) AS BIGINT) AS n,
+         CAST(tss[-1] - tss[1] AS DOUBLE) AS tspan
+  FROM w WHERE len(tss) >= 3),
+pp AS (
+  SELECT *, {E.NUM(HAWKES_BG)} * CAST(n AS DOUBLE) / tspan AS mu,
+         {E.NUM(HAWKES_BETA)} AS bet,
+         {E.NUM(HAWKES_BR)} * {E.NUM(HAWKES_BETA)} AS alph
+  FROM pars),
+f AS (
+  SELECT event_type, n, mu, bet, alph, tspan,
+         list_reduce(list_prepend({init}, gaps), (acc, x) -> {merge}) AS st,
+         list_reduce(list_prepend(0.0e0,
+             list_transform(tss, t -> {term})), (a, v) -> a + v) AS comp_sum
+  FROM pp)
+SELECT event_type, n AS n_events,
+       {E.round6('st[1]')} AS r_end,
+       {E.round6('st[2] - mu * tspan - (alph / bet) * comp_sum')} AS loglik,
+       {E.round6('CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE) / tspan)'
+                 ' - CAST(n AS DOUBLE)')} AS ll_poisson
+FROM f ORDER BY event_type
+"""
+
+
 _REGISTRY.update(
     {
         "ts_hmm_viterbi": Query(
@@ -413,6 +542,9 @@ _REGISTRY.update(
         ),
         "ev_burst_kleinberg": Query(
             "ev_burst_kleinberg", _q_burst, _burst_sql(), ("tsdb", "anomaly")
+        ),
+        "ev_hawkes_loglik": Query(
+            "ev_hawkes_loglik", _q_hawkes, _hawkes_sql(), ("tsdb", "anomaly")
         ),
     }
 )

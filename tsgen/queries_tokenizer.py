@@ -253,9 +253,11 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _bpe_encode_sql(iters: int = BPE_ITERS) -> str:
-    """Train chain (w0/s0..s{n}/b1..b{n} from _bpe_sql) + a word-keyed
-    encode chain e0..e{n} applying each learned merge, then doc join."""
+def _bpe_encode_ctes(iters: int = BPE_ITERS) -> str:
+    """Train chain (w0/s0..s{n}/b1..b{n} from _bpe_ctes) + a word-keyed
+    encode chain e0..e{n} applying each learned merge, ending at the
+    per_doc (doc_id, n_words, n_tokens) CTE — no final SELECT, shared by
+    _bpe_encode_sql and _tok_fertility_sql."""
     sa, sb = "chr(1)", "chr(2)"
     sep = f"{sb} || {sa}"
     parts = [_bpe_ctes(iters)]
@@ -285,13 +287,75 @@ toks AS (
 per_doc AS (
   SELECT wc.doc_id, CAST(sum(wc.cnt) AS BIGINT) AS n_words,
          CAST(sum(wc.cnt * toks.n_sym) AS BIGINT) AS n_tokens
-  FROM wc JOIN toks USING (word) GROUP BY wc.doc_id)
+  FROM wc JOIN toks USING (word) GROUP BY wc.doc_id)""")
+    return "".join(parts)
+
+
+def _bpe_encode_sql(iters: int = BPE_ITERS) -> str:
+    return (
+        _bpe_encode_ctes(iters)
+        + """
 SELECT p.doc_id, p.n_words, p.n_tokens,
        (round(CAST(length(d.text) AS DOUBLE) / p.n_tokens + 1.0e-9, 6) + 0.0e0)
          AS chars_per_token
 FROM per_doc p JOIN documents d USING (doc_id)
-ORDER BY p.doc_id""")
-    return "".join(parts)
+ORDER BY p.doc_id"""
+    )
+
+
+def _tok_fertility_sql(iters: int = BPE_ITERS) -> str:
+    return (
+        _bpe_encode_ctes(iters)
+        + """
+SELECT d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       (round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words) + 1.0e-9, 6)
+        + 0.0e0) AS fertility,
+       (round(CAST(sum(length(d.text)) AS DOUBLE) / sum(p.n_tokens) + 1.0e-9, 6)
+        + 0.0e0) AS chars_per_token
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source"""
+    )
+
+
+def tok_fertility(docs: DataFrame, iters: int = BPE_ITERS, text: str = "text") -> DataFrame:
+    """Tokenizer fertility by (lang, source): tokens per word and chars per
+    token under the corpus-trained BPE — the standard readout for how well
+    a tokenizer serves each slice of a multilingual corpus (high fertility
+    = that language pays more compute per word; cf. the fertility tables
+    in XLM-R, Conneau et al. 2020, and the tokenizer sections of BLOOM,
+    Scao et al. 2022). Rolls the bpe_encode per-doc billing up one keyed
+    agg; all corpus-scale stages are inherited from bpe_encode (vocab-
+    sized merge application, word-keyed join back).
+    → (lang, source, n_docs, n_words, n_tokens, fertility, chars_per_token)."""
+    per_doc = bpe_encode(docs, iters=iters, text=text).select(
+        "doc_id", "n_words", "n_tokens"
+    )
+    out = (
+        per_doc.join(docs.select("doc_id", "lang", "source", F.length(text).alias("chars")), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.round(F.sum("n_tokens") / F.sum("n_words") + F.lit(1e-9), 6)
+                + F.lit(0.0)
+            ).alias("fertility"),
+            (
+                F.round(F.sum("chars") / F.sum("n_tokens") + F.lit(1e-9), 6)
+                + F.lit(0.0)
+            ).alias("chars_per_token"),
+        )
+    )
+    return out.orderBy("lang", "source")
+
+
+def _q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tok_fertility(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def bm25_topk(
@@ -540,6 +604,9 @@ _REGISTRY.update(
         "bpe_train": Query("bpe_train", _q_bpe_train, _bpe_sql(), ("text", "llm")),
         "bpe_encode": Query(
             "bpe_encode", _q_bpe_encode, _bpe_encode_sql(), ("text", "llm")
+        ),
+        "tok_fertility": Query(
+            "tok_fertility", _q_tok_fertility, _tok_fertility_sql(), ("text", "llm")
         ),
         "doc_bm25": Query("doc_bm25", _q_doc_bm25, _bm25_sql(), ("text", "llm")),
         "doc_bm25_ndcg": Query(
