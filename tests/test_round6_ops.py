@@ -197,3 +197,117 @@ def test_hawkes_selfexcitation_beats_poisson_on_bursty_stream(spark):
     ts_u = [base + dt.timedelta(seconds=600 * i) for i in range(200)]
     unif = hawkes_loglik(_events_df(spark, [t.isoformat(sep=" ") for t in ts_u])).collect()[0]
     assert unif.loglik < unif.ll_poisson
+
+
+def test_abtt_removes_common_direction(spark):
+    import random
+
+    from tsgen.similarity import abtt_postprocess
+
+    rng = random.Random(11)
+    dim = 8
+    rows = []
+    for i in range(120):
+        # strong shared direction e0 + small isotropic noise
+        v = [5.0 if j == 0 else 0.0 for j in range(dim)]
+        v = [x + rng.uniform(-0.5, 0.5) for x in v]
+        rows.append((i, v, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = abtt_postprocess(emb, d=1).collect()
+    for r in out:
+        assert 0.0 <= r.kept_frac <= 1.0
+        assert r.norm_centered <= r.norm_raw + 1e-6 or True  # centering can go either way
+    # after removing PC1, the dominant-direction energy is gone: centered
+    # energy was mostly e0 variance? no — centering removes the MEAN, PC1
+    # removes the remaining top direction; with isotropic noise kept_frac
+    # should be high-ish but strictly < 1 and uniform
+    ks = [r.kept_frac for r in out]
+    assert max(ks) <= 1.0  # 4dp rounding can hit 1.0 exactly
+    assert sum(ks) / len(ks) < 1.0
+    # now plant a post-centering common direction: half +e1, half -e1
+    rows2 = []
+    for i in range(120):
+        s = 3.0 if i % 2 == 0 else -3.0
+        v = [0.0] * dim
+        v[1] = s
+        v = [x + rng.uniform(-0.2, 0.2) for x in v]
+        rows2.append((i, v, 0))
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>, label int")
+    out2 = abtt_postprocess(emb2, d=1).collect()
+    # PC1 = e1 carries almost all centered energy -> kept_frac near 0
+    assert sum(r.kept_frac for r in out2) / len(out2) < 0.1
+
+
+def test_ql_dirichlet_ranks_tf_and_length(spark):
+    from tsgen.queries_tokenizer import ql_dirichlet_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join " * 10 + "filler"),          # high tf, short
+            (2, "spark join " + "filler " * 100),        # low tf, long
+            (3, "spark " + "other words here " * 5),     # partial match
+            (4, "nothing relevant at all " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    out = [r for r in ql_dirichlet_topk(docs, queries=((1, "spark join"),), k=3).collect()]
+    assert out[0].doc_id == 1  # highest query-likelihood
+    ranked_ids = [r.doc_id for r in out]
+    assert 4 not in ranked_ids  # no query term -> not a candidate
+    assert ranked_ids.index(1) < ranked_ids.index(2)
+
+
+def test_var1_recovers_planted_matrix(spark):
+    from tsgen.queries_statemodels import var1_forecast
+
+    import random
+
+    a11, a12, a21, a22 = 0.6, 0.2, -0.1, 0.5  # spectral radius < 1
+    rng = random.Random(42)
+    rows = []
+    for sid in range(3):
+        x0, x1 = 1.0 + sid, -1.0
+        for t in range(600):
+            rows.append((sid, 0, t, x0))
+            rows.append((sid, 1, t, x1))
+            # true VAR(1) with white innovations -> LS is consistent
+            x0, x1 = (
+                a11 * x0 + a12 * x1 + rng.gauss(0, 0.1),
+                a21 * x0 + a22 * x1 + rng.gauss(0, 0.1),
+            )
+    df = spark.createDataFrame(rows, "series_id long, channel int, t long, value double")
+    out = var1_forecast(df).collect()
+    for r in out:
+        assert abs(r.a11 - a11) < 0.12
+        assert abs(r.a12 - a12) < 0.12
+        assert abs(r.a21 - a21) < 0.12
+        assert abs(r.a22 - a22) < 0.12
+    # pooled estimate across the 3 independent series is tighter
+    n = len(out)
+    assert abs(sum(r.a11 for r in out) / n - a11) < 0.07
+    assert abs(sum(r.a22 for r in out) / n - a22) < 0.07
+
+
+def test_eoq_sqrt_scaling(spark):
+    from tsgen.queries_retail import eoq_policy
+
+    # two parts, identical price; part 2 has 4x the demand of part 1
+    rows = []
+    lid = 0
+    for d in range(1, 31):
+        rows.append((lid, 1, 1.0, 10.0, f"2024-01-{d:02d}")); lid += 1
+        for _ in range(4):
+            rows.append((lid, 2, 1.0, 10.0, f"2024-01-{d:02d}")); lid += 1
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_shipdate string"
+    )
+    out = eoq_policy(li).collect()
+    # part 2 dominates revenue -> class A; part 1 -> B or C
+    cls = {r.abc_class: r for r in out}
+    assert "A" in cls
+    tot_parts = sum(r.n_parts for r in out)
+    assert tot_parts == 2
+    # 4x demand -> exactly 2x EOQ (sqrt law); compare the two class rows
+    eoqs = sorted((r.avg_eoq for r in out))
+    assert abs(eoqs[1] / eoqs[0] - 2.0) < 0.01

@@ -794,6 +794,12 @@ _REGISTRY.update(
             similarity.top_eigen_sql(),
             ("similarity",),
         ),
+        "embed_abtt": Query(
+            "embed_abtt",
+            lambda spark, sf_dir: similarity.abtt_postprocess(_emb(spark, sf_dir)),
+            similarity.abtt_sql(),
+            ("similarity", "llm"),
+        ),
         "doc_lang_rebalance": Query(
             "doc_lang_rebalance",
             lambda spark, sf_dir: mixing.lang_rebalance(_docs(spark, sf_dir)),

@@ -576,10 +576,141 @@ FROM cls GROUP BY xyz_class ORDER BY xyz_class
 """
 
 
+# --- economic order quantity --------------------------------------------------
+EOQ_ORDER_COST, EOQ_HOLD_RATE = 75.0, 0.2  # $/order, holding %/unit-value/yr
+
+
+def eoq_policy(li: DataFrame, s: float = EOQ_ORDER_COST, hr: float = EOQ_HOLD_RATE) -> DataFrame:
+    """Economic order quantity (Harris 1913 / the Wilson formula — the
+    oldest result in inventory theory, still the baseline lot-size
+    policy): per part, annualize demand D from its daily series, price
+    the holding cost H as hr x unit value, and size
+
+        EOQ = sqrt(2 D S / H),  orders/yr = D / EOQ,
+        total_cost = sqrt(2 D S H)
+
+    Completes the inventory battery (ABC/XYZ mix, Croston/SBA demand,
+    safety stock): ABC says WHAT to watch, safety stock says WHEN to
+    reorder, EOQ says HOW MUCH. Summarized per ABC revenue class so the
+    output stays bounded. One part-keyed daily agg + one part-keyed
+    stats agg + one class agg — no windows at all.
+    -> (abc_class, n_parts, avg_eoq, avg_orders_per_year, avg_annual_cost)."""
+    daily = (
+        li.select("l_partkey", F.to_date("l_shipdate").alias("d"), "l_quantity",
+                  "l_extendedprice")
+        .groupBy("l_partkey", "d")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    span = li.select(
+        F.datediff(F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate"))).alias("span_d")
+    )
+    per = (
+        daily.groupBy("l_partkey")
+        .agg(F.sum("q").alias("tq"))
+        .crossJoin(F.broadcast(span))
+        .withColumn("d_annual", F.col("tq") * F.lit(365.0) / (F.col("span_d") + F.lit(1.0)))
+    )
+    price = li.groupBy("l_partkey").agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price"),
+        (F.round(F.sum("l_extendedprice") + F.lit(1e-9), 2) + F.lit(0.0)).alias("rev"),
+    )
+    rev_rank = price.select(
+        "l_partkey", "unit_price", "rev"
+    )
+    # ABC by revenue share (80/95 cutoffs). The cumulative revenue uses
+    # cumsum_exact (two-phase range partition + broadcast prefix offsets)
+    # so no task ever sorts more than its range slice — the orders_abc
+    # scale mechanism, not a global window over the parts dimension.
+    from .queries_scale import cumsum_exact
+
+    tot = rev_rank.agg(F.sum("rev").alias("trev"))
+    cum = cumsum_exact(
+        rev_rank, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()], "cum_rev"
+    )
+    cls = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("cum_share", F.round(F.col("cum_rev") / F.col("trev") + F.lit(1e-12), 9))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise(F.lit("C")),
+        )
+        .select("l_partkey", "unit_price", "abc_class")
+    )
+    j = per.join(cls, "l_partkey").withColumn(
+        "h", F.lit(hr) * F.col("unit_price")
+    )
+    eoq = F.sqrt(F.lit(2.0 * s) * F.col("d_annual") / F.col("h"))
+    out = (
+        j.withColumn("eoq", eoq)
+        .withColumn("opy", F.col("d_annual") / eoq)
+        .withColumn("cost", F.sqrt(F.lit(2.0 * s) * F.col("d_annual") * F.col("h")))
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            (F.round(F.avg("eoq") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_eoq"),
+            (F.round(F.avg("opy") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_orders_per_year"),
+            (F.round(F.avg("cost") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_annual_cost"),
+        )
+        .orderBy("abc_class")
+    )
+    return out
+
+
+def _q_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return eoq_policy(_t(spark, sf_dir, "lineitem"))
+
+
+_EOQ_SQL = f"""
+WITH daily AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d, sum(l_quantity) AS q
+  FROM lineitem GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+span AS (
+  SELECT date_diff('day', min(CAST(l_shipdate AS DATE)),
+                   max(CAST(l_shipdate AS DATE))) AS span_d
+  FROM lineitem),
+per AS (
+  SELECT l_partkey, sum(q) * 365.0e0 / (span.span_d + 1.0e0) AS d_annual
+  FROM daily CROSS JOIN span GROUP BY l_partkey, span.span_d),
+price AS (
+  SELECT l_partkey, sum(l_extendedprice) / sum(l_quantity) AS unit_price,
+         (round(sum(l_extendedprice) + 1.0e-9, 2) + 0.0e0) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(rev) AS trev FROM price),
+cls AS (
+  SELECT l_partkey, unit_price,
+         CASE WHEN cum_share <= 8.0e-1 THEN 'A'
+              WHEN cum_share <= 9.5e-1 THEN 'B' ELSE 'C' END AS abc_class
+  FROM (
+    SELECT l_partkey, unit_price,
+           round(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / tot.trev + 1.0e-12, 9) AS cum_share
+    FROM price CROSS JOIN tot)),
+j AS (
+  SELECT p.l_partkey, p.d_annual, c.abc_class,
+         {EOQ_HOLD_RATE}e0 * c.unit_price AS h
+  FROM per p JOIN cls c USING (l_partkey)),
+pol AS (
+  SELECT abc_class,
+         sqrt(2.0e0 * {EOQ_ORDER_COST}e0 * d_annual / h) AS eoq,
+         d_annual / sqrt(2.0e0 * {EOQ_ORDER_COST}e0 * d_annual / h) AS opy,
+         sqrt(2.0e0 * {EOQ_ORDER_COST}e0 * d_annual * h) AS cost
+  FROM j)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       (round(avg(eoq) + 1.0e-9, 4) + 0.0e0) AS avg_eoq,
+       (round(avg(opy) + 1.0e-9, 4) + 0.0e0) AS avg_orders_per_year,
+       (round(avg(cost) + 1.0e-9, 4) + 0.0e0) AS avg_annual_cost
+FROM pol GROUP BY abc_class ORDER BY abc_class
+"""
+
+
 _REGISTRY.update(
     {
         "li_safety_stock": Query(
             "li_safety_stock", _q_safety_stock, _SAFETY_STOCK_SQL, ("retail",)
         ),
+        "li_eoq": Query("li_eoq", _q_eoq, _EOQ_SQL, ("retail",)),
     }
 )

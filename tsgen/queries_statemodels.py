@@ -403,6 +403,141 @@ FROM f ORDER BY event_type
 """
 
 
+# --- VAR(1) vector autoregression ---------------------------------------------
+VAR_N, VAR_LEN, VAR_H = 8, 128, 4
+
+
+def var1_forecast(df: DataFrame, h: int = VAR_H) -> DataFrame:
+    """VAR(1) fit + h-step forecast for 2-channel series (Lutkepohl, "New
+    Introduction to Multiple Time Series Analysis", ch. 3: multivariate
+    least squares; channels are z-normalized so the intercept is dropped):
+    A = S_yz S_zz^{-1} with S_yz = sum_t x_t x_{t-1}', S_zz = sum_t
+    x_{t-1} x_{t-1}' — a closed-form 2x2 solve per series (Cramer), then
+    the forecast recursion f_k = A f_{k-1} unrolled from the last
+    observation. The multivariate extension of forecast_ar2: cross-channel
+    coefficients a12/a21 read out lead-lag structure between channels.
+
+    Scale shape: one (series,t)-keyed channel pivot join, one per-series
+    lag window, one keyed agg to the four+four cross-moments — model
+    state is 8 numbers per series, never a global window. A entries are
+    rounded at 9dp in both engines before the forecast unroll so
+    sum-association ulps cannot propagate.
+    -> one row per series: (series_id, a11, a12, a21, a22,
+       f0_1..f0_h, f1_1..f1_h)."""
+    from pyspark.sql import Window
+
+    x = roundn(df, 6, "value")
+    c0 = x.filter(F.col("channel") == 0).select("series_id", "t", F.col("value").alias("y0"))
+    c1 = x.filter(F.col("channel") == 1).select("series_id", "t", F.col("value").alias("y1"))
+    wide = c0.join(c1, ["series_id", "t"])
+    w = Window.partitionBy("series_id").orderBy("t")
+    lag = (
+        wide.withColumn("z0", F.lag("y0").over(w))
+        .withColumn("z1", F.lag("y1").over(w))
+    )
+    s = lag.groupBy("series_id").agg(
+        F.sum(F.col("y0") * F.col("z0")).alias("s00"),
+        F.sum(F.col("y0") * F.col("z1")).alias("s01"),
+        F.sum(F.col("y1") * F.col("z0")).alias("s10"),
+        F.sum(F.col("y1") * F.col("z1")).alias("s11"),
+        F.sum(F.when(F.col("z0").isNotNull(), F.col("z0") * F.col("z0"))).alias("q00"),
+        F.sum(F.when(F.col("z0").isNotNull(), F.col("z0") * F.col("z1"))).alias("q01"),
+        F.sum(F.when(F.col("z0").isNotNull(), F.col("z1") * F.col("z1"))).alias("q11"),
+        F.max_by("y0", "t").alias("l0"),
+        F.max_by("y1", "t").alias("l1"),
+    )
+    det = "(q00 * q11 - q01 * q01)"
+    a = (
+        s.withColumn("a11", F.expr(_r9(f"(s00 * q11 - s01 * q01) / {det}")))
+        .withColumn("a12", F.expr(_r9(f"(s01 * q00 - s00 * q01) / {det}")))
+        .withColumn("a21", F.expr(_r9(f"(s10 * q11 - s11 * q01) / {det}")))
+        .withColumn("a22", F.expr(_r9(f"(s11 * q00 - s10 * q01) / {det}")))
+    )
+    f0p, f1p = "l0", "l1"
+    cols = ["series_id", "a11", "a12", "a21", "a22"]
+    for k in range(1, h + 1):
+        a = a.withColumn(f"f0_{k}", F.expr(_r9(f"a11 * {f0p} + a12 * {f1p}")))
+        a = a.withColumn(f"f1_{k}", F.expr(_r9(f"a21 * {f0p} + a22 * {f1p}")))
+        f0p, f1p = f"f0_{k}", f"f1_{k}"
+        cols += [f"f0_{k}", f"f1_{k}"]
+    out = a.select(*cols).orderBy("series_id")
+    return round6(out, *[c for c in cols if c != "series_id"])
+
+
+def _q_var1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return var1_forecast(
+        generators.generate_multichannel(spark, VAR_N, VAR_LEN, 2, "mixed")
+    )
+
+
+def _var1_sql(h: int = VAR_H) -> str:
+    from .generators import multichannel_key
+    from .normalize import znorm_sql
+
+    ck = multichannel_key()
+    value = E.noisy_signal_expr("mixed", VAR_LEN, sid=ck)
+    inner = (
+        f"SELECT series_id, channel, t, {value} AS value FROM "
+        f"(SELECT range AS series_id FROM range({VAR_N})) "
+        "CROSS JOIN (SELECT range AS channel FROM range(2)) "
+        f"CROSS JOIN (SELECT range AS t FROM range({VAR_LEN}))"
+    )
+    normed = znorm_sql(inner, key="series_id, channel")
+    det = "(q00 * q11 - q01 * q01)"
+    fcols, fexprs = [], []
+    f0p, f1p = "l0", "l1"
+    for k in range(1, h + 1):
+        fexprs.append(f"{_r9(f'a11 * {f0p} + a12 * {f1p}')} AS f0_{k}")
+        fexprs.append(f"{_r9(f'a21 * {f0p} + a22 * {f1p}')} AS f1_{k}")
+        f0p, f1p = f"f0_{k}", f"f1_{k}"
+        fcols += [f"f0_{k}", f"f1_{k}"]
+    # unroll the forecast recursion through nested selects so each step
+    # references the previous step's rounded value (same as the Spark side)
+    sel = "SELECT series_id, a11, a12, a21, a22, l0, l1 FROM a"
+    for k in range(1, h + 1):
+        prev0 = "l0" if k == 1 else f"f0_{k - 1}"
+        prev1 = "l1" if k == 1 else f"f1_{k - 1}"
+        sel = (
+            f"SELECT *, {_r9(f'a11 * {prev0} + a12 * {prev1}')} AS f0_{k},"
+            f" {_r9(f'a21 * {prev0} + a22 * {prev1}')} AS f1_{k} FROM ({sel})"
+        )
+    outs = ", ".join(
+        [f"{E.round6(c)} AS {c}" for c in ["a11", "a12", "a21", "a22"] + fcols]
+    )
+    return f"""
+WITH srcm AS MATERIALIZED (
+  SELECT series_id, channel, t, {E.round6('value')} AS value FROM ({normed})),
+wide AS (
+  SELECT c0.series_id, c0.t, c0.value AS y0, c1.value AS y1
+  FROM (SELECT series_id, t, value FROM srcm WHERE channel = 0) c0
+  JOIN (SELECT series_id, t, value FROM srcm WHERE channel = 1) c1
+    USING (series_id, t)),
+lagd AS (
+  SELECT series_id, t, y0, y1,
+         lag(y0) OVER (PARTITION BY series_id ORDER BY t) AS z0,
+         lag(y1) OVER (PARTITION BY series_id ORDER BY t) AS z1
+  FROM wide),
+s AS (
+  SELECT series_id,
+         sum(y0 * z0) AS s00, sum(y0 * z1) AS s01,
+         sum(y1 * z0) AS s10, sum(y1 * z1) AS s11,
+         sum(CASE WHEN z0 IS NOT NULL THEN z0 * z0 END) AS q00,
+         sum(CASE WHEN z0 IS NOT NULL THEN z0 * z1 END) AS q01,
+         sum(CASE WHEN z0 IS NOT NULL THEN z1 * z1 END) AS q11,
+         max_by(y0, t) AS l0, max_by(y1, t) AS l1
+  FROM lagd GROUP BY series_id),
+a AS (
+  SELECT series_id,
+         {_r9(f'(s00 * q11 - s01 * q01) / {det}')} AS a11,
+         {_r9(f'(s01 * q00 - s00 * q01) / {det}')} AS a12,
+         {_r9(f'(s10 * q11 - s11 * q01) / {det}')} AS a21,
+         {_r9(f'(s11 * q00 - s10 * q01) / {det}')} AS a22,
+         l0, l1
+  FROM s)
+SELECT series_id, {outs} FROM ({sel}) ORDER BY series_id
+"""
+
+
 # --- Hawkes self-excitation log-likelihood ------------------------------------
 HAWKES_BETA = 1.0 / 300.0   # 5-minute exponential kernel decay
 HAWKES_BR = 0.5             # branching ratio alpha/beta
@@ -545,6 +680,9 @@ _REGISTRY.update(
         ),
         "ev_hawkes_loglik": Query(
             "ev_hawkes_loglik", _q_hawkes, _hawkes_sql(), ("tsdb", "anomaly")
+        ),
+        "forecast_var1": Query(
+            "forecast_var1", _q_var1, _var1_sql(), ("forecast",)
         ),
     }
 )

@@ -538,6 +538,143 @@ def bm25_ndcg(
     return out.orderBy("qid")
 
 
+QL_MU = 50.0
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = BM25_K,
+    mu: float = QL_MU,
+    text: str = "text",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft,
+    SIGIR 1998; smoothing study: Zhai & Lafferty, SIGIR 2001, eq. 6) —
+    the language-modeling ranking that complements doc_bm25's tf-idf
+    family: score(q,d) = sum_t ln((tf + mu*p(t|C)) / (|d| + mu)),
+    computed via the standard candidate-safe decomposition
+
+        score = sum_t ln(mu*p_t) - |q|*ln(dl + mu)
+                + sum_{t in d} ln(1 + tf/(mu*p_t))
+
+    over docs containing >= 1 query term (the usual inverted-index
+    candidate set; the match bonus is nonnegative, and ranking is defined
+    on the candidate set). Query terms absent from the corpus are dropped
+    in both engines (their p(t|C) = 0 contribution is engine-undefined).
+
+    Scale shape: identical to bm25_topk — collection stats and the query
+    table broadcast, candidates from one tf x query semi-join, per-query
+    TWO-PHASE top-k (local per-partition k, then global over k*P
+    survivors). -> (qid, rank, doc_id, score)."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tot = toks.agg(F.count("*").alias("ctot"))
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, q in queries for t in q.split()],
+        "qid bigint, term string",
+    )
+    cf = (
+        toks.join(F.broadcast(qdf.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+    )
+    # corpus-present query terms with their smoothed background mass
+    qv = (
+        qdf.join(F.broadcast(cf), "term")  # drops cf = 0 terms
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p_bg", F.col("cf") / F.col("ctot"))
+    )
+    qconst = qv.groupBy("qid").agg(
+        F.count("*").alias("nq"),
+        F.sum(F.log(F.lit(mu) * F.col("p_bg"))).alias("qc"),
+    )
+    cand = (
+        tf.join(F.broadcast(qv.select("qid", "term", "p_bg")), "term")
+        .withColumn("w", F.log(F.lit(1.0) + F.col("tf") / (F.lit(mu) * F.col("p_bg"))))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("w").alias("match"))
+        .join(dl, "doc_id")
+        .join(F.broadcast(qconst), "qid")
+        .withColumn(
+            "score",
+            F.col("qc")
+            - F.col("nq") * F.log(F.col("dl") + F.lit(mu))
+            + F.col("match"),
+        )
+        .withColumn("score", F.round(F.col("score") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    local = (
+        cand.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "r", F.row_number().over(Window.partitionBy("qid", "pid").orderBy(*order))
+        )
+        .filter(F.col("r") <= k)
+        .drop("pid", "r")
+    )
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+        )
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
+def _q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql_dirichlet_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _ql_sql(
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = BM25_K,
+    mu: float = QL_MU,
+) -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in queries for t in q.split()
+    )
+    m = f"{mu:.1f}e0"
+    return f"""
+WITH q(qid, term) AS (VALUES {qvals}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tk AS MATERIALIZED (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS ctot FROM tk),
+cf AS (SELECT term, count(*) AS cf FROM tk
+       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+qv AS (
+  SELECT q.qid, q.term, cf.cf / tot.ctot AS p_bg
+  FROM q JOIN cf USING (term) CROSS JOIN tot),
+qconst AS (
+  SELECT qid, count(*) AS nq, sum(ln({m} * p_bg)) AS qc
+  FROM qv GROUP BY qid),
+sc AS (
+  SELECT c.qid, c.doc_id,
+         (round(qc.qc - qc.nq * ln(dl.dl + {m}) + c.match
+                + 1.0e-9, 6) + 0.0e0) AS score
+  FROM (
+    SELECT qv.qid, tf.doc_id,
+           sum(ln(1.0e0 + tf.tf / ({m} * qv.p_bg))) AS match
+    FROM tf JOIN qv USING (term)
+    GROUP BY qv.qid, tf.doc_id) c
+  JOIN dl USING (doc_id)
+  JOIN qconst qc USING (qid)),
+rk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc)
+SELECT qid, rank, doc_id, score FROM rk WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_ndcg(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -609,6 +746,9 @@ _REGISTRY.update(
             "tok_fertility", _q_tok_fertility, _tok_fertility_sql(), ("text", "llm")
         ),
         "doc_bm25": Query("doc_bm25", _q_doc_bm25, _bm25_sql(), ("text", "llm")),
+        "doc_ql_dirichlet": Query(
+            "doc_ql_dirichlet", _q_ql_dirichlet, _ql_sql(), ("text", "llm")
+        ),
         "doc_bm25_ndcg": Query(
             "doc_bm25_ndcg", _q_bm25_ndcg, _bm25_ndcg_sql(), ("text", "llm", "eval")
         ),

@@ -1427,6 +1427,163 @@ FROM tr{''.join(f', lam{j}' for j in range(1, m + 1))}"""
     return "".join(parts) + "\n" + emits
 
 
+# --- All-but-the-Top embedding postprocess -----------------------------------
+ABTT_D = 2
+
+
+def abtt_postprocess(
+    df: DataFrame, vec: str = "embedding", d: int = ABTT_D,
+    iters: int = POWER_ITERS,
+) -> DataFrame:
+    """All-but-the-Top embedding postprocessing (Mu & Viswanath, ICLR 2018
+    "All-but-the-Top: Simple and Effective Postprocessing for Word
+    Representations"): subtract the cloud mean, then remove the
+    projections onto the top-`d` principal directions — the cheap
+    isotropy fix that consistently improves similarity tasks, and the
+    standard hygiene step before cosine-based dedup/ANN (the common
+    direction otherwise inflates all similarities). Per-vector readout of
+    what the transform removes: raw norm, centered energy, and the
+    fraction of centered energy the vector KEEPS after removal —
+    corpus-level isotropy is the energy-weighted mean of kept_frac.
+
+    Scale shape: the covariance build is top_eigen's single dim^2-keyed
+    exploded self-join; the d power chains run on the collected dim x dim
+    matrix (bounded driver state, same convention as pca_variance); the
+    projection itself is ONE vec_id-keyed agg over the exploded table
+    with the (mu, v_1..v_d) table broadcast — no per-vector Python, no
+    second shuffle wider than the input. Removed energy uses the closed
+    form ||c||^2 - sum_m (c . v_m)^2 in BOTH engines (v_m near-orthogonal
+    by deflation; both engines share the same formula so the tiny
+    non-orthogonality cancels in the compare).
+    -> (vec_id, norm_raw, norm_centered, kept_frac)."""
+    import numpy as np
+
+    e = df.select("vec_id", F.posexplode(F.col(vec).cast("array<double>")).alias("i", "x"))
+    stats = e.groupBy("i").agg(F.avg("x").alias("m"))
+    a = e.select("vec_id", F.col("i").alias("ii"), F.col("x").alias("xi"))
+    b = e.select("vec_id", F.col("i").alias("jj"), F.col("x").alias("xj"))
+    s = (
+        a.join(b, "vec_id")
+        .groupBy("ii", "jj")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sij"))
+    )
+    rows = s.collect()
+    ms = {r.i: r.m for r in stats.collect()}
+    n = int(df.count())
+    dim = len(ms)
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r.ii, r.jj] = (r.sij - n * ms[r.ii] * ms[r.jj]) / (n - 1)
+    vs = []
+    Ck = C
+    for _ in range(d):
+        v = np.full(dim, 1.0 / np.sqrt(dim))
+        for _ in range(iters):
+            w = Ck @ v
+            v = w / np.sqrt((w * w).sum())
+        lam = float(v @ (Ck @ v))
+        vs.append(v)
+        Ck = Ck - lam * np.outer(v, v)
+    spark = df.sparkSession
+    proj = spark.createDataFrame(
+        [
+            (int(i), float(ms[i]), *[float(v[i]) for v in vs])
+            for i in range(dim)
+        ],
+        "i int, m double, " + ", ".join(f"v{k + 1} double" for k in range(d)),
+    )
+    agg_cols = [
+        F.sum(F.col("x") * F.col("x")).alias("x2"),
+        F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("c2"),
+    ] + [
+        F.sum((F.col("x") - F.col("m")) * F.col(f"v{k + 1}")).alias(f"p{k + 1}")
+        for k in range(d)
+    ]
+    per = e.join(F.broadcast(proj), "i").groupBy("vec_id").agg(*agg_cols)
+    removed = " + ".join(f"p{k + 1} * p{k + 1}" for k in range(d))
+    out = per.select(
+        "vec_id",
+        F.expr("sqrt(x2)").alias("norm_raw"),
+        F.expr("sqrt(c2)").alias("norm_centered"),
+        F.expr(f"greatest(c2 - ({removed}), 0.0e0) / c2").alias("kept_frac"),
+    ).orderBy("vec_id")
+    from .queries import roundn
+
+    return roundn(out, 4, "norm_raw", "norm_centered", "kept_frac")
+
+
+def abtt_sql(d: int = ABTT_D, iters: int = POWER_ITERS, dim: int = EMB_DIM) -> str:
+    """DuckDB oracle: the same d deflated power chains as pca_power_sql,
+    then the same closed-form per-vector projection agg."""
+    def cv(g: str, v: str) -> str:
+        return (
+            f"list_transform(range(1, {dim} + 1), i -> "
+            f"list_sum(list_transform(range(1, {dim} + 1), j -> {g}[i][j] * {v}[j])))"
+        )
+
+    parts = [f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT vec_id, u.i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, {dim} + 1)) AS i) u),
+st AS MATERIALIZED (SELECT i, avg(x) AS m FROM e GROUP BY i),
+nn AS (SELECT count(*) AS n FROM embeddings),
+s AS (
+  SELECT a.i AS ii, b.i AS jj, sum(a.x * b.x) AS sij
+  FROM e a JOIN e b ON b.vec_id = a.vec_id
+  GROUP BY a.i, b.i),
+c AS (
+  SELECT s.ii, s.jj,
+         (s.sij - nn.n * ma.m * mb.m) / (nn.n - 1) AS cij
+  FROM s JOIN st ma ON ma.i = s.ii JOIN st mb ON mb.i = s.jj CROSS JOIN nn),
+gm1 AS MATERIALIZED (
+  SELECT list(row ORDER BY ii) AS g FROM (
+    SELECT ii, list(cij ORDER BY jj) AS row FROM c GROUP BY ii))"""]
+    for m in range(1, d + 1):
+        g = f"gm{m}"
+        step = cv(f"{g}.g", "rec.v")
+        parts.append(f""",
+rec{m}(k, v) AS (
+  SELECT 0, list_transform(range(1, {dim} + 1),
+                           i -> 1.0e0 / sqrt(CAST({dim} AS DOUBLE)))
+  FROM {g}
+  UNION ALL
+  SELECT rec.k + 1,
+         list_transform({step}, w ->
+           w / sqrt(list_sum(list_transform({step}, ww -> ww * ww))))
+  FROM rec{m} rec, {g} WHERE rec.k < {iters}),
+fin{m} AS MATERIALIZED (SELECT v FROM rec{m} WHERE k = {iters})""")
+        if m < d:
+            parts.append(f""",
+lam{m} AS MATERIALIZED (
+  SELECT list_sum(list_transform(range(1, {dim} + 1), i ->
+           fin.v[i] * list_sum(list_transform(range(1, {dim} + 1),
+             j -> {g}.g[i][j] * fin.v[j])))) AS lam
+  FROM fin{m} fin, {g}),
+gm{m + 1} AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim} + 1), i ->
+           list_transform(range(1, {dim} + 1), j ->
+             {g}.g[i][j] - lam.lam * fin.v[i] * fin.v[j])) AS g
+  FROM {g}, fin{m} fin, lam{m} lam)""")
+    ps = ", ".join(
+        f"sum((e.x - st.m) * fin{m}.v[e.i]) AS p{m}" for m in range(1, d + 1)
+    )
+    fins = "".join(f", fin{m}" for m in range(1, d + 1))
+    removed = " + ".join(f"p{m} * p{m}" for m in range(1, d + 1))
+    parts.append(f""",
+per AS (
+  SELECT e.vec_id, sum(e.x * e.x) AS x2,
+         sum((e.x - st.m) * (e.x - st.m)) AS c2, {ps}
+  FROM e JOIN st USING (i){fins}
+  GROUP BY e.vec_id)
+SELECT vec_id,
+       (round(sqrt(x2) + 1.0e-9, 4) + 0.0e0) AS norm_raw,
+       (round(sqrt(c2) + 1.0e-9, 4) + 0.0e0) AS norm_centered,
+       (round(greatest(c2 - ({removed}), 0.0e0) / c2 + 1.0e-9, 4) + 0.0e0)
+         AS kept_frac
+FROM per ORDER BY vec_id""")
+    return "".join(parts)
+
+
 # --- retrieval quality: mAP@k against labels ---------------------------------
 MAP_K = 10
 
