@@ -244,6 +244,21 @@ def main() -> None:
         "ev_retention_fit",
         "li_safety_stock",
         "doc_heaps_law",
+        # round-6: Gopher rules, seeded/directed centrality, point-process
+        # burst models, tokenizer fertility, Shapley/BH experiment readouts,
+        # embedding postprocess, LM retrieval, VAR(1), EOQ
+        "doc_gopher_quality",
+        "graph_ppr",
+        "graph_hits",
+        "ev_burst_kleinberg",
+        "ev_hawkes_loglik",
+        "tok_fertility",
+        "ev_shapley_attr",
+        "ev_bh_fdr",
+        "embed_abtt",
+        "doc_ql_dirichlet",
+        "forecast_var1",
+        "li_eoq",
     ]
     reg = registry()
     for name in suite:

@@ -1235,6 +1235,154 @@ FROM s ORDER BY dur_d
 """
 
 
+# --- competing risks: Aalen-Johansen cumulative incidence --------------------
+def _q_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks (Aalen &
+    Johansen, Scand. J. Statist. 1978): from each user's first event,
+    time-to-first 'purchase' competes with time-to-first 'error'
+    (conversion vs churn-by-failure — the two absorbing outcomes a
+    product funnel actually races); users reaching neither are censored
+    at the corpus end. Naive per-cause KM overestimates both curves
+    (treating the competing event as censoring); the AJ estimator
+
+        CIF_k(t) = sum_{t_i <= t} S(t_i-) * d_ik / n_i
+
+    with S the EVENT-FREE product-limit, is the correct decomposition
+    (CIF_p + CIF_e + S = 1 at every event time).
+
+    Scale shape: two partial-agged user-keyed passes (entry + first hit
+    per cause), then all windows run on the bounded distinct-duration
+    table (same discipline as user_survival above).
+    -> (dur_h, n_i, d_purchase, d_error, s_eventfree, cif_purchase,
+       cif_error)."""
+    ev = _events(spark, sf_dir)
+    entry = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    firsts = ev.filter(F.col("event_type").isin("purchase", "error")).groupBy(
+        "user_id"
+    ).agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("te"),
+    )
+    end = ev.agg(F.max("ts").alias("corpus_end"))
+    d = (
+        entry.join(firsts, "user_id", "left")
+        .crossJoin(F.broadcast(end))
+        .withColumn(
+            "cause",
+            F.when(
+                F.col("tp").isNotNull()
+                & (F.col("te").isNull() | (F.col("tp") <= F.col("te"))),
+                F.lit("purchase"),
+            )
+            .when(F.col("te").isNotNull(), F.lit("error"))
+            .otherwise(F.lit("censored")),
+        )
+        .withColumn(
+            "t_end",
+            F.when(F.col("cause") == "purchase", F.col("tp"))
+            .when(F.col("cause") == "error", F.col("te"))
+            .otherwise(F.col("corpus_end")),
+        )
+        .select(
+            "user_id",
+            "cause",
+            (
+                (F.unix_timestamp("t_end") - F.unix_timestamp("t0")) / 3600
+            ).cast("bigint").alias("dur_h"),
+        )
+    )
+    n_total = d.count()
+    evt = d.groupBy("dur_h").agg(
+        F.sum(F.when(F.col("cause") == "purchase", 1).otherwise(0)).alias("d_p"),
+        F.sum(F.when(F.col("cause") == "error", 1).otherwise(0)).alias("d_e"),
+        F.count("*").alias("leaving"),
+    )
+    wprev = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    ar = evt.withColumn(
+        "n_i", F.lit(n_total) - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+    )
+    # S(t-): event-free KM over STRICTLY earlier times (guard ln(0) the
+    # same way in both engines so d = n cannot desync null vs -inf)
+    lnfac = F.log(
+        F.greatest(
+            F.lit(1.0) - (F.col("d_p") + F.col("d_e")) / F.col("n_i"), F.lit(1e-300)
+        )
+    )
+    ar = ar.withColumn(
+        "s_prev", F.exp(F.coalesce(F.sum(lnfac).over(wprev), F.lit(0.0)))
+    ).withColumn("s_eventfree", F.exp(F.sum(lnfac).over(wcum)))
+    out = (
+        ar.withColumn("inc_p", F.col("s_prev") * F.col("d_p") / F.col("n_i"))
+        .withColumn("inc_e", F.col("s_prev") * F.col("d_e") / F.col("n_i"))
+        .withColumn("cif_purchase", F.sum("inc_p").over(wcum))
+        .withColumn("cif_error", F.sum("inc_e").over(wcum))
+        .filter((F.col("d_p") + F.col("d_e")) > 0)
+        .select(
+            "dur_h", F.col("n_i").cast("bigint").alias("n_i"),
+            F.col("d_p").cast("bigint").alias("d_purchase"),
+            F.col("d_e").cast("bigint").alias("d_error"),
+            "s_eventfree", "cif_purchase", "cif_error",
+        )
+        .orderBy("dur_h")
+    )
+    return canon_types(roundn(out, 6, "s_eventfree", "cif_purchase", "cif_error"))
+
+
+_COMPETING_RISKS_SQL = """
+WITH entry AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+         min(CASE WHEN event_type = 'error' THEN ts END) AS te
+  FROM events WHERE event_type IN ('purchase', 'error') GROUP BY user_id),
+d AS (
+  SELECT e.user_id,
+         CASE WHEN f.tp IS NOT NULL AND (f.te IS NULL OR f.tp <= f.te)
+              THEN 'purchase'
+              WHEN f.te IS NOT NULL THEN 'error'
+              ELSE 'censored' END AS cause,
+         CAST(floor((epoch(CASE WHEN f.tp IS NOT NULL AND (f.te IS NULL OR f.tp <= f.te) THEN f.tp
+                          WHEN f.te IS NOT NULL THEN f.te
+                          ELSE (SELECT max(ts) FROM events) END)
+                - epoch(e.t0)) / 3600) AS BIGINT) AS dur_h
+  FROM entry e LEFT JOIN firsts f USING (user_id)),
+evt AS (
+  SELECT dur_h,
+         sum(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END) AS d_p,
+         sum(CASE WHEN cause = 'error' THEN 1 ELSE 0 END) AS d_e,
+         count(*) AS leaving
+  FROM d GROUP BY dur_h),
+ar AS (
+  SELECT dur_h, d_p, d_e,
+         (SELECT count(*) FROM d) - COALESCE(sum(leaving) OVER (ORDER BY dur_h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_i
+  FROM evt),
+km AS (
+  SELECT dur_h, d_p, d_e, n_i,
+         exp(COALESCE(sum(ln(greatest(1.0e0 - CAST(d_p + d_e AS DOUBLE) / n_i,
+                                      1.0e-300))) OVER (ORDER BY dur_h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0)) AS s_prev,
+         exp(sum(ln(greatest(1.0e0 - CAST(d_p + d_e AS DOUBLE) / n_i, 1.0e-300)))
+            OVER (ORDER BY dur_h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_eventfree
+  FROM ar),
+cif AS (
+  SELECT dur_h, d_p, d_e, n_i, s_eventfree,
+         sum(s_prev * d_p / n_i) OVER (ORDER BY dur_h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif_purchase,
+         sum(s_prev * d_e / n_i) OVER (ORDER BY dur_h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif_error
+  FROM km)
+SELECT dur_h, CAST(n_i AS BIGINT) AS n_i, CAST(d_p AS BIGINT) AS d_purchase,
+       CAST(d_e AS BIGINT) AS d_error,
+       (round(s_eventfree + 1.0e-9, 6) + 0.0e0) AS s_eventfree,
+       (round(cif_purchase + 1.0e-9, 6) + 0.0e0) AS cif_purchase,
+       (round(cif_error + 1.0e-9, 6) + 0.0e0) AS cif_error
+FROM cif WHERE d_p + d_e > 0 ORDER BY dur_h
+"""
+
+
 # --- Gini concentration of customer revenue --------------------------------
 def _q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G = (2·Σ rank·x)/(n·Σx) − (n+1)/n with rank = 1..n in revenue order.
@@ -1275,6 +1423,9 @@ FROM r
 
 _REGISTRY.update(
     {
+        "ev_competing_risks": Query(
+            "ev_competing_risks", _q_competing_risks, _COMPETING_RISKS_SQL, ("experiment",)
+        ),
         "user_survival": Query(
             "user_survival", _q_user_survival, _USER_SURVIVAL_SQL, ("experiment",)
         ),

@@ -301,9 +301,51 @@ GROUP BY o.user_id
 """
 
 
+def _q_stream_hawkes(spark, sf_dir):
+    s = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_to_completion(streaming.hawkes_stateful(s), mode="update")
+    return round6(out, "r_end", "sum_log_intensity").orderBy("event_type")
+
+
+def _stream_hawkes_sql() -> str:
+    from tsgen.streaming import HAWKES_ALPHA, HAWKES_BETA_S, HAWKES_MU
+
+    from . import expr as E
+
+    mu, al, be = E.NUM(HAWKES_MU), E.NUM(HAWKES_ALPHA), E.NUM(HAWKES_BETA_S)
+    # state vector [r, slog]; gaps as 1-element lists so list_reduce
+    # type-checks (acc type == element type)
+    merge = (
+        f"[exp(-{be} * x[1]) * (1.0e0 + acc[1]),"
+        f" acc[2] + ln({mu} + {al} * (exp(-{be} * x[1]) * (1.0e0 + acc[1])))]"
+    )
+    return f"""
+WITH es AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+w AS (SELECT event_type, list(es ORDER BY es) AS tss FROM es GROUP BY event_type),
+g AS (
+  SELECT event_type, CAST(len(tss) AS BIGINT) AS n,
+         list_transform(range(2, len(tss) + 1),
+                        i -> [CAST(tss[i] - tss[i - 1] AS DOUBLE)]) AS gaps
+  FROM w),
+f AS (
+  SELECT event_type, n,
+         list_reduce(list_prepend([0.0e0, ln({mu})], gaps),
+                     (acc, x) -> {merge}) AS st
+  FROM g)
+SELECT event_type, n AS n_events,
+       {E.round6('st[1]')} AS r_end,
+       {E.round6('st[2]')} AS sum_log_intensity
+FROM f ORDER BY event_type
+"""
+
+
 _REGISTRY.update(
     {
         "stream_ewma": Query("stream_ewma", _q_stream_ewma, _STREAM_EWMA_SQL, ("streaming",)),
+        "stream_hawkes": Query(
+            "stream_hawkes", _q_stream_hawkes, _stream_hawkes_sql(), ("streaming",)
+        ),
         "stream_anomalies": Query(
             "stream_anomalies", _q_stream_anomalies, _STREAM_ANOMALIES_SQL, ("streaming",)
         ),

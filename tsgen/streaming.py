@@ -782,3 +782,64 @@ def counter_rate_stateful(stream: DataFrame, bucket_s: int = 3600) -> DataFrame:
     return stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+HAWKES_MU, HAWKES_BETA_S, HAWKES_ALPHA = 2.0e-3, 1.0 / 300.0, 0.5 / 300.0
+
+
+def hawkes_stateful(
+    stream: DataFrame,
+    mu: float = HAWKES_MU,
+    alpha: float = HAWKES_ALPHA,
+    beta: float = HAWKES_BETA_S,
+) -> DataFrame:
+    """Online Hawkes intensity monitor via applyInPandasWithState: per
+    event type the state is (R, sum_log_intensity, last_ts, n) — the
+    Ozaki O(1)-per-event recursion R_i = exp(-beta*(t_i - t_{i-1}))(1 +
+    R_{i-1}) carried across micro-batches, with FIXED (mu, alpha, beta)
+    because an online monitor cannot know the full-stream empirical rate
+    (that is the batch twin ev_hawkes_loglik's job). Emits the running
+    self-excitation summary per type; the recursion is contractive
+    (exp(-beta*gap) < 1), so per-step float noise cannot accumulate and
+    the batch SQL oracle replays it without per-step rounding.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, n_events bigint, r_end double, sum_log_intensity double"
+    )
+    state_schema = "r double, slog double, last_s bigint, n bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            r, slog, last_s, n = state.get
+        else:
+            r, slog, last_s, n = 0.0, 0.0, -1, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                es = int(t.timestamp())  # integer epoch seconds (repo idiom)
+                if n == 0:
+                    slog = math.log(mu)
+                else:
+                    r = math.exp(-beta * (es - last_s)) * (1.0 + r)
+                    slog += math.log(mu + alpha * r)
+                last_s = es
+                n += 1
+        state.update((r, slog, last_s, n))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "r_end": [r],
+                "sum_log_intensity": [slog],
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
