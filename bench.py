@@ -259,6 +259,12 @@ def main() -> None:
         "doc_ql_dirichlet",
         "forecast_var1",
         "li_eoq",
+        # round-6 snapshot additions, omitted from the r6 suite (ADVICE r06)
+        "ev_competing_risks",
+        "stream_hawkes",
+        # round-7: ABTT retrieval eval, keep-first substring cut
+        "embed_abtt_recall",
+        "dedup_substr_keepfirst",
     ]
     reg = registry()
     for name in suite:

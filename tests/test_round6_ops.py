@@ -311,3 +311,114 @@ def test_eoq_sqrt_scaling(spark):
     # 4x demand -> exactly 2x EOQ (sqrt law); compare the two class rows
     eoqs = sorted((r.avg_eoq for r in out))
     assert abs(eoqs[1] / eoqs[0] - 2.0) < 0.01
+
+
+def test_competing_risks_cif_identity(spark):
+    # Aalen-Johansen decomposition: the CIF increments telescope against
+    # the event-free KM, so CIF_p(t) + CIF_e(t) + S(t) = 1 at EVERY event
+    # time regardless of censoring (ADVICE r06: property test).
+    from tsgen.queries import registry
+
+    rows = (
+        registry()["ev_competing_risks"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) > 0
+    prev_cp, prev_ce, prev_s = 0.0, 0.0, 1.0
+    for r in rows:  # already ordered by dur_h
+        assert abs(r.cif_purchase + r.cif_error + r.s_eventfree - 1.0) < 2e-5
+        # CIFs are nondecreasing, S nonincreasing (6dp rounding slack)
+        assert r.cif_purchase >= prev_cp - 1e-6
+        assert r.cif_error >= prev_ce - 1e-6
+        assert r.s_eventfree <= prev_s + 1e-6
+        prev_cp, prev_ce, prev_s = r.cif_purchase, r.cif_error, r.s_eventfree
+
+
+def test_ppr_empty_seed_set_all_zero(spark):
+    # ADVICE r06: ns = 0 must yield an all-zero vector in both engines,
+    # not an engine-divergent division by zero.
+    from tsgen.queries_experiments import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    seeds = spark.createDataFrame([], "node long")
+    out = personalized_pagerank(edges, seeds).collect()
+    assert len(out) == 3
+    assert all(r.ppr == 0.0 and r.is_seed == 0 for r in out)
+
+
+def test_burst_and_hawkes_drop_tspan_zero_types(spark):
+    # ADVICE r06: a type whose events all land in one epoch second has
+    # tspan = 0 -> lam0/mu division by zero; both ops must drop it
+    # identically instead of diverging (Spark Inf vs DuckDB NULL).
+    from tsgen.queries_statemodels import burst_detect, hawkes_loglik
+
+    rows = [(i, "flat", f"2024-01-01 00:00:0{0 if i < 9 else 0}") for i in range(6)]
+    rows += [(100 + i, "ok", f"2024-01-01 00:0{i}:00") for i in range(6)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string"
+    ).select("event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+    b = burst_detect(ev).collect()
+    h = hawkes_loglik(ev).collect()
+    assert [r.event_type for r in b] == ["ok"]
+    assert [r.event_type for r in h] == ["ok"]
+
+
+def test_abtt_recall_planted_common_direction(spark):
+    # corpus = distinct signal directions + one huge shared component; raw
+    # cosine is inflated toward 1 by the common direction, ABTT removal
+    # deflates it (Mu & Viswanath 2018) -> mean_sim_abtt < mean_sim_raw.
+    import numpy as np
+
+    from tsgen.similarity import abtt_recall
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 40
+    common = np.ones(dim) / np.sqrt(dim)
+    rows = []
+    for i in range(n):
+        sig = rng.normal(size=dim)
+        sig -= sig.dot(common) * common  # signal orthogonal to the shared dir
+        sig /= np.sqrt((sig * sig).sum())
+        v = 8.0 * common + sig
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = abtt_recall(emb, n_queries=5, k=4, d=1, iters=12).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.mean_sim_raw > 0.9  # inflated by the common direction
+        assert r.mean_sim_abtt < r.mean_sim_raw - 0.3  # deflated after ABTT
+        assert 0 <= r.n_common <= 4
+        assert abs(r.overlap_at_k - r.n_common / 4.0) < 1e-9
+
+
+def test_substr_keepfirst_cuts_later_copies_only(spark):
+    from tsgen.queries_exactdup import (
+        substring_cut_keepfirst,
+        substring_dup_spans,
+    )
+
+    # 50 aperiodic chars (an internally periodic string would plant
+    # legitimate SELF-repeats inside doc 1 and get cut there too)
+    shared = "The quick brown fox jumps over the lazy dog 12345!"
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIXONE " + shared + " TAILONE padding padding"),
+            (2, "zz " + shared + " other tail text goes here!!"),
+            (3, "completely unique text with no repeats at all, long enough."),
+        ],
+        "doc_id long, text string",
+    )
+    det = {r.doc_id: r for r in substring_dup_spans(docs).collect()}
+    cut = {r.doc_id: r for r in substring_cut_keepfirst(docs).collect()}
+    # detector marks BOTH carriers; keep-first cuts only the later copy
+    assert set(det) == {1, 2}
+    assert set(cut) == {2}
+    # the maximal shared span includes the matching spaces on both sides
+    assert cut[2].cut_chars == len(shared) + 2
+    assert cut[2].keep_frac < 1.0
+    # cut never exceeds detected duplication on any doc
+    for d in cut.values():
+        assert d.cut_chars <= det[d.doc_id].dup_chars

@@ -49,28 +49,62 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 # ev_retention_fit, doc_heaps_law, forecast_combo — certify the fixes
 # same-round), the round-5 ops registered after the r5 window froze, then
 # the forecast family, ts diagnostics, and sketches.
+# Driver-certification window: the driver checks the FIRST 50 registry
+# entries each round; this tuple pins that order. Rotation plan to exhaust
+# the never-certified backlog (148 after r6):
+#   r7 (this window): 14 round-6 registrations + 20 TPC-H warehouse batch
+#      + 9 streams + 4 skew/diagnostics.
+#   r8: the text family (bpe_merge_step, doc_split, doc_entropy,
+#      doc_keyphrases, doc_lm_score, doc_bigram_lm, doc_feature_hash,
+#      doc_readability, repetition_stats, token_count_bpe, doc_zipf,
+#      doc_ppl_holdout, doc_contamination, doc_woe, doc_pareto), the tsdb
+#      family (ev_interpolate, ev_lttb, ts_period, ev_technical,
+#      ev_gap_stats, ev_seasonal_profile, ts_welch_psd, ev_peak_detect,
+#      ev_m4_downsample, ev_drawdown, ev_ewma_chart, ev_ewma_corr,
+#      ts_isotonic, ts_segmentation, ts_haar_energy, ev_rate_anomaly,
+#      ev_counter_rate, ts_lombscargle), and the analytics long tail
+#      (ev_transition_entropy, ev_transitions, ev_user_paths, ev_cusum,
+#      ev_streaks, ts_delta_stats, ev_wau, ev_outliers_mad, ev_apdex,
+#      ev_ks_test, ev_chi_square, ev_benford, ts_spectral_entropy,
+#      ev_winsorize).
+#   r9: pipeline/scale (split_assign, ev_gbm_stumps, name_match_jw,
+#      name_match_snm, ann_rrf, global_row_ids, stratified_sample,
+#      weighted_sample), warehouse (ev_mview_merge, ev_merge_upsert,
+#      ev_time_travel, li_zone_map, ev_retract_merge, ev_cdc_apply,
+#      ev_scd2, ev_ffill, table_profile, key_skew_profile, zorder_cluster,
+#      orders_checksum, snapshot_diff), product/experiment (ab_experiment,
+#      user_survival, revenue_gini, ev_funnel_latency, ev_cohort_ltv,
+#      ev_msprt_by_type, ev_power_analysis), decompose/forecast extras
+#      (ts_prophet_forecast, trend_theilsen, ts_anomalies,
+#      ts_robust_decompose, classical_decompose), events/tsdb leftovers
+#      (ev_percentiles, ev_funnel, ev_retention, ev_funnel_stages,
+#      ev_running_balance, ev_ohlc, ev_twap, ev_time_features,
+#      ev_interval_union), similarity/sketch (embed_centroids, embed_drift,
+#      dd_quantiles_by_type, ev_value_deciles, cms_join_size), plus
+#      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
+#      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # canaries (green r01–r05)
+    # canaries (green r01–r06)
     "gen_sine", "series_stats", "sample_data_mixed",
-    # ADVICE-r05 fixes — certify this round
-    "ev_qini", "ev_retention_fit", "doc_heaps_law", "forecast_combo",
-    # round-5 additions registered after the r5 window froze
-    "pack_sequences_ffd", "doc_lang_temperature", "embed_trunc_recall",
-    "ts_features", "graph_closeness", "dedup_substr_hash", "bpe_encode",
-    "li_demand_classes", "doc_ccnet_buckets", "forecast_sba",
-    "dedup_substr_cross", "ann_ivf_recall", "li_abc_xyz", "ev_path_ngrams",
-    "ev_markov_stationary", "li_safety_stock",
-    # forecast family (rolling-origin + smoothers + reconciliation)
-    "forecast_arma11", "forecast_backtest", "forecast_conformal",
-    "forecast_croston", "forecast_holt", "forecast_holt_damped",
-    "forecast_model_select", "forecast_reconcile", "forecast_seasonal_naive",
-    "forecast_theta", "forecast_accuracy", "kalman_smoother",
-    # ts diagnostics
-    "ts_autocorr", "ts_pacf", "ts_ljung_box", "ts_adf", "ts_hurst",
-    "ts_coint", "ts_mann_kendall", "ts_perm_entropy",
-    # sketches
-    "hll_cardinality", "hll_daily_users", "hll_set_ops", "cms_token_freq",
-    "dd_quantiles", "kmv_set_ops", "bloom_prune",
+    # round-6 registrations (judge spot-checked 14/14 in r6; certify now)
+    "doc_gopher_quality", "graph_ppr", "graph_hits", "ev_burst_kleinberg",
+    "ev_hawkes_loglik", "tok_fertility", "ev_shapley_attr", "ev_bh_fdr",
+    "embed_abtt", "doc_ql_dirichlet", "forecast_var1", "li_eoq",
+    "ev_competing_risks", "stream_hawkes",
+    # TPC-H-style warehouse batch
+    "promo_revenue", "top_supplier", "small_qty_revenue",
+    "large_volume_orders", "revenue_change", "late_order_priority",
+    "volume_shipping", "profit_by_nation", "returned_customers",
+    "order_count_distribution", "brand_size_revenue", "idle_customers",
+    "min_cost_supplier", "market_share", "important_parts",
+    "late_shipment_priority", "part_supplier_counts", "excess_shippers",
+    "waiting_suppliers", "orders_monthly_growth",
+    # streams
+    "stream_anomalies", "stream_join_outer", "stream_psi",
+    "stream_lombscargle", "stream_cdc_apply", "stream_m4",
+    "stream_counter_rate", "stream_mview", "stream_msprt",
+    # skew + cross-series diagnostics
+    "li_salted_join", "ev_salted_agg", "ts_granger", "ts_crosscorr",
 )
 
 

@@ -111,8 +111,92 @@ def _merge_spans(hits: DataFrame, L: int) -> DataFrame:
     )
 
 
+def substring_cut_keepfirst(
+    docs: DataFrame, min_len: int = SUBSTR_L, text: str = "text"
+) -> DataFrame:
+    """The DELETION policy of Lee et al. 2022 §4.1 ("leave one intact"):
+    every occurrence of a duplicated substring is removed EXCEPT the
+    corpus-global leftmost one — the deterministic (doc_id, off) minimum
+    per L-gram. substring_dup_spans (above) is the detector (marks every
+    doc carrying a dup, including the copy you keep); this op computes
+    what a dedup pass would actually cut, and the per-doc survival
+    fraction that feeds token-count accounting before training.
+
+    Shape: same stride-1 L-gram table; the keep-first rule is ONE
+    row_number window keyed on the L-gram (the same single shuffle as the
+    detector's count window — rank instead of count), then the identical
+    per-doc gaps-and-islands merge. Cluster scale: key the window on
+    xxhash64(lgram) exactly as substring_dup_spans(hash_key=True).
+    -> (doc_id, n_cut_spans, cut_chars, keep_frac)."""
+    L = min_len
+    g = _lgrams(docs, L, text)
+    wl = Window.partitionBy("lgram").orderBy("doc_id", "off")
+    cut = (
+        g.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "off")
+    )
+    per_doc = _merge_spans(cut, L)
+    return (
+        per_doc.join(docs.select("doc_id", F.length(text).alias("n")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_dup_spans").alias("n_cut_spans"),
+            F.col("dup_chars").cast("bigint").alias("cut_chars"),
+            (
+                F.round(
+                    F.lit(1.0) - F.col("dup_chars") / F.col("n") + F.lit(1e-9), 6
+                )
+                + F.lit(0.0)
+            ).alias("keep_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def substring_cut_keepfirst_sql(min_len: int = SUBSTR_L) -> str:
+    L = min_len
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT doc_id, o AS off, substr(text, o, {L}) AS lgram
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - {L} + 2)) AS o
+        FROM documents WHERE length(text) >= {L})),
+cut AS (
+  SELECT doc_id, off FROM (
+    SELECT doc_id, off,
+           row_number() OVER (PARTITION BY lgram ORDER BY doc_id, off) AS rn
+    FROM g)
+  WHERE rn >= 2),
+isl AS (
+  SELECT doc_id, off,
+         sum(CASE WHEN pe IS NULL OR off > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM (SELECT doc_id, off,
+               max(off + {L}) OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM cut)),
+spans AS (
+  SELECT doc_id, isl, min(off) AS s, max(off) + {L} AS e
+  FROM isl GROUP BY doc_id, isl),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_cut_spans, sum(e - s) AS cut_chars
+  FROM spans GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n_cut_spans AS BIGINT) AS n_cut_spans,
+       CAST(p.cut_chars AS BIGINT) AS cut_chars,
+       (round(1.0e0 - CAST(p.cut_chars AS DOUBLE) / length(d.text)
+              + 1.0e-9, 6) + 0.0e0) AS keep_frac
+FROM per_doc p JOIN documents d USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _q_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_dedup_substr_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_cut_keepfirst(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _q_dedup_substr_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +343,12 @@ _REGISTRY.update(
         # string-keyed result exactly (collision-freeness is the assertion)
         "dedup_substr_hash": Query(
             "dedup_substr_hash", _q_dedup_substr_hash, substring_dup_sql(), ("dedup",)
+        ),
+        "dedup_substr_keepfirst": Query(
+            "dedup_substr_keepfirst",
+            _q_dedup_substr_keepfirst,
+            substring_cut_keepfirst_sql(),
+            ("dedup",),
         ),
     }
 )

@@ -576,10 +576,15 @@ def personalized_pagerank(
         "is_seed", F.coalesce("is_seed", F.lit(0))
     )
     ns = base.agg(F.sum("is_seed").cast("double").alias("ns"))
-    # teleport vector: 1/|S| on seeds, 0 elsewhere; start pr = teleport
+    # teleport vector: 1/|S| on seeds, 0 elsewhere; start pr = teleport.
+    # NULLIF guards the empty-seed-set case (ns = 0): both engines then
+    # produce an all-zero teleport vector instead of engine-divergent
+    # division-by-zero results (ADVICE r06).
     pr = base.crossJoin(F.broadcast(ns)).select(
         "node", "deg", "is_seed",
-        (F.col("is_seed") / F.col("ns")).alias("tele"),
+        F.expr(
+            "coalesce(CAST(is_seed AS DOUBLE) / nullif(ns, 0.0e0), 0.0e0)"
+        ).alias("tele"),
     ).withColumn("pr", F.col("tele"))
     for _ in range(n_iter):
         acc = (
@@ -633,8 +638,10 @@ def _ppr_sql() -> str:
               THEN 1 ELSE 0 END AS is_seed
   FROM deg d)""",
         "ns AS (SELECT CAST(sum(is_seed) AS DOUBLE) AS ns FROM base)",
-        "pr0 AS (SELECT node, deg, is_seed, is_seed / ns.ns AS tele,"
-        " is_seed / ns.ns AS pr FROM base CROSS JOIN ns)",
+        "pr0 AS (SELECT node, deg, is_seed,"
+        " coalesce(is_seed / nullif(ns.ns, 0.0e0), 0.0e0) AS tele,"
+        " coalesce(is_seed / nullif(ns.ns, 0.0e0), 0.0e0) AS pr"
+        " FROM base CROSS JOIN ns)",
     ]
     for i in range(PR_ITER):
         ctes.append(

@@ -800,6 +800,12 @@ _REGISTRY.update(
             similarity.abtt_sql(),
             ("similarity", "llm"),
         ),
+        "embed_abtt_recall": Query(
+            "embed_abtt_recall",
+            lambda spark, sf_dir: similarity.abtt_recall(_emb(spark, sf_dir)),
+            similarity.abtt_recall_sql(),
+            ("similarity", "llm", "eval"),
+        ),
         "doc_lang_rebalance": Query(
             "doc_lang_rebalance",
             lambda spark, sf_dir: mixing.lang_rebalance(_docs(spark, sf_dir)),

@@ -325,7 +325,13 @@ def burst_detect(ev: DataFrame) -> DataFrame:
                 " i -> CAST(tss[i] - tss[i - 1] AS DOUBLE))"
             ),
         )
-        .filter(F.size("gaps") >= 2)
+        # tspan = 0 (every event in one epoch second) would make lam0 an
+        # IEEE Infinity in Spark but NULL/error in DuckDB — drop those
+        # types identically in both engines (ADVICE r06).
+        .filter(
+            (F.size("gaps") >= 2)
+            & (F.element_at("tss", -1) > F.element_at("tss", 1))
+        )
         .select(
             "event_type",
             "gaps",
@@ -384,7 +390,7 @@ pars AS (
   SELECT event_type, gaps,
          CAST(len(gaps) AS BIGINT) AS n_gaps,
          CAST(len(gaps) AS DOUBLE) / (tss[-1] - tss[1]) AS lam0
-  FROM gp WHERE len(gaps) >= 2),
+  FROM gp WHERE len(gaps) >= 2 AND tss[-1] > tss[1]),
 pp AS (
   SELECT event_type, gaps, n_gaps, lam0,
          lam0 * {s} AS lam1, ln(lam0) AS llam0, ln(lam0 * {s}) AS llam1,
@@ -587,7 +593,12 @@ def hawkes_loglik(ev: DataFrame) -> DataFrame:
         ev.select("event_type", F.unix_timestamp("ts").alias("es"))
         .groupBy("event_type")
         .agg(F.array_sort(F.collect_list("es")).alias("tss"))
-        .filter(F.size("tss") >= 3)
+        # tspan = 0 guard matches burst_detect: mu = n/tspan must not hit
+        # IEEE Infinity (Spark) vs NULL (DuckDB) divergence (ADVICE r06).
+        .filter(
+            (F.size("tss") >= 3)
+            & (F.element_at("tss", -1) > F.element_at("tss", 1))
+        )
         .withColumn(
             "gaps",
             F.expr(
@@ -646,7 +657,7 @@ pars AS (
                         i -> [CAST(tss[i] - tss[i - 1] AS DOUBLE)]) AS gaps,
          CAST(len(tss) AS BIGINT) AS n,
          CAST(tss[-1] - tss[1] AS DOUBLE) AS tspan
-  FROM w WHERE len(tss) >= 3),
+  FROM w WHERE len(tss) >= 3 AND tss[-1] > tss[1]),
 pp AS (
   SELECT *, {E.NUM(HAWKES_BG)} * CAST(n AS DOUBLE) / tspan AS mu,
          {E.NUM(HAWKES_BETA)} AS bet,

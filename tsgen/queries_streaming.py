@@ -314,10 +314,15 @@ def _stream_hawkes_sql() -> str:
 
     mu, al, be = E.NUM(HAWKES_MU), E.NUM(HAWKES_ALPHA), E.NUM(HAWKES_BETA_S)
     # state vector [r, slog]; gaps as 1-element lists so list_reduce
-    # type-checks (acc type == element type)
+    # type-checks (acc type == element type). Each slog fold step is
+    # rounded at 9dp to match the Python state update (ADVICE r06: the
+    # running sum otherwise accumulates cross-engine ulp drift linearly).
+    slog_step = (
+        f"acc[2] + ln({mu} + {al} * (exp(-{be} * x[1]) * (1.0e0 + acc[1])))"
+    )
     merge = (
         f"[exp(-{be} * x[1]) * (1.0e0 + acc[1]),"
-        f" acc[2] + ln({mu} + {al} * (exp(-{be} * x[1]) * (1.0e0 + acc[1])))]"
+        f" round(({slog_step}) + 1.0e-12, 9) + 0.0e0]"
     )
     return f"""
 WITH es AS (
@@ -330,7 +335,7 @@ g AS (
   FROM w),
 f AS (
   SELECT event_type, n,
-         list_reduce(list_prepend([0.0e0, ln({mu})], gaps),
+         list_reduce(list_prepend([0.0e0, round(ln({mu}) + 1.0e-12, 9) + 0.0e0], gaps),
                      (acc, x) -> {merge}) AS st
   FROM g)
 SELECT event_type, n AS n_events,

@@ -1431,31 +1431,15 @@ FROM tr{''.join(f', lam{j}' for j in range(1, m + 1))}"""
 ABTT_D = 2
 
 
-def abtt_postprocess(
+def _abtt_directions(
     df: DataFrame, vec: str = "embedding", d: int = ABTT_D,
     iters: int = POWER_ITERS,
-) -> DataFrame:
-    """All-but-the-Top embedding postprocessing (Mu & Viswanath, ICLR 2018
-    "All-but-the-Top: Simple and Effective Postprocessing for Word
-    Representations"): subtract the cloud mean, then remove the
-    projections onto the top-`d` principal directions — the cheap
-    isotropy fix that consistently improves similarity tasks, and the
-    standard hygiene step before cosine-based dedup/ANN (the common
-    direction otherwise inflates all similarities). Per-vector readout of
-    what the transform removes: raw norm, centered energy, and the
-    fraction of centered energy the vector KEEPS after removal —
-    corpus-level isotropy is the energy-weighted mean of kept_frac.
-
-    Scale shape: the covariance build is top_eigen's single dim^2-keyed
-    exploded self-join; the d power chains run on the collected dim x dim
-    matrix (bounded driver state, same convention as pca_variance); the
-    projection itself is ONE vec_id-keyed agg over the exploded table
-    with the (mu, v_1..v_d) table broadcast — no per-vector Python, no
-    second shuffle wider than the input. Removed energy uses the closed
-    form ||c||^2 - sum_m (c . v_m)^2 in BOTH engines (v_m near-orthogonal
-    by deflation; both engines share the same formula so the tiny
-    non-orthogonality cancels in the compare).
-    -> (vec_id, norm_raw, norm_centered, kept_frac)."""
+):
+    """Shared ABTT front half: centered top-`d` principal directions via
+    deflated power iteration on the collected dim x dim covariance
+    (bounded driver state, pca_variance convention). Returns the exploded
+    (vec_id, i, x) table and the broadcastable (i, m, v1..vd) projection
+    table consumed by abtt_postprocess / abtt_recall."""
     import numpy as np
 
     e = df.select("vec_id", F.posexplode(F.col(vec).cast("array<double>")).alias("i", "x"))
@@ -1492,6 +1476,35 @@ def abtt_postprocess(
         ],
         "i int, m double, " + ", ".join(f"v{k + 1} double" for k in range(d)),
     )
+    return e, proj
+
+
+def abtt_postprocess(
+    df: DataFrame, vec: str = "embedding", d: int = ABTT_D,
+    iters: int = POWER_ITERS,
+) -> DataFrame:
+    """All-but-the-Top embedding postprocessing (Mu & Viswanath, ICLR 2018
+    "All-but-the-Top: Simple and Effective Postprocessing for Word
+    Representations"): subtract the cloud mean, then remove the
+    projections onto the top-`d` principal directions — the cheap
+    isotropy fix that consistently improves similarity tasks, and the
+    standard hygiene step before cosine-based dedup/ANN (the common
+    direction otherwise inflates all similarities). Per-vector readout of
+    what the transform removes: raw norm, centered energy, and the
+    fraction of centered energy the vector KEEPS after removal —
+    corpus-level isotropy is the energy-weighted mean of kept_frac.
+
+    Scale shape: the covariance build is top_eigen's single dim^2-keyed
+    exploded self-join; the d power chains run on the collected dim x dim
+    matrix (bounded driver state, same convention as pca_variance); the
+    projection itself is ONE vec_id-keyed agg over the exploded table
+    with the (mu, v_1..v_d) table broadcast — no per-vector Python, no
+    second shuffle wider than the input. Removed energy uses the closed
+    form ||c||^2 - sum_m (c . v_m)^2 in BOTH engines (v_m near-orthogonal
+    by deflation; both engines share the same formula so the tiny
+    non-orthogonality cancels in the compare).
+    -> (vec_id, norm_raw, norm_centered, kept_frac)."""
+    e, proj = _abtt_directions(df, vec, d, iters)
     agg_cols = [
         F.sum(F.col("x") * F.col("x")).alias("x2"),
         F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("c2"),
@@ -1512,9 +1525,10 @@ def abtt_postprocess(
     return roundn(out, 4, "norm_raw", "norm_centered", "kept_frac")
 
 
-def abtt_sql(d: int = ABTT_D, iters: int = POWER_ITERS, dim: int = EMB_DIM) -> str:
-    """DuckDB oracle: the same d deflated power chains as pca_power_sql,
-    then the same closed-form per-vector projection agg."""
+def _abtt_sql_prefix(d: int = ABTT_D, iters: int = POWER_ITERS, dim: int = EMB_DIM) -> str:
+    """CTE prefix shared by abtt_sql / abtt_recall_sql: exploded table e,
+    per-dim means st, covariance gm1, and the d deflated power chains
+    ending at fin1..fin{d} (same construction as pca_power_sql)."""
     def cv(g: str, v: str) -> str:
         return (
             f"list_transform(range(1, {dim} + 1), i -> "
@@ -1564,12 +1578,18 @@ gm{m + 1} AS MATERIALIZED (
            list_transform(range(1, {dim} + 1), j ->
              {g}.g[i][j] - lam.lam * fin.v[i] * fin.v[j])) AS g
   FROM {g}, fin{m} fin, lam{m} lam)""")
+    return "".join(parts)
+
+
+def abtt_sql(d: int = ABTT_D, iters: int = POWER_ITERS, dim: int = EMB_DIM) -> str:
+    """DuckDB oracle: the same d deflated power chains as pca_power_sql,
+    then the same closed-form per-vector projection agg."""
     ps = ", ".join(
         f"sum((e.x - st.m) * fin{m}.v[e.i]) AS p{m}" for m in range(1, d + 1)
     )
     fins = "".join(f", fin{m}" for m in range(1, d + 1))
     removed = " + ".join(f"p{m} * p{m}" for m in range(1, d + 1))
-    parts.append(f""",
+    return _abtt_sql_prefix(d, iters, dim) + (f""",
 per AS (
   SELECT e.vec_id, sum(e.x * e.x) AS x2,
          sum((e.x - st.m) * (e.x - st.m)) AS c2, {ps}
@@ -1581,7 +1601,171 @@ SELECT vec_id,
        (round(greatest(c2 - ({removed}), 0.0e0) / c2 + 1.0e-9, 4) + 0.0e0)
          AS kept_frac
 FROM per ORDER BY vec_id""")
-    return "".join(parts)
+
+
+ABTT_RECALL_Q, ABTT_RECALL_K = 16, 8
+
+
+def abtt_recall(
+    df: DataFrame, n_queries: int = ABTT_RECALL_Q, k: int = ABTT_RECALL_K,
+    vec: str = "embedding", d: int = ABTT_D, iters: int = POWER_ITERS,
+) -> DataFrame:
+    """Semantic-retrieval eval of the ABTT postprocess (Mu & Viswanath,
+    ICLR 2018 recommend it precisely for similarity tasks): exact cosine
+    top-k in the RAW space vs in the ABTT space (mean-centered, top-d
+    principal directions removed), per query — neighbor-set overlap plus
+    each space's mean top-k similarity. The mean-sim gap reads out how
+    much the common direction was inflating similarities (the isotropy
+    artifact ABTT removes); the overlap says how much the postprocess
+    actually rewrites retrieval/dedup neighborhoods before you rerun
+    semdedup/ann on transformed vectors. Pairs with ann_ivf_recall
+    (probe axis) and embed_trunc_recall (dimension axis).
+
+    Scale shape: directions come from the bounded dim^2 Gram collect
+    (_abtt_directions); the transform is two vec_id-keyed aggs with the
+    (mu, v_1..v_d) table broadcast; both top-k passes are the broadcast-
+    query brute-force scorer. Similarities are rounded at 6dp BEFORE
+    ranking in both engines (embed_trunc_recall precedent) so rank order
+    cannot flip on cross-engine ulps.
+    -> (query_id, n_common, overlap_at_k, mean_sim_raw, mean_sim_abtt)."""
+    e, proj = _abtt_directions(df, vec, d, iters)
+    ep = e.join(F.broadcast(proj), "i")
+    p = ep.groupBy("vec_id").agg(
+        *[
+            F.sum((F.col("x") - F.col("m")) * F.col(f"v{j + 1}")).alias(f"p{j + 1}")
+            for j in range(d)
+        ]
+    )
+    removed = " + ".join(f"p{j + 1} * v{j + 1}" for j in range(d))
+    t = ep.join(p, "vec_id").select(
+        "vec_id", "i", F.expr(f"x - m - ({removed})").alias("y")
+    )
+    tvec = (
+        t.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "y"))).alias("_pts"))
+        .select("vec_id", F.col("_pts.y").alias("tv"))
+    )
+
+    def topk6(space: DataFrame, vcol: str) -> DataFrame:
+        v = with_norm(space, vcol)
+        c = v.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_vec").alias("cvec"), F.col("norm").alias("cnorm"),
+        )
+        q = v.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_vec").alias("qvec"), F.col("norm").alias("qnorm"),
+        )
+        sim = (
+            c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cs6",
+                F.round(
+                    cosine("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cs6"), F.asc("neighbor_id"))
+        return (
+            sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cs6")
+        )
+
+    raw = topk6(df.select("vec_id", vec), vec)
+    ab = topk6(tvec, "tv")
+    ov = (
+        raw.join(
+            ab.select(
+                F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+            ),
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("bigint").alias("n_common"),
+            (
+                F.round(F.count("a_nid") / F.lit(float(k)) + F.lit(1e-9), 6)
+                + F.lit(0.0)
+            ).alias("overlap_at_k"),
+            (F.round(F.avg("cs6") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "mean_sim_raw"
+            ),
+        )
+    )
+    ma = ab.groupBy("query_id").agg(
+        (F.round(F.avg("cs6") + F.lit(1e-9), 6) + F.lit(0.0)).alias("mean_sim_abtt")
+    )
+    return ov.join(ma, "query_id").orderBy("query_id")
+
+
+def abtt_recall_sql(
+    n_queries: int = ABTT_RECALL_Q, k: int = ABTT_RECALL_K,
+    d: int = ABTT_D, iters: int = POWER_ITERS, dim: int = EMB_DIM,
+) -> str:
+    """DuckDB oracle twin of abtt_recall: same power chains, same
+    transform, same 6dp-round-before-rank."""
+    ps = ", ".join(
+        f"sum((e.x - st.m) * fin{m}.v[e.i]) AS p{m}" for m in range(1, d + 1)
+    )
+    fins = "".join(f", fin{m}" for m in range(1, d + 1))
+    sub = " - ".join(f"p.p{m} * fin{m}.v[e.i]" for m in range(1, d + 1))
+    return _abtt_sql_prefix(d, iters, dim) + f""",
+p AS MATERIALIZED (
+  SELECT e.vec_id, {ps}
+  FROM e JOIN st USING (i){fins}
+  GROUP BY e.vec_id),
+t AS (
+  SELECT e.vec_id, e.i, e.x - st.m - {sub} AS y
+  FROM e JOIN st USING (i) JOIN p ON p.vec_id = e.vec_id{fins}),
+tv AS MATERIALIZED (
+  SELECT vec_id, list(y ORDER BY i) AS vec FROM t GROUP BY vec_id),
+tn AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM tv),
+rw AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+rn AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM rw),
+rt AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cs6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs6 DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm)
+                 + 1.0e-9, 6) + 0.0e0 AS cs6
+    FROM rn q JOIN rn c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)),
+at2 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cs6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs6 DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm)
+                 + 1.0e-9, 6) + 0.0e0 AS cs6
+    FROM tn q JOIN tn c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)),
+ov AS (
+  SELECT r.query_id,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_common,
+         round(count(a.neighbor_id) / {float(k)}e0 + 1.0e-9, 6) + 0.0e0
+           AS overlap_at_k,
+         round(avg(r.cs6) + 1.0e-9, 6) + 0.0e0 AS mean_sim_raw
+  FROM rt r LEFT JOIN at2 a
+    ON a.query_id = r.query_id AND a.neighbor_id = r.neighbor_id
+       AND a.rank <= {k}
+  WHERE r.rank <= {k}
+  GROUP BY r.query_id),
+mab AS (
+  SELECT query_id, round(avg(cs6) + 1.0e-9, 6) + 0.0e0 AS mean_sim_abtt
+  FROM at2 WHERE rank <= {k} GROUP BY query_id)
+SELECT ov.query_id, ov.n_common, ov.overlap_at_k, ov.mean_sim_raw,
+       mab.mean_sim_abtt
+FROM ov JOIN mab ON mab.query_id = ov.query_id
+ORDER BY ov.query_id"""
 
 
 # --- retrieval quality: mAP@k against labels ---------------------------------

@@ -799,13 +799,22 @@ def hawkes_stateful(
     R_{i-1}) carried across micro-batches, with FIXED (mu, alpha, beta)
     because an online monitor cannot know the full-stream empirical rate
     (that is the batch twin ev_hawkes_loglik's job). Emits the running
-    self-excitation summary per type; the recursion is contractive
-    (exp(-beta*gap) < 1), so per-step float noise cannot accumulate and
-    the batch SQL oracle replays it without per-step rounding.
+    self-excitation summary per type; the R recursion is contractive
+    (exp(-beta*gap) < 1), so per-step float noise cannot accumulate in
+    r_end — but sum_log_intensity is a pure running sum whose cross-engine
+    ulp drift grows linearly with event count, so every slog increment is
+    rounded at 9dp (half-away-from-zero, the SQL _r9 idiom) in BOTH the
+    Python state update and the oracle fold (ADVICE r06).
     """
     import math
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def r9(x: float) -> float:
+        # half-away-from-zero to match DuckDB/Spark round(); Python
+        # round() is banker's
+        y = x + 1e-12
+        return math.copysign(math.floor(abs(y) * 1e9 + 0.5), y) / 1e9
 
     out_schema = (
         "event_type string, n_events bigint, r_end double, sum_log_intensity double"
@@ -822,10 +831,10 @@ def hawkes_stateful(
             for t in pdf["ts"]:
                 es = int(t.timestamp())  # integer epoch seconds (repo idiom)
                 if n == 0:
-                    slog = math.log(mu)
+                    slog = r9(math.log(mu))
                 else:
                     r = math.exp(-beta * (es - last_s)) * (1.0 + r)
-                    slog += math.log(mu + alpha * r)
+                    slog = r9(slog + math.log(mu + alpha * r))
                 last_s = es
                 n += 1
         state.update((r, slog, last_s, n))
