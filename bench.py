@@ -262,9 +262,10 @@ def main() -> None:
         # round-6 snapshot additions, omitted from the r6 suite (ADVICE r06)
         "ev_competing_risks",
         "stream_hawkes",
-        # round-7: ABTT retrieval eval, keep-first substring cut
+        # round-7: ABTT retrieval eval, keep-first substring cut, PQ-ADC recall
         "embed_abtt_recall",
         "dedup_substr_keepfirst",
+        "ann_pq_recall",
     ]
     reg = registry()
     for name in suite:

@@ -422,3 +422,20 @@ def test_substr_keepfirst_cuts_later_copies_only(spark):
     # cut never exceeds detected duplication on any doc
     for d in cut.values():
         assert d.cut_chars <= det[d.doc_id].dup_chars
+
+
+def test_pq_recall_exact_when_codebook_covers(spark):
+    # corpus drawn from exactly n_cent prototypes, all present among the
+    # deterministic seeds -> PQ reconstruction is exact, so ADC distance
+    # equals exact L2 and recall@k must be 1 for every query.
+    import numpy as np
+
+    from tsgen.similarity import pq_recall
+
+    rng = np.random.default_rng(3)
+    protos = rng.normal(size=(8, 16))
+    rows = [(i, [float(x) for x in protos[i % 8]]) for i in range(48)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_recall(emb, n_queries=6, k=4, n_sub=4, n_cent=8, refine_iters=1).collect()
+    assert len(out) == 6
+    assert all(r.hits == 4 and r.recall_at_k == 1.0 for r in out)

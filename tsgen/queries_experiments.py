@@ -681,6 +681,13 @@ def hits_scores(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
     cannot compound (the repo's iterative-float discipline). The edge
     list is distinct (cust, supp) pairs — bounded by |C|x|S|, uniform
     keys, no skew.
+
+    Early-exit note (VERDICT r06 item 4, evaluated and REJECTED): an
+    LPA-style stop-when-rounded-state-repeats check was measured at sf0.1
+    — the 9dp-rounded score vector does not reach an exact fixed point
+    within 8 rounds (continuous scores, unlike LPA's integer labels), so
+    the exit never fires and the per-round convergence probe added ~50%
+    wall-clock (7.8s vs 5.2s warm). 8 fixed rounds it is.
     -> (side, node_id, score) for side in ('hub' = customer,
        'auth' = supplier)."""
     e = edges.select("c", "s").distinct().localCheckpoint(eager=False)

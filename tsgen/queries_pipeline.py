@@ -806,6 +806,12 @@ _REGISTRY.update(
             similarity.abtt_recall_sql(),
             ("similarity", "llm", "eval"),
         ),
+        "ann_pq_recall": Query(
+            "ann_pq_recall",
+            lambda spark, sf_dir: similarity.pq_recall(_emb(spark, sf_dir)),
+            similarity.pq_recall_sql(),
+            ("similarity", "eval"),
+        ),
         "doc_lang_rebalance": Query(
             "doc_lang_rebalance",
             lambda spark, sf_dir: mixing.lang_rebalance(_docs(spark, sf_dir)),

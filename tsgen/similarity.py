@@ -764,6 +764,21 @@ def pca_variance(df: DataFrame, vec: str = "embedding", k: int = 8) -> DataFrame
 PQ_SUB, PQ_CENT = 4, 16
 
 
+def _pq_subvectors(df: DataFrame, n_sub: int, vec: str = "embedding") -> DataFrame:
+    """Split each vector into n_sub contiguous double subvectors;
+    -> (vec_id, s, subvec)."""
+    return df.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}), "
+                f"s -> struct(s AS s, transform(slice({vec}, s * int(size({vec}) / {n_sub}) + 1, "
+                f"int(size({vec}) / {n_sub})), x -> CAST(x AS DOUBLE)) AS subvec))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.s", "p.subvec")
+
+
 def pq_train_assign(
     df: DataFrame,
     n_sub: int = PQ_SUB,
@@ -786,18 +801,7 @@ def pq_train_assign(
 
     Returns (codes, codebook): codes = (vec_id, s, code, sub_sqerr);
     codebook = (s, code, cvec)."""
-    d_sub = F.expr(f"int(size({vec}) / {n_sub})")
-    sub = df.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_sub - 1}), "
-                f"s -> struct(s AS s, transform(slice({vec}, s * int(size({vec}) / {n_sub}) + 1, "
-                f"int(size({vec}) / {n_sub})), x -> CAST(x AS DOUBLE)) AS subvec))"
-            )
-        ).alias("p"),
-    ).select("vec_id", "p.s", "p.subvec")
-    sub = sub.localCheckpoint(eager=False)
+    sub = _pq_subvectors(df, n_sub, vec).localCheckpoint(eager=False)
     codebook = sub.filter(F.col("vec_id") < n_cent).select(
         "s", F.col("vec_id").cast("int").alias("code"), F.col("subvec").alias("cvec")
     )
@@ -845,6 +849,97 @@ def pq_summary(df: DataFrame, vec: str = "embedding") -> DataFrame:
             F.col("sc.code").alias("codes"),
             F.sqrt(F.col("recon_sqerr")).alias("recon_err"),
         )
+    )
+
+
+PQ_RECALL_Q, PQ_RECALL_K = 16, 8
+
+
+def pq_recall(
+    df: DataFrame,
+    n_queries: int = PQ_RECALL_Q,
+    k: int = PQ_RECALL_K,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    refine_iters: int = 2,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance search (ADC; Jégou, Douze,
+    Schmid 2011 §IV) against exact L2 truth — the quantization axis of
+    the ANN eval triptych (ann_ivf_recall = probe axis,
+    embed_trunc_recall = dimension axis). Each query keeps its FULL
+    vector; per (query, subspace, code) a lookup-table entry
+    ||q_s - c_{s,code}||^2 is precomputed, and a corpus vector's
+    approximate distance is the sum of n_sub LUT hits on its stored
+    codes — the scan never touches raw corpus floats, which is the whole
+    point of PQ at billion scale (codes are n_sub bytes/vector; the LUT
+    is n_queries x n_sub x n_cent, always broadcast).
+
+    Determinism: LUT entries are rounded at 9dp and summed distances at
+    6dp BEFORE ranking, in both engines (the repo's round-before-rank
+    discipline), with vec_id as the tiebreak.
+    -> (query_id, hits, recall_at_k)."""
+    codes, codebook = pq_train_assign(df, n_sub, n_cent, refine_iters, vec)
+    qsub = _pq_subvectors(df.filter(F.col("vec_id") < n_queries), n_sub, vec).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("subvec").alias("qsub")
+    )
+    lut_d2 = F.expr(
+        "aggregate(zip_with(qsub, cvec, (a, b) -> (a - b) * (a - b)), "
+        "0.0e0, (acc, x) -> acc + x)"
+    )
+    lut = qsub.join(F.broadcast(codebook), "s").select(
+        "query_id", "s", "code",
+        (F.round(lut_d2 + F.lit(1e-12), 9) + F.lit(0.0)).alias("ld2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ld2").alias("d2"))
+        .withColumn("d6", F.round(F.col("d2") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("vec_id"))
+    approx = (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_nid"))
+    )
+    v = df.select("vec_id", _to_double(vec).alias("_vec"))
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_vec").alias("qvec")
+    )
+    exact_d2 = F.expr(
+        "aggregate(zip_with(qvec, _vec, (a, b) -> (a - b) * (a - b)), "
+        "0.0e0, (acc, x) -> acc + x)"
+    )
+    truth = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("d6", F.round(exact_d2 + F.lit(1e-9), 6) + F.lit(0.0))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = F.count(F.col("a_nid")).cast("bigint")
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            hits.alias("hits"),
+            (F.round(hits / F.lit(float(k)) + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
     )
 
 
@@ -1164,14 +1259,12 @@ WHERE rank <= {k}
 """
 
 
-def pq_summary_sql(
+def _pq_sql_parts(
     n_sub: int = PQ_SUB, n_cent: int = PQ_CENT, refine_iters: int = 2, dim: int = EMB_DIM
-) -> str:
-    """DuckDB oracle twin of pq_summary (deterministic seeds + refine_iters
-    Lloyd rounds per subspace, unrolled as chained CTEs with the subspace
-    as a key column) — upgrading embed_pq from rows-only to value-checked.
-    Sub-vector L2 uses the sequential list_reduce fold (matches Spark's
-    aggregate())."""
+) -> list:
+    """CTE chain shared by pq_summary_sql / pq_recall_sql: subvector split,
+    deterministic seed codebook, refine_iters unrolled Lloyd rounds. Final
+    assignment CTE = a{refine_iters}, final codebook = cb{refine_iters}."""
     d_sub = dim // n_sub
     d2 = (
         "list_reduce(list_prepend(0.0e0, list_transform(range(1, {ds} + 1), "
@@ -1204,11 +1297,75 @@ def pq_summary_sql(
                 f"cb{it + 1} AS (SELECT s, code, list(cx ORDER BY i) AS cvec FROM m{it} GROUP BY s, code)"
             )
             prev = f"cb{it + 1}"
-    body = ",\n".join(parts)
+    return parts
+
+
+def pq_summary_sql(
+    n_sub: int = PQ_SUB, n_cent: int = PQ_CENT, refine_iters: int = 2, dim: int = EMB_DIM
+) -> str:
+    """DuckDB oracle twin of pq_summary (deterministic seeds + refine_iters
+    Lloyd rounds per subspace, unrolled as chained CTEs with the subspace
+    as a key column) — upgrading embed_pq from rows-only to value-checked.
+    Sub-vector L2 uses the sequential list_reduce fold (matches Spark's
+    aggregate())."""
+    body = ",\n".join(_pq_sql_parts(n_sub, n_cent, refine_iters, dim))
     return f"""
 WITH {body}
 SELECT vec_id, (round((sqrt(sum(d2))) + 1.0e-9,4)+0.0e0) AS recon_err
 FROM a{refine_iters} GROUP BY vec_id
+"""
+
+
+def pq_recall_sql(
+    n_queries: int = PQ_RECALL_Q, k: int = PQ_RECALL_K, n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT, refine_iters: int = 2, dim: int = EMB_DIM,
+) -> str:
+    """DuckDB oracle twin of pq_recall: same unrolled codebooks, the same
+    9dp-rounded LUT, the same 6dp round-before-rank ADC and exact-L2
+    rankings."""
+    d_sub = dim // n_sub
+    lut_d2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {ds} + 1), "
+        "i -> (q.subvec[i] - c.cvec[i]) * (q.subvec[i] - c.cvec[i]))), (a, b) -> a + b)"
+    ).format(ds=d_sub)
+    ex_d2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {d} + 1), "
+        "i -> (q.vec[i] - cp.vec[i]) * (q.vec[i] - cp.vec[i]))), (a, b) -> a + b)"
+    ).format(d=dim)
+    body = ",\n".join(_pq_sql_parts(n_sub, n_cent, refine_iters, dim))
+    fa, fcb = f"a{refine_iters}", f"cb{refine_iters}"
+    return f"""
+WITH {body},
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.s, c.code,
+         round({lut_d2} + 1.0e-12, 9) + 0.0e0 AS ld2
+  FROM sub q JOIN {fcb} c ON c.s = q.s
+  WHERE q.vec_id < {n_queries}),
+adc AS (
+  SELECT l.query_id, a.vec_id,
+         round(sum(l.ld2) + 1.0e-9, 6) + 0.0e0 AS d6
+  FROM {fa} a JOIN lut l ON l.s = a.s AND l.code = a.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id),
+ap AS MATERIALIZED (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d6 ASC, vec_id ASC) AS rank
+  FROM adc),
+tr AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, cp.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({ex_d2} + 1.0e-9, 6) + 0.0e0 ASC,
+                                       cp.vec_id ASC) AS rank
+    FROM v q JOIN v cp ON q.vec_id < {n_queries} AND cp.vec_id <> q.vec_id)
+  WHERE rank <= {k})
+SELECT t.query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       round(count(a.vec_id) / {float(k)}e0 + 1.0e-9, 6) + 0.0e0 AS recall_at_k
+FROM tr t LEFT JOIN ap a
+  ON a.query_id = t.query_id AND a.vec_id = t.neighbor_id AND a.rank <= {k}
+GROUP BY t.query_id ORDER BY t.query_id
 """
 
 
