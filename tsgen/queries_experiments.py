@@ -664,10 +664,6 @@ def _ppr_sql() -> str:
 HITS_ITER = 8
 
 
-def _r9h(x: str) -> str:
-    return f"(round(({x}) + 1.0e-12, 9) + 0.0e0)"
-
-
 def hits_scores(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
     """HITS (Kleinberg, JACM 1999 "Authoritative sources in a hyperlinked
     environment"): mutual reinforcement on a DIRECTED graph — here the
@@ -676,25 +672,32 @@ def hits_scores(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
     customers concentrate on. Power iteration with L2 normalization:
     a <- A^T h / ||.||, h <- A a / ||.||, `n_iter` rounds. Per round: two
     keyed equi-join+sum passes over the edge list (the same shape as one
-    pagerank round) and two 1-row broadcast norms; scores are rounded to
-    9dp after every normalize in BOTH engines so sqrt/division ulp noise
-    cannot compound (the repo's iterative-float discipline). The edge
-    list is distinct (cust, supp) pairs — bounded by |C|x|S|, uniform
-    keys, no skew.
+    pagerank round) and two 1-row broadcast norms. The edge list is
+    distinct (cust, supp) pairs — bounded by |C|x|S|, uniform keys, no
+    skew. Scores are deliberately NOT rounded between rounds: power
+    iteration with normalization is contractive, so cross-engine
+    parallel-sum association noise stays ~1e-12 through all rounds and
+    only the OUTPUT is rounded (6dp). Per-round 9dp rounding was tried
+    and REVERTED — it quantized that 1e-12 noise up to the 1e-9 grid
+    (hundreds of boundary flips over 16k nodes x 16 roundings at sf0.1),
+    two of which then straddled 6dp output boundaries; the unrounded
+    version passes the sf0.1 sweep. Per-step rounding is for
+    SEQUENTIAL folds with a defined order (ev_hawkes_loglik), not for
+    parallel sums. Same discipline as graph_pagerank/graph_ppr.
 
     Early-exit note (VERDICT r06 item 4, evaluated and REJECTED): an
     LPA-style stop-when-rounded-state-repeats check was measured at sf0.1
-    — the 9dp-rounded score vector does not reach an exact fixed point
-    within 8 rounds (continuous scores, unlike LPA's integer labels), so
-    the exit never fires and the per-round convergence probe added ~50%
-    wall-clock (7.8s vs 5.2s warm). 8 fixed rounds it is.
+    — continuous scores (unlike LPA's integer labels) never reach an
+    exact fixed point within 8 rounds, so the exit never fires and the
+    per-round convergence probe added ~50% wall-clock (7.8s vs 5.2s
+    warm). 8 fixed rounds it is.
     -> (side, node_id, score) for side in ('hub' = customer,
        'auth' = supplier)."""
     e = edges.select("c", "s").distinct().localCheckpoint(eager=False)
     hubs = e.select("c").distinct()
     nc = hubs.agg(F.count("*").alias("n"))
     h = hubs.crossJoin(F.broadcast(nc)).select(
-        "c", F.expr(_r9h("1.0e0 / sqrt(CAST(n AS DOUBLE))")).alias("h")
+        "c", F.expr("1.0e0 / sqrt(CAST(n AS DOUBLE))").alias("h")
     )
     a = None
     for _ in range(n_iter):
@@ -703,12 +706,12 @@ def hits_scores(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
         )
         an = a_raw.agg(F.expr("sqrt(sum(ar * ar))").alias("nrm"))
         a = a_raw.crossJoin(F.broadcast(an)).select(
-            "s", F.expr(_r9h("ar / nrm")).alias("a")
+            "s", F.expr("ar / nrm").alias("a")
         ).localCheckpoint(eager=False)
         h_raw = e.join(a, "s").groupBy("c").agg(F.sum("a").alias("hr"))
         hn = h_raw.agg(F.expr("sqrt(sum(hr * hr))").alias("nrm"))
         h = h_raw.crossJoin(F.broadcast(hn)).select(
-            "c", F.expr(_r9h("hr / nrm")).alias("h")
+            "c", F.expr("hr / nrm").alias("h")
         ).localCheckpoint(eager=False)
     out = h.select(
         F.lit("hub").alias("side"), F.col("c").cast("bigint").alias("node_id"),
@@ -740,7 +743,7 @@ def _hits_sql(n_iter: int = HITS_ITER) -> str:
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""",
         "nc AS (SELECT CAST(count(DISTINCT c) AS DOUBLE) AS n FROM e)",
-        f"h0 AS (SELECT DISTINCT c, {_r9h('1.0e0 / sqrt(nc.n)')} AS h"
+        "h0 AS (SELECT DISTINCT c, 1.0e0 / sqrt(nc.n) AS h"
         " FROM e CROSS JOIN nc)",
     ]
     for i in range(n_iter):
@@ -749,7 +752,7 @@ def _hits_sql(n_iter: int = HITS_ITER) -> str:
   SELECT e.s, sum(h.h) AS ar FROM e JOIN h{i} h USING (c) GROUP BY e.s)"""
         )
         ctes.append(
-            f"a{i + 1} AS MATERIALIZED (SELECT s, {_r9h('ar / nrm')} AS a"
+            f"a{i + 1} AS MATERIALIZED (SELECT s, ar / nrm AS a"
             f" FROM ar{i + 1} CROSS JOIN (SELECT sqrt(sum(ar * ar)) AS nrm"
             f" FROM ar{i + 1}))"
         )
@@ -758,7 +761,7 @@ def _hits_sql(n_iter: int = HITS_ITER) -> str:
   SELECT e.c, sum(a.a) AS hr FROM e JOIN a{i + 1} a USING (s) GROUP BY e.c)"""
         )
         ctes.append(
-            f"h{i + 1} AS MATERIALIZED (SELECT c, {_r9h('hr / nrm')} AS h"
+            f"h{i + 1} AS MATERIALIZED (SELECT c, hr / nrm AS h"
             f" FROM hr{i + 1} CROSS JOIN (SELECT sqrt(sum(hr * hr)) AS nrm"
             f" FROM hr{i + 1}))"
         )
