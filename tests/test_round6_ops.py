@@ -439,3 +439,26 @@ def test_pq_recall_exact_when_codebook_covers(spark):
     out = pq_recall(emb, n_queries=6, k=4, n_sub=4, n_cent=8, refine_iters=1).collect()
     assert len(out) == 6
     assert all(r.hits == 4 and r.recall_at_k == 1.0 for r in out)
+
+
+def test_new_evals_partition_invariant(spark):
+    # 100TB-readiness property: results must not depend on the physical
+    # partitioning of the input (sums are rounded before every ranking/
+    # comparison, so association noise cannot flip a row).
+    from tsgen.queries_exactdup import substring_cut_keepfirst
+    from tsgen.similarity import abtt_recall, pq_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    for fn, src, parts in (
+        (pq_recall, emb, 17),
+        (abtt_recall, emb, 13),
+        (substring_cut_keepfirst, docs, 11),
+    ):
+        a = rows(fn(src))
+        b = rows(fn(src.repartition(parts)))
+        assert a == b, f"{fn.__name__} changed under repartition({parts})"
