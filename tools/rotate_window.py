@@ -1,0 +1,118 @@
+"""Emit the next driver-certification window (`_WINDOW_PRIORITY`) from the
+recorded CORRECTNESS_r*.json results.
+
+The driver certifies the FIRST 50 registry entries each round; the registry
+orders them by `_WINDOW_PRIORITY` (tsgen/queries.py). This tool derives the
+rotation mechanically so no family is orphaned and no certified query wastes
+a slot:
+
+    backlog = oracle-bearing registry queries with no green driver row yet,
+    ordered by the documented family plan below (r8 then r9 families),
+    then by registration order for anything new;
+    window  = 3 canaries + first 47 of the backlog.
+
+Usage:
+    python tools/rotate_window.py            # print the tuple to paste
+    python tools/rotate_window.py --names    # print bare names (for
+                                             # `tools/check_oracle.py ... $(...)`)
+
+After pasting into tsgen/queries.py, ALWAYS replay the window:
+    python tools/check_oracle.py /root/testdata/sf0.01 --first=50
+"""
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+CANARIES = ["gen_sine", "series_stats", "sample_data_mixed"]
+
+# Planned family order (mirrors the _WINDOW_PRIORITY comment block).
+PLAN = [
+    # round-7 snapshot additions (registered after the r7 window froze)
+    "embed_abtt_recall", "dedup_substr_keepfirst", "ann_pq_recall",
+    # r8: text family
+    "bpe_merge_step", "doc_split", "doc_entropy", "doc_keyphrases",
+    "doc_lm_score", "doc_bigram_lm", "doc_feature_hash", "doc_readability",
+    "repetition_stats", "token_count_bpe", "doc_zipf", "doc_ppl_holdout",
+    "doc_contamination", "doc_woe", "doc_pareto",
+    # r8: tsdb family
+    "ev_interpolate", "ev_lttb", "ts_period", "ev_technical", "ev_gap_stats",
+    "ev_seasonal_profile", "ts_welch_psd", "ev_peak_detect",
+    "ev_m4_downsample", "ev_drawdown", "ev_ewma_chart", "ev_ewma_corr",
+    "ts_isotonic", "ts_segmentation", "ts_haar_energy", "ev_rate_anomaly",
+    "ev_counter_rate", "ts_lombscargle",
+    # r8: analytics long tail
+    "ev_transition_entropy", "ev_transitions", "ev_user_paths", "ev_cusum",
+    "ev_streaks", "ts_delta_stats", "ev_wau", "ev_outliers_mad", "ev_apdex",
+    "ev_ks_test", "ev_chi_square", "ev_benford", "ts_spectral_entropy",
+    "ev_winsorize",
+    # r9: pipeline/scale
+    "split_assign", "ev_gbm_stumps", "name_match_jw", "name_match_snm",
+    "ann_rrf", "global_row_ids", "stratified_sample", "weighted_sample",
+    # r9: warehouse
+    "ev_mview_merge", "ev_merge_upsert", "ev_time_travel", "li_zone_map",
+    "ev_retract_merge", "ev_cdc_apply", "ev_scd2", "ev_ffill",
+    "table_profile", "key_skew_profile", "zorder_cluster", "orders_checksum",
+    "snapshot_diff",
+    # r9: product/experiment
+    "ab_experiment", "user_survival", "revenue_gini", "ev_funnel_latency",
+    "ev_cohort_ltv", "ev_msprt_by_type", "ev_power_analysis",
+    # r9: decompose/forecast extras
+    "ts_prophet_forecast", "trend_theilsen", "ts_anomalies",
+    "ts_robust_decompose", "classical_decompose",
+    # r9: events/tsdb leftovers
+    "ev_percentiles", "ev_funnel", "ev_retention", "ev_funnel_stages",
+    "ev_running_balance", "ev_ohlc", "ev_twap", "ev_time_features",
+    "ev_interval_union",
+    # r9: similarity/sketch
+    "embed_centroids", "embed_drift", "dd_quantiles_by_type",
+    "ev_value_deciles", "cms_join_size",
+    # r9: misc
+    "dq_checks", "ev_k_anonymity", "basket_rules", "li_supplier_hhi",
+    "train_denoiser_fourier",
+]
+
+
+def certified() -> set[str]:
+    green: set[str] = set()
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        for k, v in json.load(open(f)).items():
+            if isinstance(v, dict) and v.get("rows_match") and v.get("err") is None:
+                green.add(k)
+    return green
+
+
+def backlog() -> list[str]:
+    from tsgen.queries import registry
+
+    reg = registry()
+    done = certified()
+    todo = [n for n in reg if reg[n].oracle and n not in done and n not in CANARIES]
+    rank = {n: i for i, n in enumerate(PLAN)}
+    todo.sort(key=lambda n: (rank.get(n, len(PLAN)), n))
+    return todo
+
+
+def main() -> None:
+    todo = backlog()
+    window = CANARIES + todo[:47]
+    if "--names" in sys.argv:
+        print(" ".join(window))
+        return
+    print(f"# never-certified backlog: {len(todo)} (window takes 47)")
+    print("_WINDOW_PRIORITY: tuple[str, ...] = (")
+    print("    # canaries")
+    print("    " + ", ".join(repr(n) for n in CANARIES) + ",")
+    body = window[3:]
+    for i in range(0, len(body), 4):
+        print("    " + ", ".join(repr(n) for n in body[i : i + 4]) + ",")
+    print(")")
+    leftover = todo[47:]
+    print(f"# next-round leftover ({len(leftover)}): {' '.join(leftover)}")
+
+
+if __name__ == "__main__":
+    main()
