@@ -462,3 +462,34 @@ def test_new_evals_partition_invariant(spark):
         a = rows(fn(src))
         b = rows(fn(src.repartition(parts)))
         assert a == b, f"{fn.__name__} changed under repartition({parts})"
+
+
+def test_rotate_window_tool_emits_valid_window(spark):
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from tsgen.queries import registry
+
+    root = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, "tools/rotate_window.py", "--names"],
+        capture_output=True, text=True, cwd=root, check=True,
+    )
+    names = out.stdout.split()
+    reg = registry()
+    assert len(names) == 50 and len(set(names)) == 50
+    assert names[:3] == ["gen_sine", "series_stats", "sample_data_mixed"]
+    for n in names:
+        assert n in reg and reg[n].oracle, n
+
+
+def test_pq_recall_plan_broadcasts_lut(spark):
+    # the PQ scan must never shuffle the corpus against the LUT — the LUT
+    # (n_queries x n_sub x n_cent) and codebook are broadcast by design
+    from tsgen.similarity import pq_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = pq_recall(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
