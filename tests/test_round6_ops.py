@@ -355,7 +355,7 @@ def test_burst_and_hawkes_drop_tspan_zero_types(spark):
     # identically instead of diverging (Spark Inf vs DuckDB NULL).
     from tsgen.queries_statemodels import burst_detect, hawkes_loglik
 
-    rows = [(i, "flat", f"2024-01-01 00:00:0{0 if i < 9 else 0}") for i in range(6)]
+    rows = [(i, "flat", "2024-01-01 00:00:00") for i in range(6)]
     rows += [(100 + i, "ok", f"2024-01-01 00:0{i}:00") for i in range(6)]
     ev = spark.createDataFrame(
         rows, "event_id long, event_type string, ts_s string"

@@ -76,13 +76,33 @@ PLAN = [
 ]
 
 
-def certified() -> set[str]:
-    green: set[str] = set()
+def _is_green(v) -> bool:
+    # A row is certified only if EVERY recorded check passed: rows_match
+    # alone is not enough (CORRECTNESS_r01.json's ev_props_json had
+    # rows_match=True, hash_match=False — a value divergence that must
+    # stay in the rotation backlog until a window re-certifies it).
+    return (
+        isinstance(v, dict)
+        and v.get("err") is None
+        and v.get("rows_match") is True
+        and v.get("schema_match") is not False
+        and v.get("hash_match") is not False
+    )
+
+
+def certified_by_round() -> dict[str, int]:
+    """name -> latest round with a fully-green row."""
+    green: dict[str, int] = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in f if ch.isdigit()) or 0)
         for k, v in json.load(open(f)).items():
-            if isinstance(v, dict) and v.get("rows_match") and v.get("err") is None:
-                green.add(k)
+            if _is_green(v):
+                green[k] = max(green.get(k, 0), rnd)
     return green
+
+
+def certified() -> set[str]:
+    return set(certified_by_round())
 
 
 def backlog() -> list[str]:
@@ -92,13 +112,29 @@ def backlog() -> list[str]:
     done = certified()
     todo = [n for n in reg if reg[n].oracle and n not in done and n not in CANARIES]
     rank = {n: i for i, n in enumerate(PLAN)}
-    todo.sort(key=lambda n: (rank.get(n, len(PLAN)), n))
+    # stable sort: unplanned names keep registry (registration) order
+    todo.sort(key=lambda n: rank.get(n, len(PLAN)))
     return todo
 
 
 def main() -> None:
     todo = backlog()
     window = CANARIES + todo[:47]
+    if len(window) < 50:
+        # backlog exhausted: pad with the least-recently-certified queries
+        # (oldest driver row first) so the window stays >= 50 names — the
+        # tests/test_io_entry.py invariant — and stale certifications get
+        # refreshed.
+        from tsgen.queries import registry
+
+        reg = registry()
+        by_round = certified_by_round()
+        stale = [
+            n for n in reg
+            if reg[n].oracle and n not in window
+        ]
+        stale.sort(key=lambda n: by_round.get(n, 0))
+        window += stale[: 50 - len(window)]
     if "--names" in sys.argv:
         print(" ".join(window))
         return

@@ -1861,6 +1861,22 @@ def abtt_recall(
     return ov.join(ma, "query_id").orderBy("query_id")
 
 
+def _ranked_cos6(src: str, n_queries: int) -> str:
+    """Ranked-cosine CTE body over a (vec_id, vec, norm) table `src`:
+    6dp round-before-rank, neighbor_id tiebreak — the one scorer both
+    abtt_recall spaces share (kept as a single template so the rounding/
+    tiebreak can never diverge between them)."""
+    return f"""
+  SELECT query_id, neighbor_id, cs6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs6 DESC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm)
+                 + 1.0e-9, 6) + 0.0e0 AS cs6
+    FROM {src} q JOIN {src} c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)"""
+
+
 def abtt_recall_sql(
     n_queries: int = ABTT_RECALL_Q, k: int = ABTT_RECALL_K,
     d: int = ABTT_D, iters: int = POWER_ITERS, dim: int = EMB_DIM,
@@ -1887,24 +1903,8 @@ rw AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
   FROM embeddings),
 rn AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM rw),
-rt AS MATERIALIZED (
-  SELECT query_id, neighbor_id, cs6,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cs6 DESC, neighbor_id ASC) AS rank
-  FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm)
-                 + 1.0e-9, 6) + 0.0e0 AS cs6
-    FROM rn q JOIN rn c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)),
-at2 AS MATERIALIZED (
-  SELECT query_id, neighbor_id, cs6,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cs6 DESC, neighbor_id ASC) AS rank
-  FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm)
-                 + 1.0e-9, 6) + 0.0e0 AS cs6
-    FROM tn q JOIN tn c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)),
+rt AS MATERIALIZED ({_ranked_cos6("rn", n_queries)}),
+at2 AS MATERIALIZED ({_ranked_cos6("tn", n_queries)}),
 ov AS (
   SELECT r.query_id,
          CAST(count(a.neighbor_id) AS BIGINT) AS n_common,
