@@ -74,3 +74,30 @@ def test_anomalies_state_carries_across_microbatches(tmp_path, spark):
     a = {(r.user_id, r.event_id): round(r.z, 9) for r in single.collect()}
     b = {(r.user_id, r.event_id): round(r.z, 9) for r in chunked.collect()}
     assert a == b and len(a) > 0
+
+
+def test_hawkes_r9_helper_matches_duckdb_round():
+    # the stream_hawkes Python state update rounds each slog increment with
+    # a hand-rolled half-away-from-zero helper; it must agree with the
+    # DuckDB fold's round(x + 1e-12, 9) on negatives and near-half values
+    import math
+
+    import duckdb
+
+    def r9(x: float) -> float:  # mirror of streaming.hawkes_stateful::r9
+        y = x + 1e-12
+        return math.copysign(math.floor(abs(y) * 1e9 + 0.5), y) / 1e9
+
+    vals = [
+        0.0, 1.0, -1.0, -6.2146080984222,  # typical ln(mu)-scale values
+        0.1234567895, -0.1234567895,       # exactly at the 9dp half grid
+        0.12345678949, -0.12345678949,
+        1e-10, -1e-10, 12345.000000000499, -62000.123456789,
+        math.log(2.0e-3),                  # the actual stream_hawkes init
+    ]
+    con = duckdb.connect()
+    for v in vals:
+        got = con.execute(
+            "SELECT round(CAST(? AS DOUBLE) + 1.0e-12, 9) + 0.0e0", [v]
+        ).fetchone()[0]
+        assert r9(v) == got, (v, r9(v), got)
