@@ -266,6 +266,7 @@ def main() -> None:
         "embed_abtt_recall",
         "dedup_substr_keepfirst",
         "ann_pq_recall",
+        "li_wagner_whitin",
     ]
     reg = registry()
     for name in suite:

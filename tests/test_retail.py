@@ -81,3 +81,28 @@ def test_supplier_hhi_monopoly_vs_uniform(spark):
     assert out["MONO"].hhi == 10000.0 and out["MONO"].band == "concentrated"
     assert out["DUO"].hhi == 5000.0 and out["DUO"].band == "concentrated"
     assert out["MONO"].n_suppliers == 1 and out["DUO"].n_suppliers == 2
+
+
+def test_wagner_whitin_hand_computed(spark):
+    from tsgen.queries_retail import wagner_whitin
+
+    # T = 4 quarters of 1994. Part 2 (unit price 100 -> h = 5.0/quarter):
+    # demands Q1+Q4; holding 3 quarters costs 150 > S=75+75, so TWO setups
+    # at cost 150. Part 1 (unit price 50 -> h = 2.5): demands Q1+Q3;
+    # holding 2 quarters costs 50 < 75, so ONE setup at cost 125.
+    rows = [
+        (1, 1, 10.0, 500.0, "1994-01-15"),
+        (2, 1, 10.0, 500.0, "1994-07-15"),
+        (3, 2, 10.0, 1000.0, "1994-01-15"),
+        (4, 2, 10.0, 1000.0, "1994-10-15"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, l_shipdate string",
+    )
+    out = {r.abc_class: r for r in wagner_whitin(li).collect()}
+    # revenue: part2 = 2000 (cum 2/3 <= 0.8 -> A), part1 -> C
+    assert out["A"].n_parts == 1 and out["C"].n_parts == 1
+    assert out["A"].avg_n_setups == 2.0 and out["A"].avg_ww_cost == 150.0
+    assert out["C"].avg_n_setups == 1.0 and out["C"].avg_ww_cost == 125.0

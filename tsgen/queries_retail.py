@@ -706,11 +706,264 @@ FROM pol GROUP BY abc_class ORDER BY abc_class
 """
 
 
+# --- Wagner-Whitin dynamic lot sizing ----------------------------------------
+WW_HOLD_RATE_Q = EOQ_HOLD_RATE / 4.0  # holding %/unit-value per QUARTER
+
+
+def wagner_whitin(
+    li: DataFrame, s: float = EOQ_ORDER_COST, hr_q: float = WW_HOLD_RATE_Q
+) -> DataFrame:
+    """Wagner-Whitin dynamic lot sizing (Wagner & Whitin, Management
+    Science 1958) — the OPTIMAL counterpart of the stationary EOQ policy
+    (li_eoq): per part, quarterly demand d_1..d_T, setup cost S per
+    order, holding cost h per unit per quarter held; minimize
+
+        f(t) = min_{1<=j<=t} [ f(j-1) + S + h * sum_{i=j..t} (i-j) d_i ]
+
+    The inner sum is O(1) via prefix lists P(t)=sum d_i, Q(t)=sum i*d_i:
+    sum_{j..t}(i-j)d_i = (Q(t)-Q(j-1)) - j*(P(t)-P(j-1)). Quarters (not
+    months) bound T at ~28 on the 7-year TPC-H calendar so the O(T^2)
+    DP is a few hundred Catalyst lambda evals per part.
+
+    Cross-engine determinism WITHOUT per-step rounding: quarterly
+    demands are integer-valued doubles (exact under any summation
+    order), the holding rate h is rounded at 6dp once (its only
+    parallel-sum input is unit_price, noise ~1e-11), and the entire DP
+    is a per-part sequential fold evaluated in the same order by both
+    engines — bit-identical by construction (the lesson of the
+    graph_hits fix: round the INPUTS of a sequential recursion, never
+    the steps of a parallel one). The setup count is recovered by the
+    standard backtrack over the argmin chain.
+
+    Scale shape: one part+quarter agg, a dense part x T grid join
+    (T is a corpus constant), one collect_list per part, then pure
+    per-row array folds; summary is per ABC class (A items are where
+    the textbook says to spend optimal lot-sizing effort).
+    -> (abc_class, n_parts, avg_n_setups, avg_ww_cost, avg_eoq_ratio)."""
+    from . import expr as E
+    from .queries_scale import cumsum_exact
+
+    S = E.NUM(s)
+    d = li.select(
+        "l_partkey", F.to_date("l_shipdate").alias("dt"),
+        "l_quantity", "l_extendedprice",
+    )
+    bounds = d.agg(F.min("dt").alias("dmin"))
+    qd = (
+        d.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "qi",
+            (F.year("dt") - F.year("dmin")) * 4
+            + F.quarter("dt") - F.quarter("dmin") + 1,
+        )
+        .groupBy("l_partkey", "qi")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    tmax = qd.agg(F.max("qi").alias("T"))
+    grid = (
+        qd.select("l_partkey").distinct()
+        .crossJoin(F.broadcast(tmax))
+        .select("l_partkey", F.explode(F.expr("sequence(1, T)")).alias("qi"))
+    )
+    dense = grid.join(qd, ["l_partkey", "qi"], "left").select(
+        "l_partkey", "qi", F.coalesce("q", F.lit(0.0)).alias("q")
+    )
+    arr = (
+        dense.groupBy("l_partkey")
+        .agg(F.array_sort(F.collect_list(F.struct("qi", "q"))).alias("pts"))
+        .select("l_partkey", F.col("pts.q").alias("ds"))
+        .withColumn("T", F.size("ds"))
+    )
+    # ABC class + 6dp-rounded holding rate (same construction as li_eoq)
+    price = li.groupBy("l_partkey").agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price"),
+        (F.round(F.sum("l_extendedprice") + F.lit(1e-9), 2) + F.lit(0.0)).alias("rev"),
+    )
+    tot = price.agg(F.sum("rev").alias("trev"))
+    cum = cumsum_exact(
+        price, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()], "cum_rev"
+    )
+    cls = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("cum_share", F.round(F.col("cum_rev") / F.col("trev") + F.lit(1e-12), 9))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise(F.lit("C")),
+        )
+        .withColumn(
+            "h",
+            F.round(F.lit(hr_q) * F.col("unit_price") + F.lit(1e-9), 6) + F.lit(0.0),
+        )
+        .select("l_partkey", "abc_class", "h", "unit_price")
+    )
+    j = arr.join(cls, "l_partkey")
+    # prefix lists with a leading 0: P0[t+1] = P(t), Q0[t+1] = Q(t)
+    j = j.withColumn(
+        "P0",
+        F.expr(
+            "concat(array(0.0d), transform(sequence(1, T), t ->"
+            " aggregate(slice(ds, 1, t), 0.0d, (a, x) -> a + x)))"
+        ),
+    ).withColumn(
+        "Q0",
+        F.expr(
+            "concat(array(0.0d), transform(sequence(1, T), t ->"
+            " aggregate(zip_with(slice(ds, 1, t), sequence(1, t),"
+            " (x, i) -> x * CAST(i AS DOUBLE)), 0.0d, (a, x) -> a + x)))"
+        ),
+    )
+    cell = (
+        f"(element_at(acc, j) + {S} + h * ((element_at(Q0, t + 1) - element_at(Q0, j))"
+        " - CAST(j AS DOUBLE) * (element_at(P0, t + 1) - element_at(P0, j))))"
+    )
+    j = j.withColumn(
+        "fs",
+        F.expr(
+            "aggregate(sequence(1, T), array(0.0d), (acc, t) ->"
+            f" concat(acc, array(array_min(transform(sequence(1, t), j -> {cell})))))"
+        ),
+    )
+    # argmin chain js[t] = first j achieving fs[t+1], then backtrack
+    cell_js = cell.replace("element_at(acc, j)", "element_at(fs, j)")
+    j = j.withColumn(
+        "js",
+        F.expr(
+            "transform(sequence(1, T), t -> CAST(array_position("
+            f"transform(sequence(1, t), j -> {cell_js}),"
+            " element_at(fs, t + 1)) AS DOUBLE))"
+        ),
+    ).withColumn(
+        "n_setups",
+        F.expr(
+            "aggregate(sequence(1, T), array(CAST(T AS DOUBLE), 0.0d),"
+            " (acc, x) -> IF(acc[0] > 0.0d,"
+            " array(element_at(js, CAST(acc[0] AS INT)) - 1.0d, acc[1] + 1.0d),"
+            " acc))[1]"
+        ).cast("bigint"),
+    ).withColumn("ww_cost", F.expr("element_at(fs, T + 1)"))
+    out = (
+        j.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            (F.round(F.avg("n_setups") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "avg_n_setups"
+            ),
+            (F.round(F.avg("ww_cost") + F.lit(1e-9), 2) + F.lit(0.0)).alias(
+                "avg_ww_cost"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+    return out
+
+
+def _q_wagner_whitin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wagner_whitin(_t(spark, sf_dir, "lineitem"))
+
+
+def _wagner_whitin_sql(s: float = EOQ_ORDER_COST, hr_q: float = WW_HOLD_RATE_Q) -> str:
+    from . import expr as E
+
+    S, HRQ = E.NUM(s), E.NUM(hr_q)
+    cell = (
+        f"(r.fs[j] + {S} + p.h * ((p.Q0[r.t + 2] - p.Q0[j])"
+        " - CAST(j AS DOUBLE) * (p.P0[r.t + 2] - p.P0[j])))"
+    )
+    cell_js = (
+        f"(f.fs[j] + {S} + p.h * ((p.Q0[t + 1] - p.Q0[j])"
+        " - CAST(j AS DOUBLE) * (p.P0[t + 1] - p.P0[j])))"
+    )
+    return f"""
+WITH RECURSIVE b AS (SELECT min(CAST(l_shipdate AS DATE)) AS dmin FROM lineitem),
+qd AS (
+  SELECT l_partkey,
+         (year(CAST(l_shipdate AS DATE)) - year(b.dmin)) * 4
+           + quarter(CAST(l_shipdate AS DATE)) - quarter(b.dmin) + 1 AS qi,
+         sum(l_quantity) AS q
+  FROM lineitem CROSS JOIN b
+  GROUP BY l_partkey, (year(CAST(l_shipdate AS DATE)) - year(b.dmin)) * 4
+           + quarter(CAST(l_shipdate AS DATE)) - quarter(b.dmin) + 1),
+tm AS (SELECT max(qi) AS T FROM qd),
+grid AS (
+  SELECT p.l_partkey, g.qi
+  FROM (SELECT DISTINCT l_partkey FROM qd) p
+  CROSS JOIN (SELECT unnest(range(1, (SELECT T FROM tm) + 1)) AS qi) g),
+dense AS (
+  SELECT g.l_partkey, g.qi, coalesce(qd.q, 0.0e0) AS q
+  FROM grid g LEFT JOIN qd ON qd.l_partkey = g.l_partkey AND qd.qi = g.qi),
+arr AS MATERIALIZED (
+  SELECT l_partkey, list(q ORDER BY qi) AS ds, CAST(count(*) AS INT) AS T
+  FROM dense GROUP BY l_partkey),
+price AS (
+  SELECT l_partkey, sum(l_extendedprice) / sum(l_quantity) AS unit_price,
+         (round(sum(l_extendedprice) + 1.0e-9, 2) + 0.0e0) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(rev) AS trev FROM price),
+cls AS (
+  SELECT l_partkey,
+         CASE WHEN cum_share <= 8.0e-1 THEN 'A'
+              WHEN cum_share <= 9.5e-1 THEN 'B' ELSE 'C' END AS abc_class,
+         round({HRQ} * unit_price + 1.0e-9, 6) + 0.0e0 AS h
+  FROM (
+    SELECT l_partkey, unit_price,
+           round(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / tot.trev + 1.0e-12, 9) AS cum_share
+    FROM price CROSS JOIN tot)),
+pre AS MATERIALIZED (
+  SELECT a.l_partkey, a.T, c.abc_class, c.h,
+         list_prepend(0.0e0, list_transform(range(1, a.T + 1), t ->
+           list_reduce(list_prepend(0.0e0, a.ds[1:t]), (x, y) -> x + y))) AS P0,
+         list_prepend(0.0e0, list_transform(range(1, a.T + 1), t ->
+           list_reduce(list_prepend(0.0e0,
+             list_transform(range(1, t + 1), i -> a.ds[i] * CAST(i AS DOUBLE))),
+             (x, y) -> x + y))) AS Q0
+  FROM arr a JOIN cls c USING (l_partkey)),
+rec(l_partkey, t, fs) AS (
+  SELECT l_partkey, 0, [0.0e0] FROM pre
+  UNION ALL
+  SELECT r.l_partkey, r.t + 1,
+         list_append(r.fs, list_min(list_transform(range(1, r.t + 2), j -> {cell})))
+  FROM rec r JOIN pre p ON p.l_partkey = r.l_partkey
+  WHERE r.t < p.T),
+fin AS MATERIALIZED (
+  SELECT r.l_partkey, r.fs FROM rec r JOIN pre p ON p.l_partkey = r.l_partkey
+  WHERE r.t = p.T),
+js AS (
+  SELECT f.l_partkey,
+         list_transform(range(1, p.T + 1), t -> CAST(list_position(
+           list_transform(range(1, t + 1), j -> {cell_js}),
+           f.fs[t + 1]) AS DOUBLE)) AS js,
+         f.fs[p.T + 1] AS ww_cost, p.T, p.abc_class
+  FROM fin f JOIN pre p ON p.l_partkey = f.l_partkey),
+bt AS (
+  -- the ELSE branch must CONSTRUCT a fresh list: returning `acc` itself
+  -- from a list_reduce lambda is unstable in DuckDB (nondeterministic
+  -- garbage / NaN under parallel execution — found building this query)
+  SELECT l_partkey, abc_class, ww_cost,
+         CAST(list_reduce(list_prepend([CAST(T AS DOUBLE), 0.0e0],
+           list_transform(range(1, T + 1), d_ -> [0.0e0, 0.0e0])),
+           (acc, s_) -> CASE WHEN acc[1] > 0.0e0
+                            THEN [js[CAST(acc[1] AS INT)] - 1.0e0, acc[2] + 1.0e0]
+                            ELSE [acc[1], acc[2]] END)[2] AS BIGINT) AS n_setups
+  FROM js)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       (round(avg(n_setups) + 1.0e-9, 4) + 0.0e0) AS avg_n_setups,
+       (round(avg(ww_cost) + 1.0e-9, 2) + 0.0e0) AS avg_ww_cost
+FROM bt GROUP BY abc_class ORDER BY abc_class
+"""
+
+
 _REGISTRY.update(
     {
         "li_safety_stock": Query(
             "li_safety_stock", _q_safety_stock, _SAFETY_STOCK_SQL, ("retail",)
         ),
         "li_eoq": Query("li_eoq", _q_eoq, _EOQ_SQL, ("retail",)),
+        "li_wagner_whitin": Query(
+            "li_wagner_whitin", _q_wagner_whitin, _wagner_whitin_sql(), ("retail",)
+        ),
     }
 )
