@@ -33,6 +33,7 @@ CANARIES = ["gen_sine", "series_stats", "sample_data_mixed"]
 PLAN = [
     # round-7 snapshot additions (registered after the r7 window froze)
     "embed_abtt_recall", "dedup_substr_keepfirst", "ann_pq_recall",
+    "li_wagner_whitin",
     # r8: text family
     "bpe_merge_step", "doc_split", "doc_entropy", "doc_keyphrases",
     "doc_lm_score", "doc_bigram_lm", "doc_feature_hash", "doc_readability",
