@@ -92,14 +92,21 @@ def _is_green(v) -> bool:
 
 
 def certified_by_round() -> dict[str, int]:
-    """name -> latest round with a fully-green row."""
-    green: dict[str, int] = {}
+    """name -> round of the LATEST recorded row, if that row is green.
+
+    A query whose most recent CORRECTNESS row is red is treated as
+    never-certified (it re-enters the backlog for re-certification),
+    even if some earlier round recorded a green row — otherwise a
+    regression would never be re-windowed (ADVICE r07).
+    """
+    latest: dict[str, tuple[int, bool]] = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int("".join(ch for ch in f if ch.isdigit()) or 0)
         for k, v in json.load(open(f)).items():
-            if _is_green(v):
-                green[k] = max(green.get(k, 0), rnd)
-    return green
+            prev = latest.get(k, (0, False))
+            if rnd >= prev[0]:
+                latest[k] = (rnd, _is_green(v))
+    return {k: rnd for k, (rnd, ok) in latest.items() if ok}
 
 
 def certified() -> set[str]:

@@ -84,27 +84,26 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 #      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
 #      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # canaries (green r01–r06)
+    # canaries (green r01–r07)
     "gen_sine", "series_stats", "sample_data_mixed",
-    # round-6 registrations (judge spot-checked 14/14 in r6; certify now)
-    "doc_gopher_quality", "graph_ppr", "graph_hits", "ev_burst_kleinberg",
-    "ev_hawkes_loglik", "tok_fertility", "ev_shapley_attr", "ev_bh_fdr",
-    "embed_abtt", "doc_ql_dirichlet", "forecast_var1", "li_eoq",
-    "ev_competing_risks", "stream_hawkes",
-    # TPC-H-style warehouse batch
-    "promo_revenue", "top_supplier", "small_qty_revenue",
-    "large_volume_orders", "revenue_change", "late_order_priority",
-    "volume_shipping", "profit_by_nation", "returned_customers",
-    "order_count_distribution", "brand_size_revenue", "idle_customers",
-    "min_cost_supplier", "market_share", "important_parts",
-    "late_shipment_priority", "part_supplier_counts", "excess_shippers",
-    "waiting_suppliers", "orders_monthly_growth",
-    # streams
-    "stream_anomalies", "stream_join_outer", "stream_psi",
-    "stream_lombscargle", "stream_cdc_apply", "stream_m4",
-    "stream_counter_rate", "stream_mview", "stream_msprt",
-    # skew + cross-series diagnostics
-    "li_salted_join", "ev_salted_agg", "ts_granger", "ts_crosscorr",
+    # round-7 snapshot additions (registered after the r7 window froze)
+    "embed_abtt_recall", "dedup_substr_keepfirst", "ann_pq_recall",
+    "li_wagner_whitin",
+    # text family
+    "bpe_merge_step", "doc_split", "doc_entropy", "doc_keyphrases",
+    "doc_lm_score", "doc_bigram_lm", "doc_feature_hash", "doc_readability",
+    "repetition_stats", "token_count_bpe", "doc_zipf", "doc_ppl_holdout",
+    "doc_contamination", "doc_woe", "doc_pareto",
+    # tsdb family
+    "ev_interpolate", "ev_lttb", "ts_period", "ev_technical",
+    "ev_gap_stats", "ev_seasonal_profile", "ts_welch_psd", "ev_peak_detect",
+    "ev_m4_downsample", "ev_drawdown", "ev_ewma_chart", "ev_ewma_corr",
+    "ts_isotonic", "ts_segmentation", "ts_haar_energy", "ev_rate_anomaly",
+    "ev_counter_rate", "ts_lombscargle",
+    # analytics long tail (first slice; remainder rolls to r9)
+    "ev_transition_entropy", "ev_transitions", "ev_user_paths", "ev_cusum",
+    "ev_streaks", "ts_delta_stats", "ev_wau", "ev_outliers_mad",
+    "ev_apdex", "ev_ks_test",
 )
 
 

@@ -796,8 +796,11 @@ def pq_train_assign(
     (codebook = n_sub·n_cent rows, always broadcast) + one posexplode →
     per-(subspace, code, dim) partial-agged mean to recompute centroids —
     both linear passes, no pairwise blowup. Deterministic seeding (first
-    n_cent vectors' subvectors); float means make the exact codes
-    engine-specific → rows-only correctness + recall/monotonicity tests.
+    n_cent vectors' subvectors). Code assignment ranks on a 9dp-rounded
+    distance in BOTH engines (round-before-rank), so last-ulp differences
+    in the refined float-mean centroids cannot flip a near-tie code in
+    one engine only — codes agree across engines up to genuine 1e-9
+    Voronoi-boundary coincidences.
 
     Returns (codes, codebook): codes = (vec_id, s, code, sub_sqerr);
     codebook = (s, code, cvec)."""
@@ -812,8 +815,16 @@ def pq_train_assign(
     )
 
     def assign(cb):
-        cand = sub.join(F.broadcast(cb), "s").withColumn("_d2", sqdist)
-        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("_d2"), F.asc("code"))
+        # Rank on a 9dp-rounded distance (round-before-rank idiom): the
+        # refined centroids are float means whose last-ulp differs between
+        # engines, and an unrounded near-tie at a Voronoi boundary would
+        # flip the code in one engine only (ADVICE r07).
+        cand = (
+            sub.join(F.broadcast(cb), "s")
+            .withColumn("_d2", sqdist)
+            .withColumn("_d2r", F.round(F.col("_d2") + F.lit(1e-12), 9))
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("_d2r"), F.asc("code"))
         return (
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -1283,7 +1294,8 @@ def _pq_sql_parts(
             f"""a{it} AS (
   SELECT vec_id, s, code, subvec, d2 FROM (
     SELECT u.vec_id, u.s, c.code, u.subvec, {d2} AS d2,
-           row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY {d2} ASC, c.code ASC) AS rn
+           row_number() OVER (PARTITION BY u.vec_id, u.s
+                              ORDER BY round({d2} + 1.0e-12, 9) ASC, c.code ASC) AS rn
     FROM sub u JOIN {prev} c ON c.s = u.s) WHERE rn = 1)"""
         )
         if it < refine_iters:

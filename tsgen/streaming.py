@@ -812,9 +812,12 @@ def hawkes_stateful(
 
     def r9(x: float) -> float:
         # half-away-from-zero to match DuckDB/Spark round(); Python
-        # round() is banker's
+        # round() is banker's. The trailing "+ 0.0" normalizes -0.0 to
+        # +0.0, matching the SQL fold's "+ 0.0e0" — a bare copysign can
+        # return -0.0 for increments rounding to zero from below, which
+        # a sign-bit-sensitive value hash would flag (ADVICE r07).
         y = x + 1e-12
-        return math.copysign(math.floor(abs(y) * 1e9 + 0.5), y) / 1e9
+        return math.copysign(math.floor(abs(y) * 1e9 + 0.5), y) / 1e9 + 0.0
 
     out_schema = (
         "event_type string, n_events bigint, r_end double, sum_log_intensity double"
