@@ -267,6 +267,8 @@ def main() -> None:
         "dedup_substr_keepfirst",
         "ann_pq_recall",
         "li_wagner_whitin",
+        # round-8: real P6 PPM decode path (render -> parse -> stats)
+        "multimodal_decode",
     ]
     reg = registry()
     for name in suite:

@@ -120,6 +120,42 @@ def test_multimodal_plumbing(spark, docs):
     assert got.byte_len == want["byte_len"] and got.checksum == want["checksum"]
 
 
+def test_ppm_decode_roundtrip_and_stats(spark, docs):
+    import numpy as np
+    import pytest
+
+    # the renderer emits real P6 bytes; the decoder must recover the exact
+    # pixel grid (header parse, offset, reshape, channel order)
+    for d in (0, 5, 17):
+        w, h = multimodal._ppm_dims(d)
+        dw, dh, px = multimodal.decode_ppm(multimodal.render_ppm(d))
+        assert (dw, dh) == (w, h)
+        y, x = np.mgrid[0:h, 0:w]
+        assert (px[..., 0] == (7 * x + 13 * y + d) % 256).all()
+        assert (px[..., 1] == (5 * x + 11 * y + 2 * d) % 256).all()
+        assert (px[..., 2] == (3 * x + 17 * y + 5 * d) % 256).all()
+    # spec corners: '#' comments in the header are skipped; malformed
+    # magic / truncated raster / deep maxval are rejected loudly
+    body = multimodal.render_ppm(3)
+    commented = b"P6\n# a comment\n" + body[3:]
+    assert multimodal.decode_ppm(commented)[0] == multimodal._ppm_dims(3)[0]
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5" + body[2:])
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(body[: len(body) - 4])
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n4 4\n65535\n" + b"\x00" * 96)
+    # distributed path: one stats row per doc, hand-checked means for doc 0
+    media = multimodal.synth_ppm_media(docs)
+    stats = multimodal.image_stats(media).toPandas()
+    assert len(stats) == docs.count()
+    w0, h0 = multimodal._ppm_dims(0)
+    _, _, px0 = multimodal.decode_ppm(multimodal.render_ppm(0))
+    row = stats[stats.doc_id == 0].iloc[0]
+    assert (row.width, row.height, row.n_pixels) == (w0, h0, w0 * h0)
+    assert row.mean_r == float(np.floor((px0[..., 0].mean() + 1e-9) * 1e4 + 0.5) / 1e4)
+
+
 def test_connected_components_chain_star_clique(spark):
     # chain 0-1-...-9 (diameter 9: exercises pointer jumping), star at 100,
     # triangle at 200, singleton edge at 300 — all in one edge list

@@ -2,10 +2,13 @@
 
 Images/audio/video are opaque BINARY columns with typed metadata; decode /
 feature-extraction runs as Arrow-batched mapInPandas over binary batches.
-The actual media decode is STUBBED (no image/audio libs in this container —
-see decode_stub): the Spark-side plumbing (schema, batching, partitioning,
-UDF signature) is real and tested; swapping decode_stub for a PIL/ffmpeg
-call is a one-function change.
+Uncompressed netpbm (P6 PPM) is decoded for REAL by decode_ppm — a
+pure-numpy parser of the public spec, no image lib needed — and the
+multimodal_decode query value-checks that path end-to-end. Compressed
+formats (JPEG/PNG/audio/video) remain STUBBED (no PIL/ffmpeg in this
+container — see decode_stub): their Spark-side plumbing (schema, batching,
+partitioning, UDF signature) is real and tested; swapping decode_stub for
+a PIL/ffmpeg call is a one-function change.
 
 Scale notes:
 - binary payloads stay opaque to the shuffle (never grouped on); feature
@@ -246,6 +249,174 @@ def phash_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- real uncompressed-image decode (netpbm P6 PPM) -----------------------
+#
+# PIL/ffmpeg stay absent in this container, but uncompressed netpbm needs no
+# library: the P6 spec (ASCII header: magic, width, height, maxval, optional
+# '#' comments; then raw big-endian RGB triples) is decodable with a ~20-line
+# parser + np.frombuffer. decode_ppm below is a REAL decoder — it parses the
+# header from the bytes and fails loudly on malformed input — so the decode
+# step of the multimodal pipeline is no longer a stub for this format.
+# Compressed formats (JPEG/PNG/audio/video) remain behind decode_stub until
+# the sandbox grows the libs; re-check each round.
+
+PPM_MAXVAL = 255
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc image dims (8..16 x 8..14) — the synthetic
+    corpus spec shared with the DuckDB oracle."""
+    return 8 + doc_id % 9, 8 + (doc_id * 3) % 7
+
+
+def render_ppm(doc_id: int) -> bytes:
+    """Render the deterministic test image for doc_id as REAL P6 PPM bytes.
+    Channel ramps (all mod 256): r = 7x+13y+d, g = 5x+11y+2d, b = 3x+17y+5d
+    — the closed-form spec the oracle integrates directly, so a decoder bug
+    anywhere (header parse, offset, reshape, channel order) breaks the
+    value match."""
+    import numpy as np
+
+    w, h = _ppm_dims(doc_id)
+    y, x = np.mgrid[0:h, 0:w]
+    r = (7 * x + 13 * y + doc_id) % 256
+    g = (5 * x + 11 * y + 2 * doc_id) % 256
+    b = (3 * x + 17 * y + 5 * doc_id) % 256
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return b"P6\n%d %d\n%d\n" % (w, h, PPM_MAXVAL) + rgb.tobytes()
+
+
+def synth_ppm_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are real P6 PPM images (one per doc_id),
+    rendered in a narrow mapInPandas — the image-corpus analog of
+    as_media_table's text payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render_ppm(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/x-portable-pixmap",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            ).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+    return docs.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, kind string, payload binary, n_bytes int"
+    )
+
+
+def decode_ppm(payload: bytes):
+    """REAL netpbm P6 decoder (public spec, no external libs): parses the
+    ASCII header — magic 'P6', whitespace-separated width/height/maxval
+    with '#'-comment support — then reinterprets the raw section as an
+    (h, w, 3) uint8 array. Raises on malformed input; only maxval=255
+    (the 1-byte-per-sample variant) is supported."""
+    import numpy as np
+
+    if bytes(payload[:2]) != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    i, vals = 2, []
+    n = len(payload)
+    while len(vals) < 3:
+        while i < n and bytes(payload[i : i + 1]).isspace():
+            i += 1
+        if bytes(payload[i : i + 1]) == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not bytes(payload[j : j + 1]).isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = vals
+    if maxval != PPM_MAXVAL:
+        raise ValueError(f"unsupported maxval {maxval} (only 255)")
+    i += 1  # exactly one whitespace byte separates maxval from raster data
+    if n - i < w * h * 3:
+        raise ValueError("truncated raster section")
+    px = np.frombuffer(bytes(payload), dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, px.reshape(h, w, 3)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint,"
+    " mean_r double, mean_g double, mean_b double, mean_luma double"
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL P6 parser and emit per-image
+    channel statistics (mean R/G/B + ITU-R 601 integer-weight luma). All
+    sums are exact integers, so the single mean division is deterministic
+    IEEE in any engine; means are rounded half-up at 4dp (floor(x*1e4+0.5)
+    — channels are nonnegative), matching the oracle's round(x+1e-9, 4).
+    Narrow mapInPandas — zero shuffles."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def r4(x: float) -> float:
+            return float(np.floor((x + 1e-9) * 1e4 + 0.5) / 1e4)
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "mean_luma",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_ppm(payload)
+                npx = w * h
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                sr, sg, sb = int(s[0]), int(s[1]), int(s[2])
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(npx)
+                rows["mean_r"].append(r4(sr / npx))
+                rows["mean_g"].append(r4(sg / npx))
+                rows["mean_b"].append(r4(sb / npx))
+                rows["mean_luma"].append(r4((299 * sr + 587 * sg + 114 * sb) / (1000 * npx)))
+            yield pd.DataFrame(rows).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "n_pixels": "int64"}
+            )
+
+    return media.mapInPandas(fn, IMAGE_STATS_SCHEMA)
+
+
+def image_stats_sql() -> str:
+    """DuckDB oracle twin of synth_ppm_media → image_stats: integrates the
+    closed-form channel ramps directly from the corpus spec (never touching
+    bytes), so the Spark side's render → REAL header parse → frombuffer →
+    reshape → sum pipeline is value-checked end-to-end — any offset/order/
+    dimension bug in the decoder breaks the hash."""
+    return """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+  FROM documents),
+s AS (
+  SELECT doc_id, w, h, w * h AS npx,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x -> (7 * x + 13 * y + doc_id) % 256)))) AS sr,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x -> (5 * x + 11 * y + 2 * doc_id) % 256)))) AS sg,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x -> (3 * x + 17 * y + 5 * doc_id) % 256)))) AS sb
+  FROM d)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(npx AS BIGINT) AS n_pixels,
+       round(sr / CAST(npx AS DOUBLE) + 1.0e-9, 4) + 0.0e0 AS mean_r,
+       round(sg / CAST(npx AS DOUBLE) + 1.0e-9, 4) + 0.0e0 AS mean_g,
+       round(sb / CAST(npx AS DOUBLE) + 1.0e-9, 4) + 0.0e0 AS mean_b,
+       round((299 * sr + 587 * sg + 114 * sb) / (1000.0e0 * npx) + 1.0e-9, 4) + 0.0e0 AS mean_luma
+FROM s
+"""
 
 
 def phash_pairs_sql(max_hamming: int = 8, out_len: int = AHASH_BITS) -> str:

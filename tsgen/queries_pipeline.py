@@ -181,7 +181,8 @@ def _q_ann_ivf_recall(spark, sf_dir):
     return similarity.ivf_recall(_emb(spark, sf_dir), N_QUERIES, k=5)
 
 
-# --- multimodal (decode stubbed — see tsgen/multimodal.py) ----------------
+# --- multimodal (P6 PPM decoded for real; compressed formats stubbed —
+# see tsgen/multimodal.py) -------------------------------------------------
 def _q_multimodal(spark, sf_dir):
     from .queries import canon_types
 
@@ -212,6 +213,17 @@ SELECT doc_id, kind, byte_len, CAST(first_byte AS BIGINT) AS first_byte,
        CAST(checksum AS BIGINT) AS checksum
 FROM f
 """
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    # REAL image decode (netpbm P6, pure-numpy parser — no PIL needed):
+    # render deterministic PPM payloads, parse them back, emit channel
+    # stats; the oracle integrates the closed-form pixel spec directly,
+    # value-checking the whole render -> parse -> stats pipeline.
+    from .queries import canon_types
+
+    media = multimodal.synth_ppm_media(_docs(spark, sf_dir))
+    return canon_types(multimodal.image_stats(media))
 
 
 def _q_multimodal_phash(spark, sf_dir):
@@ -767,6 +779,9 @@ _REGISTRY.update(
         ),
         "multimodal_features": Query(
             "multimodal_features", _q_multimodal, _MULTIMODAL_SQL, ("multimodal",)
+        ),
+        "multimodal_decode": Query(
+            "multimodal_decode", _q_multimodal_decode, multimodal.image_stats_sql(), ("multimodal",)
         ),
         "multimodal_phash": Query(
             "multimodal_phash", _q_multimodal_phash, multimodal.phash_pairs_sql(), ("multimodal",)
