@@ -50,6 +50,8 @@ PLAN = [
     "ev_streaks", "ts_delta_stats", "ev_wau", "ev_outliers_mad", "ev_apdex",
     "ev_ks_test", "ev_chi_square", "ev_benford", "ts_spectral_entropy",
     "ev_winsorize",
+    # round-8 snapshot additions (registered after the r8 window froze)
+    "multimodal_decode",
     # r9: pipeline/scale
     "split_assign", "ev_gbm_stumps", "name_match_jw", "name_match_snm",
     "ann_rrf", "global_row_ids", "stratified_sample", "weighted_sample",

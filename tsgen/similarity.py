@@ -106,8 +106,12 @@ WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= {threshold}
 
 
 def _assign_to_centroids(v: DataFrame, seeds: DataFrame) -> DataFrame:
+    # round-before-rank (9dp): refined centroids are float means whose
+    # last-ulp differs between engines; an unrounded near-tie at a cell
+    # boundary would flip the assignment in one engine only (same class
+    # as the pq_train_assign fix, ADVICE r07)
     joined = v.crossJoin(F.broadcast(seeds)).withColumn(
-        "cs", cosine("_vec", "svec") / (F.col("norm") * F.col("snorm"))
+        "cs", F.round(cosine("_vec", "svec") / (F.col("norm") * F.col("snorm")) + F.lit(1e-12), 9)
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell_id"))
     return (
@@ -174,7 +178,8 @@ def ivf_topk(
     )
     probes = (
         q.crossJoin(F.broadcast(seeds))
-        .withColumn("cs", cosine("qvec", "svec") / (F.col("qnorm") * F.col("snorm")))
+        # round-before-rank: probe order vs refined float-mean centroids
+        .withColumn("cs", F.round(cosine("qvec", "svec") / (F.col("qnorm") * F.col("snorm")) + F.lit(1e-12), 9))
         .withColumn(
             "rn", F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("probe_cell")))
         )
@@ -985,8 +990,14 @@ def kmeans_l2(
         )
 
     def assign(cc: DataFrame) -> DataFrame:
-        j = v.crossJoin(F.broadcast(cc)).withColumn("d2", dist2())
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+        # round-before-rank (9dp) vs float-mean centroids (ADVICE r07
+        # class); d2 itself stays unrounded for the inertia sum
+        j = (
+            v.crossJoin(F.broadcast(cc))
+            .withColumn("d2", dist2())
+            .withColumn("_d2r", F.round(F.col("d2") + F.lit(1e-12), 9))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("_d2r"), F.asc("cluster_id"))
         return (
             j.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -1028,7 +1039,11 @@ def kmeans_assignments(
         )
 
     def assign(cc: DataFrame) -> DataFrame:
-        j = v.crossJoin(F.broadcast(cc)).withColumn("d2", dist2())
+        # round-before-rank (9dp) vs float-mean centroids (ADVICE r07 class)
+        j = (
+            v.crossJoin(F.broadcast(cc))
+            .withColumn("d2", F.round(dist2() + F.lit(1e-12), 9))
+        )
         w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
         return (
             j.withColumn("rn", F.row_number().over(w))
@@ -1037,13 +1052,7 @@ def kmeans_assignments(
         )
 
     for _ in range(iters):
-        assigned = v.crossJoin(F.broadcast(cents)).withColumn("d2", dist2())
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
-        assigned = (
-            assigned.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "_vec", "cluster_id")
-        )
+        assigned = assign(cents)
         comp = assigned.select("cluster_id", F.posexplode("_vec").alias("i", "x"))
         means = comp.groupBy("cluster_id", "i").agg(F.avg("x").alias("m"))
         cents = (
@@ -1140,7 +1149,8 @@ def _kmeans_body_parts(k: int, iters: int, dim: int) -> list:
             f"""a{it} AS (
   SELECT vec_id, vec, cluster_id, d2 FROM (
     SELECT v.vec_id, v.vec, c.cluster_id, {d2} AS d2,
-           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({d2} + 1.0e-12, 9) ASC, c.cluster_id ASC) AS rn
     FROM v CROSS JOIN {prev} c) WHERE rn = 1)"""
         )
         parts.append(
@@ -1157,7 +1167,8 @@ def _kmeans_body_parts(k: int, iters: int, dim: int) -> list:
         f"""fin AS (
   SELECT vec_id, cluster_id, d2 FROM (
     SELECT v.vec_id, c.cluster_id, {d2} AS d2,
-           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({d2} + 1.0e-12, 9) ASC, c.cluster_id ASC) AS rn
     FROM v CROSS JOIN {prev} c) WHERE rn = 1)"""
     )
     return parts
@@ -1219,11 +1230,13 @@ def ivf_topk_sql(
     """DuckDB oracle twin of ivf_topk (deterministic seeds + 1 Lloyd
     refinement + nprobe probing), unrolled as chained CTEs like
     kmeans_l2_sql — upgrading ann_ivf from rows-only to value-checked.
-    list_dot_product's summation may differ from Spark's sequential fold by
-    ulps, but assignment/probe/rank margins on continuous embeddings are
-    astronomically larger (same precedent as cosine_topk/embed_neardup)."""
-    cs = "list_dot_product(v.vec, c.svec) / (v.norm * c.snorm)"
-    qcs = "list_dot_product(q.qvec, c.svec) / (q.qnorm * c.snorm)"
+    Cell-assignment and probe ranks use the 9dp round-before-rank idiom in
+    both engines (refined centroids are float means — ADVICE r07 class);
+    the final corpus-pair rank stays raw per the cosine_topk/embed_neardup
+    precedent (margins between distinct data vectors are continuous and
+    astronomically larger than ulps)."""
+    cs = "round(list_dot_product(v.vec, c.svec) / (v.norm * c.snorm) + 1.0e-12, 9)"
+    qcs = "round(list_dot_product(q.qvec, c.svec) / (q.qnorm * c.snorm) + 1.0e-12, 9)"
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
