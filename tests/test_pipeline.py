@@ -145,6 +145,12 @@ def test_ppm_decode_roundtrip_and_stats(spark, docs):
         multimodal.decode_ppm(body[: len(body) - 4])
     with pytest.raises(ValueError):
         multimodal.decode_ppm(b"P6\n4 4\n65535\n" + b"\x00" * 96)
+    # negative/zero dims must raise, not produce a garbage array (ADVICE r08:
+    # numpy infers negative reshape dims and frombuffer(count<0) reads all)
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n-4 4\n255\n" + b"\x00" * 96)
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n4 0\n255\n" + b"\x00" * 96)
     # distributed path: one stats row per doc, hand-checked means for doc 0
     media = multimodal.synth_ppm_media(docs)
     stats = multimodal.image_stats(media).toPandas()

@@ -29,6 +29,20 @@ sys.path.insert(0, ".")
 
 CANARIES = ["gen_sine", "series_stats", "sample_data_mixed"]
 
+# Behavior-affecting code changes invalidate a query's existing driver
+# certification: name -> first round whose certification is trustworthy
+# again (i.e. the round AFTER the change landed). A green CORRECTNESS row
+# from an EARLIER round no longer counts — the query re-enters the backlog
+# until a window re-certifies the modified formulation (ADVICE r08: the r8
+# round-before-rank commits 21f4168/fe4dceb rewrote both engine sides of
+# these four, but their stale r4–r6 greens kept them out of the rotation).
+INVALIDATED: dict[str, int] = {
+    "ann_ivf": 9,
+    "ann_ivf_recall": 9,
+    "embed_kmeans": 9,
+    "embed_pq": 9,
+}
+
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).
 PLAN = [
     # round-7 snapshot additions (registered after the r7 window froze)
@@ -52,6 +66,9 @@ PLAN = [
     "ev_winsorize",
     # round-8 snapshot additions (registered after the r8 window froze)
     "multimodal_decode",
+    # r8 round-before-rank rewrite invalidated these certs (ADVICE r08) —
+    # re-certify the modified formulations first
+    "ann_ivf", "ann_ivf_recall", "embed_kmeans", "embed_pq",
     # r9: pipeline/scale
     "split_assign", "ev_gbm_stumps", "name_match_jw", "name_match_snm",
     "ann_rrf", "global_row_ids", "stratified_sample", "weighted_sample",
@@ -108,7 +125,11 @@ def certified_by_round() -> dict[str, int]:
             prev = latest.get(k, (0, False))
             if rnd >= prev[0]:
                 latest[k] = (rnd, _is_green(v))
-    return {k: rnd for k, (rnd, ok) in latest.items() if ok}
+    return {
+        k: rnd
+        for k, (rnd, ok) in latest.items()
+        if ok and rnd >= INVALIDATED.get(k, 0)
+    }
 
 
 def certified() -> set[str]:

@@ -40,16 +40,44 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+_CKSUM_P = 1_000_003
+_CKSUM_CHUNK = 1024
+# _CKSUM_POWS[i] = 31^(_CKSUM_CHUNK-1-i) mod P, so a length-k chunk dots with
+# the LAST k entries (powers 31^(k-1)..31^0). Entries < P (~1e6), bytes <=
+# 255, so a chunk dot <= 255 * 1e6 * 1024 ~ 2.6e11 — exact in int64.
+_CKSUM_POWS = None
+
+
 def decode_stub(payload: bytes) -> dict:
     """STUB for the real media decoder (PIL.Image.open / soundfile / ffmpeg).
 
     Deterministic fake: derives features from raw bytes so the distributed
     plumbing is fully exercised and value-checkable. A real deployment
     replaces only this function.
+
+    The checksum is the polynomial hash fold checksum_i = (checksum_{i-1}
+    * 31 + byte_i) mod 1_000_003, evaluated vectorized: np.frombuffer +
+    per-chunk Horner (dot with precomputed power-of-31 residues), which is
+    bit-identical to the per-byte loop because each chunk's int64
+    arithmetic is exact before the mod.
     """
+    import numpy as np
+
+    global _CKSUM_POWS
+    if _CKSUM_POWS is None:
+        _CKSUM_POWS = np.array(
+            [pow(31, _CKSUM_CHUNK - 1 - i, _CKSUM_P) for i in range(_CKSUM_CHUNK)],
+            dtype=np.int64,
+        )
+    a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
     checksum = 0
-    for b in payload:
-        checksum = (checksum * 31 + b) % 1_000_003
+    for off in range(0, len(a), _CKSUM_CHUNK):
+        chunk = a[off : off + _CKSUM_CHUNK]
+        k = len(chunk)
+        checksum = (
+            checksum * pow(31, k, _CKSUM_P)
+            + int(chunk @ _CKSUM_POWS[_CKSUM_CHUNK - k :])
+        ) % _CKSUM_P
     return {
         "byte_len": len(payload),
         "first_byte": payload[0] if payload else -1,
@@ -335,6 +363,11 @@ def decode_ppm(payload: bytes):
         vals.append(int(payload[i:j]))
         i = j
     w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        # Without this, numpy would silently accept negative values
+        # (frombuffer count<0 reads the whole buffer; reshape infers a
+        # negative dim) and zero dims would divide-by-zero downstream.
+        raise ValueError(f"invalid dimensions {w}x{h}")
     if maxval != PPM_MAXVAL:
         raise ValueError(f"unsupported maxval {maxval} (only 255)")
     i += 1  # exactly one whitespace byte separates maxval from raster data

@@ -84,26 +84,32 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 #      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
 #      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # canaries (green r01–r07)
+    # canaries (green r01–r08)
     "gen_sine", "series_stats", "sample_data_mixed",
-    # round-7 snapshot additions (registered after the r7 window froze)
-    "embed_abtt_recall", "dedup_substr_keepfirst", "ann_pq_recall",
-    "li_wagner_whitin",
-    # text family
-    "bpe_merge_step", "doc_split", "doc_entropy", "doc_keyphrases",
-    "doc_lm_score", "doc_bigram_lm", "doc_feature_hash", "doc_readability",
-    "repetition_stats", "token_count_bpe", "doc_zipf", "doc_ppl_holdout",
-    "doc_contamination", "doc_woe", "doc_pareto",
-    # tsdb family
-    "ev_interpolate", "ev_lttb", "ts_period", "ev_technical",
-    "ev_gap_stats", "ev_seasonal_profile", "ts_welch_psd", "ev_peak_detect",
-    "ev_m4_downsample", "ev_drawdown", "ev_ewma_chart", "ev_ewma_corr",
-    "ts_isotonic", "ts_segmentation", "ts_haar_energy", "ev_rate_anomaly",
-    "ev_counter_rate", "ts_lombscargle",
-    # analytics long tail (first slice; remainder rolls to r9)
-    "ev_transition_entropy", "ev_transitions", "ev_user_paths", "ev_cusum",
-    "ev_streaks", "ts_delta_stats", "ev_wau", "ev_outliers_mad",
-    "ev_apdex", "ev_ks_test",
+    # r8 analytics-long-tail spillover
+    "ev_chi_square", "ev_benford", "ts_spectral_entropy", "ev_winsorize",
+    # round-8 snapshot addition (registered after the r8 window froze)
+    "multimodal_decode",
+    # r8 round-before-rank rewrite invalidated these certifications
+    # (ADVICE r08, tools/rotate_window.py INVALIDATED) — re-certify first
+    "ann_ivf", "ann_ivf_recall", "embed_kmeans", "embed_pq",
+    # r9: pipeline/scale
+    "split_assign", "ev_gbm_stumps", "name_match_jw", "name_match_snm",
+    "ann_rrf", "global_row_ids", "stratified_sample", "weighted_sample",
+    # r9: warehouse
+    "ev_mview_merge", "ev_merge_upsert", "ev_time_travel", "li_zone_map",
+    "ev_retract_merge", "ev_cdc_apply", "ev_scd2", "ev_ffill",
+    "table_profile", "key_skew_profile", "zorder_cluster", "orders_checksum",
+    "snapshot_diff",
+    # r9: product/experiment
+    "ab_experiment", "user_survival", "revenue_gini", "ev_funnel_latency",
+    "ev_cohort_ltv", "ev_msprt_by_type", "ev_power_analysis",
+    # r9: decompose/forecast extras
+    "ts_prophet_forecast", "trend_theilsen", "ts_anomalies",
+    "ts_robust_decompose", "classical_decompose",
+    # r9: events/tsdb leftovers (first slice; remainder rolls to r10)
+    "ev_percentiles", "ev_funnel", "ev_retention", "ev_funnel_stages",
+    "ev_running_balance",
 )
 
 

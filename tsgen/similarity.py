@@ -694,24 +694,21 @@ WHERE list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) >= {threshold:.9e}
 
 
 # --- distributed PCA (variance structure of the embedding space) -----------
-def pca_variance(df: DataFrame, vec: str = "embedding", k: int = 8) -> DataFrame:
-    """Top-k PCA eigenvalues / variance shares of the embedding cloud.
+def _gram_sufficient_stats(df: DataFrame, vec: str = "embedding"):
+    """Distributed sufficient statistics for any covariance-based kernel:
+    (n, column-sum vector s, full symmetric Gram matrix X'X) on the driver.
 
     Spark-first shape for 100 TB: each partition reduces its rows to ONE
-    sufficient-statistics record (count, column sums, upper-triangular Gram
-    X'X — O(dim^2) floats) via an Arrow-batched mapInPandas; the records
-    are exploded to (slot, value) and summed by slot (tiny shuffle:
-    partitions x dim^2/2 rows regardless of row count). Only the final
-    dim x dim eigensolve runs on the driver — on 64-dim embeddings that is
-    a 64x64 numpy eigh, O(1) vs the data.
-
-    Rows-only query (eigendecomposition is not SQL-expressible); numpy
-    parity is asserted in tests/test_paths.py.
-    """
+    record (count, column sums, upper-triangular Gram X'X — O(dim^2)
+    floats) via an Arrow-batched mapInPandas; the records are exploded to
+    (slot, value) and summed by slot (tiny shuffle: partitions x dim^2/2
+    rows regardless of row count). Shared by pca_variance / top_eigen /
+    pca_power / the ABTT front half — all of which previously rebuilt the
+    covariance through an n·dim^2 exploded self-join that was
+    compute-quadratic in dim per vector (VERDICT r08)."""
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
     dim = len(df.select(vec).first()[0])
     ut = [(i, j) for i in range(dim) for j in range(i, dim)]
 
@@ -749,6 +746,36 @@ def pca_variance(df: DataFrame, vec: str = "embedding", k: int = 8) -> DataFrame
     for r in gsum:
         i, j = ut[r.pos]
         G[i, j] = G[j, i] = r.v
+    return int(ns), s, G
+
+
+def _cov_ddof1(df: DataFrame, vec: str = "embedding"):
+    """(n, mu, C) with the sample (ddof=1) covariance
+    C = (X'X - n·mu·mu') / (n-1) — the convention top_eigen / pca_power /
+    ABTT and their DuckDB oracles share. Bounded dim^2 driver state."""
+    import numpy as np
+
+    n, s, G = _gram_sufficient_stats(df, vec)
+    mu = s / n
+    C = (G - n * np.outer(mu, mu)) / (n - 1)
+    return n, mu, C
+
+
+def pca_variance(df: DataFrame, vec: str = "embedding", k: int = 8) -> DataFrame:
+    """Top-k PCA eigenvalues / variance shares of the embedding cloud.
+
+    Scale shape: see _gram_sufficient_stats — one Gram-partial mapInPandas
+    pass, tiny slot-sum shuffle, O(1) driver eigensolve (64x64 eigh on
+    64-dim embeddings).
+
+    Rows-only query (eigendecomposition is not SQL-expressible); numpy
+    parity is asserted in tests/test_paths.py.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    ns, s, G = _gram_sufficient_stats(df, vec)
+    dim = len(s)
     # covariance = E[xx'] - mean mean'
     mu = s / ns
     C = G / ns - np.outer(mu, mu)
@@ -1401,33 +1428,20 @@ def top_eigen(df: DataFrame, vec: str = "embedding", iters: int = POWER_ITERS) -
     """Top covariance eigenvalue of the embedding cloud by FIXED-ITERATION
     power method — the oracle-checkable companion to pca_variance (a full
     eigensolve is not SQL-expressible, but k deterministic power steps
-    are). The covariance matrix is built distributed (exploded self-join →
-    per-(i,j) partial-agged sums — the shuffle carries dim² rows regardless
-    of corpus size); the 64×64 iteration itself is O(1) driver work, same
-    convention as pca_variance's final eigh. Power iteration is a
-    contractive fixed point, so per-step summation-order ulps (numpy BLAS
-    vs the oracle's sequential list_sum) cannot accumulate — outputs are
+    are). The covariance matrix is built from the Gram-partial mapInPandas
+    kernel (_cov_ddof1 / _gram_sufficient_stats — one pass, tiny slot-sum
+    shuffle, no n·dim² exploded-self-join intermediate; VERDICT r08); the
+    64×64 iteration itself is O(1) driver work, same convention as
+    pca_variance's final eigh. Power iteration is a contractive fixed
+    point, so summation-order ulps between kernels (numpy BLAS vs the
+    oracle's sequential list_sum) cannot accumulate — outputs are
     4dp-stable.
 
     → one row: (n, top_eigenvalue, explained_share, trace)."""
     import numpy as np
 
-    e = df.select("vec_id", F.posexplode(F.col(vec).cast("array<double>")).alias("i", "x"))
-    stats = e.groupBy("i").agg(F.avg("x").alias("m"), F.count("*").alias("n"))
-    a = e.select("vec_id", F.col("i").alias("ii"), F.col("x").alias("xi"))
-    b = e.select("vec_id", F.col("i").alias("jj"), F.col("x").alias("xj"))
-    s = (
-        a.join(b, "vec_id")
-        .groupBy("ii", "jj")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sij"))
-    )
-    rows = s.collect()
-    ms = {r.i: r.m for r in stats.collect()}
-    n = int(df.count())
-    dim = len(ms)
-    C = np.zeros((dim, dim))
-    for r in rows:
-        C[r.ii, r.jj] = (r.sij - n * ms[r.ii] * ms[r.jj]) / (n - 1)
+    n, _, C = _cov_ddof1(df, vec)
+    dim = C.shape[0]
     v = np.full(dim, 1.0 / np.sqrt(dim))
     for _ in range(iters):
         w = C @ v
@@ -1503,27 +1517,14 @@ def pca_power(
     each chain is a contractive fixed point, so BLAS-vs-sequential
     summation ulps do not accumulate; outputs are 4dp-stable.
 
-    Scale shape: identical to top_eigen — ONE exploded self-join shuffle
-    carrying dim^2 partial products builds C; the k power chains are
-    O(k * iters * dim^2) driver arithmetic on the collected matrix."""
+    Scale shape: identical to top_eigen — the Gram-partial mapInPandas
+    kernel (_cov_ddof1) builds C in one pass with a tiny slot-sum shuffle;
+    the k power chains are O(k * iters * dim^2) driver arithmetic on the
+    collected matrix."""
     import numpy as np
 
-    e = df.select("vec_id", F.posexplode(F.col(vec).cast("array<double>")).alias("i", "x"))
-    stats = e.groupBy("i").agg(F.avg("x").alias("m"))
-    a = e.select("vec_id", F.col("i").alias("ii"), F.col("x").alias("xi"))
-    b = e.select("vec_id", F.col("i").alias("jj"), F.col("x").alias("xj"))
-    s = (
-        a.join(b, "vec_id")
-        .groupBy("ii", "jj")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sij"))
-    )
-    rows = s.collect()
-    ms = {r.i: r.m for r in stats.collect()}
-    n = int(df.count())
-    dim = len(ms)
-    C = np.zeros((dim, dim))
-    for r in rows:
-        C[r.ii, r.jj] = (r.sij - n * ms[r.ii] * ms[r.jj]) / (n - 1)
+    _, _, C = _cov_ddof1(df, vec)
+    dim = C.shape[0]
     trace = float(np.trace(C))
     out_rows = []
     cum = 0.0
@@ -1618,28 +1619,17 @@ def _abtt_directions(
     iters: int = POWER_ITERS,
 ):
     """Shared ABTT front half: centered top-`d` principal directions via
-    deflated power iteration on the collected dim x dim covariance
-    (bounded driver state, pca_variance convention). Returns the exploded
+    deflated power iteration on the collected dim x dim covariance (built
+    by the Gram-partial mapInPandas kernel _cov_ddof1 — one pass, no
+    n·dim² exploded self-join; VERDICT r08). Returns the exploded
     (vec_id, i, x) table and the broadcastable (i, m, v1..vd) projection
     table consumed by abtt_postprocess / abtt_recall."""
     import numpy as np
 
     e = df.select("vec_id", F.posexplode(F.col(vec).cast("array<double>")).alias("i", "x"))
-    stats = e.groupBy("i").agg(F.avg("x").alias("m"))
-    a = e.select("vec_id", F.col("i").alias("ii"), F.col("x").alias("xi"))
-    b = e.select("vec_id", F.col("i").alias("jj"), F.col("x").alias("xj"))
-    s = (
-        a.join(b, "vec_id")
-        .groupBy("ii", "jj")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sij"))
-    )
-    rows = s.collect()
-    ms = {r.i: r.m for r in stats.collect()}
-    n = int(df.count())
+    n, mu, C = _cov_ddof1(df, vec)
+    ms = {i: float(mu[i]) for i in range(len(mu))}
     dim = len(ms)
-    C = np.zeros((dim, dim))
-    for r in rows:
-        C[r.ii, r.jj] = (r.sij - n * ms[r.ii] * ms[r.jj]) / (n - 1)
     vs = []
     Ck = C
     for _ in range(d):
@@ -1676,9 +1666,9 @@ def abtt_postprocess(
     fraction of centered energy the vector KEEPS after removal —
     corpus-level isotropy is the energy-weighted mean of kept_frac.
 
-    Scale shape: the covariance build is top_eigen's single dim^2-keyed
-    exploded self-join; the d power chains run on the collected dim x dim
-    matrix (bounded driver state, same convention as pca_variance); the
+    Scale shape: the covariance build is the Gram-partial mapInPandas
+    kernel (_cov_ddof1, shared with top_eigen/pca_variance); the d power
+    chains run on the collected dim x dim matrix (bounded driver state); the
     projection itself is ONE vec_id-keyed agg over the exploded table
     with the (mu, v_1..v_d) table broadcast — no per-vector Python, no
     second shuffle wider than the input. Removed energy uses the closed
