@@ -484,6 +484,31 @@ def test_rotate_window_tool_emits_valid_window(spark):
         assert n in reg and reg[n].oracle, n
 
 
+def test_rotate_window_invalidation_reenters_backlog():
+    # ADVICE r08: a behavior-affecting change to an already-certified query
+    # must re-enter the rotation — a green row OLDER than the invalidation
+    # round no longer counts as certified, while a green row at-or-after
+    # the invalidation round does.
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", root / "tools" / "rotate_window.py"
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    for name in ("ann_ivf", "ann_ivf_recall", "embed_kmeans", "embed_pq"):
+        assert name in rw.INVALIDATED, name
+    by_round = rw.certified_by_round()
+    for name, rnd in rw.INVALIDATED.items():
+        got = by_round.get(name)
+        assert got is None or got >= rnd, (
+            f"{name}: certified round {got} predates invalidation round {rnd} "
+            "but was not dropped from the certified set"
+        )
+
+
 def test_pq_recall_plan_broadcasts_lut(spark):
     # the PQ scan must never shuffle the corpus against the LUT — the LUT
     # (n_queries x n_sub x n_cent) and codebook are broadcast by design
