@@ -509,6 +509,18 @@ def test_rotate_window_invalidation_reenters_backlog():
         )
 
 
+def test_interval_join_plan_is_hash_not_nested_loop(spark):
+    # hour-aligned windows make the range predicate an equi-key; the plan
+    # must be a broadcast HASH join, never a nested-loop range join
+    from tsgen.queries import registry
+
+    df = registry()["ev_interval_join"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_recall_plan_broadcasts_lut(spark):
     # the PQ scan must never shuffle the corpus against the LUT — the LUT
     # (n_queries x n_sub x n_cent) and codebook are broadcast by design

@@ -41,6 +41,8 @@ INVALIDATED: dict[str, int] = {
     "ann_ivf_recall": 9,
     "embed_kmeans": 9,
     "embed_pq": 9,
+    # r9: range join rewritten as hour-aligned broadcast equi-join
+    "ev_interval_join": 10,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).

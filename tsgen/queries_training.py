@@ -63,20 +63,22 @@ FROM per_epoch
 # --- interval join: events falling inside incident windows ----------------
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incident windows = hours with >= 5 'error' events; join every event
-    landing inside such an hour (ts BETWEEN start AND end). The window table
-    is tiny → broadcast nested-loop; at scale bucket both sides by hour to
-    make it an equi-join."""
+    landing inside such an hour (ts BETWEEN start AND end). Because the
+    windows are hour-ALIGNED by construction, `ts >= w_start AND ts <
+    w_start + 1h` is exactly `date_trunc(hour, ts) = w_start` — so the
+    join runs as a broadcast HASH join on the truncated hour, not a
+    nested-loop range join (plan-lint r9: the BNLJ here was the one
+    registry range-join that had a free equi-key). The general
+    non-aligned interval case is covered by ev_asof / ev_interval_union."""
     ev = _events(spark, sf_dir)
     incidents = (
         ev.filter(F.col("event_type") == "error")
         .groupBy(F.date_trunc("hour", "ts").alias("w_start"))
         .agg(F.count("*").alias("n_err"))
         .filter(F.col("n_err") >= 5)
-        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
     )
-    joined = ev.join(
-        F.broadcast(incidents),
-        (ev.ts >= incidents.w_start) & (ev.ts < incidents.w_end),
+    joined = ev.withColumn("w_start", F.date_trunc("hour", "ts")).join(
+        F.broadcast(incidents), "w_start"
     )
     out = joined.groupBy(F.unix_timestamp("w_start").alias("w_start_s"), "event_type").agg(
         F.count("*").alias("n_in_window"), F.sum("value").alias("sum_value")
