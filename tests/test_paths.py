@@ -170,6 +170,26 @@ def test_pca_variance_matches_numpy(spark):
     assert 0 < got.cum_share[3] <= 1.0
 
 
+def test_gram_sufficient_stats_matches_numpy(spark):
+    # the shared covariance kernel (r9: feeds pca_variance, top_eigen,
+    # pca_power, ABTT) must reproduce exact n / column sums / X'X
+    import numpy as np
+    from tsgen import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n, s, G = similarity._gram_sufficient_stats(emb)
+    X = np.stack(emb.toPandas().embedding.to_numpy()).astype(np.float64)
+    assert n == len(X)
+    assert np.allclose(s, X.sum(axis=0), rtol=0, atol=1e-9)
+    assert np.allclose(G, X.T @ X, rtol=1e-12, atol=1e-8)
+    assert np.allclose(G, G.T, rtol=0, atol=0)  # exactly symmetric by construction
+    # and the ddof=1 wrapper matches numpy's sample covariance
+    n2, mu, C = similarity._cov_ddof1(emb)
+    assert n2 == n
+    assert np.allclose(mu, X.mean(axis=0), rtol=0, atol=1e-12)
+    assert np.allclose(C, np.cov(X, rowvar=False, bias=False), rtol=1e-10, atol=1e-10)
+
+
 def test_wau_window_semantics(spark):
     # one user active on days 0 and 10; another on day 0 only.
     # day 0: dau=2, wau=2. day 10: dau=1, wau=1 (day-0 activity expired).
