@@ -464,6 +464,26 @@ def test_new_evals_partition_invariant(spark):
         assert a == b, f"{fn.__name__} changed under repartition({parts})"
 
 
+def test_plan_lint_core_queries_clean(spark):
+    # fast subset of tools/plan_lint.py: the heavy/flagship queries must
+    # never regress to a row-at-a-time Python UDF or an unbounded
+    # cartesian product (full registry walk runs per-round via the tool)
+    from tsgen.queries import registry
+
+    core = [
+        "doc_topics", "doc_prefix_jaccard", "graph_hits", "graph_closeness",
+        "graph_modularity", "dedup_substr_hash", "minhash_lsh", "ann_ivf",
+        "ann_pq_recall", "embed_abtt", "cosine_topk", "pricing_summary",
+        "ev_sessionize", "li_wagner_whitin", "multimodal_decode",
+    ]
+    reg = registry()
+    for name in core:
+        df = reg[name].spark_fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_rotate_window_tool_emits_valid_window(spark):
     import subprocess
     import sys
