@@ -464,6 +464,47 @@ def test_new_evals_partition_invariant(spark):
         assert a == b, f"{fn.__name__} changed under repartition({parts})"
 
 
+def test_rotate_window_pads_with_stale_certs_when_backlog_short():
+    # r10 will exercise the padding path for the first time: when the
+    # never-certified backlog is < 47, the window must still be exactly 50
+    # unique oracle-bearing names, backlog first, then the LEAST-recently-
+    # certified names (oldest driver round first).
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window_padtest", root / "tools" / "rotate_window.py"
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    from tsgen.queries import registry
+
+    reg = registry()
+    oracle_names = [n for n in reg if reg[n].oracle]
+    real_backlog = rw.backlog()
+    # simulate the post-r9 world: everything except 10 names is certified,
+    # with a spread of rounds so "least recently certified" is decidable
+    fake_backlog = real_backlog[:10]
+    fake_rounds = {
+        n: 1 + (i % 8)
+        for i, n in enumerate(oracle_names)
+        if n not in fake_backlog
+    }
+    rw.certified_by_round = lambda: dict(fake_rounds)
+    rw.certified = lambda: set(fake_rounds)
+    window = rw.build_window()
+    assert len(window) == 50 and len(set(window)) == 50
+    assert window[:3] == rw.CANARIES
+    assert window[3:13] == fake_backlog
+    pad = window[13:]
+    # pad is drawn oldest-certified-first and every pad name is certified
+    pad_rounds = [fake_rounds[n] for n in pad if n in fake_rounds]
+    assert pad_rounds == sorted(pad_rounds)
+    for n in window:
+        assert n in reg and (reg[n].oracle or n in rw.CANARIES), n
+
+
 def test_plan_lint_core_queries_clean(spark):
     # fast subset of tools/plan_lint.py: the heavy/flagship queries must
     # never regress to a row-at-a-time Python UDF or an unbounded

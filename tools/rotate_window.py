@@ -150,14 +150,15 @@ def backlog() -> list[str]:
     return todo
 
 
-def main() -> None:
+def build_window() -> list[str]:
+    """3 canaries + first 47 of the backlog; when the backlog is shorter
+    than 47, pad with the least-recently-certified oracle queries (oldest
+    driver row first) so the window stays at 50 names — the
+    tests/test_io_entry.py invariant — and stale certifications get
+    refreshed."""
     todo = backlog()
     window = CANARIES + todo[:47]
     if len(window) < 50:
-        # backlog exhausted: pad with the least-recently-certified queries
-        # (oldest driver row first) so the window stays >= 50 names — the
-        # tests/test_io_entry.py invariant — and stale certifications get
-        # refreshed.
         from tsgen.queries import registry
 
         reg = registry()
@@ -168,6 +169,12 @@ def main() -> None:
         ]
         stale.sort(key=lambda n: by_round.get(n, 0))
         window += stale[: 50 - len(window)]
+    return window
+
+
+def main() -> None:
+    todo = backlog()
+    window = build_window()
     if "--names" in sys.argv:
         print(" ".join(window))
         return
