@@ -162,6 +162,31 @@ def test_ppm_decode_roundtrip_and_stats(spark, docs):
     assert row.mean_r == float(np.floor((px0[..., 0].mean() + 1e-9) * 1e4 + 0.5) / 1e4)
 
 
+def test_decode_ppm_roundtrip_property():
+    # property: ANY (w, h, pixels) rendered to spec-conformant P6 bytes —
+    # with arbitrary header whitespace and an optional comment — decodes
+    # back to the exact pixel grid
+    from hypothesis import given, settings, strategies as st
+    from tsgen import multimodal
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 32),
+        h=st.integers(1, 32),
+        seed=st.integers(0, 2**31 - 1),
+        sep=st.sampled_from([b"\n", b" ", b"\t", b"\n# c\n"]),
+    )
+    def check(w, h, seed, sep):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        head = b"P6" + sep + str(w).encode() + b" " + str(h).encode() + b"\n255\n"
+        dw, dh, got = multimodal.decode_ppm(head + px.tobytes())
+        assert (dw, dh) == (w, h)
+        assert (got == px).all()
+
+    check()
+
+
 def test_connected_components_chain_star_clique(spark):
     # chain 0-1-...-9 (diameter 9: exercises pointer jumping), star at 100,
     # triangle at 200, singleton edge at 300 — all in one edge list
