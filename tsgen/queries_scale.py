@@ -8,11 +8,14 @@ its naive SQL form implies.
   → prefix-sum offsets (window over #partitions rows) → offset + local
   row_number. Both shuffles touch uniform partitions; no task ever sees
   more than its slice. (The DuckDB oracle IS the naive form — same answer.)
-- stratified_sample: exact-k-per-stratum deterministic sample. The rank
-  runs per-stratum (partitionBy), so the window is as parallel as the
-  stratum count; order is a portable hash u01(key), so the "random" sample
-  is reproducible across engines, retries, and partitionings — the property
-  `df.sample()` cannot give.
+- stratified_sample: exact-k-per-stratum deterministic sample. Strata are
+  LOW-cardinality (event types, languages), so a single per-stratum window
+  would funnel whole strata through single tasks; the scalable form is a
+  two-phase top-k over a slim (stratum, key, u) projection — per-(stratum,
+  input-partition) rank, then a bounded per-stratum re-rank, then a
+  broadcast join-back of the winning keys. Order is a portable hash
+  u01(key), so the "random" sample is reproducible across engines,
+  retries, and partitionings — the property `df.sample()` cannot give.
 """
 from __future__ import annotations
 
@@ -133,14 +136,35 @@ def stratified_sample(
     df: DataFrame, stratum: str, key: str, k: int = SAMPLE_K, salt: int = SAMPLE_SALT
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum, chosen by portable-hash
-    order — deterministic equal-probability sampling without a global sort."""
+    order — deterministic equal-probability sampling without a global sort.
+    `key` must be unique (it seeds the hash and breaks ranking ties).
+
+    Scale shape (r9): a single Window.partitionBy(stratum) would funnel
+    each ENTIRE stratum through one task (strata are low-cardinality:
+    event types, languages, sources — billions of rows each at 100 TB).
+    Instead: (1) rank a slim (stratum, key, u) projection per
+    (stratum, input-partition) — parallelism = |strata| x |partitions|,
+    shuffle carries ~24-byte rows; (2) re-rank the surviving
+    |strata| x |partitions| x k candidates per stratum — bounded; (3)
+    broadcast the <= |strata| x k winning keys back onto the full table.
+    Per-partition top-k is a superset of the global top-k, so the output
+    is EXACTLY the rows the single-window form selects, independent of
+    partitioning (retry-safe)."""
     u = F.expr(E.u01(key, salt))
-    w = Window.partitionBy(stratum).orderBy(u.asc(), F.col(key).asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+    slim = (
+        df.select(stratum, key)
+        .withColumn("_u", u)
+        .withColumn("_pid", F.spark_partition_id())
     )
+    w1 = Window.partitionBy(stratum, "_pid").orderBy(F.col("_u").asc(), F.col(key).asc())
+    cand = slim.withColumn("_rk", F.row_number().over(w1)).filter(F.col("_rk") <= k)
+    w2 = Window.partitionBy(stratum).orderBy(F.col("_u").asc(), F.col(key).asc())
+    sel = (
+        cand.withColumn("_rk2", F.row_number().over(w2))
+        .filter(F.col("_rk2") <= k)
+        .select(stratum, key)
+    )
+    return df.join(F.broadcast(sel), [stratum, key])
 
 
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
