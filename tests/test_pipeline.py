@@ -410,6 +410,31 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
     assert sorted(r.key for r in s1.collect()) == sorted(r.key for r in s2.collect())
 
 
+def test_stratified_rank_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    from tsgen.queries_scale import stratified_rank
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS key",
+        "CAST(id % 4 AS STRING) AS stratum",
+        "CAST(hash(id) % 97 AS DOUBLE) AS v",  # duplicate sort values on purpose
+    )
+    order = [F.desc("v"), F.asc("key")]  # tie-broken total order
+    got = stratified_rank(df, "stratum", order, out="rk")
+    w = Window.partitionBy("stratum").orderBy(*order)
+    want = df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    assert got.select("key", "stratum", "rk").exceptAll(
+        want.select("key", "stratum", "rk")
+    ).count() == 0
+    assert got.count() == want.count() == 5000
+    # partitioning-invariant: same ranks on a differently-partitioned input
+    got13 = stratified_rank(df.repartition(13), "stratum", order, out="rk")
+    assert got13.select("key", "stratum", "rk").exceptAll(
+        want.select("key", "stratum", "rk")
+    ).count() == 0
+
+
 def test_bigram_lm_flags_scrambled_text(spark):
     from pyspark.sql import Row
 

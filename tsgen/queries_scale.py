@@ -116,6 +116,55 @@ def cumsum_exact(df: DataFrame, val: str, order_cols, out: str) -> DataFrame:
     )
 
 
+def stratified_rank(df: DataFrame, stratum: str, order_cols, out: str = "rk") -> DataFrame:
+    """`row_number() OVER (PARTITION BY stratum ORDER BY order_cols)` without
+    single-task strata — the per-stratum generalization of global_row_ids.
+
+    A plain Window.partitionBy(stratum) shuffles each ENTIRE stratum to one
+    task; with low-cardinality strata (event types, languages) that is a
+    handful of tasks sorting billions of rows each at 100 TB. Instead:
+    range-partition the WHOLE table on the order columns (strata stay
+    interleaved across uniform partitions), count rows per
+    (partition, stratum) — a bounded |partitions| x |strata| table — then
+    per-stratum prefix-sum those counts for offsets, and add each row's
+    local (partition, stratum) rank. Requires `order_cols` to be a total
+    order (tie-broken), same contract as ntile_exact; equal sort keys land
+    in one range partition, so offset + local rank is exact."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=False)  # pin the sampled range split (see global_row_ids)
+    counts = d.groupBy("_pid", stratum).agg(F.count("*").alias("_n"))
+    off_w = (
+        Window.partitionBy(stratum).orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+    local = F.row_number().over(Window.partitionBy("_pid", stratum).orderBy(*order_cols))
+    return (
+        d.join(F.broadcast(offsets.select("_pid", stratum, "_off")), ["_pid", stratum])
+        .withColumn(out, (F.col("_off") + local).cast("bigint"))
+        .drop("_pid", "_off")
+    )
+
+
+def _q_stratified_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = stratified_rank(
+        ev, "event_type", [F.desc("value"), F.asc("event_id")], out="rk"
+    ).select("event_id", "event_type", "rk")
+    return canon_types(out)
+
+
+_STRATIFIED_RANK_SQL = """
+SELECT event_id, event_type,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id ASC) AS rk
+FROM events
+"""
+
+
 def _q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_id", "user_id")
     return canon_types(global_row_ids(ev, "event_id").select("event_id", "user_id", "rid"))
@@ -193,6 +242,9 @@ _REGISTRY.update(
         ),
         "stratified_sample": Query(
             "stratified_sample", _q_stratified_sample, _STRATIFIED_SAMPLE_SQL, ("scale",)
+        ),
+        "stratified_rank": Query(
+            "stratified_rank", _q_stratified_rank, _STRATIFIED_RANK_SQL, ("scale",)
         ),
     }
 )
