@@ -153,3 +153,50 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS od_bkt")
+
+
+def test_rank_funcs_two_phase_matches_direct_window(spark):
+    # the r9 scale-true rank family (two-phase top-k + arithmetic on
+    # per-stratum totals) must be bit-identical to the direct window form,
+    # including edge strata: n=1 (percent_rank=0), n<10 (ntile degenerate),
+    # duplicate values (total order restored by the event_id tiebreak)
+    import tsgen.queries_analytics as qa
+    from pyspark.sql import Window
+
+    rows = (
+        [Row(event_id=i, event_type="big", value=float((i * 7) % 50)) for i in range(400)]
+        + [Row(event_id=1000 + i, event_type="small", value=5.0) for i in range(7)]
+        + [Row(event_id=2000, event_type="solo", value=1.25)]
+    )
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds(F.col("event_id")))
+
+    # reuse the query body by monkeypatching its events loader
+    orig = qa._events
+    qa._events = lambda s, d: df
+    try:
+        got = qa._q_rank_funcs(spark, "unused").toPandas()
+    finally:
+        qa._events = orig
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    want = (
+        df.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("cume"),
+            F.first("value").over(w).alias("top_value"),
+        )
+        .filter(F.col("rn") <= 200)
+        .toPandas()
+    )
+    got = got.sort_values(["event_type", "rn"]).reset_index(drop=True)
+    want = want.sort_values(["event_type", "rn"]).reset_index(drop=True)
+    for c in ["event_id", "rn", "rnk", "drnk", "decile"]:
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+    for c in ["pct_rank", "cume", "top_value"]:
+        assert (got[c] - want[c]).abs().max() < 1e-12, c

@@ -43,6 +43,9 @@ INVALIDATED: dict[str, int] = {
     "embed_pq": 9,
     # r9: range join rewritten as hour-aligned broadcast equi-join
     "ev_interval_join": 10,
+    # r9: rank family rewritten scale-true (two-phase top-200 + rank
+    # arithmetic on per-stratum totals instead of full-stratum windows)
+    "ev_rank_funcs": 10,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).

@@ -481,21 +481,65 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 3600 PRECEDING AND
 
 # --- ranking-function family ----------------------------------------------
 def _q_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family per event_type, SCALE-TRUE form (r9).
+
+    The direct form — every rank function over
+    Window.partitionBy(event_type) — funnels each ENTIRE stratum through
+    one task (strata are low-cardinality). Because the ordering
+    (value DESC, event_id ASC) is a tie-broken TOTAL order, the whole
+    family collapses to arithmetic on (rn, n):
+      rank = dense_rank = row_number (no peers under a total order —
+      the same identity the oracle's rank()/dense_rank() resolve to),
+      percent_rank = (rn-1)/(n-1), cume_dist = rn/n (each row is its own
+      peer group), ntile(10) = the ntile_exact bucket formula on (rn, n),
+      first_value(value) = the stratum max.
+    So: (1) per-(input-partition, stratum) top-200 candidates on a slim
+    projection — a superset of the global top-200, parallelism =
+    |strata| x |partitions|; (2) final rank over the bounded candidate
+    set (<= partitions x 200 rows per stratum); (3) broadcast-join the
+    per-stratum (n, max value) 1-row-per-stratum aggregates and derive
+    the family. Output is bit-identical to the direct window form."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
-    out = ev.select(
+    slim = ev.select("event_id", "event_type", "value").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w1 = Window.partitionBy("event_type", "_pid").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    cand = (
+        slim.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= 200)
+        .drop("_rk1", "_pid")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    top = cand.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= 200)
+    totals = ev.groupBy("event_type").agg(
+        F.count("*").alias("_n"), F.max("value").alias("top_value")
+    )
+    d = top.join(F.broadcast(totals), "event_type")
+    q = F.floor(F.col("_n") / 10)
+    rem = F.col("_n") % 10
+    big = q + 1
+    cutoff = rem * big
+    decile = F.when(
+        F.col("rn") <= cutoff, F.floor((F.col("rn") - 1) / big) + 1
+    ).otherwise(rem + F.floor((F.col("rn") - cutoff - 1) / q) + 1)
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn") - 1) / (F.col("_n") - 1)
+    )
+    out = d.select(
         "event_id",
         "event_type",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("cume"),
-        F.first("value").over(w).alias("top_value"),
-    ).filter(F.col("rn") <= 200)
+        "rn",
+        F.col("rn").alias("rnk"),
+        F.col("rn").alias("drnk"),
+        decile.cast("int").alias("decile"),
+        F.round(pct + F.lit(1e-9), 6).alias("pct_rank"),
+        F.round(F.col("rn") / F.col("_n") + F.lit(1e-9), 6).alias("cume"),
+        "top_value",
+    )
     return round6(out, "top_value")
 
 
