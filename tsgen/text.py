@@ -440,18 +440,23 @@ def ccnet_buckets(df: DataFrame, text: str = "text") -> DataFrame:
     ((rank−1)·3) div n — integer arithmetic, so no cross-engine
     percentile-interpolation semantics; the score is rounded to 6dp
     BEFORE ranking (doc_id tiebreak) so near-equal scores rank
-    identically in both engines. The per-language window is keyed —
-    language is the parallel axis. → (lang, bucket, n_docs, avg_score)."""
-    from pyspark.sql import Window
+    identically in both engines.
+
+    Scale shape (r9): languages are LOW-cardinality, so a direct
+    Window.partitionBy(lang) rank would funnel each language's whole
+    corpus through one task; the rank now runs on the stratified_rank
+    scaffold (range-partition on the order cols + per-(partition, lang)
+    counts + per-lang prefix offsets — queries_scale.py), and n comes
+    from a broadcast 1-row-per-lang aggregate.
+    → (lang, bucket, n_docs, avg_score)."""
+    from .queries_scale import stratified_rank
 
     sc = lm_score(df, text=text).join(df.select("doc_id", "lang"), "doc_id")
     sc = sc.withColumn("s", F.round(F.col("lm_score") + F.lit(1e-9), 6))
-    wo = Window.partitionBy("lang").orderBy("s", "doc_id")
-    wn = Window.partitionBy("lang")
-    sc = (
-        sc.withColumn("rn", F.row_number().over(wo))
-        .withColumn("n", F.count("*").over(wn))
-        .withColumn("b", F.expr("((rn - 1) * 3) div n"))
+    ranked = stratified_rank(sc, "lang", [F.asc("s"), F.asc("doc_id")], out="rn")
+    totals = sc.groupBy("lang").agg(F.count("*").alias("n"))
+    sc = ranked.join(F.broadcast(totals), "lang").withColumn(
+        "b", F.expr("((rn - 1) * 3) div n")
     )
     bucket = (
         F.when(F.col("b") == 0, "head").when(F.col("b") == 1, "middle").otherwise("tail")
