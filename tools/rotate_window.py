@@ -46,6 +46,8 @@ INVALIDATED: dict[str, int] = {
     # r9: rank family rewritten scale-true (two-phase top-200 + rank
     # arithmetic on per-stratum totals instead of full-stratum windows)
     "ev_rank_funcs": 10,
+    # r9: tercile rank moved onto the stratified_rank scaffold
+    "doc_ccnet_buckets": 10,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).
