@@ -187,6 +187,56 @@ def test_gap_stats_burstiness_regimes(spark):
     assert abs(out["poisson"].mean_gap_s - 60.0) < 10.0
 
 
+def test_gap_stats_matches_direct_window_form(spark):
+    """The r9 scale-true form (range-partitioned lag + boundary recovery,
+    rank-based interpolated p95) must reproduce the direct
+    full-stratum-window + percentile() computation exactly."""
+    from pyspark.sql import Window
+
+    from tsgen.queries_tsmining import _stratified_gaps, gap_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rng = np.random.RandomState(7)
+    rows = []
+    eid = 0
+    for et_i, et in enumerate(["a", "b", "c"]):
+        t = 0.0
+        for _ in range(400):
+            t += rng.exponential(10.0 * (et_i + 1))
+            rows.append((eid, t0 + datetime.timedelta(seconds=t), 1, et, 0.0))
+            eid += 1
+    df = _ts_df(spark, rows).repartition(16)  # force multi-partition strata
+    # gaps multiset identical to the direct lag form
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    direct = (
+        df.withColumn("_prev", F.lag(F.unix_micros("ts")).over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            ((F.unix_micros("ts") - F.col("_prev")) / F.lit(1e6)).alias("gap_s"),
+        )
+        .toPandas()
+    )
+    got_gaps = _stratified_gaps(df).toPandas()
+    for et in ["a", "b", "c"]:
+        a = sorted(direct[direct.event_type == et].gap_s)
+        g = sorted(got_gaps[got_gaps.event_type == et].gap_s)
+        assert len(a) == len(g) == 399
+        assert max(abs(x - y) for x, y in zip(a, g)) == 0.0
+    # full stats (incl. rank-based p95) match the built-in percentile()
+    want = (
+        spark.createDataFrame(direct)
+        .groupBy("event_type")
+        .agg(F.expr("percentile(gap_s, 0.95)").alias("p95"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    out = gap_stats(df).toPandas().set_index("event_type")
+    for et in ["a", "b", "c"]:
+        assert abs(out.loc[et].p95_gap_s - want.loc[et].p95) < 1e-9
+        assert out.loc[et].n_gaps == 399
+
+
 def test_rake_keyphrases_scores_multiword_runs(spark):
     """RAKE favors longer stopword-free runs: in a doc where 'deep neural
     network' always co-occurs, that phrase must outrank single words, and

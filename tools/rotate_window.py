@@ -48,6 +48,9 @@ INVALIDATED: dict[str, int] = {
     "ev_rank_funcs": 10,
     # r9: tercile rank moved onto the stratified_rank scaffold
     "doc_ccnet_buckets": 10,
+    # r9: lag via range-partition + boundary recovery; p95 via two order
+    # statistics instead of a per-group percentile() buffer
+    "ev_gap_stats": 10,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).

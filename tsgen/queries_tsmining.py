@@ -2047,28 +2047,100 @@ FROM s JOIN nt ON nt.series_id = s.series_id
 
 
 # --- inter-arrival gap statistics ------------------------------------------
+def _stratified_gaps(ev: DataFrame) -> DataFrame:
+    """All consecutive inter-arrival gaps per event_type WITHOUT a
+    full-stratum lag window (strata are low-cardinality → the direct
+    Window.partitionBy(event_type) funnels each whole stratum through one
+    task). Range-partition on (event_type, ts, event_id) so each
+    partition holds a contiguous slice of each stratum; within-partition
+    gaps come from a (partition, stratum)-keyed lag, and the one missing
+    gap per partition boundary is recovered from a bounded
+    |partitions| x |strata| first/last table. → (event_type, gap_s)."""
+    n = int(ev.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    slim = ev.select(
+        "event_type", F.unix_micros("ts").alias("_tus"), "event_id"
+    )
+    d = slim.repartitionByRange(n, "event_type", "_tus", "event_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=False)  # pin the sampled range split (2 reads)
+    wl = Window.partitionBy("_pid", "event_type").orderBy("_tus", "event_id")
+    within = (
+        d.withColumn("_prev", F.lag("_tus").over(wl))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("_tus") - F.col("_prev")) / F.lit(1_000_000.0)).alias("gap_s"),
+        )
+    )
+    # boundary gaps: first event of each (partition, stratum) vs the last
+    # event of the PREVIOUS partition holding that stratum
+    b = d.groupBy("_pid", "event_type").agg(
+        F.min(F.struct("_tus", "event_id")).alias("_first"),
+        F.max(F.struct("_tus", "event_id")).alias("_last"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("_pid")
+    boundary = (
+        b.withColumn("_prev_last", F.lag("_last._tus").over(wb))
+        .where(F.col("_prev_last").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("_first._tus") - F.col("_prev_last")) / F.lit(1_000_000.0)).alias(
+                "gap_s"
+            ),
+        )
+    )
+    return within.unionByName(boundary)
+
+
 def gap_stats(ev: DataFrame) -> DataFrame:
     """Per event_type inter-arrival diagnostics: mean/std/CV of the gap
     seconds, exact p95 (interpolated percentile), and the burstiness index
     B = (CV-1)/(CV+1) (Goh & Barabasi 2008): -1 periodic, 0 Poisson,
-    →1 bursty. One lag window + one aggregation, both keyed on event_type."""
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    gaps = (
-        ev.withColumn("_prev", F.lag(F.unix_micros("ts")).over(w))
-        .where(F.col("_prev").isNotNull())
-        .select(
-            "event_type",
-            ((F.unix_micros("ts") - F.col("_prev")) / F.lit(1_000_000.0)).alias("gap_s"),
-        )
-    )
+    →1 bursty.
+
+    Scale shape (r9): gaps come from _stratified_gaps (range-partitioned
+    lag + boundary recovery — no full-stratum window), and the exact p95
+    comes from TWO order statistics instead of `percentile()` (whose
+    aggregation buffer holds every group value in one task's memory):
+    rank the gaps per stratum on the stratified_rank scaffold, select the
+    rows at ranks floor(h)/ceil(h) for h = 1 + 0.95*(n-1), and
+    interpolate — v_lo + (h - floor(h)) * (v_hi - v_lo), the same
+    formula percentile()/quantile_cont evaluate. Rank ties left unbroken
+    on purpose: the k-th smallest VALUE is well-defined however equal
+    values are ordered among themselves."""
+    from .queries_scale import stratified_rank
+
+    gaps = _stratified_gaps(ev).localCheckpoint(eager=False)  # 2 reads below
     agg = gaps.groupBy("event_type").agg(
         F.count("*").alias("n_gaps"),
         F.avg("gap_s").alias("mean_gap_s"),
         F.stddev_pop("gap_s").alias("std_gap_s"),
-        F.expr("percentile(gap_s, 0.95)").alias("p95_gap_s"),
     )
+    h = F.lit(1.0) + (F.col("n_gaps") - 1) * F.lit(0.95)
+    agg = agg.withColumn("_h", h).withColumn(
+        "_rlo", F.floor("_h").cast("bigint")
+    ).withColumn("_rhi", F.ceil("_h").cast("bigint"))
+    ranked = stratified_rank(gaps, "event_type", [F.asc("gap_s")], out="_rn")
+    sel = ranked.join(
+        F.broadcast(agg.select("event_type", "_h", "_rlo", "_rhi")), "event_type"
+    ).where((F.col("_rn") == F.col("_rlo")) | (F.col("_rn") == F.col("_rhi")))
+    p95 = sel.groupBy("event_type").agg(
+        F.max(F.when(F.col("_rn") == F.col("_rlo"), F.col("gap_s"))).alias("_vlo"),
+        F.max(F.when(F.col("_rn") == F.col("_rhi"), F.col("gap_s"))).alias("_vhi"),
+        F.first("_h").alias("_h2"),
+        F.first("_rlo").alias("_rlo2"),
+    )
+    p95 = p95.select(
+        "event_type",
+        (
+            F.col("_vlo")
+            + (F.col("_h2") - F.col("_rlo2")) * (F.col("_vhi") - F.col("_vlo"))
+        ).alias("p95_gap_s"),
+    )
+    out = agg.join(p95, "event_type")
     cv = F.col("std_gap_s") / F.col("mean_gap_s")
-    return agg.select(
+    return out.select(
         "event_type",
         "n_gaps",
         "mean_gap_s",
