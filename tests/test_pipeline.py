@@ -435,6 +435,35 @@ def test_stratified_rank_matches_plain_window(spark):
     ).count() == 0
 
 
+def test_stratified_percentiles_match_builtin(spark):
+    # order-statistic percentiles must equal the built-in exact
+    # percentile() on edge shapes: n=1 stratum, n=2, exact-integer rank
+    # positions, heavy duplicate values
+    from tsgen.queries_scale import stratified_percentiles
+
+    rows = (
+        [("a", float(v)) for v in range(101)]          # h integer at p=0.5
+        + [("b", 7.0)] * 50 + [("b", 9.0)] * 50        # duplicates
+        + [("c", 3.25)]                                 # n=1
+        + [("d", 1.0), ("d", 2.0)]                      # n=2, interpolated
+    )
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    ps = [0.5, 0.9, 0.99]
+    got = (
+        stratified_percentiles(df, "g", "v", ps, ["q50", "q90", "q99"])
+        .toPandas().set_index("g").sort_index()
+    )
+    want = (
+        df.groupBy("g").agg(
+            F.expr("percentile(v, 0.5)").alias("q50"),
+            F.expr("percentile(v, 0.9)").alias("q90"),
+            F.expr("percentile(v, 0.99)").alias("q99"),
+        ).toPandas().set_index("g").sort_index()
+    )
+    for c in ["q50", "q90", "q99"]:
+        assert (got[c] - want[c]).abs().max() < 1e-12, c
+
+
 def test_bigram_lm_flags_scrambled_text(spark):
     from pyspark.sql import Row
 

@@ -354,12 +354,14 @@ FROM (SELECT * FROM s WHERE variant = 0) a CROSS JOIN (SELECT * FROM s WHERE var
 # --- winsorized means ------------------------------------------------------
 def winsorize(ev: DataFrame, lo: float = 0.05, hi: float = 0.95) -> DataFrame:
     """Per-group winsorization: exact interpolated quantiles per group
-    (tiny result, broadcast back), clamp, re-aggregate. Two shuffles on the
-    same group key; the quantile agg is the only O(n log n)-ish step and it
-    partial-aggregates (Spark's percentile uses a per-group digest)."""
-    q = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {lo})").alias("_plo"),
-        F.expr(f"percentile(value, {hi})").alias("_phi"),
+    (tiny result, broadcast back), clamp, re-aggregate. The quantiles come
+    from order statistics on the stratified_rank scaffold (r9) — the
+    built-in percentile() buffers every group value in one task, a wall
+    when groups are low-cardinality and corpus-sized."""
+    from .queries_scale import stratified_percentiles
+
+    q = stratified_percentiles(
+        ev, "event_type", "value", [lo, hi], ["_plo", "_phi"]
     )
     j = ev.join(F.broadcast(q), "event_type")
     clamped = F.least(F.greatest(F.col("value"), F.col("_plo")), F.col("_phi"))

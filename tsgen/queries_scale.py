@@ -149,6 +149,41 @@ def stratified_rank(df: DataFrame, stratum: str, order_cols, out: str = "rk") ->
     )
 
 
+def stratified_percentiles(
+    df: DataFrame, stratum: str, val: str, ps, names
+) -> DataFrame:
+    """Exact interpolated percentiles per stratum WITHOUT `percentile()`'s
+    per-group buffer (the built-in exact percentile materializes EVERY
+    group value inside one aggregation buffer — a single-task memory wall
+    when strata are low-cardinality and corpus-sized).
+
+    Each percentile p is two ORDER STATISTICS: with n non-null values and
+    h = 1 + (n-1)·p (1-based), the result is
+    v_lo + (h - floor(h)) · (v_hi - v_lo) where v_lo/v_hi are the values
+    at ranks floor(h)/ceil(h) — the same formula percentile() /
+    quantile_cont evaluate. Ranks come from the stratified_rank scaffold;
+    ties are left unbroken on purpose (the k-th smallest VALUE is
+    well-defined however equal values order among themselves).
+    → one row per stratum: (stratum, *names)."""
+    d = df.select(stratum, val).where(F.col(val).isNotNull())
+    counts = d.groupBy(stratum).agg(F.count("*").alias("_n"))
+    ranked = stratified_rank(d, stratum, [F.asc(val)], out="_rn")
+    j = ranked.join(F.broadcast(counts), stratum)
+    need = None
+    aggs = []
+    for p, name in zip(ps, names):
+        h = F.lit(1.0) + (F.col("_n") - 1) * F.lit(float(p))
+        rlo = F.floor(h).cast("bigint")
+        rhi = F.ceil(h).cast("bigint")
+        hit = (F.col("_rn") == rlo) | (F.col("_rn") == rhi)
+        need = hit if need is None else (need | hit)
+        vlo = F.max(F.when(F.col("_rn") == rlo, F.col(val)))
+        vhi = F.max(F.when(F.col("_rn") == rhi, F.col(val)))
+        frac = F.first(h - rlo.cast("double"))
+        aggs.append((vlo + frac * (vhi - vlo)).alias(name))
+    return j.where(need).groupBy(stratum).agg(*aggs)
+
+
 def _q_stratified_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     out = stratified_rank(

@@ -101,11 +101,13 @@ GROUP BY 1, 2
 
 # --- exact interpolated percentiles ---------------------------------------
 def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-statistic form (r9): the built-in percentile() buffers every
+    # group value in one task — see stratified_percentiles
+    from .queries_scale import stratified_percentiles
+
     ev = _events(spark, sf_dir)
-    out = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.9)").alias("p90"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+    out = stratified_percentiles(
+        ev, "event_type", "value", [0.5, 0.9, 0.99], ["p50", "p90", "p99"]
     )
     return round6(out, "p50", "p90", "p99")
 

@@ -285,13 +285,24 @@ def funnel_latency(ev: DataFrame, start: str = "view", end: str = "purchase") ->
     base = per_user.where(F.col("t0").isNotNull()).agg(
         F.count("*").alias("n_started")
     )
+    # global exact percentiles as order statistics (r9): latency_s has one
+    # row per CONVERTED USER — corpus-scale — so the built-in percentile()
+    # would buffer all of them in a single aggregation task. A constant
+    # stratum reuses the per-stratum order-statistic machinery.
+    from .queries_scale import stratified_percentiles
+
+    j = j.localCheckpoint(eager=False)  # read 3x below (count/mean, ranks, counts)
+    pct = stratified_percentiles(
+        j.withColumn("_g", F.lit(0)), "_g", "latency_s", [0.5, 0.9], ["p50_s", "p90_s"]
+    ).drop("_g")
     stats = j.agg(
         F.count("*").alias("n_converted"),
-        F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
-        F.expr("percentile(latency_s, 0.9)").alias("p90_s"),
         F.avg("latency_s").alias("mean_s"),
     )
-    return stats.crossJoin(F.broadcast(base)).withColumn(
+    out = stats.crossJoin(F.broadcast(pct)).select(
+        "n_converted", "p50_s", "p90_s", "mean_s"
+    )
+    return out.crossJoin(F.broadcast(base)).withColumn(
         "conversion_rate", F.col("n_converted") / F.col("n_started")
     )
 
