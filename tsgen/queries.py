@@ -84,8 +84,15 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 #      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
 #      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
+    # r10 window (CORRECTNESS_r09 never landed, so the r9 window was never
+    # driver-certified; rotate_window.py recomputed the same 47-name
+    # backlog slice with one change: ev_gap_stats enters — its r9
+    # scale-true rewrite invalidated the stale r8 green — and
+    # ev_running_balance rolls to the next window).
     # canaries (green r01–r08)
     "gen_sine", "series_stats", "sample_data_mixed",
+    # r9 rewrites whose earlier certifications were invalidated
+    "ev_gap_stats",
     # r8 analytics-long-tail spillover
     "ev_chi_square", "ev_benford", "ts_spectral_entropy", "ev_winsorize",
     # round-8 snapshot addition (registered after the r8 window froze)
@@ -107,9 +114,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # r9: decompose/forecast extras
     "ts_prophet_forecast", "trend_theilsen", "ts_anomalies",
     "ts_robust_decompose", "classical_decompose",
-    # r9: events/tsdb leftovers (first slice; remainder rolls to r10)
+    # r9: events/tsdb leftovers (first slice; remainder rolls to r11)
     "ev_percentiles", "ev_funnel", "ev_retention", "ev_funnel_stages",
-    "ev_running_balance",
 )
 
 
