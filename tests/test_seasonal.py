@@ -1,7 +1,7 @@
 """Classical decomposition / interpolation / LTTB downsampling properties."""
 import math
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row, Window, functions as F
 
 from tsgen.queries_seasonal import (
     classical_decompose,
@@ -238,3 +238,89 @@ def test_period_detects_planted_cycle(spark):
     )
     best = acf.orderBy(F.desc("acf"), F.asc("l")).collect()[0]
     assert best.l == 12
+
+
+def _robust_decompose_via_joins(df, period=12, half=6, key="series_id", value="value"):
+    # The pre-r10 join-back formulation of robust_decompose, kept verbatim
+    # as the semantic reference for the linear window rewrite (the diamond
+    # DAG re-evaluated its base ~8x per action; the production form is now
+    # one linear lineage). Any divergence between the two is a bug in the
+    # rewrite, not a tolerated drift.
+    w = Window.partitionBy(key).orderBy("t").rowsBetween(-half, half)
+    wk = Window.partitionBy(key)
+    full = 2 * half + 1
+    dec = df.withColumn(
+        "trend0",
+        F.when(F.count("*").over(w) == full, F.avg(value).over(w)),
+    ).withColumn("phase", F.col("t") % period)
+    ph = dec.filter(F.col("trend0").isNotNull()).groupBy(key, "phase").agg(
+        F.avg(F.col(value) - F.col("trend0")).alias("s_raw")
+    )
+    ph = ph.withColumn("seasonal0", F.col("s_raw") - F.avg("s_raw").over(wk)).drop("s_raw")
+    d0 = dec.join(ph, [key, "phase"]).withColumn(
+        "r0", F.col(value) - F.col("trend0") - F.col("seasonal0")
+    )
+    sc = d0.filter(F.col("r0").isNotNull()).groupBy(key).agg(
+        (F.lit(6.0) * F.avg(F.abs("r0"))).alias("scale")
+    )
+    u = F.abs(F.col("r0")) / F.col("scale")
+    d1 = d0.join(F.broadcast(sc), key).withColumn(
+        "rweight",
+        F.coalesce(
+            F.when(u < 1.0, (1.0 - u * u) * (1.0 - u * u)).otherwise(F.lit(0.0)),
+            F.lit(1.0),
+        ),
+    )
+    swin = F.sum(F.col("rweight") * F.col(value)).over(w)
+    swei = F.sum("rweight").over(w)
+    d1 = d1.withColumn(
+        "trend",
+        F.when((F.count("*").over(w) == full) & (swei > 0), swin / swei),
+    )
+    ph1 = (
+        d1.filter(F.col("trend").isNotNull())
+        .groupBy(key, "phase")
+        .agg(
+            F.sum(F.col("rweight") * (F.col(value) - F.col("trend"))).alias("_n"),
+            F.sum("rweight").alias("_d"),
+        )
+        .withColumn("sw_raw", F.when(F.col("_d") > 0, F.col("_n") / F.col("_d")))
+        .drop("_n", "_d")
+    )
+    ph1 = ph1.withColumn("seasonal", F.col("sw_raw") - F.avg("sw_raw").over(wk)).drop("sw_raw")
+    return (
+        d1.join(ph1, [key, "phase"])
+        .withColumn("residual", F.col(value) - F.col("trend") - F.col("seasonal"))
+        .select(key, "t", value, "trend", "seasonal", "residual", "rweight")
+    )
+
+
+def test_robust_decompose_linear_rewrite_matches_join_form(spark):
+    from tsgen.queries_seasonal import robust_decompose
+
+    # two normal series (one with a planted spike) + one short series
+    # (n=10 < window 13: no valid pass-0 trend anywhere, so the join form
+    # drops every row via the inner join to an empty phase-mean table —
+    # the rewrite's s_raw/_present filters must drop them identically).
+    # Every series carries aperiodic deterministic "noise": an EXACTLY
+    # additive trend+seasonal input has pass-0 residuals of pure float
+    # round-off (~1e-15), making the bisquare weights ratios of noise
+    # terms — unstable under any change of summation order and useless
+    # for parity comparison.
+    rows = [
+        Row(series_id=s, t=t,
+            value=0.5 * t + math.sin(2 * math.pi * (t % 12) / 12)
+            + 0.05 * math.sin(2.1 * t)
+            + (25.0 if (s, t) == (0, 24) else 0.0) + 0.3 * s)
+        for s in (0, 1) for t in range(48)
+    ] + [Row(series_id=2, t=t, value=float(t)) for t in range(10)]
+    df = spark.createDataFrame(rows)
+    new = robust_decompose(df).toPandas().sort_values(["series_id", "t"]).reset_index(drop=True)
+    old = _robust_decompose_via_joins(df).toPandas().sort_values(["series_id", "t"]).reset_index(drop=True)
+    assert list(new.series_id) == list(old.series_id)
+    assert list(new.t) == list(old.t)
+    assert 2 not in set(new.series_id)  # short series dropped by both
+    for col in ("value", "trend", "seasonal", "residual", "rweight"):
+        a, b = new[col], old[col]
+        assert (a.isna() == b.isna()).all(), col
+        assert (a.fillna(0.0) - b.fillna(0.0)).abs().max() < 1e-9, col
