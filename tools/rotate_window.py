@@ -51,6 +51,9 @@ INVALIDATED: dict[str, int] = {
     # r9: lag via range-partition + boundary recovery; p95 via two order
     # statistics instead of a per-group percentile() buffer
     "ev_gap_stats": 10,
+    # r10: Lloyd centroids pinned to the driver between rounds + contingency
+    # localCheckpoint (same values, plan rewired — recompute census fix)
+    "embed_cluster_purity": 11,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).

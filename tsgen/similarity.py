@@ -990,6 +990,32 @@ def pq_recall(
 KMEANS_K, KMEANS_ITERS = 8, 2
 
 
+def _lloyd_centroids(v: DataFrame, k: int, iters: int, assign) -> DataFrame:
+    """Run the Lloyd rounds with the centroid table pinned to the DRIVER
+    between rounds (k x dim doubles — bounded state, the pattern MLlib's
+    own KMeans uses). Keeping centroids as chained DataFrame lineage
+    instead embeds every earlier round inside the next round's plan, so
+    the final assignment re-scanned the corpus once per round per
+    downstream branch — the plan-lint recompute census caught
+    embed_cluster_purity at 55 corpus scans. collect() re-injects the
+    exact same IEEE doubles via createDataFrame, so values are unchanged;
+    per-round job submission replaces per-branch recompute."""
+    spark = v.sparkSession
+    cents = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("_vec").alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = assign(cents)
+        comp = assigned.select("cluster_id", F.posexplode("_vec").alias("i", "x"))
+        mean_rows = comp.groupBy("cluster_id", "i").agg(F.avg("x").alias("m")).collect()
+        by_c: dict[int, list[tuple[int, float]]] = {}
+        for r in mean_rows:
+            by_c.setdefault(r["cluster_id"], []).append((r["i"], r["m"]))
+        rows = [(cid, [m for _, m in sorted(pts)]) for cid, pts in sorted(by_c.items())]
+        cents = spark.createDataFrame(rows, "cluster_id bigint, cvec array<double>")
+    return cents
+
+
 def kmeans_l2(
     df: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS, vec: str = "embedding"
 ) -> DataFrame:
@@ -1005,9 +1031,6 @@ def kmeans_l2(
     → (cluster_id, n, inertia) with inertia = sum of squared distances.
     """
     v = df.select("vec_id", F.col(vec).cast("array<double>").alias("_vec"))
-    cents = v.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster_id"), F.col("_vec").alias("cvec")
-    )
 
     def dist2() -> F.Column:
         return F.aggregate(
@@ -1031,16 +1054,7 @@ def kmeans_l2(
             .select("vec_id", "_vec", "cluster_id", "d2")
         )
 
-    for _ in range(iters):
-        assigned = assign(cents)
-        comp = assigned.select("cluster_id", F.posexplode("_vec").alias("i", "x"))
-        means = comp.groupBy("cluster_id", "i").agg(F.avg("x").alias("m"))
-        cents = (
-            means.groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_pts"))
-            .select("cluster_id", F.col("_pts.m").alias("cvec"))
-        )
-    final = assign(cents)
+    final = assign(_lloyd_centroids(v, k, iters, assign))
     return final.groupBy("cluster_id").agg(
         F.count("*").alias("n"),
         F.round(F.sum("d2") + F.lit(1.0e-9), 4).alias("inertia"),
@@ -1054,9 +1068,6 @@ def kmeans_assignments(
     — same rounds as kmeans_l2, exposing the per-vector labels for
     downstream evals (cluster purity / NMI)."""
     v = df.select("vec_id", F.col(vec).cast("array<double>").alias("_vec"))
-    cents = v.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster_id"), F.col("_vec").alias("cvec")
-    )
 
     def dist2() -> F.Column:
         return F.aggregate(
@@ -1078,16 +1089,7 @@ def kmeans_assignments(
             .select("vec_id", "_vec", "cluster_id")
         )
 
-    for _ in range(iters):
-        assigned = assign(cents)
-        comp = assigned.select("cluster_id", F.posexplode("_vec").alias("i", "x"))
-        means = comp.groupBy("cluster_id", "i").agg(F.avg("x").alias("m"))
-        cents = (
-            means.groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_pts"))
-            .select("cluster_id", F.col("_pts.m").alias("cvec"))
-        )
-    return assign(cents).select("vec_id", "cluster_id")
+    return assign(_lloyd_centroids(v, k, iters, assign)).select("vec_id", "cluster_id")
 
 
 def cluster_purity(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
@@ -1098,10 +1100,15 @@ def cluster_purity(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS)
     recovers the supervised classes. Contingency counts are integers,
     so everything downstream is a sum over <=k*n_labels cells."""
     asg = kmeans_assignments(emb, k, iters)
+    # localCheckpoint: five downstream branches (n / nc / nl / maxper /
+    # cells) read the contingency — without pinning it, each branch
+    # re-runs the full assignment scan. The table is <= k * n_labels
+    # integer rows: bounded state, trivially safe to materialize.
     cont = (
         asg.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster_id", "label")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     n = cont.agg(F.sum("c").alias("n"))
     nc = cont.groupBy("cluster_id").agg(F.sum("c").alias("ncl"))
