@@ -457,12 +457,18 @@ def test_tsmining_plan_shapes(spark):
     plan = lombscargle(ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
-    # kmeans: centroids broadcast against the streaming corpus each round
+    # kmeans: Lloyd rounds run as separate driver-paced jobs (centroids
+    # pinned between rounds), so the FINAL plan is exactly one broadcast
+    # of the pinned centroid table (Scan ExistingRDD) against the corpus —
+    # not the old unrolled-lineage shape where every earlier round's
+    # crossJoin re-appeared (and re-scanned the corpus) in the final plan
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     plan = kmeans_l2(emb)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Scan ExistingRDD" in plan  # centroids are pinned, not lineage
+    assert plan.count("Scan parquet") == 1  # corpus scanned exactly once
     # welch: no join at all — explode + two hash aggregations
     df = spark.createDataFrame(
         [(1, t, float(t % 7)) for t in range(512)],

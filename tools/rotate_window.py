@@ -54,6 +54,17 @@ INVALIDATED: dict[str, int] = {
     # r10: Lloyd centroids pinned to the driver between rounds + contingency
     # localCheckpoint (same values, plan rewired — recompute census fix)
     "embed_cluster_purity": 11,
+    # r10: recompute-census campaign — bounded intermediates pinned
+    # (localCheckpoint) or join-backs replaced with window aggregates;
+    # values unchanged, engine plans rewired
+    "doc_lang_temperature": 11,
+    "doc_lang_rebalance": 11,
+    "ts_features": 11,
+    "ev_shapley_attr": 11,
+    "token_ppmi": 11,
+    "ts_coint": 11,
+    "doc_nb_classify": 11,
+    "embed_abtt_recall": 11,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).

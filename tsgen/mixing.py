@@ -117,7 +117,9 @@ def lang_rebalance(docs: DataFrame) -> DataFrame:
     from . import expr as E
     from .queries import round6
 
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # n_langs-row table read by four scalar branches: pin it, or each
+    # branch re-runs the corpus count scan (plan-lint recompute census)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).localCheckpoint(eager=False)
     n_min = counts.agg(F.min("n_docs").alias("n_min"))
     tot = counts.agg(F.sum("n_docs").alias("n_tot"))
     probs = (
@@ -132,6 +134,7 @@ def lang_rebalance(docs: DataFrame) -> DataFrame:
         .filter(F.expr(E.u01("doc_id", REBAL_SALT)) < F.col("keep_prob"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
+        .localCheckpoint(eager=False)  # n_langs rows, read twice (kt + join)
     )
     kt = kept.agg(F.sum("n_kept").alias("k_tot"))
     out = (
@@ -207,7 +210,10 @@ def lang_temperature_mix(docs: DataFrame, alpha: float = TEMP_ALPHA) -> DataFram
     from . import expr as E
     from .queries import round6
 
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # n_langs-row table fanned out to the p/w/q/ratio/c scalar chain: pin
+    # it, or every crossJoin branch re-runs the corpus count scan (the
+    # recompute census measured 26 documents scans in this one plan)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).localCheckpoint(eager=False)
     tot = counts.agg(F.sum("n_docs").alias("n_tot"))
     t = (
         counts.crossJoin(F.broadcast(tot))
@@ -229,6 +235,7 @@ def lang_temperature_mix(docs: DataFrame, alpha: float = TEMP_ALPHA) -> DataFram
         .filter(F.expr(E.u01("doc_id", TEMP_SALT)) < F.col("keep_prob"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
+        .localCheckpoint(eager=False)  # n_langs rows, read twice (kt + join)
     )
     kt = kept.agg(F.sum("n_kept").alias("k_tot"))
     out = (

@@ -1472,9 +1472,13 @@ def shapley_attribution(ev: DataFrame) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # pin the bounded tables: ch (k rows) feeds four branches, um (one row
+    # per user) feeds two, vm (<= 2^k rows) feeds three — unpinned, every
+    # branch re-scanned events (recompute census: 12 scans in this plan);
+    # pinned, events is read twice (channel scan + user-mask scan)
     ch = ch.withColumn(
         "idx", F.row_number().over(Window.orderBy("channel")) - 1
-    )
+    ).localCheckpoint(eager=False)
     kdf = ch.agg(F.count("*").cast("int").alias("k"))
     # per-user coalition mask: OR of touched-channel bits = sum of DISTINCT
     # per-channel bit values (each idx contributes its bit at most once)
@@ -1491,10 +1495,11 @@ def shapley_attribution(ev: DataFrame) -> DataFrame:
             ).alias("conv"),
         )
         .select("user_id", "mask", "conv")
+        .localCheckpoint(eager=False)
     )
     vm = um.groupBy("mask").agg(
         F.count("*").alias("n"), F.sum("conv").alias("nc")
-    ).select("mask", (F.col("nc") / F.col("n")).alias("v"))
+    ).select("mask", (F.col("nc") / F.col("n")).alias("v")).localCheckpoint(eager=False)
     subsets = kdf.select(
         "k", F.explode(F.expr("sequence(0, shiftleft(1, k) - 1)")).alias("smask")
     )

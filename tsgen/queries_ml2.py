@@ -340,10 +340,14 @@ def nb_classify(docs: DataFrame) -> DataFrame:
         "doc_id", "lang", "is_train",
         F.explode(F.split(F.col("text"), " ")).alias("w"),
     ).filter(F.col("w") != "")
+    # pin: the train side is read by counts + vocab, the test side by the
+    # scorer — unpinned, every branch re-tokenized the corpus (recompute
+    # census: 10 documents scans in this plan). One tokenize, many reads.
+    toks = toks.localCheckpoint(eager=False)
     tr = toks.filter(F.col("is_train"))
     te = toks.filter(~F.col("is_train"))
 
-    wc = tr.groupBy("lang", "w").agg(F.count("*").alias("cws"))
+    wc = tr.groupBy("lang", "w").agg(F.count("*").alias("cws")).localCheckpoint(eager=False)
     tot = wc.groupBy("lang").agg(F.sum("cws").alias("tot_c"))
     vocab = tr.agg(F.countDistinct("w").alias("v"))
     prior = (
@@ -361,6 +365,7 @@ def nb_classify(docs: DataFrame) -> DataFrame:
             F.log(F.col("nd").cast("double") / F.col("ndt")).alias("lprior"),
             (F.col("tot_c") + F.col("v")).cast("double").alias("denom"),
         )
+        .localCheckpoint(eager=False)  # n_classes rows, read twice
     )
     logp = (
         wc.join(cls, wc.lang == cls.cls)

@@ -144,7 +144,12 @@ def ts_features(
     → (series_id, trend_strength, seasonal_strength, spikiness, linearity,
     curvature, stability, lumpiness)."""
     dec = classical_decompose(df, period, half, key, value)
-    cc = dec.filter(F.col("trend").isNotNull())
+    # pin the complete-case decomposition: four feature branches (strengths/
+    # spikiness/linearity/tiles) read it, and without the pin each branch
+    # re-ran the full decompose chain (the recompute census measured 22 base
+    # scans in this one plan). Materializing the decomposition once and
+    # deriving every feature from it is the right shape at corpus scale too.
+    cc = dec.filter(F.col("trend").isNotNull()).localCheckpoint(eager=False)
     ag = cc.groupBy(key).agg(
         F.var_samp("residual").alias("vr"),
         F.var_samp(F.col(value) - F.col("seasonal")).alias("vdeseas"),
@@ -153,7 +158,7 @@ def ts_features(
         F.sum(F.col("residual") * F.col("residual")).alias("s2"),
         F.count("*").alias("n"),
         F.min("t").alias("t0"),
-    )
+    ).localCheckpoint(eager=False)  # one row per series, read by 3 branches
     strengths = ag.select(
         key,
         F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vdeseas")).alias(

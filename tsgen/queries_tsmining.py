@@ -312,12 +312,15 @@ def coint_sweep(df: DataFrame) -> DataFrame:
         F.col("series_id").alias("sa"), "t", F.col("value").alias("x")
     )
     b = df.select(F.col("series_id").alias("sb"), "t", F.col("value").alias("y"))
-    j = a.join(b, "t").where(F.col("sa") < F.col("sb"))
+    # pin the aligned pair stream and the per-pair OLS table: the OLS agg,
+    # the residual join, and the final beta join each re-built the pair
+    # join otherwise (recompute census: 12 base scans in this plan)
+    j = a.join(b, "t").where(F.col("sa") < F.col("sb")).localCheckpoint(eager=False)
     ols = j.groupBy("sa", "sb").agg(
         (F.covar_pop("x", "y") / F.var_pop("x")).alias("beta"),
         F.avg("x").alias("xbar"),
         F.avg("y").alias("ybar"),
-    )
+    ).localCheckpoint(eager=False)
     z = (
         j.join(F.broadcast(ols), ["sa", "sb"])
         .withColumn(

@@ -124,16 +124,21 @@ def _assign_to_centroids(v: DataFrame, seeds: DataFrame) -> DataFrame:
 def _recompute_centroids(assigned: DataFrame) -> DataFrame:
     """Lloyd step: new centroid = element-wise mean of each cell's vectors.
 
-    posexplode → (cell, dim_idx) partial-agg avg → collect back to arrays;
-    the shuffle carries n_cells·dim doubles total.
-    """
+    posexplode → (cell, dim_idx) partial-agg avg, then the n_cells·dim
+    result is pinned to the DRIVER (bounded state) and re-injected via
+    createDataFrame — keeping it as lineage instead embeds the previous
+    assignment pass inside every downstream plan, so each branch re-scans
+    the corpus once per refinement round (recompute census: ann_ivf_recall
+    at 10 embeddings scans). collect() round-trips the exact IEEE doubles;
+    snorm is recomputed from the re-injected svec with the same Spark
+    expression, so values are bit-identical to the lineage form."""
     comp = assigned.select("cell_id", F.posexplode("_vec").alias("i", "x"))
-    means = comp.groupBy("cell_id", "i").agg(F.avg("x").alias("m"))
-    cent = (
-        means.groupBy("cell_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_pts"))
-        .select("cell_id", F.col("_pts.m").alias("svec"))
-    )
+    mean_rows = comp.groupBy("cell_id", "i").agg(F.avg("x").alias("m")).collect()
+    by_c: dict[int, list[tuple[int, float]]] = {}
+    for r in mean_rows:
+        by_c.setdefault(r["cell_id"], []).append((r["i"], r["m"]))
+    rows = [(cid, [m for _, m in sorted(pts)]) for cid, pts in sorted(by_c.items())]
+    cent = assigned.sparkSession.createDataFrame(rows, "cell_id bigint, svec array<double>")
     dot = F.aggregate(
         F.zip_with("svec", "svec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1809,20 +1814,25 @@ def abtt_recall(
     -> (query_id, n_common, overlap_at_k, mean_sim_raw, mean_sim_abtt)."""
     e, proj = _abtt_directions(df, vec, d, iters)
     ep = e.join(F.broadcast(proj), "i")
-    p = ep.groupBy("vec_id").agg(
-        *[
-            F.sum((F.col("x") - F.col("m")) * F.col(f"v{j + 1}")).alias(f"p{j + 1}")
-            for j in range(d)
-        ]
-    )
+    # per-vector projections as window sums over the one vec_id partition
+    # instead of groupBy + join-back: the join-back re-evaluated the
+    # exploded table per branch (recompute census) and cost two extra
+    # exchanges; the window shares the single hash(vec_id) shuffle
+    wv = Window.partitionBy("vec_id")
+    pcols = [
+        F.sum((F.col("x") - F.col("m")) * F.col(f"v{j + 1}")).over(wv).alias(f"p{j + 1}")
+        for j in range(d)
+    ]
     removed = " + ".join(f"p{j + 1} * v{j + 1}" for j in range(d))
-    t = ep.join(p, "vec_id").select(
+    t = ep.select("vec_id", "i", "x", "m", *[f"v{j + 1}" for j in range(d)], *pcols).select(
         "vec_id", "i", F.expr(f"x - m - ({removed})").alias("y")
     )
     tvec = (
         t.groupBy("vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("i", "y"))).alias("_pts"))
         .select("vec_id", F.col("_pts.y").alias("tv"))
+        # pin the transformed corpus: both sides of its top-k read it
+        .localCheckpoint(eager=False)
     )
 
     def topk6(space: DataFrame, vcol: str) -> DataFrame:
@@ -1855,7 +1865,8 @@ def abtt_recall(
         )
 
     raw = topk6(df.select("vec_id", vec), vec)
-    ab = topk6(tvec, "tv")
+    # n_queries*k rows, read twice (overlap join + mean-sim agg)
+    ab = topk6(tvec, "tv").localCheckpoint(eager=False)
     ov = (
         raw.join(
             ab.select(

@@ -1219,6 +1219,10 @@ def token_ppmi(docs: DataFrame, text: str = "text", topk: int = PMI_TOPK) -> Dat
         .select(
             F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
         )
+        # pin: cnt, both marginal legs, and N all read the pair stream —
+        # unpinned, each branch re-ran tokenize + the lead window (the
+        # recompute census measured 12 documents scans in this plan)
+        .localCheckpoint(eager=False)
     )
     cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     marg = (
@@ -1226,6 +1230,7 @@ def token_ppmi(docs: DataFrame, text: str = "text", topk: int = PMI_TOPK) -> Dat
         .unionAll(pairs.select(F.col("w2").alias("w")))
         .groupBy("w")
         .agg(F.count("*").alias("cm"))
+        .localCheckpoint(eager=False)  # vocab-sized, joined twice below
     )
     n_tot = pairs.agg((F.count("*") * 2).alias("n2x"))
     scored = (
