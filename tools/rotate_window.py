@@ -65,6 +65,21 @@ INVALIDATED: dict[str, int] = {
     "ts_coint": 11,
     "doc_nb_classify": 11,
     "embed_abtt_recall": 11,
+    "ev_logreg": 11,
+    "ev_poisson_glm": 11,
+    "ev_hazard_glm": 11,
+    "forecast_reconcile": 11,
+    "kmv_set_ops": 11,
+    "li_wagner_whitin": 11,
+    "doc_bm25": 11,
+    "doc_bm25_ndcg": 11,
+    "doc_ql_dirichlet": 11,
+    "trend_poly3": 11,
+    "trend_quadratic": 11,
+    "ts_pacf": 11,
+    "ts_ljung_box": 11,
+    "ts_mann_kendall": 11,
+    "stream_psi": 11,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .spectral import topk_filter_mask
 
@@ -213,8 +213,10 @@ def trend_quadratic(df: DataFrame, value_col: str = "value", key: str = "series_
     one partial-agg shuffle for the moments, then closed-form Cramer
     expressions (quad_trend_sql_exprs — the identical text runs in the
     DuckDB oracle). Basis c = t/n as in _poly_design."""
-    n_df = df.groupBy(key).agg(F.count("*").alias("_n"))
-    j = df.join(n_df, key)
+    # per-series length via window count over the one hash(key) exchange —
+    # the groupBy + join-back form re-evaluated df per branch (recompute
+    # census); _n is an exact integer, so values are unchanged
+    j = df.withColumn("_n", F.count("*").over(Window.partitionBy(key)))
     c = F.col("t").cast("double") / F.col("_n")
     g = j.groupBy(key).agg(
         F.count("*").cast("double").alias("m0"),
@@ -283,10 +285,9 @@ def trend_cubic(df: DataFrame, value_col: str = "value", key: str = "series_id")
     UDF): one partial-agg shuffle for the moments m0..m6 / b0..b3, then the
     closed-form Cramer expressions (cubic_trend_sql_exprs — identical text in
     the DuckDB oracle). Basis c = t/n as in _poly_design."""
-    n_df = df.groupBy(key).agg(F.count("*").alias("_n"))
-    j = df.join(n_df, key).withColumn(
-        "cc", F.col("t").cast("double") / F.col("_n")
-    )
+    j = df.withColumn(
+        "_n", F.count("*").over(Window.partitionBy(key))
+    ).withColumn("cc", F.col("t").cast("double") / F.col("_n"))
     aggs = [F.expr("CAST(count(*) AS DOUBLE)").alias("m0")]
     for i in range(1, 7):
         aggs.append(F.expr("sum(" + "*".join(["cc"] * i) + ")").alias(f"m{i}"))
@@ -311,10 +312,13 @@ def trend_poly(
 
     Returns (series_id, t, trend).
     """
-    seq_len_df = df.groupBy(key).agg(F.count("*").alias("_n"))
     aggs = [F.count("*").alias("m0")]
     cexpr = F.col("t").cast("double") / F.col("_n")
-    joined = df.join(seq_len_df, key)
+    # window count for _n (no join-back), and pin: `joined` feeds both the
+    # moment aggregation and the final trend projection
+    joined = df.withColumn(
+        "_n", F.count("*").over(Window.partitionBy(key))
+    ).localCheckpoint(eager=False)
     for i in range(1, 2 * degree + 1):
         aggs.append(F.sum(F.pow(cexpr, i)).alias(f"m{i}"))
     for i in range(degree + 1):
@@ -372,6 +376,9 @@ def trend_theilsen(
     median(t) (the Siegel form), same rank machinery."""
     from pyspark.sql import Window
 
+    # four branches read df (both pair sides + the y/t medians): pin it,
+    # or each branch re-runs the upstream lineage (recompute census: x8)
+    df = df.localCheckpoint(eager=False)
     a = df.select(key, F.col("t").alias("ti"), F.col(value_col).alias("yi"))
     b = df.select(key, F.col("t").alias("tj"), F.col(value_col).alias("yj"))
     pairs = a.join(b, key).filter(F.col("ti") < F.col("tj")).select(

@@ -404,7 +404,10 @@ def forecast_reconcile(ev: DataFrame, alpha: float = RECON_ALPHA) -> DataFrame:
 
     b = ev.groupBy(
         F.floor(F.unix_timestamp("ts") / 3600).alias("bk"), "event_type"
-    ).agg(F.sum("value").alias("v"))
+    ).agg(F.sum("value").alias("v")).localCheckpoint(eager=False)
+    # ^ pinned: the leaves and total branches both read the hourly table,
+    #   and unpinned each downstream branch re-ran the events scan
+    #   (recompute census: 8 scans in this plan)
     leaves = b.select(F.col("event_type").alias("node"), "bk", "v")
     total = b.groupBy("bk").agg(F.sum("v").alias("v")).select(
         F.lit("total").alias("node"), "bk", "v"
@@ -432,7 +435,9 @@ def forecast_reconcile(ev: DataFrame, alpha: float = RECON_ALPHA) -> DataFrame:
                 rows.append((str(node), l, tot))
             yield pd.DataFrame(rows, columns=["node", "base_fc", "hist_sum"])
 
-    fc = wide.mapInPandas(fn, "node string, base_fc double, hist_sum double")
+    fc = wide.mapInPandas(
+        fn, "node string, base_fc double, hist_sum double"
+    ).localCheckpoint(eager=False)  # n_nodes rows, read by 3 branches
     tot_row = fc.filter(F.col("node") == "total").select(
         F.col("base_fc").alias("tot_fc"), F.col("hist_sum").alias("tot_hist")
     )

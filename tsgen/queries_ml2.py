@@ -97,6 +97,11 @@ def logreg_irls(base: DataFrame, iters: int = LOGREG_ITERS) -> DataFrame:
     iteration: iter, beta0, beta1 (6dp display of the 12dp state),
     avg_loglik after the update, n."""
     spark = base.sparkSession
+    # pin the (x, y) design projection once: every IRLS pass reads it
+    # twice (sufficient stats + loglik row), and unpinned each read
+    # re-ran the events scan/groupBy (recompute census: 8 scans/plan).
+    # Caching the slim design table is the standard IRLS shape (MLlib).
+    base = base.localCheckpoint(eager=False)
     beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
     out = None
     for it in range(1, iters + 1):
@@ -476,6 +481,7 @@ def poisson_glm(ev: DataFrame, iters: int = POIS_ITERS) -> DataFrame:
         .withColumn("x", (((F.col("d") + 3) % 7) >= 5).cast("double"))
     )
     spark = ev.sparkSession
+    base = base.localCheckpoint(eager=False)  # same pin as logreg_irls
     beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
     out = None
     for it in range(1, iters + 1):

@@ -762,6 +762,9 @@ def wagner_whitin(
         )
         .groupBy("l_partkey", "qi")
         .agg(F.sum("l_quantity").alias("q"))
+        # parts x quarters table read by tmax/grid/dense: pin, or each
+        # branch re-scans lineitem (recompute census: 7 scans in this plan)
+        .localCheckpoint(eager=False)
     )
     tmax = qd.agg(F.max("qi").alias("T"))
     grid = (
@@ -782,7 +785,7 @@ def wagner_whitin(
     price = li.groupBy("l_partkey").agg(
         (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price"),
         (F.round(F.sum("l_extendedprice") + F.lit(1e-9), 2) + F.lit(0.0)).alias("rev"),
-    )
+    ).localCheckpoint(eager=False)  # per-part table, read by tot + cumsum
     tot = price.agg(F.sum("rev").alias("trev"))
     cum = cumsum_exact(
         price, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()], "cum_rev"

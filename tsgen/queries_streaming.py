@@ -183,6 +183,9 @@ def _q_stream_psi(spark, sf_dir):
         static.filter(F.col("ts") < cut)
         .groupBy("event_type")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        # batch-side reference ranges, read by the stream join + ref counts
+        # + spine: pin, or each branch re-scans the static side
+        .localCheckpoint(eager=False)
     )
     bin_of = F.least(
         F.lit(PSI_BINS - 1),
@@ -221,6 +224,7 @@ def _q_stream_psi(spark, sf_dir):
             F.coalesce("nr", F.lit(0)).alias("nr"),
             F.coalesce("nc", F.lit(0)).alias("nc"),
         )
+        .localCheckpoint(eager=False)  # types x bins rows, read twice
     )
     tot = dense.groupBy("event_type").agg(
         F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")

@@ -368,11 +368,15 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-`k` docs per query by BM25; → (qid, rank, doc_id, score)."""
     spark = docs.sparkSession
+    # pin the inverted-index artifacts (token stream, tf, dl): each is
+    # read by 2+ branches, and unpinned every branch re-tokenized the
+    # corpus (recompute census: 4 documents scans). Materializing tf/dl
+    # IS the retrieval-pipeline shape — they are the index.
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text), " ")).alias("term")
-    ).filter(F.length("term") > 0)
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    ).filter(F.length("term") > 0).localCheckpoint(eager=False)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).localCheckpoint(eager=False)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(eager=False)
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     qdf = spark.createDataFrame(
         [(qid, t) for qid, q in queries for t in q.split()],
@@ -513,6 +517,7 @@ def bm25_ndcg(
         toks.join(F.broadcast(qdf), "term")
         .groupBy("qid", "doc_id")
         .agg(F.count_distinct("term").alias("rel"))
+        .localCheckpoint(eager=False)  # candidate set, read by DCG + IDCG
     )
     gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
     dcg = (
@@ -567,9 +572,10 @@ def ql_dirichlet_topk(
     TWO-PHASE top-k (local per-partition k, then global over k*P
     survivors). -> (qid, rank, doc_id, score)."""
     spark = docs.sparkSession
+    # same index pins as bm25_topk (toks read by tf/dl/tot/cf)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text), " ")).alias("term")
-    ).filter(F.length("term") > 0)
+    ).filter(F.length("term") > 0).localCheckpoint(eager=False)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     tot = toks.agg(F.count("*").alias("ctot"))

@@ -400,10 +400,14 @@ def _q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregations chained by broadcast joins on user_id (each stage table
     # is one row per user); no window over raw events.
     ev = _events(spark, sf_dir)
+    # each stage table (one row per user) is read twice — by the next
+    # stage's join AND by the final count union; pinned, events is scanned
+    # exactly once per stage filter (was 6 scans, recompute census)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("fv"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -411,6 +415,7 @@ def _q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("fv"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("fc"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -418,6 +423,7 @@ def _q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("fc"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("fp"))
+        .localCheckpoint(eager=False)
     )
     out = (
         v.agg(F.count("*").alias("n_users")).withColumn("stage", F.lit("1_view"))

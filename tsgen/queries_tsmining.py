@@ -396,6 +396,8 @@ def pacf_durbin_levinson(df: DataFrame, k_max: int = PACF_K) -> DataFrame:
     summation order matches the oracle's list_sum exactly). rho is rounded
     to 12dp on BOTH engines before the recursion: the k_max-step recursion
     would otherwise amplify 1-ulp aggregation differences."""
+    # three branches read df: pin, or each re-runs the generator chain
+    df = df.localCheckpoint(eager=False)
     import pandas as pd
 
     ss = df.groupBy("series_id").agg(
@@ -1942,6 +1944,8 @@ def ljung_box(df: DataFrame, k_max: int = LB_K) -> DataFrame:
         Q = n(n+2) * sum_{k=1..K} rho_k^2 / (n-k)
     over the stationary ACF (same lag-join build as ts_pacf). Q ~ chi2(K)
     under white noise — large Q rejects 'no autocorrelation'."""
+    # three branches read df: pin, or each re-runs the generator chain
+    df = df.localCheckpoint(eager=False)
     n_tbl = df.groupBy("series_id").agg(
         F.count("*").alias("nn"), F.sum(F.col("value") * F.col("value")).alias("ss")
     )
@@ -2008,6 +2012,8 @@ def mann_kendall(df: DataFrame) -> DataFrame:
         Z = (S -/+ 1)/sqrt(var) with the standard continuity correction.
     The i<j pair join is quadratic in SERIES LENGTH only (bounded, per
     series) and shuffles on series_id once."""
+    # three branches read df: pin, or each re-runs the generator chain
+    df = df.localCheckpoint(eager=False)
     a = df.select("series_id", F.col("t").alias("ti"), F.col("value").alias("xi"))
     b = df.select("series_id", F.col("t").alias("tj"), F.col("value").alias("xj"))
     pairs = a.join(b, "series_id").where(F.col("ti") < F.col("tj"))

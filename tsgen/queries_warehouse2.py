@@ -432,6 +432,7 @@ def psi_drift(
         ev.filter(F.col("ts") < cut)
         .groupBy("event_type")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .localCheckpoint(eager=False)  # per-type row, read by counts + spine
     )
     counts = (
         ev.join(F.broadcast(ref_rng), "event_type")
@@ -464,7 +465,9 @@ def psi_drift(
         "event_type", "bin",
         F.coalesce("nr", F.lit(0)).alias("nr"),
         F.coalesce("nc", F.lit(0)).alias("nc"),
-    )
+        # types x bins rows, read by tot + the probability join: pin, or
+        # both branches re-run the corpus binning scan (recompute census)
+    ).localCheckpoint(eager=False)
     tot = dense.groupBy("event_type").agg(
         F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur")
     )

@@ -616,7 +616,11 @@ def kmv_set_ops(
     k-th minimum. Everything after the two min-sets is arithmetic over
     ≤ 2k rows, and every op is deterministic integer/double arithmetic, so
     the DuckDB oracle matches exactly."""
-    ms = kmv_minset(df, key, group, k).filter(F.col("grp").isin(g_a, g_b))
+    # <= 2k rows read by five branches (sides/a/b): pin, or each branch
+    # re-runs the corpus distinct-hash scan (recompute census: 8 scans)
+    ms = kmv_minset(df, key, group, k).filter(
+        F.col("grp").isin(g_a, g_b)
+    ).localCheckpoint(eager=False)
     sides = ms.groupBy("grp").agg(
         F.count("*").alias("n"), F.max("u").alias("uk")
     )
