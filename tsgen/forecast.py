@@ -89,7 +89,9 @@ def anomalies(
 ) -> DataFrame:
     """Decomposition-residual anomalies: flag points whose residual z-score
     exceeds `threshold` — trend/seasonality-aware outlier detection."""
-    dec = decompose(df, value_col=value, key=key)
+    # the stats branch and the z-score join both read the decomposition:
+    # pin it, or each re-runs the full spectral decompose chain
+    dec = decompose(df, value_col=value, key=key).localCheckpoint(eager=False)
     stats = dec.groupBy(key).agg(
         F.avg("residual").alias("_mu"), F.stddev_samp("residual").alias("_sd")
     )

@@ -50,25 +50,42 @@ def classical_decompose(
         seasonal_p = mean of (value − trend) per phase p = t mod period,
                      re-centered to sum to zero per series
         residual_t = value − trend − seasonal
-    """
+
+    Plan shape: ONE linear lineage — phase means are window aggregates
+    over (key, phase), their per-series re-centering a window aggregate
+    over one marked row per phase (_mark == 1, the same mean-of-phase-
+    means construction as robust_decompose), so the base is evaluated
+    once. The earlier groupBy + join-back re-evaluated the base + trend
+    window per branch. The s_raw filter replicates the inner join's row
+    drop for phases with no complete-window rows."""
     w = (
         Window.partitionBy(key)
         .orderBy("t")
         .rowsBetween(-half, half)
     )
+    wk = Window.partitionBy(key)
+    wp = Window.partitionBy(key, "phase")
     full = 2 * half + 1
-    dec = df.withColumn(
-        "trend",
-        F.when(F.count("*").over(w) == full, F.avg(value).over(w)),
-    ).withColumn("phase", F.col("t") % period)
-    ph = dec.filter(F.col("trend").isNotNull()).groupBy(key, "phase").agg(
-        F.avg(F.col(value) - F.col("trend")).alias("s_raw")
-    )
-    ph = ph.withColumn(
-        "seasonal", F.col("s_raw") - F.avg("s_raw").over(Window.partitionBy(key))
-    ).drop("s_raw")
     return (
-        dec.join(ph, [key, "phase"])
+        df.withColumn(
+            "trend", F.when(F.count("*").over(w) == full, F.avg(value).over(w))
+        )
+        .withColumn("phase", F.col("t") % period)
+        .withColumn(
+            "s_raw",
+            F.avg(
+                F.when(F.col("trend").isNotNull(), F.col(value) - F.col("trend"))
+            ).over(wp),
+        )
+        .withColumn(
+            "_mark", F.row_number().over(Window.partitionBy(key, "phase").orderBy("t"))
+        )
+        .filter(F.col("s_raw").isNotNull())
+        .withColumn(
+            "seasonal",
+            F.col("s_raw")
+            - F.avg(F.when(F.col("_mark") == 1, F.col("s_raw"))).over(wk),
+        )
         .withColumn("residual", F.col(value) - F.col("trend") - F.col("seasonal"))
         .select(key, "t", value, "trend", "seasonal", "residual")
     )
