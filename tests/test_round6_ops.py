@@ -525,6 +525,36 @@ def test_plan_lint_core_queries_clean(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_recompute_census_floor_holds(spark):
+    # regression guard for the r10 recompute-census campaign: these plans
+    # were diamond DAGs re-evaluating their base 8-55x (embed_cluster_purity
+    # scanned embeddings 55 times); after driver-pinned iteration state +
+    # localCheckpoint pins + window rewrites each evaluates its base <= 3
+    # times. A count above 3 here means a join-back or lineage-chained loop
+    # state crept back in.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.plan_lint import max_base_scan_count
+
+    from tsgen.queries import registry
+
+    fixed = [
+        "embed_cluster_purity", "embed_kmeans", "ts_robust_decompose",
+        "classical_decompose", "ts_features", "token_ppmi", "ts_coint",
+        "doc_lang_temperature", "ev_shapley_attr", "doc_nb_classify",
+        "ev_logreg", "ev_poisson_glm", "forecast_reconcile", "kmv_set_ops",
+        "ev_funnel_stages", "ev_psi_drift", "doc_bm25", "trend_theilsen",
+    ]
+    reg = registry()
+    for name in fixed:
+        df = reg[name].spark_fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n, src = max_base_scan_count(plan)
+        assert n <= 3, f"{name}: base {src} scanned {n}x"
+
+
 def test_rotate_window_tool_emits_valid_window(spark):
     import subprocess
     import sys
