@@ -80,6 +80,8 @@ INVALIDATED: dict[str, int] = {
     "ts_ljung_box": 11,
     "ts_mann_kendall": 11,
     "stream_psi": 11,
+    "doc_keyphrases": 11,
+    "doc_source_kl": 11,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).

@@ -1106,9 +1106,11 @@ def rake_keyphrases(
     wcum = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     )
+    # pins (recompute census x5): words feeds ph + pw, ph feeds pw + out,
+    # pw feeds ws + scored — unpinned, each branch re-tokenized the corpus
     words = toks.withColumn("phrase_id", F.sum("_stop").over(wcum)).filter(
         F.col("_stop") == 0
-    )
+    ).localCheckpoint(eager=False)
     ph = (
         words.groupBy("doc_id", "phrase_id")
         .agg(
@@ -1118,8 +1120,11 @@ def rake_keyphrases(
         .filter(F.col("n_words") <= max_words)
         .withColumn("phrase", F.concat_ws(" ", F.col("pts.tok")))
         .drop("pts")
+        .localCheckpoint(eager=False)
     )
-    pw = words.join(ph.select("doc_id", "phrase_id", "n_words"), ["doc_id", "phrase_id"])
+    pw = words.join(
+        ph.select("doc_id", "phrase_id", "n_words"), ["doc_id", "phrase_id"]
+    ).localCheckpoint(eager=False)
     ws = (
         pw.groupBy("doc_id", "tok")
         .agg(F.count("*").alias("freq"), F.sum("n_words").alias("degree"))
@@ -1311,8 +1316,11 @@ def source_kl(docs: DataFrame, text: str = "text") -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.col(text), " ")).alias("w")
     ).filter(F.col("w") != "")
-    sw = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
-    cw = toks.groupBy("w").agg(F.count("*").alias("cc"))
+    # pins (recompute census x5): toks feeds both count tables; sw/cw are
+    # vocabulary-sized and each read twice (totals + the dense grid)
+    toks = toks.localCheckpoint(eager=False)
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    cw = toks.groupBy("w").agg(F.count("*").alias("cc")).localCheckpoint(eager=False)
     vocab = cw.agg(F.count("*").alias("v"))
     stot = sw.groupBy("source").agg(F.sum("c").alias("st"))
     ctot = cw.agg(F.sum("cc").alias("ct"))
