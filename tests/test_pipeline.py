@@ -767,3 +767,63 @@ def test_source_kl_flags_divergent_source(spark):
     assert out["weird"] > 2 * max(out["a"], out["b"])
     assert abs(out["a"] - out["b"]) < 0.05  # identical sources score alike
     assert out["a"] >= 0 and out["b"] >= 0  # KL nonnegative
+
+
+def test_lloyd_driver_roundtrip_is_bit_identical_to_lineage_form(spark):
+    # the r10 recompute fix pins Lloyd centroids to the driver between
+    # rounds (collect + createDataFrame). This test pins the claim that
+    # the round-trip re-injects the EXACT IEEE doubles: one round of the
+    # old lineage formulation (groupBy avg kept as a DataFrame) must
+    # produce bit-identical centroids to one round of _lloyd_centroids.
+    from pyspark.sql import Window, functions as F
+
+    from tsgen.similarity import _lloyd_centroids
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_vec"))
+
+    def assign(cc):
+        j = v.crossJoin(F.broadcast(cc)).withColumn(
+            "d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with("_vec", "cvec", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                + F.lit(1e-12),
+                9,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "_vec", "cluster_id")
+        )
+
+    k = 4
+    # old lineage form, one round
+    seeds = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("_vec").alias("cvec")
+    )
+    assigned = assign(seeds)
+    lineage = (
+        assigned.select("cluster_id", F.posexplode("_vec").alias("i", "x"))
+        .groupBy("cluster_id", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_p"))
+        .select("cluster_id", F.col("_p.m").alias("cvec"))
+    ).collect()
+    pinned = _lloyd_centroids(v, k, 1, assign).collect()
+    a = {r["cluster_id"]: list(r["cvec"]) for r in lineage}
+    b = {r["cluster_id"]: list(r["cvec"]) for r in pinned}
+    assert set(a) == set(b)
+    for cid in a:
+        # bit-identical, not approximately equal: the round-trip must not
+        # perturb a single ulp
+        assert a[cid] == b[cid], cid
