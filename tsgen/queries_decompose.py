@@ -42,7 +42,8 @@ def _q_trend_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical expression text runs in the DuckDB oracle, turning the last
     # G5 entry from rows-only to hash-checked. Equivalence of the closed
     # form to the normal-equation UDF solve (trend_poly) is unit-tested.
-    df = generators.generate(spark, N_D, LEN_D, "linear_sum")
+    # pin: the coefficient fit and the per-point evaluation both read df
+    df = generators.generate(spark, N_D, LEN_D, "linear_sum").localCheckpoint(eager=False)
     coeffs = decompose.trend_cubic(df)
     out = (
         df.withColumn("cc", F.col("t").cast("double") / F.lit(float(LEN_D)))

@@ -1387,9 +1387,11 @@ def chi_square(ev: DataFrame) -> DataFrame:
     day-of-week: chi2 = sum (O − E)²/E with E = row·col/N. Three
     partial-agged aggregations over the tiny contingency table; marginals
     broadcast back."""
+    # the contingency table is types x 7 rows read by four branches: pin
+    # it, or each marginal re-runs the corpus scan (recompute census x4)
     obs = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
         F.count("*").alias("o")
-    )
+    ).localCheckpoint(eager=False)
     row = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     col = obs.groupBy("dow").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))

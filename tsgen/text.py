@@ -457,7 +457,11 @@ def ccnet_buckets(df: DataFrame, text: str = "text") -> DataFrame:
     from .queries_scale import stratified_rank
 
     sc = lm_score(df, text=text).join(df.select("doc_id", "lang"), "doc_id")
-    sc = sc.withColumn("s", F.round(F.col("lm_score") + F.lit(1e-9), 6))
+    # per-doc score table, read by the rank scaffold AND the per-lang
+    # totals: pin, or both re-run the whole unigram-LM scoring chain
+    sc = sc.withColumn(
+        "s", F.round(F.col("lm_score") + F.lit(1e-9), 6)
+    ).localCheckpoint(eager=False)
     ranked = stratified_rank(sc, "lang", [F.asc("s"), F.asc("doc_id")], out="rn")
     totals = sc.groupBy("lang").agg(F.count("*").alias("n"))
     sc = ranked.join(F.broadcast(totals), "lang").withColumn(
