@@ -84,13 +84,17 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 #      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
 #      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r10 window (CORRECTNESS_r09 never landed, so the r9 window was never
-    # driver-certified; rotate_window.py recomputed the same 47-name
-    # backlog slice with one change: ev_gap_stats enters — its r9
-    # scale-true rewrite invalidated the stale r8 green — and
-    # ev_running_balance rolls to the next window).
+    # Current driver window (driver artifacts stop at CORRECTNESS_r08, so
+    # rotate_window.py recomputes the backlog from r01–r08 plus the
+    # INVALIDATED table: 94 names = 21 never-certified + re-certs for every
+    # post-r8 plan rewire. This slice takes the invalidated re-certs first —
+    # embed_abtt_recall (covariance-kernel unification), li_wagner_whitin and
+    # doc_keyphrases (recompute-census pins) enter; ev_funnel, ev_retention,
+    # ev_funnel_stages roll to the next window with the rest).
     # canaries (green r01–r08)
     "gen_sine", "series_stats", "sample_data_mixed",
+    # invalidated re-certs: post-r8 rewires with stale greens
+    "embed_abtt_recall", "li_wagner_whitin", "doc_keyphrases",
     # r9 rewrites whose earlier certifications were invalidated
     "ev_gap_stats",
     # r8 analytics-long-tail spillover
@@ -114,8 +118,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # r9: decompose/forecast extras
     "ts_prophet_forecast", "trend_theilsen", "ts_anomalies",
     "ts_robust_decompose", "classical_decompose",
-    # r9: events/tsdb leftovers (first slice; remainder rolls to r11)
-    "ev_percentiles", "ev_funnel", "ev_retention", "ev_funnel_stages",
+    # r9: events/tsdb leftovers (first slice; remainder rolls forward)
+    "ev_percentiles",
 )
 
 
