@@ -1,0 +1,107 @@
+"""IVF-PQ (IVFADC) recall eval — property tests.
+
+The oracle gate (tools/check_oracle.py, ann_ivfpq_recall) certifies the
+values against the DuckDB twin; these tests pin the semantics that the
+hash-compare can't express: exactness when the index is lossless, and
+partition invariance of the rounded-before-rank pipeline.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def test_ivfpq_recall_exact_when_lossless(spark):
+    # Corpus drawn from exactly n_cent prototypes, all present among the
+    # deterministic PQ seeds. Each distinct prototype lands in one coarse
+    # cell, so the residual set also has n_cent distinct values and the
+    # refined codebooks reproduce them exactly (mean of identical values).
+    # For a candidate in a probed cell, ADC then telescopes:
+    # ||(q - c) - (v - c)||^2 = ||q - v||^2 — exact L2. Probing every cell
+    # makes the scan exhaustive, so recall@k must be 1 for every query.
+    from tsgen.similarity import ivfpq_recall
+
+    rng = np.random.default_rng(7)
+    protos = rng.normal(size=(8, 16))
+    rows = [(i, [float(x) for x in protos[i % 8]]) for i in range(48)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivfpq_recall(
+        emb, n_queries=6, k=4, n_cells=4, nprobe=4, n_sub=4, n_cent=8, refine_iters=1
+    ).collect()
+    assert len(out) == 6
+    assert all(r.hits == 4 and r.recall_at_k == 1.0 for r in out)
+
+
+def test_ivfpq_recall_bounded_and_partition_invariant(spark):
+    # 100TB-readiness: recall in [0, 1], hits <= k, and results identical
+    # under repartition (every rank is on a rounded value, so partial-agg
+    # association noise cannot flip a row).
+    from tsgen.similarity import ivfpq_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = [tuple(r) for r in ivfpq_recall(emb).collect()]
+    assert len(a) == 16
+    for _, hits, rec in a:
+        assert 0 <= hits <= 8
+        assert 0.0 <= rec <= 1.0
+    b = [tuple(r) for r in ivfpq_recall(emb.repartition(19)).collect()]
+    assert a == b
+
+
+def test_ivfpq_probe_set_restricts_candidates(spark):
+    # nprobe=1 must never return a neighbor from outside the query's single
+    # probed cell: verify via the index internals (the returned neighbors'
+    # cells all equal the query's top probe cell).
+    from pyspark.sql import functions as F
+
+    from tsgen import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = similarity.ivf_assign(emb, n_cells=6)
+    cellmap = {r.vec_id: r.cell_id for r in assigned.select("vec_id", "cell_id").collect()}
+
+    # recompute each query's top probe cell exactly as the operator does
+    q = assigned.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    probes = (
+        q.crossJoin(
+            F.broadcast(cents.select(F.col("cell_id").alias("probe_cell"), "svec", "snorm"))
+        )
+        .withColumn(
+            "cs",
+            F.round(
+                similarity.cosine("qvec", "svec") / (F.col("qnorm") * F.col("snorm"))
+                + F.lit(1e-12),
+                9,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    top_probe = {
+        r.query_id: r.probe_cell
+        for r in probes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("probe_cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+    # run the eval at nprobe=1 and pull the approx side's neighbors by
+    # re-deriving them: any hit counted must come from the probed cell
+    out = similarity.ivfpq_recall(emb, n_queries=4, k=3, n_cells=6, nprobe=1).collect()
+    assert len(out) == 4
+    # hits can only come from truth ∩ approx; approx ⊆ probed cell, so a
+    # query whose true neighbors all live elsewhere must have hits == 0
+    for r in out:
+        true_nbrs = [
+            v for v in cellmap if v != r.query_id and cellmap[v] == top_probe[r.query_id]
+        ]
+        if not true_nbrs:
+            assert r.hits == 0

@@ -827,6 +827,12 @@ _REGISTRY.update(
             similarity.pq_recall_sql(),
             ("similarity", "eval"),
         ),
+        "ann_ivfpq_recall": Query(
+            "ann_ivfpq_recall",
+            lambda spark, sf_dir: similarity.ivfpq_recall(_emb(spark, sf_dir)),
+            similarity.ivfpq_recall_sql(),
+            ("similarity", "eval"),
+        ),
         "doc_lang_rebalance": Query(
             "doc_lang_rebalance",
             lambda spark, sf_dir: mixing.lang_rebalance(_docs(spark, sf_dir)),

@@ -991,6 +991,155 @@ def pq_recall(
     )
 
 
+# --- IVF-PQ (IVFADC): coarse cells + PQ on residuals ------------------------
+IVFPQ_CELLS, IVFPQ_PROBE = 8, 3
+
+
+def ivfpq_recall(
+    df: DataFrame,
+    n_queries: int = PQ_RECALL_Q,
+    k: int = PQ_RECALL_K,
+    n_cells: int = IVFPQ_CELLS,
+    nprobe: int = IVFPQ_PROBE,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    refine_iters: int = 2,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the combined IVF-PQ index (IVFADC; Jégou, Douze, Schmid
+    2011 §V) against exact L2 truth — the composition that actually runs at
+    billion scale: the coarse quantizer routes each vector to a cell, PQ
+    codebooks are trained on the RESIDUAL x − c_cell (residuals are far
+    better centered than raw vectors, so the same code budget buys more
+    precision), and a query scans only its nprobe probed cells using a
+    per-(query, cell) lookup table over the residual codebooks. Completes
+    the eval family: ann_ivf_recall isolates the probe axis, ann_pq_recall
+    the quantization axis — this measures them composed, which is what you
+    actually tune (nprobe × n_cent) before shipping an index.
+
+    Scale shape: the coarse quantizer is the certified ivf_assign (cosine
+    cells, driver-pinned Lloyd centroids); the final assignment is pinned
+    once (localCheckpoint) and every downstream branch — residual PQ
+    training, the code table, the ADC scan — reads the pin, not the corpus.
+    The LUT is n_queries·nprobe·n_sub·n_cent rows (bounded, broadcast);
+    the ADC join keys on (cell_id, s, code), so candidates outside probed
+    cells are never materialized. At 100 TB the codes table is bucketed by
+    cell_id and the scan touches nprobe/n_cells of it; no raw corpus float
+    is read at query time.
+
+    Determinism: cell/probe/code ranks round at 9dp before ranking, ADC
+    sums round at 6dp before the final rank, vec_id is the tiebreak — the
+    repo's round-before-rank discipline in BOTH engines.
+    -> (query_id, hits, recall_at_k)."""
+    assigned, cents = ivf_assign(df, n_cells, vec)
+    # pin the final assignment: residual training, the code table, and the
+    # ADC scan all read this once-materialized table instead of replaying
+    # the Lloyd lineage per branch (recompute-census discipline)
+    assigned = assigned.localCheckpoint(eager=False)
+    res = (
+        assigned.join(F.broadcast(cents.select("cell_id", "svec")), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with("_vec", "svec", lambda a, b: a - b).alias("rvec"),
+        )
+    )
+    codes, codebook = pq_train_assign(res, n_sub, n_cent, refine_iters, vec="rvec")
+    cellmap = assigned.select("vec_id", "cell_id")
+    codes = codes.join(cellmap, "vec_id")
+
+    # query probes: rank cells by 9dp-rounded cosine (ivf_topk idiom)
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents.select(F.col("cell_id").alias("probe_cell"), "svec", "snorm")))
+        .withColumn(
+            "cs",
+            F.round(cosine("qvec", "svec") / (F.col("qnorm") * F.col("snorm")) + F.lit(1e-12), 9),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("probe_cell"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", F.col("probe_cell").alias("cell_id"), "svec")
+    )
+    # per-(query, probed cell) residual, split into subvectors
+    d_sub_expr = (
+        f"transform(sequence(0, {n_sub - 1}), "
+        f"s -> struct(s AS s, slice(qres, s * int(size(qres) / {n_sub}) + 1, "
+        f"int(size(qres) / {n_sub})) AS qsub))"
+    )
+    qsub = (
+        probes.withColumn("qres", F.zip_with("qvec", "svec", lambda a, b: a - b))
+        .select("query_id", "cell_id", F.explode(F.expr(d_sub_expr)).alias("p"))
+        .select("query_id", "cell_id", "p.s", "p.qsub")
+    )
+    lut_d2 = F.expr(
+        "aggregate(zip_with(qsub, cvec, (a, b) -> (a - b) * (a - b)), "
+        "0.0e0, (acc, x) -> acc + x)"
+    )
+    lut = qsub.join(F.broadcast(codebook), "s").select(
+        "query_id", "cell_id", "s", "code",
+        (F.round(lut_d2 + F.lit(1e-12), 9) + F.lit(0.0)).alias("ld2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cell_id", "s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ld2").alias("d2"))
+        .withColumn("d6", F.round(F.col("d2") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("vec_id"))
+    approx = (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_nid"))
+    )
+    v = df.select("vec_id", _to_double(vec).alias("_vec"))
+    qv = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_vec").alias("qvec")
+    )
+    exact_d2 = F.expr(
+        "aggregate(zip_with(qvec, _vec, (a, b) -> (a - b) * (a - b)), "
+        "0.0e0, (acc, x) -> acc + x)"
+    )
+    truth = (
+        v.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .withColumn("d6", F.round(exact_d2 + F.lit(1e-9), 6) + F.lit(0.0))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = F.count(F.col("a_nid")).cast("bigint")
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            hits.alias("hits"),
+            (F.round(hits / F.lit(float(k)) + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- classic L2 k-means (deterministic Lloyd, oracle-replayable) -----------
 KMEANS_K, KMEANS_ITERS = 8, 2
 
@@ -1409,6 +1558,143 @@ adc AS (
   SELECT l.query_id, a.vec_id,
          round(sum(l.ld2) + 1.0e-9, 6) + 0.0e0 AS d6
   FROM {fa} a JOIN lut l ON l.s = a.s AND l.code = a.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id),
+ap AS MATERIALIZED (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d6 ASC, vec_id ASC) AS rank
+  FROM adc),
+tr AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, cp.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({ex_d2} + 1.0e-9, 6) + 0.0e0 ASC,
+                                       cp.vec_id ASC) AS rank
+    FROM v q JOIN v cp ON q.vec_id < {n_queries} AND cp.vec_id <> q.vec_id)
+  WHERE rank <= {k})
+SELECT t.query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       round(count(a.vec_id) / {float(k)}e0 + 1.0e-9, 6) + 0.0e0 AS recall_at_k
+FROM tr t LEFT JOIN ap a
+  ON a.query_id = t.query_id AND a.vec_id = t.neighbor_id AND a.rank <= {k}
+GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
+def ivfpq_recall_sql(
+    n_queries: int = PQ_RECALL_Q,
+    k: int = PQ_RECALL_K,
+    n_cells: int = IVFPQ_CELLS,
+    nprobe: int = IVFPQ_PROBE,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    refine_iters: int = 2,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB oracle twin of ivfpq_recall: the ivf_topk_sql coarse chain
+    (deterministic seeds + 1 Lloyd round, 9dp round-before-rank), a
+    residual table (vector minus its cell centroid), the pq_recall_sql
+    codebook chain re-rooted on residuals (p-prefixed CTEs), per-(query,
+    probed cell) residual LUTs rounded at 9dp, ADC sums rounded at 6dp
+    before ranking, and the same exact-L2 truth/recall tail."""
+    d_sub = dim // n_sub
+    cs = "round(list_dot_product(v.vec, c.svec) / (v.norm * c.snorm) + 1.0e-12, 9)"
+    qcs = "round(list_dot_product(q.vec, c.svec) / (q.norm * c.snorm) + 1.0e-12, 9)"
+    pd2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {ds} + 1), "
+        "i -> (u.subvec[i] - c.cvec[i]) * (u.subvec[i] - c.cvec[i]))), (a, b) -> a + b)"
+    ).format(ds=d_sub)
+    lut_d2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {ds} + 1), "
+        "i -> (q.qsub[i] - c.cvec[i]) * (q.qsub[i] - c.cvec[i]))), (a, b) -> a + b)"
+    ).format(ds=d_sub)
+    ex_d2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {d} + 1), "
+        "i -> (q.vec[i] - cp.vec[i]) * (q.vec[i] - cp.vec[i]))), (a, b) -> a + b)"
+    ).format(d=dim)
+    # residual-PQ codebook chain, re-rooted on pv (p-prefixed to avoid
+    # colliding with the coarse a0/m0 CTEs)
+    pq_parts = [
+        f"""psub AS (
+  SELECT vec_id, g.s, vec[g.s * {d_sub} + 1 : g.s * {d_sub} + {d_sub}] AS subvec
+  FROM pv CROSS JOIN (SELECT unnest(range(0, {n_sub})) AS s) g)""",
+        f"pcb0 AS (SELECT s, CAST(vec_id AS INT) AS code, subvec AS cvec FROM psub WHERE vec_id < {n_cent})",
+    ]
+    prev = "pcb0"
+    for it in range(refine_iters + 1):
+        pq_parts.append(
+            f"""pa{it} AS (
+  SELECT vec_id, s, code, subvec FROM (
+    SELECT u.vec_id, u.s, c.code, u.subvec,
+           row_number() OVER (PARTITION BY u.vec_id, u.s
+                              ORDER BY round({pd2} + 1.0e-12, 9) ASC, c.code ASC) AS rn
+    FROM psub u JOIN {prev} c ON c.s = u.s) WHERE rn = 1)"""
+        )
+        if it < refine_iters:
+            pq_parts.append(
+                f"""pm{it} AS (
+  SELECT s, code, i, avg(subvec[i]) AS cx
+  FROM pa{it} CROSS JOIN (SELECT unnest(range(1, {d_sub} + 1)) AS i) g
+  GROUP BY s, code, i)"""
+            )
+            pq_parts.append(
+                f"pcb{it + 1} AS (SELECT s, code, list(cx ORDER BY i) AS cvec FROM pm{it} GROUP BY s, code)"
+            )
+            prev = f"pcb{it + 1}"
+    pq_body = ",\n".join(pq_parts)
+    fa, fcb = f"pa{refine_iters}", f"pcb{refine_iters}"
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cell_id, vec AS svec, norm AS snorm FROM v WHERE vec_id < {n_cells}),
+a0 AS (
+  SELECT vec_id, vec, norm, cell_id FROM (
+    SELECT v.vec_id, v.vec, v.norm, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cs} DESC, c.cell_id ASC) AS rn
+    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+m0 AS (
+  SELECT cell_id, i, avg(vec[i]) AS m
+  FROM a0 CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) g
+  GROUP BY cell_id, i),
+c1 AS (
+  SELECT cell_id, list(m ORDER BY i) AS svec,
+         sqrt(list_dot_product(list(m ORDER BY i), list(m ORDER BY i))) AS snorm
+  FROM m0 GROUP BY cell_id),
+a1 AS MATERIALIZED (
+  SELECT vec_id, vec, norm, cell_id FROM (
+    SELECT v.vec_id, v.vec, v.norm, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cs} DESC, c.cell_id ASC) AS rn
+    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+pv AS MATERIALIZED (
+  SELECT a.vec_id,
+         list_transform(range(1, {dim} + 1), i -> a.vec[i] - c.svec[i]) AS vec
+  FROM a1 a JOIN c1 c USING (cell_id)),
+{pq_body},
+probes AS (
+  SELECT query_id, qvec, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.vec AS qvec, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {qcs} DESC, c.cell_id ASC) AS rn
+    FROM v q CROSS JOIN c1 c WHERE q.vec_id < {n_queries}) WHERE rn <= {nprobe}),
+qres AS (
+  SELECT p.query_id, p.cell_id,
+         list_transform(range(1, {dim} + 1), i -> p.qvec[i] - c.svec[i]) AS rv
+  FROM probes p JOIN c1 c USING (cell_id)),
+qsub AS (
+  SELECT query_id, cell_id, g.s, rv[g.s * {d_sub} + 1 : g.s * {d_sub} + {d_sub}] AS qsub
+  FROM qres CROSS JOIN (SELECT unnest(range(0, {n_sub})) AS s) g),
+lut AS MATERIALIZED (
+  SELECT q.query_id, q.cell_id, c.s, c.code,
+         round({lut_d2} + 1.0e-12, 9) + 0.0e0 AS ld2
+  FROM qsub q JOIN {fcb} c ON c.s = q.s),
+adc AS (
+  SELECT l.query_id, a.vec_id,
+         round(sum(l.ld2) + 1.0e-9, 6) + 0.0e0 AS d6
+  FROM {fa} a JOIN a1 av ON av.vec_id = a.vec_id
+  JOIN lut l ON l.cell_id = av.cell_id AND l.s = a.s AND l.code = a.code
   WHERE a.vec_id <> l.query_id
   GROUP BY l.query_id, a.vec_id),
 ap AS MATERIALIZED (
