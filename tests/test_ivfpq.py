@@ -105,3 +105,38 @@ def test_ivfpq_probe_set_restricts_candidates(spark):
         ]
         if not true_nbrs:
             assert r.hits == 0
+
+
+def test_int8_recall_exact_when_integers_representable(spark):
+    # Vectors with integer entries and max|v| = 127 have scale exactly 1,
+    # so floor(v/scale + 0.5)*scale reconstructs every entry exactly and
+    # asymmetric int8 search must equal exact search: recall@k == 1.
+    import numpy as np
+
+    from tsgen.similarity import int8_recall
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        v = rng.integers(-126, 127, size=16).astype(float)
+        v[int(rng.integers(0, 16))] = 127.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = int8_recall(emb, n_queries=5, k=4).collect()
+    assert len(out) == 5
+    assert all(r.hits == 4 and r.recall_at_k == 1.0 for r in out)
+
+
+def test_int8_recall_bounded_and_partition_invariant(spark):
+    from tsgen.similarity import int8_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = [tuple(r) for r in int8_recall(emb).collect()]
+    assert len(a) == 16
+    for _, hits, rec in a:
+        assert 0 <= hits <= 8
+        assert 0.0 <= rec <= 1.0
+    # int8 is mild quantization: on real embeddings recall should be high
+    assert sum(rec for _, _, rec in a) / len(a) >= 0.75
+    b = [tuple(r) for r in int8_recall(emb.repartition(23)).collect()]
+    assert a == b

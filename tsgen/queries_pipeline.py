@@ -833,6 +833,12 @@ _REGISTRY.update(
             similarity.ivfpq_recall_sql(),
             ("similarity", "eval"),
         ),
+        "ann_int8_recall": Query(
+            "ann_int8_recall",
+            lambda spark, sf_dir: similarity.int8_recall(_emb(spark, sf_dir)),
+            similarity.int8_recall_sql(),
+            ("similarity", "eval"),
+        ),
         "doc_lang_rebalance": Query(
             "doc_lang_rebalance",
             lambda spark, sf_dir: mixing.lang_rebalance(_docs(spark, sf_dir)),

@@ -574,6 +574,126 @@ FROM q
 """
 
 
+def int8_recall(
+    df: DataFrame, n_queries: int = 16, k: int = 8, vec: str = "embedding"
+) -> DataFrame:
+    """Recall@k of asymmetric int8 search — full-precision query scored
+    against the int8-RECONSTRUCTED corpus (q_i·scale) — vs exact cosine
+    truth. The scalar-quantization axis of the ANN eval family
+    (quantize_int8 is the write side): at 100 TB the candidate scan reads
+    4x fewer bytes, and this eval is the number that tells you whether
+    the float vectors can stay cold (re-rank only) or must be read back.
+
+    Approx ranks round at 6dp before ranking with vec_id tiebreak —
+    quantization makes GENUINE score ties likely (distinct vectors can
+    reconstruct identically), unlike the continuous exact side which uses
+    the raw-rank brute-force precedent. -> (query_id, hits, recall_at_k)."""
+    v = with_norm(df, vec)
+    rec = (
+        v.withColumn(
+            "scale",
+            F.aggregate("_vec", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+            / 127.0,
+        )
+        .withColumn(
+            "rvec",
+            F.transform("_vec", lambda x: F.floor(x / F.col("scale") + 0.5) * F.col("scale")),
+        )
+        .withColumn(
+            "rnorm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("rvec", "rvec", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .select("vec_id", "rvec", "rnorm")
+    )
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    sim = (
+        rec.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cs", cosine("qvec", "rvec") / (F.col("qnorm") * F.col("rnorm")))
+        .withColumn("c6", F.round(F.col("cs") + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("vec_id"))
+    approx = (
+        sim.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_nid"))
+    )
+    truth = brute_force_topk(df, df.filter(F.col("vec_id") < n_queries), k=k, vec=vec).select(
+        "query_id", "neighbor_id"
+    )
+    hits = F.count(F.col("a_nid")).cast("bigint")
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            hits.alias("hits"),
+            (F.round(hits / F.lit(float(k)) + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def int8_recall_sql(n_queries: int = 16, k: int = 8) -> str:
+    """DuckDB oracle twin of int8_recall: same scale/floor reconstruction
+    arithmetic (exact in both engines), 6dp round-before-rank on the
+    quantized side, raw-rank exact-cosine truth (brute_force_topk_sql
+    precedent), same recall tail."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+n AS (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+r AS (
+  SELECT vec_id,
+         list_transform(vec, x -> floor(x / scale + 5.0e-1) * scale) AS rvec
+  FROM (SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) / 127.0e0 AS scale
+        FROM v)),
+rn AS (
+  SELECT vec_id, rvec, sqrt(list_dot_product(rvec, rvec)) AS rnorm FROM r),
+ap AS MATERIALIZED (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c6 DESC, vec_id ASC) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           round(list_dot_product(q.vec, c.rvec) / (q.norm * c.rnorm)
+                 + 1.0e-9, 6) + 0.0e0 AS c6
+    FROM n q JOIN rn c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)),
+tr AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.vec, c.vec) / (q.norm * c.norm) DESC,
+                                       c.vec_id ASC) AS rank
+    FROM n q JOIN n c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)
+  WHERE rank <= {k})
+SELECT t.query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       round(count(a.vec_id) / {float(k)}e0 + 1.0e-9, 6) + 0.0e0 AS recall_at_k
+FROM tr t LEFT JOIN ap a
+  ON a.query_id = t.query_id AND a.vec_id = t.neighbor_id AND a.rank <= {k}
+GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
 # --- random-hyperplane LSH ANN (complements the IVF path) -----------------
 # Sign-of-projection signatures (Charikar SimHash for vectors): H
 # deterministic pseudo-random hyperplanes (the engine's portable LCG normal,
