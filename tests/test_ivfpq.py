@@ -140,3 +140,22 @@ def test_int8_recall_bounded_and_partition_invariant(spark):
     assert sum(rec for _, _, rec in a) / len(a) >= 0.75
     b = [tuple(r) for r in int8_recall(emb.repartition(23)).collect()]
     assert a == b
+
+
+def test_ivf_frontier_monotone_and_exhaustive(spark):
+    # With exact-cosine candidate scoring, a candidate that displaces a
+    # true top-k member from a larger candidate set must outscore it and
+    # is therefore itself in the true top-k — so per-query hits (and hence
+    # mean recall) are nondecreasing in nprobe, and probing every cell is
+    # exhaustive: recall exactly 1. avg_candidates grows with nprobe by
+    # construction (cells are disjoint).
+    from tsgen.similarity import ivf_probe_frontier
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ivf_probe_frontier(emb).collect()
+    assert [r.nprobe for r in rows] == list(range(1, 9))
+    rec = [r.mean_recall_at_k for r in rows]
+    cand = [r.avg_candidates for r in rows]
+    assert all(a <= b for a, b in zip(rec, rec[1:]))
+    assert all(a <= b for a, b in zip(cand, cand[1:]))
+    assert rec[-1] == 1.0

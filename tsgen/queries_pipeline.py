@@ -839,6 +839,18 @@ _REGISTRY.update(
             similarity.int8_recall_sql(),
             ("similarity", "eval"),
         ),
+        "ann_ivf_frontier": Query(
+            "ann_ivf_frontier",
+            lambda spark, sf_dir: similarity.ivf_probe_frontier(_emb(spark, sf_dir)),
+            similarity.ivf_probe_frontier_sql(),
+            ("similarity", "eval"),
+        ),
+        "embed_hard_negatives": Query(
+            "embed_hard_negatives",
+            lambda spark, sf_dir: similarity.hard_negatives(_emb(spark, sf_dir)),
+            similarity.hard_negatives_sql(),
+            ("similarity", "llm"),
+        ),
         "doc_lang_rebalance": Query(
             "doc_lang_rebalance",
             lambda spark, sf_dir: mixing.lang_rebalance(_docs(spark, sf_dir)),

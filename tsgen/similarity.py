@@ -694,6 +694,239 @@ GROUP BY t.query_id ORDER BY t.query_id
 """
 
 
+def ivf_probe_frontier(
+    df: DataFrame, n_queries: int = 16, k: int = 8, n_cells: int = 8, vec: str = "embedding"
+) -> DataFrame:
+    """The IVF tuning curve: recall@k AND scan cost for EVERY nprobe in
+    1..n_cells, from one candidate evaluation — the table you read before
+    picking nprobe for a 100 TB index (ann_ivf_recall gives one point;
+    this gives the frontier). Each candidate (query, vector) pair carries
+    its cell's probe rank p and is exploded to the nprobe values p..n_cells
+    it participates in (bounded x n_cells blowup of a bounded-broadcast
+    candidate set); per (query, nprobe) the top-k re-ranks and recall is
+    averaged over queries. avg_candidates is the per-query scanned-vector
+    count — the cost axis. Final per-(query,nprobe) rank is raw cosine
+    (ivf_topk precedent: margins between distinct vectors dwarf ulps);
+    probe ranks round at 9dp (refined float-mean centroids).
+    -> (nprobe, avg_candidates, mean_recall_at_k) ordered by nprobe."""
+    assigned, cents = ivf_assign(df, n_cells, vec)
+    assigned = assigned.localCheckpoint(eager=False)
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    probe_rank = (
+        q.crossJoin(F.broadcast(cents.select(F.col("cell_id").alias("probe_cell"), "svec", "snorm")))
+        .withColumn(
+            "cs",
+            F.round(cosine("qvec", "svec") / (F.col("qnorm") * F.col("snorm")) + F.lit(1e-12), 9),
+        )
+        .withColumn(
+            "p",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("probe_cell"))
+            ),
+        )
+        .select("query_id", "qvec", "qnorm", F.col("probe_cell").alias("cell_id"), "p")
+    )
+    cand = (
+        probe_rank.join(assigned, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("qvec", "_vec") / (F.col("qnorm") * F.col("norm")))
+        .select("query_id", "vec_id", "p", "cos_sim")
+        .withColumn("nprobe", F.explode(F.expr(f"sequence(p, {n_cells})")))
+    )
+    w = Window.partitionBy("query_id", "nprobe").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("t_qid"),
+            F.col("nprobe").alias("t_np"),
+            F.col("vec_id").alias("a_nid"),
+        )
+    )
+    truth = brute_force_topk(df, df.filter(F.col("vec_id") < n_queries), k=k, vec=vec).select(
+        "query_id", "neighbor_id"
+    )
+    grid = truth.crossJoin(
+        F.broadcast(
+            truth.sparkSession.range(1, n_cells + 1).select(F.col("id").cast("int").alias("nprobe"))
+        )
+    )
+    hits = (
+        grid.join(
+            topk,
+            (F.col("query_id") == F.col("t_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid"))
+            & (F.col("nprobe") == F.col("t_np")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(F.count("a_nid").alias("total_hits"))
+    )
+    cost = cand.groupBy("nprobe").agg(F.count("*").alias("n_cand"))
+    return (
+        hits.join(cost, "nprobe")
+        .select(
+            "nprobe",
+            (
+                F.round(F.col("n_cand") / F.lit(float(n_queries)) + F.lit(1e-9), 6)
+                + F.lit(0.0)
+            ).alias("avg_candidates"),
+            (
+                F.round(
+                    F.col("total_hits") / F.lit(float(k * n_queries)) + F.lit(1e-9), 6
+                )
+                + F.lit(0.0)
+            ).alias("mean_recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def ivf_probe_frontier_sql(n_queries: int = 16, k: int = 8, n_cells: int = 8, dim: int = EMB_DIM) -> str:
+    """DuckDB oracle twin of ivf_probe_frontier: the certified ivf coarse
+    chain, candidates exploded over their participating nprobe values, the
+    same raw-cosine per-(query, nprobe) top-k and averaged recall."""
+    cs = "round(list_dot_product(v.vec, c.svec) / (v.norm * c.snorm) + 1.0e-12, 9)"
+    qcs = "round(list_dot_product(q.vec, c.svec) / (q.norm * c.snorm) + 1.0e-12, 9)"
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+         sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cell_id, vec AS svec, norm AS snorm FROM v WHERE vec_id < {n_cells}),
+a0 AS (
+  SELECT vec_id, vec, norm, cell_id FROM (
+    SELECT v.vec_id, v.vec, v.norm, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cs} DESC, c.cell_id ASC) AS rn
+    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+m0 AS (
+  SELECT cell_id, i, avg(vec[i]) AS m
+  FROM a0 CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) g
+  GROUP BY cell_id, i),
+c1 AS (
+  SELECT cell_id, list(m ORDER BY i) AS svec,
+         sqrt(list_dot_product(list(m ORDER BY i), list(m ORDER BY i))) AS snorm
+  FROM m0 GROUP BY cell_id),
+a1 AS MATERIALIZED (
+  SELECT vec_id, vec, norm, cell_id FROM (
+    SELECT v.vec_id, v.vec, v.norm, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cs} DESC, c.cell_id ASC) AS rn
+    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+pr AS (
+  SELECT query_id, qvec, qnorm, cell_id, p FROM (
+    SELECT q.vec_id AS query_id, q.vec AS qvec, q.norm AS qnorm, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {qcs} DESC, c.cell_id ASC) AS p
+    FROM v q CROSS JOIN c1 c WHERE q.vec_id < {n_queries})),
+cand AS MATERIALIZED (
+  SELECT pr.query_id, a1.vec_id, g.nprobe,
+         list_dot_product(pr.qvec, a1.vec) / (pr.qnorm * a1.norm) AS cos_sim
+  FROM pr JOIN a1 ON a1.cell_id = pr.cell_id
+  CROSS JOIN (SELECT unnest(range(1, {n_cells} + 1)) AS nprobe) g
+  WHERE a1.vec_id <> pr.query_id AND g.nprobe >= pr.p),
+tk AS (
+  SELECT query_id, nprobe, vec_id FROM (
+    SELECT query_id, nprobe, vec_id,
+           row_number() OVER (PARTITION BY query_id, nprobe
+                              ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM cand) WHERE rank <= {k}),
+tr AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.vec, c.vec) / (q.norm * c.norm) DESC,
+                                       c.vec_id ASC) AS rank
+    FROM v q JOIN v c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)
+  WHERE rank <= {k}),
+hits AS (
+  SELECT g.nprobe, count(t2.vec_id) AS total_hits
+  FROM tr t CROSS JOIN (SELECT unnest(range(1, {n_cells} + 1)) AS nprobe) g
+  LEFT JOIN tk t2 ON t2.query_id = t.query_id AND t2.nprobe = g.nprobe
+                 AND t2.vec_id = t.neighbor_id
+  GROUP BY g.nprobe),
+cost AS (SELECT nprobe, count(*) AS n_cand FROM cand GROUP BY nprobe)
+SELECT CAST(h.nprobe AS INT) AS nprobe,
+       round(c.n_cand / {float(n_queries)}e0 + 1.0e-9, 6) + 0.0e0 AS avg_candidates,
+       round(h.total_hits / {float(k * n_queries)}e0 + 1.0e-9, 6) + 0.0e0 AS mean_recall_at_k
+FROM hits h JOIN cost c ON c.nprobe = h.nprobe
+ORDER BY nprobe
+"""
+
+
+def hard_negatives(
+    df: DataFrame, n_queries: int = 16, k: int = 4, vec: str = "embedding"
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    nearest corpus vectors whose label DIFFERS from the query's — the
+    pairs that actually move an embedding model (easy negatives are
+    already far; hard ones sit inside the margin). Standard practice for
+    training retrievers/encoders (e.g. DPR, Karpukhin et al. 2020 §3.2:
+    in-batch + mined hard negatives).
+
+    Scale shape: queries broadcast (bounded set), corpus streams once;
+    the label filter happens BEFORE the per-query top-k window, so the
+    ranked set is already negatives-only. At 100 TB this runs per
+    training shard with the shard's queries broadcast. Ranks on
+    6dp-rounded cosine with vec_id tiebreak (mined pairs feed a training
+    set — the selection must be partition-invariant and engine-portable).
+    -> (query_id, q_label, neighbor_id, n_label, cos_sim, rank)."""
+    c = with_norm(df, vec).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("_vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    q = with_norm(df.filter(F.col("vec_id") < n_queries), vec).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("_vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("n_label") != F.col("q_label"))
+    sim = pairs.withColumn(
+        "c6",
+        F.round(cosine("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm")) + F.lit(1e-9), 6)
+        + F.lit(0.0),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c6"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "q_label", "neighbor_id", "n_label",
+            F.col("c6").alias("cos_sim"), "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negatives_sql(n_queries: int = 16, k: int = 4) -> str:
+    """DuckDB oracle twin of hard_negatives: same label-filtered pair set,
+    same 6dp round-before-rank cosine, same tiebreak."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         c.vec_id AS neighbor_id, c.label AS n_label,
+         round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm) + 1.0e-9, 6)
+           + 0.0e0 AS c6
+  FROM n q JOIN n c ON q.vec_id < {n_queries} AND c.label <> q.label)
+SELECT query_id, q_label, neighbor_id, n_label, c6 AS cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY c6 DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 # --- random-hyperplane LSH ANN (complements the IVF path) -----------------
 # Sign-of-projection signatures (Charikar SimHash for vectors): H
 # deterministic pseudo-random hyperplanes (the engine's portable LCG normal,
