@@ -269,6 +269,12 @@ def main() -> None:
         "li_wagner_whitin",
         # round-8: real P6 PPM decode path (render -> parse -> stats)
         "multimodal_decode",
+        # round-9: IVFADC composition, scalar-quantization recall, mined
+        # hard negatives, the IVF probe frontier
+        "ann_ivfpq_recall",
+        "ann_int8_recall",
+        "embed_hard_negatives",
+        "ann_ivf_frontier",
     ]
     reg = registry()
     for name in suite:
