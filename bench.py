@@ -275,6 +275,7 @@ def main() -> None:
         "ann_int8_recall",
         "embed_hard_negatives",
         "ann_ivf_frontier",
+        "ann_rerank_frontier",
     ]
     reg = registry()
     for name in suite:

@@ -159,3 +159,23 @@ def test_ivf_frontier_monotone_and_exhaustive(spark):
     assert all(a <= b for a, b in zip(rec, rec[1:]))
     assert all(a <= b for a, b in zip(cand, cand[1:]))
     assert rec[-1] == 1.0
+
+
+def test_rerank_frontier_monotone_and_matches_ivfpq_at_k(spark):
+    # m = k re-ranks exactly the ADC top-k set — reordering a set does not
+    # change it, so the first frontier row's mean recall must equal the
+    # mean of ivfpq_recall (same index parameters). Larger budgets only
+    # grow the candidate set under the truth metric, so mean recall is
+    # nondecreasing in m, as is the exact-eval cost.
+    from tsgen.similarity import ivfpq_recall, rerank_frontier
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = rerank_frontier(emb).collect()
+    assert [r.rerank_m for r in rows] == [8, 16, 32, 64]
+    rec = [r.mean_recall_at_k for r in rows]
+    cost = [r.avg_exact_evals for r in rows]
+    assert all(a <= b for a, b in zip(rec, rec[1:]))
+    assert all(a <= b for a, b in zip(cost, cost[1:]))
+    per_q = ivfpq_recall(emb).collect()
+    adc_mean = sum(r.hits for r in per_q) / (8.0 * len(per_q))
+    assert abs(rec[0] - adc_mean) < 1e-6

@@ -833,6 +833,12 @@ _REGISTRY.update(
             similarity.ivfpq_recall_sql(),
             ("similarity", "eval"),
         ),
+        "ann_rerank_frontier": Query(
+            "ann_rerank_frontier",
+            lambda spark, sf_dir: similarity.rerank_frontier(_emb(spark, sf_dir)),
+            similarity.rerank_frontier_sql(),
+            ("similarity", "eval"),
+        ),
         "ann_int8_recall": Query(
             "ann_int8_recall",
             lambda spark, sf_dir: similarity.int8_recall(_emb(spark, sf_dir)),

@@ -1348,42 +1348,25 @@ def pq_recall(
 IVFPQ_CELLS, IVFPQ_PROBE = 8, 3
 
 
-def ivfpq_recall(
+def _ivfpq_adc(
     df: DataFrame,
-    n_queries: int = PQ_RECALL_Q,
-    k: int = PQ_RECALL_K,
-    n_cells: int = IVFPQ_CELLS,
-    nprobe: int = IVFPQ_PROBE,
-    n_sub: int = PQ_SUB,
-    n_cent: int = PQ_CENT,
-    refine_iters: int = 2,
-    vec: str = "embedding",
-) -> DataFrame:
-    """Recall@k of the combined IVF-PQ index (IVFADC; Jégou, Douze, Schmid
-    2011 §V) against exact L2 truth — the composition that actually runs at
-    billion scale: the coarse quantizer routes each vector to a cell, PQ
-    codebooks are trained on the RESIDUAL x − c_cell (residuals are far
-    better centered than raw vectors, so the same code budget buys more
-    precision), and a query scans only its nprobe probed cells using a
-    per-(query, cell) lookup table over the residual codebooks. Completes
-    the eval family: ann_ivf_recall isolates the probe axis, ann_pq_recall
-    the quantization axis — this measures them composed, which is what you
-    actually tune (nprobe × n_cent) before shipping an index.
-
-    Scale shape: the coarse quantizer is the certified ivf_assign (cosine
-    cells, driver-pinned Lloyd centroids); the final assignment is pinned
-    once (localCheckpoint) and every downstream branch — residual PQ
-    training, the code table, the ADC scan — reads the pin, not the corpus.
-    The LUT is n_queries·nprobe·n_sub·n_cent rows (bounded, broadcast);
-    the ADC join keys on (cell_id, s, code), so candidates outside probed
-    cells are never materialized. At 100 TB the codes table is bucketed by
-    cell_id and the scan touches nprobe/n_cells of it; no raw corpus float
-    is read at query time.
-
-    Determinism: cell/probe/code ranks round at 9dp before ranking, ADC
-    sums round at 6dp before the final rank, vec_id is the tiebreak — the
-    repo's round-before-rank discipline in BOTH engines.
-    -> (query_id, hits, recall_at_k)."""
+    n_queries: int,
+    n_cells: int,
+    nprobe: int,
+    n_sub: int,
+    n_cent: int,
+    refine_iters: int,
+    vec: str,
+):
+    """IVFADC candidate generation shared by ivfpq_recall and the re-rank
+    frontier: coarse cells (certified ivf_assign, assignment pinned once),
+    PQ codebooks trained on residuals, per-(query, probed cell) LUT, ADC
+    join keyed on (cell_id, s, code). -> (adc, pinned): adc = (query_id,
+    vec_id, d6) — the 6dp-rounded ADC distance for every candidate in a
+    probed cell — and pinned = the localCheckpointed assignment
+    (vec_id, _vec, norm, cell_id), which callers reuse for exact re-rank
+    and truth sets instead of re-scanning the corpus (recompute-census
+    discipline: the pin already holds the double-cast vectors)."""
     assigned, cents = ivf_assign(df, n_cells, vec)
     # pin the final assignment: residual training, the code table, and the
     # ADC scan all read this once-materialized table instead of replaying
@@ -1448,13 +1431,13 @@ def ivfpq_recall(
         .agg(F.sum("ld2").alias("d2"))
         .withColumn("d6", F.round(F.col("d2") + F.lit(1e-9), 6) + F.lit(0.0))
     )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("vec_id"))
-    approx = (
-        adc.withColumn("rank", F.row_number().over(wq))
-        .filter(F.col("rank") <= k)
-        .select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_nid"))
-    )
-    v = df.select("vec_id", _to_double(vec).alias("_vec"))
+    return adc, assigned
+
+
+def _l2_truth_from_v(v: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """Exact L2 top-k truth set over a (vec_id, _vec) frame (6dp
+    round-before-rank, vec_id tiebreak — the pq_recall discipline).
+    -> (query_id, neighbor_id)."""
     qv = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("_vec").alias("qvec")
     )
@@ -1462,7 +1445,7 @@ def ivfpq_recall(
         "aggregate(zip_with(qvec, _vec, (a, b) -> (a - b) * (a - b)), "
         "0.0e0, (acc, x) -> acc + x)"
     )
-    truth = (
+    return (
         v.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
         .withColumn("d6", F.round(exact_d2 + F.lit(1e-9), 6) + F.lit(0.0))
         .withColumn(
@@ -1474,6 +1457,52 @@ def ivfpq_recall(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
+
+
+def ivfpq_recall(
+    df: DataFrame,
+    n_queries: int = PQ_RECALL_Q,
+    k: int = PQ_RECALL_K,
+    n_cells: int = IVFPQ_CELLS,
+    nprobe: int = IVFPQ_PROBE,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    refine_iters: int = 2,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the combined IVF-PQ index (IVFADC; Jégou, Douze, Schmid
+    2011 §V) against exact L2 truth — the composition that actually runs at
+    billion scale: the coarse quantizer routes each vector to a cell, PQ
+    codebooks are trained on the RESIDUAL x − c_cell (residuals are far
+    better centered than raw vectors, so the same code budget buys more
+    precision), and a query scans only its nprobe probed cells using a
+    per-(query, cell) lookup table over the residual codebooks. Completes
+    the eval family: ann_ivf_recall isolates the probe axis, ann_pq_recall
+    the quantization axis — this measures them composed, which is what you
+    actually tune (nprobe × n_cent) before shipping an index.
+
+    Scale shape: the coarse quantizer is the certified ivf_assign (cosine
+    cells, driver-pinned Lloyd centroids); the final assignment is pinned
+    once (localCheckpoint) and every downstream branch — residual PQ
+    training, the code table, the ADC scan — reads the pin, not the corpus.
+    The LUT is n_queries·nprobe·n_sub·n_cent rows (bounded, broadcast);
+    the ADC join keys on (cell_id, s, code), so candidates outside probed
+    cells are never materialized. At 100 TB the codes table is bucketed by
+    cell_id and the scan touches nprobe/n_cells of it; no raw corpus float
+    is read at query time.
+
+    Determinism: cell/probe/code ranks round at 9dp before ranking, ADC
+    sums round at 6dp before the final rank, vec_id is the tiebreak — the
+    repo's round-before-rank discipline in BOTH engines.
+    -> (query_id, hits, recall_at_k)."""
+    adc, pinned = _ivfpq_adc(df, n_queries, n_cells, nprobe, n_sub, n_cent, refine_iters, vec)
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("vec_id"))
+    approx = (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_nid"))
+    )
+    truth = _l2_truth_from_v(pinned.select("vec_id", "_vec"), n_queries, k)
     hits = F.count(F.col("a_nid")).cast("bigint")
     return (
         truth.join(
@@ -1490,6 +1519,108 @@ def ivfpq_recall(
             ),
         )
         .orderBy("query_id")
+    )
+
+
+RERANK_BUDGETS = (8, 16, 32, 64)
+
+
+def rerank_frontier(
+    df: DataFrame,
+    n_queries: int = PQ_RECALL_Q,
+    k: int = PQ_RECALL_K,
+    n_cells: int = IVFPQ_CELLS,
+    nprobe: int = IVFPQ_PROBE,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    refine_iters: int = 2,
+    budgets: tuple = RERANK_BUDGETS,
+    vec: str = "embedding",
+) -> DataFrame:
+    """The two-stage retrieval tuning curve: recall@k after EXACT re-rank
+    of the top-m ADC candidates, for every re-rank budget m — the
+    production IVF-PQ deployment shape (scan codes, read full vectors for
+    only m candidates, re-rank exactly) and the table that sizes m.
+    ann_ivfpq_recall is the m=k point; this shows how fast the ADC
+    quantization error washes out as the re-rank budget grows.
+
+    One ADC evaluation serves every budget: each candidate with ADC rank
+    r explodes to the budgets m >= r (bounded x |budgets| blowup of a
+    bounded candidate set), full vectors join ONLY for exploded re-rank
+    rows (the cost the avg_exact_evals column reports), and the re-rank
+    uses the same 6dp-rounded exact L2 as the truth set, so per-query
+    hits are provably nondecreasing in m (displacement argument: an
+    evicting candidate outscores the evicted one under the truth metric,
+    hence is itself true top-k). -> (rerank_m, avg_exact_evals,
+    mean_recall_at_k) ordered by rerank_m."""
+    adc, pinned = _ivfpq_adc(df, n_queries, n_cells, nprobe, n_sub, n_cent, refine_iters, vec)
+    wa = Window.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("vec_id"))
+    ranked = adc.withColumn("adc_rank", F.row_number().over(wa))
+    cand = ranked.withColumn(
+        "m", F.explode(F.array(*[F.lit(int(m)) for m in budgets]))
+    ).filter(F.col("m") >= F.col("adc_rank"))
+
+    # full vectors come from the IVFADC pin, not a fresh corpus scan
+    v = pinned.select("vec_id", "_vec")
+    qv = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_vec").alias("qvec")
+    )
+    exact_d2 = F.expr(
+        "aggregate(zip_with(qvec, _vec, (a, b) -> (a - b) * (a - b)), "
+        "0.0e0, (acc, x) -> acc + x)"
+    )
+    rr = (
+        cand.select("query_id", "vec_id", "m")
+        .join(v, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("e6", F.round(exact_d2 + F.lit(1e-9), 6) + F.lit(0.0))
+    )
+    wr = Window.partitionBy("query_id", "m").orderBy(F.asc("e6"), F.asc("vec_id"))
+    topk = (
+        rr.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("t_qid"),
+            F.col("m").alias("t_m"),
+            F.col("vec_id").alias("a_nid"),
+        )
+    )
+    truth = _l2_truth_from_v(v, n_queries, k)
+    grid = truth.crossJoin(
+        F.broadcast(
+            truth.sparkSession.createDataFrame(
+                [(int(m),) for m in budgets], "m int"
+            )
+        )
+    )
+    hits = (
+        grid.join(
+            topk,
+            (F.col("query_id") == F.col("t_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid"))
+            & (F.col("m") == F.col("t_m")),
+            "left",
+        )
+        .groupBy("m")
+        .agg(F.count("a_nid").alias("total_hits"))
+    )
+    cost = cand.groupBy("m").agg(F.count("*").alias("n_exact"))
+    return (
+        hits.join(cost, "m")
+        .select(
+            F.col("m").alias("rerank_m"),
+            (
+                F.round(F.col("n_exact") / F.lit(float(n_queries)) + F.lit(1e-9), 6)
+                + F.lit(0.0)
+            ).alias("avg_exact_evals"),
+            (
+                F.round(
+                    F.col("total_hits") / F.lit(float(k * n_queries)) + F.lit(1e-9), 6
+                )
+                + F.lit(0.0)
+            ).alias("mean_recall_at_k"),
+        )
+        .orderBy("rerank_m")
     )
 
 
@@ -1935,9 +2066,8 @@ GROUP BY t.query_id ORDER BY t.query_id
 """
 
 
-def ivfpq_recall_sql(
+def _ivfpq_sql_core(
     n_queries: int = PQ_RECALL_Q,
-    k: int = PQ_RECALL_K,
     n_cells: int = IVFPQ_CELLS,
     nprobe: int = IVFPQ_PROBE,
     n_sub: int = PQ_SUB,
@@ -1945,12 +2075,12 @@ def ivfpq_recall_sql(
     refine_iters: int = 2,
     dim: int = EMB_DIM,
 ) -> str:
-    """DuckDB oracle twin of ivfpq_recall: the ivf_topk_sql coarse chain
-    (deterministic seeds + 1 Lloyd round, 9dp round-before-rank), a
-    residual table (vector minus its cell centroid), the pq_recall_sql
-    codebook chain re-rooted on residuals (p-prefixed CTEs), per-(query,
-    probed cell) residual LUTs rounded at 9dp, ADC sums rounded at 6dp
-    before ranking, and the same exact-L2 truth/recall tail."""
+    """Shared WITH-body (through the `adc` CTE) of the IVFADC oracle twins:
+    the ivf_topk_sql coarse chain (deterministic seeds + 1 Lloyd round,
+    9dp round-before-rank), a residual table (vector minus its cell
+    centroid), the pq_recall_sql codebook chain re-rooted on residuals
+    (p-prefixed CTEs), per-(query, probed cell) residual LUTs rounded at
+    9dp, ADC sums rounded at 6dp."""
     d_sub = dim // n_sub
     cs = "round(list_dot_product(v.vec, c.svec) / (v.norm * c.snorm) + 1.0e-12, 9)"
     qcs = "round(list_dot_product(q.vec, c.svec) / (q.norm * c.snorm) + 1.0e-12, 9)"
@@ -2049,26 +2179,111 @@ adc AS (
   FROM {fa} a JOIN a1 av ON av.vec_id = a.vec_id
   JOIN lut l ON l.cell_id = av.cell_id AND l.s = a.s AND l.code = a.code
   WHERE a.vec_id <> l.query_id
-  GROUP BY l.query_id, a.vec_id),
-ap AS MATERIALIZED (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY d6 ASC, vec_id ASC) AS rank
-  FROM adc),
-tr AS MATERIALIZED (
+  GROUP BY l.query_id, a.vec_id)"""
+
+
+def _l2_truth_sql_cte(n_queries: int, k: int, dim: int = EMB_DIM) -> str:
+    """The exact-L2 truth CTE (named tr) shared by the IVFADC oracle
+    tails; assumes a `v (vec_id, vec, norm)` CTE is in scope."""
+    ex_d2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {d} + 1), "
+        "i -> (q.vec[i] - cp.vec[i]) * (q.vec[i] - cp.vec[i]))), (a, b) -> a + b)"
+    ).format(d=dim)
+    return f"""tr AS MATERIALIZED (
   SELECT query_id, neighbor_id, rank FROM (
     SELECT q.vec_id AS query_id, cp.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY round({ex_d2} + 1.0e-9, 6) + 0.0e0 ASC,
                                        cp.vec_id ASC) AS rank
     FROM v q JOIN v cp ON q.vec_id < {n_queries} AND cp.vec_id <> q.vec_id)
-  WHERE rank <= {k})
+  WHERE rank <= {k})"""
+
+
+def ivfpq_recall_sql(
+    n_queries: int = PQ_RECALL_Q,
+    k: int = PQ_RECALL_K,
+    n_cells: int = IVFPQ_CELLS,
+    nprobe: int = IVFPQ_PROBE,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    refine_iters: int = 2,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB oracle twin of ivfpq_recall: the shared IVFADC core
+    (_ivfpq_sql_core) plus the ADC top-k rank and the exact-L2
+    truth/recall tail."""
+    core = _ivfpq_sql_core(n_queries, n_cells, nprobe, n_sub, n_cent, refine_iters, dim)
+    return f"""{core},
+ap AS MATERIALIZED (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d6 ASC, vec_id ASC) AS rank
+  FROM adc),
+{_l2_truth_sql_cte(n_queries, k, dim)}
 SELECT t.query_id,
        CAST(count(a.vec_id) AS BIGINT) AS hits,
        round(count(a.vec_id) / {float(k)}e0 + 1.0e-9, 6) + 0.0e0 AS recall_at_k
 FROM tr t LEFT JOIN ap a
   ON a.query_id = t.query_id AND a.vec_id = t.neighbor_id AND a.rank <= {k}
 GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
+def rerank_frontier_sql(
+    n_queries: int = PQ_RECALL_Q,
+    k: int = PQ_RECALL_K,
+    n_cells: int = IVFPQ_CELLS,
+    nprobe: int = IVFPQ_PROBE,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    refine_iters: int = 2,
+    budgets: tuple = RERANK_BUDGETS,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB oracle twin of rerank_frontier: the shared IVFADC core, ADC
+    ranks exploded over the re-rank budgets m >= rank, exact-L2 re-rank
+    per (query, m) with the same 6dp round-before-rank as the truth set,
+    recall averaged over queries per budget."""
+    core = _ivfpq_sql_core(n_queries, n_cells, nprobe, n_sub, n_cent, refine_iters, dim)
+    blist = ", ".join(str(int(m)) for m in budgets)
+    rr_d2 = (
+        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {d} + 1), "
+        "i -> (q.vec[i] - cv.vec[i]) * (q.vec[i] - cv.vec[i]))), (a, b) -> a + b)"
+    ).format(d=dim)
+    return f"""{core},
+ar AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d6 ASC, vec_id ASC) AS adc_rank
+  FROM adc),
+rc AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id, g.m
+  FROM ar a CROSS JOIN (SELECT unnest([{blist}]) AS m) g
+  WHERE g.m >= a.adc_rank),
+rr AS (
+  SELECT rc.query_id, rc.m, rc.vec_id,
+         round({rr_d2} + 1.0e-9, 6) + 0.0e0 AS e6
+  FROM rc JOIN v q ON q.vec_id = rc.query_id
+  JOIN v cv ON cv.vec_id = rc.vec_id),
+tk AS (
+  SELECT query_id, m, vec_id FROM (
+    SELECT query_id, m, vec_id,
+           row_number() OVER (PARTITION BY query_id, m
+                              ORDER BY e6 ASC, vec_id ASC) AS rank
+    FROM rr) WHERE rank <= {k}),
+{_l2_truth_sql_cte(n_queries, k, dim)},
+hits AS (
+  SELECT g.m, count(t2.vec_id) AS total_hits
+  FROM tr t CROSS JOIN (SELECT unnest([{blist}]) AS m) g
+  LEFT JOIN tk t2 ON t2.query_id = t.query_id AND t2.m = g.m
+                 AND t2.vec_id = t.neighbor_id
+  GROUP BY g.m),
+cost AS (SELECT m, count(*) AS n_exact FROM rc GROUP BY m)
+SELECT CAST(h.m AS INT) AS rerank_m,
+       round(c.n_exact / {float(n_queries)}e0 + 1.0e-9, 6) + 0.0e0 AS avg_exact_evals,
+       round(h.total_hits / {float(k * n_queries)}e0 + 1.0e-9, 6) + 0.0e0 AS mean_recall_at_k
+FROM hits h JOIN cost c ON c.m = h.m
+ORDER BY rerank_m
 """
 
 
