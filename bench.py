@@ -276,6 +276,7 @@ def main() -> None:
         "embed_hard_negatives",
         "ann_ivf_frontier",
         "ann_rerank_frontier",
+        "pack_budget_frontier",
     ]
     reg = registry()
     for name in suite:

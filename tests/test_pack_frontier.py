@@ -1,0 +1,30 @@
+"""pack_budget_frontier property tests (oracle gate certifies values)."""
+from __future__ import annotations
+
+
+def test_pack_frontier_consistent_with_ffd_at_default_budget(spark):
+    # At budget 256 the frontier must reproduce pack_sequences_ffd exactly:
+    # same global bin count, same wasted padding (sum of max(256 - load, 0)),
+    # same overflow count — both run the identical FFD kernel.
+    from pyspark.sql import functions as F
+
+    from tsgen.text import PACK_BUDGET, pack_budget_frontier, pack_sequences_ffd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r.budget: r for r in pack_budget_frontier(docs).collect()}
+    assert sorted(rows) == [128, 256, 512, 1024]
+
+    ffd = pack_sequences_ffd(docs).collect()
+    assert rows[PACK_BUDGET].n_bins == len(ffd)
+    assert rows[PACK_BUDGET].n_overflow == sum(
+        1 for r in ffd if r.n_tokens_packed > PACK_BUDGET
+    )
+    wasted = sum(max(PACK_BUDGET - r.n_tokens_packed, 0) for r in ffd)
+    assert abs(
+        rows[PACK_BUDGET].waste_frac - wasted / (len(ffd) * float(PACK_BUDGET))
+    ) < 1e-5
+
+    # overflow bins are singleton docs longer than the budget, so their
+    # count can only shrink as the budget grows
+    over = [rows[m].n_overflow for m in sorted(rows)]
+    assert all(a >= b for a, b in zip(over, over[1:]))

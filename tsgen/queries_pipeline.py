@@ -708,6 +708,12 @@ _REGISTRY.update(
         "pack_sequences": Query(
             "pack_sequences", _q_pack_sequences, text.PACK_SQL, ("text",)
         ),
+        "pack_budget_frontier": Query(
+            "pack_budget_frontier",
+            lambda spark, sf_dir: text.pack_budget_frontier(_docs(spark, sf_dir)),
+            text.pack_budget_frontier_sql(),
+            ("text", "eval"),
+        ),
         "pack_sequences_ffd": Query(
             "pack_sequences_ffd", _q_pack_sequences_ffd, text.PACK_FFD_SQL, ("text",)
         ),

@@ -692,6 +692,128 @@ FROM fin ORDER BY lang, source, bin_id
 """
 
 
+PACK_FRONTIER_BUDGETS = (128, 256, 512, 1024)
+
+
+def pack_budget_frontier(
+    df: DataFrame, budgets: tuple = PACK_FRONTIER_BUDGETS
+) -> DataFrame:
+    """The context-length selection table: FFD-pack every (lang, source)
+    shard at SEVERAL token budgets in one pass and report, per budget, the
+    bin count, the waste fraction (padding you would train on), and the
+    overflow-bin count (docs longer than the budget, which a real pipeline
+    must chunk or drop). Packing efficiency vs context length is a real
+    trade — short contexts waste little but truncate more; long contexts
+    fit whole docs but pad heavily — and this is the table that decision
+    reads.
+
+    Scale shape: one applyInPandas per shard (the pack_sequences_ffd
+    kernel, looped over budgets inside the shard — docs sorted once);
+    only (doc_id, n) enter the kernel; the per-shard output is
+    |budgets| rows of integer sums, so the global per-budget rollup is
+    exact in any engine and any partitioning.
+    -> (budget, n_bins, n_overflow, waste_frac) ordered by budget."""
+    import pandas as pd
+
+    blist = [int(m) for m in budgets]
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["n", "doc_id"], ascending=[False, True])
+        ns = [int(x) for x in pdf["n"]]
+        rows = []
+        for m in blist:
+            loads: list[int] = []
+            for nn in ns:
+                for i, ld in enumerate(loads):
+                    if ld + nn <= m:
+                        loads[i] += nn
+                        break
+                else:
+                    loads.append(nn)
+            rows.append(
+                {
+                    "budget": m,
+                    "n_bins": len(loads),
+                    "wasted": sum(max(m - ld, 0) for ld in loads),
+                    "n_overflow": sum(1 for ld in loads if ld > m),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    base = df.select(
+        "lang", "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    shard = base.groupBy("lang", "source").applyInPandas(
+        pack, "budget bigint, n_bins bigint, wasted bigint, n_overflow bigint"
+    )
+    return (
+        shard.groupBy("budget")
+        .agg(
+            F.sum("n_bins").alias("n_bins"),
+            F.sum("n_overflow").alias("n_overflow"),
+            F.sum("wasted").alias("_wasted"),
+        )
+        .select(
+            "budget",
+            "n_bins",
+            "n_overflow",
+            (
+                F.round(
+                    F.col("_wasted") / (F.col("n_bins") * F.col("budget")).cast("double")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("waste_frac"),
+        )
+        .orderBy("budget")
+    )
+
+
+def pack_budget_frontier_sql(budgets: tuple = PACK_FRONTIER_BUDGETS) -> str:
+    """DuckDB oracle twin of pack_budget_frontier: the PACK_FFD_SQL
+    recursion with the budget joined into the recursion key, then the
+    same integer rollup per budget."""
+    blist = ", ".join(str(int(m)) for m in budgets)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT lang, source, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY len(string_split(text,' ')) DESC, doc_id) AS rn
+  FROM documents),
+sz AS (SELECT lang, source, max(rn) AS mx FROM d GROUP BY lang, source),
+ffd AS (
+  SELECT lang, source, g.m, CAST(0 AS BIGINT) AS rn,
+         CAST([] AS BIGINT[]) AS loads
+  FROM sz CROSS JOIN (SELECT CAST(unnest([{blist}]) AS BIGINT) AS m) g
+  UNION ALL
+  SELECT f.lang, f.source, f.m, f.rn + 1,
+    CASE WHEN list_position(list_transform(f.loads, x -> x + d.n <= f.m), true) = 0
+         THEN list_append(f.loads, d.n)
+         ELSE list_transform(range(1, len(f.loads)+1),
+              i -> CASE WHEN i = list_position(list_transform(f.loads, x -> x + d.n <= f.m), true)
+                        THEN f.loads[i] + d.n ELSE f.loads[i] END)
+    END
+  FROM ffd f JOIN d ON d.lang = f.lang AND d.source = f.source AND d.rn = f.rn + 1
+),
+fin AS (
+  SELECT f.lang, f.source, f.m, f.loads
+  FROM ffd f JOIN sz ON sz.lang = f.lang AND sz.source = f.source AND f.rn = sz.mx),
+shard AS (
+  SELECT lang, source, m,
+         CAST(len(loads) AS BIGINT) AS n_bins,
+         CAST(list_sum(list_transform(loads, x -> greatest(m - x, 0))) AS BIGINT) AS wasted,
+         CAST(len(list_filter(loads, x -> x > m)) AS BIGINT) AS n_overflow
+  FROM fin)
+SELECT m AS budget,
+       CAST(sum(n_bins) AS BIGINT) AS n_bins,
+       CAST(sum(n_overflow) AS BIGINT) AS n_overflow,
+       round(CAST(sum(wasted) AS DOUBLE) / (CAST(sum(n_bins) AS DOUBLE) * m)
+             + 1.0e-9, 6) + 0.0e0 AS waste_frac
+FROM shard GROUP BY m ORDER BY budget
+"""
+
+
 # --- BPE-ish subword token counting ---------------------------------------
 # A GPT-2-style pre-tokenizer approximation: runs of letters, runs of
 # digits, or single punctuation marks. Whitespace tokenization undercounts
