@@ -277,6 +277,7 @@ def main() -> None:
         "ann_ivf_frontier",
         "ann_rerank_frontier",
         "pack_budget_frontier",
+        "doc_filter_frontier",
     ]
     reg = registry()
     for name in suite:

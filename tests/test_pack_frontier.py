@@ -28,3 +28,28 @@ def test_pack_frontier_consistent_with_ffd_at_default_budget(spark):
     # count can only shrink as the budget grows
     over = [rows[m].n_overflow for m in sorted(rows)]
     assert all(a >= b for a, b in zip(over, over[1:]))
+
+
+def test_filter_frontier_counts_and_monotone_mean(spark):
+    # drop_pct=0 must cover the whole corpus; retained doc counts follow
+    # the exact integer cutoff; dropping the worst (highest-score) docs
+    # can only lower the mean score of the survivors.
+    from pyspark.sql import functions as F
+
+    from tsgen.queries_pipeline import _q_filter_frontier
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.drop_pct: r for r in _q_filter_frontier(spark, sf).collect()}
+    assert sorted(rows) == [0, 10, 25, 50]
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert rows[0].docs_retained == n
+    assert rows[0].tokens_retained == total_tokens
+    for p in (10, 25, 50):
+        assert rows[p].docs_retained == n - (p * n) // 100
+    means = [rows[p].mean_lm_score for p in sorted(rows)]
+    assert all(a >= b for a, b in zip(means, means[1:]))

@@ -46,6 +46,87 @@ def _q_lm_score(spark, sf_dir):
     return canon_types(roundn(text.lm_score(_docs(spark, sf_dir)), 4, "lm_score"))
 
 
+FILTER_DROP_PCTS = (0, 10, 25, 50)
+
+
+def _q_filter_frontier(spark, sf_dir):
+    """The data-filtering budget table: rank docs worst-first by the
+    4dp-rounded unigram-LM quality score (doc_lm_score's metric, doc_id
+    tiebreak) and report, for each drop percentage, the docs and TOKENS
+    retained plus the mean score of the survivors — tokens retained per
+    quality cutoff is the number an LLM data budget actually trades
+    against. Completes the frontier family: ann_ivf_frontier (probe
+    cost), ann_rerank_frontier (re-rank budget), pack_budget_frontier
+    (context length), this (filter aggressiveness).
+
+    Scale shape: the global worst-first rank runs on the stratified_rank
+    scaffold with a constant stratum — the scaffold range-partitions on
+    the ORDER columns, so a constant stratum costs nothing and no single
+    task ever sees the whole corpus (the |partitions|x1 counts table +
+    prefix offsets give exact global ranks). The cutoff floor(pct·n/100)
+    uses integer arithmetic — exact in both engines."""
+    from pyspark.sql import functions as F
+
+    from .queries_scale import stratified_rank
+
+    scored = text.lm_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        (F.round(F.col("lm_score") + F.lit(1e-9), 4) + F.lit(0.0)).alias("s4"),
+    )
+    ranked = stratified_rank(
+        scored.withColumn("_g", F.lit(1)),
+        "_g",
+        [F.desc("s4"), F.asc("doc_id")],
+        out="rk",
+    )
+    n_total = scored.agg(F.count("*").alias("_n"))
+    pcts = scored.sparkSession.createDataFrame(
+        [(int(p),) for p in FILTER_DROP_PCTS], "drop_pct int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("rk") > F.expr("CAST(drop_pct * _n AS BIGINT) div 100"))
+        .groupBy("drop_pct")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_retained"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_retained"),
+            (F.round(F.avg("s4") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "mean_lm_score"
+            ),
+        )
+        .orderBy("drop_pct")
+    )
+
+
+_FILTER_FRONTIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+lm AS (
+  SELECT token, CAST(tf AS DOUBLE) / (SELECT sum(tf) FROM vocab) AS p FROM vocab),
+s AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         (round((avg(-ln(p))) + 1.0e-9,4)+0.0e0) AS s4
+  FROM toks JOIN lm USING (token)
+  GROUP BY doc_id),
+r AS (
+  SELECT doc_id, n_tokens, s4,
+         row_number() OVER (ORDER BY s4 DESC, doc_id ASC) AS rk
+  FROM s),
+n AS (SELECT count(*) AS nn FROM s),
+g AS (SELECT unnest([{", ".join(str(int(p)) for p in FILTER_DROP_PCTS)}]) AS drop_pct)
+SELECT CAST(g.drop_pct AS INT) AS drop_pct,
+       CAST(count(*) AS BIGINT) AS docs_retained,
+       CAST(sum(r.n_tokens) AS BIGINT) AS tokens_retained,
+       (round(avg(r.s4) + 1.0e-9, 4) + 0.0e0) AS mean_lm_score
+FROM r CROSS JOIN n CROSS JOIN g
+WHERE r.rk > (g.drop_pct * n.nn) // 100
+GROUP BY g.drop_pct ORDER BY drop_pct
+"""
+
+
 def _q_bigram_lm(spark, sf_dir):
     from .queries import canon_types, roundn
 
@@ -644,6 +725,12 @@ _REGISTRY.update(
             ("text",),
         ),
         "doc_lm_score": Query("doc_lm_score", _q_lm_score, text.LM_SCORE_SQL, ("text",)),
+        "doc_filter_frontier": Query(
+            "doc_filter_frontier",
+            _q_filter_frontier,
+            _FILTER_FRONTIER_SQL,
+            ("text", "eval"),
+        ),
         "doc_ccnet_buckets": Query(
             "doc_ccnet_buckets",
             lambda spark, sf_dir: text.ccnet_buckets(_docs(spark, sf_dir)),
