@@ -37,51 +37,57 @@ CANARIES = ["gen_sine", "series_stats", "sample_data_mixed"]
 # round-before-rank commits 21f4168/fe4dceb rewrote both engine sides of
 # these four, but their stale r4–r6 greens kept them out of the rotation).
 INVALIDATED: dict[str, int] = {
+    # Round numbers below are DRIVER rounds (the round whose CORRECTNESS
+    # file first certifies the rewired formulation), not internal session
+    # numbers — VERDICT r09 caught the earlier mismatch that discarded four
+    # valid r9 certifications and made 26 names uncertifiable.
     "ann_ivf": 9,
     "ann_ivf_recall": 9,
     "embed_kmeans": 9,
     "embed_pq": 9,
-    # r9: range join rewritten as hour-aligned broadcast equi-join
+    # rewired pre-r9; the r9 window certified the final formulations of
+    # these four, so their r9 rows are trustworthy
+    "embed_abtt_recall": 9,
+    "li_wagner_whitin": 9,
+    "doc_keyphrases": 9,
+    "ev_gap_stats": 9,
+    # rewired pre-r9 but NOT in the r9 window — first trustworthy cert is
+    # a green r10 row.
+    # range join rewritten as hour-aligned broadcast equi-join:
     "ev_interval_join": 10,
-    # r9: rank family rewritten scale-true (two-phase top-200 + rank
-    # arithmetic on per-stratum totals instead of full-stratum windows)
+    # rank family rewritten scale-true (two-phase top-200 + rank
+    # arithmetic on per-stratum totals instead of full-stratum windows):
     "ev_rank_funcs": 10,
-    # r9: tercile rank moved onto the stratified_rank scaffold
+    # tercile rank moved onto the stratified_rank scaffold:
     "doc_ccnet_buckets": 10,
-    # r9: lag via range-partition + boundary recovery; p95 via two order
-    # statistics instead of a per-group percentile() buffer
-    "ev_gap_stats": 10,
-    # r10: Lloyd centroids pinned to the driver between rounds + contingency
-    # localCheckpoint (same values, plan rewired — recompute census fix)
-    "embed_cluster_purity": 11,
-    # r10: recompute-census campaign — bounded intermediates pinned
+    # Lloyd centroids pinned to the driver between rounds + contingency
+    # localCheckpoint (same values, plan rewired — recompute census fix):
+    "embed_cluster_purity": 10,
+    # recompute-census campaign — bounded intermediates pinned
     # (localCheckpoint) or join-backs replaced with window aggregates;
-    # values unchanged, engine plans rewired
-    "doc_lang_temperature": 11,
-    "doc_lang_rebalance": 11,
-    "ts_features": 11,
-    "ev_shapley_attr": 11,
-    "token_ppmi": 11,
-    "ts_coint": 11,
-    "doc_nb_classify": 11,
-    "embed_abtt_recall": 11,
-    "ev_logreg": 11,
-    "ev_poisson_glm": 11,
-    "ev_hazard_glm": 11,
-    "forecast_reconcile": 11,
-    "kmv_set_ops": 11,
-    "li_wagner_whitin": 11,
-    "doc_bm25": 11,
-    "doc_bm25_ndcg": 11,
-    "doc_ql_dirichlet": 11,
-    "trend_poly3": 11,
-    "trend_quadratic": 11,
-    "ts_pacf": 11,
-    "ts_ljung_box": 11,
-    "ts_mann_kendall": 11,
-    "stream_psi": 11,
-    "doc_keyphrases": 11,
-    "doc_source_kl": 11,
+    # values unchanged, engine plans rewired:
+    "doc_lang_temperature": 10,
+    "doc_lang_rebalance": 10,
+    "ts_features": 10,
+    "ev_shapley_attr": 10,
+    "token_ppmi": 10,
+    "ts_coint": 10,
+    "doc_nb_classify": 10,
+    "ev_logreg": 10,
+    "ev_poisson_glm": 10,
+    "ev_hazard_glm": 10,
+    "forecast_reconcile": 10,
+    "kmv_set_ops": 10,
+    "doc_bm25": 10,
+    "doc_bm25_ndcg": 10,
+    "doc_ql_dirichlet": 10,
+    "trend_poly3": 10,
+    "trend_quadratic": 10,
+    "ts_pacf": 10,
+    "ts_ljung_box": 10,
+    "ts_mann_kendall": 10,
+    "stream_psi": 10,
+    "doc_source_kl": 10,
 }
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).

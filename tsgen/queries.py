@@ -84,42 +84,34 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 #      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
 #      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # Current driver window (driver artifacts stop at CORRECTNESS_r08, so
-    # rotate_window.py recomputes the backlog from r01–r08 plus the
-    # INVALIDATED table: 94 names = 21 never-certified + re-certs for every
-    # post-r8 plan rewire. This slice takes the invalidated re-certs first —
-    # embed_abtt_recall (covariance-kernel unification), li_wagner_whitin and
-    # doc_keyphrases (recompute-census pins) enter; ev_funnel, ev_retention,
-    # ev_funnel_stages roll to the next window with the rest).
-    # canaries (green r01–r08)
+    # Driver-round-10 window (exact rotate_window.py output after the
+    # VERDICT-r09 renumbering fix: INVALIDATED rounds are now DRIVER
+    # rounds, so the four r9-certified rewires — embed_abtt_recall,
+    # li_wagner_whitin, doc_keyphrases, ev_gap_stats — count and the
+    # backlog is 54: r9 events/similarity/misc leftovers + the seven new
+    # r9 eval-frontier queries + the recompute-census re-certs. The 7
+    # spillover names are pinned in NEXT.md for the r11 window.)
+    # canaries (green r01–r09)
     "gen_sine", "series_stats", "sample_data_mixed",
-    # invalidated re-certs: post-r8 rewires with stale greens
-    "embed_abtt_recall", "li_wagner_whitin", "doc_keyphrases",
-    # r9 rewrites whose earlier certifications were invalidated
-    "ev_gap_stats",
-    # r8 analytics-long-tail spillover
-    "ev_chi_square", "ev_benford", "ts_spectral_entropy", "ev_winsorize",
-    # round-8 snapshot addition (registered after the r8 window froze)
-    "multimodal_decode",
-    # r8 round-before-rank rewrite invalidated these certifications
-    # (ADVICE r08, tools/rotate_window.py INVALIDATED) — re-certify first
-    "ann_ivf", "ann_ivf_recall", "embed_kmeans", "embed_pq",
-    # r9: pipeline/scale
-    "split_assign", "ev_gbm_stumps", "name_match_jw", "name_match_snm",
-    "ann_rrf", "global_row_ids", "stratified_sample", "weighted_sample",
-    # r9: warehouse
-    "ev_mview_merge", "ev_merge_upsert", "ev_time_travel", "li_zone_map",
-    "ev_retract_merge", "ev_cdc_apply", "ev_scd2", "ev_ffill",
-    "table_profile", "key_skew_profile", "zorder_cluster", "orders_checksum",
-    "snapshot_diff",
-    # r9: product/experiment
-    "ab_experiment", "user_survival", "revenue_gini", "ev_funnel_latency",
-    "ev_cohort_ltv", "ev_msprt_by_type", "ev_power_analysis",
-    # r9: decompose/forecast extras
-    "ts_prophet_forecast", "trend_theilsen", "ts_anomalies",
-    "ts_robust_decompose", "classical_decompose",
-    # r9: events/tsdb leftovers (first slice; remainder rolls forward)
-    "ev_percentiles",
+    # r9 events/tsdb leftovers
+    "ev_funnel", "ev_retention", "ev_funnel_stages", "ev_running_balance",
+    "ev_ohlc", "ev_twap", "ev_time_features", "ev_interval_union",
+    # r9 similarity/sketch leftovers
+    "embed_centroids", "embed_drift", "dd_quantiles_by_type",
+    "ev_value_deciles", "cms_join_size",
+    # r9 misc leftovers
+    "dq_checks", "ev_k_anonymity", "basket_rules", "li_supplier_hhi",
+    "train_denoiser_fourier",
+    # recompute-census / scaffold rewires (INVALIDATED → 10) interleaved
+    # with the seven new r9 eval-frontier registrations
+    "ev_rank_funcs", "ev_shapley_attr", "trend_poly3", "trend_quadratic",
+    "doc_filter_frontier", "doc_ccnet_buckets", "token_ppmi",
+    "pack_budget_frontier", "ann_ivfpq_recall", "ann_rerank_frontier",
+    "ann_int8_recall", "ann_ivf_frontier", "embed_hard_negatives",
+    "doc_lang_rebalance", "doc_lang_temperature", "embed_cluster_purity",
+    "doc_source_kl", "forecast_reconcile", "ev_logreg", "doc_nb_classify",
+    "ev_poisson_glm", "ev_hazard_glm", "stratified_rank", "ts_features",
+    "ev_psi_drift", "stream_psi", "ts_coint", "ts_pacf", "ts_ljung_box",
 )
 
 
