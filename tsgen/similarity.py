@@ -26,6 +26,12 @@ def _to_double(col: str) -> F.Column:
 
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """All-zero vectors are out of contract for the similarity family:
+    norm 0 makes cosine NaN here, and the derived scale in quantize_int8 /
+    int8_recall is likewise 0 → NaN reconstruction. Both engines (Spark and
+    the DuckDB oracles) degrade identically, so there is no cross-engine
+    skew — but ranks involving such rows are meaningless. The generators
+    never emit them; external corpora should drop zero vectors upstream."""
     v = _to_double(vec)
     dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     return df.withColumn("_vec", v).withColumn("norm", F.sqrt(dot))
@@ -587,7 +593,10 @@ def int8_recall(
     Approx ranks round at 6dp before ranking with vec_id tiebreak —
     quantization makes GENUINE score ties likely (distinct vectors can
     reconstruct identically), unlike the continuous exact side which uses
-    the raw-rank brute-force precedent. -> (query_id, hits, recall_at_k)."""
+    the raw-rank brute-force precedent. -> (query_id, hits, recall_at_k).
+
+    All-zero vectors (scale 0 → NaN reconstruction) are out of contract,
+    matching the with_norm convention — see its docstring."""
     v = with_norm(df, vec)
     rec = (
         v.withColumn(
@@ -2092,10 +2101,6 @@ def _ivfpq_sql_core(
         "list_reduce(list_prepend(0.0e0, list_transform(range(1, {ds} + 1), "
         "i -> (q.qsub[i] - c.cvec[i]) * (q.qsub[i] - c.cvec[i]))), (a, b) -> a + b)"
     ).format(ds=d_sub)
-    ex_d2 = (
-        "list_reduce(list_prepend(0.0e0, list_transform(range(1, {d} + 1), "
-        "i -> (q.vec[i] - cp.vec[i]) * (q.vec[i] - cp.vec[i]))), (a, b) -> a + b)"
-    ).format(d=dim)
     # residual-PQ codebook chain, re-rooted on pv (p-prefixed to avoid
     # colliding with the coarse a0/m0 CTEs)
     pq_parts = [
