@@ -278,6 +278,11 @@ def main() -> None:
         "ann_rerank_frontier",
         "pack_budget_frontier",
         "doc_filter_frontier",
+        # round-10: dedup operating-point frontiers (threshold / banding /
+        # SemDeDup epsilon — one pair evaluation, every operating point)
+        "dedup_threshold_frontier",
+        "minhash_band_frontier",
+        "semdedup_eps_frontier",
     ]
     reg = registry()
     for name in suite:

@@ -1,0 +1,101 @@
+"""Property tests for the round-10 dedup operating-point frontiers.
+
+Each frontier must (a) agree exactly with its certified single-point
+sibling at the shared operating point and (b) be monotone along its
+axis — the two invariants the oracle gate alone can't phrase. Values
+are certified by tools/check_oracle.py against the DuckDB twins.
+"""
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_threshold_frontier_agrees_with_ppjoin_at_base(docs):
+    from tsgen.dedup import PREFIX_T, dedup_threshold_frontier, prefix_jaccard
+
+    rows = {r.thr_pct: r for r in dedup_threshold_frontier(docs).collect()}
+    assert sorted(rows) == [50, 60, 70, 80, 90]
+    # thr_pct=50 is the base PPJoin run itself: identical pair count, and
+    # the removed-doc count equals the distinct higher ids of those pairs
+    base = prefix_jaccard(docs, threshold=PREFIX_T).collect()
+    assert rows[50].n_pairs == len(base)
+    assert rows[50].n_docs_removed == len({r.doc_b for r in base})
+
+
+def test_threshold_frontier_monotone(docs):
+    from tsgen.dedup import dedup_threshold_frontier
+
+    rows = sorted(dedup_threshold_frontier(docs).collect(), key=lambda r: r.thr_pct)
+    for a, b in zip(rows, rows[1:]):
+        # raising the threshold can only shrink the dup set
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_removed >= b.n_docs_removed
+        assert a.shingles_removed >= b.shingles_removed
+
+
+def test_band_frontier_agrees_with_single_point_eval(docs):
+    from tsgen.dedup import lsh_recall_eval, minhash_band_frontier
+
+    rows = {r.bands: r for r in minhash_band_frontier(docs).collect()}
+    assert sorted(rows) == [2, 4, 8, 16]
+    # the bands=4 row IS lsh_recall_eval (same 16-hash portable signature,
+    # same 4x4 banding, same exact-PPJoin truth at the eval threshold)
+    single = lsh_recall_eval(docs).collect()[0]
+    r4 = rows[4]
+    assert (r4.n_cand, r4.n_hits, r4.n_truth) == (
+        single.n_cand,
+        single.n_hits,
+        single.n_truth,
+    )
+    assert r4.recall == single.recall
+    assert r4.precision == single.precision
+
+
+def test_band_frontier_candidate_sets_nested(docs):
+    from tsgen.dedup import minhash_band_frontier
+
+    rows = {r.bands: r for r in minhash_band_frontier(docs).collect()}
+    # an r-row band collision implies collisions of all its sub-bands, so
+    # candidates (and hits, and therefore recall) shrink as rows/band grows
+    for coarse, fine in [(16, 8), (8, 4), (4, 2)]:
+        assert rows[coarse].n_cand >= rows[fine].n_cand
+        assert rows[coarse].n_hits >= rows[fine].n_hits
+    # truth is banding-independent
+    assert len({r.n_truth for r in rows.values()}) == 1
+    for r in rows.values():
+        assert r.rows_per_band == 16 // r.bands
+
+
+def test_semdedup_eps_frontier_agrees_with_lsh_pairs(emb):
+    from tsgen.similarity import lsh_pairs, semdedup_eps_frontier
+
+    rows = {r.eps_pct: r for r in semdedup_eps_frontier(emb).collect()}
+    assert sorted(rows) == [20, 30, 40, 50]
+    # eps=0.2 is the base LSH evaluation: every base pair has raw cos >= 0.2,
+    # so its 6dp-rounded score also clears 0.2 — identical pair set
+    base = lsh_pairs(emb, threshold=0.2).collect()
+    assert rows[20].n_pairs == len(base)
+    assert rows[20].n_removed == len({r.id_b for r in base})
+    assert rows[20].n_vectors == emb.count()
+
+
+def test_semdedup_eps_frontier_monotone(emb):
+    from tsgen.similarity import semdedup_eps_frontier
+
+    rows = sorted(semdedup_eps_frontier(emb).collect(), key=lambda r: r.eps_pct)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_removed >= b.n_removed
+        assert a.frac_removed >= b.frac_removed

@@ -1072,3 +1072,34 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- round-10: dedup operating-point frontiers -----------------------------
+# The dedup/semantic-dedup analogues of the r9 ANN frontiers: one bounded
+# pair evaluation, every operating point an operator would consider before
+# committing a 100 TB dedup run (Jaccard threshold, LSH banding, SemDeDup
+# epsilon). Each pins exact agreement with its certified single-point
+# sibling (doc_prefix_jaccard / lsh_recall_eval / semdedup-family lsh_pairs)
+# in tests/test_dedup_frontiers.py.
+_REGISTRY.update(
+    {
+        "dedup_threshold_frontier": Query(
+            "dedup_threshold_frontier",
+            lambda spark, sf_dir: dedup.dedup_threshold_frontier(_docs(spark, sf_dir)),
+            dedup.dedup_threshold_frontier_sql(),
+            ("dedup", "eval"),
+        ),
+        "minhash_band_frontier": Query(
+            "minhash_band_frontier",
+            lambda spark, sf_dir: dedup.minhash_band_frontier(_docs(spark, sf_dir)),
+            dedup.minhash_band_frontier_sql(),
+            ("dedup", "eval"),
+        ),
+        "semdedup_eps_frontier": Query(
+            "semdedup_eps_frontier",
+            lambda spark, sf_dir: similarity.semdedup_eps_frontier(_emb(spark, sf_dir)),
+            similarity.semdedup_eps_frontier_sql(),
+            ("dedup", "similarity", "eval"),
+        ),
+    }
+)

@@ -1060,6 +1060,87 @@ WHERE list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) >= {threshold:.9e}
 """
 
 
+SEM_EPS = (0.2, 0.3, 0.4, 0.5)  # SemDeDup cosine thresholds (round-10 frontier)
+
+
+def semdedup_eps_frontier(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """SemDeDup aggressiveness frontier: removal volume at EVERY cosine
+    epsilon from ONE hyperplane-LSH pair evaluation at the loosest
+    epsilon. Removal uses the keep-first convention the practical
+    SemDeDup implementations use (a vector is dropped iff it has a
+    lower-id neighbor at cos >= eps) — the greedy approximation of
+    one-per-cluster that needs no per-epsilon connected components.
+
+    Cross-engine float discipline: the SQL lsh_pairs twin emits cos_sim
+    rounded at 6dp, so the Spark side applies the SAME house rounding
+    (round(x + 1e-9, 6)) before comparing against the eps literals —
+    both engines then compare identical doubles. Epsilons with no pairs
+    still emit a row (left join from the eps dim).
+
+    Scale shape: the pair generator is the banded LSH self-join (no
+    all-pairs); the pinned pair set is re-filtered once per epsilon.
+    -> (eps_pct, n_pairs, n_removed, n_vectors, frac_removed)."""
+    base = min(SEM_EPS)
+    pairs = (
+        lsh_pairs(df, threshold=base, vec=vec)
+        .withColumn("cos6", F.round(F.col("cos_sim") + F.lit(1.0e-9), 6) + F.lit(0.0))
+        .localCheckpoint(eager=False)
+    )
+    spark = df.sparkSession
+    eps = spark.createDataFrame([(e,) for e in SEM_EPS], "eps double")
+    flagged = pairs.crossJoin(F.broadcast(eps)).filter(F.col("cos6") >= F.col("eps"))
+    per_eps = flagged.groupBy("eps").agg(F.count("*").alias("n_pairs"))
+    removed = (
+        flagged.select("eps", "id_b").distinct().groupBy("eps").agg(F.count("*").alias("n_removed"))
+    )
+    ntot = df.agg(F.count("*").alias("n_vectors"))
+    return (
+        eps.join(per_eps, "eps", "left")
+        .join(removed, "eps", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            F.round(F.col("eps") * 100).cast("bigint").alias("eps_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            (
+                F.round(
+                    F.coalesce("n_removed", F.lit(0)).cast("double") / F.col("n_vectors")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("frac_removed"),
+        )
+    )
+
+
+def semdedup_eps_frontier_sql() -> str:
+    from . import expr as E
+
+    base = min(SEM_EPS)
+    eps_list = ", ".join(E.NUM(e) for e in SEM_EPS)
+    return f"""
+WITH pairs AS MATERIALIZED ({lsh_pairs_sql(threshold=base)}),
+eps AS (SELECT unnest([{eps_list}]) AS eps),
+flagged AS (
+  SELECT e.eps, p.id_b FROM pairs p JOIN eps e ON p.cos_sim >= e.eps),
+per_eps AS (SELECT eps, count(*) AS n_pairs FROM flagged GROUP BY eps),
+removed AS (
+  SELECT eps, count(*) AS n_removed
+  FROM (SELECT DISTINCT eps, id_b FROM flagged) GROUP BY eps),
+ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
+SELECT CAST(round(e.eps * 100) AS BIGINT) AS eps_pct,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       t.n_vectors,
+       (round(CAST(coalesce(r.n_removed, 0) AS DOUBLE) / t.n_vectors + 1.0e-9, 6)
+        + 0.0e0) AS frac_removed
+FROM eps e LEFT JOIN per_eps p USING (eps) LEFT JOIN removed r USING (eps)
+CROSS JOIN ntot t
+"""
+
+
 # --- distributed PCA (variance structure of the embedding space) -----------
 def _gram_sufficient_stats(df: DataFrame, vec: str = "embedding"):
     """Distributed sufficient statistics for any covariance-based kernel:
