@@ -283,6 +283,7 @@ def main() -> None:
         "dedup_threshold_frontier",
         "minhash_band_frontier",
         "semdedup_eps_frontier",
+        "curation_funnel",
     ]
     reg = registry()
     for name in suite:

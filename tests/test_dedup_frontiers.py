@@ -99,3 +99,26 @@ def test_semdedup_eps_frontier_monotone(emb):
         assert a.n_pairs >= b.n_pairs
         assert a.n_removed >= b.n_removed
         assert a.frac_removed >= b.frac_removed
+
+
+def test_curation_funnel_monotone_and_pinned_to_corpus_curation(spark, docs):
+    from tsgen.queries import registry
+
+    reg = registry()
+    rows = sorted(
+        reg["curation_funnel"].spark_fn(spark, SF).collect(), key=lambda r: r.stage
+    )
+    assert [r.stage_name for r in rows] == [
+        "raw", "lang_id", "quality", "exact_dedup", "near_dedup",
+    ]
+    assert rows[0].n_docs == docs.count()
+    assert rows[0].frac_docs == 1.0
+    for a, b in zip(rows, rows[1:]):
+        # each gate can only shrink the corpus
+        assert a.n_docs >= b.n_docs
+        assert a.n_tokens >= b.n_tokens
+    # corpus_curation's survivors are exactly the stage-3 cut (lang +
+    # quality + exact-dedup; it applies no near-dup gate)
+    cur = reg["corpus_curation"].spark_fn(spark, SF).collect()
+    assert rows[3].n_docs == sum(r.n_docs for r in cur)
+    assert rows[3].n_tokens == sum(r.total_tokens for r in cur)

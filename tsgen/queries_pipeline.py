@@ -1103,3 +1103,151 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- round-10: end-to-end curation funnel readout ---------------------------
+# The per-stage survival table for the whole curation pipeline — the number
+# a 100 TB run reports after each gate, where corpus_curation reports only
+# the final survivors. Stages apply cumulatively in pipeline order:
+#   0 raw corpus
+#   1 language-id agreement (stopword-ratio heuristic = recorded lang)
+#   2 quality gates (token-count bounds + lexical diversity)
+#   3 exact dedup keep-first (md5 fingerprint, keeper = min doc_id)
+#   4 near-dup keep-first (PPJoin at Jaccard >= 0.5; drop the higher id)
+# Stage predicates are per-doc flags computed on the raw corpus (one
+# codegen'd pass + one window shuffle + the bounded PPJoin pipeline), then
+# ONE aggregate emits all five cumulative rows — no per-stage rescans.
+
+
+def _q_curation_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = text.fingerprint(_docs(spark, sf_dir))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    en_hits = F.expr(
+        f"size(filter(split(text, ' '), w -> w IN ({text._in_list(text.STOPWORDS['en'])})))"
+    )
+    es_hits = F.expr(
+        f"size(filter(split(text, ' '), w -> w IN ({text._in_list(text.STOPWORDS['es'])})))"
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    neardup = (
+        dedup.prefix_jaccard(_docs(spark, sf_dir), threshold=dedup.PREFIX_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    flags = (
+        docs.withColumn("n_tokens", n.cast("long"))
+        .withColumn(
+            "p1",
+            F.when(en_hits / n >= es_hits / n, F.lit("en")).otherwise(F.lit("es"))
+            == F.col("lang"),
+        )
+        .withColumn(
+            "p2",
+            F.col("n_tokens").between(CUR_MIN_TOKENS, CUR_MAX_TOKENS)
+            & (F.size(F.array_distinct(toks)) / n >= CUR_MIN_DISTINCT),
+        )
+        .withColumn("p3", F.row_number().over(w) == 1)
+        .join(neardup, "doc_id", "left")
+        .withColumn("p4", F.col("_nd").isNull())
+    )
+    conds = [
+        F.lit(True),
+        F.col("p1"),
+        F.col("p1") & F.col("p2"),
+        F.col("p1") & F.col("p2") & F.col("p3"),
+        F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"),
+    ]
+    aggs = []
+    for i, c in enumerate(conds):
+        aggs.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"d{i}"))
+        aggs.append(F.sum(F.when(c, F.col("n_tokens")).otherwise(0)).alias(f"t{i}"))
+    one = flags.agg(*aggs)
+    names = ["raw", "lang_id", "quality", "exact_dedup", "near_dedup"]
+    stack = ", ".join(
+        f"{i}L, '{names[i]}', d{i}, t{i}" for i in range(5)
+    )
+    out = one.selectExpr(
+        f"stack(5, {stack}) AS (stage, stage_name, n_docs, n_tokens)"
+    )
+    out = out.select(
+        F.col("stage").cast("bigint").alias("stage"),
+        "stage_name",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.first("n_docs").over(
+                    Window.orderBy("stage").rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("frac_docs"),
+    )
+    return out
+
+
+def _curation_funnel_sql() -> str:
+    nd = dedup.prefix_jaccard_sql(threshold=dedup.PREFIX_T)
+    en = text._in_list(text.STOPWORDS["en"])
+    es = text._in_list(text.STOPWORDS["es"])
+    return f"""
+WITH ndp AS MATERIALIZED ({nd}),
+nd AS (SELECT DISTINCT doc_b AS doc_id FROM ndp),
+flags AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         (CASE WHEN CAST(len(list_filter(string_split(d.text, ' '), w -> w IN ({en}))) AS DOUBLE) / len(string_split(d.text, ' '))
+                >= CAST(len(list_filter(string_split(d.text, ' '), w -> w IN ({es}))) AS DOUBLE) / len(string_split(d.text, ' '))
+               THEN 'en' ELSE 'es' END) = d.lang AS p1,
+         len(string_split(d.text, ' ')) BETWEEN {CUR_MIN_TOKENS} AND {CUR_MAX_TOKENS}
+           AND CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+               / len(string_split(d.text, ' ')) >= {CUR_MIN_DISTINCT:.9e} AS p2,
+         row_number() OVER (
+           PARTITION BY md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g')))
+           ORDER BY d.doc_id) = 1 AS p3,
+         n.doc_id IS NULL AS p4
+  FROM documents d LEFT JOIN nd n ON n.doc_id = d.doc_id),
+agg AS (
+  SELECT count(*) AS d0, sum(n_tokens) AS t0,
+         sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN p1 THEN n_tokens ELSE 0 END) AS t1,
+         sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS d2,
+         sum(CASE WHEN p1 AND p2 THEN n_tokens ELSE 0 END) AS t2,
+         sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS d3,
+         sum(CASE WHEN p1 AND p2 AND p3 THEN n_tokens ELSE 0 END) AS t3,
+         sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS d4,
+         sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN n_tokens ELSE 0 END) AS t4
+  FROM flags),
+stages AS (
+  SELECT 0 AS stage, 'raw' AS stage_name, d0 AS n_docs, t0 AS n_tokens, d0 FROM agg
+  UNION ALL SELECT 1, 'lang_id', d1, t1, d0 FROM agg
+  UNION ALL SELECT 2, 'quality', d2, t2, d0 FROM agg
+  UNION ALL SELECT 3, 'exact_dedup', d3, t3, d0 FROM agg
+  UNION ALL SELECT 4, 'near_dedup', d4, t4, d0 FROM agg)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       (round(CAST(n_docs AS DOUBLE) / d0 + 1.0e-9, 6) + 0.0e0) AS frac_docs
+FROM stages
+"""
+
+
+_REGISTRY.update(
+    {
+        "curation_funnel": Query(
+            "curation_funnel",
+            _q_curation_funnel,
+            _curation_funnel_sql(),
+            ("pipeline", "llm"),
+        ),
+    }
+)
