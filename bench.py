@@ -284,6 +284,8 @@ def main() -> None:
         "minhash_band_frontier",
         "semdedup_eps_frontier",
         "curation_funnel",
+        "dedup_incremental",
+        "ivf_cell_profile",
     ]
     reg = registry()
     for name in suite:

@@ -122,3 +122,63 @@ def test_curation_funnel_monotone_and_pinned_to_corpus_curation(spark, docs):
     cur = reg["corpus_curation"].spark_fn(spark, SF).collect()
     assert rows[3].n_docs == sum(r.n_docs for r in cur)
     assert rows[3].n_tokens == sum(r.total_tokens for r in cur)
+
+
+def test_dedup_incremental_planted_shard(spark):
+    from tsgen.dedup import dedup_incremental
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "iota kappa lambda mu nu xi omicron pi"
+    rows = [
+        # new shard = doc_id % 10 == 0
+        (0, "web", base_text),      # dup of base doc 3
+        (10, "web", base_text),     # dup of base doc 3 AND of earlier new doc 0
+        (20, "web", uniq),          # unique
+        (3, "web", base_text),      # base copy
+        (5, "web", "rho sigma tau upsilon phi chi psi omega"),
+        (7, "books", "one two three four five six seven eight"),
+        (30, "books", "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r.source: r for r in dedup_incremental(docs).collect()}
+    assert out["web"].n_new == 3
+    assert out["web"].dup_vs_base == 2        # docs 0 and 10 both match base 3
+    assert out["web"].dup_within_new == 1     # doc 10 matches earlier new doc 0
+    assert abs(out["web"].dup_frac - 2 / 3) < 1e-6
+    assert out["books"].n_new == 1
+    assert out["books"].dup_vs_base == 0
+    assert out["books"].dup_within_new == 0
+    assert out["books"].dup_frac == 0.0
+
+
+def test_dedup_incremental_matches_full_lsh_restriction(spark, docs):
+    from tsgen.dedup import INCR_MOD, dedup_incremental, minhash_portable_pairs
+
+    # The incremental run must equal the FULL portable-LSH run (same
+    # banding, same verify threshold) restricted to pairs involving a new
+    # doc: dup_vs_base docs = new docs with any base partner in the full
+    # pair set; dup_within_new docs = new docs with an earlier new partner.
+    out = dedup_incremental(docs).collect()
+    full = minhash_portable_pairs(docs).collect()
+    vs_base, within = set(), set()
+    for r in full:
+        for new, other in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if new % INCR_MOD != 0:
+                continue
+            if other % INCR_MOD != 0:
+                vs_base.add(new)
+            elif other < new:
+                within.add(new)
+    assert sum(r.dup_vs_base for r in out) == len(vs_base)
+    assert sum(r.dup_within_new for r in out) == len(within)
+
+
+def test_ivf_cell_profile_partitions_the_corpus(spark, emb):
+    from tsgen.similarity import ivf_cell_profile
+
+    rows = ivf_cell_profile(emb).collect()
+    assert 1 <= len(rows) <= 8
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert abs(sum(r.frac_vecs for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert -1.0 <= r.mean_cent_sim <= 1.0 + 1e-9

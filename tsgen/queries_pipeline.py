@@ -1251,3 +1251,22 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- round-10: incremental dedup + IVF index maintenance --------------------
+_REGISTRY.update(
+    {
+        "dedup_incremental": Query(
+            "dedup_incremental",
+            lambda spark, sf_dir: dedup.dedup_incremental(_docs(spark, sf_dir)),
+            dedup.dedup_incremental_sql(),
+            ("dedup", "pipeline"),
+        ),
+        "ivf_cell_profile": Query(
+            "ivf_cell_profile",
+            lambda spark, sf_dir: similarity.ivf_cell_profile(_emb(spark, sf_dir)),
+            similarity.ivf_cell_profile_sql(),
+            ("similarity", "eval"),
+        ),
+    }
+)

@@ -256,6 +256,57 @@ GROUP BY b.query_id ORDER BY b.query_id
 """
 
 
+def ivf_cell_profile(df: DataFrame, n_cells: int = 8, vec: str = "embedding") -> DataFrame:
+    """IVF index-maintenance readout: per-cell population, corpus share,
+    and mean cosine to the cell centroid after the certified ivf_assign
+    (deterministic seeds + one Lloyd refinement). At 100 TB this is the
+    table that decides when to re-train the coarse quantizer — skewed
+    frac_vecs means hot cells dominate probe cost, and a falling
+    mean_cent_sim means the centroids no longer fit the data (drift).
+
+    Scale shape: one broadcast join of the assignment against the tiny
+    centroid table, one groupBy on cell_id (n_cells rows). The corpus
+    share is computed with a window over the n_cells-row aggregate, not a
+    second corpus pass. -> (cell_id, n_vecs, frac_vecs, mean_cent_sim)."""
+    assigned, seeds = ivf_assign(df, n_cells, vec)
+    sim = assigned.join(F.broadcast(seeds), "cell_id").withColumn(
+        "cs",
+        F.round(cosine("_vec", "svec") / (F.col("norm") * F.col("snorm")) + F.lit(1e-12), 9),
+    )
+    agg = sim.groupBy("cell_id").agg(
+        F.count("*").alias("n_vecs"), F.avg("cs").alias("mcs")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        (
+            F.round(
+                F.col("n_vecs").cast("double") / F.sum("n_vecs").over(w) + F.lit(1e-9), 6
+            )
+            + F.lit(0.0)
+        ).alias("frac_vecs"),
+        (F.round(F.col("mcs") + F.lit(1e-9), 6) + F.lit(0.0)).alias("mean_cent_sim"),
+    )
+
+
+def ivf_cell_profile_sql(n_cells: int = 8, dim: int = 64) -> str:
+    return f"""
+WITH {_ivf_chain_sql(n_cells, dim)},
+sim AS (
+  SELECT a1.cell_id,
+         round(list_dot_product(a1.vec, c.svec) / (a1.norm * c.snorm) + 1.0e-12, 9) AS cs
+  FROM a1 JOIN c1 c USING (cell_id)),
+agg AS (SELECT cell_id, count(*) AS n_vecs, avg(cs) AS mcs FROM sim GROUP BY cell_id)
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       (round(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () + 1.0e-9, 6) + 0.0e0)
+         AS frac_vecs,
+       (round(mcs + 1.0e-9, 6) + 0.0e0) AS mean_cent_sim
+FROM agg
+"""
+
+
 # --- int8 quantization (storage/bandwidth path for ANN at scale) ----------
 EMB_DIM = 64
 MMR_LAMBDA, MMR_C, MMR_K = 0.7, 16, 8
@@ -1986,21 +2037,13 @@ FROM nt, mi, hc, hl, pur
 """
 
 
-def ivf_topk_sql(
-    n_queries: int, k: int = 5, n_cells: int = 8, nprobe: int = 3, dim: int = EMB_DIM
-) -> str:
-    """DuckDB oracle twin of ivf_topk (deterministic seeds + 1 Lloyd
-    refinement + nprobe probing), unrolled as chained CTEs like
-    kmeans_l2_sql — upgrading ann_ivf from rows-only to value-checked.
-    Cell-assignment and probe ranks use the 9dp round-before-rank idiom in
-    both engines (refined centroids are float means — ADVICE r07 class);
-    the final corpus-pair rank stays raw per the cosine_topk/embed_neardup
-    precedent (margins between distinct data vectors are continuous and
-    astronomically larger than ulps)."""
+def _ivf_chain_sql(n_cells: int = 8, dim: int = EMB_DIM) -> str:
+    """Shared IVF front (v → c0 seeds → a0 assign → m0/c1 Lloyd refine →
+    a1 final assign) used by ivf_topk_sql and ivf_cell_profile_sql. The
+    text is byte-identical to the pre-factoring ivf_topk_sql body, so the
+    certified ann_ivf / ann_ivf_recall oracle strings are unchanged."""
     cs = "round(list_dot_product(v.vec, c.svec) / (v.norm * c.snorm) + 1.0e-12, 9)"
-    qcs = "round(list_dot_product(q.qvec, c.svec) / (q.qnorm * c.snorm) + 1.0e-12, 9)"
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
          sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
@@ -2023,7 +2066,23 @@ a1 AS (
   SELECT vec_id, vec, norm, cell_id FROM (
     SELECT v.vec_id, v.vec, v.norm, c.cell_id,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY {cs} DESC, c.cell_id ASC) AS rn
-    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+    FROM v CROSS JOIN c1 c) WHERE rn = 1)"""
+
+
+def ivf_topk_sql(
+    n_queries: int, k: int = 5, n_cells: int = 8, nprobe: int = 3, dim: int = EMB_DIM
+) -> str:
+    """DuckDB oracle twin of ivf_topk (deterministic seeds + 1 Lloyd
+    refinement + nprobe probing), unrolled as chained CTEs like
+    kmeans_l2_sql — upgrading ann_ivf from rows-only to value-checked.
+    Cell-assignment and probe ranks use the 9dp round-before-rank idiom in
+    both engines (refined centroids are float means — ADVICE r07 class);
+    the final corpus-pair rank stays raw per the cosine_topk/embed_neardup
+    precedent (margins between distinct data vectors are continuous and
+    astronomically larger than ulps)."""
+    qcs = "round(list_dot_product(q.qvec, c.svec) / (q.qnorm * c.snorm) + 1.0e-12, 9)"
+    return f"""
+WITH {_ivf_chain_sql(n_cells, dim)},
 q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm FROM v WHERE vec_id < {n_queries}),
 probes AS (
   SELECT query_id, qvec, qnorm, cell_id FROM (
