@@ -284,7 +284,7 @@ def main() -> None:
         "minhash_band_frontier",
         "semdedup_eps_frontier",
         "curation_funnel",
-        "dedup_incremental",
+        "dedup_incremental_lsh",
         "ivf_cell_profile",
     ]
     reg = registry()

@@ -125,7 +125,7 @@ def test_curation_funnel_monotone_and_pinned_to_corpus_curation(spark, docs):
 
 
 def test_dedup_incremental_planted_shard(spark):
-    from tsgen.dedup import dedup_incremental
+    from tsgen.dedup import dedup_incremental_lsh
 
     base_text = "alpha beta gamma delta epsilon zeta eta theta"
     uniq = "iota kappa lambda mu nu xi omicron pi"
@@ -140,7 +140,7 @@ def test_dedup_incremental_planted_shard(spark):
         (30, "books", "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
-    out = {r.source: r for r in dedup_incremental(docs).collect()}
+    out = {r.source: r for r in dedup_incremental_lsh(docs).collect()}
     assert out["web"].n_new == 3
     assert out["web"].dup_vs_base == 2        # docs 0 and 10 both match base 3
     assert out["web"].dup_within_new == 1     # doc 10 matches earlier new doc 0
@@ -152,13 +152,13 @@ def test_dedup_incremental_planted_shard(spark):
 
 
 def test_dedup_incremental_matches_full_lsh_restriction(spark, docs):
-    from tsgen.dedup import INCR_MOD, dedup_incremental, minhash_portable_pairs
+    from tsgen.dedup import INCR_MOD, dedup_incremental_lsh, minhash_portable_pairs
 
     # The incremental run must equal the FULL portable-LSH run (same
     # banding, same verify threshold) restricted to pairs involving a new
     # doc: dup_vs_base docs = new docs with any base partner in the full
     # pair set; dup_within_new docs = new docs with an earlier new partner.
-    out = dedup_incremental(docs).collect()
+    out = dedup_incremental_lsh(docs).collect()
     full = minhash_portable_pairs(docs).collect()
     vs_base, within = set(), set()
     for r in full:

@@ -1256,10 +1256,10 @@ _REGISTRY.update(
 # --- round-10: incremental dedup + IVF index maintenance --------------------
 _REGISTRY.update(
     {
-        "dedup_incremental": Query(
-            "dedup_incremental",
-            lambda spark, sf_dir: dedup.dedup_incremental(_docs(spark, sf_dir)),
-            dedup.dedup_incremental_sql(),
+        "dedup_incremental_lsh": Query(
+            "dedup_incremental_lsh",
+            lambda spark, sf_dir: dedup.dedup_incremental_lsh(_docs(spark, sf_dir)),
+            dedup.dedup_incremental_lsh_sql(),
             ("dedup", "pipeline"),
         ),
         "ivf_cell_profile": Query(
