@@ -286,6 +286,8 @@ def main() -> None:
         "curation_funnel",
         "dedup_incremental_lsh",
         "ivf_cell_profile",
+        "ann_dims_frontier",
+        "minhash_size_frontier",
     ]
     reg = registry()
     for name in suite:

@@ -182,3 +182,36 @@ def test_ivf_cell_profile_partitions_the_corpus(spark, emb):
     assert abs(sum(r.frac_vecs for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert -1.0 <= r.mean_cent_sim <= 1.0 + 1e-9
+
+
+def test_dims_frontier_anchor_and_trunc_recall_agreement(spark, emb):
+    from tsgen.similarity import dims_frontier, trunc_recall
+
+    rows = {r.dims: r for r in dims_frontier(emb).collect()}
+    assert sorted(rows) == [8, 16, 32, 64]
+    # the full-width row is the truth metric itself
+    assert rows[64].mean_recall == 1.0
+    for r in rows.values():
+        assert r.bytes_per_vec == 4 * r.dims
+        assert 0.0 <= r.mean_recall <= 1.0
+    # the dims=16 row is embed_trunc_recall's protocol: per-query overlap/k
+    # is an exact rational, so the mean of its rounded per-query recalls
+    # equals the frontier's pooled hits/(k*n) exactly
+    tr = trunc_recall(emb).collect()
+    assert abs(rows[16].mean_recall - sum(r.recall_at_k for r in tr) / len(tr)) < 1e-9
+
+
+def test_minhash_size_frontier_shared_pairs_and_bounds(spark, docs):
+    from tsgen.dedup import minhash_portable_pairs, minhash_size_frontier
+
+    rows = {r.sig_len: r for r in minhash_size_frontier(docs).collect()}
+    assert sorted(rows) == [4, 8, 16]
+    # all three estimators are evaluated on the SAME candidate pair set —
+    # the certified (4x4) banding with verify threshold 0
+    n_cand = minhash_portable_pairs(docs, verify_threshold=0.0).count()
+    assert {r.n_pairs for r in rows.values()} == {n_cand}
+    for r in rows.values():
+        assert 0.0 <= r.mean_abs_err <= 1.0
+        assert -1.0 <= r.mean_bias <= 1.0
+        # |bias| can never exceed the mean absolute error
+        assert abs(r.mean_bias) <= r.mean_abs_err + 1e-9

@@ -1270,3 +1270,22 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- round-10: storage frontiers (ANN prefix width, minhash signature len) --
+_REGISTRY.update(
+    {
+        "ann_dims_frontier": Query(
+            "ann_dims_frontier",
+            lambda spark, sf_dir: similarity.dims_frontier(_emb(spark, sf_dir), n_queries=N_QUERIES),
+            similarity.dims_frontier_sql(N_QUERIES),
+            ("similarity", "eval"),
+        ),
+        "minhash_size_frontier": Query(
+            "minhash_size_frontier",
+            lambda spark, sf_dir: dedup.minhash_size_frontier(_docs(spark, sf_dir)),
+            dedup.minhash_size_frontier_sql(),
+            ("dedup", "eval"),
+        ),
+    }
+)

@@ -537,6 +537,121 @@ def trunc_recall(
     )
 
 
+DIMS_FRONTIER = (8, 16, 32, 64)
+
+
+def dims_frontier(
+    emb: DataFrame, n_queries: int = 10, k: int = TRUNC_K, vec: str = "embedding"
+) -> DataFrame:
+    """Matryoshka storage frontier: mean recall@k of prefix-cosine
+    retrieval at EVERY stored width (8/16/32/64 dims) from ONE pair
+    table — the per-width generalization of embed_trunc_recall
+    (Kusupati et al. 2022). At 100 TB the hot index stores a prefix and
+    the full vector stays cold; this table is the storage-vs-recall
+    curve that picks the width (bytes_per_vec = 4·dims for float32).
+    The dims=64 row is the truth metric itself — recall exactly 1, a
+    built-in self-check.
+
+    One broadcast-join pair pass computes all four 6dp-rounded
+    similarities; the four rank windows share one (query_id) exchange.
+    -> (dims, bytes_per_vec, mean_recall)."""
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    def cos6(a, b):
+        return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))) + F.lit(1e-9), 6)
+
+    v = emb.select("vec_id", _to_double(vec).alias("v"))
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            cos6(F.slice(F.col("qv"), 1, d), F.slice(F.col("v"), 1, d)).alias(f"s{d}")
+            for d in DIMS_FRONTIER
+        ],
+    )
+    ranked = sim
+    for d in DIMS_FRONTIER:
+        w = Window.partitionBy("query_id").orderBy(F.desc(f"s{d}"), F.asc("neighbor_id"))
+        ranked = ranked.withColumn(f"r{d}", F.row_number().over(w))
+    full = max(DIMS_FRONTIER)
+    aggs = []
+    for d in DIMS_FRONTIER:
+        hit = F.when((F.col(f"r{full}") <= k) & (F.col(f"r{d}") <= k), 1).otherwise(0)
+        aggs.append(F.sum(hit).alias(f"h{d}"))
+    one = ranked.agg(*aggs)
+    stack = ", ".join(f"{d}L, h{d}" for d in DIMS_FRONTIER)
+    denom = float(k * n_queries)
+    return (
+        one.selectExpr(f"stack({len(DIMS_FRONTIER)}, {stack}) AS (dims, hits)")
+        .select(
+            F.col("dims").cast("bigint").alias("dims"),
+            (F.col("dims") * 4).cast("bigint").alias("bytes_per_vec"),
+            (
+                F.round(F.col("hits").cast("double") / F.lit(denom) + F.lit(1e-9), 6)
+                + F.lit(0.0)
+            ).alias("mean_recall"),
+        )
+    )
+
+
+def dims_frontier_sql(n_queries: int = 10, k: int = TRUNC_K, dim: int = EMB_DIM) -> str:
+    def fold(a, b, n):
+        return (
+            f"list_reduce(list_prepend(0.0e0, list_transform(range(1, {n + 1}), "
+            f"i -> {a}[i] * {b}[i])), (acc, e) -> acc + e)"
+        )
+
+    def cos6(a, b, n):
+        return (
+            f"round({fold(a, b, n)} / (sqrt({fold(a, a, n)}) * sqrt({fold(b, b, n)}))"
+            f" + 1.0e-9, 6)"
+        )
+
+    sims = ",\n         ".join(
+        f"{cos6('q.qv', 'v.v', d)} AS s{d}" for d in DIMS_FRONTIER
+    )
+    ranks = ",\n         ".join(
+        f"row_number() OVER (PARTITION BY query_id ORDER BY s{d} DESC, neighbor_id ASC) AS r{d}"
+        for d in DIMS_FRONTIER
+    )
+    full = max(DIMS_FRONTIER)
+    hits = ",\n         ".join(
+        f"sum(CASE WHEN r{full} <= {k} AND r{d} <= {k} THEN 1 ELSE 0 END) AS h{d}"
+        for d in DIMS_FRONTIER
+    )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {d} AS dims, h{d} AS hits FROM agg" for d in DIMS_FRONTIER
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {n_queries}),
+sim AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {sims}
+  FROM v JOIN q ON v.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         {ranks}
+  FROM sim),
+agg AS (
+  SELECT {hits}
+  FROM ranked)
+SELECT CAST(dims AS BIGINT) AS dims,
+       CAST(dims * 4 AS BIGINT) AS bytes_per_vec,
+       (round(CAST(hits AS DOUBLE) / {float(k * n_queries)}e0 + 1.0e-9, 6) + 0.0e0)
+         AS mean_recall
+FROM ({rows})
+"""
+
+
 def trunc_recall_sql(
     n_queries: int = 10, k: int = TRUNC_K, dims: int = TRUNC_DIMS, dim: int = EMB_DIM
 ) -> str:
