@@ -288,6 +288,7 @@ def main() -> None:
         "ivf_cell_profile",
         "ann_dims_frontier",
         "minhash_size_frontier",
+        "ann_storage_frontier",
     ]
     reg = registry()
     for name in suite:

@@ -215,3 +215,30 @@ def test_minhash_size_frontier_shared_pairs_and_bounds(spark, docs):
         assert -1.0 <= r.mean_bias <= 1.0
         # |bias| can never exceed the mean absolute error
         assert abs(r.mean_bias) <= r.mean_abs_err + 1e-9
+
+
+def test_storage_frontier_rows_pin_to_certified_evals(spark, emb):
+    from tsgen.similarity import (
+        EMB_DIM,
+        int8_recall,
+        pq_recall,
+        storage_frontier,
+        trunc_recall,
+    )
+
+    rows = {r.method: r for r in storage_frontier(emb).collect()}
+    assert set(rows) == {"float32_full", "float32_trunc16", "int8_asym", "pq4x16_adc"}
+    # the anchor is the truth metric against itself — computed, not asserted
+    assert rows["float32_full"].mean_recall == 1.0
+    assert rows["float32_full"].bytes_per_vec == EMB_DIM * 4
+
+    def mean6(df):
+        vals = [r.recall_at_k for r in df.collect()]
+        return round(sum(vals) / len(vals) + 1e-9, 6)
+
+    assert abs(rows["float32_trunc16"].mean_recall - mean6(trunc_recall(emb))) < 1e-9
+    assert abs(rows["int8_asym"].mean_recall - mean6(int8_recall(emb))) < 1e-6
+    assert abs(rows["pq4x16_adc"].mean_recall - mean6(pq_recall(emb))) < 1e-6
+    # storage axis is strictly ordered: full > trunc16 >= int8-ish > pq
+    assert rows["float32_full"].bytes_per_vec > rows["float32_trunc16"].bytes_per_vec
+    assert rows["int8_asym"].bytes_per_vec > rows["pq4x16_adc"].bytes_per_vec

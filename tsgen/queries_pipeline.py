@@ -1289,3 +1289,16 @@ _REGISTRY.update(
         ),
     }
 )
+
+
+# --- round-10: cross-method ANN storage decision table -----------------------
+_REGISTRY.update(
+    {
+        "ann_storage_frontier": Query(
+            "ann_storage_frontier",
+            lambda spark, sf_dir: similarity.storage_frontier(_emb(spark, sf_dir)),
+            similarity.storage_frontier_sql(),
+            ("similarity", "eval"),
+        ),
+    }
+)

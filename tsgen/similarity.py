@@ -652,6 +652,76 @@ FROM ({rows})
 """
 
 
+def storage_frontier(emb: DataFrame, vec: str = "embedding") -> DataFrame:
+    """The cross-method ANN storage decision table: bytes per vector vs
+    mean recall for every compressed representation the engine evaluates —
+    float32 full (computed anchor: the truth metric against itself),
+    float32 16-dim Matryoshka prefix, asymmetric int8, and 4x16 PQ codes
+    under ADC. Each row is the MEAN of that method's certified per-query
+    eval (embed_trunc_recall / ann_int8_recall / ann_pq_recall), with its
+    protocol recorded (truth_metric, n_queries, k) — PQ is an L2 system,
+    the float reductions are cosine; the column makes the difference
+    explicit instead of papering over it. At 100 TB this is the first
+    table read when sizing the hot index: 256 B -> 4 B per vector spans
+    the whole cost axis, and recall is the other axis.
+
+    Scale shape: a union of four already-bounded eval pipelines, each
+    reduced to one row. The input table is pinned once (lazy
+    localCheckpoint — .persist() on a cluster): without it the union
+    re-scans the embedding parquet 11 times in one plan (recompute
+    census), once per branch of the four evals' diamond DAGs.
+    -> (method, bytes_per_vec, truth_metric, n_queries, k, mean_recall)."""
+    emb = emb.localCheckpoint(eager=False)
+    parts = [
+        ("float32_full", 64 * 4, "cosine", 10, TRUNC_K,
+         trunc_recall(emb, dims=EMB_DIM, vec=vec)),
+        ("float32_trunc16", 16 * 4, "cosine", 10, TRUNC_K,
+         trunc_recall(emb, vec=vec)),
+        # 64 int8 codes + one float64 scale
+        ("int8_asym", 64 + 8, "cosine", 16, 8, int8_recall(emb, vec=vec)),
+        # 4 sub-quantizers x 16 centroids: one byte per code; codebook amortized
+        ("pq4x16_adc", 4, "l2", 16, 8, pq_recall(emb, vec=vec)),
+    ]
+    out = None
+    for method, bytes_pv, metric, nq, k, df in parts:
+        row = df.agg(
+            (F.round(F.avg("recall_at_k") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "mean_recall"
+            )
+        ).select(
+            F.lit(method).alias("method"),
+            F.lit(bytes_pv).cast("bigint").alias("bytes_per_vec"),
+            F.lit(metric).alias("truth_metric"),
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            F.lit(k).cast("bigint").alias("k"),
+            "mean_recall",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def storage_frontier_sql(dim: int = EMB_DIM) -> str:
+    parts = [
+        ("float32_full", dim * 4, "cosine", 10, TRUNC_K,
+         trunc_recall_sql(10, dims=dim)),
+        ("float32_trunc16", 16 * 4, "cosine", 10, TRUNC_K, trunc_recall_sql(10)),
+        ("int8_asym", dim + 8, "cosine", 16, 8, int8_recall_sql()),
+        ("pq4x16_adc", 4, "l2", 16, 8, pq_recall_sql()),
+    ]
+    selects = []
+    for method, bytes_pv, metric, nq, k, sql in parts:
+        selects.append(
+            f"""SELECT '{method}' AS method,
+       CAST({bytes_pv} AS BIGINT) AS bytes_per_vec,
+       '{metric}' AS truth_metric,
+       CAST({nq} AS BIGINT) AS n_queries,
+       CAST({k} AS BIGINT) AS k,
+       (round(avg(recall_at_k) + 1.0e-9, 6) + 0.0e0) AS mean_recall
+FROM ({sql})"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 def trunc_recall_sql(
     n_queries: int = 10, k: int = TRUNC_K, dims: int = TRUNC_DIMS, dim: int = EMB_DIM
 ) -> str:
