@@ -41,6 +41,16 @@ INVALIDATED: dict[str, int] = {
     # file first certifies the rewired formulation), not internal session
     # numbers — VERDICT r09 caught the earlier mismatch that discarded four
     # valid r9 certifications and made 26 names uncertifiable.
+    #
+    # Auditability (ADVICE r10): the mapping is trustworthy only if every
+    # rewire landed strictly BEFORE the corresponding driver round's gate
+    # ran. The gate runs once per round, on the session-final tree = the
+    # PARENT of the driver's "round N: verdict/advice/correctness/bench"
+    # commit (the commit that adds CORRECTNESS_r{N}.json). REWIRE_LANDED
+    # below records the NEWEST rewire commit in each round group; audit()
+    # asserts it is an ancestor of that gate tree, which covers every
+    # older rewire in the group too. Run `python tools/rotate_window.py
+    # --audit` to re-verify.
     "ann_ivf": 9,
     "ann_ivf_recall": 9,
     "embed_kmeans": 9,
@@ -89,6 +99,48 @@ INVALIDATED: dict[str, int] = {
     "stream_psi": 10,
     "doc_source_kl": 10,
 }
+
+# round -> newest rewire commit in that group (every other rewire in the
+# group is an ancestor of it — `git log` confirms). Round 9's newest is
+# 2dc46c4 (rake-keyphrases/source-KL pin, census-campaign tail; the four
+# ann_ivf-family rewires are the much older r8 commits 21f4168/fe4dceb).
+# Round 10's newest is 6eb3e81 (last recompute-census pin); the two later
+# refactors that touched certified paths (_ivf_chain_sql factor-out,
+# prefix_jaccard(sized=)) were verified byte/plan no-ops (NEXT r10), so
+# they invalidate nothing.
+REWIRE_LANDED: dict[int, str] = {
+    9: "2dc46c4",
+    10: "6eb3e81",
+}
+
+
+def audit() -> None:
+    """Assert every INVALIDATED round's rewires predate that round's gate:
+    REWIRE_LANDED[N] must be an ancestor of the parent of the commit that
+    added CORRECTNESS_r{N}.json (the tree the driver's gate evaluated)."""
+    import subprocess
+
+    def run(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], capture_output=True, text=True, check=True
+        ).stdout.strip()
+
+    for rnd in sorted(set(INVALIDATED.values())):
+        rewire = REWIRE_LANDED[rnd]
+        artifact = f"CORRECTNESS_r{rnd:02d}.json"
+        add_commit = run(
+            "log", "--diff-filter=A", "--format=%H", "--", artifact
+        ).splitlines()
+        assert add_commit, f"no commit adds {artifact}"
+        gate_tree = f"{add_commit[-1]}^"
+        ok = subprocess.run(
+            ["git", "merge-base", "--is-ancestor", rewire, gate_tree]
+        ).returncode == 0
+        assert ok, (
+            f"round {rnd}: rewire {rewire} is NOT an ancestor of the gate "
+            f"tree {gate_tree} — a pre-change green may have been accepted"
+        )
+        print(f"round {rnd}: rewire {rewire} predates gate tree {gate_tree} OK")
 
 # Planned family order (mirrors the _WINDOW_PRIORITY comment block).
 PLAN = [
@@ -218,6 +270,9 @@ def build_window() -> list[str]:
 
 
 def main() -> None:
+    if "--audit" in sys.argv:
+        audit()
+        return
     todo = backlog()
     window = build_window()
     if "--names" in sys.argv:

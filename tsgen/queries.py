@@ -84,34 +84,31 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 #      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
 #      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # Driver-round-10 window (exact rotate_window.py output after the
-    # VERDICT-r09 renumbering fix: INVALIDATED rounds are now DRIVER
-    # rounds, so the four r9-certified rewires — embed_abtt_recall,
-    # li_wagner_whitin, doc_keyphrases, ev_gap_stats — count and the
-    # backlog is 54: r9 events/similarity/misc leftovers + the seven new
-    # r9 eval-frontier queries + the recompute-census re-certs. The 7
-    # spillover names are pinned in NEXT.md for the r11 window.)
-    # canaries (green r01–r09)
+    # Driver-round-11 window (exact rotate_window.py output). The backlog
+    # of never-certified names is 16: the nine r10 frontier/production-
+    # shape registrations plus the seven r10-window spillovers pinned in
+    # NEXT.md. A green r11 completes cumulative driver certification of
+    # all 398 oracle-bearing registry names; the remaining 31 slots are
+    # the oldest-certification stale-refresh pad (r1/r2-era rows).
+    # canaries (green r01–r10)
     "gen_sine", "series_stats", "sample_data_mixed",
-    # r9 events/tsdb leftovers
-    "ev_funnel", "ev_retention", "ev_funnel_stages", "ev_running_balance",
-    "ev_ohlc", "ev_twap", "ev_time_features", "ev_interval_union",
-    # r9 similarity/sketch leftovers
-    "embed_centroids", "embed_drift", "dd_quantiles_by_type",
-    "ev_value_deciles", "cms_join_size",
-    # r9 misc leftovers
-    "dq_checks", "ev_k_anonymity", "basket_rules", "li_supplier_hhi",
-    "train_denoiser_fourier",
-    # recompute-census / scaffold rewires (INVALIDATED → 10) interleaved
-    # with the seven new r9 eval-frontier registrations
-    "ev_rank_funcs", "ev_shapley_attr", "trend_poly3", "trend_quadratic",
-    "doc_filter_frontier", "doc_ccnet_buckets", "token_ppmi",
-    "pack_budget_frontier", "ann_ivfpq_recall", "ann_rerank_frontier",
-    "ann_int8_recall", "ann_ivf_frontier", "embed_hard_negatives",
-    "doc_lang_rebalance", "doc_lang_temperature", "embed_cluster_purity",
-    "doc_source_kl", "forecast_reconcile", "ev_logreg", "doc_nb_classify",
-    "ev_poisson_glm", "ev_hazard_glm", "stratified_rank", "ts_features",
-    "ev_psi_drift", "stream_psi", "ts_coint", "ts_pacf", "ts_ljung_box",
+    # never-certified: r10 frontier family + production-shape ops
+    "dedup_threshold_frontier", "minhash_band_frontier",
+    "semdedup_eps_frontier", "curation_funnel", "dedup_incremental_lsh",
+    "ivf_cell_profile", "ann_dims_frontier", "minhash_size_frontier",
+    "ann_storage_frontier",
+    # never-certified: r10-window spillovers (NEXT.md r10 item 1)
+    "ts_mann_kendall", "doc_bm25", "doc_ql_dirichlet", "doc_bm25_ndcg",
+    "ev_interval_join", "ev_rolling_beta", "kmv_set_ops",
+    # stale-refresh pad: oldest-certified rows (r1/r2 era)
+    "qsample", "predict_x0", "posterior_step", "shipping_priority",
+    "nation_revenue", "ev_rolling", "ev_lag_delta", "ev_sessionize",
+    "ev_tumbling", "ev_asof", "ev_dedup_latest", "pricing_summary",
+    "orders_rollup", "top_customers", "distinct_counts", "ev_pivot",
+    "ev_props_json", "ev_sample", "ev_range_window", "li_correlation",
+    "ev_histogram", "doc_levenshtein", "ev_outliers", "ev_resample",
+    "orders_grouping_sets", "stream_static_join", "ev_rolling_median",
+    "trend_linear", "fft_spectrum", "fft_topk", "seasonality_topk",
 )
 
 

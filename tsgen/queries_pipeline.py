@@ -1114,9 +1114,18 @@ _REGISTRY.update(
 #   2 quality gates (token-count bounds + lexical diversity)
 #   3 exact dedup keep-first (md5 fingerprint, keeper = min doc_id)
 #   4 near-dup keep-first (PPJoin at Jaccard >= 0.5; drop the higher id)
-# Stage predicates are per-doc flags computed on the raw corpus (one
+# Stage predicates are per-doc flags computed on the RAW corpus (one
 # codegen'd pass + one window shuffle + the bounded PPJoin pipeline), then
 # ONE aggregate emits all five cumulative rows — no per-stage rescans.
+#
+# SEMANTICS NOTE (ADVICE r10): raw-corpus flags are NOT a truly sequential
+# pipeline. The dedup keep-first keeper and the near-dup doc_b set are
+# decided on the raw corpus, so a doc can be dropped at exact_dedup even
+# though its keeper was already removed by the quality gate — the funnel
+# UNDERCOUNTS survivors relative to re-running keep-first on each stage's
+# survivors. This is deliberate (it is the one-pass shape a 100 TB run
+# can afford, and both engines agree), but readers of the table should
+# know the convention. Same note in the README's frontier-family row.
 
 
 def _q_curation_funnel(spark, sf_dir):

@@ -673,12 +673,14 @@ def storage_frontier(emb: DataFrame, vec: str = "embedding") -> DataFrame:
     -> (method, bytes_per_vec, truth_metric, n_queries, k, mean_recall)."""
     emb = emb.localCheckpoint(eager=False)
     parts = [
-        ("float32_full", 64 * 4, "cosine", 10, TRUNC_K,
+        # bytes_per_vec parameterized on EMB_DIM, mirroring storage_frontier_sql's
+        # dim parameter — the two engines must not diverge if EMB_DIM changes
+        ("float32_full", EMB_DIM * 4, "cosine", 10, TRUNC_K,
          trunc_recall(emb, dims=EMB_DIM, vec=vec)),
         ("float32_trunc16", 16 * 4, "cosine", 10, TRUNC_K,
          trunc_recall(emb, vec=vec)),
-        # 64 int8 codes + one float64 scale
-        ("int8_asym", 64 + 8, "cosine", 16, 8, int8_recall(emb, vec=vec)),
+        # EMB_DIM int8 codes + one float64 scale
+        ("int8_asym", EMB_DIM + 8, "cosine", 16, 8, int8_recall(emb, vec=vec)),
         # 4 sub-quantizers x 16 centroids: one byte per code; codebook amortized
         ("pq4x16_adc", 4, "l2", 16, 8, pq_recall(emb, vec=vec)),
     ]
