@@ -600,6 +600,30 @@ def test_rotate_window_invalidation_reenters_backlog():
         )
 
 
+def test_rotate_window_audit_ancestry():
+    # ADVICE r10: the INVALIDATED round mapping is only trustworthy if
+    # every rewire landed strictly before the corresponding driver round's
+    # gate ran. audit() asserts REWIRE_LANDED[N] is an ancestor of the
+    # parent of the commit that added CORRECTNESS_r{N}.json; keep that
+    # assertion green as history grows.
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    if not (root / ".git").exists():
+        import pytest
+
+        pytest.skip("not a git checkout")
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window_audittest", root / "tools" / "rotate_window.py"
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    # every invalidation round must have a recorded rewire boundary
+    assert set(rw.REWIRE_LANDED) == set(rw.INVALIDATED.values())
+    rw.audit()  # raises AssertionError on any ancestry violation
+
+
 def test_interval_join_plan_is_hash_not_nested_loop(spark):
     # hour-aligned windows make the range predicate an equi-key; the plan
     # must be a broadcast HASH join, never a nested-loop range join
