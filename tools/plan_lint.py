@@ -44,6 +44,37 @@ import time
 sys.path.insert(0, ".")
 
 
+# Every BroadcastNestedLoopJoin site adjudicated through round 11 — each is
+# an all-pairs join against a BOUNDED broadcast side (≤64-query truth sets,
+# ≤16-row frontier dims, scalar totals), reviewed plan-by-plan in the round
+# NEXT.md/VERDICT records. The standing alarm is "a new NON-adjudicated
+# site", not the raw count: the tool prints the delta so a new site can't
+# hide inside a stable-looking total. When a new site IS adjudicated
+# (bounded dim, documented in NEXT.md), add it here in the same commit.
+BNLJ_ADJUDICATED = frozenset("""
+dedup_threshold_frontier minhash_band_frontier semdedup_eps_frontier
+ivf_cell_profile ann_dims_frontier ann_storage_frontier doc_bm25
+doc_ql_dirichlet doc_bm25_ndcg kmv_set_ops li_salted_join ev_benford ev_did
+ev_cuped ts_its ev_msprt ev_next_event_acc ev_power_analysis ev_qte ev_qini
+ev_shapley_attr loss_fourier loss_combined doc_heaps_law tfidf_top_terms
+doc_lm_score doc_filter_frontier doc_bigram_lm token_ppmi dsir_scores
+ann_lsh embed_trunc_recall cosine_topk embed_mmr ann_ivf_recall ann_ivf
+embed_map_at_k embed_abtt_recall ann_pq_recall ann_ivfpq_recall
+ann_rerank_frontier ann_int8_recall ann_ivf_frontier embed_hard_negatives
+doc_lang_rebalance doc_lang_temperature embed_cluster_purity embed_kmeans
+doc_source_kl ab_experiment graph_triangles ev_competing_risks user_survival
+graph_modularity forecast_reconcile posenc forecast_seasonal_naive
+forecast_theta ev_logreg ev_calibration doc_nb_classify ev_poisson_glm
+doc_ppl_holdout ev_hazard_glm split_assign ev_gbm_stumps doc_woe ann_rrf
+ev_transition_entropy ts_crosscorr ev_wau ev_bootstrap_ci ts_dtw
+rfm_segments basket_rules li_abc_xyz li_eoq li_wagner_whitin ev_ewma_corr
+ev_time_travel orders_abc ev_funnel_latency stream_dd_quantiles ev_ks_test
+ev_chi_square stream_msprt idle_customers important_parts epoch_metrics
+train_epochs ev_retention_fit key_skew_profile hll_cardinality hll_set_ops
+dd_quantiles dd_quantiles_by_type ev_value_deciles cms_join_size
+""".split())
+
+
 def max_base_scan_count(plan: str) -> tuple[int, str]:
     """Max number of times one base source appears in the plan: parquet
     scans keyed by file path, Range scans keyed by their full signature.
@@ -104,6 +135,14 @@ def main() -> None:
     print(f"ERROR BatchEvalPython ({len(errors)}): {' '.join(errors) or '-'}")
     print(f"WARN  CartesianProduct ({len(warns)}): {' '.join(warns) or '-'}")
     print(f"INFO  BroadcastNestedLoopJoin ({len(infos)}): {' '.join(infos) or '-'}")
+    new_bnlj = [n for n in infos if n not in BNLJ_ADJUDICATED]
+    gone_bnlj = sorted(BNLJ_ADJUDICATED - set(infos)) if not filters else []
+    print(f"WARN  BNLJ NEW vs adjudicated ({len(new_bnlj)}): "
+          f"{' '.join(new_bnlj) or '-'}")
+    if gone_bnlj:
+        print(f"INFO  BNLJ adjudicated-but-absent ({len(gone_bnlj)}): "
+              f"{' '.join(gone_bnlj)}  (plan improved or query renamed — "
+              "prune the allowlist)")
     print(f"WARN  recompute>=4 ({len(recompute)}): {' '.join(recompute) or '-'}")
     if broken:
         print(f"BUILD-FAILED ({len(broken)}):")
