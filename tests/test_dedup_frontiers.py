@@ -242,3 +242,43 @@ def test_storage_frontier_rows_pin_to_certified_evals(spark, emb):
     # storage axis is strictly ordered: full > trunc16 >= int8-ish > pq
     assert rows["float32_full"].bytes_per_vec > rows["float32_trunc16"].bytes_per_vec
     assert rows["int8_asym"].bytes_per_vec > rows["pq4x16_adc"].bytes_per_vec
+
+
+def test_frontiers_partition_invariant(spark, docs, emb):
+    # The 100 TB contract: a frontier table must not depend on how the
+    # corpus happens to be partitioned (1000 executors will never see the
+    # local[32] layout). Every pipeline below is built from portable
+    # integer hashes, exact integer re-filters, and 6dp-rounded floats, so
+    # repartitioning the input must reproduce the SAME rows bit-for-bit.
+    from tsgen.dedup import (
+        dedup_incremental_lsh,
+        dedup_threshold_frontier,
+        minhash_band_frontier,
+        minhash_size_frontier,
+    )
+    from tsgen.similarity import (
+        dims_frontier,
+        ivf_cell_profile,
+        semdedup_eps_frontier,
+        storage_frontier,
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn, src, parts in (
+        (dedup_threshold_frontier, docs, 7),
+        (minhash_band_frontier, docs, 11),
+        (minhash_size_frontier, docs, 5),
+        (semdedup_eps_frontier, emb, 13),
+        (storage_frontier, emb, 17),
+        (dims_frontier, emb, 3),
+        (ivf_cell_profile, emb, 19),
+    ):
+        a = rows(fn(src))
+        b = rows(fn(src.repartition(parts)))
+        assert a == b, f"{fn.__name__} changed under repartition({parts})"
+    # the incremental shape takes the docs table internally
+    a = rows(dedup_incremental_lsh(docs))
+    b = rows(dedup_incremental_lsh(docs.repartition(9)))
+    assert a == b, "dedup_incremental_lsh changed under repartition(9)"
