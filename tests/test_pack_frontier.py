@@ -53,3 +53,29 @@ def test_filter_frontier_counts_and_monotone_mean(spark):
         assert rows[p].docs_retained == n - (p * n) // 100
     means = [rows[p].mean_lm_score for p in sorted(rows)]
     assert all(a >= b for a, b in zip(means, means[1:]))
+
+
+def test_r9_frontiers_partition_invariant(spark):
+    # Companion to test_frontiers_partition_invariant (r10 family): the r9
+    # operating-point frontiers must also be layout-independent — FFD bins
+    # are packed per (lang, source) shard in deterministic doc_id order,
+    # and the ANN frontiers rank over portable integer hashes with
+    # round-before-rank ties, so repartitioning the input cannot move a
+    # single row.
+    from tsgen.similarity import ivf_probe_frontier, rerank_frontier
+    from tsgen.text import pack_budget_frontier
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn, src, parts in (
+        (pack_budget_frontier, docs, 7),
+        (ivf_probe_frontier, emb, 11),
+        (rerank_frontier, emb, 13),
+    ):
+        a = rows(fn(src))
+        b = rows(fn(src.repartition(parts)))
+        assert a == b, f"{fn.__name__} changed under repartition({parts})"
