@@ -67,3 +67,42 @@ def test_rfm_and_abc_plans_have_no_single_reducer_window(spark):
             .toString()
         )
         _assert_no_global_data_window(plan)
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    # spark.sql.shuffle.partitions is the conf a cluster operator retunes
+    # first; results must not depend on it. Representative set: a window
+    # family (ev_rank_funcs), a multi-join frontier (dedup_threshold), a
+    # streaming twin replay (stream_psi has its own session handling — use
+    # batch psi drift instead), a groupBy rollup, and the incremental-LSH
+    # production shape. Runtime conf flip + AQE exercise genuinely
+    # different physical partitionings on the same data.
+    from tsgen.queries import registry
+
+    reg = registry()
+    names = [
+        "ev_rank_funcs",
+        "dedup_threshold_frontier",
+        "ev_psi_drift",
+        "orders_rollup",
+        "dedup_incremental_lsh",
+    ]
+    sf = "/root/testdata/sf0.001"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_shuffle in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n_shuffle)
+            for name in names:
+                rows = sorted(
+                    (tuple(r) for r in reg[name].spark_fn(spark, sf).collect()),
+                    key=repr,  # null-safe ordering; equality compare is exact
+                )
+                key = (name, n_shuffle == before)
+                results[key] = rows
+        for name in names:
+            assert results[(name, False)] == results[(name, True)], (
+                f"{name} changed under shuffle.partitions=7"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
