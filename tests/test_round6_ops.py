@@ -482,10 +482,12 @@ def test_rotate_window_pads_with_stale_certs_when_backlog_short():
 
     reg = registry()
     oracle_names = [n for n in reg if reg[n].oracle]
-    real_backlog = rw.backlog()
-    # simulate the post-r9 world: everything except 10 names is certified,
-    # with a spread of rounds so "least recently certified" is decidable
-    fake_backlog = real_backlog[:10]
+    # Synthesize the 10-name backlog instead of slicing the LIVE
+    # rw.backlog(): once cumulative certification completes (the r11 gate
+    # emptied the real backlog) a live slice degenerates to [] and the
+    # window[3:13] assertion can never hold (VERDICT r11). Stub backlog()
+    # too so the test is independent of the repo's certification state.
+    fake_backlog = [n for n in oracle_names if n not in rw.CANARIES][:10]
     fake_rounds = {
         n: 1 + (i % 8)
         for i, n in enumerate(oracle_names)
@@ -493,6 +495,7 @@ def test_rotate_window_pads_with_stale_certs_when_backlog_short():
     }
     rw.certified_by_round = lambda: dict(fake_rounds)
     rw.certified = lambda: set(fake_rounds)
+    rw.backlog = lambda: list(fake_backlog)
     window = rw.build_window()
     assert len(window) == 50 and len(set(window)) == 50
     assert window[:3] == rw.CANARIES

@@ -89,20 +89,23 @@ def test_results_invariant_to_shuffle_partition_count(spark):
     ]
     sf = "/root/testdata/sf0.001"
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    # the session default is the host CPU count (tsgen/session.py), so the
+    # alternate count must be picked dynamically — a hardcoded "7" on a
+    # 7-CPU host would compare a run against itself (ADVICE r11)
+    alt = "7" if before != "7" else "13"
     try:
         results = {}
-        for n_shuffle in ("7", before):
+        for n_shuffle in (alt, before):
             spark.conf.set("spark.sql.shuffle.partitions", n_shuffle)
             for name in names:
                 rows = sorted(
                     (tuple(r) for r in reg[name].spark_fn(spark, sf).collect()),
                     key=repr,  # null-safe ordering; equality compare is exact
                 )
-                key = (name, n_shuffle == before)
-                results[key] = rows
+                results[(name, n_shuffle)] = rows
         for name in names:
-            assert results[(name, False)] == results[(name, True)], (
-                f"{name} changed under shuffle.partitions=7"
+            assert results[(name, alt)] == results[(name, before)], (
+                f"{name} changed under shuffle.partitions={alt}"
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -36,10 +36,20 @@ def detail(d: dict) -> dict[str, float]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = sys.argv[1:]
-    rel = float(flags[flags.index("--rel") + 1]) if "--rel" in flags else 0.15
-    abs_ = float(flags[flags.index("--abs") + 1]) if "--abs" in flags else 0.3
+    # consume flag VALUES while collecting positionals — `--rel 0.15` must
+    # not leak '0.15' into the file/rev args (ADVICE r11)
+    args: list[str] = []
+    rel, abs_ = 0.15, 0.3
+    it = iter(sys.argv[1:])
+    for tok in it:
+        if tok == "--rel":
+            rel = float(next(it))
+        elif tok == "--abs":
+            abs_ = float(next(it))
+        elif tok.startswith("--"):
+            raise SystemExit(f"unknown flag {tok!r} (known: --rel --abs)")
+        else:
+            args.append(tok)
 
     if len(args) == 2:
         old = json.load(open(args[0]))

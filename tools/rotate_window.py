@@ -108,9 +108,12 @@ INVALIDATED: dict[str, int] = {
 # refactors that touched certified paths (_ivf_chain_sql factor-out,
 # prefix_jaccard(sized=)) were verified byte/plan no-ops (NEXT r10), so
 # they invalidate nothing.
+# Full 40-char hashes: abbreviated 7-char forms could become ambiguous as
+# history grows, making `git merge-base --is-ancestor` fail for a reason
+# other than non-ancestry and audit() assert misleadingly (ADVICE r11).
 REWIRE_LANDED: dict[int, str] = {
-    9: "2dc46c4",
-    10: "6eb3e81",
+    9: "2dc46c4d8c1d361fd5e4f36fe5e8d1942e97ebfe",
+    10: "6eb3e81c0cb09229f33e04e088a0da7269c14d52",
 }
 
 
