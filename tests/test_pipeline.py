@@ -187,6 +187,80 @@ def test_decode_ppm_roundtrip_property():
     check()
 
 
+def test_png_decode_planted_pixels_and_stats(spark, docs):
+    import numpy as np
+    import pytest
+
+    # planted pixels: decode_png must recover the exact closed-form ramp
+    # grid through signature check + chunk walk + CRC verify + IDAT inflate
+    # + defilter. The encoder cycles the scanline filter (y + doc_id) % 5,
+    # so docs 0..4 together exercise all five filter branches incl. Paeth.
+    for d in (0, 1, 2, 3, 4, 17):
+        w, h = multimodal._ppm_dims(d)
+        dw, dh, px = multimodal.decode_png(multimodal.render_png(d))
+        assert (dw, dh) == (w, h)
+        y, x = np.mgrid[0:h, 0:w]
+        assert (px[..., 0] == (7 * x + 13 * y + d) % 256).all()
+        assert (px[..., 1] == (5 * x + 11 * y + 2 * d) % 256).all()
+        assert (px[..., 2] == (3 * x + 17 * y + 5 * d) % 256).all()
+        # the two independent decoders agree pixel-for-pixel
+        _, _, ppm_px = multimodal.decode_ppm(multimodal.render_ppm(d))
+        assert (px == ppm_px).all()
+    # a hand-built filter-0-only PNG with arbitrary pixels decodes exactly
+    # (independent of render_png's encoder logic)
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(7)
+    w, h = 5, 4
+    want = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + want[r].tobytes() for r in range(h))
+    manual = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    dw, dh, got = multimodal.decode_png(manual)
+    assert (dw, dh) == (w, h) and (got == want).all()
+    # malformed inputs are rejected loudly, never silently mis-decoded
+    body = multimodal.render_png(3)
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"x" + body[1:])  # bad signature
+    with pytest.raises(ValueError):
+        multimodal.decode_png(body[:-5])  # truncated IEND chunk
+    corrupt = bytearray(body)
+    corrupt[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(corrupt))
+    deep = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(deep)  # 16-bit depth unsupported, must raise
+    # distributed path: one stats row per doc; PNG stats == PPM stats
+    # (same image content, two real decoders)
+    png_stats = (
+        multimodal.image_stats(
+            multimodal.synth_png_media(docs), decoder=multimodal.decode_png
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ppm_stats = (
+        multimodal.image_stats(multimodal.synth_ppm_media(docs))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(png_stats) == docs.count()
+    assert png_stats.equals(ppm_stats)
+
+
 def test_connected_components_chain_star_clique(spark):
     # chain 0-1-...-9 (diameter 9: exercises pointer jumping), star at 100,
     # triangle at 200, singleton edge at 300 — all in one edge list

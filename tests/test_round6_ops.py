@@ -627,6 +627,41 @@ def test_rotate_window_audit_ancestry():
     rw.audit()  # raises AssertionError on any ancestry violation
 
 
+def test_certification_freshness_lag_bounded():
+    # VERDICT r11 item 6: with cumulative certification complete, every
+    # window is stale-refresh — staleness must be a RED TEST, not a
+    # judgment call. The 47 refresh slots per round cycle the ~400-name
+    # registry in ceil(399/46) ~ 9 rounds, so steady-state oldest lag is
+    # ~9; a lag > 10 means a round skipped its rotation ritual.
+    import glob
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window_freshtest", root / "tools" / "rotate_window.py"
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    rounds = [
+        int("".join(ch for ch in Path(f).name if ch.isdigit()) or 0)
+        for f in glob.glob(str(root / "CORRECTNESS_r*.json"))
+    ]
+    current = max(rounds)
+    by_round = rw.certified_by_round()
+    oldest = min(by_round.values())
+    # NOTE deliberately the ONLY assertion: anything comparing the committed
+    # window against live certification state goes red the moment the driver
+    # commits the next CORRECTNESS file (the r11 pad-test lesson). The lag
+    # bound alone survives a gate commit and tolerates one skipped rotation
+    # (steady-state lag ~9) before going red.
+    assert oldest >= current - 10, (
+        f"stalest certification is round {oldest} but the driver is at "
+        f"round {current} — the rotation ritual fell behind; rotate and "
+        f"replay the window (tools/rotate_window.py)"
+    )
+
+
 def test_interval_join_plan_is_hash_not_nested_loop(spark):
     # hour-aligned windows make the range predicate an equi-key; the plan
     # must be a broadcast HASH join, never a nested-loop range join

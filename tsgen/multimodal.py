@@ -4,8 +4,12 @@ Images/audio/video are opaque BINARY columns with typed metadata; decode /
 feature-extraction runs as Arrow-batched mapInPandas over binary batches.
 Uncompressed netpbm (P6 PPM) is decoded for REAL by decode_ppm — a
 pure-numpy parser of the public spec, no image lib needed — and the
-multimodal_decode query value-checks that path end-to-end. Compressed
-formats (JPEG/PNG/audio/video) remain STUBBED (no PIL/ffmpeg in this
+multimodal_decode query value-checks that path end-to-end. PNG (8-bit RGB,
+non-interlaced) is ALSO decoded for real by decode_png: zlib is stdlib, so
+chunk walk + CRC verify + IDAT inflate + scanline defiltering (all five
+filter types 0–4) need no image library; multimodal_decode_png
+value-checks it end-to-end against the same closed-form oracle. Remaining
+compressed formats (JPEG/audio/video) stay STUBBED (no PIL/ffmpeg in this
 container — see decode_stub): their Spark-side plumbing (schema, batching,
 partitioning, UDF signature) is real and tested; swapping decode_stub for
 a PIL/ffmpeg call is a one-function change.
@@ -383,13 +387,15 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def image_stats(media: DataFrame) -> DataFrame:
-    """Decode every payload with the REAL P6 parser and emit per-image
-    channel statistics (mean R/G/B + ITU-R 601 integer-weight luma). All
+def image_stats(media: DataFrame, decoder=None) -> DataFrame:
+    """Decode every payload with a REAL parser (default: the P6 decoder;
+    pass decode_png for PNG payloads) and emit per-image channel statistics
+    (mean R/G/B + ITU-R 601 integer-weight luma). All
     sums are exact integers, so the single mean division is deterministic
     IEEE in any engine; means are rounded half-up at 4dp (floor(x*1e4+0.5)
     — channels are nonnegative), matching the oracle's round(x+1e-9, 4).
     Narrow mapInPandas — zero shuffles."""
+    decode = decoder or decode_ppm
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -403,7 +409,7 @@ def image_stats(media: DataFrame) -> DataFrame:
                 "mean_r", "mean_g", "mean_b", "mean_luma",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, px = decode_ppm(payload)
+                w, h, px = decode(payload)
                 npx = w * h
                 s = px.astype(np.int64).sum(axis=(0, 1))
                 sr, sg, sb = int(s[0]), int(s[1]), int(s[2])
@@ -450,6 +456,215 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
        round((299 * sr + 587 * sg + 114 * sb) / (1000.0e0 * npx) + 1.0e-9, 4) + 0.0e0 AS mean_luma
 FROM s
 """
+
+
+# --- real compressed-image decode (PNG, 8-bit RGB) ------------------------
+#
+# PIL stays absent in this container, but PNG's compression layer is zlib —
+# Python stdlib — so a real decoder for the most common web-image format
+# needs only the public spec (RFC 2083 / W3C PNG): 8-byte signature, length/
+# type/data/CRC chunk walk (CRC-32 verified via zlib.crc32), IHDR geometry,
+# concatenated-IDAT inflate, then per-scanline defiltering of the five
+# standard filter types (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth). Scope is
+# bit depth 8 / color type 2 (truecolor RGB) / non-interlaced — the common
+# case; anything else raises loudly. The synthetic encoder below cycles the
+# filter type per scanline so EVERY defilter branch is exercised and
+# value-checked by the multimodal_decode_png oracle.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG filter 4): nearest of left/up/up-left to the
+    linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def render_png(doc_id: int) -> bytes:
+    """Render the deterministic test image for doc_id (the SAME closed-form
+    channel ramps render_ppm uses, so the oracle is shared) as REAL PNG
+    bytes: filtered scanlines, zlib-compressed IDAT, CRC'd chunks. The
+    scanline filter type cycles (y + doc_id) % 5, so across the corpus every
+    filter (None/Sub/Up/Average/Paeth) is applied many times — a defilter
+    bug in any branch of decode_png breaks the value match."""
+    import numpy as np
+    import struct
+    import zlib
+
+    w, h = _ppm_dims(doc_id)
+    y, x = np.mgrid[0:h, 0:w]
+    r = (7 * x + 13 * y + doc_id) % 256
+    g = (5 * x + 11 * y + 2 * doc_id) % 256
+    b = (3 * x + 17 * y + 5 * doc_id) % 256
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    bpp, stride = 3, w * 3
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for row in range(h):
+        line = rgb[row].reshape(-1).astype(np.int64)
+        ft = (row + doc_id) % 5
+        if ft == 0:
+            enc = line.copy()
+        elif ft == 2:
+            enc = (line - prior) % 256
+        else:
+            # Sub/Average/Paeth predict from the UNFILTERED current and
+            # prior scanlines (the spec's recon bytes, which the encoder
+            # has as the original pixels) — serial in x only through the
+            # a/c taps, and images here are tiny.
+            enc = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                up = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) // 2
+                else:
+                    pred = _paeth(a, up, c)
+                enc[i] = (int(line[i]) - pred) % 256
+        raw.append(ft)
+        raw += enc.astype(np.uint8).tobytes()
+        prior = line
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decoder (public spec, stdlib zlib only): verifies the
+    signature and every chunk CRC, walks chunks to IHDR/IDAT/IEND, inflates
+    the concatenated IDAT stream, and reverses the per-scanline filter
+    (types 0–4, including the Paeth predictor). Supports the common case —
+    bit depth 8, color type 2 (RGB), non-interlaced — and raises loudly on
+    anything else. Returns (w, h, uint8 array (h, w, 3)) like decode_ppm.
+    A real deployment may still swap this for PIL; the point is the decode
+    step is no longer a stub for PNG."""
+    import numpy as np
+    import struct
+    import zlib
+
+    buf = bytes(payload)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(buf)
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        if pos + 12 + length > n:
+            raise ValueError(f"truncated {typ!r} chunk")
+        data = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            saw_iend = True
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    if not saw_iend:
+        # a stream that just stops (e.g. a truncated trailing chunk fell
+        # under the 8-byte header minimum) must not decode silently
+        raise ValueError("missing IEND chunk")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant depth={depth} color={ctype} "
+            f"interlace={interlace} (only 8-bit RGB non-interlaced)"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid dimensions {w}x{h}")
+
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for row in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int64
+        )
+        pos += stride
+        prior = out[row - 1].astype(np.int64) if row else np.zeros(stride, np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prior) % 256
+        elif ft in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                up = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) // 2
+                else:
+                    pred = _paeth(a, up, c)
+                rec[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft} on scanline {row}")
+        out[row] = rec.astype(np.uint8)
+    return w, h, out.reshape(h, w, 3)
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are real PNG images (one per doc_id),
+    rendered in a narrow mapInPandas — the compressed-image twin of
+    synth_ppm_media."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render_png(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/png",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            ).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+    return docs.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, kind string, payload binary, n_bytes int"
+    )
 
 
 def phash_pairs_sql(max_hamming: int = 8, out_len: int = AHASH_BITS) -> str:

@@ -84,31 +84,29 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 #      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
 #      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # Driver-round-11 window (exact rotate_window.py output). The backlog
-    # of never-certified names is 16: the nine r10 frontier/production-
-    # shape registrations plus the seven r10-window spillovers pinned in
-    # NEXT.md. A green r11 completes cumulative driver certification of
-    # all 398 oracle-bearing registry names; the remaining 31 slots are
-    # the oldest-certification stale-refresh pad (r1/r2-era rows).
-    # canaries (green r01–r10)
+    # Driver-round-12 window (exact rotate_window.py output). The r11 gate
+    # completed cumulative certification of all pre-existing oracle names,
+    # so the backlog holds exactly ONE never-certified name — this round's
+    # new multimodal_decode_png (real stdlib-zlib PNG decoder) — and the
+    # remaining 46 slots are the stale-refresh pad, least-recently-
+    # certified first (r1/r2-era rows).
+    # canaries (green r01–r11)
     "gen_sine", "series_stats", "sample_data_mixed",
-    # never-certified: r10 frontier family + production-shape ops
-    "dedup_threshold_frontier", "minhash_band_frontier",
-    "semdedup_eps_frontier", "curation_funnel", "dedup_incremental_lsh",
-    "ivf_cell_profile", "ann_dims_frontier", "minhash_size_frontier",
-    "ann_storage_frontier",
-    # never-certified: r10-window spillovers (NEXT.md r10 item 1)
-    "ts_mann_kendall", "doc_bm25", "doc_ql_dirichlet", "doc_bm25_ndcg",
-    "ev_interval_join", "ev_rolling_beta", "kmv_set_ops",
+    # never-certified: this round's new real-PNG-decode query
+    "multimodal_decode_png",
     # stale-refresh pad: oldest-certified rows (r1/r2 era)
-    "qsample", "predict_x0", "posterior_step", "shipping_priority",
-    "nation_revenue", "ev_rolling", "ev_lag_delta", "ev_sessionize",
-    "ev_tumbling", "ev_asof", "ev_dedup_latest", "pricing_summary",
-    "orders_rollup", "top_customers", "distinct_counts", "ev_pivot",
-    "ev_props_json", "ev_sample", "ev_range_window", "li_correlation",
-    "ev_histogram", "doc_levenshtein", "ev_outliers", "ev_resample",
-    "orders_grouping_sets", "stream_static_join", "ev_rolling_median",
-    "trend_linear", "fft_spectrum", "fft_topk", "seasonality_topk",
+    "decompose_full", "decompose_multichannel", "loss_fourier",
+    "loss_combined", "sample_loop", "sample_fused", "ts_strength",
+    "sched_linear", "sched_cosine", "mask_forecast", "mask_impute",
+    "loss_mse", "semdedup", "tfidf_top_terms", "text_stats",
+    "lang_id", "doc_fingerprint", "token_freq", "dedup_exact_docs",
+    "corpus_curation", "dedup_clusters", "doc_chunks", "pack_sequences",
+    "ann_lsh", "ngram_jaccard", "cosine_topk", "embed_neardup",
+    "pii_scrub", "poly_basis", "posenc", "label_embedding",
+    "gen_union", "patchify_stats", "patch_roundtrip", "event_set_ops",
+    "gen_multichannel", "orders_cube", "kalman_em", "stream_tumbling",
+    "stream_sliding", "stream_session", "stream_dedup", "stream_join",
+    "stream_ohlc", "stream_hll", "stream_scd2",
 )
 
 

@@ -307,6 +307,20 @@ def _q_multimodal_decode(spark, sf_dir):
     return canon_types(multimodal.image_stats(media))
 
 
+def _q_multimodal_decode_png(spark, sf_dir):
+    # REAL compressed-image decode (PNG 8-bit RGB, stdlib-zlib parser — no
+    # PIL needed): render deterministic PNG payloads whose scanline filter
+    # type cycles 0-4, walk chunks + verify CRCs + inflate IDAT + defilter,
+    # emit channel stats. Payload content is the same closed-form ramp spec
+    # as the PPM path, so the oracle (image_stats_sql) integrates the spec
+    # directly and any bug in the chunk walk / inflate / defilter breaks
+    # the value match.
+    from .queries import canon_types
+
+    media = multimodal.synth_png_media(_docs(spark, sf_dir))
+    return canon_types(multimodal.image_stats(media, decoder=multimodal.decode_png))
+
+
 def _q_multimodal_phash(spark, sf_dir):
     # perceptual-hash near-dup pairs over stub-decoded thumbnails; the
     # aHash bit test is an exact integer inequality (no float pooling), so
@@ -875,6 +889,12 @@ _REGISTRY.update(
         ),
         "multimodal_decode": Query(
             "multimodal_decode", _q_multimodal_decode, multimodal.image_stats_sql(), ("multimodal",)
+        ),
+        "multimodal_decode_png": Query(
+            "multimodal_decode_png",
+            _q_multimodal_decode_png,
+            multimodal.image_stats_sql(),
+            ("multimodal",),
         ),
         "multimodal_phash": Query(
             "multimodal_phash", _q_multimodal_phash, multimodal.phash_pairs_sql(), ("multimodal",)
