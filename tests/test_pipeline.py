@@ -261,6 +261,95 @@ def test_png_decode_planted_pixels_and_stats(spark, docs):
     assert png_stats.equals(ppm_stats)
 
 
+def test_wav_decode_planted_samples_and_stats(spark, docs):
+    import struct
+
+    import numpy as np
+    import pytest
+
+    # planted samples: decode_wav must recover the exact closed-form
+    # waveform through the RIFF chunk walk (incl. skipping the junk LIST
+    # chunk and honoring its odd-size pad byte)
+    for d in (0, 1, 5, 16):
+        rate, s = multimodal.decode_wav(multimodal.render_wav(d))
+        n, r = multimodal._wav_params(d)
+        assert rate == r and len(s) == n
+        assert np.array_equal(s, multimodal._wav_samples(d))
+    # malformed / unsupported inputs are rejected loudly
+    wav = multimodal.render_wav(1)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX" + wav[4:])  # bad container magic
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(wav[:-3])  # truncated data chunk
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    stereo = (
+        b"RIFF" + struct.pack("<I", 12 + len(stereo_fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(stereo)  # stereo unsupported, must raise
+    # distributed path: one stats row per doc; hand-check doc 0 exactly
+    stats = multimodal.audio_stats(multimodal.synth_wav_media(docs)).toPandas()
+    assert len(stats) == docs.count()
+    a = multimodal._wav_samples(0).astype(np.int64)
+    nonneg = a >= 0
+    row = stats[stats.doc_id == 0].iloc[0]
+    assert row.peak == int(np.abs(a).max())
+    assert row.zero_cross == int((nonneg[1:] != nonneg[:-1]).sum())
+    assert row.sum_amp == int(a.sum()) and row.sum_sq == int((a * a).sum())
+
+
+def test_y4m_decode_planted_frames_and_stats(spark, docs):
+    import numpy as np
+    import pytest
+
+    # planted frames: decode_y4m must recover every plane of every frame
+    # exactly (header tokenize, FRAME walk, plane offsets/strides)
+    for d in (0, 3, 7, 11):
+        w, h, frames = multimodal.decode_y4m(multimodal.render_y4m(d))
+        W, H, NF = multimodal._y4m_params(d)
+        assert (w, h, frames.shape[0]) == (W, H, NF)
+        y, x = np.mgrid[0:h, 0:w]
+        for t in range(NF):
+            assert np.array_equal(
+                frames[t, 0], ((3 * x + 5 * y + 7 * t + d) % 256).astype(np.uint8)
+            )
+            assert np.array_equal(
+                frames[t, 1], ((2 * x + y + 11 * t + 3 * d) % 256).astype(np.uint8)
+            )
+            assert np.array_equal(
+                frames[t, 2], ((x + 4 * y + 13 * t + 5 * d) % 256).astype(np.uint8)
+            )
+    # malformed / unsupported inputs are rejected loudly — including the
+    # NO-C-tag case, whose spec default (420 subsampling) must not be
+    # silently mis-sliced as 444
+    clip = multimodal.render_y4m(2)
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(b"XUV" + clip[3:])
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(clip[:-5])  # truncated last frame
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(clip.replace(b"C444", b"C420", 1))
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(clip.replace(b" C444", b"", 1))
+    # distributed path: the 1->N frame explosion — one row per (doc, frame)
+    stats = multimodal.video_frame_stats(
+        multimodal.synth_y4m_media(docs)
+    ).toPandas()
+    want_rows = sum(
+        multimodal._y4m_params(int(r.doc_id))[2]
+        for r in docs.select("doc_id").collect()
+    )
+    assert len(stats) == want_rows
+    # hand-check one frame's plane sums exactly
+    w0, h0, _ = multimodal._y4m_params(0)
+    y, x = np.mgrid[0:h0, 0:w0]
+    row = stats[(stats.doc_id == 0) & (stats.frame_idx == 1)].iloc[0]
+    assert row.sum_y == int(((3 * x + 5 * y + 7) % 256).sum())
+    assert row.sum_u == int(((2 * x + y + 11) % 256).sum())
+    assert row.sum_v == int(((x + 4 * y + 13) % 256).sum())
+
+
 def test_connected_components_chain_star_clique(spark):
     # chain 0-1-...-9 (diameter 9: exercises pointer jumping), star at 100,
     # triangle at 200, singleton edge at 300 — all in one edge list

@@ -8,11 +8,15 @@ multimodal_decode query value-checks that path end-to-end. PNG (8-bit RGB,
 non-interlaced) is ALSO decoded for real by decode_png: zlib is stdlib, so
 chunk walk + CRC verify + IDAT inflate + scanline defiltering (all five
 filter types 0–4) need no image library; multimodal_decode_png
-value-checks it end-to-end against the same closed-form oracle. Remaining
-compressed formats (JPEG/audio/video) stay STUBBED (no PIL/ffmpeg in this
-container — see decode_stub): their Spark-side plumbing (schema, batching,
-partitioning, UDF signature) is real and tested; swapping decode_stub for
-a PIL/ffmpeg call is a one-function change.
+value-checks it end-to-end against the same closed-form oracle. Audio is
+decoded for REAL by decode_wav (RIFF/WAVE 16-bit PCM chunk walk — struct
+only) and video by decode_y4m (YUV4MPEG2 plain-text header + raw frame
+planes — the real 1→N frame explosion), each with its own end-to-end
+oracle query. Only formats whose codecs are genuinely absent from this
+container (JPEG, MP3/AAC, H.264) remain behind decode_stub: their
+Spark-side plumbing (schema, batching, partitioning, UDF signature) is
+real and tested; swapping decode_stub for a PIL/ffmpeg call is a
+one-function change.
 
 Scale notes:
 - binary payloads stay opaque to the shuffle (never grouped on); feature
@@ -665,6 +669,347 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         fn, "doc_id bigint, kind string, payload binary, n_bytes int"
     )
+
+
+# --- real audio decode (RIFF/WAVE 16-bit PCM) ------------------------------
+#
+# WAV needs no codec library either: the RIFF container (public spec) is a
+# chunk walk — 'RIFF' size 'WAVE', then (id, LE size, data, odd-size pad)
+# chunks of which 'fmt ' declares the sample format and 'data' holds raw
+# LE int16 PCM. decode_wav parses it with struct + np.frombuffer and raises
+# loudly on anything but 16-bit mono PCM; the synthetic encoder inserts a
+# junk LIST chunk so the unknown-chunk skip path is always exercised. All
+# audio_stats outputs are exact integers (sums, peak, zero crossings) —
+# bit-identical in any engine, no float rounding to negotiate.
+
+_WAV_SAMPLE_MOD = 4096
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc (n_samples, sample_rate) — the synthetic
+    corpus spec shared with the DuckDB oracle."""
+    return 600 + (doc_id % 17) * 50, 8000 * (1 + doc_id % 3)
+
+
+def _wav_samples(doc_id: int):
+    """Closed-form int16 sawtooth: s_i = ((7 + d%13)*i + 11*d) % 4096 - 2048
+    — integer-exact, sign-alternating (real zero-crossing structure), and
+    directly integrable by the oracle."""
+    import numpy as np
+
+    n, _ = _wav_params(doc_id)
+    i = np.arange(n, dtype=np.int64)
+    return (((7 + doc_id % 13) * i + 11 * doc_id) % _WAV_SAMPLE_MOD - 2048).astype(
+        np.int16
+    )
+
+
+def render_wav(doc_id: int) -> bytes:
+    """Render the deterministic test waveform as a REAL RIFF/WAVE file:
+    fmt chunk (PCM, mono, 16-bit), a junk LIST chunk (so decoders must
+    skip unknown chunks, per spec), then the data chunk."""
+    import struct
+
+    n, rate = _wav_params(doc_id)
+    pcm = _wav_samples(doc_id).tobytes()  # little-endian int16
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    junk = b"INFOtsgen"  # odd length: exercises the pad-byte rule
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes):
+    """REAL RIFF/WAVE decoder (public spec, struct only): verifies the
+    RIFF/WAVE container, walks chunks honoring the odd-size pad byte,
+    requires a PCM mono 16-bit 'fmt ' chunk, and reinterprets 'data' as
+    LE int16 samples. Returns (sample_rate, np.int16 array)."""
+    import numpy as np
+    import struct
+
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(buf)
+    rate = None
+    data = None
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        if pos + 8 + size > n:
+            raise ValueError(f"truncated {cid!r} chunk")
+        body = buf[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            afmt, nch, rate, _brate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (afmt, nch, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV variant fmt={afmt} ch={nch} bits={bits}"
+                    " (only 16-bit mono PCM)"
+                )
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(data) % 2:
+        raise ValueError("odd PCM byte length")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are real WAV files (one per doc_id),
+    rendered in a narrow mapInPandas — the audio twin of synth_ppm_media."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render_wav(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "audio/wav",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            ).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+    return docs.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, kind string, payload binary, n_bytes int"
+    )
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate bigint, peak bigint,"
+    " zero_cross bigint, sum_amp bigint, sum_sq bigint"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL WAV parser and emit per-clip
+    statistics — ALL exact integers (peak |s|, sign-change count, Σs, Σs²),
+    so the cross-engine match is bit-for-bit with no rounding protocol.
+    Narrow mapInPandas — zero shuffles."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "peak",
+                "zero_cross", "sum_amp", "sum_sq",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(payload)
+                a = s.astype(np.int64)
+                nonneg = a >= 0
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(len(a))
+                rows["sample_rate"].append(int(rate))
+                rows["peak"].append(int(np.abs(a).max()) if len(a) else 0)
+                rows["zero_cross"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
+                rows["sum_amp"].append(int(a.sum()))
+                rows["sum_sq"].append(int((a * a).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return media.mapInPandas(fn, AUDIO_STATS_SCHEMA)
+
+
+def audio_stats_sql() -> str:
+    """DuckDB oracle twin of synth_wav_media → audio_stats: integrates the
+    closed-form sample spec directly (never touching bytes), so the Spark
+    side's render → RIFF chunk walk → frombuffer → integer-stats pipeline
+    is value-checked end-to-end — any offset/endianness/pad-byte bug in
+    the decoder breaks the match."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, 600 + (doc_id % 17) * 50 AS n,
+         8000 * (1 + doc_id % 3) AS rate
+  FROM documents),
+s AS (
+  SELECT doc_id, n, rate,
+         list_transform(range(0, n),
+           i -> ((7 + doc_id % 13) * i + 11 * doc_id) % {_WAV_SAMPLE_MOD} - 2048) AS smp
+  FROM d)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(rate AS BIGINT) AS sample_rate,
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS BIGINT) AS peak,
+       CAST(coalesce(list_sum(list_transform(range(1, n),
+         i -> CASE WHEN (smp[i + 1] >= 0) <> (smp[i] >= 0) THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross,
+       CAST(list_sum(smp) AS BIGINT) AS sum_amp,
+       CAST(list_sum(list_transform(smp, v -> v * v)) AS BIGINT) AS sum_sq
+FROM s
+"""
+
+
+# --- real video decode (YUV4MPEG2 / .y4m) ----------------------------------
+#
+# Y4M is ffmpeg's uncompressed interchange format: a plain-text header
+# ("YUV4MPEG2 W.. H.. F.. C444\n"), then per frame a "FRAME...\n" marker
+# followed by raw Y, U, V planes. No codec — a real parser is a header
+# tokenizer plus plane-sized frombuffer slices, and frame extraction is the
+# REAL 1→N row explosion frame_sample stubs for compressed video. Only C444
+# (full-resolution chroma) is supported; anything else raises.
+
+
+def _y4m_params(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic per-doc (width, height, n_frames) — the synthetic
+    corpus spec shared with the DuckDB oracle."""
+    return 8 + doc_id % 5, 6 + doc_id % 4, 3 + doc_id % 3
+
+
+def render_y4m(doc_id: int) -> bytes:
+    """Render the deterministic test clip as REAL Y4M bytes. Per-frame
+    plane ramps (all mod 256): Y = 3x+5y+7t+d, U = 2x+y+11t+3d,
+    V = x+4y+13t+5d — the closed-form spec the oracle integrates, so a
+    decoder bug (header parse, plane offsets, frame stride) breaks the
+    value match."""
+    import numpy as np
+
+    w, h, nf = _y4m_params(doc_id)
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h))
+    y, x = np.mgrid[0:h, 0:w]
+    for t in range(nf):
+        out += b"FRAME\n"
+        out += ((3 * x + 5 * y + 7 * t + doc_id) % 256).astype(np.uint8).tobytes()
+        out += ((2 * x + y + 11 * t + 3 * doc_id) % 256).astype(np.uint8).tobytes()
+        out += ((x + 4 * y + 13 * t + 5 * doc_id) % 256).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes):
+    """REAL YUV4MPEG2 decoder (public spec, pure numpy): tokenizes the
+    stream header (W/H/C tags; only C444 supported — the format DEFAULTS
+    to 420 when the C tag is absent, so an explicit C444 is required),
+    then walks FRAME markers slicing raw Y/U/V planes. Returns
+    (w, h, uint8 array (n_frames, 3, h, w))."""
+    import numpy as np
+
+    buf = bytes(payload)
+    eol = buf.find(b"\n")
+    if eol < 0 or not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    colorspace = "C420"  # spec default when the C tag is absent
+    for tok in buf[:eol].split(b" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            colorspace = "C" + val.decode("ascii", "replace")
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("missing or invalid W/H header tags")
+    if not colorspace.startswith("C444"):
+        raise ValueError(f"unsupported colorspace {colorspace} (only C444)")
+    plane = w * h
+    pos, n = eol + 1, len(buf)
+    frames = []
+    while pos < n:
+        feol = buf.find(b"\n", pos)
+        if feol < 0 or buf[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = feol + 1
+        if pos + 3 * plane > n:
+            raise ValueError("truncated frame planes")
+        yuv = np.frombuffer(buf, dtype=np.uint8, count=3 * plane, offset=pos)
+        frames.append(yuv.reshape(3, h, w))
+        pos += 3 * plane
+    if not frames:
+        raise ValueError("no frames")
+    return w, h, np.stack(frames)
+
+
+def synth_y4m_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are real Y4M clips (one per doc_id),
+    rendered in a narrow mapInPandas — the video twin of synth_ppm_media."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render_y4m(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "video/x-yuv4mpeg",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            ).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+    return docs.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, kind string, payload binary, n_bytes int"
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, width bigint, height bigint,"
+    " sum_y bigint, sum_u bigint, sum_v bigint"
+)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """Decode every clip with the REAL Y4M parser and emit one row per
+    FRAME (the genuine 1→N video explosion) with exact-integer plane sums
+    — bit-identical cross-engine, no float protocol. Narrow mapInPandas:
+    the explosion happens inside the Arrow batch, zero shuffles."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height",
+                "sum_y", "sum_u", "sum_v",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(payload)
+                sums = frames.astype(np.int64).sum(axis=(2, 3))  # (n, 3)
+                for t in range(frames.shape[0]):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_y"].append(int(sums[t, 0]))
+                    rows["sum_u"].append(int(sums[t, 1]))
+                    rows["sum_v"].append(int(sums[t, 2]))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return media.mapInPandas(fn, VIDEO_FRAME_SCHEMA)
+
+
+def video_frame_stats_sql() -> str:
+    """DuckDB oracle twin of synth_y4m_media → video_frame_stats:
+    integrates the closed-form plane ramps per (doc, frame) and UNNESTs
+    the frame dimension, value-checking the Spark side's render → header
+    tokenize → plane slice → per-frame sums end-to-end."""
+    return """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+         3 + doc_id % 3 AS nf
+  FROM documents),
+f AS (
+  SELECT doc_id, w, h, unnest(range(0, nf)) AS t FROM d),
+s AS (
+  SELECT doc_id, t, w, h,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x -> (3 * x + 5 * y + 7 * t + doc_id) % 256)))) AS sy,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x -> (2 * x + y + 11 * t + 3 * doc_id) % 256)))) AS su,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x -> (x + 4 * y + 13 * t + 5 * doc_id) % 256)))) AS sv
+  FROM f)
+SELECT doc_id, CAST(t AS BIGINT) AS frame_idx, CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height, CAST(sy AS BIGINT) AS sum_y,
+       CAST(su AS BIGINT) AS sum_u, CAST(sv AS BIGINT) AS sum_v
+FROM s
+"""
 
 
 def phash_pairs_sql(max_hamming: int = 8, out_len: int = AHASH_BITS) -> str:

@@ -321,6 +321,28 @@ def _q_multimodal_decode_png(spark, sf_dir):
     return canon_types(multimodal.image_stats(media, decoder=multimodal.decode_png))
 
 
+def _q_multimodal_decode_wav(spark, sf_dir):
+    # REAL audio decode (RIFF/WAVE 16-bit PCM, struct-only parser): render
+    # deterministic WAV payloads (incl. a junk LIST chunk so the unknown-
+    # chunk skip path runs), walk the container, emit exact-integer clip
+    # stats; the oracle integrates the closed-form sample spec directly.
+    from .queries import canon_types
+
+    media = multimodal.synth_wav_media(_docs(spark, sf_dir))
+    return canon_types(multimodal.audio_stats(media))
+
+
+def _q_multimodal_decode_y4m(spark, sf_dir):
+    # REAL video decode (YUV4MPEG2 C444): header tokenize + raw plane
+    # slices, one output ROW PER FRAME — the genuine 1->N video explosion
+    # with exact-integer plane sums; the oracle unnests the frame range
+    # and integrates the per-frame ramps.
+    from .queries import canon_types
+
+    media = multimodal.synth_y4m_media(_docs(spark, sf_dir))
+    return canon_types(multimodal.video_frame_stats(media))
+
+
 def _q_multimodal_phash(spark, sf_dir):
     # perceptual-hash near-dup pairs over stub-decoded thumbnails; the
     # aHash bit test is an exact integer inequality (no float pooling), so
@@ -894,6 +916,18 @@ _REGISTRY.update(
             "multimodal_decode_png",
             _q_multimodal_decode_png,
             multimodal.image_stats_sql(),
+            ("multimodal",),
+        ),
+        "multimodal_decode_wav": Query(
+            "multimodal_decode_wav",
+            _q_multimodal_decode_wav,
+            multimodal.audio_stats_sql(),
+            ("multimodal",),
+        ),
+        "multimodal_decode_y4m": Query(
+            "multimodal_decode_y4m",
+            _q_multimodal_decode_y4m,
+            multimodal.video_frame_stats_sql(),
             ("multimodal",),
         ),
         "multimodal_phash": Query(
