@@ -289,6 +289,11 @@ def main() -> None:
         "ann_dims_frontier",
         "minhash_size_frontier",
         "ann_storage_frontier",
+        # round-12: real codec-free media decoders (PNG/WAV/Y4M render ->
+        # parse -> stats, narrow MapInPandas)
+        "multimodal_decode_png",
+        "multimodal_decode_wav",
+        "multimodal_decode_y4m",
     ]
     reg = registry()
     for name in suite:

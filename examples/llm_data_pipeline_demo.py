@@ -40,6 +40,11 @@ def main() -> None:
         ("Bates-Granger forecast combination", "forecast_combo"),
         ("Syntetos-Boylan demand classes", "li_demand_classes"),
         ("harmonic centrality over the near-dup graph", "graph_closeness"),
+        # round-12: the multimodal corpus ingest path — REAL codec-free
+        # decoders (stdlib zlib / struct), narrow MapInPandas
+        ("real PNG decode -> channel stats", "multimodal_decode_png"),
+        ("real WAV decode -> exact clip stats", "multimodal_decode_wav"),
+        ("real Y4M decode -> per-frame stats (1->N)", "multimodal_decode_y4m"),
     ]
     for title, name in tour:
         print(f"\n=== {title} ({name}) ===")
