@@ -312,13 +312,16 @@ def test_y4m_decode_planted_frames_and_stats(spark, docs):
         y, x = np.mgrid[0:h, 0:w]
         for t in range(NF):
             assert np.array_equal(
-                frames[t, 0], ((3 * x + 5 * y + 7 * t + d) % 256).astype(np.uint8)
+                frames[t, 0],
+                (((3 + d % 7) * x + (5 + d % 11) * y + 7 * t + d) % 256).astype(np.uint8),
             )
             assert np.array_equal(
-                frames[t, 1], ((2 * x + y + 11 * t + 3 * d) % 256).astype(np.uint8)
+                frames[t, 1],
+                (((2 + d % 5) * x + (1 + d % 3) * y + 11 * t + 3 * d) % 256).astype(np.uint8),
             )
             assert np.array_equal(
-                frames[t, 2], ((x + 4 * y + 13 * t + 5 * d) % 256).astype(np.uint8)
+                frames[t, 2],
+                (((1 + d % 4) * x + (4 + d % 9) * y + 13 * t + 5 * d) % 256).astype(np.uint8),
             )
     # malformed / unsupported inputs are rejected loudly — including the
     # NO-C-tag case, whose spec default (420 subsampling) must not be
@@ -341,13 +344,74 @@ def test_y4m_decode_planted_frames_and_stats(spark, docs):
         for r in docs.select("doc_id").collect()
     )
     assert len(stats) == want_rows
-    # hand-check one frame's plane sums exactly
+    # hand-check one frame's plane sums exactly (doc 0: d%k terms vanish)
     w0, h0, _ = multimodal._y4m_params(0)
     y, x = np.mgrid[0:h0, 0:w0]
     row = stats[(stats.doc_id == 0) & (stats.frame_idx == 1)].iloc[0]
     assert row.sum_y == int(((3 * x + 5 * y + 7) % 256).sum())
     assert row.sum_u == int(((2 * x + y + 11) % 256).sum())
     assert row.sum_v == int(((x + 4 * y + 13) % 256).sum())
+
+
+def test_video_frame_neardup_matches_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    # the banded-join profile must equal the brute-force banded truth on a
+    # small corpus (signatures from the planted ramps, python-side)
+    n_docs = 24
+    docs = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    media = multimodal.synth_y4m_media(docs)
+    got = {
+        (r.same_clip, r.hamming): r.n_pairs
+        for r in multimodal.video_neardup_profile(media).collect()
+    }
+    sigs = {}
+    for d in range(n_docs):
+        _, _, frames = multimodal.decode_y4m(multimodal.render_y4m(d))
+        for t in range(frames.shape[0]):
+            sigs[d * 8 + t] = multimodal._ahash_sig(
+                frames[t, 0].reshape(-1).astype(np.int64)
+            )
+
+    def bands(s):
+        u = s & (2**64 - 1)
+        return {(k, (u >> (16 * k)) & 0xFFFF) for k in range(4)}
+
+    want: dict = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bands(sigs[a]) & bands(sigs[b]):
+            ham = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if ham <= 8:
+                key = (int(a // 8 == b // 8), ham)
+                want[key] = want.get(key, 0) + 1
+    assert got == want
+    # within-clip near-dups must exist (frames of one clip differ by a
+    # near-uniform shift) — the corpus is non-degenerate
+    assert any(k[0] == 1 for k in got)
+
+
+def test_stream_media_stats_equals_batch(spark):
+    # the streaming decode twin must produce EXACTLY the batch result —
+    # same rows, same exact-integer stats (availableNow replay, append)
+    from tsgen import streaming
+
+    sf = "/root/testdata/sf0.001"
+    batch = multimodal.audio_stats(
+        multimodal.synth_wav_media(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        )
+    )
+    stream = streaming.run_to_completion(
+        multimodal.audio_stats(
+            multimodal.synth_wav_media(streaming.docs_stream(spark, sf))
+        ),
+        mode="append",
+    )
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s and len(b) > 0
 
 
 def test_connected_components_chain_star_clique(spark):

@@ -181,6 +181,37 @@ def resize_pool(media: DataFrame, out_len: int = 16) -> DataFrame:
 AHASH_BITS, AHASH_BANDS = 64, 4
 
 
+def _ahash_sig(raw, out_len: int = AHASH_BITS) -> int:
+    """EXACT integer aHash of a nonneg-int array (bit i = bucket i's mean >
+    mean of bucket means): array_split gives `rem` buckets of size l+1 then
+    size l, so mean-of-means = (l*A + (l+1)*B) / (out_len*l*(l+1)) with
+    A = sum over big buckets, B = over small — the comparison clears
+    denominators and stays in int64, making the hash bit-identical in any
+    engine (the float version could flip razor-tie bits under a different
+    summation order). Returns a SIGNED int64 (bit 63 set -> negative)."""
+    import numpy as np
+
+    n = len(raw)
+    if n == 0:
+        return 0
+    l, rem = divmod(n, out_len)
+    sums = [int(s.sum()) for s in np.array_split(raw, out_len)]
+    sizes = [len(s) for s in np.array_split(raw, out_len)]
+    if l == 0:
+        total = int(raw.sum())
+        bits = [(sz > 0) and (sm * out_len > total) for sm, sz in zip(sums, sizes)]
+    else:
+        a_big = sum(sums[:rem]) if rem else 0
+        b_small = sum(sums[rem:])
+        m = l * a_big + (l + 1) * b_small
+        scale = out_len * l * (l + 1)
+        bits = [sm * scale > m * sz for sm, sz in zip(sums, sizes)]
+    sig = 0
+    for b in bits:
+        sig = (sig << 1) | int(b)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
 def ahash(media: DataFrame, out_len: int = AHASH_BITS) -> DataFrame:
     """Perceptual average-hash (aHash) over the pooled thumbnail: bit i = 1
     iff bucket i's intensity is above the thumbnail mean. On real images
@@ -195,45 +226,8 @@ def ahash(media: DataFrame, out_len: int = AHASH_BITS) -> DataFrame:
             ids, sigs = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-                n = len(raw)
-                if n == 0:
-                    ids.append(doc_id)
-                    sigs.append(0)
-                    continue
-                # EXACT integer form of "bucket mean > mean of bucket means":
-                # array_split gives `rem` buckets of size l+1 then size l, so
-                # mean-of-means = (l*A + (l+1)*B) / (out_len*l*(l+1)) with
-                # A = sum over big buckets, B = over small — the comparison
-                # clears denominators and stays in int64, making the hash
-                # bit-identical in any engine (the float version could flip
-                # razor-tie bits under a different summation order).
-                l, rem = divmod(n, out_len)
-                sums = np.array(
-                    [int(s.sum()) for s in np.array_split(raw, out_len)], dtype=object
-                )
-                sizes = np.array(
-                    [len(s) for s in np.array_split(raw, out_len)], dtype=object
-                )
-                if l == 0:
-                    total = int(raw.sum())
-                    bits = [
-                        (int(sz) > 0) and (int(sm) * out_len > total)
-                        for sm, sz in zip(sums, sizes)
-                    ]
-                else:
-                    a_big = int(sums[:rem].sum()) if rem else 0
-                    b_small = int(sums[rem:].sum())
-                    m = l * a_big + (l + 1) * b_small
-                    scale = out_len * l * (l + 1)
-                    bits = [
-                        int(sm) * scale > m * int(sz) for sm, sz in zip(sums, sizes)
-                    ]
-                sig = 0
-                for b in bits:
-                    sig = (sig << 1) | int(b)
-                # keep in signed-int64 range (bit 63 set -> negative is fine)
                 ids.append(doc_id)
-                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+                sigs.append(_ahash_sig(raw, out_len))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs}).astype(
                 {"doc_id": "int64", "sig": "int64"}
             )
@@ -864,20 +858,25 @@ def _y4m_params(doc_id: int) -> tuple[int, int, int]:
 
 def render_y4m(doc_id: int) -> bytes:
     """Render the deterministic test clip as REAL Y4M bytes. Per-frame
-    plane ramps (all mod 256): Y = 3x+5y+7t+d, U = 2x+y+11t+3d,
-    V = x+4y+13t+5d — the closed-form spec the oracle integrates, so a
-    decoder bug (header parse, plane offsets, frame stride) breaks the
-    value match."""
+    plane ramps (all mod 256, with PER-DOC multipliers so different clips
+    are genuinely diverse while frames of one clip stay near-identical —
+    the similarity structure real video corpora have):
+        Y = (3+d%7)x + (5+d%11)y + 7t + d
+        U = (2+d%5)x + (1+d%3)y + 11t + 3d
+        V = (1+d%4)x + (4+d%9)y + 13t + 5d
+    — the closed-form spec the oracle integrates, so a decoder bug
+    (header parse, plane offsets, frame stride) breaks the value match."""
     import numpy as np
 
     w, h, nf = _y4m_params(doc_id)
+    d = doc_id
     out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h))
     y, x = np.mgrid[0:h, 0:w]
     for t in range(nf):
         out += b"FRAME\n"
-        out += ((3 * x + 5 * y + 7 * t + doc_id) % 256).astype(np.uint8).tobytes()
-        out += ((2 * x + y + 11 * t + 3 * doc_id) % 256).astype(np.uint8).tobytes()
-        out += ((x + 4 * y + 13 * t + 5 * doc_id) % 256).astype(np.uint8).tobytes()
+        out += (((3 + d % 7) * x + (5 + d % 11) * y + 7 * t + d) % 256).astype(np.uint8).tobytes()
+        out += (((2 + d % 5) * x + (1 + d % 3) * y + 11 * t + 3 * d) % 256).astype(np.uint8).tobytes()
+        out += (((1 + d % 4) * x + (4 + d % 9) * y + 13 * t + 5 * d) % 256).astype(np.uint8).tobytes()
     return bytes(out)
 
 
@@ -999,16 +998,187 @@ f AS (
 s AS (
   SELECT doc_id, t, w, h,
          list_sum(flatten(list_transform(range(0, h), y ->
-           list_transform(range(0, w), x -> (3 * x + 5 * y + 7 * t + doc_id) % 256)))) AS sy,
+           list_transform(range(0, w), x -> ((3 + doc_id % 7) * x + (5 + doc_id % 11) * y + 7 * t + doc_id) % 256)))) AS sy,
          list_sum(flatten(list_transform(range(0, h), y ->
-           list_transform(range(0, w), x -> (2 * x + y + 11 * t + 3 * doc_id) % 256)))) AS su,
+           list_transform(range(0, w), x -> ((2 + doc_id % 5) * x + (1 + doc_id % 3) * y + 11 * t + 3 * doc_id) % 256)))) AS su,
          list_sum(flatten(list_transform(range(0, h), y ->
-           list_transform(range(0, w), x -> (x + 4 * y + 13 * t + 5 * doc_id) % 256)))) AS sv
+           list_transform(range(0, w), x -> ((1 + doc_id % 4) * x + (4 + doc_id % 9) * y + 13 * t + 5 * doc_id) % 256)))) AS sv
   FROM f)
 SELECT doc_id, CAST(t AS BIGINT) AS frame_idx, CAST(w AS BIGINT) AS width,
        CAST(h AS BIGINT) AS height, CAST(sy AS BIGINT) AS sum_y,
        CAST(su AS BIGINT) AS sum_u, CAST(sv AS BIGINT) AS sum_v
 FROM s
+"""
+
+
+_FRAME_GID_STRIDE = 8  # frames per doc < 8, so gid = doc_id*8 + t is unique
+
+
+def frame_signatures(media: DataFrame, out_len: int = AHASH_BITS) -> DataFrame:
+    """Per-FRAME perceptual hash of a video corpus: decode each Y4M clip
+    and aHash every frame's luma (Y) plane with the exact-integer bucket
+    rule (_ahash_sig) — decode and fingerprint in ONE narrow mapInPandas
+    pass, zero shuffles. gid = doc_id*8 + frame_idx gives each frame a
+    unique join key for the banded self-join downstream."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "gid", "sig")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, frames = decode_y4m(payload)
+                for t in range(frames.shape[0]):
+                    luma = frames[t, 0].reshape(-1).astype(np.int64)
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(t)
+                    rows["gid"].append(int(doc_id) * _FRAME_GID_STRIDE + t)
+                    rows["sig"].append(_ahash_sig(luma, out_len))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return media.mapInPandas(
+        fn, "doc_id bigint, frame_idx bigint, gid bigint, sig bigint"
+    )
+
+
+def video_frame_neardup(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Keyframe-level video dedup: near-duplicate FRAME pairs across the
+    whole corpus (within and across clips) by banded perceptual hash —
+    the video twin of phash_pairs. Candidates come from a uniform-key
+    equi-join on 4×16-bit signature bands (no all-pairs); the popcount
+    verify is exact. At 100 TB this is the plan that finds re-encoded /
+    re-uploaded video segments: signatures shrink each frame to 8 bytes,
+    and the band join shuffles only (band, 16-bit key) groups."""
+    sig = frame_signatures(media).localCheckpoint(eager=False)
+    bands = sig.select(
+        "gid",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for i in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("gid", "sig", "b.band", "b.bkey")
+    a = bands.select(
+        F.col("gid").alias("gid_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("gid").alias("gid_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("gid_a") < F.col("gid_b"))
+        .select("gid_a", "gid_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    s = _FRAME_GID_STRIDE  # integer div/mod, never float division (exact at any gid)
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.expr(f"gid_a div {s}").alias("doc_a"),
+            (F.col("gid_a") % s).cast("bigint").alias("frame_a"),
+            F.expr(f"gid_b div {s}").alias("doc_b"),
+            (F.col("gid_b") % s).cast("bigint").alias("frame_b"),
+            "hamming",
+        )
+    )
+
+
+def video_neardup_profile(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Corpus-level video near-dup PROFILE: the full banded-join + popcount
+    pair evaluation of video_frame_neardup, aggregated to (within-clip vs
+    cross-clip) × hamming counts. The synthetic ramp corpus is near-dup
+    dense (smooth gradients collapse to few aHash patterns), so raw pairs
+    are O(M) rows; the profile keeps the heavy distributed work — ONE
+    signature pass + ONE banded self-join — while the compared result
+    stays ≤ 2·(max_hamming+1) rows, the same shape discipline as the
+    frontier tables."""
+    pairs = video_frame_neardup(media, max_hamming)
+    return (
+        pairs.groupBy(
+            (F.col("doc_a") == F.col("doc_b")).cast("bigint").alias("same_clip"),
+            "hamming",
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("same_clip", "hamming")
+    )
+
+
+def video_frame_neardup_sql(max_hamming: int = 8, out_len: int = AHASH_BITS) -> str:
+    """DuckDB oracle twin of frame_signatures → video_frame_neardup: the
+    per-frame luma plane is the closed-form Y ramp (never touching bytes),
+    bucket splits replicate numpy.array_split, and the bit test is the
+    exact integer inequality _ahash_sig uses — so the whole decode →
+    fingerprint → band-join → popcount pipeline is value-checked."""
+    big = (
+        "CASE WHEN l = 0 THEN "
+        "CASE WHEN bsizes[i + 1] > 0 AND bsums[i + 1] * {OL} > total THEN 1 ELSE 0 END "
+        "ELSE CASE WHEN bsums[i + 1] * ({OL} * l * (l + 1)) > "
+        "(l * abig + (l + 1) * (total - abig)) * bsizes[i + 1] THEN 1 ELSE 0 END END"
+    ).format(OL=out_len)
+    return f"""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+         3 + doc_id % 3 AS nf
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, unnest(range(0, nf)) AS t FROM d),
+bl AS (
+  SELECT doc_id, t, doc_id * {_FRAME_GID_STRIDE} + t AS gid,
+         CAST(w * h AS BIGINT) AS n,
+         flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w),
+             x -> ((3 + doc_id % 7) * x + (5 + doc_id % 11) * y + 7 * t + doc_id) % 256))) AS bytes
+  FROM fr),
+par AS (
+  SELECT doc_id, t, gid, n, bytes, n // {out_len} AS l, n % {out_len} AS rem,
+         coalesce(list_sum(bytes), 0) AS total
+  FROM bl),
+bk AS (
+  SELECT doc_id, t, gid, n, l, rem, total,
+         list_transform(range(0, {out_len}),
+           i -> coalesce(list_sum(bytes[i * l + least(i, rem) + 1 :
+                                        i * l + least(i, rem) + l + CASE WHEN i < rem THEN 1 ELSE 0 END]), 0)) AS bsums,
+         list_transform(range(0, {out_len}),
+           i -> l + CASE WHEN i < rem THEN 1 ELSE 0 END) AS bsizes
+  FROM par),
+ab AS (SELECT *, coalesce(list_sum(bsums[1 : rem]), 0) AS abig FROM bk),
+bits AS (
+  SELECT gid,
+         CASE WHEN n = 0 THEN list_transform(range(0, {out_len}), i -> 0)
+              ELSE list_transform(range(0, {out_len}), i -> {big}) END AS bits
+  FROM ab),
+sig AS (
+  -- CAST to BIGINT is load-bearing: list_sum returns HUGEINT, and
+  -- xor(hugeint) on a negative sig sign-extends 64 extra one-bits, so the
+  -- hamming filter silently drops every mixed-sign near-dup pair
+  SELECT gid,
+         CAST((CASE WHEN bits[1] = 1 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)
+         + coalesce(list_sum(list_transform(range(1, {out_len}),
+             i -> CAST(bits[i + 1] AS BIGINT) * (CAST(1 AS BIGINT) << ({out_len - 1} - i)))), 0) AS BIGINT) AS sig
+  FROM bits),
+banded AS (
+  {" UNION ALL ".join(f"SELECT gid, sig, {k} AS band, (sig >> {16 * k}) & 65535 AS bkey FROM sig" for k in range(AHASH_BANDS))}),
+cand AS (
+  SELECT DISTINCT a.gid AS gid_a, b.gid AS gid_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.gid < b.gid),
+pairs AS (
+  SELECT gid_a // {_FRAME_GID_STRIDE} AS doc_a, gid_b // {_FRAME_GID_STRIDE} AS doc_b,
+         CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming})
+SELECT CAST(doc_a = doc_b AS BIGINT) AS same_clip, hamming,
+       count(*) AS n_pairs
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -1056,10 +1226,15 @@ bits AS (
               ELSE list_transform(range(0, {out_len}), i -> {big}) END AS bits
   FROM ab),
 sig AS (
+  -- CAST to BIGINT is load-bearing (same reason as video_frame_neardup_sql):
+  -- list_sum returns HUGEINT, and xor(hugeint) on a negative sig
+  -- sign-extends 64 extra one-bits, dropping mixed-sign near-dup pairs.
+  -- Verified a value-no-op on the current corpus (no qualifying
+  -- mixed-sign pair exists at any SF), but latent against future data.
   SELECT doc_id,
-         (CASE WHEN bits[1] = 1 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)
+         CAST((CASE WHEN bits[1] = 1 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)
          + coalesce(list_sum(list_transform(range(1, {out_len}),
-             i -> CAST(bits[i + 1] AS BIGINT) * (CAST(1 AS BIGINT) << ({out_len - 1} - i)))), 0) AS sig
+             i -> CAST(bits[i + 1] AS BIGINT) * (CAST(1 AS BIGINT) << ({out_len - 1} - i)))), 0) AS BIGINT) AS sig
   FROM bits),
 banded AS (
   {" UNION ALL ".join(f"SELECT doc_id, sig, {k} AS band, (sig >> {16 * k}) & 65535 AS bkey FROM sig" for k in range(AHASH_BANDS))}),

@@ -86,14 +86,16 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # Driver-round-12 window (exact rotate_window.py output). The r11 gate
     # completed cumulative certification of all pre-existing oracle names,
-    # so the backlog holds exactly THREE never-certified names — this
+    # so the backlog holds exactly FIVE never-certified names — this
     # round's new real-decoder queries (PNG via stdlib zlib, WAV RIFF/PCM,
-    # Y4M video) — and the remaining 44 slots are the stale-refresh pad,
-    # least-recently-certified first (r1/r2-era rows).
+    # Y4M video), the streaming media-decode twin, and the video
+    # keyframe near-dup profile — and the remaining 42 slots are the
+    # stale-refresh pad, least-recently-certified first (r1/r2-era rows).
     # canaries (green r01–r11)
     "gen_sine", "series_stats", "sample_data_mixed",
     # never-certified: this round's new real-media-decode queries
     "multimodal_decode_png", "multimodal_decode_wav", "multimodal_decode_y4m",
+    "stream_media_stats", "video_frame_neardup",
     # stale-refresh pad: oldest-certified rows (r1/r2 era)
     "decompose_full", "decompose_multichannel", "loss_fourier",
     "loss_combined", "sample_loop", "sample_fused", "ts_strength",
@@ -105,8 +107,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pii_scrub", "poly_basis", "posenc", "label_embedding",
     "gen_union", "patchify_stats", "patch_roundtrip", "event_set_ops",
     "gen_multichannel", "orders_cube", "kalman_em", "stream_tumbling",
-    "stream_sliding", "stream_session", "stream_dedup", "stream_join",
-    "stream_ohlc",
+    "stream_sliding", "stream_session", "stream_dedup",
 )
 
 

@@ -343,6 +343,34 @@ def _q_multimodal_decode_y4m(spark, sf_dir):
     return canon_types(multimodal.video_frame_stats(media))
 
 
+def _q_stream_media_stats(spark, sf_dir):
+    # Streaming twin of multimodal_decode_wav: documents arrive as a file
+    # stream (the production corpus-ingest shape), media renders + decodes
+    # inside mapInPandas ON THE STREAM (stateless — append mode, no
+    # watermark needed), and the materialized availableNow replay must
+    # equal the batch result exactly, so the SAME closed-form oracle
+    # checks the streaming path.
+    from . import streaming
+    from .queries import canon_types
+
+    docs = streaming.docs_stream(spark, sf_dir)
+    stats = multimodal.audio_stats(multimodal.synth_wav_media(docs))
+    return canon_types(streaming.run_to_completion(stats, mode="append"))
+
+
+def _q_video_frame_neardup(spark, sf_dir):
+    # keyframe-level video dedup: decode Y4M clips, aHash every frame's
+    # luma plane (exact-integer bit test), banded self-join across the
+    # WHOLE corpus -> near-dup frame pairs within and across clips,
+    # aggregated to the (same_clip x hamming) profile so the compared
+    # result stays tiny while the full pair evaluation runs. The oracle
+    # recomputes signatures from the closed-form Y ramps.
+    from .queries import canon_types
+
+    media = multimodal.synth_y4m_media(_docs(spark, sf_dir))
+    return canon_types(multimodal.video_neardup_profile(media))
+
+
 def _q_multimodal_phash(spark, sf_dir):
     # perceptual-hash near-dup pairs over stub-decoded thumbnails; the
     # aHash bit test is an exact integer inequality (no float pooling), so
@@ -929,6 +957,18 @@ _REGISTRY.update(
             _q_multimodal_decode_y4m,
             multimodal.video_frame_stats_sql(),
             ("multimodal",),
+        ),
+        "stream_media_stats": Query(
+            "stream_media_stats",
+            _q_stream_media_stats,
+            multimodal.audio_stats_sql(),
+            ("multimodal", "streaming"),
+        ),
+        "video_frame_neardup": Query(
+            "video_frame_neardup",
+            _q_video_frame_neardup,
+            multimodal.video_frame_neardup_sql(),
+            ("multimodal", "dedup"),
         ),
         "multimodal_phash": Query(
             "multimodal_phash", _q_multimodal_phash, multimodal.phash_pairs_sql(), ("multimodal",)

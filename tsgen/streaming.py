@@ -42,6 +42,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (one-file replay) — the
+    ingest shape of a production corpus feed (files land, get decoded)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def run_to_completion(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation on all available data and return the
     materialized result (memory sink, availableNow trigger)."""
