@@ -241,6 +241,42 @@ def test_png_decode_planted_pixels_and_stats(spark, docs):
     )
     with pytest.raises(ValueError):
         multimodal.decode_png(deep)  # 16-bit depth unsupported, must raise
+    pal = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(pal)  # palette color type unsupported
+    # grayscale (bpp=1, Sub filter) and RGBA (bpp=4, Paeth filter)
+    # roundtrip: exercises the bpp-dependent a/c taps of the defilter
+    for ctype, ch, ft in ((0, 1, 1), (6, 4, 4)):
+        px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        lines = bytearray()
+        prior = np.zeros(w * ch, dtype=np.int64)
+        for r in range(h):
+            line = px[r].reshape(-1).astype(np.int64)
+            enc = np.empty(w * ch, dtype=np.int64)
+            for i in range(w * ch):
+                a = int(line[i - ch]) if i >= ch else 0
+                c = int(prior[i - ch]) if i >= ch else 0
+                pred = a if ft == 1 else multimodal._paeth(a, int(prior[i]), c)
+                enc[i] = (int(line[i]) - pred) % 256
+            lines.append(ft)
+            lines += enc.astype(np.uint8).tobytes()
+            prior = line
+        payload = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            )
+            + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        dw, dh, got = multimodal.decode_png(payload)
+        assert (dw, dh) == (w, h) and got.shape == (h, w, ch)
+        assert (got == px).all(), f"ctype={ctype} filter={ft} roundtrip"
     # distributed path: one stats row per doc; PNG stats == PPM stats
     # (same image content, two real decoders)
     png_stats = (

@@ -558,11 +558,12 @@ def decode_png(payload: bytes):
     """REAL PNG decoder (public spec, stdlib zlib only): verifies the
     signature and every chunk CRC, walks chunks to IHDR/IDAT/IEND, inflates
     the concatenated IDAT stream, and reverses the per-scanline filter
-    (types 0–4, including the Paeth predictor). Supports the common case —
-    bit depth 8, color type 2 (RGB), non-interlaced — and raises loudly on
-    anything else. Returns (w, h, uint8 array (h, w, 3)) like decode_ppm.
-    A real deployment may still swap this for PIL; the point is the decode
-    step is no longer a stub for PNG."""
+    (types 0–4, including the Paeth predictor, with the correct per-format
+    bpp for the a/c taps). Supports the 8-bit non-interlaced non-palette
+    family — grayscale (color 0), RGB (2), RGBA (6) — and raises loudly on
+    anything else. Returns (w, h, uint8 array (h, w, channels)); the RGB
+    case matches decode_ppm's shape. A real deployment may still swap this
+    for PIL; the point is the decode step is no longer a stub for PNG."""
     import numpy as np
     import struct
     import zlib
@@ -598,16 +599,19 @@ def decode_png(payload: bytes):
         # under the 8-byte header minimum) must not decode silently
         raise ValueError("missing IEND chunk")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    # 8-bit non-interlaced grayscale (0), RGB (2), or RGBA (6) — the
+    # non-palette truecolor family; palette (3), 16-bit, and Adam7 raise.
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or (comp, filt, interlace) != (0, 0, 0):
         raise ValueError(
             f"unsupported PNG variant depth={depth} color={ctype} "
-            f"interlace={interlace} (only 8-bit RGB non-interlaced)"
+            f"interlace={interlace} (only 8-bit gray/RGB/RGBA non-interlaced)"
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid dimensions {w}x{h}")
 
     raw = zlib.decompress(bytes(idat))
-    bpp, stride = 3, w * 3
+    bpp, stride = channels, w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("inflated raster size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -640,7 +644,7 @@ def decode_png(payload: bytes):
         else:
             raise ValueError(f"unknown filter type {ft} on scanline {row}")
         out[row] = rec.astype(np.uint8)
-    return w, h, out.reshape(h, w, 3)
+    return w, h, out.reshape(h, w, channels)
 
 
 def synth_png_media(docs: DataFrame) -> DataFrame:
