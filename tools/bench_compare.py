@@ -42,10 +42,14 @@ def main() -> None:
     rel, abs_ = 0.15, 0.3
     it = iter(sys.argv[1:])
     for tok in it:
-        if tok == "--rel":
-            rel = float(next(it))
-        elif tok == "--abs":
-            abs_ = float(next(it))
+        if tok in ("--rel", "--abs"):
+            val = next(it, None)
+            if val is None:
+                raise SystemExit(f"flag {tok} requires a value")
+            if tok == "--rel":
+                rel = float(val)
+            else:
+                abs_ = float(val)
         elif tok.startswith("--"):
             raise SystemExit(f"unknown flag {tok!r} (known: --rel --abs)")
         else:

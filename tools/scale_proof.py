@@ -78,6 +78,11 @@ def time_query(spark, name: str, sf_dir: str, reps: int) -> float:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    if not 1 <= k <= 26:
+        # Caesar shift wraps at 26: copy j=26 would be content-identical to
+        # copy 0, reintroducing the quadratic cross-copy candidates this
+        # tool exists to avoid (ADVICE r12)
+        raise SystemExit(f"k={k} out of range: need 1 <= k <= 26 (Caesar wrap)")
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = f"/tmp/tsgen_scale_proof_{k}x"

@@ -910,7 +910,10 @@ def decode_y4m(payload: bytes):
             colorspace = "C" + val.decode("ascii", "replace")
     if w is None or h is None or w <= 0 or h <= 0:
         raise ValueError("missing or invalid W/H header tags")
-    if not colorspace.startswith("C444"):
+    # exact match required: C444 variants (C444alpha, C444p16, ...) have
+    # different plane counts/sizes — slicing them as plain C444 would fail
+    # later with a misleading FRAME-marker error (ADVICE r12)
+    if colorspace != "C444":
         raise ValueError(f"unsupported colorspace {colorspace} (only C444)")
     plane = w * h
     pos, n = eol + 1, len(buf)
@@ -1032,6 +1035,14 @@ def frame_signatures(media: DataFrame, out_len: int = AHASH_BITS) -> DataFrame:
             rows = {k: [] for k in ("doc_id", "frame_idx", "gid", "sig")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 _, _, frames = decode_y4m(payload)
+                if frames.shape[0] >= _FRAME_GID_STRIDE:
+                    # gid = doc_id*STRIDE + t is only unique while every
+                    # clip has < STRIDE frames; a _y4m_params change that
+                    # breaks this must fail loudly, not corrupt pairs
+                    raise ValueError(
+                        f"clip {int(doc_id)} has {frames.shape[0]} frames"
+                        f" >= _FRAME_GID_STRIDE={_FRAME_GID_STRIDE}"
+                    )
                 for t in range(frames.shape[0]):
                     luma = frames[t, 0].reshape(-1).astype(np.int64)
                     rows["doc_id"].append(int(doc_id))
