@@ -450,6 +450,103 @@ def test_stream_media_stats_equals_batch(spark):
     assert b == s and len(b) > 0
 
 
+def test_jpeg_decode_planted_pixels_and_stats(spark, docs):
+    import numpy as np
+    import pytest
+
+    # planted pixels: decode_jpeg must recover the exact closed-form block
+    # values through the whole pipeline — marker walk, DHT-rebuilt Huffman
+    # tables, byte unstuffing, DC prediction, dequantize, IDCT. Exactness
+    # is by corpus design: even values + Q[0,0]=16 make the DC round-trip
+    # lossless and a constant block has no AC energy.
+    for d in (0, 1, 5, 11):
+        w, h, px, _ = multimodal.decode_jpeg(multimodal.render_jpeg(d))
+        W, H = multimodal._jpeg_params(d)
+        assert (w, h) == (W, H)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = multimodal._jpeg_block_value(d, bx, by)
+                assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+    # malformed / unsupported inputs are rejected loudly
+    jpg = multimodal.render_jpeg(3)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(b"\x00" + jpg[1:])  # missing SOI
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(jpg[:40])  # truncated segment
+    with pytest.raises(ValueError):  # progressive (SOF2) must raise
+        multimodal.decode_jpeg(jpg.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):  # 16-bit quant table must raise
+        multimodal.decode_jpeg(jpg.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10", 1))
+    # distributed path: one stats row per doc; hand-check doc 0 exactly
+    stats = multimodal.jpeg_stats(multimodal.synth_jpeg_media(docs)).toPandas()
+    assert len(stats) == docs.count()
+    w0, h0 = multimodal._jpeg_params(0)
+    vs = [
+        multimodal._jpeg_block_value(0, bx, by)
+        for by in range(h0 // 8)
+        for bx in range(w0 // 8)
+    ]
+    row = stats[stats.doc_id == 0].iloc[0]
+    assert row.n_px == w0 * h0 and row.sum_px == 64 * sum(vs)
+    assert row.sum_sq == 64 * sum(v * v for v in vs)
+    assert row.min_px == min(vs) and row.max_px == max(vs)
+    np_all = np.asarray(vs)
+    assert row.max_px == np_all.max()
+
+
+def test_jpeg_decode_planted_coeffs_zrl_eob_and_stuffing(spark, docs):
+    import numpy as np
+    import pytest
+
+    # planted coefficients: the decoder's dequantized output must equal
+    # spec * quant exactly for every block (AC run lengths, EOB, signs)
+    for d in (0, 2, 7, 13):
+        w, h, _, dq = multimodal.decode_jpeg(multimodal.render_jpeg_planted(d))
+        bw = w // 8
+        for bi in range(dq.shape[0]):
+            by, bx = divmod(bi, bw)
+            exp = np.zeros(64, dtype=np.int64)
+            for z, k in multimodal._jpeg_planted_block(d, bx, by).items():
+                exp[z] = k * multimodal._QUANT_ZZ[z]
+            assert np.array_equal(dq[bi], exp), (d, bi)
+    # the corpus really exercises byte stuffing (0xFF00 in the scan)
+    assert any(
+        b"\xff\x00" in multimodal.render_jpeg_planted(d) for d in range(40)
+    )
+    # handcrafted blocks: a 17-zero gap (ZRL + run-1), a coefficient in
+    # the LAST slot (no EOB emitted), and a -1 DC on an 8x8 image
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0], zz[2], zz[20], zz[63] = -1, 3, -2, 1
+    payload = multimodal._jpeg_wrap(8, 8, multimodal._encode_scan([zz]))
+    _, _, _, dq = multimodal.decode_jpeg(payload)
+    q = np.asarray(multimodal._QUANT_ZZ, dtype=np.int64)
+    assert np.array_equal(dq[0], zz * q)
+    # distributed path + hand-check doc 0's aggregate
+    stats = multimodal.jpeg_coeff_stats(
+        multimodal.synth_jpeg_planted_media(docs)
+    ).toPandas()
+    assert len(stats) == docs.count()
+    w0, h0 = multimodal._jpeg_params(0)
+    specs = [
+        multimodal._jpeg_planted_block(0, bx, by)
+        for by in range(h0 // 8)
+        for bx in range(w0 // 8)
+    ]
+    row = stats[stats.doc_id == 0].iloc[0]
+    assert row.n_blocks == len(specs)
+    assert row.dc_sum_dq == sum(s[0] * multimodal._QUANT_ZZ[0] for s in specs)
+    assert row.nnz == sum(1 for s in specs for k in s.values() if k)
+    assert row.sum_abs_dq == sum(
+        abs(k) * multimodal._QUANT_ZZ[z] for s in specs for z, k in s.items()
+    )
+    with pytest.raises(ValueError):  # DRI (restart intervals) must raise
+        multimodal.decode_jpeg(
+            multimodal.render_jpeg_planted(0).replace(
+                b"\xff\xfe", b"\xff\xdd", 1
+            )
+        )
+
+
 def test_connected_components_chain_star_clique(spark):
     # chain 0-1-...-9 (diameter 9: exercises pointer jumping), star at 100,
     # triangle at 200, singleton edge at 300 — all in one edge list

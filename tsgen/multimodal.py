@@ -12,11 +12,13 @@ value-checks it end-to-end against the same closed-form oracle. Audio is
 decoded for REAL by decode_wav (RIFF/WAVE 16-bit PCM chunk walk — struct
 only) and video by decode_y4m (YUV4MPEG2 plain-text header + raw frame
 planes — the real 1→N frame explosion), each with its own end-to-end
-oracle query. Only formats whose codecs are genuinely absent from this
-container (JPEG, MP3/AAC, H.264) remain behind decode_stub: their
-Spark-side plumbing (schema, batching, partitioning, UDF signature) is
-real and tested; swapping decode_stub for a PIL/ffmpeg call is a
-one-function change.
+oracle query. Baseline JPEG is ALSO decoded for real by decode_jpeg —
+entropy coding is canonical Huffman and the transform one numpy matrix
+product, so no codec library is needed (see the JPEG section below).
+Only formats whose codecs are genuinely absent from this container
+(MP3/AAC, H.264) remain behind decode_stub: their Spark-side plumbing
+(schema, batching, partitioning, UDF signature) is real and tested;
+swapping decode_stub for an ffmpeg call is a one-function change.
 
 Scale notes:
 - binary payloads stay opaque to the shuffle (never grouped on); feature
@@ -1258,4 +1260,634 @@ cand AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
+
+
+# --- real image codec #2: baseline JPEG (ITU-T T.81, grayscale) -------------
+#
+# Baseline sequential JPEG needs no external codec: the container is a
+# marker stream (struct-level slicing), entropy coding is canonical Huffman
+# (T.81 Annex C code generation from DHT BITS/HUFFVAL lists), and the
+# transform is an 8x8 DCT-II (one numpy matrix product). render_jpeg emits
+# REAL baseline JFIF files (SOI/APP0/COM/DQT/SOF0/DHT/SOS/EOI with a
+# byte-stuffed entropy scan); decode_jpeg parses them back using tables
+# rebuilt from the file's own DQT/DHT segments, never the encoder's
+# constants. Corpus design makes the cross-engine check exact-integer:
+#   * pixel corpus: per-block CONSTANT samples with EVEN values — a
+#     constant block has only a DC coefficient, and with Q[0,0]=16 the
+#     quantize/dequantize round-trip of 8*(v-128) is exact, so decoded
+#     pixels equal the closed-form spec bit-for-bit;
+#   * coefficient corpus: the image is DEFINED in quantized-coefficient
+#     space (planted DC + three AC slots, one past a 16-zero gap so the
+#     encoder must emit ZRL), and the decoder's dequantized coefficients
+#     are exact integers the oracle integrates directly.
+# The reference (B1h14/Time-Series-Data-Generation) has no media path at
+# all — this is the north-star multimodal extension, same contract as the
+# PNG/WAV/Y4M decoders above.
+
+_JPEG_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]  # Annex-K-style luminance table, row-major; Q[0,0]=16 is load-bearing
+
+
+def _zigzag_order() -> list:
+    """The T.81 zigzag scan order, GENERATED (not typed) to avoid
+    transcription bugs: diagonals s=r+c ascending; odd diagonals walk r
+    ascending, even ones descending."""
+    out = []
+    for s in range(15):
+        rng = list(range(max(0, s - 7), min(s, 7) + 1))
+        out.extend((r, s - r) for r in (rng if s % 2 == 1 else reversed(rng)))
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+_QUANT_ZZ = [_JPEG_QUANT[r * 8 + c] for r, c in _ZIGZAG]
+
+# Annex-K-style Huffman specs (BITS = #codes per length 1..16, then symbols
+# in canonical order). The decoder never reads these constants — it rebuilds
+# tables from the file's DHT segment — so round-trip correctness depends
+# only on the spec being a valid canonical table covering the emitted
+# symbols (all DC sizes 0-11; every AC (run,size) with size 1-10, plus ZRL
+# and EOB).
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_spec_codes(bits: list, vals: list) -> dict:
+    """Canonical code assignment (T.81 Annex C): symbols get consecutive
+    codes in increasing code-length order. Returns sym -> (code, length)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator emitting the byte-stuffed entropy stream
+    (a 0xFF data byte is followed by 0x00 so decoders can find markers)."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self._nbits -= 8
+            self._out.append(byte)
+            if byte == 0xFF:
+                self._out.append(0x00)
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self._out)
+
+
+def _mag_bits(v: int) -> tuple:
+    """(size, value-bits) for a DC diff / AC coefficient: negatives are
+    stored as their size-bit one's complement (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _encode_scan(blocks_zz) -> bytes:
+    """Entropy-encode quantized blocks (zigzag int arrays of 64): DC is
+    diff-coded vs the previous block; AC as (run,size) Huffman symbols
+    with ZRL for 16-zero runs and EOB when the tail is all zero."""
+    dc_codes = _huff_spec_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_spec_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    pred = 0
+    for zz in blocks_zz:
+        size, bits = _mag_bits(int(zz[0]) - pred)
+        pred = int(zz[0])
+        code, n = dc_codes[size]
+        w.write(code, n)
+        if size:
+            w.write(bits, size)
+        nz = [i for i in range(1, 64) if int(zz[i])]
+        prev = 0
+        for i in nz:
+            run = i - prev - 1
+            prev = i
+            while run >= 16:
+                code, n = ac_codes[0xF0]  # ZRL
+                w.write(code, n)
+                run -= 16
+            size, bits = _mag_bits(int(zz[i]))
+            code, n = ac_codes[(run << 4) | size]
+            w.write(code, n)
+            w.write(bits, size)
+        if not nz or nz[-1] != 63:
+            code, n = ac_codes[0x00]  # EOB
+            w.write(code, n)
+    return w.flush()
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _jpeg_wrap(w: int, h: int, scan: bytes) -> bytes:
+    """Assemble a complete baseline JFIF file around an entropy scan:
+    APP0 + a COM segment (unknown-segment skip path), one DQT, SOF0, and
+    BOTH Huffman tables in a single DHT segment (decoders must loop over
+    tables within one segment — a real-world parser trap)."""
+    import struct
+
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\x00" + bytes(_QUANT_ZZ)  # Pq=0 (8-bit), Tq=0, zigzag order
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xE0, app0)
+        + _jpeg_seg(0xFE, b"tsgen synthetic corpus")
+        + _jpeg_seg(0xDB, dqt)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, dht)
+        + _jpeg_seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_params(doc_id: int) -> tuple:
+    """Deterministic per-doc (width, height), both multiples of 8 — the
+    synthetic corpus spec shared with the DuckDB oracle."""
+    return 8 * (2 + doc_id % 4), 8 * (2 + doc_id % 3)
+
+
+def _jpeg_block_value(doc_id: int, bx: int, by: int) -> int:
+    """Per-8x8-block constant sample value. EVEN by construction: with
+    Q[0,0]=16 the DC quantize round-trip of 8*(v-128) is then exact
+    ((v-128)/2 is an integer), so decoded pixels equal this spec
+    bit-for-bit and the oracle needs no rounding protocol."""
+    return 2 * ((7 * doc_id + 17 * bx + 29 * by) % 113) + 14
+
+
+_DCT_M = None
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix M (rows = basis): the JPEG FDCT
+    (1/4)C(u)C(v)SS convention equals M @ B @ M.T exactly."""
+    global _DCT_M
+    if _DCT_M is None:
+        import numpy as np
+
+        u = np.arange(8, dtype=np.float64)[:, None]
+        x = np.arange(8, dtype=np.float64)[None, :]
+        m = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8.0)
+        m[0] *= np.sqrt(0.5)
+        _DCT_M = m
+    return _DCT_M
+
+
+def render_jpeg(doc_id: int) -> bytes:
+    """Render the deterministic block-constant test image as a REAL
+    baseline JPEG: level shift -> float64 8x8 DCT-II -> quantize
+    (round-to-nearest; exact for this corpus) -> zigzag -> canonical
+    Huffman with byte stuffing -> full JFIF marker stream."""
+    import numpy as np
+
+    w, h = _jpeg_params(doc_id)
+    m = _dct_matrix()
+    qt = np.asarray(_JPEG_QUANT, dtype=np.float64).reshape(8, 8)
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = _jpeg_block_value(doc_id, bx, by)
+            b = np.full((8, 8), float(v) - 128.0)
+            q = np.rint((m @ b @ m.T) / qt)
+            blocks.append(
+                np.array([int(q[r, c]) for r, c in _ZIGZAG], dtype=np.int64)
+            )
+    return _jpeg_wrap(w, h, _encode_scan(blocks))
+
+
+_JPEG_PLANT_Z = (1, 4, 21)  # zigzag slots: low AC, mid AC, and one past a
+#                             16-zero gap so the encoder must emit ZRL
+
+
+def _jpeg_planted_block(doc_id: int, bx: int, by: int) -> dict:
+    """Quantized-coefficient spec for the AC-path corpus: DC plus three
+    planted AC slots (a value of 0 is simply absent from the stream).
+    Signed ranges exercise negative magnitudes in DC diffs and ACs."""
+    return {
+        0: ((11 * doc_id + 5 * bx + 3 * by) % 21) - 10,
+        1: ((doc_id + bx + 2 * by) % 7) - 3,
+        4: ((3 * doc_id + bx) % 5) - 2,
+        21: ((doc_id + by) % 3) - 1,
+    }
+
+
+def render_jpeg_planted(doc_id: int) -> bytes:
+    """AC-corpus encoder: the image is DEFINED in coefficient space
+    (every JPEG is — pixels are IDCT output), so quantized blocks come
+    straight from the closed-form spec and the decoder's dequantized
+    coefficients are exact integers the oracle integrates directly."""
+    import numpy as np
+
+    w, h = _jpeg_params(doc_id)
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, dtype=np.int64)
+            for z, k in _jpeg_planted_block(doc_id, bx, by).items():
+                zz[z] = k
+            blocks.append(zz)
+    return _jpeg_wrap(w, h, _encode_scan(blocks))
+
+
+class _BitReader:
+    """MSB-first reader over the unstuffed entropy bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read(self, n: int) -> int:
+        while self._nbits < n:
+            if self._pos >= len(self._d):
+                raise ValueError("entropy stream exhausted")
+            self._acc = (self._acc << 8) | self._d[self._pos]
+            self._pos += 1
+            self._nbits += 8
+        self._nbits -= n
+        v = (self._acc >> self._nbits) & ((1 << n) - 1)
+        self._acc &= (1 << self._nbits) - 1
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map size-bit magnitude bits back to a signed value."""
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decoder (public ITU-T T.81 spec; numpy+struct
+    only): marker walk skipping APPn/COM, DQT (multi-table, zigzag), DHT
+    (canonical tables rebuilt from BITS/HUFFVAL, multiple per segment),
+    SOF0 (8-bit grayscale only — progressive/color/restart raise), SOS,
+    byte-unstuffed Huffman scan with diff-coded DC and run-length/ZRL/EOB
+    AC, dequantization, and a float64 IDCT back to clamped uint8 samples.
+
+    Returns (width, height, pixels[h,w] uint8, dq[n_blocks,64] int64) —
+    dq holds DEQUANTIZED coefficients in zigzag order, row-major block
+    order, so coefficient-domain oracles stay exact-integer."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, n = 2, len(buf)
+    qtables: dict = {}
+    htables: dict = {}
+    w = h = None
+    comp_tq = 0
+    scan = None
+    dc_id = ac_id = 0
+    while pos + 2 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
+        body = buf[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated segment")
+        pos += seglen
+        if marker == 0xDB:  # DQT — may hold several tables
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT table")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT — may hold several tables
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("truncated DHT table")
+                codes = _huff_spec_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling meaningless for grayscale")
+            comp_tq = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported SOF marker 0xFF{marker:02X} (baseline only)"
+            )
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if body[0] != 1:
+                raise ValueError("interleaved scans unsupported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 15
+            data = bytearray()
+            while pos < n:
+                b0 = buf[pos]
+                if b0 == 0xFF:
+                    if pos + 1 < n and buf[pos + 1] == 0x00:
+                        data.append(0xFF)  # stuffed data byte
+                        pos += 2
+                        continue
+                    break  # a real marker ends the scan
+                data.append(b0)
+                pos += 1
+            scan = bytes(data)
+        # all other length-bearing markers (APPn, COM, ...) are skipped
+    if w is None or scan is None:
+        raise ValueError("missing SOF0 or SOS")
+    if comp_tq not in qtables:
+        raise ValueError("missing quant table")
+    dc_tab, ac_tab = htables.get((0, dc_id)), htables.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("missing Huffman table")
+    q = np.asarray(qtables[comp_tq], dtype=np.int64)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    reader = _BitReader(scan)
+    m = _dct_matrix()
+    dq = np.zeros((bw * bh, 64), dtype=np.int64)
+    canvas = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    pred = 0
+    for bi in range(bw * bh):
+        zz = np.zeros(64, dtype=np.int64)
+        size = _huff_decode(reader, dc_tab)
+        pred += _extend(reader.read(size), size) if size else 0
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 15
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(reader.read(size), size)
+            k += 1
+        deq = zz * q
+        dq[bi] = deq
+        blk = np.zeros((8, 8), dtype=np.float64)
+        for z, (r, c) in enumerate(_ZIGZAG):
+            blk[r, c] = deq[z]
+        px = np.clip(np.rint(m.T @ blk @ m) + 128.0, 0, 255).astype(np.uint8)
+        by, bx = divmod(bi, bw)
+        canvas[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return w, h, canvas[:h, :w], dq
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are real baseline JPEGs (pixel corpus),
+    rendered in a narrow mapInPandas — the JPEG twin of synth_png_media."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render_jpeg(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/jpeg",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            ).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+    return docs.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, kind string, payload binary, n_bytes int"
+    )
+
+
+def synth_jpeg_planted_media(docs: DataFrame) -> DataFrame:
+    """Media table for the AC-path corpus (coefficient-space images)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [render_jpeg_planted(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": "image/jpeg",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            ).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+    return docs.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, kind string, payload binary, n_bytes int"
+    )
+
+
+JPEG_STATS_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_px bigint,"
+    " sum_px bigint, sum_sq bigint, min_px bigint, max_px bigint"
+)
+
+
+def jpeg_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL JPEG decoder and emit per-image
+    pixel statistics — ALL exact integers on the block-constant corpus,
+    so the cross-engine match is bit-for-bit. Narrow mapInPandas."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_px",
+                "sum_px", "sum_sq", "min_px", "max_px",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px, _ = decode_jpeg(payload)
+                a = px.astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(a.size)
+                rows["sum_px"].append(int(a.sum()))
+                rows["sum_sq"].append(int((a * a).sum()))
+                rows["min_px"].append(int(a.min()))
+                rows["max_px"].append(int(a.max()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return media.mapInPandas(fn, JPEG_STATS_SCHEMA)
+
+
+def jpeg_stats_sql() -> str:
+    """DuckDB oracle twin of synth_jpeg_media -> jpeg_stats: integrates
+    the closed-form block-value spec directly (never touching bytes), so
+    the render -> FDCT -> quantize -> Huffman -> byte-stuff -> parse ->
+    Huffman-decode -> dequantize -> IDCT pipeline is value-checked
+    end-to-end — any marker, table, bit-order, stuffing, predictor, or
+    transform bug breaks the match."""
+    return """
+WITH d AS (
+  SELECT doc_id, 8 * (2 + doc_id % 4) AS w, 8 * (2 + doc_id % 3) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, w, h,
+         flatten(list_transform(range(0, h // 8), by ->
+           list_transform(range(0, w // 8), bx ->
+             2 * ((7 * doc_id + 17 * bx + 29 * by) % 113) + 14))) AS vs
+  FROM d)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(64 * list_sum(vs) AS BIGINT) AS sum_px,
+       CAST(64 * list_sum(list_transform(vs, v -> v * v)) AS BIGINT) AS sum_sq,
+       CAST(list_min(vs) AS BIGINT) AS min_px,
+       CAST(list_max(vs) AS BIGINT) AS max_px
+FROM b
+"""
+
+
+JPEG_COEFF_SCHEMA = (
+    "doc_id bigint, n_blocks bigint, dc_sum_dq bigint, ac_sum_dq bigint,"
+    " nnz bigint, sum_abs_dq bigint"
+)
+
+
+def jpeg_coeff_stats(media: DataFrame) -> DataFrame:
+    """Decode payloads and emit per-image DEQUANTIZED-coefficient stats
+    (exact integers): the AC-path certification surface — run lengths,
+    ZRL, EOB, negative magnitudes, and DC prediction all feed these sums."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_blocks", "dc_sum_dq", "ac_sum_dq",
+                "nnz", "sum_abs_dq",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, _, dq = decode_jpeg(payload)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_blocks"].append(dq.shape[0])
+                rows["dc_sum_dq"].append(int(dq[:, 0].sum()))
+                rows["ac_sum_dq"].append(int(dq[:, 1:].sum()))
+                rows["nnz"].append(int((dq != 0).sum()))
+                rows["sum_abs_dq"].append(int(np.abs(dq).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return media.mapInPandas(fn, JPEG_COEFF_SCHEMA)
+
+
+def jpeg_coeff_stats_sql() -> str:
+    """DuckDB oracle twin of synth_jpeg_planted_media -> jpeg_coeff_stats:
+    the quant constants are interpolated FROM the Python table via the
+    generated zigzag order (no hand-typed duplicates to drift)."""
+    q0, q1, q4, q21 = (_QUANT_ZZ[z] for z in (0,) + _JPEG_PLANT_Z)
+    return f"""
+WITH d AS (
+  SELECT doc_id, 8 * (2 + doc_id % 4) AS w, 8 * (2 + doc_id % 3) AS h
+  FROM documents),
+g AS (SELECT doc_id, w, h, unnest(range(0, h // 8)) AS by FROM d),
+blk AS (SELECT doc_id, w, h, by, unnest(range(0, w // 8)) AS bx FROM g),
+k AS (
+  SELECT doc_id,
+         ((11 * doc_id + 5 * bx + 3 * by) % 21) - 10 AS k0,
+         ((doc_id + bx + 2 * by) % 7) - 3 AS k1,
+         ((3 * doc_id + bx) % 5) - 2 AS k4,
+         ((doc_id + by) % 3) - 1 AS k21
+  FROM blk)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(k0 * {q0}) AS BIGINT) AS dc_sum_dq,
+       CAST(sum(k1 * {q1} + k4 * {q4} + k21 * {q21}) AS BIGINT) AS ac_sum_dq,
+       CAST(sum(CASE WHEN k0 <> 0 THEN 1 ELSE 0 END
+              + CASE WHEN k1 <> 0 THEN 1 ELSE 0 END
+              + CASE WHEN k4 <> 0 THEN 1 ELSE 0 END
+              + CASE WHEN k21 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+       CAST(sum(abs(k0) * {q0} + abs(k1) * {q1} + abs(k4) * {q4}
+              + abs(k21) * {q21}) AS BIGINT) AS sum_abs_dq
+FROM k GROUP BY doc_id
 """

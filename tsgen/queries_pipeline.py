@@ -321,6 +321,31 @@ def _q_multimodal_decode_png(spark, sf_dir):
     return canon_types(multimodal.image_stats(media, decoder=multimodal.decode_png))
 
 
+def _q_multimodal_decode_jpeg(spark, sf_dir):
+    # REAL entropy-coded image decode (baseline JPEG, ITU-T T.81 — pure
+    # numpy+struct, no codec lib): render block-constant grayscale JPEGs
+    # (even sample values + Q[0,0]=16 make the DC quantize round-trip
+    # exact), then marker-walk, rebuild Huffman tables from DHT, decode
+    # the byte-stuffed scan, dequantize, IDCT, and emit exact-integer
+    # pixel stats the oracle integrates from the closed-form block spec.
+    from .queries import canon_types
+
+    media = multimodal.synth_jpeg_media(_docs(spark, sf_dir))
+    return canon_types(multimodal.jpeg_stats(media))
+
+
+def _q_multimodal_decode_jpeg_ac(spark, sf_dir):
+    # The JPEG AC-path certification: a coefficient-space corpus plants
+    # signed DC + three AC slots (one past a 16-zero gap, forcing ZRL;
+    # 371/500 payloads contain byte-stuffed 0xFF00). The query returns
+    # DEQUANTIZED-coefficient stats — exact integers, so run-length, ZRL,
+    # EOB, negative-magnitude and DC-prediction bugs all break the match.
+    from .queries import canon_types
+
+    media = multimodal.synth_jpeg_planted_media(_docs(spark, sf_dir))
+    return canon_types(multimodal.jpeg_coeff_stats(media))
+
+
 def _q_multimodal_decode_wav(spark, sf_dir):
     # REAL audio decode (RIFF/WAVE 16-bit PCM, struct-only parser): render
     # deterministic WAV payloads (incl. a junk LIST chunk so the unknown-
@@ -944,6 +969,18 @@ _REGISTRY.update(
             "multimodal_decode_png",
             _q_multimodal_decode_png,
             multimodal.image_stats_sql(),
+            ("multimodal",),
+        ),
+        "multimodal_decode_jpeg": Query(
+            "multimodal_decode_jpeg",
+            _q_multimodal_decode_jpeg,
+            multimodal.jpeg_stats_sql(),
+            ("multimodal",),
+        ),
+        "multimodal_decode_jpeg_ac": Query(
+            "multimodal_decode_jpeg_ac",
+            _q_multimodal_decode_jpeg_ac,
+            multimodal.jpeg_coeff_stats_sql(),
             ("multimodal",),
         ),
         "multimodal_decode_wav": Query(
