@@ -84,30 +84,31 @@ def register(name: str, oracle_sql: str | None = None, tags: tuple[str, ...] = (
 #      dq_checks, ev_k_anonymity, basket_rules, li_supplier_hhi,
 #      train_denoiser_fourier — any spillover rolls into r10.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # Driver-round-12 window (exact rotate_window.py output). The r11 gate
-    # completed cumulative certification of all pre-existing oracle names,
-    # so the backlog holds exactly FIVE never-certified names — this
-    # round's new real-decoder queries (PNG via stdlib zlib, WAV RIFF/PCM,
-    # Y4M video), the streaming media-decode twin, and the video
-    # keyframe near-dup profile — and the remaining 42 slots are the
-    # stale-refresh pad, least-recently-certified first (r1/r2-era rows).
-    # canaries (green r01–r11)
+    # Driver-round-13 window (exact rotate_window.py output). The r12 gate
+    # kept cumulative certification complete (backlog 0), so the backlog
+    # holds exactly TWO never-certified names — this round's baseline-JPEG
+    # decode queries (pixel corpus + AC/coefficient corpus) — and the
+    # remaining 44 slots are the stale-refresh pad, least-recently-
+    # certified first (the r3-era streaming/analytics rows the r12 pad
+    # displaced).
+    # canaries (green r01–r12)
     "gen_sine", "series_stats", "sample_data_mixed",
-    # never-certified: this round's new real-media-decode queries
-    "multimodal_decode_png", "multimodal_decode_wav", "multimodal_decode_y4m",
-    "stream_media_stats", "video_frame_neardup",
-    # stale-refresh pad: oldest-certified rows (r1/r2 era)
-    "decompose_full", "decompose_multichannel", "loss_fourier",
-    "loss_combined", "sample_loop", "sample_fused", "ts_strength",
-    "sched_linear", "sched_cosine", "mask_forecast", "mask_impute",
-    "loss_mse", "semdedup", "tfidf_top_terms", "text_stats",
-    "lang_id", "doc_fingerprint", "token_freq", "dedup_exact_docs",
-    "corpus_curation", "dedup_clusters", "doc_chunks", "pack_sequences",
-    "ann_lsh", "ngram_jaccard", "cosine_topk", "embed_neardup",
-    "pii_scrub", "poly_basis", "posenc", "label_embedding",
-    "gen_union", "patchify_stats", "patch_roundtrip", "event_set_ops",
-    "gen_multichannel", "orders_cube", "kalman_em", "stream_tumbling",
-    "stream_sliding", "stream_session", "stream_dedup",
+    # never-certified: this round's real-JPEG-decode queries
+    "multimodal_decode_jpeg", "multimodal_decode_jpeg_ac",
+    # stale-refresh pad: oldest-certified rows
+    "stream_join", "stream_ohlc", "stream_hll", "stream_scd2",
+    "stream_dd_quantiles", "stream_cms_topk", "epoch_metrics", "gen_cosine",
+    "gen_mixed", "gen_exponential_decay", "gen_linear_sum", "gen_custom_decay",
+    "gen_labeled", "ev_cuped", "ts_its", "ev_ab_holm",
+    "ev_msprt", "ev_srm", "ev_next_event_acc", "doc_lsh_recall",
+    "doc_prefix_jaccard", "minhash_lsh_portable", "simhash_portable",
+    "embed_map_at_k", "embed_pca_power", "ev_attribution_markov",
+    "graph_modularity", "ts_prophet_lite", "sample_forecast",
+    "sample_conditional_label", "forecast_garch", "ev_mutual_info",
+    "ev_calibration", "part_entity_clusters", "ev_bootstrap_ci", "ts_sax",
+    "ts_matrix_profile", "ts_changepoint", "ts_dtw", "rfm_segments",
+    "orders_abc", "stream_ewma", "stream_asof", "ts_pelt",
+    "ts_bocpd",
 )
 
 
