@@ -294,6 +294,9 @@ def main() -> None:
         "multimodal_decode_png",
         "multimodal_decode_wav",
         "multimodal_decode_y4m",
+        # round-13: real baseline-JPEG codec (canonical Huffman + DCT)
+        "multimodal_decode_jpeg",
+        "multimodal_decode_jpeg_ac",
     ]
     reg = registry()
     for name in suite:

@@ -450,6 +450,55 @@ def test_stream_media_stats_equals_batch(spark):
     assert b == s and len(b) > 0
 
 
+def test_doremi_weights_match_scalar_reference(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from tsgen import mixing
+
+    # three domains with controlled verbosity: long words -> high
+    # chars-per-token excess -> DoReMi must upweight vs reference share
+    rows = []
+    did = 0
+    for src, word, n_words, n_docs in (
+        ("terse", "ab", 10, 6),
+        ("mid", "abcde", 12, 4),
+        ("verbose", "abcdefghij", 8, 2),
+    ):
+        for _ in range(n_docs):
+            rows.append(Row(doc_id=did, text=" ".join([word] * n_words), source=src))
+            did += 1
+    df = spark.createDataFrame(rows)
+    out = {r.source: r for r in mixing.doremi_weights(df).collect()}
+    # scalar reference: identical iteration in pure python doubles
+    stats = {}
+    for r in rows:
+        toks = len(r.text) - len(r.text.replace(" ", "")) + 1
+        t, c = stats.get(r.source, (0, 0))
+        stats[r.source] = (t + toks, c + len(r.text))
+    srcs = sorted(stats)
+    tot = sum(t for t, _ in stats.values())
+    alpha = {s: stats[s][0] / tot for s in srcs}
+    excess = {s: stats[s][1] / stats[s][0] for s in srcs}
+    k, eta, sm, iters = len(srcs), mixing.DOREMI_ETA, mixing.DOREMI_SMOOTH, mixing.DOREMI_ITERS
+    acc = dict.fromkeys(srcs, 0.0)
+    for _ in range(iters):
+        raw = {s: alpha[s] * math.exp(eta * excess[s]) for s in srcs}
+        z = sum(raw.values())
+        alpha = {s: (1 - sm) * raw[s] / z + sm / k for s in srcs}
+        for s in srcs:
+            acc[s] += alpha[s]
+    for s in srcs:
+        assert out[s].toks == stats[s][0]
+        assert abs(out[s].weight_doremi - acc[s] / iters) < 2e-6
+        assert abs(out[s].excess - excess[s]) < 2e-6
+    # weights form a distribution and move the right way
+    assert abs(sum(r.weight_doremi for r in out.values()) - 1.0) < 1e-5
+    assert out["verbose"].weight_doremi > out["verbose"].share_ref
+    assert out["terse"].weight_doremi < out["terse"].share_ref
+
+
 def test_jpeg_decode_planted_pixels_and_stats(spark, docs):
     import numpy as np
     import pytest

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from tsgen.session import get_spark  # noqa: E402
 
-QUERIES = ["minhash_band_frontier", "dedup_substr_hash"]
+QUERIES = ["minhash_band_frontier", "dedup_substr_hash", "multimodal_decode_jpeg"]
 
 
 def _shift(s: str, j: int) -> str:

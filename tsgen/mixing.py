@@ -294,3 +294,131 @@ SELECT pr.lang, pr.n_docs,
 FROM probs pr LEFT JOIN kept k ON k.lang = pr.lang
 CROSS JOIN kt ORDER BY pr.lang
 """
+
+
+DOREMI_ETA, DOREMI_ITERS, DOREMI_SMOOTH = 0.5, 5, 0.1
+
+
+def doremi_weights(
+    docs: DataFrame,
+    eta: float = DOREMI_ETA,
+    iters: int = DOREMI_ITERS,
+    smooth: float = DOREMI_SMOOTH,
+) -> DataFrame:
+    """DoReMi-lite domain reweighting (Xie et al., NeurIPS 2023 "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    Group-DRO multiplicative weights over per-domain excess losses with
+    uniform smoothing, returning the TRAJECTORY AVERAGE of the weight
+    iterates (the paper's output rule). This closed-form variant uses a
+    static per-domain proxy excess loss — mean chars per token, a
+    deterministic compressibility stand-in for the proxy-model excess
+    loss (in production that signal comes from a model scoring pass and
+    plugs into the same iteration) — so the whole run is reproducible
+    and oracle-checkable.
+
+    alpha^0 = domain token share (the reference weights); each step does
+    alpha <- (1-c) * normalize(alpha * exp(eta * excess)) + c/k.
+
+    Scale shape: ONE corpus groupBy(source) computing exact-integer
+    (tokens, chars) partials; the T-step iteration is chained projections
+    + single-partition window sums on the k-domain table (k rows, never
+    the corpus). No joins, no collect, no Python UDFs.
+    → (source, n_docs, toks, share_ref, excess, weight_doremi)."""
+    from pyspark.sql import Window
+
+    from .queries import round6
+
+    w_all = Window.partitionBy()
+    toks_expr = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    t = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks_expr).alias("toks"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .withColumn(
+            "share_ref", F.col("toks").cast("double") / F.sum("toks").over(w_all)
+        )
+        .withColumn("excess", F.col("chars").cast("double") / F.col("toks"))
+        .withColumn("k", F.count("*").over(w_all))
+        .withColumn("alpha", F.col("share_ref"))
+        .withColumn("acc", F.lit(0.0))
+    )
+    for _ in range(iters):
+        t = (
+            t.withColumn(
+                "raw", F.col("alpha") * F.exp(F.lit(float(eta)) * F.col("excess"))
+            )
+            .withColumn(
+                "alpha",
+                F.lit(1.0 - smooth) * (F.col("raw") / F.sum("raw").over(w_all))
+                + F.lit(float(smooth)) / F.col("k"),
+            )
+            .withColumn("acc", F.col("acc") + F.col("alpha"))
+        )
+    out = t.select(
+        "source",
+        "n_docs",
+        "toks",
+        "share_ref",
+        "excess",
+        (F.col("acc") / F.lit(float(iters))).alias("weight_doremi"),
+    )
+    return round6(out, "share_ref", "excess", "weight_doremi").orderBy("source")
+
+
+def doremi_sql(
+    eta: float = DOREMI_ETA,
+    iters: int = DOREMI_ITERS,
+    smooth: float = DOREMI_SMOOTH,
+) -> str:
+    """DuckDB oracle twin of doremi_weights: the fixed iteration count is
+    UNROLLED into a CTE chain (itN), each step one window-normalized
+    multiplicative update — double arithmetic end-to-end (E-notation
+    literals), same 6dp protocol as the Spark side."""
+    e, om, sm = E.NUM(eta), E.NUM(1.0 - smooth), E.NUM(smooth)
+    parts = [
+        """
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS toks,
+         CAST(sum(length(text)) AS BIGINT) AS chars
+  FROM documents GROUP BY source),
+it0 AS (
+  SELECT source, n_docs, toks,
+         CAST(toks AS DOUBLE) / (SUM(toks) OVER ()) AS share_ref,
+         CAST(chars AS DOUBLE) / toks AS excess,
+         COUNT(*) OVER () AS k,
+         CAST(toks AS DOUBLE) / (SUM(toks) OVER ()) AS alpha,
+         0.0e0 AS acc
+  FROM s)"""
+    ]
+    prev = "it0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+u{t} AS (
+  SELECT source, n_docs, toks, share_ref, excess, k, acc,
+         alpha * exp({e} * excess) AS raw
+  FROM {prev}),
+it{t} AS (
+  SELECT source, n_docs, toks, share_ref, excess, k,
+         acc + {om} * raw / (SUM(raw) OVER ()) + {sm} / k AS acc,
+         {om} * raw / (SUM(raw) OVER ()) + {sm} / k AS alpha
+  FROM u{t})"""
+        )
+        prev = f"it{t}"
+    parts.append(
+        f"""
+SELECT source, n_docs, toks,
+       (round(share_ref + 1.0e-9, 6) + 0.0e0) AS share_ref,
+       (round(excess + 1.0e-9, 6) + 0.0e0) AS excess,
+       (round(acc / {E.NUM(float(iters))} + 1.0e-9, 6) + 0.0e0) AS weight_doremi
+FROM {prev} ORDER BY source"""
+    )
+    return "".join(parts)

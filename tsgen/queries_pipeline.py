@@ -142,6 +142,16 @@ def _q_source_mixture(spark, sf_dir):
     return canon_types(r6(out, "keep_rate", "doc_share", "char_share"))
 
 
+def _q_mix_doremi(spark, sf_dir):
+    # DoReMi-lite domain reweighting (Xie et al. 2023): Group-DRO
+    # multiplicative weights over a deterministic per-domain proxy excess
+    # loss, trajectory-averaged. One corpus groupBy; the T-step iteration
+    # runs on the k-domain table via single-partition window sums.
+    from .queries import canon_types
+
+    return canon_types(mixing.doremi_weights(_docs(spark, sf_dir)))
+
+
 def _q_lang_id(spark, sf_dir):
     return round6(text.lang_id(_docs(spark, sf_dir)), "en_score", "es_score")
 
@@ -832,6 +842,9 @@ _REGISTRY.update(
         "embed_pca": Query("embed_pca", _q_embed_pca, None, ("similarity",)),
         "source_mixture": Query(
             "source_mixture", _q_source_mixture, mixing.mixture_summary_sql(), ("pipeline",)
+        ),
+        "mix_doremi": Query(
+            "mix_doremi", _q_mix_doremi, mixing.doremi_sql(), ("pipeline",)
         ),
         "lang_id": Query("lang_id", _q_lang_id, text.LANG_ID_SQL, ("text",)),
         "doc_fingerprint": Query("doc_fingerprint", _q_fingerprint, text.FINGERPRINT_SQL, ("text",)),
