@@ -294,9 +294,11 @@ def main() -> None:
         "multimodal_decode_png",
         "multimodal_decode_wav",
         "multimodal_decode_y4m",
-        # round-13: real baseline-JPEG codec (canonical Huffman + DCT)
+        # round-13: real baseline-JPEG codec (canonical Huffman + DCT) and
+        # cross-codec content-addressed dedup (PNG + JPEG decode agree)
         "multimodal_decode_jpeg",
         "multimodal_decode_jpeg_ac",
+        "media_cross_codec_dedup",
     ]
     reg = registry()
     for name in suite:

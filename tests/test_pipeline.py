@@ -596,6 +596,30 @@ def test_jpeg_decode_planted_coeffs_zrl_eob_and_stuffing(spark, docs):
         )
 
 
+def test_cross_codec_dedup_matches_and_separates(spark):
+    from pyspark.sql import Row
+
+    # doc 1356 is a TRUE cross-document duplicate of doc 0 (dims repeat
+    # mod 12, block values mod 113 -> identical every lcm = 1356 ids),
+    # and neither is perturbed -> one content group of 4 copies
+    ids = list(range(21)) + [1356]
+    docs = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    media = multimodal.synth_cross_codec_media(docs)
+    out = multimodal.cross_codec_dedup(media).collect()
+    assert sum(r.n_copies for r in out) == 2 * len(ids)
+    quad = [r for r in out if r.n_copies == 4]
+    assert len(quad) == 1 and quad[0].n_png == 2 and quad[0].n_jpeg == 2
+    # perturbed docs (doc_id % 7 == 3) split into two singleton groups...
+    perturbed = [i for i in ids if i % multimodal.CROSS_PERTURB_MOD == multimodal.CROSS_PERTURB_RES]
+    singles = [r for r in out if r.n_copies == 1]
+    assert len(singles) == 2 * len(perturbed)
+    assert sum(1 for r in singles if r.n_png == 1) == len(perturbed)
+    # ...and every clean doc's pair is matched across formats
+    pairs = [r for r in out if r.n_copies == 2]
+    assert all(r.n_png == 1 and r.n_jpeg == 1 for r in pairs)
+    assert len(pairs) == len(ids) - 2 - len(perturbed)
+
+
 def test_connected_components_chain_star_clique(spark):
     # chain 0-1-...-9 (diameter 9: exercises pointer jumping), star at 100,
     # triangle at 200, singleton edge at 300 — all in one edge list

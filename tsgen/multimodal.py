@@ -1891,3 +1891,160 @@ SELECT doc_id,
               + abs(k21) * {q21}) AS BIGINT) AS sum_abs_dq
 FROM k GROUP BY doc_id
 """
+
+
+# --- cross-codec content-addressed dedup ------------------------------------
+#
+# The training-data problem this demonstrates: the SAME image circulates in
+# a crawl under different codecs (a PNG master and a JPEG re-encode), so
+# byte-level dedup can never see the duplicate — only decoding both to
+# pixels and content-addressing the DECODED samples can. The corpus pairs
+# every doc's block-constant image (the JPEG pixel corpus, which is exact
+# under baseline JPEG by design) with a lossless grayscale PNG twin; a
+# deterministic subset of PNGs is perturbed (+2 on every block) so the
+# query must BOTH find the true cross-codec duplicates and keep the
+# perturbed pairs apart. Content key = the exact decoded-pixel stats
+# tuple (w, h, sum, sum_sq, min, max) — in production you'd md5 the
+# canonical pixel buffer; the stats tuple keeps the key closed-form for
+# the oracle while still separating every planted case.
+
+CROSS_PERTURB_MOD, CROSS_PERTURB_RES, CROSS_PERTURB = 7, 3, 2
+
+
+def render_png_gray_blocks(doc_id: int, perturb: int = 0) -> bytes:
+    """Grayscale 8-bit PNG of the SAME block-constant image as
+    render_jpeg (+perturb on every block) — the lossless twin for the
+    cross-codec corpus. Filter-0 scanlines: filter breadth is certified
+    by render_png's cycling corpus; content identity is the property
+    under test here."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = _jpeg_params(doc_id)
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _jpeg_block_value(doc_id, bx, by) + perturb
+            )
+    raw = bytearray()
+    for row in range(h):
+        raw.append(0)
+        raw += img[row].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_cross_codec_media(docs: DataFrame) -> DataFrame:
+    """Two media rows per doc: the PNG master (perturbed for doc_id %
+    CROSS_PERTURB_MOD == CROSS_PERTURB_RES) and the JPEG re-encode."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "kind": [], "payload": [], "n_bytes": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pv = CROSS_PERTURB if d % CROSS_PERTURB_MOD == CROSS_PERTURB_RES else 0
+                for kind, payload in (
+                    ("image/png", render_png_gray_blocks(d, pv)),
+                    ("image/jpeg", render_jpeg(d)),
+                ):
+                    rows["doc_id"].append(d)
+                    rows["kind"].append(kind)
+                    rows["payload"].append(payload)
+                    rows["n_bytes"].append(len(payload))
+            yield pd.DataFrame(rows).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+    return docs.select("doc_id").mapInPandas(
+        fn, "doc_id bigint, kind string, payload binary, n_bytes int"
+    )
+
+
+CROSS_CODEC_SCHEMA = (
+    "width bigint, height bigint, sum_px bigint, sum_sq bigint,"
+    " min_px bigint, max_px bigint, is_png bigint, is_jpeg bigint"
+)
+
+
+def cross_codec_dedup(media: DataFrame) -> DataFrame:
+    """Decode every payload with ITS OWN real codec (PNG chunk walk or
+    T.81 baseline), content-address the decoded pixels, and group: rows
+    where n_copies >= 2 with both formats present are cross-codec
+    duplicates found ONLY because both decoders agree on the pixels.
+    Scale shape: narrow decode pass, then ONE shuffle of 6-int key rows
+    (8 ints/payload — never the payload bytes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "width", "height", "sum_px", "sum_sq",
+                "min_px", "max_px", "is_png", "is_jpeg",
+            )}
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image/png":
+                    w, h, px = decode_png(payload)
+                else:
+                    w, h, px, _ = decode_jpeg(payload)
+                a = px.reshape(-1).astype(np.int64)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_px"].append(int(a.sum()))
+                rows["sum_sq"].append(int((a * a).sum()))
+                rows["min_px"].append(int(a.min()))
+                rows["max_px"].append(int(a.max()))
+                rows["is_png"].append(int(kind == "image/png"))
+                rows["is_jpeg"].append(int(kind == "image/jpeg"))
+            yield pd.DataFrame(rows).astype("int64")
+
+    st = media.mapInPandas(fn, CROSS_CODEC_SCHEMA)
+    keys = ["width", "height", "sum_px", "sum_sq", "min_px", "max_px"]
+    return st.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("is_png").alias("n_png"),
+        F.sum("is_jpeg").alias("n_jpeg"),
+    )
+
+
+def cross_codec_dedup_sql() -> str:
+    """DuckDB oracle twin of synth_cross_codec_media -> cross_codec_dedup:
+    integrates the block spec (+ the PNG perturbation rule) per (doc,
+    format) and groups by the same content key — so a decode divergence
+    in EITHER codec, or a perturbed pair wrongly matched, breaks it."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, 8 * (2 + doc_id % 4) AS w, 8 * (2 + doc_id % 3) AS h
+  FROM documents),
+fmtd AS (
+  SELECT doc_id, w, h, f.fmt,
+         CASE WHEN f.fmt = 'png' AND doc_id % {CROSS_PERTURB_MOD} = {CROSS_PERTURB_RES}
+              THEN {CROSS_PERTURB} ELSE 0 END AS dv
+  FROM d, (SELECT unnest(['png', 'jpeg']) AS fmt) f),
+b AS (
+  SELECT doc_id, fmt, w, h,
+         flatten(list_transform(range(0, h // 8), by ->
+           list_transform(range(0, w // 8), bx ->
+             2 * ((7 * doc_id + 17 * bx + 29 * by) % 113) + 14 + dv))) AS vs
+  FROM fmtd),
+st AS (
+  SELECT fmt, w, h,
+         CAST(64 * list_sum(vs) AS BIGINT) AS sum_px,
+         CAST(64 * list_sum(list_transform(vs, v -> v * v)) AS BIGINT) AS sum_sq,
+         CAST(list_min(vs) AS BIGINT) AS min_px,
+         CAST(list_max(vs) AS BIGINT) AS max_px
+  FROM b)
+SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       sum_px, sum_sq, min_px, max_px,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(sum(CASE WHEN fmt = 'png' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+       CAST(sum(CASE WHEN fmt = 'jpeg' THEN 1 ELSE 0 END) AS BIGINT) AS n_jpeg
+FROM st GROUP BY w, h, sum_px, sum_sq, min_px, max_px
+"""

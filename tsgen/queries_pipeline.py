@@ -356,6 +356,18 @@ def _q_multimodal_decode_jpeg_ac(spark, sf_dir):
     return canon_types(multimodal.jpeg_coeff_stats(media))
 
 
+def _q_media_cross_codec_dedup(spark, sf_dir):
+    # Cross-codec content-addressed dedup: every doc's image exists as a
+    # PNG master and a JPEG re-encode (a deterministic subset of PNGs is
+    # perturbed); each payload decodes with ITS OWN real codec and groups
+    # on the decoded-pixel content key. Byte-level dedup cannot see these
+    # pairs — only the two decoders agreeing on pixels can.
+    from .queries import canon_types
+
+    media = multimodal.synth_cross_codec_media(_docs(spark, sf_dir))
+    return canon_types(multimodal.cross_codec_dedup(media))
+
+
 def _q_multimodal_decode_wav(spark, sf_dir):
     # REAL audio decode (RIFF/WAVE 16-bit PCM, struct-only parser): render
     # deterministic WAV payloads (incl. a junk LIST chunk so the unknown-
@@ -994,6 +1006,12 @@ _REGISTRY.update(
             "multimodal_decode_jpeg_ac",
             _q_multimodal_decode_jpeg_ac,
             multimodal.jpeg_coeff_stats_sql(),
+            ("multimodal",),
+        ),
+        "media_cross_codec_dedup": Query(
+            "media_cross_codec_dedup",
+            _q_media_cross_codec_dedup,
+            multimodal.cross_codec_dedup_sql(),
             ("multimodal",),
         ),
         "multimodal_decode_wav": Query(
