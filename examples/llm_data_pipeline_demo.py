@@ -45,6 +45,12 @@ def main() -> None:
         ("real PNG decode -> channel stats", "multimodal_decode_png"),
         ("real WAV decode -> exact clip stats", "multimodal_decode_wav"),
         ("real Y4M decode -> per-frame stats (1->N)", "multimodal_decode_y4m"),
+        # round-13: baseline JPEG (canonical Huffman + DCT), DoReMi-lite
+        # mixture reweighting, and cross-codec content-addressed dedup
+        ("real baseline-JPEG decode -> pixel stats", "multimodal_decode_jpeg"),
+        ("JPEG AC path: dequantized-coefficient stats", "multimodal_decode_jpeg_ac"),
+        ("DoReMi-lite domain reweighting", "mix_doremi"),
+        ("cross-codec dedup (PNG+JPEG agree on pixels)", "media_cross_codec_dedup"),
     ]
     for title, name in tour:
         print(f"\n=== {title} ({name}) ===")
