@@ -299,6 +299,7 @@ def main() -> None:
         "multimodal_decode_jpeg",
         "multimodal_decode_jpeg_ac",
         "media_cross_codec_dedup",
+        "mix_doremi",
     ]
     reg = registry()
     for name in suite:
