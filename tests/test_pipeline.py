@@ -450,6 +450,26 @@ def test_stream_media_stats_equals_batch(spark):
     assert b == s and len(b) > 0
 
 
+def test_stream_jpeg_stats_equals_batch(spark):
+    # the streaming JPEG twin must produce EXACTLY the batch result —
+    # entropy decode on the stream, availableNow replay, append mode
+    from tsgen import streaming
+
+    sf = "/root/testdata/sf0.001"
+    batch = multimodal.jpeg_stats(
+        multimodal.synth_jpeg_media(spark.read.parquet(f"{sf}/documents.parquet"))
+    )
+    stream = streaming.run_to_completion(
+        multimodal.jpeg_stats(
+            multimodal.synth_jpeg_media(streaming.docs_stream(spark, sf))
+        ),
+        mode="append",
+    )
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s and len(b) > 0
+
+
 def test_doremi_weights_match_scalar_reference(spark):
     import math
 

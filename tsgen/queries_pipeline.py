@@ -356,6 +356,20 @@ def _q_multimodal_decode_jpeg_ac(spark, sf_dir):
     return canon_types(multimodal.jpeg_coeff_stats(media))
 
 
+def _q_stream_jpeg_stats(spark, sf_dir):
+    # Streaming twin of multimodal_decode_jpeg: the corpus arrives as a
+    # file stream, the baseline-JPEG render + T.81 decode runs in
+    # mapInPandas ON the stream (stateless, append mode), and the
+    # availableNow replay must equal the batch result exactly — the SAME
+    # closed-form oracle certifies the streaming entropy-decode path.
+    from . import streaming
+    from .queries import canon_types
+
+    docs = streaming.docs_stream(spark, sf_dir)
+    stats = multimodal.jpeg_stats(multimodal.synth_jpeg_media(docs))
+    return canon_types(streaming.run_to_completion(stats, mode="append"))
+
+
 def _q_media_cross_codec_dedup(spark, sf_dir):
     # Cross-codec content-addressed dedup: every doc's image exists as a
     # PNG master and a JPEG re-encode (a deterministic subset of PNGs is
@@ -1030,6 +1044,12 @@ _REGISTRY.update(
             "stream_media_stats",
             _q_stream_media_stats,
             multimodal.audio_stats_sql(),
+            ("multimodal", "streaming"),
+        ),
+        "stream_jpeg_stats": Query(
+            "stream_jpeg_stats",
+            _q_stream_jpeg_stats,
+            multimodal.jpeg_stats_sql(),
             ("multimodal", "streaming"),
         ),
         "video_frame_neardup": Query(
