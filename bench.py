@@ -300,6 +300,7 @@ def main() -> None:
         "multimodal_decode_jpeg_ac",
         "media_cross_codec_dedup",
         "mix_doremi",
+        "tok_unigram_em",
     ]
     reg = registry()
     for name in suite:

@@ -1280,3 +1280,68 @@ def test_lloyd_driver_roundtrip_is_bit_identical_to_lineage_form(spark):
         # bit-identical, not approximately equal: the round-trip must not
         # perturb a single ulp
         assert a[cid] == b[cid], cid
+
+
+def test_unigram_viterbi_dp_and_tiebreaks():
+    from tsgen.queries_tokenizer import _uni_viterbi
+
+    # dominant trigram wins over character segmentation
+    sc = {"a": -3_000_000, "b": -3_000_000, "c": -3_000_000, "abc": -1_000_000}
+    assert sorted(_uni_viterbi("abcabc", sc)) == ["abc", "abc"]
+    # equal total cost -> fewer tokens wins
+    sc = {"a": -10, "b": -10, "ab": -20}
+    assert _uni_viterbi("ab", sc) == ["ab"]
+    # cheaper two-token split beats the merged token
+    sc = {"a": -10, "b": -10, "ab": -21}
+    assert sorted(_uni_viterbi("ab", sc)) == ["a", "b"]
+    # unsegmentable word (missing char) -> None, not a crash
+    assert _uni_viterbi("ax", {"a": -10}) is None
+    # path decode covers the max word length
+    sc = {c: -10 for c in "abcdefgh"}
+    assert _uni_viterbi("abcdefgh", sc) == list("hgfedcba"[::-1])[::-1]
+
+
+def test_unigram_em_matches_scalar_reference(spark):
+    from pyspark.sql import Row
+
+    from tsgen import queries_tokenizer as qt
+
+    # corpus engineered so the frequent trigram 'abc' becomes a token
+    # (freq >= UNI_THRESH) while rare words stay character-segmented
+    rows = []
+    did = 0
+    for text, n in (("abcabc abcd xy", 60), ("zq abc", 45)):
+        for _ in range(n):
+            rows.append(Row(doc_id=did, text=text))
+            did += 1
+    docs = spark.createDataFrame(rows)
+    out = {r.token: r for r in qt.unigram_em(docs).collect()}
+    # scalar reference for pass 1: rebuild vocab + frozen scores exactly
+    # as _uni_scores produced them, then segment with the same DP
+    words: dict = {}
+    for r in rows:
+        for w in r.text.split(" "):
+            if 1 <= len(w) <= qt.UNI_MAXW:
+                words[w] = words.get(w, 0) + 1
+    freqs: dict = {}
+    for w, c in words.items():
+        for L in range(1, qt.UNI_MAXT + 1):
+            for i in range(len(w) - L + 1):
+                s = w[i : i + L]
+                freqs[s] = freqs.get(s, 0) + c
+    vocab = {s: f for s, f in freqs.items() if len(s) == 1 or f >= qt.UNI_THRESH}
+    assert "abc" in vocab and "abcd" not in vocab
+    sc_rows = qt._uni_scores(
+        spark.createDataFrame(
+            [Row(token=s, n=f) for s, f in vocab.items()]
+        )
+    ).collect()
+    sc = {r.token: int(r.sc) for r in sc_rows}
+    usage: dict = {}
+    for w, c in words.items():
+        for t in qt._uni_viterbi(w, sc):
+            usage[t] = usage.get(t, 0) + c
+    assert {t: r.usage1 for t, r in out.items()} == usage
+    # the planted trigram is actually used, and shares form a distribution
+    assert out["abc"].usage1 >= 165  # 2*60 + 45 occurrences via 'abcabc'+'abc'
+    assert abs(sum(r.share2 for r in out.values()) - 1.0) < 1e-4

@@ -94,9 +94,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # canaries (green r01–r12)
     "gen_sine", "series_stats", "sample_data_mixed",
     # never-certified: this round's JPEG / DoReMi / cross-codec /
-    # streaming-JPEG queries
+    # streaming-JPEG / unigram-tokenizer queries
     "multimodal_decode_jpeg", "multimodal_decode_jpeg_ac", "mix_doremi",
-    "media_cross_codec_dedup", "stream_jpeg_stats",
+    "media_cross_codec_dedup", "stream_jpeg_stats", "tok_unigram_em",
     # stale-refresh pad: oldest-certified rows
     "stream_join", "stream_ohlc", "stream_hll", "stream_scd2",
     "stream_dd_quantiles", "stream_cms_topk", "epoch_metrics", "gen_cosine",
@@ -109,7 +109,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_conditional_label", "forecast_garch", "ev_mutual_info",
     "ev_calibration", "part_entity_clusters", "ev_bootstrap_ci", "ts_sax",
     "ts_matrix_profile", "ts_changepoint", "ts_dtw", "rfm_segments",
-    "orders_abc", "stream_ewma",
+    "orders_abc",
 )
 
 

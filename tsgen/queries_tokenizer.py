@@ -742,6 +742,277 @@ ORDER BY qid
 """
 
 
+# --- unigram-LM (SentencePiece-style) subword segmentation + EM -------------
+#
+# Kudo 2018 ("Subword Regularization") fits a unigram LM over subword
+# candidates by EM with Viterbi/lattice inference; SentencePiece is its
+# reference implementation. This deterministic lite variant makes the
+# whole fit engine-portable and oracle-checkable:
+#   * seed vocab = corpus substrings of length 1..UNI_MAXT (all single
+#     chars unconditionally — keeps every word segmentable — plus longer
+#     substrings with corpus frequency >= UNI_THRESH);
+#   * token scores are FIXED-POINT integers round(1e6*ln(p) + 1e-9), the
+#     repo's boundary-nudge protocol, so the Viterbi DP is exact integer
+#     arithmetic — no cross-engine float argmax anywhere;
+#   * the DP value ENCODES its own argmax: enc = (cost*16 + ntok)*4^8 +
+#     path, where path appends each chosen token length as a base-4
+#     digit. min(enc) is lexicographic (cost, ntok, path) — a total,
+#     deterministic order — and the winning segmentation is decoded from
+#     `path` by pure arithmetic (no backtrack state, no recursion);
+#   * EM: E-step = Viterbi counts (hard EM, the sentencepiece --hard_em
+#     variant), M-step renormalizes over used tokens; UNI_ITERS passes.
+# Words longer than UNI_MAXW chars are dropped (spec'd identically in
+# both engines); a word that loses all its spanning tokens in a later
+# pass is dropped the same way (NULL DP value on both sides).
+#
+# Scale shape: corpus-sized work is ONE split+explode+groupBy to the
+# distinct-word table; the substring explode, DP (mapInPandas kernel),
+# and usage groupBys all run on distinct words (vocab-sized). The two
+# score tables (~hundreds of rows) are the model — collected like the
+# diffusion schedules / kmeans centroids.
+
+UNI_MAXW, UNI_MAXT, UNI_THRESH, UNI_ITERS = 8, 3, 100, 2
+_UNI_PATH_W = 4 ** UNI_MAXW  # 65536: path field width in the DP encoding
+
+
+def _uni_words(docs: DataFrame, text: str = "text") -> DataFrame:
+    return (
+        docs.select(F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter((F.length("word") >= 1) & (F.length("word") <= UNI_MAXW))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _uni_scores(freqs: DataFrame) -> DataFrame:
+    """(token, n) -> (token, sc): fixed-point log-prob vs the table total,
+    via a single-partition window sum (no joins, no collect here)."""
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    return freqs.select(
+        "token",
+        F.round(
+            F.lit(1e6)
+            * F.log(F.col("n").cast("double") / F.sum("n").over(w_all))
+            + F.lit(1e-9),
+            0,
+        )
+        .cast("bigint")
+        .alias("sc"),
+    )
+
+
+def _uni_viterbi(word: str, sc: dict) -> list | None:
+    """Exact-integer Viterbi under the enc=(cost*16+ntok)*4^8+path order —
+    the Python mirror of the generated SQL DP (same argmin by design)."""
+    n = len(word)
+    enc: list = [0] + [None] * n
+    for j in range(1, n + 1):
+        best = None
+        for i in range(max(0, j - UNI_MAXT), j):
+            if enc[i] is None:
+                continue
+            s = sc.get(word[i:j])
+            if s is None:
+                continue
+            q, r = divmod(enc[i], _UNI_PATH_W)
+            cand = (q + 16 * (-s) + 1) * _UNI_PATH_W + (r * 4 + (j - i))
+            if best is None or cand < best:
+                best = cand
+        enc[j] = best
+    if enc[n] is None:
+        return None
+    path, end, toks = enc[n] % _UNI_PATH_W, n, []
+    while end > 0:
+        length = path % 4
+        path //= 4
+        toks.append(word[end - length : end])
+        end -= length
+    return toks
+
+
+def _uni_usage(words: DataFrame, sc_rows: list) -> DataFrame:
+    """Segment every distinct word with the frozen score dict and count
+    token usage weighted by word frequency (the hard-EM E-step)."""
+    sc = {r["token"]: int(r["sc"]) for r in sc_rows}
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks: list = []
+            cnts: list = []
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                seg = _uni_viterbi(str(word), sc)
+                if seg is None:
+                    continue
+                toks.extend(seg)
+                cnts.extend([int(cnt)] * len(seg))
+            yield pd.DataFrame({"token": toks, "cnt": cnts}).astype({"cnt": "int64"})
+
+    return (
+        words.mapInPandas(fn, "token string, cnt bigint")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("usage"))
+    )
+
+
+def unigram_em(docs: DataFrame, text: str = "text") -> DataFrame:
+    """UNI_ITERS hard-EM passes; → (token, tok_len, usage1, usage2,
+    share2) where usageK is the exact-integer Viterbi token count of pass
+    K and share2 the final renormalized weight (6dp protocol)."""
+    from pyspark.sql import Window
+
+    from .queries import round6
+
+    words = _uni_words(docs, text).localCheckpoint(eager=False)
+    grid = (
+        "flatten(transform(sequence(1, {T}), L -> "
+        "filter(transform(sequence(1, {W}), i -> "
+        "CASE WHEN i + L - 1 <= length(word) THEN substring(word, i, L) END), "
+        "x -> x IS NOT NULL)))"
+    ).format(T=UNI_MAXT, W=UNI_MAXW)
+    subs = (
+        words.select(F.explode(F.expr(grid)).alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    vocab = subs.filter(
+        (F.length("token") == 1) | (F.col("n") >= UNI_THRESH)
+    )
+    usages = []
+    sc_rows = _uni_scores(vocab).collect()
+    for _ in range(UNI_ITERS):
+        usage = _uni_usage(words, sc_rows).localCheckpoint(eager=False)
+        usages.append(usage)
+        sc_rows = _uni_scores(usage.withColumnRenamed("usage", "n")).collect()
+    u1, u2 = usages[0], usages[-1]
+    w_all = Window.partitionBy()
+    out = (
+        u1.withColumnRenamed("usage", "usage1")
+        .join(
+            u2.withColumnRenamed("usage", "u2").withColumn(
+                "share2_raw",
+                F.col("u2").cast("double") / F.sum("u2").over(w_all),
+            ),
+            "token",
+            "left",
+        )
+        .select(
+            "token",
+            F.length("token").cast("bigint").alias("tok_len"),
+            "usage1",
+            F.coalesce(F.col("u2"), F.lit(0)).cast("bigint").alias("usage2"),
+            F.coalesce(F.col("share2_raw"), F.lit(0.0)).alias("share2"),
+        )
+    )
+    return round6(out, "share2").orderBy("token")
+
+
+def _q_tok_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import canon_types
+
+    return canon_types(unigram_em(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+
+
+def _uni_dp_sql(sfx: str) -> str:
+    """Generate the unrolled DP + path-decode CTEs for one Viterbi pass,
+    reading token scores from map CTE m{sfx} and producing usage{sfx}.
+    One CTE per DP level: lateral column aliases are macro-substituted by
+    the planner, so a single-SELECT formulation expands the recurrence
+    into an exponentially large expression tree — chaining CTEs keeps
+    every b_j a materialized column reference."""
+    pw = _UNI_PATH_W
+    out = [
+        f""",
+dp{sfx}_0 AS (
+  SELECT word, cnt, length(word) AS len, mp, CAST(0 AS BIGINT) AS b0
+  FROM words CROSS JOIN m{sfx})"""
+    ]
+    for j in range(1, UNI_MAXW + 1):
+        cands = []
+        for i in range(max(0, j - UNI_MAXT), j):
+            lk = (
+                f"list_extract(map_extract(mp, "
+                f"substring(word, {i + 1}, {j - i})), 1)"
+            )
+            cands.append(
+                f"((b{i} // {pw}) + 16 * (0 - {lk}) + 1) * {pw}"
+                f" + ((b{i} % {pw}) * 4 + {j - i})"
+            )
+        out.append(
+            f""",
+dp{sfx}_{j} AS (
+  SELECT *, least({", ".join(cands)}) AS b{j} FROM dp{sfx}_{j - 1})"""
+        )
+    fin = (
+        "CASE len "
+        + " ".join(f"WHEN {j} THEN b{j}" for j in range(1, UNI_MAXW + 1))
+        + " END"
+    )
+    out.append(
+        f""",
+dec{sfx}_0 AS (
+  SELECT word, cnt, ({fin}) % {pw} AS path0, len AS end0
+  FROM dp{sfx}_{UNI_MAXW})"""
+    )
+    for k in range(1, UNI_MAXW + 1):
+        out.append(
+            f""",
+dec{sfx}_{k} AS (
+  SELECT *,
+         CASE WHEN end{k - 1} > 0 THEN path{k - 1} % 4 END AS l{k},
+         CASE WHEN end{k - 1} > 0 THEN substring(word,
+           CAST(end{k - 1} - path{k - 1} % 4 + 1 AS INT),
+           CAST(path{k - 1} % 4 AS INT)) END AS tok{k},
+         path{k - 1} // 4 AS path{k},
+         end{k - 1} - CASE WHEN end{k - 1} > 0 THEN path{k - 1} % 4 END AS end{k}
+  FROM dec{sfx}_{k - 1})"""
+        )
+    tok_list = "[" + ", ".join(f"tok{k}" for k in range(1, UNI_MAXW + 1)) + "]"
+    out.append(
+        f""",
+u{sfx} AS (
+  SELECT unnest(list_filter({tok_list}, t -> t IS NOT NULL)) AS token, cnt
+  FROM dec{sfx}_{UNI_MAXW}),
+usage{sfx} AS (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS usage FROM u{sfx} GROUP BY token)"""
+    )
+    return "".join(out)
+
+
+def _unigram_sql() -> str:
+    sc_tpl = (
+        "SELECT token, CAST(round(1.0e6 * ln(CAST({n} AS DOUBLE) /"
+        " (SELECT sum({n}) FROM {src})) + 1.0e-9, 0) AS BIGINT) AS sc"
+        " FROM {src}"
+    )
+    return f"""
+WITH wsplit AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM wsplit
+  WHERE length(w) BETWEEN 1 AND {UNI_MAXW} GROUP BY w),
+subs AS (
+  SELECT substring(word, CAST(i AS INT), CAST(L AS INT)) AS token,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM words, range(1, {UNI_MAXT + 1}) rl(L), range(1, {UNI_MAXW + 1}) ri(i)
+  WHERE i + L - 1 <= length(word) GROUP BY token),
+vocab AS (SELECT token, n FROM subs WHERE length(token) = 1 OR n >= {UNI_THRESH}),
+sc1 AS ({sc_tpl.format(n="n", src="vocab")}),
+m1 AS (SELECT map(list(token), list(sc)) AS mp FROM sc1){_uni_dp_sql("1")},
+sc2 AS ({sc_tpl.format(n="usage", src="usage1")}),
+m2 AS (SELECT map(list(token), list(sc)) AS mp FROM sc2){_uni_dp_sql("2")}
+SELECT u1.token AS token, CAST(length(u1.token) AS BIGINT) AS tok_len,
+       u1.usage AS usage1, CAST(coalesce(u2.usage, 0) AS BIGINT) AS usage2,
+       (round(coalesce(CAST(u2.usage AS DOUBLE)
+          / (SELECT sum(usage) FROM usage2), 0.0e0) + 1.0e-9, 6) + 0.0e0) AS share2
+FROM usage1 u1 LEFT JOIN usage2 u2 ON u2.token = u1.token
+ORDER BY u1.token
+"""
+
+
+
 _REGISTRY.update(
     {
         "bpe_train": Query("bpe_train", _q_bpe_train, _bpe_sql(), ("text", "llm")),
@@ -757,6 +1028,9 @@ _REGISTRY.update(
         ),
         "doc_bm25_ndcg": Query(
             "doc_bm25_ndcg", _q_bm25_ndcg, _bm25_ndcg_sql(), ("text", "llm", "eval")
+        ),
+        "tok_unigram_em": Query(
+            "tok_unigram_em", _q_tok_unigram_em, _unigram_sql(), ("text", "llm")
         ),
     }
 )
