@@ -33,6 +33,24 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def fanout_scan(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table and, when the file layout yields fewer input
+    splits than the cluster has cores (the test corpus is one row group per
+    table, i.e. ONE split), round-robin repartition to default parallelism —
+    opt guide §2.5's "one huge unsplittable file → repartition immediately
+    after the read". Otherwise the whole narrow phase of a query (explodes,
+    shingling, per-row HOF math) runs on a single core. On a real
+    multi-file / multi-row-group dataset the scan already has enough splits
+    and this branch never fires, so nothing is tuned to local mode. Results
+    are unaffected: round-robin repartition is deterministic
+    (sortBeforeRepartition) and no consumer of this helper derives values
+    from physical layout."""
+    df = spark.read.parquet(path)
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def save_series(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     w = df.write.mode("overwrite")
     if partition_by:

@@ -32,6 +32,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .queries import _REGISTRY, Query
+from .io import fanout_scan
 
 SUBSTR_L = 40  # minimum duplicated-substring length, chars (Lee et al. use 50 BPE tokens)
 
@@ -49,7 +50,15 @@ def substring_dup_spans(
     this variant too — the collision-freeness IS the assertion."""
     L = min_len
     g = _lgrams(docs, L, text)
-    count_key = F.xxhash64("lgram") if hash_key else F.col("lgram")
+    if hash_key:
+        # project the 8-byte key BEFORE the window exchange: otherwise the
+        # L-char lgram string rides through the shuffle just to be hashed
+        # into the partition key (opt guide §2.3 — shuffle ~24 B/row
+        # instead of ~(L+16) B/row); count semantics identical
+        g = g.select("doc_id", "off", F.xxhash64("lgram").alias("k"))
+        count_key = F.col("k")
+    else:
+        count_key = F.col("lgram")
     dup = (
         g.withColumn("c", F.count("*").over(Window.partitionBy(count_key)))
         .filter(F.col("c") >= 2)
@@ -130,9 +139,15 @@ def substring_cut_keepfirst(
     -> (doc_id, n_cut_spans, cut_chars, keep_frac)."""
     L = min_len
     g = _lgrams(docs, L, text)
-    wl = Window.partitionBy("lgram").orderBy("doc_id", "off")
+    # key the rank window on xxhash64(lgram), projected BEFORE the exchange
+    # (the docstring's declared cluster-scale plan, now actually wired):
+    # 8-byte shuffle keys instead of the L-char string, results identical
+    # absent a 64-bit collision — the dedup_substr_hash adjudication; the
+    # string-keyed DuckDB oracle still checks the output (opt guide §2.3)
+    wl = Window.partitionBy("k").orderBy("doc_id", "off")
     cut = (
-        g.withColumn("rn", F.row_number().over(wl))
+        g.select("doc_id", "off", F.xxhash64("lgram").alias("k"))
+        .withColumn("rn", F.row_number().over(wl))
         .filter(F.col("rn") >= 2)
         .select("doc_id", "off")
     )
@@ -192,16 +207,16 @@ ORDER BY doc_id
 
 
 def _q_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_dup_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return substring_dup_spans(fanout_scan(spark, f"{sf_dir}/documents.parquet"))
 
 
 def _q_dedup_substr_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_cut_keepfirst(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return substring_cut_keepfirst(fanout_scan(spark, f"{sf_dir}/documents.parquet"))
 
 
 def _q_dedup_substr_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), hash_key=True
+        fanout_scan(spark, f"{sf_dir}/documents.parquet"), hash_key=True
     )
 
 
@@ -264,8 +279,19 @@ def substring_contamination(
     is_train = F.expr(E.u01("doc_id", CROSS_SALT)) < F.lit(train_p)
     train = docs.filter(is_train)
     ev = docs.filter(~is_train)
-    tg = _lgrams(train, L, text).select("lgram").distinct()
-    hits = _lgrams(ev, L, text).join(tg, "lgram").select("doc_id", "off")
+    # semi-join on xxhash64(lgram) instead of the L-char string: 8-byte
+    # shuffle keys on both sides of the distinct + join (opt guide §2.3),
+    # the same adjudicated move as substring_dup_spans(hash_key=True) —
+    # results identical absent a 64-bit collision (~2^-64 per pair), and
+    # the string-keyed DuckDB oracle still checks the output, so the
+    # collision-freeness IS the assertion
+    tg = _lgrams(train, L, text).select(F.xxhash64("lgram").alias("k")).distinct()
+    hits = (
+        _lgrams(ev, L, text)
+        .select("doc_id", "off", F.xxhash64("lgram").alias("k"))
+        .join(tg, "k")
+        .select("doc_id", "off")
+    )
     per_doc = _merge_spans(hits, L)
     return (
         per_doc.join(ev.select("doc_id", F.length(text).alias("n")), "doc_id")
@@ -282,7 +308,7 @@ def substring_contamination(
 
 
 def _q_dedup_substr_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_contamination(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return substring_contamination(fanout_scan(spark, f"{sf_dir}/documents.parquet"))
 
 
 def substring_contamination_sql(
@@ -446,7 +472,7 @@ def heaps_law(docs: DataFrame, text: str = "text", n_grid: int = HEAPS_GRID) -> 
 
 
 def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return heaps_law(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return heaps_law(fanout_scan(spark, f"{sf_dir}/documents.parquet"))
 
 
 def heaps_law_sql(n_grid: int = HEAPS_GRID) -> str:

@@ -696,25 +696,34 @@ def hits_scores(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
     -> (side, node_id, score) for side in ('hub' = customer,
        'auth' = supplier)."""
     e = edges.select("c", "s").distinct().localCheckpoint(eager=False)
-    hubs = e.select("c").distinct()
-    nc = hubs.agg(F.count("*").alias("n"))
-    h = hubs.crossJoin(F.broadcast(nc)).select(
-        "c", F.expr("1.0e0 / sqrt(CAST(n AS DOUBLE))").alias("h")
-    )
+    # Deferred normalization (opt guide §2.4/§1.2: remove passes the math
+    # does not need): each per-half-step L2 normalization divides the whole
+    # score vector by a scalar, and the next half-step is a linear matvec,
+    # so every scalar factors through to the end — normalizing ONCE at
+    # output is mathematically identical to normalizing every half-step
+    # (and the init constant 1.0 vs 1/sqrt(n) likewise cancels). This
+    # removes 2·n_iter norm aggregates + broadcast exchanges and, because
+    # the un-normalized chain is LINEAR lineage (each score table consumed
+    # exactly once), all but two of the per-half-step localCheckpoint
+    # barriers. Magnitudes stay far inside double range (≲1e40 after 8
+    # rounds at sf0.1); the only float change is 1 division instead of 8
+    # per entry, noise ~1e-16 relative — below the adjudicated ~1e-12
+    # cross-engine parallel-sum band the 6dp output rounding absorbs
+    # (verified value-identical vs the per-step-normalizing DuckDB oracle
+    # at sf0.001/0.01/0.1).
+    h = e.select("c").distinct().select("c", F.lit(1.0).alias("h"))
     a = None
-    for _ in range(n_iter):
-        a_raw = (
-            e.join(h, "c").groupBy("s").agg(F.sum("h").alias("ar"))
-        )
-        an = a_raw.agg(F.expr("sqrt(sum(ar * ar))").alias("nrm"))
-        a = a_raw.crossJoin(F.broadcast(an)).select(
-            "s", F.expr("ar / nrm").alias("a")
-        ).localCheckpoint(eager=False)
-        h_raw = e.join(a, "s").groupBy("c").agg(F.sum("a").alias("hr"))
-        hn = h_raw.agg(F.expr("sqrt(sum(hr * hr))").alias("nrm"))
-        h = h_raw.crossJoin(F.broadcast(hn)).select(
-            "c", F.expr("hr / nrm").alias("h")
-        ).localCheckpoint(eager=False)
+    for i in range(n_iter):
+        a = e.join(h, "c").groupBy("s").agg(F.sum("h").alias("a"))
+        if i == n_iter - 1:
+            # pin: the final h reads a, and a feeds the output twice
+            a = a.localCheckpoint(eager=False)
+        h = e.join(a, "s").groupBy("c").agg(F.sum("a").alias("h"))
+    h = h.localCheckpoint(eager=False)
+    an = a.agg(F.expr("sqrt(sum(a * a))").alias("nrm"))
+    hn = h.agg(F.expr("sqrt(sum(h * h))").alias("nrm"))
+    a = a.crossJoin(F.broadcast(an)).select("s", F.expr("a / nrm").alias("a"))
+    h = h.crossJoin(F.broadcast(hn)).select("c", F.expr("h / nrm").alias("h"))
     out = h.select(
         F.lit("hub").alias("side"), F.col("c").cast("bigint").alias("node_id"),
         F.col("h").alias("score"),
@@ -1484,6 +1493,10 @@ def adamic_adar(ev: DataFrame, topk: int = AA_TOPK) -> DataFrame:
             ).alias("item"),
         )
         .distinct()
+        # pin: three consumers (deg, both join sides) otherwise re-run the
+        # events scan + distinct each — the plan-lint recompute>=4 site
+        # (VERDICT r12 item 5); values unchanged, one scan instead of four
+        .localCheckpoint(eager=False)
     )
     deg = (
         links.groupBy("item")

@@ -9,19 +9,21 @@ from .queries import _REGISTRY, Query, round6, roundn
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # The test file is a single row-group → ONE input split, which serializes
     # the whole shingle/token pipeline onto one core (observed: every dedup
-    # stage ran as 0+1/1). Fan the scan out when the file layout is too
-    # coarse; on a real multi-file dataset the scan already has plenty of
-    # splits and this branch never fires.
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
-    return df
+    # stage ran as 0+1/1). io.fanout_scan fans the scan out when the layout
+    # is too coarse; never fires on a real multi-file dataset.
+    from .io import fanout_scan
+
+    return fanout_scan(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fan a too-coarse scan out so the per-row HOF math (dot products,
+    # argmin folds) runs data-parallel — see io.fanout_scan
+    from .io import fanout_scan
+
+    return fanout_scan(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # --- text analysis --------------------------------------------------------

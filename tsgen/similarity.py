@@ -115,15 +115,38 @@ def _assign_to_centroids(v: DataFrame, seeds: DataFrame) -> DataFrame:
     # round-before-rank (9dp): refined centroids are float means whose
     # last-ulp differs between engines; an unrounded near-tie at a cell
     # boundary would flip the assignment in one engine only (same class
-    # as the pq_train_assign fix, ADVICE r07)
-    joined = v.crossJoin(F.broadcast(seeds)).withColumn(
-        "cs", F.round(cosine("_vec", "svec") / (F.col("norm") * F.col("snorm")) + F.lit(1e-12), 9)
+    # as the pq_train_assign fix, ADVICE r07).
+    #
+    # The centroid table is bounded (n_cells rows), so it is folded into ONE
+    # row holding an array of (cell_id, svec, snorm) structs, broadcast onto
+    # the corpus (single-row BNLJ — no corpus shuffle), and the argmax runs
+    # as a per-row array fold instead of the old n_cells·N-row
+    # exchange + sort + row_number window (opt guide §2.4: the exchange and
+    # its sort disappear; the corpus stays narrow end to end, which is the
+    # 100 TB shape). The score expression (zip_with/aggregate dot,
+    # /(norm·snorm), +1e-12, round 9) is term-for-term the same, so values
+    # are bit-identical to the join form; collect_list order is fixed by
+    # array_sort on the struct (cell_id leads and is unique). Tie-break:
+    # array_max on (cs, -cell_id) == the old orderBy(cs DESC, cell_id ASC)
+    # row_number()=1. Everything stays LAZY — no driver collect, no
+    # literal-blowup in the plan (both were measured slower: plan-time
+    # dominated at bench scale).
+    cents = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("cell_id", "svec", "snorm"))).alias(
+            "_cents"
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell_id"))
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "_vec", "norm", "cell_id")
+    # one F.expr (single SQL parse) instead of nested Column-API lambdas:
+    # building the same tree through py4j costs ~0.5s of driver time per
+    # assign pass, which dominated at bench scale
+    best = F.expr(
+        "array_max(transform(_cents, c -> struct("
+        "round(aggregate(zip_with(_vec, c.svec, (x, y) -> x * y), 0.0e0, "
+        "(acc, x) -> acc + x) / (norm * c.snorm) + 1.0e-12, 9) AS cs, "
+        "-c.cell_id AS nid)))"
+    )
+    return v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "_vec", "norm", (-best["nid"]).cast("bigint").alias("cell_id")
     )
 
 
@@ -1527,26 +1550,57 @@ def pq_train_assign(
         "s", F.col("vec_id").cast("int").alias("code"), F.col("subvec").alias("cvec")
     )
 
-    sqdist = F.expr(
-        "aggregate(zip_with(subvec, cvec, (a, b) -> (a - b) * (a - b)), "
-        "0.0e0, (acc, x) -> acc + x)"
-    )
-
     def assign(cb):
         # Rank on a 9dp-rounded distance (round-before-rank idiom): the
         # refined centroids are float means whose last-ulp differs between
         # engines, and an unrounded near-tie at a Voronoi boundary would
         # flip the code in one engine only (ADVICE r07).
-        cand = (
-            sub.join(F.broadcast(cb), "s")
-            .withColumn("_d2", sqdist)
-            .withColumn("_d2r", F.round(F.col("_d2") + F.lit(1e-12), 9))
+        #
+        # The codebook is bounded (n_sub·n_cent rows), so it is folded into
+        # ONE row holding an s-indexed array of (code, cvec) candidate
+        # arrays, broadcast onto the subvector table (single-row BNLJ — no
+        # shuffle), and the nearest code is a per-row array fold instead of
+        # the old join(broadcast) + per-(vec_id, s) row_number window —
+        # removes the n_cent-fold candidate blowup through an exchange+sort
+        # per Lloyd pass (opt guide §2.4) while staying fully lazy (no
+        # driver collect, no literal blowup in the plan; both alternatives
+        # measured slower — plan/build time dominated). Distance expression
+        # is unchanged ((a-b)² zip_with/aggregate, +1e-12, round 9);
+        # array_min on (d2r, code) == the old orderBy(d2r ASC, code ASC)
+        # rn=1, so codes and sub_sqerr are bit-identical to the join form.
+        cb_arr = (
+            cb.groupBy("s")
+            .agg(F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("arr"))
+            .agg(F.array_sort(F.collect_list(F.struct("s", "arr"))).alias("sa"))
+            .select(F.col("sa.arr").alias("_cbs"))
         )
-        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("_d2r"), F.asc("code"))
+        # one F.expr (single SQL parse) instead of nested Column-API
+        # lambdas — the py4j tree construction cost dominated at bench
+        # scale; inner transform computes d2 once, outer adds the rounded
+        # rank key (lambda-var field access is free)
+        best = F.expr(
+            "array_min(transform("
+            "transform(element_at(_cbs, s + 1), c -> struct("
+            "aggregate(zip_with(subvec, c.cvec, (a, b) -> (a - b) * (a - b)), "
+            "0.0e0, (acc, x) -> acc + x) AS d2, c.code AS code)), "
+            "x -> struct(round(x.d2 + 1.0e-12, 9) AS d2r, x.code AS code, "
+            "x.d2 AS d2)))"
+        )
+        # explode(array(best)) pins the argmin struct behind a Generate so
+        # the interpreted expression tree is evaluated ONCE per row —
+        # referencing two fields of `best` directly would inline (and
+        # evaluate) the whole tree twice (CollapseProject has no CSE for
+        # the codegen-fallback HOF chain)
         return (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "s", "code", "subvec", F.col("_d2").alias("sub_sqerr"))
+            sub.crossJoin(F.broadcast(cb_arr))
+            .select("vec_id", "s", "subvec", F.explode(F.array(best)).alias("_b"))
+            .select(
+                "vec_id",
+                "s",
+                F.col("_b.code").alias("code"),
+                "subvec",
+                F.col("_b.d2").alias("sub_sqerr"),
+            )
         )
 
     assigned = assign(codebook)
@@ -1956,6 +2010,39 @@ def rerank_frontier(
 KMEANS_K, KMEANS_ITERS = 8, 2
 
 
+def _argmin_l2_lazy(cc: DataFrame, id_col: str, vec_col: str):
+    """Fold a bounded centroid table into one row holding an array of
+    (cid, cvec) structs (order fixed by array_sort; cid leads and is
+    unique) and return (cents_one_row_df, best_col): callers
+    crossJoin(broadcast(cents)) — a single-row BNLJ, no corpus shuffle —
+    and `best` is the argmin-by-L2 struct over `_vec`: struct(d2r, cid,
+    d2) minimized lexicographically, i.e. nearest centroid by 9dp-rounded
+    squared distance, ties to the lowest id, unrounded d2 carried along.
+    The distance expression matches the old crossJoin+window form term
+    for term, so values are bit-identical — only the exchange+sort per
+    assign pass disappears (opt guide §2.4). Fully lazy: no driver
+    collect, no literal blowup in the plan (both measured slower —
+    plan/build time dominated at bench scale)."""
+    cents = cc.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            )
+        ).alias("_cents")
+    )
+    # one F.expr (single SQL parse) instead of nested Column-API lambdas —
+    # the py4j tree construction cost dominated at bench scale
+    best = F.expr(
+        "array_min(transform("
+        "transform(_cents, c -> struct("
+        "aggregate(zip_with(_vec, c.cvec, (a, b) -> (a - b) * (a - b)), "
+        "0.0e0, (acc, x) -> acc + x) AS d2, c.cid AS cid)), "
+        "x -> struct(round(x.d2 + 1.0e-12, 9) AS d2r, x.cid AS cid, "
+        "x.d2 AS d2)))"
+    )
+    return cents, best
+
+
 def _lloyd_centroids(v: DataFrame, k: int, iters: int, assign) -> DataFrame:
     """Run the Lloyd rounds with the centroid table pinned to the DRIVER
     between rounds (k x dim doubles — bounded state, the pattern MLlib's
@@ -1998,26 +2085,26 @@ def kmeans_l2(
     """
     v = df.select("vec_id", F.col(vec).cast("array<double>").alias("_vec"))
 
-    def dist2() -> F.Column:
-        return F.aggregate(
-            F.zip_with("_vec", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     def assign(cc: DataFrame) -> DataFrame:
         # round-before-rank (9dp) vs float-mean centroids (ADVICE r07
-        # class); d2 itself stays unrounded for the inertia sum
-        j = (
-            v.crossJoin(F.broadcast(cc))
-            .withColumn("d2", dist2())
-            .withColumn("_d2r", F.round(F.col("d2") + F.lit(1e-12), 9))
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("_d2r"), F.asc("cluster_id"))
+        # class); d2 itself stays unrounded for the inertia sum.
+        # Bounded centroid table (k rows) → single-row broadcast array +
+        # per-row argmin fold (no k·N-row exchange+sort; opt guide §2.4).
+        # array_min on (d2r, cluster_id, d2) == the old
+        # orderBy(d2r ASC, cluster_id ASC) rn=1 — bit-identical values.
+        # explode(array(best)): evaluate the argmin tree once per row (two
+        # direct field references would inline it twice — no CSE across
+        # the codegen-fallback HOF chain).
+        cents, best = _argmin_l2_lazy(cc, "cluster_id", "cvec")
         return (
-            j.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "_vec", "cluster_id", "d2")
+            v.crossJoin(F.broadcast(cents))
+            .select("vec_id", "_vec", F.explode(F.array(best)).alias("_b"))
+            .select(
+                "vec_id",
+                "_vec",
+                F.col("_b.cid").cast("bigint").alias("cluster_id"),
+                F.col("_b.d2").alias("d2"),
+            )
         )
 
     final = assign(_lloyd_centroids(v, k, iters, assign))
@@ -2035,24 +2122,12 @@ def kmeans_assignments(
     downstream evals (cluster purity / NMI)."""
     v = df.select("vec_id", F.col(vec).cast("array<double>").alias("_vec"))
 
-    def dist2() -> F.Column:
-        return F.aggregate(
-            F.zip_with("_vec", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     def assign(cc: DataFrame) -> DataFrame:
         # round-before-rank (9dp) vs float-mean centroids (ADVICE r07 class)
-        j = (
-            v.crossJoin(F.broadcast(cc))
-            .withColumn("d2", F.round(dist2() + F.lit(1e-12), 9))
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
-        return (
-            j.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "_vec", "cluster_id")
+        # — same lazy broadcast-array argmin as kmeans_l2 (opt guide §2.4)
+        cents, best = _argmin_l2_lazy(cc, "cluster_id", "cvec")
+        return v.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "_vec", best["cid"].cast("bigint").alias("cluster_id")
         )
 
     return assign(_lloyd_centroids(v, k, iters, assign)).select("vec_id", "cluster_id")
@@ -3162,6 +3237,10 @@ def map_at_k(emb: DataFrame, n_queries: int = 10, k: int = MAP_K) -> DataFrame:
     precision windows run per query over k rows."""
     from pyspark.sql import Window
 
+    # pin: five branches (brute-force corpus + queries, both label joins,
+    # the per-label relevant counts) otherwise re-scan embeddings each —
+    # the plan-lint recompute>=4 site (VERDICT r12 item 5); one scan now
+    emb = emb.select("vec_id", "label", "embedding").localCheckpoint(eager=False)
     nb = brute_force_topk(emb, emb.filter(F.col("vec_id") < n_queries), k=k)
     lab = emb.select("vec_id", "label")
     j = (
