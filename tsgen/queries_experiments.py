@@ -481,16 +481,24 @@ def pagerank(
     float sums whose association-order noise is ~1e-15 — far below the
     6 dp rounding of the query output — so a fixed iteration count is
     hash-checkable against an unrolled SQL oracle."""
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    # pin e BEFORE the symmetrize union (both branches read it; unpinned it
+    # evaluates the upstream edge chain twice)
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=False)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg")).select(
         F.col("u").alias("node"), "deg"
     )
     nn = deg.agg(F.count("*").cast("double").alias("n"))
-    pr = deg.crossJoin(F.broadcast(nn)).select(
-        "node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
+    # the per-node constants (deg, n) are hoisted into a pinned base table
+    # so each round consumes the previous rank EXACTLY once (the old
+    # pr.drop("pr").join(acc) second consumption is what forced a
+    # localCheckpoint per round) — the rank chain is now linear lineage
+    # with no per-round barrier (opt guide §2.4); values unchanged
+    base = deg.crossJoin(F.broadcast(nn)).localCheckpoint(eager=False)
+    pr = base.select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(n_iter):
         acc = (
             sym.join(pr.select(F.col("node").alias("u"), "deg", "pr"), "u")
@@ -498,17 +506,12 @@ def pagerank(
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("acc"))
             .select(F.col("v").alias("node"), "acc")
         )
-        pr = (
-            pr.drop("pr")
-            .join(acc, "node", "left")
-            .select(
-                "node", "deg", "n",
-                (
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
+        pr = base.join(acc, "node", "left").select(
+            "node", "deg", "n",
+            (
+                F.lit(1.0 - damping) / F.col("n")
+                + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
+            ).alias("pr"),
         )
     return pr.select("node", "deg", "pr")
 
@@ -565,7 +568,11 @@ def personalized_pagerank(
     stationary mass concentrates around S, so the readout doubles as a
     graph-proximity score to the seed source.
     → (node, deg, is_seed, ppr)."""
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    # pin e BEFORE the symmetrize union (both branches read it; unpinned it
+    # evaluates the upstream edge chain twice)
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=False)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg")).select(
@@ -582,12 +589,20 @@ def personalized_pagerank(
     # NULLIF guards the empty-seed-set case (ns = 0): both engines then
     # produce an all-zero teleport vector instead of engine-divergent
     # division-by-zero results (ADVICE r06).
-    pr = base.crossJoin(F.broadcast(ns)).select(
-        "node", "deg", "is_seed",
-        F.expr(
-            "coalesce(CAST(is_seed AS DOUBLE) / nullif(ns, 0.0e0), 0.0e0)"
-        ).alias("tele"),
-    ).withColumn("pr", F.col("tele"))
+    # per-node constants (deg, is_seed, tele) pinned once so each round
+    # consumes the previous rank EXACTLY once — linear lineage, no
+    # per-round localCheckpoint barrier (same rewrite as pagerank)
+    base = (
+        base.crossJoin(F.broadcast(ns))
+        .select(
+            "node", "deg", "is_seed",
+            F.expr(
+                "coalesce(CAST(is_seed AS DOUBLE) / nullif(ns, 0.0e0), 0.0e0)"
+            ).alias("tele"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pr = base.withColumn("pr", F.col("tele"))
     for _ in range(n_iter):
         acc = (
             sym.join(pr.select(F.col("node").alias("u"), "deg", "pr"), "u")
@@ -595,17 +610,12 @@ def personalized_pagerank(
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("acc"))
             .select(F.col("v").alias("node"), "acc")
         )
-        pr = (
-            pr.drop("pr")
-            .join(acc, "node", "left")
-            .select(
-                "node", "deg", "is_seed", "tele",
-                (
-                    F.lit(1.0 - damping) * F.col("tele")
-                    + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
+        pr = base.join(acc, "node", "left").select(
+            "node", "deg", "is_seed", "tele",
+            (
+                F.lit(1.0 - damping) * F.col("tele")
+                + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
+            ).alias("pr"),
         )
     return pr.select(
         "node", "deg", F.col("is_seed").cast("bigint").alias("is_seed"),
@@ -920,7 +930,11 @@ def bfs_distances(
     (lineage would otherwise double); rounds are keyed equi-joins on the
     node id — uniform shuffles, no driver-side data. Unreached nodes are
     omitted (same convention both engines)."""
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # pin e BEFORE the symmetrize union: e feeds both union branches, so an
+    # unpinned e evaluates the (expensive) upstream pair chain twice
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint(
+        eager=False
+    )
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     und = und.localCheckpoint(eager=False)
     dist = (
@@ -992,7 +1006,11 @@ def harmonic_centrality(
     multi-source distances; at cluster scale you bound it by sampling
     seeds (seed_mod) and capping depth, exactly as parameterized here.
     → (src, n_reached, harmonic)."""
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # pin e BEFORE the symmetrize union: e feeds both union branches, so an
+    # unpinned e evaluates the (expensive) upstream pair chain twice
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint(
+        eager=False
+    )
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     und = und.localCheckpoint(eager=False)
     dist = (
@@ -1102,7 +1120,11 @@ def label_propagation(
     no-op rounds. The convergence probe is a keyed equi-join on node
     (co-partitioned with the round's own shuffle) capped with limit(1),
     so it scans only until the first changed label."""
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    # pin e BEFORE the symmetrize union (both branches read it; unpinned it
+    # evaluates the upstream edge chain twice)
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=False)
     lab = (
@@ -1770,7 +1792,9 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     e = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).distinct()
     lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
     lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
-    tagged = e.join(lu, "u").join(lv, "v")
+    # pin: four branches (m, intra, both deg unions) read tagged — unpinned,
+    # each re-runs the edge-label joins (and the LPA labels behind them)
+    tagged = e.join(lu, "u").join(lv, "v").localCheckpoint(eager=False)
     m = tagged.agg(F.count("*").alias("m"))
     intra = (
         tagged.filter(F.col("cu") == F.col("cv"))
@@ -1861,7 +1885,10 @@ def assortativity(edges: DataFrame) -> DataFrame:
     or to leaves (r < 0, hub-and-spoke)? Computed from exact integer
     degrees with the standard edge-moment formula; one degree groupBy +
     one edge join, all remaining arithmetic on a 1-row aggregate."""
-    e = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).distinct()
+    # pin e: both union branches and the edge-moment join read it
+    e = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     j = (
