@@ -72,7 +72,17 @@ ev_time_travel orders_abc ev_funnel_latency stream_dd_quantiles ev_ks_test
 ev_chi_square stream_msprt idle_customers important_parts epoch_metrics
 train_epochs ev_retention_fit key_skew_profile hll_cardinality hll_set_ops
 dd_quantiles dd_quantiles_by_type ev_value_deciles cms_join_size
+embed_pq graph_hits
 """.split())
+# r13 optimization-round additions, both ONE-ROW broadcast sides:
+# - embed_pq: the PQ nearest-code assign folds the bounded codebook
+#   (n_sub·n_cent rows) into a single-row array and broadcast-crossJoins it
+#   onto the subvector table (replaces the old exchange+sort+row_number
+#   assign — OPTIMIZATION_r13.md, ANN family).
+# - graph_hits: the two final L2-norm scalars (1 row each) are
+#   broadcast-crossJoined onto the score tables; they existed before but
+#   were hidden behind the per-half-step localCheckpoint plan truncation
+#   that the deferred-normalization rewrite removed.
 
 
 def max_base_scan_count(plan: str) -> tuple[int, str]:

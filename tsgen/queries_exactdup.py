@@ -472,7 +472,9 @@ def heaps_law(docs: DataFrame, text: str = "text", n_grid: int = HEAPS_GRID) -> 
 
 
 def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return heaps_law(fanout_scan(spark, f"{sf_dir}/documents.parquet"))
+    # plain read: heaps_law is a global-order vocabulary-growth window,
+    # fan-out measured slower (no narrow per-row heavy phase)
+    return heaps_law(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def heaps_law_sql(n_grid: int = HEAPS_GRID) -> str:

