@@ -338,21 +338,39 @@ def main() -> None:
             json.dump(detail, fh)
     except OSError:
         pass  # read-only checkout: stdout still carries the detail line
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
+    # VERDICT r13 item 1: the top-5-only `queries` dict left the driver's
+    # round-over-round comparator with n_common=1 and 46 phantom "drops".
+    # Pack as many per-query timings as fit instead — slowest first, so the
+    # dict is always a SUPERSET of the old top-5 (strictly additive; same
+    # timings, same methodology). The line must stay under the driver's
+    # capture window (it keeps only the last ~2000 chars of stdout and
+    # parses the final line from that window — a full 179-entry line is
+    # ~5 KB and would lose its head and parse as null, exactly the r03
+    # failure this file's comments document), hence the 1700-char budget.
+    LINE_BUDGET = 1700
+
+    def _final_line(qmap: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
+                "queries": qmap,
                 "r01_subset_total": r01_total,
                 "n_queries": len(timings),
                 "runs": REPS,
                 "sf": sf,
             }
         )
-    )
+
+    slowest: dict[str, float] = {}
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(slowest)
+        trial[name] = sec
+        if len(_final_line(trial)) > LINE_BUDGET and len(slowest) >= 5:
+            break
+        slowest = trial
+    print(_final_line(slowest))
 
 
 if __name__ == "__main__":

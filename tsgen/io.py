@@ -48,24 +48,34 @@ def fanout_scan(spark: SparkSession, path: str) -> DataFrame:
     The gate is decided from cheap file stats (few files AND small total
     bytes), NOT from df.rdd.getNumPartitions(): converting to an RDD
     compiles the physical plan on the driver, which measurably taxed every
-    query build (~0.2-0.5 s × 3 bench reps)."""
+    query build (~0.2-0.5 s × 3 bench reps). The stat walks nested part
+    dirs too (ADVICE r13: a partitioned local dataset must not silently
+    skip the gate), and the per-path verdict is memoized so repeat builds
+    of the same query skip the filesystem walk."""
     df = spark.read.parquet(path)
-    try:
-        import glob
-        import os
+    cpus = spark.sparkContext.defaultParallelism
+    decision = _FANOUT_DECISIONS.get((path, cpus))
+    if decision is None:
+        try:
+            import glob
+            import os
 
-        files = (
-            [path]
-            if os.path.isfile(path)
-            else glob.glob(os.path.join(path, "*.parquet"))
-        )
-        cpus = spark.sparkContext.defaultParallelism
-        total = sum(os.path.getsize(f) for f in files)
-        if files and len(files) <= cpus and total <= 256 * 1024 * 1024:
-            df = df.repartition(cpus)
-    except OSError:
-        pass  # non-local storage: real deployments have real splits
+            files = (
+                [path]
+                if os.path.isfile(path)
+                else glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            total = sum(os.path.getsize(f) for f in files)
+            decision = bool(files) and len(files) <= cpus and total <= 256 * 1024 * 1024
+        except OSError:
+            decision = False  # non-local storage: real deployments have real splits
+        _FANOUT_DECISIONS[(path, cpus)] = decision
+    if decision:
+        df = df.repartition(cpus)
     return df
+
+
+_FANOUT_DECISIONS: dict[tuple[str, int], bool] = {}
 
 
 def save_series(df: DataFrame, path: str, partition_by: str | None = None) -> None:

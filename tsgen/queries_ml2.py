@@ -102,29 +102,64 @@ def logreg_irls(base: DataFrame, iters: int = LOGREG_ITERS) -> DataFrame:
     # re-ran the events scan/groupBy (recompute census: 8 scans/plan).
     # Caching the slim design table is the standard IRLS shape (MLlib).
     base = base.localCheckpoint(eager=False)
-    beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
-    out = None
-    for it in range(1, iters + 1):
+
+    # ONE fused pass over `base` per beta (VERDICT r13 item 3, opt guide
+    # §1.2 "don't compute things twice"): iteration k's loglik row and
+    # iteration k+1's sufficient statistics both scan `base` under the SAME
+    # beta_k, so they run as one combined aggregate — 2·iters data passes
+    # become iters+1 (the beta_0 stats pass emits no loglik row; the last
+    # beta's pass computes no next step). Every expression, rounding rule
+    # and accumulation (same pinned partitioning, same per-column sums) is
+    # unchanged, so the emitted values are identical — oracle-verified.
+    def _stats(beta: DataFrame) -> DataFrame:
+        """Sufficient statistics of the Newton step under `beta` (4dp)."""
         z = F.col("b0") + F.col("b1") * F.col("x")
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         w = p * (F.lit(1.0) - p)
-        aggs = (
-            base.crossJoin(F.broadcast(beta))
-            .agg(
+        aggs = base.crossJoin(F.broadcast(beta)).agg(
+            F.sum(w).alias("s00"),
+            F.sum(w * F.col("x")).alias("s01"),
+            F.sum(w * F.col("x") * F.col("x")).alias("s11"),
+            F.sum(F.col("y") - p).alias("g0"),
+            F.sum((F.col("y") - p) * F.col("x")).alias("g1"),
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+        )
+        return roundn(aggs, 4, "s00", "s01", "s11", "g0", "g1")
+
+    def _fused(beta: DataFrame, last: bool) -> DataFrame:
+        """Loglik diagnostics under `beta` PLUS (unless last) the next
+        step's sufficient statistics, in one aggregate pass."""
+        z = F.col("b0") + F.col("b1") * F.col("x")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (F.lit(1.0) - p)
+        cols = [
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.avg(
+                F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+            ).alias("avg_loglik"),
+            F.count("*").alias("n"),
+        ]
+        if not last:
+            cols += [
                 F.sum(w).alias("s00"),
                 F.sum(w * F.col("x")).alias("s01"),
                 F.sum(w * F.col("x") * F.col("x")).alias("s11"),
                 F.sum(F.col("y") - p).alias("g0"),
                 F.sum((F.col("y") - p) * F.col("x")).alias("g1"),
-                F.first("b0").alias("b0"),
-                F.first("b1").alias("b1"),
-            )
-        )
-        aggs = roundn(aggs, 4, "s00", "s01", "s11", "g0", "g1")
-        solved = aggs.withColumn(
+            ]
+        one = base.crossJoin(F.broadcast(beta)).agg(*cols)
+        if not last:
+            one = roundn(one, 4, "s00", "s01", "s11", "g0", "g1")
+        return one
+
+    def _step(stats: DataFrame) -> DataFrame:
+        """Closed-form 2x2 Newton update from 4dp stats (12dp beta)."""
+        solved = stats.withColumn(
             "det", F.col("s00") * F.col("s11") - F.col("s01") * F.col("s01")
         )
-        beta = solved.select(
+        return solved.select(
             F.round(
                 F.col("b0")
                 + (F.col("s11") * F.col("g0") - F.col("s01") * F.col("g1")) / F.col("det")
@@ -137,22 +172,26 @@ def logreg_irls(base: DataFrame, iters: int = LOGREG_ITERS) -> DataFrame:
                 + F.lit(1.0e-15),
                 12,
             ).alias("b1"),
-        ).localCheckpoint(eager=True)
-        zn = F.col("b0") + F.col("b1") * F.col("x")
-        pn = F.lit(1.0) / (F.lit(1.0) + F.exp(-zn))
-        row = (
-            base.crossJoin(F.broadcast(beta))
-            .agg(
-                F.first("b0").alias("beta0"),
-                F.first("b1").alias("beta1"),
-                F.avg(
-                    F.col("y") * F.log(pn) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pn)
-                ).alias("avg_loglik"),
-                F.count("*").alias("n"),
-            )
-            .select(F.lit(it).cast("bigint").alias("iter"), "beta0", "beta1", "avg_loglik", "n")
+        )
+
+    beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
+    beta = _step(_stats(beta)).localCheckpoint(eager=True)
+    out = None
+    for it in range(1, iters + 1):
+        # lazy pin: the fused pass materializes inside the next beta's eager
+        # pin (or the final action for the last iteration) and the loglik row
+        # then reads the cached 1-row result — no extra job per iteration
+        fused = _fused(beta, last=(it == iters)).localCheckpoint(eager=False)
+        row = fused.select(
+            F.lit(it).cast("bigint").alias("iter"),
+            F.col("b0").alias("beta0"),
+            F.col("b1").alias("beta1"),
+            "avg_loglik",
+            "n",
         )
         out = row if out is None else out.unionByName(row)
+        if it < iters:
+            beta = _step(fused).localCheckpoint(eager=True)
     return round6(out, "beta0", "beta1", "avg_loglik")
 
 
@@ -482,27 +521,52 @@ def poisson_glm(ev: DataFrame, iters: int = POIS_ITERS) -> DataFrame:
     )
     spark = ev.sparkSession
     base = base.localCheckpoint(eager=False)  # same pin as logreg_irls
-    beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
-    out = None
-    for it in range(1, iters + 1):
+
+    # Same fused-pass rewrite as logreg_irls (VERDICT r13 item 3): loglik
+    # row k and stats k+1 share beta_k, so one combined aggregate replaces
+    # the two base passes — 2·iters passes become iters+1. Expressions,
+    # rounding and accumulation order unchanged; oracle-verified.
+    def _stats(beta: DataFrame) -> DataFrame:
         mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
-        aggs = (
-            base.crossJoin(F.broadcast(beta))
-            .agg(
+        aggs = base.crossJoin(F.broadcast(beta)).agg(
+            F.sum(mu).alias("s00"),
+            F.sum(mu * F.col("x")).alias("s01"),
+            F.sum(mu * F.col("x") * F.col("x")).alias("s11"),
+            F.sum(F.col("y") - mu).alias("g0"),
+            F.sum((F.col("y") - mu) * F.col("x")).alias("g1"),
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+        )
+        return roundn(aggs, 4, "s00", "s01", "s11", "g0", "g1")
+
+    def _fused(beta: DataFrame, last: bool) -> DataFrame:
+        mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+        cols = [
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.avg(
+                F.col("y") * (F.col("b0") + F.col("b1") * F.col("x")) - mu
+            ).alias("avg_ll_core"),
+            F.count("*").alias("n"),
+        ]
+        if not last:
+            cols += [
                 F.sum(mu).alias("s00"),
                 F.sum(mu * F.col("x")).alias("s01"),
                 F.sum(mu * F.col("x") * F.col("x")).alias("s11"),
                 F.sum(F.col("y") - mu).alias("g0"),
                 F.sum((F.col("y") - mu) * F.col("x")).alias("g1"),
-                F.first("b0").alias("b0"),
-                F.first("b1").alias("b1"),
-            )
-        )
-        aggs = roundn(aggs, 4, "s00", "s01", "s11", "g0", "g1")
-        solved = aggs.withColumn(
+            ]
+        one = base.crossJoin(F.broadcast(beta)).agg(*cols)
+        if not last:
+            one = roundn(one, 4, "s00", "s01", "s11", "g0", "g1")
+        return one
+
+    def _step(stats: DataFrame) -> DataFrame:
+        solved = stats.withColumn(
             "det", F.col("s00") * F.col("s11") - F.col("s01") * F.col("s01")
         )
-        beta = solved.select(
+        return solved.select(
             F.round(
                 F.col("b0")
                 + (F.col("s11") * F.col("g0") - F.col("s01") * F.col("g1")) / F.col("det")
@@ -515,28 +579,24 @@ def poisson_glm(ev: DataFrame, iters: int = POIS_ITERS) -> DataFrame:
                 + F.lit(1.0e-15),
                 12,
             ).alias("b1"),
-        ).localCheckpoint(eager=True)
-        mun = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
-        row = (
-            base.crossJoin(F.broadcast(beta))
-            .agg(
-                F.first("b0").alias("beta0"),
-                F.first("b1").alias("beta1"),
-                F.avg(
-                    F.col("y") * (F.col("b0") + F.col("b1") * F.col("x")) - mun
-                ).alias("avg_ll_core"),
-                F.count("*").alias("n"),
-            )
-            .select(
-                F.lit(it).cast("bigint").alias("iter"),
-                "beta0",
-                "beta1",
-                F.exp(F.col("beta1")).alias("weekend_ratio"),
-                "avg_ll_core",
-                "n",
-            )
+        )
+
+    beta = spark.range(1).select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
+    beta = _step(_stats(beta)).localCheckpoint(eager=True)
+    out = None
+    for it in range(1, iters + 1):
+        fused = _fused(beta, last=(it == iters)).localCheckpoint(eager=False)
+        row = fused.select(
+            F.lit(it).cast("bigint").alias("iter"),
+            F.col("b0").alias("beta0"),
+            F.col("b1").alias("beta1"),
+            F.exp(F.col("b1")).alias("weekend_ratio"),
+            "avg_ll_core",
+            "n",
         )
         out = row if out is None else out.unionByName(row)
+        if it < iters:
+            beta = _step(fused).localCheckpoint(eager=True)
     return round6(out, "beta0", "beta1", "weekend_ratio", "avg_ll_core")
 
 
