@@ -64,8 +64,8 @@ ann_rerank_frontier ann_int8_recall ann_ivf_frontier embed_hard_negatives
 doc_lang_rebalance doc_lang_temperature embed_cluster_purity embed_kmeans
 doc_source_kl ab_experiment graph_triangles ev_competing_risks user_survival
 graph_modularity forecast_reconcile posenc forecast_seasonal_naive
-forecast_theta ev_logreg ev_calibration doc_nb_classify ev_poisson_glm
-doc_ppl_holdout ev_hazard_glm split_assign ev_gbm_stumps doc_woe ann_rrf
+forecast_theta ev_calibration doc_nb_classify
+doc_ppl_holdout split_assign ev_gbm_stumps doc_woe ann_rrf
 ev_transition_entropy ts_crosscorr ev_wau ev_bootstrap_ci ts_dtw
 rfm_segments basket_rules li_abc_xyz li_eoq li_wagner_whitin ev_ewma_corr
 ev_time_travel orders_abc ev_funnel_latency stream_dd_quantiles ev_ks_test
@@ -82,6 +82,9 @@ embed_pq graph_hits
 # - graph_hits: the two final L2-norm scalars (1 row each) are
 #   broadcast-crossJoined onto the score tables; they existed before but
 #   were hidden behind the per-half-step localCheckpoint plan truncation
+# r14 pruning: ev_logreg / ev_poisson_glm / ev_hazard_glm left the census —
+# the fused IRLS pass pins each 1-row state table eagerly, so the
+# beta-broadcast crossJoin no longer prints as a BNLJ in the lazy plan tail.
 #   that the deferred-normalization rewrite removed.
 
 

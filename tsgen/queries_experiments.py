@@ -473,8 +473,11 @@ def pagerank(
     """PageRank on an undirected edge list (symmetrized): fixed-iteration
     power method. Per round: one equi-join (edge ⋈ rank on the source) +
     one partial-agged sum by destination — the canonical distributed shape.
-    The rank/degree table is localCheckpointed per round to cut lineage
-    (same driver-loop hygiene as connected_components). Every node of a
+    The rank chain is LAZY (no per-round localCheckpoint): after the
+    constants hoist below it is linear lineage off two pinned tables, and
+    the r14 pinned-vs-lazy A/B measured the per-round pins a 1.06x tie at
+    sf0.1 but a 1.57x LOSS on the 4x scale-proof corpus (8 serialized
+    node-table materializations vs one fused lazy DAG). Every node of a
     symmetrized graph has out-degree ≥ 1, so there is no dangling mass.
 
     Cross-engine determinism: per-node contribution sums are O(deg)-term
@@ -512,7 +515,7 @@ def pagerank(
                 F.lit(1.0 - damping) / F.col("n")
                 + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
             ).alias("pr"),
-        ).localCheckpoint(eager=False)
+        )
     return pr.select("node", "deg", "pr")
 
 
@@ -562,8 +565,8 @@ def personalized_pagerank(
     restricted to a seed set S — pr = (1-d)·1[node∈S]/|S| + d·Σ pr(u)/deg(u)
     — the standard "related items" / seed-expansion primitive (e.g.
     Twitter WTF, Gupta et al. 2013). Same distributed shape as pagerank
-    (one edge⋈rank equi-join + one keyed sum per round, localCheckpoint
-    lineage cuts); the seed indicator is a broadcast-joined column, and
+    (one edge⋈rank equi-join + one keyed sum per round, lazy rank chain —
+    see pagerank's A/B note); the seed indicator is a broadcast-joined column, and
     seed mass |S| is a 1-row broadcast. Unlike uniform PageRank the
     stationary mass concentrates around S, so the readout doubles as a
     graph-proximity score to the seed source.
@@ -616,7 +619,7 @@ def personalized_pagerank(
                 F.lit(1.0 - damping) * F.col("tele")
                 + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
             ).alias("pr"),
-        ).localCheckpoint(eager=False)
+        )
     return pr.select(
         "node", "deg", F.col("is_seed").cast("bigint").alias("is_seed"),
         F.col("pr").alias("ppr"),

@@ -537,12 +537,24 @@ def trunc_recall(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    # dims == full width (storage_frontier's float32_full anchor row):
+    # slice(·, 1, dims) is the whole vector, so st IS sf — reference the
+    # already-projected column instead of building a second identical fold
+    # tree (interpreted HOFs get no subexpression elimination, so the
+    # duplicate tree would evaluate the ~3·dim-op fold twice per pair;
+    # same value, same tiebreak, bit-identical ranks)
     sim = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         cos6(F.col("qv"), F.col("v")).alias("sf"),
-        cos6(F.slice(F.col("qv"), 1, dims), F.slice(F.col("v"), 1, dims)).alias("st"),
+        *(
+            []
+            if dims >= EMB_DIM
+            else [cos6(F.slice(F.col("qv"), 1, dims), F.slice(F.col("v"), 1, dims)).alias("st")]
+        ),
     )
+    if dims >= EMB_DIM:
+        sim = sim.withColumn("st", F.col("sf"))
     wf = Window.partitionBy("query_id").orderBy(F.desc("sf"), F.asc("neighbor_id"))
     wt = Window.partitionBy("query_id").orderBy(F.desc("st"), F.asc("neighbor_id"))
     ranked = sim.withColumn("rf", F.row_number().over(wf)).withColumn(
