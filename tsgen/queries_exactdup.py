@@ -121,7 +121,8 @@ def _merge_spans(hits: DataFrame, L: int) -> DataFrame:
 
 
 def substring_cut_keepfirst(
-    docs: DataFrame, min_len: int = SUBSTR_L, text: str = "text"
+    docs: DataFrame, min_len: int = SUBSTR_L, text: str = "text",
+    hash_key: bool = True,
 ) -> DataFrame:
     """The DELETION policy of Lee et al. 2022 §4.1 ("leave one intact"):
     every occurrence of a duplicated substring is removed EXCEPT the
@@ -143,10 +144,19 @@ def substring_cut_keepfirst(
     # (the docstring's declared cluster-scale plan, now actually wired):
     # 8-byte shuffle keys instead of the L-char string, results identical
     # absent a 64-bit collision — the dedup_substr_hash adjudication; the
-    # string-keyed DuckDB oracle still checks the output (opt guide §2.3)
+    # string-keyed DuckDB oracle still checks the output (opt guide §2.3).
+    # At the declared 100 TB scale (~1e12 distinct L-grams) the birthday
+    # expectation is ~(1e12)^2/2^65 ≈ 3e4 colliding pairs corpus-wide; a
+    # collision here cuts a span that plain string keys would keep.
+    # hash_key=False keeps the exact string-keyed window selectable for
+    # audits (ADVICE r13), mirroring substring_dup_spans' flag.
     wl = Window.partitionBy("k").orderBy("doc_id", "off")
     cut = (
-        g.select("doc_id", "off", F.xxhash64("lgram").alias("k"))
+        g.select(
+            "doc_id",
+            "off",
+            (F.xxhash64("lgram") if hash_key else F.col("lgram")).alias("k"),
+        )
         .withColumn("rn", F.row_number().over(wl))
         .filter(F.col("rn") >= 2)
         .select("doc_id", "off")
@@ -262,6 +272,7 @@ def substring_contamination(
     min_len: int = SUBSTR_L,
     text: str = "text",
     train_p: float = CROSS_TRAIN_P,
+    hash_key: bool = True,
 ) -> DataFrame:
     """Cross-split substring decontamination audit (the Lee et al. 2022 /
     GPT-3 appendix-C use case): after a deterministic train/eval hash
@@ -282,13 +293,17 @@ def substring_contamination(
     # semi-join on xxhash64(lgram) instead of the L-char string: 8-byte
     # shuffle keys on both sides of the distinct + join (opt guide §2.3),
     # the same adjudicated move as substring_dup_spans(hash_key=True) —
-    # results identical absent a 64-bit collision (~2^-64 per pair), and
-    # the string-keyed DuckDB oracle still checks the output, so the
-    # collision-freeness IS the assertion
-    tg = _lgrams(train, L, text).select(F.xxhash64("lgram").alias("k")).distinct()
+    # results identical absent a 64-bit collision (~2^-64 per pair; at the
+    # declared 100 TB scale ~1e12 L-grams give a birthday expectation of
+    # ~3e4 colliding pairs corpus-wide, each a potential false contam
+    # span), and the string-keyed DuckDB oracle still checks the output,
+    # so the collision-freeness IS the assertion. hash_key=False keeps the
+    # exact string-keyed semi-join selectable for audits (ADVICE r13).
+    key = (lambda: F.xxhash64("lgram")) if hash_key else (lambda: F.col("lgram"))
+    tg = _lgrams(train, L, text).select(key().alias("k")).distinct()
     hits = (
         _lgrams(ev, L, text)
-        .select("doc_id", "off", F.xxhash64("lgram").alias("k"))
+        .select("doc_id", "off", key().alias("k"))
         .join(tg, "k")
         .select("doc_id", "off")
     )

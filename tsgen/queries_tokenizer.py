@@ -365,16 +365,20 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     text: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-`k` docs per query by BM25; → (qid, rank, doc_id, score)."""
+    """Top-`k` docs per query by BM25; → (qid, rank, doc_id, score).
+    `toks` lets a caller that already pinned the (doc_id, term) stream
+    (bm25_ndcg) share it instead of re-tokenizing the corpus."""
     spark = docs.sparkSession
     # pin the inverted-index artifacts (token stream, tf, dl): each is
     # read by 2+ branches, and unpinned every branch re-tokenized the
     # corpus (recompute census: 4 documents scans). Materializing tf/dl
     # IS the retrieval-pipeline shape — they are the index.
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col(text), " ")).alias("term")
-    ).filter(F.length("term") > 0).localCheckpoint(eager=False)
+    if toks is None:
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.col(text), " ")).alias("term")
+        ).filter(F.length("term") > 0).localCheckpoint(eager=False)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).localCheckpoint(eager=False)
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(eager=False)
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -505,10 +509,15 @@ def bm25_ndcg(
     the IDCG window ranks candidates per qid (bounded by the candidate
     set, keyed on qid). → (qid, dcg, idcg, ndcg)."""
     spark = docs.sparkSession
-    ranking = bm25_topk(docs, queries, k=k, text=text).select("qid", "rank", "doc_id")
+    # ONE pinned token stream serves both the BM25 index build and the
+    # relevance labels (was: two independent corpus scans + tokenizations —
+    # opt guide §1.2)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text), " ")).alias("term")
-    ).filter(F.length("term") > 0)
+    ).filter(F.length("term") > 0).localCheckpoint(eager=False)
+    ranking = bm25_topk(docs, queries, k=k, text=text, toks=toks).select(
+        "qid", "rank", "doc_id"
+    )
     qdf = spark.createDataFrame(
         [(qid, t) for qid, q in queries for t in q.split()],
         "qid bigint, term string",
